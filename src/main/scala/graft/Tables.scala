@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's parquet fixtures (TESTDATA.md).
+  *
+  * Scale notes: each table is one parquet file per scale factor; at 100 TB
+  * these become partitioned directories and the same `spark.read.parquet`
+  * call picks up partition pruning + predicate pushdown unchanged. All
+  * queries in this library go through these loaders so the storage layout
+  * can change in one place.
+  */
+object Tables {
+  private def p(dir: String, name: String) = s"$dir/$name.parquet"
+
+  def region(s: SparkSession, dir: String): DataFrame   = s.read.parquet(p(dir, "region"))
+  def nation(s: SparkSession, dir: String): DataFrame   = s.read.parquet(p(dir, "nation"))
+  def customer(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "customer"))
+  def supplier(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "supplier"))
+  def part(s: SparkSession, dir: String): DataFrame     = s.read.parquet(p(dir, "part"))
+  def orders(s: SparkSession, dir: String): DataFrame   = s.read.parquet(p(dir, "orders"))
+  def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "lineitem"))
+  def documents(s: SparkSession, dir: String): DataFrame  = s.read.parquet(p(dir, "documents"))
+  def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))
+
+  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and expose BOTH:
+    *   - `ts_ns`  : long, epoch nanoseconds (exact — never goes through a
+    *                double, 1.7e18 > 2^53 would lose precision)
+    *   - `ts`     : TimestampType, truncated to microseconds (Spark's native
+    *                resolution), for window()/session_window()/watermarks.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(p(dir, "events"))
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+}

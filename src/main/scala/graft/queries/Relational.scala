@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational query surface (SURVEY.md §2.8 Q5–Q11 + sessionization).
+  *
+  * Hash-parity rules (driver compares against DuckDB by value hash):
+  *  - monetary/fractional aggregates are summed as exact cent BIGINTs
+  *    (`round(x*100) :: long`) — order-independent, engine-independent;
+  *  - timestamps are emitted as epoch seconds/micros (LongType), never as
+  *    raw timestamp columns;
+  *  - every query ends in a deterministic full-key ORDER BY, mirrored in
+  *    the oracle SQL.
+  *
+  * Scale notes (100 TB): filters are plain column predicates on the scan
+  * (parquet pushdown applies); dimension tables (region/nation) are
+  * explicitly broadcast; fact-fact joins shuffle on their equi-keys and
+  * AQE is left on to re-plan skew at runtime.
+  */
+object Relational {
+
+  /** Exact cents: `round` on the double product is identical in Spark
+    * (HALF_UP on positives) and DuckDB (half-away-from-zero) — both engines
+    * see the same IEEE754 product, so the rounded integer matches bit-wise. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  // ---------------------------------------------------------------- q05
+  /** TPC-H Q1 shape: scan-heavy filter + hash aggregate (map-side partial
+    * aggregation; one shuffle on the 6-ish distinct grouping keys). */
+  def q05Pricing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        sum(cents($"l_extendedprice")).as("sum_base_cents"),
+        sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_cents"),
+        sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")))
+          .as("sum_charge_cents"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q05Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+      |  CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+      |  CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** TPC-H Q5 shape: 5-way join. nation/region are broadcast (dims stay
+    * small at any SF); lineitem⋈orders is the only real shuffle pair and
+    * joins on the natural key so AQE can coalesce post-shuffle partitions. */
+  def q06RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1998-01-01").cast("timestamp"))
+    val cust = Tables.customer(s, dir)
+    val nat  = Tables.nation(s, dir)
+    val reg  = Tables.region(s, dir).filter($"r_name" === "ASIA")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_cents"),
+           count(lit(1)).as("n_items"))
+      .orderBy($"revenue_cents".desc, $"n_name")
+  }
+
+  val q06Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue_cents DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** Top-k: join + agg + global top-10. Spark plans the final limit as
+    * TakeOrderedAndProject — no full global sort is materialized. */
+  def q07TopCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_cents"))
+      .orderBy($"revenue_cents".desc, $"c_custkey")
+      .limit(10)
+  }
+
+  val q07Sql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY revenue_cents DESC, c_custkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** Window functions: rank per customer + running sum, rows frame.
+    * Single shuffle on o_custkey serves both window specs. */
+  def q08OrderRanks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", cents($"o_totalprice").as("price_cents"))
+    val w = Window.partitionBy($"o_custkey").orderBy($"price_cents".desc, $"o_orderkey")
+    o.select(
+        $"o_custkey", $"o_orderkey", $"price_cents",
+        row_number().over(w).as("rnk"),
+        sum($"price_cents").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running_cents"))
+      .orderBy($"o_custkey", $"rnk")
+  }
+
+  val q08Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, price_cents,
+      |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY price_cents DESC, o_orderkey) AS rnk,
+      |  CAST(SUM(price_cents) OVER (PARTITION BY o_custkey ORDER BY price_cents DESC, o_orderkey
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+      |FROM o
+      |ORDER BY o_custkey, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** Set ops. Spark compiles INTERSECT/EXCEPT to left-semi/anti joins with
+    * distinct — identical semantics to the SQL set operators. */
+  def q09Intersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withOrders = Tables.orders(s, dir).select($"o_custkey".as("custkey"))
+    val rich = Tables.customer(s, dir).filter($"c_acctbal" > 5000)
+      .select($"c_custkey".as("custkey"))
+    withOrders.intersect(rich).orderBy($"custkey")
+  }
+
+  val q09IntersectSql: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey AS custkey FROM orders
+      |  INTERSECT
+      |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+      |) ORDER BY custkey""".stripMargin
+
+  def q09Except(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withOrders = Tables.orders(s, dir).select($"o_custkey".as("custkey"))
+    val rich = Tables.customer(s, dir).filter($"c_acctbal" > 5000)
+      .select($"c_custkey".as("custkey"))
+    withOrders.except(rich).orderBy($"custkey")
+  }
+
+  val q09ExceptSql: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey AS custkey FROM orders
+      |  EXCEPT
+      |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+      |) ORDER BY custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** Grouping sets: ROLLUP(priority, status). Rolled-up NULLs are folded to
+    * 'ALL' so the hash compare never sees engine-specific null renderings. */
+  def q10Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .rollup($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), sum(cents($"o_totalprice")).as("total_cents"))
+      .select(
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        $"n_orders", $"total_cents")
+      .orderBy($"priority", $"status")
+  }
+
+  val q10Sql: String =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       COALESCE(o_orderstatus, 'ALL') AS status,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Tumbling 5-minute event windows per type (batch form of the streaming
+    * op). Emits the window start as epoch seconds; Spark's window() start
+    * is epoch-aligned so it equals floor-division bucketing. */
+  def q11EventWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), sum(cents($"value")).as("value_cents"))
+      .select($"window.start".cast("long").as("window_start"), $"event_type",
+              $"n_events", $"value_cents")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  val q11Sql: String =
+    """SELECT (epoch_us(ts) // 300000000) * 300 AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Sessionization: 30-min-gap session windows per user via Spark's
+    * session_window (one shuffle on user_id; state merges adjacent spans).
+    * Oracle reproduces it with gaps-and-islands SQL. A new session starts
+    * when the gap is >= 30 min — session_window treats spans as [t, t+gap),
+    * so an event landing exactly at t+gap does NOT merge. */
+  def q12Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), max(unix_micros($"ts")).as("last_us"))
+      .select($"user_id", unix_micros($"session_window.start").as("session_start_us"),
+              $"last_us", $"n_events")
+      .orderBy($"user_id", $"session_start_us")
+  }
+
+  val q12Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events),
+      |flagged AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+      |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, us,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, MIN(us) AS session_start_us, MAX(us) AS last_us, COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  // ---------------------------------------------------------------- wiring
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q05_pricing"     -> (q05Pricing _),
+    "q06_join5"       -> (q06RegionRevenue _),
+    "q07_topk"        -> (q07TopCustomers _),
+    "q08_window"      -> (q08OrderRanks _),
+    "q09_intersect"   -> (q09Intersect _),
+    "q09_except"      -> (q09Except _),
+    "q10_rollup"      -> (q10Rollup _),
+    "q11_event_windows" -> (q11EventWindows _),
+    "q12_sessionize"  -> (q12Sessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "q05_pricing"     -> q05Sql,
+    "q06_join5"       -> q06Sql,
+    "q07_topk"        -> q07Sql,
+    "q08_window"      -> q08Sql,
+    "q09_intersect"   -> q09IntersectSql,
+    "q09_except"      -> q09ExceptSql,
+    "q10_rollup"      -> q10Sql,
+    "q11_event_windows" -> q11Sql,
+    "q12_sessionize"  -> q12Sql)
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import graft.queries.Relational._
+
+  test("q05 pricing aggregates are sane") {
+    val df = q05Pricing(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 9) // <=3 flags x <=3 statuses
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
+    assert(rows.map(_.getAs[Long]("count_order")).sum == li)
+  }
+
+  test("q06 revenue by nation covers only ASIA nations") {
+    val df = q06RegionRevenue(spark, sf)
+    val asiaNations = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    val got = df.collect().map(_.getAs[String]("n_name")).toSet
+    assert(got.subsetOf(asiaNations) && got.nonEmpty)
+  }
+
+  test("q07 topk returns 10 descending rows") {
+    val r = q07TopCustomers(spark, sf).collect()
+    assert(r.length == 10)
+    val revs = r.map(_.getAs[Long]("revenue_cents"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q08 window rank starts at 1 per customer and running sum accumulates") {
+    val r = q08OrderRanks(spark, sf).collect()
+    val byCust = r.groupBy(_.getAs[Long]("o_custkey"))
+    byCust.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.head.getAs[Int]("rnk") == 1)
+      var acc = 0L
+      sorted.foreach { row =>
+        acc += row.getAs[Long]("price_cents")
+        assert(row.getAs[Long]("running_cents") == acc)
+      }
+    }
+  }
+
+  test("q09 intersect/except partition the with-orders custkeys") {
+    val inter = q09Intersect(spark, sf).collect().map(_.getLong(0)).toSet
+    val excep = q09Except(spark, sf).collect().map(_.getLong(0)).toSet
+    assert((inter & excep).isEmpty)
+    val withOrders = Tables.orders(spark, sf).select("o_custkey")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert((inter | excep) == withOrders)
+  }
+
+  test("q10 rollup grand total equals orders count") {
+    val r = q10Rollup(spark, sf).collect()
+    val grand = r.find(x => x.getString(0) == "ALL" && x.getString(1) == "ALL").get
+    assert(grand.getAs[Long]("n_orders") == Tables.orders(spark, sf).count())
+  }
+
+  test("q11 event windows cover all events and are 300s-aligned") {
+    val r = q11EventWindows(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, sf).count())
+    assert(r.forall(_.getAs[Long]("window_start") % 300 == 0))
+  }
+
+  test("q12 sessions cover all events; sessions per user are gap-separated") {
+    val r = q12Sessionize(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, sf).count())
+    r.groupBy(_.getAs[Long]("user_id")).values.foreach { sessions =>
+      val sorted = sessions.sortBy(_.getAs[Long]("session_start_us"))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        // next session starts >= 30 min after the last event of the previous
+        assert(b.getAs[Long]("session_start_us") - a.getAs[Long]("last_us") >= 1800000000L)
+      }
+    }
+  }
+}

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Usage: python3 tools/verify_local.py <sfDir> <outDir>
+  (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+
+For each <outDir>/<name> parquet dir with an entry in oracle_sql.json:
+run the SQL in DuckDB with views over <sfDir>/*.parquet, then compare
+column names (sorted), row count, and values (hash-style exact compare
+on a canonical string rendering, like the driver's value hash).
+"""
+import json, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df):
+    """Sort columns by name; render every value canonically."""
+    import pandas as pd
+    df = df.reindex(sorted(df.columns), axis=1)
+    def render(v):
+        if v is None or v != v:
+            return "NULL"
+        if isinstance(v, float):
+            return repr(round(v, 9))
+        return str(v)
+    return [tuple(render(v) for v in row) for row in df.itertuples(index=False)]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        res_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            print(f"MISSING  {name}: no result parquet"); n_fail += 1; continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            want = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"ERROR    {name}: {e}"); n_fail += 1; continue
+        gc, wc = sorted(got.columns), sorted(want.columns)
+        if gc != wc:
+            print(f"SCHEMA   {name}: spark={gc} oracle={wc}"); n_fail += 1; continue
+        if len(got) != len(want):
+            print(f"ROWCOUNT {name}: spark={len(got)} oracle={len(want)}"); n_fail += 1; continue
+        g, w = canon(got), canon(want)
+        if g != w:
+            bad = next(i for i, (a, b) in enumerate(zip(g, w)) if a != b)
+            print(f"VALUES   {name}: first diff at row {bad}:")
+            print(f"  spark : {g[bad]}")
+            print(f"  oracle: {w[bad]}")
+            n_fail += 1; continue
+        print(f"OK       {name}: {len(got)} rows")
+        n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
