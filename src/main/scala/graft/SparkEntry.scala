@@ -17,11 +17,19 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.VideoQueries.queries ++
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+    graft.ext.Dedup.queries ++
+    graft.ext.Similarity.queries ++
+    graft.ext.TextAnalysis.queries ++
+    graft.ext.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.VideoQueries.oracles ++
-    graft.queries.Relational.oracles
+    graft.queries.Relational.oracles ++
+    graft.ext.Dedup.oracles ++
+    graft.ext.Similarity.oracles ++
+    graft.ext.TextAnalysis.oracles ++
+    graft.ext.Multimodal.oracles
 }

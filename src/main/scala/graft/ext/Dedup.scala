@@ -1,0 +1,222 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for large-scale corpus curation (builder
+  * brief: exact, MinHash+LSH, SimHash, n-gram Jaccard).
+  *
+  * Portability contract: every hash here is derived from md5 (identical
+  * in Spark and DuckDB) folded to < 2^28, so all arithmetic stays far from
+  * 64-bit overflow in BOTH engines (DuckDB errors on overflow, Spark
+  * wraps — staying small keeps semantics identical). The oracle SQL is
+  * generated from the same constants as the Spark plan.
+  *
+  * Scale design: everything is shuffle-by-key relational — no driver-side
+  * loops, no collect. Exact dedup is one hash-groupBy; MinHash-LSH turns
+  * all-pairs similarity into |bands| narrow self-joins on band keys (the
+  * classic way to avoid the O(n²) cross join at 10^9 docs); the n-gram
+  * Jaccard join is shingle-inverted-index shaped, prunable by requiring
+  * >= minCommon shared shingles before any per-pair work.
+  */
+object Dedup {
+
+  val P: Long = 1000000007L
+  val NumHashes = 16
+  val BandRows = 2                      // 2 rows/band -> 8 bands
+  val NumBands: Int = NumHashes / BandRows
+
+  /** Deterministic per-hash-function coefficients (odd multipliers). */
+  def coefA(i: Int): Long = 2L * i + 3
+  def coefB(i: Int): Long = 7L * i + 1
+
+  // ---------------------------------------------------------------- exact
+  /** Exact dedup: md5 over normalized text (lowercase, collapsed
+    * whitespace). One hash-groupBy; the canonical representative is the
+    * min doc_id (deterministic at any parallelism). */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text_hash",
+        md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")))
+      .groupBy("text_hash")
+      .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_docs"))
+      .orderBy("text_hash")
+
+  val exactDedupSql: String =
+    """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_hash,
+      |  MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_docs
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY text_hash""".stripMargin
+
+  // -------------------------------------------------------------- minhash
+  /** Portable 28-bit string hash: first 7 hex chars of md5. */
+  private def sparkH(sExpr: String): String =
+    s"cast(conv(substring(md5(cast($sExpr as binary)), 1, 7), 16, 10) as bigint)"
+  private def duckH(sExpr: String): String =
+    s"CAST(('0x' || substr(md5($sExpr), 1, 7)) AS BIGINT)"
+
+  /** 3-word shingles of the whitespace-tokenized text. */
+  private val sparkShingles =
+    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1) )," +
+      " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+  private val duckShingles =
+    "list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))," +
+      " i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))"
+
+  /** doc_id + NumHashes minhash columns h0..h{n-1}:
+    * h_i = min over shingles of (a_i * H(s) + b_i) mod P. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sigCols = (0 until NumHashes).map { i =>
+      expr(s"array_min(transform($sparkShingles, s -> " +
+        s"(${coefA(i)}L * ${sparkH("s")} + ${coefB(i)}L) % ${P}L))").as(s"h$i")
+    }
+    docs.select((col("doc_id") +: sigCols): _*)
+  }
+
+  def minhashSignaturesSql: String = {
+    val sigCols = (0 until NumHashes).map { i =>
+      s"list_min(list_transform($duckShingles, s -> " +
+        s"(${coefA(i)} * ${duckH("s")} + ${coefB(i)}) % $P)) AS h$i"
+    }
+    s"SELECT doc_id, ${sigCols.mkString(", ")} FROM documents ORDER BY doc_id"
+  }
+
+  /** LSH band keys: NumBands rows per doc, key = '-'-joined band slice.
+    * Candidate pairs = docs sharing any band key (self-join on the key:
+    * each band is a narrow shuffle, never an all-pairs product). */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val bands = (0 until NumBands).map { b =>
+      val key = concat_ws("-",
+        (0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*)
+      sig.select(col("doc_id"), lit(b).as("band"), key.as("band_key"))
+    }
+    bands.reduce(_ unionByName _)
+  }
+
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val bands = minhashBands(docs)
+    val l = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val r = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def minhashPairsSql: String = {
+    val sigCols = (0 until NumHashes).map { i =>
+      s"list_min(list_transform($duckShingles, s -> " +
+        s"(${coefA(i)} * ${duckH("s")} + ${coefB(i)}) % $P)) AS h$i"
+    }
+    val bandSelects = (0 until NumBands).map { b =>
+      val key = (0 until BandRows).map(r => s"CAST(h${b * BandRows + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+    }
+    s"""WITH sig AS (SELECT doc_id, ${sigCols.mkString(", ")} FROM documents),
+       |bands AS (${bandSelects.mkString(" UNION ALL ")})
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------- simhash
+  val SimhashBits = 28
+
+  /** 28-bit SimHash over whitespace tokens: bit j of the fingerprint is 1
+    * iff sum over tokens of (+1 if bit j of H(token) set else -1) > 0.
+    * Computed with explode + 28 conditional sums (single shuffle on
+    * doc_id, all codegen'd). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tokens = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+      .withColumn("th", expr(sparkH("tok")))
+    val bitSums = (0 until SimhashBits).map { j =>
+      sum(when(expr(s"shiftright(th, $j) & 1") === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val fp = (0 until SimhashBits).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce((a, b) => a + b)
+    tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+      .withColumn("bucket", expr(s"simhash >> ${SimhashBits - 8}"))
+      .orderBy("doc_id")
+  }
+
+  def simhashSql: String = {
+    val bitSums = (0 until SimhashBits).map { j =>
+      s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }
+    val fp = (0 until SimhashBits).map { j =>
+      s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${duckH("t.tok")} AS th
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t),
+       |sums AS (SELECT doc_id, ${bitSums.mkString(", ")} FROM toks GROUP BY doc_id)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash,
+       |  CAST($fp AS BIGINT) >> ${SimhashBits - 8} AS bucket
+       |FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- ngram jaccard
+  val MinCommonShingles = 2
+
+  /** n-gram Jaccard near-dup: inverted-index self-join on distinct 3-word
+    * shingles; pairs sharing >= MinCommonShingles get an exact Jaccard.
+    * jaccard_e4 = floor(10000 * |A∩B| / |A∪B|) — integer, hash-stable. */
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val shingled = docs
+      .select(col("doc_id"), explode(expr(sparkShingles)).as("shingle"))
+      .distinct()
+    val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val l = shingled.select(col("doc_id").as("doc_a"), col("shingle"))
+    val r = shingled.select(col("doc_id").as("doc_b"), col("shingle"))
+    l.join(r, "shingle").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= MinCommonShingles)
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        expr("(10000 * n_common) div (na + nb - n_common)").as("jaccard_e4"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def ngramJaccardSql: String =
+    s"""WITH shingled AS (
+       |  SELECT DISTINCT doc_id, unnest($duckShingles) AS shingle FROM documents),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM shingled a JOIN shingled b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $MinCommonShingles)
+       |SELECT doc_a, doc_b, n_common,
+       |  (10000 * n_common) // (sa.n_shingles + sb.n_shingles - n_common) AS jaccard_e4
+       |FROM common
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------ wiring
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_dedup_exact" -> ((s, d) => exactDedup(Tables.documents(s, d))),
+    "q14_minhash_sig" -> ((s, d) => minhashSignatures(Tables.documents(s, d)).orderBy("doc_id")),
+    "q14_minhash_pairs" -> ((s, d) => minhashPairs(Tables.documents(s, d))),
+    "q15_simhash"     -> ((s, d) => simhash(Tables.documents(s, d))),
+    "q16_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(Tables.documents(s, d))))
+
+  val oracles: Map[String, String] = Map(
+    "q13_dedup_exact" -> exactDedupSql,
+    "q14_minhash_sig" -> minhashSignaturesSql,
+    "q14_minhash_pairs" -> minhashPairsSql,
+    "q15_simhash"     -> simhashSql,
+    "q16_ngram_jaccard" -> ngramJaccardSql)
+}

@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** A multimodal record: opaque binary payload + typed metadata, the
+  * builder brief's pattern for image/audio/video columns at 100 TB.
+  * The payload travels as BinaryType (never decoded in the plan); all
+  * relational work happens on the metadata struct so column pruning
+  * drops the heavy bytes whenever a query doesn't touch them.
+  */
+case class MediaRecord(
+    doc_id: Long,
+    payload: Array[Byte],
+    media_format: String,
+    media_width: Int,
+    media_height: Int)
+
+case class MediaFeatures(
+    doc_id: Long,
+    n_bytes: Long,
+    mean_byte_x100: Long,
+    max_byte: Int,
+    n_frames: Int,
+    frame_sample_sum: Long)
+
+/** Decoder boundary. The real implementation would wrap an image/audio
+  * codec; this container has none, so [[StubDecoder]] derives
+  * deterministic "features" from the raw bytes — the Spark-side plumbing
+  * (binary schema, batched mapPartitions, feature shape) is production-
+  * real, only the codec call is faked.
+  */
+trait MediaDecoder extends Serializable {
+  def decode(rec: MediaRecord): MediaFeatures
+}
+
+/** Deterministic fake decode: byte statistics + stride-sampled "frames".
+  * A real decoder is intentionally NOT implementable here (no codec libs
+  * in the container) — swap this class, keep the pipeline. */
+final class StubDecoder extends MediaDecoder {
+  override def decode(rec: MediaRecord): MediaFeatures = {
+    val bytes = rec.payload
+    val n = bytes.length.toLong
+    var sum = 0L
+    var mx = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sum += b
+      if (b > mx) mx = b
+      i += 1
+    }
+    // "frame sampling": one sample every 256 bytes
+    var fs = 0L
+    var f = 0
+    var j = 0
+    while (j < bytes.length) { fs += (bytes(j) & 0xff); f += 1; j += 256 }
+    MediaFeatures(rec.doc_id, n, if (n == 0) 0 else sum * 100 / n, mx, f, fs)
+  }
+}
+
+object Multimodal {
+
+  /** Attach a binary payload + metadata to each document. The payload is
+    * the utf-8 text bytes standing in for media bytes; metadata is
+    * derived deterministically. */
+  def attachPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      element_at(array(lit("jpeg"), lit("png"), lit("webm")),
+        (col("doc_id") % 3).cast("int") + 1).as("media_format"),
+      (lit(320) * ((col("doc_id") % 4) + 1)).cast("int").as("media_width"),
+      (lit(180) * ((col("doc_id") % 4) + 1)).cast("int").as("media_height"))
+
+  /** The decode stage: typed mapPartitions over the binary column — one
+    * decoder instance per partition (codecs are expensive to init), rows
+    * streamed, never collected. At 100 TB: repartition by size before
+    * this stage so partitions are byte-balanced, not row-balanced. */
+  def decodeFeatures(media: DataFrame, decoder: MediaDecoder): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it => it.map(decoder.decode) }
+  }
+
+  /** q23: the full multimodal pipeline — attach, decode (stub), emit
+    * integer features. Joinable back to metadata relationally. */
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    val media = attachPayload(Tables.documents(s, dir))
+    val feats = decodeFeatures(media, new StubDecoder)
+    feats.toDF()
+      .join(media.select("doc_id", "media_format", "media_width"), "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: byte stats of utf-8 text. documents are ASCII so
+    * octet/char lengths coincide and ord() equals the byte — computed
+    * with integer arithmetic in both engines. (If the fixture ever grows
+    * non-ASCII text this oracle must move to rows-only.) */
+  val q23Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, encode(text) AS bytes, octet_length(encode(text)) AS n_bytes,
+      |    text FROM documents),
+      |stats AS (
+      |  SELECT doc_id, n_bytes,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      generate_series(1, length(text)), i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+      |      (x, y) -> x + y) AS byte_sum,
+      |    list_max(list_transform(generate_series(1, length(text)),
+      |      i -> ord(substr(text, i, 1)))) AS max_byte,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      generate_series(1, length(text), 256), i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+      |      (x, y) -> x + y) AS frame_sample_sum,
+      |    len(generate_series(1, length(text), 256)) AS n_frames
+      |  FROM b)
+      |SELECT s.doc_id, s.n_bytes,
+      |  CASE WHEN s.n_bytes = 0 THEN 0 ELSE s.byte_sum * 100 // s.n_bytes END AS mean_byte_x100,
+      |  s.max_byte, s.n_frames, s.frame_sample_sum,
+      |  (['jpeg','png','webm'])[CAST(d.doc_id % 3 AS INT) + 1] AS media_format,
+      |  CAST(320 * ((d.doc_id % 4) + 1) AS INT) AS media_width
+      |FROM stats s JOIN documents d ON s.doc_id = d.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_multimodal" -> (q23 _))
+
+  val oracles: Map[String, String] = Map(
+    "q23_multimodal" -> q23Sql)
+}

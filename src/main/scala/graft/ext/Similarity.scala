@@ -1,0 +1,164 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` fixture
+  * (Array[Float] column).
+  *
+  * Float determinism: both engines cast each element to DOUBLE and fold
+  * the products LEFT-TO-RIGHT (Spark `aggregate`, DuckDB `list_reduce`) —
+  * same IEEE754 op sequence → bit-identical cosines → identical ranking
+  * and identical 6-decimal rounding. Never SUM over an exploded join for
+  * these (group-sum order is nondeterministic).
+  *
+  * Scale path: brute force is O(|Q|·|C|·dim) — fine when Q is small and
+  * broadcast. The IVF variant prunes candidates to one centroid cell
+  * (|C|/nlist on average); at 100 TB the centroid assignment becomes a
+  * periodic k-means job and the cell id a partition/bucket column so a
+  * query touches one bucket instead of the full corpus.
+  */
+object Similarity {
+
+  /** Left-fold dot product of two float-array columns, in DOUBLE. */
+  private def sparkDot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+      "cast(0.0 as double), (acc, v) -> acc + v)"
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def sparkNorm2(a: String): String = sparkDot(a, a)
+  private def duckNorm2(a: String): String = duckDot(a, a)
+
+  val TopK = 5
+  val QueryMod = 25          // queries = vec_id % 25 == 0
+  val CentroidMod = 50       // IVF centroids = vec_id % 50 == 0
+  val IvfTopK = 3
+
+  // ---------------------------------------------------------- brute force
+  /** Exact top-k cosine neighbors for each query vector. The query side
+    * is tiny by construction → broadcast; candidates stream through one
+    * pass; ranking is a per-query window (shuffle keyed by query id). */
+  def cosineTopK(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      expr(sparkNorm2("embedding")).as("norm2"))
+    val q = withNorm.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+              col("norm2").as("q_norm2"))
+    val c = withNorm.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"), col("norm2").as("c_norm2"))
+    val scored = broadcast(q).join(c, col("q_id") =!= col("cand_id"))
+      .withColumn("cos_raw",
+        expr(s"${sparkDot("q_emb", "c_emb")} / (sqrt(q_norm2) * sqrt(c_norm2))"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_raw").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("cand_id"),
+              round(col("cos_raw"), 6).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  val cosineTopKSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, ${duckNorm2("embedding")} AS norm2
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.norm2) * sqrt(c.norm2)) AS cos_raw
+       |  FROM v q JOIN v c ON q.vec_id % $QueryMod = 0 AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, cand_id, cos_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, cand_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, cand_id, round(cos_raw, 6) AS cos_sim
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------------------------------------ IVF
+  /** IVF-style ANN: assign every vector to its nearest centroid (squared
+    * L2, deterministic tie-break on centroid id), then answer queries
+    * inside their own cell only. Centroids here are a deterministic
+    * subset (vec_id % CentroidMod == 0) standing in for k-means means —
+    * the plumbing (assignment join, cell-local search) is the real thing.
+    */
+  def ivfTopK(emb: DataFrame): DataFrame = {
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      expr(sparkNorm2("embedding")).as("norm2"))
+    val cents = withNorm.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    // dist2(a, b) = |a|^2 + |b|^2 - 2ab computed as an explicit left fold
+    // of (a_i - b_i)^2 — one deterministic expression in both engines.
+    def sparkDist2(a: String, b: String): String =
+      s"aggregate(zip_with($a, $b, (x, y) -> " +
+        "(cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), " +
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("dist2"), col("cent_id"))
+    val assigned = withNorm.crossJoin(broadcast(cents))
+      .withColumn("dist2", expr(sparkDist2("embedding", "cent_emb")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm2"), col("cent_id").as("cell"))
+    val q = assigned.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+              col("norm2").as("q_norm2"), col("cell"))
+    val c = assigned.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"), col("norm2").as("c_norm2"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_raw").desc, col("cand_id"))
+    broadcast(q).join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("cos_raw",
+        expr(s"${sparkDot("q_emb", "c_emb")} / (sqrt(q_norm2) * sqrt(c_norm2))"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= IvfTopK)
+      .select(col("q_id"), col("cell"), col("rank"), col("cand_id"),
+              round(col("cos_raw"), 6).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  val ivfTopKSql: String = {
+    def duckDist2(a: String, b: String): String =
+      s"list_reduce(list_transform(generate_series(1, len($a)), " +
+        s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+        s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, ${duckNorm2("embedding")} AS norm2
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_emb FROM v
+       |  WHERE vec_id % $CentroidMod = 0),
+       |assigned AS (
+       |  SELECT vec_id, embedding, norm2, cell FROM (
+       |    SELECT v.vec_id, v.embedding, v.norm2, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${duckDist2("v.embedding", "c.cent_emb")}, c.cent_id) AS arn
+       |    FROM v CROSS JOIN cents c) WHERE arn = 1),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.cell AS cell, c.vec_id AS cand_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.norm2) * sqrt(c.norm2)) AS cos_raw
+       |  FROM assigned q JOIN assigned c
+       |    ON q.cell = c.cell AND q.vec_id % $QueryMod = 0 AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, cell, cand_id, cos_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, cand_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, cell, rank, cand_id, round(cos_raw, 6) AS cos_sim
+       |FROM ranked WHERE rank <= $IvfTopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ------------------------------------------------------------ wiring
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_cosine_topk" -> ((s, d) => cosineTopK(Tables.embeddings(s, d))),
+    "q18_ivf_topk"    -> ((s, d) => ivfTopK(Tables.embeddings(s, d))))
+
+  val oracles: Map[String, String] = Map(
+    "q17_cosine_topk" -> cosineTopKSql,
+    "q18_ivf_topk"    -> ivfTopKSql)
+}

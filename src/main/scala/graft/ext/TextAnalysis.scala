@@ -1,0 +1,167 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators over `documents`: language id, quality
+  * scoring, token counting, fingerprinting (builder brief).
+  *
+  * Hash-parity approach: all scores are integers (counts, ratios in
+  * basis points) so no float ever reaches the driver compare; marker
+  * counting uses replace()-length arithmetic, identical in both engines.
+  *
+  * Scale: every operator is a single projection over the corpus —
+  * embarrassingly parallel, no shuffle at all except the optional
+  * aggregate; at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Occurrences of `needle` via replace-length arithmetic (portable,
+    * no regex dialect involved). */
+  private def sparkCount(textExpr: String, needle: String): String =
+    s"(length($textExpr) - length(replace($textExpr, '$needle', ''))) div ${needle.length}"
+  private def duckCount(textExpr: String, needle: String): String =
+    s"(length($textExpr) - length(replace($textExpr, '$needle', ''))) // ${needle.length}"
+
+  /** Language marker words (space-padded to match whole tokens; text is
+    * padded with one leading/trailing space first). Heuristic n-gram
+    * lang-id in its simplest portable form. */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a ", " of "),
+    "es" -> Seq(" el ", " la ", " de "),
+    "fr" -> Seq(" le ", " la ", " et "),
+    "de" -> Seq(" der ", " die ", " und "),
+    "zh" -> Seq(" 的 ", " 是 "))
+
+  // ------------------------------------------------------------- lang id
+  def langId(docs: DataFrame): DataFrame = {
+    val padded = "concat(' ', text, ' ')"
+    val scoreCols = markers.map { case (lang, ws) =>
+      expr(ws.map(w => s"(${sparkCount(padded, w)})").mkString(" + "))
+        .as(s"score_$lang")
+    }
+    val scored = docs.select((col("doc_id") +: col("lang") +: scoreCols): _*)
+    // argmax with deterministic tie-break = marker declaration order
+    val pred = markers.map(_._1).foldRight(lit("und"): Column) {
+      case (lang, acc) =>
+        when(markers.map(m => col(s"score_$lang") >= col(s"score_${m._1}"))
+          .reduce(_ && _) && col(s"score_$lang") > 0, lit(lang)).otherwise(acc)
+    }
+    scored.withColumn("predicted", pred)
+      .select("doc_id", "lang", "predicted")
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    val padded = "concat(' ', text, ' ')"
+    val scores = markers.map { case (lang, ws) =>
+      s"(${ws.map(w => s"(${duckCount(padded, w)})").mkString(" + ")}) AS score_$lang"
+    }
+    // same fold, right-to-left: first lang (in declaration order) whose
+    // score is >= all others and > 0 wins; otherwise 'und'
+    val pred = markers.map(_._1).foldRight("'und'") { case (lang, acc) =>
+      val ge = markers.map(m => s"score_$lang >= score_${m._1}").mkString(" AND ")
+      s"CASE WHEN $ge AND score_$lang > 0 THEN '$lang' ELSE $acc END"
+    }
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, ${scores.mkString(", ")} FROM documents)
+       |SELECT doc_id, lang, $pred AS predicted
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------- quality
+  /** Integer quality metrics: char/token counts, punctuation count,
+    * stopword basis points, mean word length in centichars. */
+  def quality(docs: DataFrame): DataFrame = {
+    val padded = "concat(' ', text, ' ')"
+    val stopCount = Seq(" the ", " a ", " of ", " and ", " is ")
+      .map(w => s"(${sparkCount(padded, w)})").mkString(" + ")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      expr("size(split(text, ' '))").as("n_tokens"),
+      expr("length(regexp_replace(text, '[A-Za-z0-9 ]', ''))").as("n_punct"),
+      expr(s"(10000 * ($stopCount)) div greatest(size(split(text, ' ')), 1)")
+        .as("stopword_bp"),
+      expr("(100 * (length(text) - size(split(text, ' ')) + 1)) div greatest(size(split(text, ' ')), 1)")
+        .as("mean_wordlen_c"))
+      .orderBy("doc_id")
+  }
+
+  val qualitySql: String = {
+    val padded = "concat(' ', text, ' ')"
+    val stopCount = Seq(" the ", " a ", " of ", " and ", " is ")
+      .map(w => s"(${duckCount(padded, w)})").mkString(" + ")
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars_m,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct,
+       |  (10000 * ($stopCount)) // greatest(len(string_split(text, ' ')), 1) AS stopword_bp,
+       |  (100 * (length(text) - len(string_split(text, ' ')) + 1)) // greatest(len(string_split(text, ' ')), 1) AS mean_wordlen_c
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------- tokens
+  /** Token counting: whitespace tokens + BPE-ish regex tokens (alnum runs
+    * and single non-alnum non-space marks). Two spellings of the same
+    * regex: Spark SQL string literals treat backslash as an escape
+    * (so \s must be doubled); DuckDB's do not. */
+  val TokenRegexSpark = "[A-Za-z0-9]+|[^A-Za-z0-9\\\\s]"
+  val TokenRegexDuck = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr("size(split(text, ' '))").as("ws_tokens"),
+      expr(s"size(regexp_extract_all(text, '$TokenRegexSpark', 0))").as("re_tokens"),
+      expr("length(regexp_replace(text, '[^A-Za-z0-9]', ''))").as("alnum_chars"))
+      .orderBy("doc_id")
+
+  val tokenCountsSql: String =
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS ws_tokens,
+       |  len(regexp_extract_all(text, '$TokenRegexDuck')) AS re_tokens,
+       |  length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- fingerprint
+  /** Document fingerprints: md5 of the whitespace-normalized lowercase
+    * text + a 31-base rolling polynomial hash mod 1e9+7 folded over the
+    * code points (portable left fold; at scale this becomes a codegen'd
+    * Catalyst expression — the per-char substr fold is test-scale only).
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val norm = "regexp_replace(lower(text), '\\\\s+', ' ')"
+    docs.select(
+      col("doc_id"),
+      expr(s"md5(cast($norm as binary))").as("md5_fp"),
+      expr(s"aggregate(transform(sequence(1, char_length($norm)), " +
+        s"i -> ascii(substr($norm, i, 1))), cast(0 as bigint), " +
+        "(acc, c) -> (acc * 31 + c) % 1000000007)").as("roll_hash"))
+      .orderBy("doc_id")
+  }
+
+  val fingerprintsSql: String = {
+    val norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    s"""SELECT doc_id,
+       |  md5($norm) AS md5_fp,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+       |    generate_series(1, length($norm)), i -> CAST(ord(substr($norm, i, 1)) AS BIGINT))),
+       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS roll_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------ wiring
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
+    "q20_quality"     -> ((s, d) => quality(Tables.documents(s, d))),
+    "q21_tokens"      -> ((s, d) => tokenCounts(Tables.documents(s, d))),
+    "q22_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))))
+
+  val oracles: Map[String, String] = Map(
+    "q19_lang_id"     -> langIdSql,
+    "q20_quality"     -> qualitySql,
+    "q21_tokens"      -> tokenCountsSql,
+    "q22_fingerprint" -> fingerprintsSql)
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext._
+
+class ExtSpec extends SparkSpec {
+
+  lazy val docs = Tables.documents(spark, sf)
+  lazy val emb = Tables.embeddings(spark, sf)
+
+  test("q13 exact dedup: canonical ids are min per group, groups cover corpus") {
+    val r = Dedup.exactDedup(docs).collect()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(r.forall(_.getAs[Long]("canonical_doc_id") >= 0))
+  }
+
+  test("q14 minhash: signatures bounded by P; identical docs share all bands") {
+    val sig = Dedup.minhashSignatures(docs).collect()
+    sig.foreach { row =>
+      (0 until Dedup.NumHashes).foreach { i =>
+        val h = row.getAs[Long](s"h$i")
+        assert(h >= 0 && h < Dedup.P)
+      }
+    }
+    // a doc is always its own near-duplicate: duplicate the corpus with
+    // shifted ids and check every original pairs with its clone
+    val cloned = docs.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val pairs = Dedup.minhashPairs(docs.select("doc_id", "text").unionByName(cloned))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    ids.foreach(id => assert(pairs.contains((id, id + 10000)), s"clone pair $id"))
+  }
+
+  test("q15 simhash: fingerprints fit 28 bits and are deterministic") {
+    val a = Dedup.simhash(docs).collect()
+    val b = Dedup.simhash(docs).collect()
+    assert(a.map(_.getAs[Long]("simhash")).toSeq == b.map(_.getAs[Long]("simhash")).toSeq)
+    a.foreach(r => assert((r.getAs[Long]("simhash") >> Dedup.SimhashBits) == 0))
+  }
+
+  test("q16 jaccard pairs: bounded in [0, 10000], symmetric construction a<b") {
+    val r = Dedup.ngramJaccardPairs(docs).collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("doc_a") < row.getAs[Long]("doc_b"))
+      val j = row.getAs[Long]("jaccard_e4")
+      assert(j >= 0 && j <= 10000)
+    }
+  }
+
+  test("q17 cosine topk: 5 ranked neighbors per query, cos in [-1,1]") {
+    val r = Similarity.cosineTopK(emb).collect()
+    val perQ = r.groupBy(_.getAs[Long]("q_id"))
+    perQ.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to Similarity.TopK))
+      rows.foreach { x =>
+        val c = x.getAs[Double]("cos_sim")
+        assert(c >= -1.0001 && c <= 1.0001)
+      }
+    }
+  }
+
+  test("q18 ivf: every result pair shares the query's cell; subset of brute-force space") {
+    val r = Similarity.ivfTopK(emb).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[Long]("q_id")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("cell")).distinct.length == 1)
+    }
+  }
+
+  test("q19 lang id: predictions drawn from marker langs + und") {
+    val valid = TextAnalysis.markers.map(_._1).toSet + "und"
+    TextAnalysis.langId(docs).collect()
+      .foreach(r => assert(valid.contains(r.getAs[String]("predicted"))))
+  }
+
+  test("q20/q21 text metrics consistent") {
+    val q = TextAnalysis.quality(docs).collect()
+    q.foreach { r =>
+      assert(r.getAs[Int]("n_chars_m") > 0)
+      assert(r.getAs[Long]("stopword_bp") >= 0 && r.getAs[Long]("stopword_bp") <= 10000)
+    }
+    val t = TextAnalysis.tokenCounts(docs).collect()
+    t.foreach(r => assert(r.getAs[Int]("re_tokens") >= 0))
+  }
+
+  test("q22 fingerprints: equal texts get equal hashes, differing texts differ in md5") {
+    val fp = TextAnalysis.fingerprints(docs).collect()
+    val byText = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fpMap = fp.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("md5_fp")).toMap
+    val textToFp = byText.groupBy(_._2).view.mapValues(_.keys.map(fpMap).toSet)
+    textToFp.foreach { case (_, fps) => assert(fps.size == 1) }
+  }
+
+  test("q23 multimodal: stub decode features match a hand computation") {
+    val row = Multimodal.q23(spark, sf).filter(col("doc_id") === 1).collect().head
+    val text = docs.filter(col("doc_id") === 1).select("text").collect().head.getString(0)
+    val bytes = text.getBytes("UTF-8")
+    assert(row.getAs[Long]("n_bytes") == bytes.length)
+    assert(row.getAs[Long]("mean_byte_x100") ==
+      bytes.map(_ & 0xff).map(_.toLong).sum * 100 / bytes.length)
+    assert(row.getAs[Int]("n_frames") == (bytes.length + 255) / 256)
+  }
+}
