@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+case class UserEvent(user_id: Long, event_type: String, tsUs: Long)
+case class UserRunning(user_id: Long, n_events: Long, last_type: String)
+
+/** Structured Streaming surface over the `events` fixture (SURVEY.md
+  * §2.7): the reference is strictly batch, so these are the engine's
+  * net-new streaming capabilities — watermarked tumbling/sliding windows,
+  * session windows, watermark-scoped dedup, and custom per-key state via
+  * flatMapGroupsWithState.
+  *
+  * All transforms are DataFrame→DataFrame so the SAME code runs in batch
+  * mode (the q11/q12 batch queries are these functions applied to a batch
+  * read) — the classic Spark unified-batch-streaming design. The file
+  * source replays the fixture parquet; in production the source swaps to
+  * Kafka/queue with no transform change.
+  */
+object EventsStreaming {
+
+  /** Schema of the raw events parquet when nanos are read as long. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over the fixture; ts normalized to TimestampType
+    * (micros) exactly like the batch loader. Spark's file stream source
+    * requires a DIRECTORY, and the fixture is a single read-only file —
+    * stage a temp dir with a symlink (fixture plumbing only; a production
+    * deployment points this at a landing directory or swaps in Kafka). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = Files.createTempDirectory("graft-events-stream")
+    staged.toFile.deleteOnExit()
+    Files.createSymbolicLink(staged.resolve("events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(staged.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Tumbling 5-minute counts per event type, 10-minute watermark.
+    * Append mode emits a window only once its watermark passes — state
+    * size is bounded by (watermark / window) * |types|. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").cast("long").as("window_start"),
+              col("event_type"), col("n_events"), col("value_cents"))
+
+  /** Sliding windows: 10-minute span sliding by 5. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").cast("long").as("window_start"),
+              col("event_type"), col("n_events"))
+
+  /** 30-minute-gap session windows per user (streaming form of q12). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(unix_micros(col("ts"))).as("last_us"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("session_start_us"),
+              col("last_us"), col("n_events"))
+
+  /** Watermark-scoped exactly-once dedup on event_id: duplicates arriving
+    * within the watermark horizon are dropped; state expires with the
+    * watermark instead of growing unboundedly (the streaming analogue of
+    * the exact-dedup batch operator). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes").dropDuplicates("event_id", "ts")
+
+  /** Custom keyed state: per-user running event count + last event type,
+    * emitted on every update. Demonstrates flatMapGroupsWithState for
+    * state machines the built-in windows can't express. */
+  def userRunningCounts(events: DataFrame): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsUs"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tsUs, e.event_type))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val prev = state.getOption.map(_.n_events).getOrElse(0L)
+            val updated = UserRunning(uid, prev + sorted.size,
+              sorted.last.event_type)
+            state.update(updated)
+            Iterator.single(updated)
+          }
+      }
+  }
+}

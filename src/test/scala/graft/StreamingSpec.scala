@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventsStreaming
+
+/** Streaming smoke: replay the fixture parquet through each streaming
+  * transform with a memory sink and check agreement with the batch
+  * equivalents (unified batch/streaming semantics). */
+class StreamingSpec extends SparkSpec {
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+                          mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("streaming tumbling counts match batch q11 on completed windows") {
+    val stream = EventsStreaming.eventsStream(spark, sf)
+    // complete mode emits all windows regardless of watermark progress
+    val got = runToMemory(
+      EventsStreaming.tumblingCounts(stream), "t_tumbling", mode = "complete")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = graft.queries.Relational.q11EventWindows(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
+  test("streaming sessionization matches batch q12") {
+    val stream = EventsStreaming.eventsStream(spark, sf)
+    val got = runToMemory(
+      EventsStreaming.sessionCounts(stream), "t_sessions", mode = "complete")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+                 r.getAs[Long]("n_events"))).toSet
+    val want = graft.queries.Relational.q12Sessionize(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+                 r.getAs[Long]("n_events"))).toSet
+    assert(got == want)
+  }
+
+  test("streaming dedup keeps all distinct event ids") {
+    val stream = EventsStreaming.eventsStream(spark, sf)
+    val got = runToMemory(EventsStreaming.dedupEvents(stream), "t_dedup")
+    assert(got.select("event_id").distinct().count() ==
+      Tables.events(spark, sf).select("event_id").distinct().count())
+  }
+
+  test("flatMapGroupsWithState accumulates per-user totals") {
+    val stream = EventsStreaming.eventsStream(spark, sf)
+    val got = runToMemory(
+      EventsStreaming.userRunningCounts(stream).toDF(), "t_state")
+    // last emitted running count per user == that user's total event count
+    val finalCounts = got.groupBy("user_id")
+      .agg(max("n_events").as("n")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    val want = Tables.events(spark, sf).groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    assert(finalCounts == want)
+  }
+
+  test("sliding windows cover each event twice") {
+    val stream = EventsStreaming.eventsStream(spark, sf)
+    val got = runToMemory(
+      EventsStreaming.slidingCounts(stream), "t_sliding", mode = "complete")
+    val total = got.agg(sum("n_events")).collect().head.getLong(0)
+    assert(total == 2 * Tables.events(spark, sf).count())
+  }
+}
