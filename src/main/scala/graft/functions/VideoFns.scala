@@ -154,10 +154,8 @@ object VideoFns {
     * pruned subtrees (same effect as the reference's enumeration-time
     * prune; at 100 TB this predicate belongs in the distributed listing
     * job itself). */
-  def notInBannedDir(path: Column): Column = {
-    val segs = split(path, "/")
-    bannedDirNames.map(b => !array_contains(segs, b)).reduce(_ && _)
-  }
+  def notInBannedDir(path: Column): Column =
+    !arrays_overlap(split(path, "/"), array(bannedDirNames.map(lit): _*))
 
   /** Extension-whitelist predicate (S3). */
   def hasVideoExtension(path: Column): Column =
