@@ -1,0 +1,132 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{FfprobeProber, Prober, StubProber, VideoPipeline}
+import graft.sources.{DirectoryListing, Tsv}
+
+/** CLI verbs mirroring the reference's entry points (SURVEY.md §3, flags
+  * from video_metadata_db.py:849-915):
+  *
+  *   build  <dir>... --db out.tsv [--nomedia] [--verbose] [--stub-probe]
+  *   update <dir>... --db existing.tsv [--stub-probe]
+  *   merge  <in.tsv>... --db merged.tsv
+  *   report --db db.tsv                      (the -v variant report)
+  *
+  * Differences from the reference, by design (SURVEY.md §7 risks):
+  * intended semantics are implemented where the reference crashes
+  * (merge's missing shutil import, update's mmap str/bytes TypeError) and
+  * the sort is always descending (the documented intent — the reference's
+  * Unix branch accidentally sorts ascending).
+  */
+object Cli {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      String.valueOf(Runtime.getRuntime.availableProcessors))
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-vmdb")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private case class Args(
+      verb: String, inputs: Seq[String], db: String,
+      nomedia: Boolean, verbose: Boolean, stubProbe: Boolean)
+
+  private def parse(argv: Array[String]): Args = {
+    var verb = ""
+    val inputs = scala.collection.mutable.ArrayBuffer[String]()
+    var db = ""
+    var nomedia = false; var verbose = false; var stub = false
+    var i = 0
+    while (i < argv.length) {
+      argv(i) match {
+        case v @ ("build" | "update" | "merge" | "report") if verb.isEmpty => verb = v
+        case "--db" => db = argv(i + 1); i += 1
+        case "--nomedia" => nomedia = true
+        case "--verbose" => verbose = true
+        case "--stub-probe" => stub = true
+        case p => inputs += p
+      }
+      i += 1
+    }
+    require(verb.nonEmpty, "verb required: build | update | merge | report")
+    require(db.nonEmpty, "--db <file.tsv> required")
+    Args(verb, DirectoryListing.dedupRoots(inputs.toSeq), db, nomedia, verbose, stub)
+  }
+
+  private def prober(a: Args): Prober =
+    if (a.stubProbe) new StubProber else new FfprobeProber()
+
+  private def buildLines(spark: SparkSession, a: Args): DataFrame = {
+    val listing = DirectoryListing.walk(spark, a.inputs)
+    if (a.nomedia) {
+      val n = DirectoryListing.createNomediaMarkers(listing)
+      println(s"[graft] created $n .nomedia markers")
+    }
+    val srt = DirectoryListing.srtListing(spark, a.inputs)
+    val built = VideoPipeline.build(listing, srt, prober(a))
+    if (a.verbose) {
+      println("[graft] variant report:")
+      VideoPipeline.variants(built).show(100, truncate = false)
+      println("[graft] probe failures:")
+      VideoPipeline.failures(listing, prober(a)).show(100, truncate = false)
+    }
+    Tsv.renderLines(built)
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parse(argv)
+    // reuse a pre-existing session (tests, notebooks) and leave it running;
+    // stop only a session this invocation created
+    val preExisting = SparkSession.getDefaultSession.isDefined
+    val spark = session()
+    try run(spark, a)
+    finally if (!preExisting) spark.stop()
+  }
+
+  private def run(spark: SparkSession, a: Args): Unit =
+    a.verb match {
+      case "build" =>
+        Tsv.writeSingleFile(Tsv.sortLinesDesc(buildLines(spark, a)), a.db)
+        println(s"[graft] wrote ${a.db}")
+
+      case "update" =>
+        val existing = Tsv.readReferenceTsv(spark, a.db)
+          .select(col("path_on_volume").as("path"))
+        val listing = VideoPipeline.scanFilters(
+          DirectoryListing.walk(spark, a.inputs))
+        val novel = VideoPipeline.novelFiles(listing, existing)
+        val srt = DirectoryListing.srtListing(spark, a.inputs)
+        val builtNovel = VideoPipeline.withSubtitles(
+          VideoPipeline.deriveColumns(
+            VideoPipeline.probeStage(novel, prober(a))
+              .filter(col("probe_error").isNull)), srt)
+        val oldLines = spark.read.text(a.db)
+          .select(regexp_replace(col("value"), "^﻿", "").as("line"))
+        val all = oldLines.unionByName(Tsv.renderLines(builtNovel))
+        Tsv.writeSingleFile(Tsv.sortLinesDesc(all), a.db)
+        println(s"[graft] appended novel files into ${a.db}")
+
+      case "merge" =>
+        val lines = a.inputs.map { p =>
+          spark.read.text(p)
+            .select(regexp_replace(col("value"), "^﻿", "").as("line"))
+            .filter(col("line") =!= Tsv.headerLine)
+        }.reduce(_ unionByName _)
+        Tsv.writeSingleFile(Tsv.sortLinesDesc(lines), a.db, withHeader = true)
+        println(s"[graft] merged ${a.inputs.length} inputs into ${a.db}")
+
+      case "report" =>
+        val db = Tsv.readReferenceTsv(spark, a.db)
+          .withColumnRenamed("path_on_volume", "path")
+        VideoPipeline.variants(db).show(1000, truncate = false)
+    }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.cli.Cli
+import graft.sources.Tsv
+
+/** End-to-end CLI: a real (temp) directory tree walked by the binaryFile
+  * source, built with the stub prober, updated incrementally, merged, and
+  * .nomedia markers dropped into banned directories. */
+class CliSpec extends SparkSpec {
+
+  private def touch(p: String, bytes: Int = 16): Unit = {
+    val path = Paths.get(p)
+    Files.createDirectories(path.getParent)
+    Files.write(path, Array.fill[Byte](bytes)(42))
+  }
+
+  test("build -> update -> merge -> nomedia over a real directory tree") {
+    spark // force shared session so Cli reuses instead of stopping it
+    val root = Files.createTempDirectory("graft-cli").toString
+    touch(s"$root/shows/f1/[1999] Alpha [3D][AV1].mkv", 2048)
+    touch(s"$root/shows/f2/[2001] Beta.mp4", 4096)
+    touch(s"$root/shows/f2/[2001] Beta.en.srt", 100)
+    touch(s"$root/shows/f3/[2002] Gamma.avi", 1024)
+    touch(s"$root/shows/f3/[2002] Gamma.en.hi.srt", 99)
+    touch(s"$root/Trailers/f4/[2003] Skipme.mkv", 512)  // banned dir
+    touch(s"$root/shows/f5/notes.txt", 10)              // non-video ext
+    touch(s"$root/shows/f29/[2004] Fails.mkv", 77)      // stub quarantine (29%29=0)
+
+    val db = s"$root/out.tsv"
+    Cli.main(Array("build", root, "--db", db, "--stub-probe", "--nomedia"))
+    val built = Tsv.readReferenceTsv(spark, db).collect()
+    // f1, f2, f3 survive; f4 banned-dir, f5 extension, f29 quarantined
+    assert(built.length == 3)
+    val paths = built.map(_.getAs[String]("path_on_volume")).sorted
+    assert(paths.exists(_.contains("Alpha")) && paths.exists(_.contains("Beta"))
+      && paths.exists(_.contains("Gamma")))
+    val beta = built.find(_.getAs[String]("path_on_volume").contains("Beta")).get
+    assert(beta.getAs[String]("srt_avail") == "Y" && beta.getAs[Long]("srt_size") == 100L)
+    assert(Files.exists(Paths.get(s"$root/Trailers/.nomedia")))
+
+    // update: drop in one new file; existing ones must not be re-added
+    touch(s"$root/shows/f6/[2005] Delta.webm", 8192)
+    Cli.main(Array("update", root, "--db", db, "--stub-probe"))
+    val updated = Tsv.readReferenceTsv(spark, db).collect()
+    assert(updated.length == 4)
+    assert(updated.count(_.getAs[String]("path_on_volume").contains("Delta")) == 1)
+
+    // merge two dbs -> header + union
+    val db2 = s"$root/out2.tsv"
+    Files.copy(Paths.get(db), Paths.get(db2))
+    val merged = s"$root/merged.tsv"
+    Cli.main(Array("merge", db, db2, "--db", merged))
+    val mtext = new String(Files.readAllBytes(Paths.get(merged)), "UTF-8")
+    assert(mtext.stripPrefix("﻿").linesIterator.next() == Tsv.headerLine)
+    assert(Tsv.readReferenceTsv(spark, merged).count() == 8) // 4 + 4 rows
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.operators.{FileListing, StubProber, VideoPipeline}
+import graft.sources.Tsv
+
+/** Golden end-to-end: the build pipeline's TSV export must be
+  * byte-identical to a golden file produced by the REFERENCE's own
+  * formatting functions (sizeof_fmt / h:m:s / writer field order) over
+  * the same rows — including BOM, ragged audio-less rows, "0000" missing
+  * dimensions, and N/A durations. */
+class TsvGoldenSpec extends SparkSpec {
+
+  private val ids = Seq(1, 2, 3, 5, 6, 11, 13, 17, 23, 30, 34)
+
+  private def tag(i: Int) =
+    if (i % 7 == 0) " [4K]" else if (i % 7 == 1) " [3D][AV1]" else ""
+  private def path(i: Int) =
+    s"/vol${i % 3}/d${i % 7}/f$i/[${1980 + i % 40}] Movie ${i % 59}${tag(i)}.mkv"
+
+  private def fixture() = {
+    import spark.implicits._
+    val listing = ids.map(i => FileListing(path(i), 1000L + i * 997331L, s"vol${i % 3}"))
+      .toDF("path", "sizeBytes", "volume")
+    val srt = ids.filter(_ % 3 == 0).map { i =>
+      (path(i).stripSuffix(".mkv") + ".en.srt", i * 3000L + 17)
+    } ++ ids.filter(_ % 6 == 0).map { i =>
+      (path(i).stripSuffix(".mkv") + ".en.hi.srt", i * 4000L + 23)
+    }
+    val srtDf = srt.toDF("path", "size_bytes")
+    (listing, srtDf)
+  }
+
+  test("TSV export byte-matches the reference-formatted golden") {
+    val (listing, srtDf) = fixture()
+    val built = VideoPipeline.build(listing, srtDf, new StubProber)
+    val lines = Tsv.sortLinesDesc(Tsv.renderLines(built))
+    val out = Files.createTempFile("graft-golden", ".tsv")
+    Tsv.writeSingleFile(lines, out.toString)
+    val got = Files.readAllBytes(out)
+    val want = Files.readAllBytes(Paths.get("src/test/resources/golden_build.tsv"))
+    assert(got.length == want.length,
+      s"length ${got.length} != ${want.length}\n" +
+        s"got:\n${new String(got, "UTF-8").take(500)}\nwant:\n${new String(want, "UTF-8").take(500)}")
+    assert(java.util.Arrays.equals(got, want))
+  }
+
+  test("readReferenceTsv round-trips ragged rows") {
+    val df = Tsv.readReferenceTsv(spark, "src/test/resources/golden_build.tsv")
+    assert(df.count() == ids.length)
+    // id 13: no audio stream -> 16-field ragged row -> nulls
+    val r13 = df.filter(col("path_on_volume").contains("/f13/")).collect().head
+    assert(r13.isNullAt(r13.fieldIndex("audio_channels")))
+    assert(r13.getAs[String]("title") == "Movie 13")
+    // id 11: missing dims were written as "0000" (reference's lossy quirk)
+    val r11 = df.filter(col("path_on_volume").contains("/f11/")).collect().head
+    assert(r11.getAs[Int]("width") == 0)
+    // id 3 has an srt subtitle with its size
+    val r3 = df.filter(col("path_on_volume").contains("/f3/")).collect().head
+    assert(r3.getAs[String]("srt_avail") == "Y" && r3.getAs[Long]("srt_size") == 9017L)
+  }
+
+  test("merge export: header + BOM + unioned sorted content") {
+    val (listing, srtDf) = fixture()
+    val built = VideoPipeline.build(listing, srtDf, new StubProber)
+    val slices = Seq("vol0", "vol1", "vol2").map(v => built.filter(col("volume") === v))
+    val merged = Tsv.sortLinesDesc(Tsv.renderLines(
+      slices.reduce(_ unionByName _)))
+    val out = Files.createTempFile("graft-merged", ".tsv")
+    Tsv.writeSingleFile(merged, out.toString, withHeader = true)
+    val bytes = Files.readAllBytes(out)
+    assert(bytes(0) == 0xEF.toByte && bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte)
+    val text = new String(bytes, 3, bytes.length - 3, "UTF-8")
+    val lns = text.split("\n")
+    assert(lns.head == Tsv.headerLine)
+    assert(lns.length == 1 + ids.length)
+    // body equals the build golden body
+    val golden = new String(Files.readAllBytes(
+      Paths.get("src/test/resources/golden_build.tsv")), "UTF-8")
+      .stripPrefix("﻿")
+    assert(lns.drop(1).mkString("\n") + "\n" == golden)
+  }
+}
