@@ -153,12 +153,64 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------- embedding near-dup
+  val NearDupThreshold = 0.45
+
+  /** Embedding-cosine near-duplicate detection (the dedup family's vector
+    * member): all pairs with cosine >= threshold. The dot product is a
+    * JIT-compiled left-fold UDF — same operation order as the engines'
+    * declarative folds, so values stay bit-identical with the oracle, but
+    * ~50x cheaper per pair than an interpreted higher-order function on
+    * the O(n^2) pair join.
+    *
+    * Scale path: the pair join is a broadcast nested loop — exact and
+    * fine while one side fits an executor; at corpus scale swap the
+    * candidate generator for sign-LSH bucketing (random-hyperplane
+    * signatures, the vector analogue of minhashPairs) and keep this
+    * verify step unchanged. */
+  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  def embeddingNearDups(emb: DataFrame): DataFrame = {
+    val v = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("norm2", dotUdf(col("embedding"), col("embedding")))
+    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("norm2").as("n_a"))
+    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("norm2").as("n_b"))
+    broadcast(a).join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_raw",
+        dotUdf(col("emb_a"), col("emb_b")) / (sqrt(col("n_a")) * sqrt(col("n_b"))))
+      .filter(col("cos_raw") >= NearDupThreshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val embeddingNearDupsSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, ${duckNorm2("embedding")} AS norm2
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${duckDot("a.embedding", "b.embedding")} / (sqrt(a.norm2) * sqrt(b.norm2)) AS cos_raw
+       |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, round(cos_raw, 6) AS cos_sim
+       |FROM pairs WHERE cos_raw >= $NearDupThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_cosine_topk" -> ((s, d) => cosineTopK(Tables.embeddings(s, d))),
-    "q18_ivf_topk"    -> ((s, d) => ivfTopK(Tables.embeddings(s, d))))
+    "q18_ivf_topk"    -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
+    "q24_embedding_neardup" -> ((s, d) => embeddingNearDups(Tables.embeddings(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q17_cosine_topk" -> cosineTopKSql,
-    "q18_ivf_topk"    -> ivfTopKSql)
+    "q18_ivf_topk"    -> ivfTopKSql,
+    "q24_embedding_neardup" -> embeddingNearDupsSql)
 }

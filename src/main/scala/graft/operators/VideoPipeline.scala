@@ -103,6 +103,20 @@ object VideoPipeline {
     withSubtitles(deriveColumns(ok), srtListing)
   }
 
+  /** A3: the reference's mutex-guarded global counters, as observe()
+    * metrics — computed inline with the job (no second pass, no driver
+    * mutation). Attach to the probed DataFrame, read the Observation
+    * after any action on the returned frame. */
+  def observedProbe(listing: DataFrame, prober: Prober)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("graft_build")
+    val probed = probeStage(scanFilters(listing), prober).observe(obs,
+      count(lit(1)).as("files_queried"),
+      sum(when(col("probe_error").isNotNull, 1L).otherwise(0L)).as("files_failed"),
+      sum(col("size_bytes")).as("bytes_seen"))
+    (probed, obs)
+  }
+
   /** A5: the failure report — quarantine rows only. */
   def failures(listing: DataFrame, prober: Prober): DataFrame =
     probeStage(scanFilters(listing), prober)

@@ -92,6 +92,25 @@ class ExtSpec extends SparkSpec {
     textToFp.foreach { case (_, fps) => assert(fps.size == 1) }
   }
 
+  test("q24 embedding near-dups: pairs above threshold, symmetric a<b") {
+    val r = Similarity.embeddingNearDups(emb).collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("id_a") < row.getAs[Long]("id_b"))
+      assert(row.getAs[Double]("cos_sim") >= Similarity.NearDupThreshold - 1e-6)
+    }
+  }
+
+  test("observe metrics count probed and failed files inline (A3)") {
+    val (probed, obs) = graft.operators.VideoPipeline.observedProbe(
+      graft.queries.VideoQueries.syntheticListing(spark, sf),
+      new graft.operators.StubProber)
+    val total = probed.count()
+    val m = obs.get
+    assert(m("files_queried") == total)
+    assert(m("files_failed").asInstanceOf[Long] ==
+      probed.filter(col("probe_error").isNotNull).count())
+  }
+
   test("q23 multimodal: stub decode features match a hand computation") {
     val row = Multimodal.q23(spark, sf).filter(col("doc_id") === 1).collect().head
     val text = docs.filter(col("doc_id") === 1).select("text").collect().head.getString(0)
