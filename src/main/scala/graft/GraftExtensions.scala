@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.PolyHash
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * functions at session build time so ANY session (including pure-SQL
+  * users: `--conf spark.sql.extensions=graft.GraftExtensions`) gets them
+  * without calling the Scala registration helpers.
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  *   spark.sql("SELECT poly_hash(text, 31, 1000000007) FROM docs")
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (exprs: Seq[Expression]) =>
+        PolyHash(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].longValue(),
+          exprs(2).eval().asInstanceOf[Number].longValue())))
+  }
+}

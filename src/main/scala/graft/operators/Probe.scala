@@ -41,8 +41,21 @@ final class FfprobeProber(timeoutSec: Int = 30) extends Prober {
   private def run(cmd: Seq[String]): Seq[String] = {
     val out = new StringBuilder
     val err = new StringBuilder
-    val status = Process(cmd).!(ProcessLogger(l => out.append(l).append('\n'),
+    val proc = Process(cmd).run(ProcessLogger(l => out.append(l).append('\n'),
                                               l => err.append(l).append('\n')))
+    // bounded wait — a wedged probe (truncated container, dead NFS) must
+    // quarantine the ROW, not hang the task slot
+    val done = new java.util.concurrent.CompletableFuture[Int]()
+    val waiter = new Thread(() => done.complete(proc.exitValue()))
+    waiter.setDaemon(true)
+    waiter.start()
+    val status =
+      try done.get(timeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          proc.destroy()
+          throw new RuntimeException(s"ffprobe timeout after ${timeoutSec}s")
+      }
     if (status != 0) throw new RuntimeException(
       s"ffprobe exit $status: ${err.toString.trim.take(200)}")
     out.toString.split('\n').toSeq.filter(_.nonEmpty)

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan-regression guards: the scale story depends on these physical-plan
+  * properties, so they are asserted, not assumed. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q05: shipdate filter reaches the parquet scan; schema is pruned") {
+    val p = plan(graft.queries.Relational.q05Pricing(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_partkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("q06: dimension joins broadcast; fact scan prunes to 3 columns") {
+    val p = plan(graft.queries.Relational.q06RegionRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "date filter must push into the orders scan")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"))
+  }
+
+  test("q07: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(graft.queries.Relational.q07TopCustomers(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q01: scan filters execute BEFORE the probe boundary") {
+    val df = graft.queries.VideoQueries.q01Build(spark, sf)
+    val p = plan(df)
+    // the banned-dir/extension filter must appear below (after in text) the
+    // SerializeFromObject..MapPartitions block, i.e. the probe sees only
+    // filtered rows
+    val probeIdx = p.indexOf("MapPartitions")
+    val filterIdx = p.lastIndexOf("arrays_overlap")
+    assert(probeIdx >= 0 && filterIdx >= 0 && filterIdx > probeIdx,
+      s"filter (at $filterIdx) must be upstream of the probe (at $probeIdx)")
+  }
+
+  test("q22: poly_hash runs inside whole-stage codegen") {
+    // AQE's pre-execution plan hides codegen stage markers — turn it off
+    // for the inspection only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.ext.TextAnalysis.fingerprints(Tables.documents(spark, sf))
+      val p = plan(df)
+      // the projection containing poly_hash carries a codegen stage id (*(n))
+      val line = p.linesIterator.find(_.contains("poly_hash")).get
+      assert(line.contains("*("), s"poly_hash fell out of codegen: $line")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val orders = Tables.orders(spark, sf)
+    val plainC = orders.groupBy(col("o_orderstatus")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = graft.operators.Skew.saltedCount(orders, col("o_orderstatus"), 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plainC)
+    val plainS = orders.groupBy(col("o_orderstatus"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val saltedS = graft.operators.Skew.saltedSum(orders, col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long"), 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(saltedS == plainS)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange on the keys") {
+    val o = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_b")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    val joined = spark.table("lineitem_b")
+      .join(spark.table("orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").count()
+    val p = plan(joined)
+    val joinSection = p.substring(p.indexOf("Join"))
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
+           !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join must not reshuffle join keys:\n${p.take(1500)}")
+    // sanity: same result as the unbucketed join
+    assert(joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+  }
+
+  test("GraftExtensions injects poly_hash for SQL-only sessions") {
+    // the injection list accepts our builder (a bad signature would throw)
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // and the registered function resolves from SQL text with the right value
+    graft.functions.PolyHash.register(spark)
+    val r = spark.sql("SELECT poly_hash('abc', 31, 1000000007) AS h").collect()
+    assert(r.head.getLong(0) == graft.functions.PolyHash.eval("abc", 31, 1000000007))
+  }
+}
