@@ -258,6 +258,38 @@ object Relational {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  // ---------------------------------------------------------------- q25
+  /** As-of join: every event annotated with the user's latest
+    * prior-or-simultaneous purchase (graft.operators.AsOfJoin — the
+    * union-sort composition; oracle is DuckDB's native ASOF LEFT JOIN).
+    * Times compared in microseconds on both sides (Spark's timestamp
+    * resolution). */
+  def q25AsofPurchase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros($"ts"))
+    val left = ev.select("event_id", "user_id", "event_type", "ts_us")
+    val right = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_us", $"event_id".as("purchase_id"),
+              $"ts_us".as("purchase_ts_us"))
+    graft.operators.AsOfJoin
+      .asofPrior(left, right, "user_id", "ts_us", "ts_us",
+        Seq("purchase_id", "purchase_ts_us"))
+      .select($"event_id", $"user_id", $"event_type",
+        $"asof_purchase_id".as("purchase_id"),
+        $"asof_purchase_ts_us".as("purchase_ts_us"))
+      .orderBy("event_id")
+  }
+
+  val q25Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |p AS (
+      |  SELECT user_id, ts_us, event_id AS purchase_id, ts_us AS purchase_ts_us
+      |  FROM e WHERE event_type = 'purchase')
+      |SELECT e.event_id, e.user_id, e.event_type, p.purchase_id, p.purchase_ts_us
+      |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
+      |ORDER BY e.event_id""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_pricing"     -> (q05Pricing _),
@@ -268,9 +300,11 @@ object Relational {
     "q09_except"      -> (q09Except _),
     "q10_rollup"      -> (q10Rollup _),
     "q11_event_windows" -> (q11EventWindows _),
-    "q12_sessionize"  -> (q12Sessionize _))
+    "q12_sessionize"  -> (q12Sessionize _),
+    "q25_asof_purchase" -> (q25AsofPurchase _))
 
   val oracles: Map[String, String] = Map(
+    "q25_asof_purchase" -> q25Sql,
     "q05_pricing"     -> q05Sql,
     "q06_join5"       -> q06Sql,
     "q07_topk"        -> q07Sql,

@@ -66,6 +66,29 @@ class RelationalSpec extends SparkSpec {
     assert(r.forall(_.getAs[Long]("window_start") % 300 == 0))
   }
 
+  test("q25 as-of join attaches the latest prior purchase per user") {
+    val rows = q25AsofPurchase(spark, sf).collect()
+    assert(rows.length == Tables.events(spark, sf).count())
+    // purchases match themselves (ts >= semantics)
+    rows.filter(_.getAs[String]("event_type") == "purchase").foreach { r =>
+      assert(r.getAs[Long]("purchase_id") == r.getAs[Long]("event_id"))
+    }
+    // reference check on one user via a driver-side replay
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) as us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val uid = ev.head._2
+    val purchases = ev.filter(e => e._2 == uid && e._3 == "purchase").sortBy(_._4)
+    val got = rows.filter(_.getAs[Long]("user_id") == uid)
+    got.foreach { r =>
+      val myTs = ev.find(_._1 == r.getAs[Long]("event_id")).get._4
+      val want = purchases.takeWhile(_._4 <= myTs).lastOption.map(_._1)
+      val gotP = if (r.isNullAt(r.fieldIndex("purchase_id"))) None
+                 else Some(r.getAs[Long]("purchase_id"))
+      assert(gotP == want, s"event ${r.getAs[Long]("event_id")}")
+    }
+  }
+
   test("q12 sessions cover all events; sessions per user are gap-separated") {
     val r = q12Sessionize(spark, sf).collect()
     assert(r.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, sf).count())
