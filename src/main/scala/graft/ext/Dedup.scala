@@ -207,10 +207,16 @@ object Dedup {
 
   /** n-gram Jaccard near-dup: inverted-index self-join on distinct 3-word
     * shingles; pairs sharing >= MinCommonShingles get an exact Jaccard.
-    * jaccard_e4 = floor(10000 * |A∩B| / |A∪B|) — integer, hash-stable. */
+    * jaccard_e4 = floor(10000 * |A∩B| / |A∪B|) — integer, hash-stable.
+    * Shingles are hashed to 28-bit longs BEFORE the join: the shuffle
+    * moves 8-byte keys instead of ~20-byte strings and the join compares
+    * ints (hash collisions are identical in both engines, so parity
+    * holds). */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    graft.functions.PolyHash.register(docs.sparkSession)
     val shingled = docs
-      .select(col("doc_id"), explode(expr(sparkShingles)).as("shingle"))
+      .select(col("doc_id"), explode(expr(
+        s"transform($sparkShingles, s -> ${sparkH("s")})")).as("shingle"))
       .distinct()
     val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val l = shingled.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -229,7 +235,8 @@ object Dedup {
 
   def ngramJaccardSql: String =
     s"""WITH shingled AS (
-       |  SELECT DISTINCT doc_id, unnest($duckShingles) AS shingle FROM documents),
+       |  SELECT DISTINCT doc_id, unnest(list_transform($duckShingles, s -> ${duckH("s")})) AS shingle
+       |  FROM documents),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id),
        |common AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common

@@ -7,6 +7,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 case class UserEvent(user_id: Long, event_type: String, tsUs: Long)
 case class UserRunning(user_id: Long, n_events: Long, last_type: String)
+case class EventVal(user_id: Long, value: Double)
+case class UserValueMax(user_id: Long, max_value: Double)
 
 /** Structured Streaming surface over the `events` fixture (SURVEY.md
   * §2.7): the reference is strictly batch, so these are the engine's
@@ -84,6 +86,41 @@ object EventsStreaming {
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes").dropDuplicates("event_id", "ts")
 
+  /** Stream-stream interval join: each click joined to purchases of the
+    * same user landing within 10 minutes AFTER the click. Both sides are
+    * watermarked so the join state is bounded — Spark retains only the
+    * interval's worth of rows per side. Works identically on batch
+    * frames (the spec cross-checks). */
+  def purchaseClickCorrelation(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "20 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "20 minutes")
+    clicks.join(purchases,
+      expr("""user_id = p_user AND
+              purchase_ts >= click_ts AND
+              purchase_ts <= click_ts + interval 10 minutes"""))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+  }
+
+  /** transformWithState (the arbitrary-state v2 API): per-user running
+    * max of `value` kept in a ValueState, emitted on every batch. Needs
+    * the RocksDB state store provider. */
+  def userMaxValue(events: DataFrame): Dataset[UserValueMax] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[EventVal]
+      .groupByKey(_.user_id)
+      .transformWithState(new MaxValueProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Custom keyed state: per-user running event count + last event type,
     * emitted on every update. Demonstrates flatMapGroupsWithState for
     * state machines the built-in windows can't express. */
@@ -107,5 +144,26 @@ object EventsStreaming {
             Iterator.single(updated)
           }
       }
+  }
+}
+
+/** StatefulProcessor for [[EventsStreaming.userMaxValue]]: one Double
+  * ValueState per user holding the running max. */
+class MaxValueProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, EventVal, UserValueMax] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var maxState: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    maxState = getHandle.getValueState[Double]("maxv", Encoders.scalaDouble, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[EventVal],
+      timers: TimerValues): Iterator[UserValueMax] = {
+    val prev = if (maxState.exists()) maxState.get() else Double.MinValue
+    val mx = rows.foldLeft(prev)((a, e) => math.max(a, e.value))
+    maxState.update(mx)
+    Iterator.single(UserValueMax(key, mx))
   }
 }

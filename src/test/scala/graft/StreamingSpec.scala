@@ -61,6 +61,36 @@ class StreamingSpec extends SparkSpec {
     assert(finalCounts == want)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val stream = EventsStreaming.eventsStream(spark, sf)
+    val got = runToMemory(
+      EventsStreaming.purchaseClickCorrelation(stream), "t_sj")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val batch = EventsStreaming.purchaseClickCorrelation(Tables.events(spark, sf))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch && batch.nonEmpty)
+  }
+
+  test("transformWithState tracks per-user max value (RocksDB store)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = EventsStreaming.eventsStream(spark, sf)
+      val got = runToMemory(
+        EventsStreaming.userMaxValue(stream).toDF(), "t_tws", mode = "update")
+      val finals = got.groupBy("user_id").agg(max("max_value").as("m")).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("m")).toMap
+      val want = Tables.events(spark, sf).groupBy("user_id")
+        .agg(max("value").as("m")).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("m")).toMap
+      assert(finals == want)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("sliding windows cover each event twice") {
     val stream = EventsStreaming.eventsStream(spark, sf)
     val got = runToMemory(
