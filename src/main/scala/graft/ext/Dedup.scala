@@ -83,12 +83,15 @@ object Dedup {
     * the sketch cost at corpus scale). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     graft.functions.PolyHash.register(docs.sparkSession)
+    graft.functions.MinHashSignature.register(docs.sparkSession,
+      (0 until NumHashes).map(coefA).toArray,
+      (0 until NumHashes).map(coefB).toArray, P)
     val sigCols = (0 until NumHashes).map { i =>
-      expr(s"array_min(transform(hs, h -> " +
-        s"(${coefA(i)}L * h + ${coefB(i)}L) % ${P}L))").as(s"h$i")
+      element_at(col("sig"), i + 1).as(s"h$i")
     }
     docs
       .withColumn("hs", expr(s"transform($sparkShingles, s -> ${sparkH("s")})"))
+      .withColumn("sig", expr("minhash_sig(hs)"))
       .select((col("doc_id") +: sigCols): _*)
   }
 
