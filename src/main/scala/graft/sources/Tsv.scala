@@ -128,7 +128,9 @@ object Tsv {
   def parseLines(linesDf: DataFrame): DataFrame = {
     val raw = linesDf.filter(col("value") =!= headerLine)
     val f = split(col("value"), TAB)
-    def fld(i: Column): Column = trim(element_at(f, i))
+    // try_element_at: a truncated line must yield nulls for its missing
+    // fields, not fail the whole read (ANSI element_at throws)
+    def fld(i: Column): Column = trim(try_element_at(f, i))
     // blank placeholders (" ", "") must read as null, not an ANSI cast error
     def num(c: Column, t: String): Column =
       when(c.rlike("^\\d+$"), c).otherwise(lit(null)).cast(t)

@@ -61,6 +61,23 @@ class TsvGoldenSpec extends SparkSpec {
     assert(r3.getAs[String]("srt_avail") == "Y" && r3.getAs[Long]("srt_size") == 9017L)
   }
 
+  test("reader tolerates malformed lines (junk fields become nulls, rows survive)") {
+    import spark.implicits._
+    val junk = Seq(
+      "not\tenough\tfields",
+      "abcd\tefgh\tgarbage\tnotasize\tNaN\tcodec\tY\tx\tcontainer\tch\tac\ttitle\tY\t??\tN\t \tvol\t/p",
+      "", // empty line
+      Tsv.headerLine) // stray header must be dropped
+    val df = Tsv.parseLines(junk.toDF("value"))
+    val rows = df.collect()
+    // header dropped; other lines parse to rows with nulls where malformed
+    assert(rows.length == 3)
+    val full = rows.find(r => Option(r.getAs[String]("path_on_volume")).contains("/p")).get
+    assert(full.isNullAt(full.fieldIndex("width")))   // "abcd" -> null
+    assert(full.isNullAt(full.fieldIndex("size_bytes"))) // "NaN" -> null
+    assert(full.getAs[String]("title") == "title")
+  }
+
   test("merge export: header + BOM + unioned sorted content") {
     val (listing, srtDf) = fixture()
     val built = VideoPipeline.build(listing, srtDf, new StubProber)
