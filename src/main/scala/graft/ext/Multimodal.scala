@@ -23,7 +23,8 @@ case class MediaFeatures(
     mean_byte_x100: Long,
     max_byte: Int,
     n_frames: Int,
-    frame_sample_sum: Long)
+    frame_sample_sum: Long,
+    thumb_hash: Long)
 
 /** Decoder boundary. The real implementation would wrap an image/audio
   * codec; this container has none, so [[StubDecoder]] derives
@@ -56,7 +57,19 @@ final class StubDecoder extends MediaDecoder {
     var f = 0
     var j = 0
     while (j < bytes.length) { fs += (bytes(j) & 0xff); f += 1; j += 256 }
-    MediaFeatures(rec.doc_id, n, if (n == 0) 0 else sum * 100 / n, mx, f, fs)
+    // "resize": a 16-point thumbnail — bytes sampled at even stride,
+    // folded into one polynomial hash (stands in for a resized image
+    // signature; a real decoder would emit the resized pixel block here)
+    var th = 0L
+    if (n > 0) {
+      var k = 0
+      while (k < 16) {
+        val idx = ((k.toLong * n) / 16).toInt
+        th = (th * 31 + (bytes(idx) & 0xff)) % 1000000007L
+        k += 1
+      }
+    }
+    MediaFeatures(rec.doc_id, n, if (n == 0) 0 else sum * 100 / n, mx, f, fs, th)
   }
 }
 
@@ -117,6 +130,11 @@ object Multimodal {
       |SELECT s.doc_id, s.n_bytes,
       |  CASE WHEN s.n_bytes = 0 THEN 0 ELSE s.byte_sum * 100 // s.n_bytes END AS mean_byte_x100,
       |  s.max_byte, s.n_frames, s.frame_sample_sum,
+      |  CASE WHEN s.n_bytes = 0 THEN 0 ELSE
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      generate_series(0, 15),
+      |      i -> CAST(ord(substr(d.text, CAST((i * s.n_bytes) // 16 AS INT) + 1, 1)) AS BIGINT))),
+      |      (a, c) -> (a * 31 + c) % 1000000007) END AS thumb_hash,
       |  (['jpeg','png','webm'])[CAST(d.doc_id % 3 AS INT) + 1] AS media_format,
       |  CAST(320 * ((d.doc_id % 4) + 1) AS INT) AS media_width
       |FROM stats s JOIN documents d ON s.doc_id = d.doc_id

@@ -290,6 +290,31 @@ object Relational {
       |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q26
+  /** Interval (range) join, batch form of the streaming
+    * purchaseClickCorrelation: clicks joined to purchases of the same
+    * user within the following 10 minutes. Equi-key on user plus a band
+    * predicate — Spark executes equi-hash on user_id with the range as a
+    * post-join filter, which is the right plan when keys are selective
+    * (the range never becomes a cross product). */
+  def q26IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.streaming.EventsStreaming
+      .purchaseClickCorrelation(Tables.events(s, dir))
+      .orderBy($"click_id", $"purchase_id")
+  }
+
+  val q26Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+      |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |       c.us AS click_us, p.us AS purchase_us
+      |FROM e c JOIN e p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.us >= c.us AND p.us <= c.us + 600000000
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_pricing"     -> (q05Pricing _),
@@ -301,10 +326,12 @@ object Relational {
     "q10_rollup"      -> (q10Rollup _),
     "q11_event_windows" -> (q11EventWindows _),
     "q12_sessionize"  -> (q12Sessionize _),
-    "q25_asof_purchase" -> (q25AsofPurchase _))
+    "q25_asof_purchase" -> (q25AsofPurchase _),
+    "q26_interval_join" -> (q26IntervalJoin _))
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
+    "q26_interval_join" -> q26Sql,
     "q05_pricing"     -> q05Sql,
     "q06_join5"       -> q06Sql,
     "q07_topk"        -> q07Sql,
