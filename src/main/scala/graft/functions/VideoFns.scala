@@ -109,10 +109,16 @@ object VideoFns {
   val parseYearUdf: UserDefinedFunction = udf((b: String) => parseTitleYear(b)._2)
 
   // ------------------------------------------------- Column builders
-  /** F4: duration with "N/A" passthrough → concise h:m:s string. */
-  def durationDisplay(durationRaw: Column): Column =
-    when(durationRaw === "N/A" || durationRaw.isNull, lit("N/A"))
-      .otherwise(hmsConciseUdf(durationRaw.cast("double")))
+  /** F4: duration with "N/A" passthrough → concise h:m:s string. Any
+    * un-parseable probe output relays as-is, like the reference's
+    * non-numeric branch (and unlike an ANSI cast, which would fail the
+    * job on one junk row). */
+  def durationDisplay(durationRaw: Column): Column = {
+    val asDouble = durationRaw.try_cast("double")
+    when(durationRaw.isNull, lit("N/A"))
+      .otherwise(when(asDouble.isNull, durationRaw)
+        .otherwise(hmsConciseUdf(asDouble)))
+  }
 
   /** F5: AV1/HEVC already-compressed flag (video_metadata_db.py:296-304). */
   val compressedCodecs: Seq[String] = Seq(

@@ -86,8 +86,9 @@ object VideoPipeline {
   def deriveColumns(probed: DataFrame): DataFrame =
     probed
       .withColumn("duration_s",
-        when(col("duration_raw") === "N/A" || col("duration_raw").isNull, lit(null))
-          .otherwise(round(col("duration_raw").cast("double")).cast("long")))
+        // try_cast: real ffprobe can emit junk beyond "N/A"; an
+        // un-parseable duration must null out, not ANSI-fail the job
+        round(col("duration_raw").try_cast("double")).cast("long"))
       .withColumn("compression_candidate", compressionCandidate(col("video_codec")))
       .withColumn("title", titleOrSentinel(col("title_tag")))
       .withColumn("path_on_volume", stripDrive(col("path")))

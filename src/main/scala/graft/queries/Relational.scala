@@ -315,6 +315,60 @@ object Relational {
       | AND p.us >= c.us AND p.us <= c.us + 600000000
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------- q27
+  /** CUBE grouping sets + exact interpolated median (both engines define
+    * median as quantile_cont(0.5) over the sorted values; on integer
+    * cents the interpolated halves are exact doubles, so hashes match). */
+  def q27CubeStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .cube($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+           median(cents($"o_totalprice")).as("median_cents"),
+           min(cents($"o_totalprice")).as("min_cents"),
+           max(cents($"o_totalprice")).as("max_cents"))
+      .select(coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+              coalesce($"o_orderstatus", lit("ALL")).as("status"),
+              $"n_orders", $"median_cents", $"min_cents", $"max_cents")
+      .orderBy($"priority", $"status")
+  }
+
+  val q27Sql: String =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       COALESCE(o_orderstatus, 'ALL') AS status,
+      |       COUNT(*) AS n_orders,
+      |       CAST(median(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) AS median_cents,
+      |       CAST(MIN(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS min_cents,
+      |       CAST(MAX(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS max_cents
+      |FROM orders
+      |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** Semi-structured extraction: pull the numeric `k` out of the JSON-ish
+    * props column and aggregate per event type. Spark side uses the real
+    * JSON path function; the oracle reproduces the value with a regexp
+    * (identical results on well-formed fixtures, no DuckDB JSON extension
+    * dependency). */
+  def q28JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(sum($"k").as("sum_k"), count(lit(1)).as("n_events"),
+           countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  val q28Sql: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_pricing"     -> (q05Pricing _),
@@ -327,11 +381,15 @@ object Relational {
     "q11_event_windows" -> (q11EventWindows _),
     "q12_sessionize"  -> (q12Sessionize _),
     "q25_asof_purchase" -> (q25AsofPurchase _),
-    "q26_interval_join" -> (q26IntervalJoin _))
+    "q26_interval_join" -> (q26IntervalJoin _),
+    "q27_cube_stats"    -> (q27CubeStats _),
+    "q28_json_extract"  -> (q28JsonExtract _))
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
     "q26_interval_join" -> q26Sql,
+    "q27_cube_stats"    -> q27Sql,
+    "q28_json_extract"  -> q28Sql,
     "q05_pricing"     -> q05Sql,
     "q06_join5"       -> q06Sql,
     "q07_topk"        -> q07Sql,
