@@ -82,7 +82,7 @@ object Dedup {
     * it — 16x fewer md5 evaluations than the naive form (this dominates
     * the sketch cost at corpus scale). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    graft.functions.PolyHash.register(docs.sparkSession)
+    graft.functions.ShingleHashes.register(docs.sparkSession, 3, HashBase, HashMod)
     graft.functions.MinHashSignature.register(docs.sparkSession,
       (0 until NumHashes).map(coefA).toArray,
       (0 until NumHashes).map(coefB).toArray, P)
@@ -90,8 +90,7 @@ object Dedup {
       element_at(col("sig"), i + 1).as(s"h$i")
     }
     docs
-      .withColumn("hs", expr(s"transform($sparkShingles, s -> ${sparkH("s")})"))
-      .withColumn("sig", expr("minhash_sig(hs)"))
+      .withColumn("sig", expr("minhash_sig(shingle_hashes(text))"))
       .select((col("doc_id") +: sigCols): _*)
   }
 
@@ -216,10 +215,9 @@ object Dedup {
     * ints (hash collisions are identical in both engines, so parity
     * holds). */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
-    graft.functions.PolyHash.register(docs.sparkSession)
+    graft.functions.ShingleHashes.register(docs.sparkSession, 3, HashBase, HashMod)
     val shingled = docs
-      .select(col("doc_id"), explode(expr(
-        s"transform($sparkShingles, s -> ${sparkH("s")})")).as("shingle"))
+      .select(col("doc_id"), explode(expr("shingle_hashes(text)")).as("shingle"))
       .distinct()
     val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val l = shingled.select(col("doc_id").as("doc_a"), col("shingle"))

@@ -31,6 +31,27 @@ class ExtSpec extends SparkSpec {
     ids.foreach(id => assert(pairs.contains((id, id + 10000)), s"clone pair $id"))
   }
 
+  test("fused shingle_hashes equals the composed transform+poly_hash form") {
+    import spark.implicits._
+    graft.functions.PolyHash.register(spark)
+    graft.functions.ShingleHashes.register(spark, 3, Dedup.HashBase, Dedup.HashMod)
+    val texts = Seq("one two three four five", "single", "two words",
+      "double  space between", " leading", "trailing ", "a b c",
+      "wider unicode été café test", "")
+    val df = texts.toDF("text")
+    val composed = df.selectExpr(
+      s"""transform(
+         |  transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+         |    i -> concat_ws(' ', slice(split(text, ' '), i, 3))),
+         |  s -> poly_hash(s, ${Dedup.HashBase}, ${Dedup.HashMod})) AS hs""".stripMargin)
+      .collect().map(_.getSeq[Long](0))
+    val fused = df.selectExpr("shingle_hashes(text) AS hs")
+      .collect().map(_.getSeq[Long](0))
+    composed.zip(fused).zip(texts).foreach { case ((c, f), t) =>
+      assert(c == f, s"mismatch for '$t'")
+    }
+  }
+
   test("q15 simhash: fingerprints fit 28 bits and are deterministic") {
     val a = Dedup.simhash(docs).collect()
     val b = Dedup.simhash(docs).collect()
