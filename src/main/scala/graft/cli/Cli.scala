@@ -111,6 +111,7 @@ object Cli {
               .filter(col("probe_error").isNull)), srt)
         val oldLines = spark.read.text(a.db)
           .select(regexp_replace(col("value"), "^﻿", "").as("line"))
+          .filter(col("line") =!= Tsv.headerLine) // updating a merged db
         val all = oldLines.unionByName(Tsv.renderLines(builtNovel))
         Tsv.writeSingleFile(Tsv.sortLinesDesc(all), a.db)
         println(s"[graft] appended novel files into ${a.db}")

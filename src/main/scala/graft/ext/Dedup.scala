@@ -67,10 +67,9 @@ object Dedup {
       s"i -> CAST(ord(substr($sExpr, i, 1)) AS BIGINT))), " +
       s"(a, c) -> (a * $HashBase + c) % $HashMod)"
 
-  /** 3-word shingles of the whitespace-tokenized text. */
-  private val sparkShingles =
-    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1) )," +
-      " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+  /** 3-word shingles of the whitespace-tokenized text (oracle side; the
+    * Spark side computes the hashed form directly via the fused
+    * ShingleHashes expression — equivalence is spec-tested). */
   private val duckShingles =
     "list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))," +
       " i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))"

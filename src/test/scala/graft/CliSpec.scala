@@ -15,6 +15,23 @@ class CliSpec extends SparkSpec {
     Files.write(path, Array.fill[Byte](bytes)(42))
   }
 
+  test("real FfprobeProber quarantines rows when probing fails (no ffmpeg here)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ffprobe").toString
+    touch(s"$root/m/[2000] RealProbe.mkv", 64)
+    val listing = graft.sources.DirectoryListing.walk(spark, Seq(root))
+    val probed = graft.operators.VideoPipeline.probeStage(
+      graft.operators.VideoPipeline.scanFilters(listing),
+      new graft.operators.FfprobeProber(timeoutSec = 5))
+    val rows = probed.collect()
+    assert(rows.length == 1)
+    // the container has no ffprobe binary -> per-row error capture, not a
+    // task failure; the job completes and the row is quarantined
+    assert(rows.head.getAs[String]("probe_error") != null)
+    assert(graft.operators.VideoPipeline.failures(listing,
+      new graft.operators.FfprobeProber(timeoutSec = 5)).count() == 1)
+  }
+
   test("build -> update -> merge -> nomedia over a real directory tree") {
     spark // force shared session so Cli reuses instead of stopping it
     val root = Files.createTempDirectory("graft-cli").toString
