@@ -163,6 +163,65 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // -------------------------------------------------- mergeable sketches
+  /** Typed Aggregator merging MinHash signatures elementwise-min. The
+    * merge is associative + commutative, so Spark combines partial
+    * sketches map-side and across partitions — the property that makes
+    * sketch-based dedup work at corpus scale: a 100 TB corpus's
+    * signature is a tree-reduce of per-partition signatures, never a
+    * central pass. */
+  object MinHashMergeAgg extends org.apache.spark.sql.expressions.Aggregator[
+      Seq[Long], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.fill(NumHashes)(Long.MaxValue)
+    override def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = {
+      var i = 0
+      while (i < b.length && i < a.length) {
+        if (a(i) < b(i)) b(i) = a(i); i += 1
+      }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = reduce(x, y)
+    override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Per-source corpus sketch: the elementwise-min of all member
+    * signatures (a union sketch — Jaccard between sources is estimable
+    * from two sketches without touching the documents again). */
+  def sourceSketches(docs: DataFrame): DataFrame = {
+    graft.functions.ShingleHashes.register(docs.sparkSession, 3, HashBase, HashMod)
+    graft.functions.MinHashSignature.register(docs.sparkSession,
+      (0 until NumHashes).map(coefA).toArray,
+      (0 until NumHashes).map(coefB).toArray, P)
+    val agg = org.apache.spark.sql.functions.udaf(MinHashMergeAgg)
+    val sketchCols = (0 until NumHashes).map { i =>
+      element_at(col("sketch"), i + 1).as(s"h$i")
+    }
+    docs
+      .withColumn("sig", expr("minhash_sig(shingle_hashes(text))"))
+      .groupBy(col("source"))
+      .agg(agg(col("sig")).as("sketch"))
+      .select((col("source") +: sketchCols): _*)
+      .orderBy("source")
+  }
+
+  def sourceSketchesSql: String = {
+    val sigCols = (0 until NumHashes).map { i =>
+      s"list_min(list_transform(hs, h -> " +
+        s"(${coefA(i)} * h + ${coefB(i)}) % $P)) AS h$i"
+    }
+    val mins = (0 until NumHashes).map(i => s"MIN(h$i) AS h$i")
+    s"""WITH hashed AS (
+       |  SELECT doc_id, source, list_transform($duckShingles, s -> ${duckH("s")}) AS hs
+       |  FROM documents),
+       |sig AS (SELECT doc_id, source, ${sigCols.mkString(", ")} FROM hashed)
+       |SELECT source, ${mins.mkString(", ")}
+       |FROM sig GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // -------------------------------------------------------------- simhash
   val SimhashBits = 28
 
@@ -257,12 +316,14 @@ object Dedup {
     "q14_minhash_sig" -> ((s, d) => minhashSignatures(Tables.documents(s, d)).orderBy("doc_id")),
     "q14_minhash_pairs" -> ((s, d) => minhashPairs(Tables.documents(s, d))),
     "q15_simhash"     -> ((s, d) => simhash(Tables.documents(s, d))),
-    "q16_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(Tables.documents(s, d))))
+    "q16_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(Tables.documents(s, d))),
+    "q29_source_sketch" -> ((s, d) => sourceSketches(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q13_dedup_exact" -> exactDedupSql,
     "q14_minhash_sig" -> minhashSignaturesSql,
     "q14_minhash_pairs" -> minhashPairsSql,
     "q15_simhash"     -> simhashSql,
-    "q16_ngram_jaccard" -> ngramJaccardSql)
+    "q16_ngram_jaccard" -> ngramJaccardSql,
+    "q29_source_sketch" -> sourceSketchesSql)
 }

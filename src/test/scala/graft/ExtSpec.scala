@@ -52,6 +52,23 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("q29 source sketches are partition-invariant (mergeable aggregator)") {
+    val a = Dedup.sourceSketches(docs).collect().map(_.toSeq).toSeq
+    val b = Dedup.sourceSketches(docs.repartition(13)).collect().map(_.toSeq).toSeq
+    assert(a == b, "sketch must not depend on partitioning")
+    // sketch of a source == elementwise min of its members' signatures
+    val sigs = Dedup.minhashSignatures(docs)
+      .join(docs.select("doc_id", "source"), "doc_id").collect()
+    val bySource = sigs.groupBy(_.getAs[String]("source"))
+    a.foreach { row =>
+      val src = row.head.asInstanceOf[String]
+      (0 until Dedup.NumHashes).foreach { i =>
+        val want = bySource(src).map(_.getAs[Long](s"h$i")).min
+        assert(row(i + 1) == want, s"$src h$i")
+      }
+    }
+  }
+
   test("q15 simhash: fingerprints fit 28 bits and are deterministic") {
     val a = Dedup.simhash(docs).collect()
     val b = Dedup.simhash(docs).collect()
