@@ -310,6 +310,36 @@ object Dedup {
        |JOIN sizes sb ON sb.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --------------------------------------------------- edit-distance dup
+  val MaxEditDistance = 2
+
+  /** Fuzzy string matching by edit distance, blocked on a cheap equality
+    * key so the pair space stays linear-ish: same-brand part names within
+    * Levenshtein <= MaxEditDistance. The blocking key is the standard
+    * trick that turns O(n^2) fuzzy dedup into per-block products — at
+    * corpus scale the block key comes from a cheap canopy (prefix,
+    * phonetic code, LSH bucket). */
+  def editDistancePairs(parts: DataFrame): DataFrame = {
+    val a = parts.select(col("p_brand"), col("p_partkey").as("key_a"),
+      col("p_name").as("name_a"))
+    val b = parts.select(col("p_brand"), col("p_partkey").as("key_b"),
+      col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= MaxEditDistance)
+      .select(col("key_a"), col("key_b"), col("dist"))
+      .orderBy("key_a", "key_b")
+  }
+
+  val editDistancePairsSql: String =
+    s"""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       |  levenshtein(a.p_name, b.p_name) AS dist
+       |FROM part a JOIN part b
+       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+       |WHERE levenshtein(a.p_name, b.p_name) <= $MaxEditDistance
+       |ORDER BY key_a, key_b""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_dedup_exact" -> ((s, d) => exactDedup(Tables.documents(s, d))),
@@ -317,7 +347,8 @@ object Dedup {
     "q14_minhash_pairs" -> ((s, d) => minhashPairs(Tables.documents(s, d))),
     "q15_simhash"     -> ((s, d) => simhash(Tables.documents(s, d))),
     "q16_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(Tables.documents(s, d))),
-    "q29_source_sketch" -> ((s, d) => sourceSketches(Tables.documents(s, d))))
+    "q29_source_sketch" -> ((s, d) => sourceSketches(Tables.documents(s, d))),
+    "q30_edit_distance" -> ((s, d) => editDistancePairs(Tables.part(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q13_dedup_exact" -> exactDedupSql,
@@ -325,5 +356,6 @@ object Dedup {
     "q14_minhash_pairs" -> minhashPairsSql,
     "q15_simhash"     -> simhashSql,
     "q16_ngram_jaccard" -> ngramJaccardSql,
-    "q29_source_sketch" -> sourceSketchesSql)
+    "q29_source_sketch" -> sourceSketchesSql,
+    "q30_edit_distance" -> editDistancePairsSql)
 }

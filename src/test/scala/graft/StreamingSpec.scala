@@ -91,6 +91,21 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch sink lands incremental parquet (production sink pattern)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-fb").toString
+    val stream = EventsStreaming.eventsStream(spark, sf)
+    val q = EventsStreaming.tumblingCounts(stream)
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/windows")
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val landed = spark.read.parquet(s"$out/windows")
+    val want = graft.queries.Relational.q11EventWindows(spark, sf).count()
+    assert(landed.count() == want)
+  }
+
   test("sliding windows cover each event twice") {
     val stream = EventsStreaming.eventsStream(spark, sf)
     val got = runToMemory(
