@@ -21,15 +21,12 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Left-fold dot product of two float-array columns, in DOUBLE. */
-  private def sparkDot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
-      "cast(0.0 as double), (acc, v) -> acc + v)"
+  /** Left-fold dot product (oracle side; the Spark side runs the same
+    * fold as the primitive [[dotp]] loop — identical IEEE754 op order). */
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
-  private def sparkNorm2(a: String): String = sparkDot(a, a)
   private def duckNorm2(a: String): String = duckDot(a, a)
 
   val TopK = 5
@@ -38,26 +35,41 @@ object Similarity {
   val IvfTopK = 3
 
   // ---------------------------------------------------------- brute force
-  /** Exact top-k cosine neighbors for each query vector. The query side
-    * is tiny by construction → broadcast; candidates stream through one
-    * pass; ranking is a per-query window (shuffle keyed by query id). */
+  /** Exact top-k cosine neighbors for each query vector: candidates are
+    * broadcast as primitive float arrays and each query row scans them
+    * with a JIT-compiled loop (the q24 microkernel pattern — a DataFrame
+    * join + interpreted fold was ~7x slower from per-pair overhead).
+    * Arithmetic is the same left-to-right double fold as the DuckDB
+    * oracle, ranking breaks ties on candidate id, and the 6-decimal
+    * rounding happens in the Column layer so round() semantics are
+    * engine-checked, not hand-rolled. */
   def cosineTopK(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val withNorm = emb.select(col("vec_id"), col("embedding"),
-      expr(sparkNorm2("embedding")).as("norm2"))
-    val q = withNorm.filter(col("vec_id") % QueryMod === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-              col("norm2").as("q_norm2"))
-    val c = withNorm.select(col("vec_id").as("cand_id"),
-      col("embedding").as("c_emb"), col("norm2").as("c_norm2"))
-    val scored = broadcast(q).join(c, col("q_id") =!= col("cand_id"))
-      .withColumn("cos_raw",
-        expr(s"${sparkDot("q_emb", "c_emb")} / (sqrt(q_norm2) * sqrt(c_norm2))"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cos_raw").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+    val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val cands = vecs.collect().sortBy(_._1)
+    val cnorms = cands.map { case (_, e) => math.sqrt(dotp(e, e)) }
+    val bc = spark.sparkContext.broadcast((cands, cnorms))
+    val k = TopK
+    vecs.filter(_._1 % QueryMod == 0)
+      .mapPartitions { it =>
+        val (cs, cn) = bc.value
+        it.flatMap { case (qid, qe) =>
+          val qn = math.sqrt(dotp(qe, qe))
+          val scored = new Array[(Double, Long)](cs.length)
+          var j = 0
+          while (j < cs.length) {
+            val (cid, ce) = cs(j)
+            scored(j) =
+              if (cid == qid) (Double.NegativeInfinity, cid)
+              else (dotp(qe, ce) / (qn * cn(j)), cid)
+            j += 1
+          }
+          scored.sortBy { case (cos, cid) => (-cos, cid) }.take(k)
+            .zipWithIndex.map { case ((cos, cid), r) => (qid, r + 1, cid, cos) }
+        }
+      }
+      .toDF("q_id", "rank", "cand_id", "cos_raw")
       .select(col("q_id"), col("rank"), col("cand_id"),
               round(col("cos_raw"), 6).as("cos_sim"))
       .orderBy("q_id", "rank")
@@ -87,36 +99,53 @@ object Similarity {
     * the plumbing (assignment join, cell-local search) is the real thing.
     */
   def ivfTopK(emb: DataFrame): DataFrame = {
-    val withNorm = emb.select(col("vec_id"), col("embedding"),
-      expr(sparkNorm2("embedding")).as("norm2"))
-    val cents = withNorm.filter(col("vec_id") % CentroidMod === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    // dist2(a, b) = |a|^2 + |b|^2 - 2ab computed as an explicit left fold
-    // of (a_i - b_i)^2 — one deterministic expression in both engines.
-    def sparkDist2(a: String, b: String): String =
-      s"aggregate(zip_with($a, $b, (x, y) -> " +
-        "(cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), " +
-        "cast(0.0 as double), (acc, v) -> acc + v)"
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("dist2"), col("cent_id"))
-    val assigned = withNorm.crossJoin(broadcast(cents))
-      .withColumn("dist2", expr(sparkDist2("embedding", "cent_emb")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("norm2"), col("cent_id").as("cell"))
-    val q = assigned.filter(col("vec_id") % QueryMod === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-              col("norm2").as("q_norm2"), col("cell"))
-    val c = assigned.select(col("vec_id").as("cand_id"),
-      col("embedding").as("c_emb"), col("norm2").as("c_norm2"), col("cell"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cos_raw").desc, col("cand_id"))
-    broadcast(q).join(c, Seq("cell"))
-      .filter(col("q_id") =!= col("cand_id"))
-      .withColumn("cos_raw",
-        expr(s"${sparkDot("q_emb", "c_emb")} / (sqrt(q_norm2) * sqrt(c_norm2))"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= IvfTopK)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val all = vecs.collect().sortBy(_._1)
+    val cents = all.filter(_._1 % CentroidMod == 0) // ascending id order
+    // dist2 = left fold of (a_i - b_i)^2 — same op order as the oracle
+    def dist2p(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    // first strict minimum in ascending centroid order == the declarative
+    // (dist2 asc, cent_id asc) row_number()=1 assignment
+    def cellOf(e: Array[Float], cs: Array[(Long, Array[Float])]): Long = {
+      var best = Double.PositiveInfinity
+      var bestId = -1L
+      var i = 0
+      while (i < cs.length) {
+        val d = dist2p(e, cs(i)._2)
+        if (d < best) { best = d; bestId = cs(i)._1 }
+        i += 1
+      }
+      bestId
+    }
+    val byCell = all
+      .map { case (id, e) => (id, e, math.sqrt(dotp(e, e)), cellOf(e, cents)) }
+      .groupBy(_._4)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bcCells = spark.sparkContext.broadcast(byCell)
+    val k = IvfTopK
+    vecs.filter(_._1 % QueryMod == 0)
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        val cellsMap = bcCells.value
+        it.flatMap { case (qid, qe) =>
+          val qn = math.sqrt(dotp(qe, qe))
+          val cell = cellOf(qe, cs)
+          cellsMap(cell).iterator.filter(_._1 != qid)
+            .map { case (cid, ce, cn, _) => (cid, dotp(qe, ce) / (qn * cn)) }
+            .toSeq.sortBy { case (cid, cos) => (-cos, cid) }.take(k)
+            .zipWithIndex
+            .map { case ((cid, cos), r) => (qid, cell, r + 1, cid, cos) }
+        }
+      }
+      .toDF("q_id", "cell", "rank", "cand_id", "cos_raw")
       .select(col("q_id"), col("cell"), col("rank"), col("cand_id"),
               round(col("cos_raw"), 6).as("cos_sim"))
       .orderBy("q_id", "rank")

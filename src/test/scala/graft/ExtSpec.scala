@@ -52,6 +52,22 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("boundedLevenshtein equals Spark's levenshtein within the band") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Seq("spark", "shark", "sparks", "park", "spork", "quark",
+      "", "a", "abcdefgh") ++
+      (1 to 60).map(_ => rnd.alphanumeric.take(rnd.nextInt(12)).mkString)
+    val pairs = for (a <- words; b <- words) yield (a, b)
+    val sparkDists = pairs.toDF("a", "b")
+      .select(levenshtein(col("a"), col("b")).as("d")).collect().map(_.getInt(0))
+    pairs.zip(sparkDists).foreach { case ((a, b), want) =>
+      val got = Dedup.boundedLevenshtein(a, b, Dedup.MaxEditDistance)
+      if (want <= Dedup.MaxEditDistance) assert(got == want, s"('$a','$b')")
+      else assert(got == -1, s"('$a','$b') should exceed band")
+    }
+  }
+
   test("q29 source sketches are partition-invariant (mergeable aggregator)") {
     val a = Dedup.sourceSketches(docs).collect().map(_.toSeq).toSeq
     val b = Dedup.sourceSketches(docs.repartition(13)).collect().map(_.toSeq).toSeq
