@@ -29,7 +29,11 @@ case class PolyHash(child: Expression, base: Long, modulus: Long)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.PolyHash.eval($c.toString(), ${base}L, ${modulus}L);")
+      // call through the companion MODULE$: Scala emits no static
+      // forwarder for `eval` (clashes with Expression.eval), so the bare
+      // class reference would fail Janino compilation and silently fall
+      // back to interpreted execution
+      s"${ev.value} = graft.functions.PolyHash$$.MODULE$$.eval($c.toString(), ${base}L, ${modulus}L);")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
     copy(child = newChild)
