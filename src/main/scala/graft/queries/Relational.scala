@@ -318,18 +318,51 @@ object Relational {
   // ---------------------------------------------------------------- q27
   /** CUBE grouping sets + exact interpolated median (both engines define
     * median as quantile_cont(0.5) over the sorted values; on integer
-    * cents the interpolated halves are exact doubles, so hashes match). */
+    * cents the interpolated halves are exact doubles, so hashes match).
+    *
+    * Median is NOT computed with the `median` aggregate: Spark's
+    * sort-based Percentile buffers every group value in the aggregation
+    * buffer (no spill), and under CUBE each input row feeds 4 grouping
+    * sets — memory-unbounded at scale and 8+ s at sf0.1. Instead:
+    * count/min/max roll up through a plain CUBE hash aggregate, and the
+    * median of each grouping set is an exact two-ordinal pick over a
+    * shuffle-sort (row_number window — WindowExec's partition buffer
+    * spills to disk, so big groups sort externally instead of OOMing).
+    * For n sorted values the interpolated median is the mean of the
+    * values at 1-based positions ⌊(n+1)/2⌋ and ⌊(n+2)/2⌋ (equal when n
+    * is odd) — identical to quantile_cont(0.5) on integers. */
   def q27CubeStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.orders(s, dir)
-      .cube($"o_orderpriority", $"o_orderstatus")
+    val base = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("p0"), $"o_orderstatus".as("s0"),
+              cents($"o_totalprice").as("cents_v"))
+
+    val stats = base.cube($"p0", $"s0")
       .agg(count(lit(1)).as("n_orders"),
-           median(cents($"o_totalprice")).as("median_cents"),
-           min(cents($"o_totalprice")).as("min_cents"),
-           max(cents($"o_totalprice")).as("max_cents"))
-      .select(coalesce($"o_orderpriority", lit("ALL")).as("priority"),
-              coalesce($"o_orderstatus", lit("ALL")).as("status"),
-              $"n_orders", $"median_cents", $"min_cents", $"max_cents")
+           min($"cents_v").as("min_cents"), max($"cents_v").as("max_cents"))
+      .select(coalesce($"p0", lit("ALL")).as("priority"),
+              coalesce($"s0", lit("ALL")).as("status"),
+              $"n_orders", $"min_cents", $"max_cents")
+
+    def medianFor(pExpr: Column, sExpr: Column): DataFrame = {
+      val g = base.select(pExpr.as("priority"), sExpr.as("status"), $"cents_v")
+      val w  = Window.partitionBy($"priority", $"status").orderBy($"cents_v")
+      val wp = Window.partitionBy($"priority", $"status")
+      g.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wp))
+        .filter($"rn" === floor(($"cnt" + 1) / 2) || $"rn" === floor(($"cnt" + 2) / 2))
+        .groupBy($"priority", $"status")
+        .agg(avg($"cents_v").as("median_cents"))
+    }
+    val medians = Seq(
+      medianFor($"p0", $"s0"),
+      medianFor($"p0", lit("ALL")),
+      medianFor(lit("ALL"), $"s0"),
+      medianFor(lit("ALL"), lit("ALL"))).reduce(_ unionByName _)
+
+    stats.join(medians, Seq("priority", "status"))
+      .select($"priority", $"status", $"n_orders",
+              $"median_cents", $"min_cents", $"max_cents")
       .orderBy($"priority", $"status")
   }
 
