@@ -38,13 +38,24 @@ object Cli {
 
   private case class Args(
       verb: String, inputs: Seq[String], db: String,
-      nomedia: Boolean, verbose: Boolean, stubProbe: Boolean)
+      nomedia: Boolean, verbose: Boolean, stubProbe: Boolean,
+      manifest: Boolean)
+
+  /** F13: the reference auto-derives the db file name from the scan root
+    * and the volume label when no explicit name is given
+    * (video_metadata_db.py:507-514: root + " - " + label + ".tsv").
+    * Path separators in the label are flattened — a Unix mountpoint label
+    * ("/") would otherwise split the generated name into a bogus
+    * directory component. */
+  def dbNameGenerate(root: String, volume: String): String =
+    s"$root - ${volume.replace('/', '_')}.tsv"
 
   private def parse(argv: Array[String]): Args = {
     var verb = ""
     val inputs = scala.collection.mutable.ArrayBuffer[String]()
     var db = ""
     var nomedia = false; var verbose = false; var stub = false
+    var manifest = false
     var i = 0
     while (i < argv.length) {
       argv(i) match {
@@ -53,29 +64,46 @@ object Cli {
         case "--nomedia" => nomedia = true
         case "--verbose" => verbose = true
         case "--stub-probe" => stub = true
+        case "--manifest" => manifest = true
         case p => inputs += p
       }
       i += 1
     }
     require(verb.nonEmpty, "verb required: build | update | merge | report")
+    if (db.isEmpty && verb == "build" && inputs.nonEmpty)
+      db = dbNameGenerate(inputs.head, DirectoryListing.volumeLabel())
     require(db.nonEmpty, "--db <file.tsv> required")
-    Args(verb, DirectoryListing.dedupRoots(inputs.toSeq), db, nomedia, verbose, stub)
+    Args(verb, DirectoryListing.dedupRoots(inputs.toSeq), db, nomedia, verbose,
+         stub, manifest)
   }
 
   private def prober(a: Args): Prober =
     if (a.stubProbe) new StubProber else new FfprobeProber()
 
+  /** The file listing + sibling-srt listing for the configured source:
+    * a recursive walk of the roots, or (--manifest, S1 at scale) manifest
+    * parquet tables read distributed — same downstream pipeline. */
+  private def listings(spark: SparkSession, a: Args): (DataFrame, DataFrame) =
+    if (a.manifest) {
+      val all = a.inputs.map(DirectoryListing.fromManifest(spark, _))
+        .reduce(_ unionByName _)
+      (all, DirectoryListing.srtOf(all))
+    } else
+      (DirectoryListing.walk(spark, a.inputs),
+       DirectoryListing.srtListing(spark, a.inputs))
+
   private def buildLines(spark: SparkSession, a: Args): DataFrame = {
-    val listing = DirectoryListing.walk(spark, a.inputs)
+    val (listing, srt) = listings(spark, a)
     if (a.nomedia) {
       val n = DirectoryListing.createNomediaMarkers(listing)
       println(s"[graft] created $n .nomedia markers")
     }
-    val srt = DirectoryListing.srtListing(spark, a.inputs)
     val built = VideoPipeline.build(listing, srt, prober(a))
     if (a.verbose) {
       println("[graft] variant report:")
       VideoPipeline.variants(built).show(100, truncate = false)
+      println("[graft] variant detail:")
+      VideoPipeline.variantDetails(built).show(1000, truncate = false)
       println("[graft] probe failures:")
       VideoPipeline.failures(listing, prober(a)).show(100, truncate = false)
     }
@@ -129,5 +157,8 @@ object Cli {
         val db = Tsv.readReferenceTsv(spark, a.db)
           .withColumnRenamed("path_on_volume", "path")
         VideoPipeline.variants(db).show(1000, truncate = false)
+        if (a.verbose)
+          VideoPipeline.variantDetails(db, durationCol = "duration_display")
+            .show(10000, truncate = false)
     }
 }

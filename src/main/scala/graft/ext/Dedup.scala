@@ -133,12 +133,13 @@ object Dedup {
     * pair expansion) rather than by self-joining the bands relation —
     * a self-join would evaluate the signature pipeline twice, and bucket
     * sizes are small by LSH construction so the in-bucket expansion is
-    * cheap. Buckets larger than [[MaxLshBucket]] are dropped (skew guard). */
-  def minhashPairs(docs: DataFrame): DataFrame = {
+    * cheap. Buckets larger than `maxLshBucket` are dropped (skew guard,
+    * default [[MaxLshBucket]]). */
+  def minhashPairs(docs: DataFrame, maxLshBucket: Int = MaxLshBucket): DataFrame = {
     minhashBands(docs)
       .groupBy("band", "band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxLshBucket)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxLshBucket)
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
           |  i -> transform(sequence(i + 1, size(ids)),
@@ -292,38 +293,44 @@ object Dedup {
     * keys instead of ~20-byte strings (hash collisions are identical in
     * both engines, so parity holds).
     *
-    * Shape notes (the round-1 version was 3x slower than the anchor):
-    *  - `shingled` is persisted — it feeds both the per-doc sizes and the
-    *    inverted index, and the fused ShingleHashes expression would
-    *    otherwise re-evaluate once per subtree;
+    * Shape notes — ONE relation, ONE shuffle chain, nothing cached:
+    *  - per-doc shingle-set size |A| is `size(array_distinct(...))` — a
+    *    pure map-side projection computed in the same pass that explodes
+    *    the distinct shingles, so there is no separate sizes aggregation
+    *    and no join to bring it back (the round-2 version persisted the
+    *    exploded relation to feed two subtrees — pure overhead with no
+    *    reuse win, and the cache leaked into the rest of the session);
+    *  - (doc_id, n_shingles) ride TOGETHER through the posting lists and
+    *    the in-bucket pair expansion, so the final Jaccard is computed
+    *    where the pair is born;
     *  - candidate pairs come from IN-BUCKET expansion of each shingle's
     *    sorted posting list (like minhashPairs), not a self-join — one
     *    aggregation instead of a join that re-shuffles both sides;
-    *  - posting lists longer than MaxShingleDf are dropped (skew guard). */
-  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    *  - posting lists longer than `maxShingleDf` are dropped (skew guard,
+    *    default [[MaxShingleDf]]). */
+  def ngramJaccardPairs(docs: DataFrame,
+                        maxShingleDf: Int = MaxShingleDf): DataFrame = {
     graft.functions.ShingleHashes.register(docs.sparkSession, 3, HashBase, HashMod)
-    val shingled = docs
-      .select(col("doc_id"), explode(expr("shingle_hashes(text)")).as("shingle"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val pairs = shingled
+    docs
+      .select(col("doc_id"),
+        array_distinct(expr("shingle_hashes(text)")).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("n_shingles"),
+        explode(col("shs")).as("shingle"))
       .groupBy("shingle")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxShingleDf)
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("n_shingles")))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxShingleDf)
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
           |  i -> transform(sequence(i + 1, size(ids)),
-          |    j -> named_struct('doc_a', element_at(ids, i),
-          |                      'doc_b', element_at(ids, j)))))""".stripMargin)).as("p"))
+          |    j -> named_struct('doc_a', element_at(ids, i).doc_id,
+          |                      'na',    element_at(ids, i).n_shingles,
+          |                      'doc_b', element_at(ids, j).doc_id,
+          |                      'nb',    element_at(ids, j).n_shingles))))""".stripMargin)).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
+      .agg(count(lit(1)).as("n_common"),
+           max(col("p.na")).as("na"), max(col("p.nb")).as("nb"))
       .filter(col("n_common") >= MinCommonShingles)
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                 .withColumnRenamed("n_shingles", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                 .withColumnRenamed("n_shingles", "nb"), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         expr("(10000 * n_common) div (na + nb - n_common)").as("jaccard_e4"))
       .orderBy("doc_a", "doc_b")
@@ -388,45 +395,70 @@ object Dedup {
     if (prev(m) <= max) prev(m) else -1
   }
 
+  /** Width of the length bands that salt the blocking key (must be
+    * > MaxEditDistance so a qualifying pair spans at most one band
+    * boundary). */
+  val LengthBandWidth = 16
+
   /** Fuzzy string matching by edit distance, blocked on a cheap equality
     * key so the pair space stays linear-ish: same-brand part names within
     * Levenshtein <= MaxEditDistance.
     *
-    * Fully distributed: rows shuffle on the blocking key (one hash
-    * exchange — each block lands whole inside one task), and each task
-    * runs the banded-DP microkernel over its blocks in a tight primitive
-    * loop. Nothing is collected to the driver; memory per task is bounded
-    * by the largest block, not the table (a DataFrame self-join +
-    * levenshtein() column was 4x slower than the DuckDB anchor on join
-    * machinery alone, so the per-block kernel stays). Within a block,
-    * names are sorted by length and the inner scan stops once the length
-    * gap exceeds the edit bound — O(B·w) comparisons instead of O(B²).
-    * At corpus scale the blocking key comes from a canopy (prefix,
-    * phonetic code, LSH bucket); skewed blocks split by salting the
-    * canopy key. */
+    * Fully distributed, and the blocking key is SALTED with a length
+    * band, because edit distance <= d implies length gap <= d: a pair can
+    * only match if the two lengths fall in the same [[LengthBandWidth]]
+    * band or straddle one boundary. Each row is emitted into its native
+    * band, plus the band below when it sits within MaxEditDistance of
+    * that boundary; a pair is generated ONLY in the band
+    * min(nativeBand_a, nativeBand_b), so boundary duplication never
+    * yields duplicate output. This lifts parallelism from |distinct
+    * brands| (25 for TPC-H part — a hard ceiling the round-2 version hit)
+    * to |brands| x |occupied length bands|, and it is exactly the salting
+    * a canopy key gets at corpus scale.
+    *
+    * Memory per task is bounded by one (brand, band) block, for real:
+    * `groupByKey(...).flatMapGroups` streams one group at a time into the
+    * kernel (the round-2 `mapPartitions(it.toSeq.groupBy(...))` held the
+    * whole task partition). Within a block, names are sorted by length
+    * and the inner scan stops once the length gap exceeds the edit
+    * bound — O(B·w) comparisons instead of O(B²) — and the banded-DP
+    * microkernel ([[boundedLevenshtein]]) does O(len·maxD) work per
+    * surviving pair (a DataFrame self-join + levenshtein() column was 4x
+    * slower than the DuckDB anchor on join machinery alone). */
   def editDistancePairs(parts: DataFrame): DataFrame = {
     val spark = parts.sparkSession
     import spark.implicits._
     val maxD = MaxEditDistance
+    val w = LengthBandWidth
     parts.select(col("p_brand"), col("p_partkey"), col("p_name"))
       .as[(String, Long, String)]
-      .repartition(col("p_brand"))
-      .mapPartitions { it =>
-        // group the partition's rows into blocks (a task may own several
-        // whole blocks; a block never spans tasks)
-        it.toSeq.groupBy(_._1).iterator.flatMap { case (_, rows) =>
-          val ms = rows.map(x => (x._2, x._3)).sortBy(r => (r._2.length, r._1)).toArray
-          Iterator.range(0, ms.length).flatMap { i =>
-            Iterator.range(i + 1, ms.length)
-              .takeWhile(j => ms(j)._2.length - ms(i)._2.length <= maxD)
-              .flatMap { j =>
-                val d = boundedLevenshtein(ms(i)._2, ms(j)._2, maxD)
+      .flatMap { case (brand, key, name) =>
+        val nativeBand = name.length / w
+        val dup = // near the lower boundary -> also visit the band below
+          if (nativeBand > 0 && name.length % w < maxD)
+            Seq((brand, nativeBand - 1, nativeBand, key, name))
+          else Seq.empty
+        (brand, nativeBand, nativeBand, key, name) +: dup
+      }
+      .groupByKey { case (brand, band, _, _, _) => (brand, band) }
+      .flatMapGroups { (k: (String, Int), rows: Iterator[(String, Int, Int, Long, String)]) =>
+        val band = k._2
+        val ms = rows.map { case (_, _, nb, key, name) => (nb, key, name) }
+          .toArray.sortInPlaceBy(r => (r._3.length, r._2))
+        Iterator.range(0, ms.length).flatMap { i =>
+          Iterator.range(i + 1, ms.length)
+            .takeWhile(j => ms(j)._3.length - ms(i)._3.length <= maxD)
+            .flatMap { j =>
+              // generate in the lower of the two native bands only
+              if (math.min(ms(i)._1, ms(j)._1) != band) Iterator.empty
+              else {
+                val d = boundedLevenshtein(ms(i)._3, ms(j)._3, maxD)
                 if (d >= 0) {
-                  val (ka, kb) = (ms(i)._1, ms(j)._1)
+                  val (ka, kb) = (ms(i)._2, ms(j)._2)
                   Iterator.single((math.min(ka, kb), math.max(ka, kb), d))
                 } else Iterator.empty
               }
-          }
+            }
         }
       }
       .toDF("key_a", "key_b", "dist")

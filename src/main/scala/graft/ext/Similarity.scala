@@ -1,28 +1,44 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.VectorOps
 
 /** Approximate-nearest-neighbor search over the `embeddings` fixture
   * (Array[Float] column).
   *
+  * Fully distributed: every plan here is a declarative DataFrame plan —
+  * no `collect()`, no driver-side kernels. Scoring runs through the
+  * native codegen expressions `vec_dot`/`vec_dist2`
+  * ([[graft.functions.VectorOps]]), so a similarity join stays inside
+  * whole-stage codegen end to end (a Scala-UDF fold was order-of-magnitude
+  * slower from per-row boxing — the round-1 lesson that motivated the
+  * driver-side kernels these plans replace).
+  *
   * Float determinism: both engines cast each element to DOUBLE and fold
-  * the products LEFT-TO-RIGHT (Spark `aggregate`, DuckDB `list_reduce`) —
+  * the products LEFT-TO-RIGHT (VecDot's while-loop, DuckDB `list_reduce`) —
   * same IEEE754 op sequence → bit-identical cosines → identical ranking
   * and identical 6-decimal rounding. Never SUM over an exploded join for
   * these (group-sum order is nondeterministic).
   *
-  * Scale path: brute force is O(|Q|·|C|·dim) — fine when Q is small and
-  * broadcast. The IVF variant prunes candidates to one centroid cell
-  * (|C|/nlist on average); at 100 TB the centroid assignment becomes a
-  * periodic k-means job and the cell id a partition/bucket column so a
-  * query touches one bucket instead of the full corpus.
+  * Scale shape per query:
+  *  - q17 broadcasts the QUERY set (the small side — |V|/QueryMod) and
+  *    streams the candidate corpus past it: corpus-side work is a single
+  *    embarrassingly-parallel scan however large the corpus grows.
+  *  - q18 assigns cells with a broadcast join against the centroid table
+  *    + a partial-aggregable argmin (hash agg, map-side combined — no
+  *    window sort over |V|·|C| rows), then searches only within a cell.
+  *  - q24 is the exact all-pairs kernel (the oracle's semantics); one
+  *    side broadcasts, same memory rule as any broadcast join. The
+  *    sub-quadratic scale path is q31: sign-LSH buckets first, this
+  *    verify kernel per bucket.
   */
 object Similarity {
 
-  /** Left-fold dot product (oracle side; the Spark side runs the same
-    * fold as the primitive [[dotp]] loop — identical IEEE754 op order). */
+  /** Left-fold dot product (oracle side; Spark runs the same fold inside
+    * [[graft.functions.VecDot]] — identical IEEE754 op order). */
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
@@ -34,42 +50,35 @@ object Similarity {
   val CentroidMod = 50       // IVF centroids = vec_id % 50 == 0
   val IvfTopK = 3
 
+  /** vec_id + embedding + its squared norm (one codegen projection). */
+  private def withNorm2(emb: DataFrame): DataFrame = {
+    VectorOps.register(emb.sparkSession)
+    emb.select(col("vec_id"), col("embedding"))
+      .withColumn("norm2", expr("vec_dot(embedding, embedding)"))
+  }
+
   // ---------------------------------------------------------- brute force
-  /** Exact top-k cosine neighbors for each query vector: candidates are
-    * broadcast as primitive float arrays and each query row scans them
-    * with a JIT-compiled loop (the q24 microkernel pattern — a DataFrame
-    * join + interpreted fold was ~7x slower from per-pair overhead).
-    * Arithmetic is the same left-to-right double fold as the DuckDB
-    * oracle, ranking breaks ties on candidate id, and the 6-decimal
-    * rounding happens in the Column layer so round() semantics are
-    * engine-checked, not hand-rolled. */
+  /** Exact top-k cosine neighbors for each query vector. The query subset
+    * is broadcast; the candidate corpus streams past it in a
+    * BroadcastNestedLoopJoin whose projection (vec_dot + the norm
+    * division) is all whole-stage codegen. Top-k per query is a rank
+    * window partitioned by q_id — |Q| partitions, each |C| rows, sorted
+    * and spilled by WindowExec (never driver memory). Ranking breaks ties
+    * on candidate id and the 6-decimal rounding happens in the Column
+    * layer, so round() semantics are engine-checked, not hand-rolled. */
   def cosineTopK(emb: DataFrame): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    val cands = vecs.collect().sortBy(_._1)
-    val cnorms = cands.map { case (_, e) => math.sqrt(dotp(e, e)) }
-    val bc = spark.sparkContext.broadcast((cands, cnorms))
-    val k = TopK
-    vecs.filter(_._1 % QueryMod == 0)
-      .mapPartitions { it =>
-        val (cs, cn) = bc.value
-        it.flatMap { case (qid, qe) =>
-          val qn = math.sqrt(dotp(qe, qe))
-          val scored = new Array[(Double, Long)](cs.length)
-          var j = 0
-          while (j < cs.length) {
-            val (cid, ce) = cs(j)
-            scored(j) =
-              if (cid == qid) (Double.NegativeInfinity, cid)
-              else (dotp(qe, ce) / (qn * cn(j)), cid)
-            j += 1
-          }
-          scored.sortBy { case (cos, cid) => (-cos, cid) }.take(k)
-            .zipWithIndex.map { case ((cos, cid), r) => (qid, r + 1, cid, cos) }
-        }
-      }
-      .toDF("q_id", "rank", "cand_id", "cos_raw")
+    val v = withNorm2(emb)
+    val q = v.filter(col("vec_id") % QueryMod === 0).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("norm2").as("q_norm2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_raw").desc, col("cand_id"))
+    v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        (expr("vec_dot(q_emb, embedding)") /
+          (sqrt(col("q_norm2")) * sqrt(col("norm2")))).as("cos_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("cand_id"),
               round(col("cos_raw"), 6).as("cos_sim"))
       .orderBy("q_id", "rank")
@@ -97,55 +106,43 @@ object Similarity {
     * inside their own cell only. Centroids here are a deterministic
     * subset (vec_id % CentroidMod == 0) standing in for k-means means —
     * the plumbing (assignment join, cell-local search) is the real thing.
-    */
+    *
+    * Assignment = broadcast join against the centroid table + argmin as
+    * `min(struct(d2, cent_id))` under a hash aggregate. The struct-min is
+    * associative/commutative, so Spark combines it map-side: the
+    * |V|·|centroids| scored relation is reduced WITHIN each scan task and
+    * never shuffled (contrast a row_number window, which would sort the
+    * full cross product). The declarative form is exactly the oracle's
+    * `ROW_NUMBER() OVER (ORDER BY d2, cent_id) = 1`.
+    *
+    * At 100 TB the centroid table comes from a periodic k-means job and
+    * `cell` becomes a partition/bucket column of the stored corpus, so a
+    * query's cell probe is partition pruning, not a join. */
   def ivfTopK(emb: DataFrame): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    val all = vecs.collect().sortBy(_._1)
-    val cents = all.filter(_._1 % CentroidMod == 0) // ascending id order
-    // dist2 = left fold of (a_i - b_i)^2 — same op order as the oracle
-    def dist2p(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
-      s
-    }
-    // first strict minimum in ascending centroid order == the declarative
-    // (dist2 asc, cent_id asc) row_number()=1 assignment
-    def cellOf(e: Array[Float], cs: Array[(Long, Array[Float])]): Long = {
-      var best = Double.PositiveInfinity
-      var bestId = -1L
-      var i = 0
-      while (i < cs.length) {
-        val d = dist2p(e, cs(i)._2)
-        if (d < best) { best = d; bestId = cs(i)._1 }
-        i += 1
-      }
-      bestId
-    }
-    val byCell = all
-      .map { case (id, e) => (id, e, math.sqrt(dotp(e, e)), cellOf(e, cents)) }
-      .groupBy(_._4)
-    val bcCents = spark.sparkContext.broadcast(cents)
-    val bcCells = spark.sparkContext.broadcast(byCell)
-    val k = IvfTopK
-    vecs.filter(_._1 % QueryMod == 0)
-      .mapPartitions { it =>
-        val cs = bcCents.value
-        val cellsMap = bcCells.value
-        it.flatMap { case (qid, qe) =>
-          val qn = math.sqrt(dotp(qe, qe))
-          val cell = cellOf(qe, cs)
-          cellsMap(cell).iterator.filter(_._1 != qid)
-            .map { case (cid, ce, cn, _) => (cid, dotp(qe, ce) / (qn * cn)) }
-            .toSeq.sortBy { case (cid, cos) => (-cos, cid) }.take(k)
-            .zipWithIndex
-            .map { case ((cid, cos), r) => (qid, cell, r + 1, cid, cos) }
-        }
-      }
-      .toDF("q_id", "cell", "rank", "cand_id", "cos_raw")
+    val v = withNorm2(emb)
+    val cents = v.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val assigned = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("norm2"), col("cent_id"),
+        expr("vec_dist2(embedding, cent_emb)").as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("m"),
+           first(col("embedding")).as("embedding"),
+           first(col("norm2")).as("norm2"))
+      .select(col("vec_id"), col("embedding"), col("norm2"),
+              col("m.cent_id").as("cell"))
+    val q = assigned.filter(col("vec_id") % QueryMod === 0).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("norm2").as("q_norm2"), col("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_raw").desc, col("cand_id"))
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cell"), col("vec_id").as("cand_id"),
+        (expr("vec_dot(q_emb, embedding)") /
+          (sqrt(col("q_norm2")) * sqrt(col("norm2")))).as("cos_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= IvfTopK)
       .select(col("q_id"), col("cell"), col("rank"), col("cand_id"),
               round(col("cos_raw"), 6).as("cos_sim"))
       .orderBy("q_id", "rank")
@@ -186,55 +183,28 @@ object Similarity {
   val NearDupThreshold = 0.45
 
   /** Embedding-cosine near-duplicate detection (the dedup family's vector
-    * member): all pairs with cosine >= threshold.
+    * member): EXACTLY all pairs with cosine >= threshold.
     *
-    * Implementation is a broadcast-side primitive loop inside
-    * mapPartitions: one side of the pair space is broadcast as flat float
-    * arrays and each task streams its rows against it with JIT-compiled
-    * while-loops. A DataFrame nested-loop join with a Seq[Float] UDF was
-    * 80+ seconds on the sf0.1 pair space purely from per-row boxing; this
-    * runs the identical arithmetic (left-to-right double folds — values
-    * stay bit-identical with the DuckDB oracle) in under a second.
+    * One side of the pair space is broadcast (same executor-memory rule
+    * as any broadcast join) and the other streams past it in a
+    * BroadcastNestedLoopJoin; the vec_dot scoring and threshold filter
+    * are codegen projections over the joined rows, so the kernel is a
+    * tight generated loop per task — no driver materialization anywhere.
     *
-    * Scale path: broadcast requires one side to fit an executor (same
-    * rule as any broadcast join). At corpus scale, generate candidates
-    * with sign-LSH bucketing (random-hyperplane signatures, the vector
-    * analogue of minhashPairs) and keep this verify step per bucket. */
-  private def dotp(a: Array[Float], b: Array[Float]): Double = {
-    var s = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  }
-
+    * Scale path past broadcastable corpora: sign-LSH bucketing first
+    * ([[signLshNearDups]], q31 — random-hyperplane signatures, the vector
+    * analogue of minhashPairs), with this exact kernel per bucket. */
   def embeddingNearDups(emb: DataFrame): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    val all = vecs.collect().sortBy(_._1)
-    val norms = all.map { case (_, e) => math.sqrt(dotp(e, e)) }
-    val bc = spark.sparkContext.broadcast((all, norms))
-    val thr = NearDupThreshold
-    vecs
-      .mapPartitions { it =>
-        val (cands, cnorm) = bc.value
-        it.flatMap { case (ida, ea) =>
-          val na = math.sqrt(dotp(ea, ea))
-          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-          var j = 0
-          while (j < cands.length) {
-            val (idb, eb) = cands(j)
-            if (idb > ida) {
-              val cos = dotp(ea, eb) / (na * cnorm(j))
-              if (cos >= thr) out += ((ida, idb, cos))
-            }
-            j += 1
-          }
-          out
-        }
-      }
-      .toDF("id_a", "id_b", "cos_raw")
+    val v = withNorm2(emb)
+    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+                     col("norm2").as("norm2_a"))
+    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+                     col("norm2").as("norm2_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (expr("vec_dot(emb_a, emb_b)") /
+          (sqrt(col("norm2_a")) * sqrt(col("norm2_b")))).as("cos_raw"))
+      .filter(col("cos_raw") >= NearDupThreshold)
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos_sim"))
       .orderBy("id_a", "id_b")
   }
@@ -251,14 +221,96 @@ object Similarity {
        |FROM pairs WHERE cos_raw >= $NearDupThreshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------------------ sign-LSH
+  /** Signature width: 2^LshBits buckets. Few bits = high recall / large
+    * buckets; many bits = cheap buckets / low recall (per-bit agreement
+    * for a pair at angle θ is 1 - θ/π). 3 bits keeps recall non-trivial
+    * on the synthetic fixture while still cutting the candidate space
+    * ~8x; production corpora would run wider signatures with multiple
+    * bands (the minhash trick) to buy recall back. */
+  val LshBits = 3
+
+  /** Deterministic pseudo-random hyperplane component j,i — an LCG step
+    * over the flattened index, scaled to [-0.5, 0.5). Expressible
+    * identically in both engines (pure integer arithmetic + one divide),
+    * which is what makes the bucketing oracle-checkable. */
+  private def planeSpark(j: String, i: String): String =
+    s"(CAST((CAST(1103515245 AS BIGINT) * (($j) * 4096 + ($i)) + 12345) % 2147483648 AS DOUBLE)" +
+      s" / 2147483648.0 - 0.5)"
+
+  /** Sign-LSH near-dup: the sub-quadratic scale path for q24. Each vector
+    * gets an [[LshBits]]-bit signature (bit j = sign of the projection
+    * onto pseudo-random hyperplane j); only pairs sharing the full
+    * signature are scored with the exact cosine kernel. Candidate
+    * generation is a hash-partition on the bucket id — O(sum bucket²)
+    * instead of O(n²) — and the per-bucket verify is the same broadcast-
+    * free equi-join + vec_dot codegen scoring. This trades recall for
+    * cost (a qualifying pair at angle θ agrees on one plane with
+    * probability 1 - θ/π, so some near-dups land in different buckets) —
+    * the classic LSH bargain, bought back in production with multiple
+    * signature bands. The oracle mirrors the bucketing exactly, so
+    * parity holds by construction rather than by luck. */
+  def signLshNearDups(emb: DataFrame): DataFrame = {
+    val v = withNorm2(emb)
+    // projection of `embedding` onto plane j, as a left-to-right fold via
+    // aggregate() over the element index (deterministic op order)
+    def proj(j: Int): String =
+      s"aggregate(sequence(0, size(embedding) - 1), CAST(0.0 AS DOUBLE), " +
+        s"(acc, i) -> acc + CAST(element_at(embedding, i + 1) AS DOUBLE) * " +
+        planeSpark(j.toString, "i") + ")"
+    val bucket = (0 until LshBits).map { j =>
+      when(expr(proj(j)) >= 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    val sig = v.withColumn("bucket", bucket)
+    val a = sig.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("norm2").as("norm2_a"))
+    val b = sig.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("norm2").as("norm2_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("bucket"), col("id_a"), col("id_b"),
+        (expr("vec_dot(emb_a, emb_b)") /
+          (sqrt(col("norm2_a")) * sqrt(col("norm2_b")))).as("cos_raw"))
+      .filter(col("cos_raw") >= NearDupThreshold)
+      .select(col("bucket"), col("id_a"), col("id_b"),
+              round(col("cos_raw"), 6).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val signLshNearDupsSql: String = {
+    def planeDuck(j: String, i: String): String =
+      s"(CAST((CAST(1103515245 AS BIGINT) * (($j) * 4096 + ($i)) + 12345) % 2147483648 AS DOUBLE)" +
+        s" / 2147483648.0 - 0.5)"
+    def projDuck(j: Int): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(generate_series(1, len(embedding)), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * ${planeDuck(j.toString, "(i - 1)")})), " +
+        s"(x, y) -> x + y)"
+    val bucket = (0 until LshBits).map { j =>
+      s"CASE WHEN ${projDuck(j)} >= 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, ${duckNorm2("embedding")} AS norm2,
+       |    CAST($bucket AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${duckDot("a.embedding", "b.embedding")} / (sqrt(a.norm2) * sqrt(b.norm2)) AS cos_raw
+       |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT bucket, id_a, id_b, round(cos_raw, 6) AS cos_sim
+       |FROM pairs WHERE cos_raw >= $NearDupThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_cosine_topk" -> ((s, d) => cosineTopK(Tables.embeddings(s, d))),
     "q18_ivf_topk"    -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
-    "q24_embedding_neardup" -> ((s, d) => embeddingNearDups(Tables.embeddings(s, d))))
+    "q24_embedding_neardup" -> ((s, d) => embeddingNearDups(Tables.embeddings(s, d))),
+    "q31_signlsh_neardup" -> ((s, d) => signLshNearDups(Tables.embeddings(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q17_cosine_topk" -> cosineTopKSql,
     "q18_ivf_topk"    -> ivfTopKSql,
-    "q24_embedding_neardup" -> embeddingNearDupsSql)
+    "q24_embedding_neardup" -> embeddingNearDupsSql,
+    "q31_signlsh_neardup" -> signLshNearDupsSql)
 }

@@ -169,4 +169,30 @@ object VideoPipeline {
       .filter(col("n_variants") > 1)
       .orderBy(col("parsed_title"))
   }
+
+  /** A1 detail rows: for every duplicated title, the per-variant
+    * (width, height, duration, size, volume, path) tuples the reference's
+    * verbose report prints (video_metadata_db.py:1196-1210) — the rows a
+    * user needs to decide WHICH file to delete. The reference walks each
+    * title's insertion list in reverse; insertion order there is the db
+    * file's line order, so the deterministic distributed equivalent is
+    * the reverse of the db's global sort: (width ASC NULLS FIRST, height
+    * ASC NULLS FIRST, path DESC) within each title. Membership comes from
+    * a count window over the title partition — one shuffle, no
+    * group-then-rejoin. */
+  def variantDetails(built: DataFrame,
+                     durationCol: String = "duration_s"): DataFrame = {
+    val base = regexp_replace(
+      regexp_extract(col("path"), "([^/]+)$", 1), "\\.[^.]*$", "")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("parsed_title"))
+    built
+      .withColumn("parsed_title", parseTitleUdf(base))
+      .withColumn("n_variants", count(lit(1)).over(w))
+      .filter(col("n_variants") > 1)
+      .select(col("parsed_title"), col("width"), col("height"),
+              col(durationCol), col("size_bytes"), col("volume"), col("path"))
+      .orderBy(col("parsed_title"),
+        col("width").asc_nulls_first, col("height").asc_nulls_first,
+        col("path").desc)
+  }
 }

@@ -323,44 +323,45 @@ object Relational {
     * Median is NOT computed with the `median` aggregate: Spark's
     * sort-based Percentile buffers every group value in the aggregation
     * buffer (no spill), and under CUBE each input row feeds 4 grouping
-    * sets — memory-unbounded at scale and 8+ s at sf0.1. Instead:
-    * count/min/max roll up through a plain CUBE hash aggregate, and the
-    * median of each grouping set is an exact two-ordinal pick over a
-    * shuffle-sort (row_number window — WindowExec's partition buffer
-    * spills to disk, so big groups sort externally instead of OOMing).
-    * For n sorted values the interpolated median is the mean of the
-    * values at 1-based positions ⌊(n+1)/2⌋ and ⌊(n+2)/2⌋ (equal when n
-    * is odd) — identical to quantile_cont(0.5) on integers. */
+    * sets — memory-unbounded at scale and 8+ s at sf0.1. Instead the CUBE
+    * is expanded EXPLICITLY (each row exploded into its 4 grouping-set
+    * keys — the same 4x row multiplication Expand performs inside a
+    * native CUBE) and everything — count/min/max AND the exact median —
+    * is computed over that single relation in ONE window pass: one scan
+    * of orders, one shuffle-sort by (priority, status, value). The
+    * row_number frame and the unbounded count/min/max frames share the
+    * partition keys, so Catalyst plans them in the same WindowExec sort
+    * (WindowExec's partition buffer spills to disk, so big groups sort
+    * externally instead of OOMing). For n sorted values the interpolated
+    * median is the mean of the values at 1-based positions ⌊(n+1)/2⌋ and
+    * ⌊(n+2)/2⌋ (equal when n is odd) — identical to quantile_cont(0.5)
+    * on integers. The round-2 version ran the window once per grouping
+    * set — 4 scans + 4 shuffles for the same answer. */
   def q27CubeStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = Tables.orders(s, dir)
       .select($"o_orderpriority".as("p0"), $"o_orderstatus".as("s0"),
               cents($"o_totalprice").as("cents_v"))
 
-    val stats = base.cube($"p0", $"s0")
-      .agg(count(lit(1)).as("n_orders"),
-           min($"cents_v").as("min_cents"), max($"cents_v").as("max_cents"))
-      .select(coalesce($"p0", lit("ALL")).as("priority"),
-              coalesce($"s0", lit("ALL")).as("status"),
-              $"n_orders", $"min_cents", $"max_cents")
+    val all = lit("ALL")
+    val expanded = base.select(explode(array(
+        struct($"p0".as("p"), $"s0".as("s")),
+        struct($"p0".as("p"), all.as("s")),
+        struct(all.as("p"), $"s0".as("s")),
+        struct(all.as("p"), all.as("s")))).as("g"), $"cents_v")
+      .select($"g.p".as("priority"), $"g.s".as("status"), $"cents_v")
 
-    def medianFor(pExpr: Column, sExpr: Column): DataFrame = {
-      val g = base.select(pExpr.as("priority"), sExpr.as("status"), $"cents_v")
-      val w  = Window.partitionBy($"priority", $"status").orderBy($"cents_v")
-      val wp = Window.partitionBy($"priority", $"status")
-      g.withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(wp))
-        .filter($"rn" === floor(($"cnt" + 1) / 2) || $"rn" === floor(($"cnt" + 2) / 2))
-        .groupBy($"priority", $"status")
-        .agg(avg($"cents_v").as("median_cents"))
-    }
-    val medians = Seq(
-      medianFor($"p0", $"s0"),
-      medianFor($"p0", lit("ALL")),
-      medianFor(lit("ALL"), $"s0"),
-      medianFor(lit("ALL"), lit("ALL"))).reduce(_ unionByName _)
-
-    stats.join(medians, Seq("priority", "status"))
+    val w  = Window.partitionBy($"priority", $"status").orderBy($"cents_v")
+    val wp = Window.partitionBy($"priority", $"status")
+    expanded
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wp))
+      .withColumn("min_c", min($"cents_v").over(wp))
+      .withColumn("max_c", max($"cents_v").over(wp))
+      .filter($"rn" === floor(($"cnt" + 1) / 2) || $"rn" === floor(($"cnt" + 2) / 2))
+      .groupBy($"priority", $"status")
+      .agg(max($"cnt").as("n_orders"), avg($"cents_v").as("median_cents"),
+           max($"min_c").as("min_cents"), max($"max_c").as("max_cents"))
       .select($"priority", $"status", $"n_orders",
               $"median_cents", $"min_cents", $"max_cents")
       .orderBy($"priority", $"status")

@@ -84,6 +84,11 @@ object VideoQueries {
   def q02Variants(s: SparkSession, dir: String): DataFrame =
     VideoPipeline.variants(builtDf(s, dir))
 
+  /** A1 detail rows: every duplicated title's per-variant tuples in the
+    * reference's reverse-report order. */
+  def q02VariantDetail(s: SparkSession, dir: String): DataFrame =
+    VideoPipeline.variantDetails(builtDf(s, dir))
+
   // ------------------------------------------------------------- q03
   /** MERGE: per-volume slices re-unioned + globally re-sorted (the
     * reference's concat-files-then-OS-sort, as one metadata-only union). */
@@ -193,6 +198,18 @@ object VideoQueries {
       |HAVING COUNT(*) > 1
       |ORDER BY parsed_title""".stripMargin
 
+  val q02DetailSql: String = listingCte +
+    """, titled AS (
+      |  SELECT 'Movie ' || CAST(doc_id % 59 AS VARCHAR) AS parsed_title,
+      |    width, height, duration_s, size_bytes, volume, path,
+      |    COUNT(*) OVER (PARTITION BY doc_id % 59) AS n_variants
+      |  FROM probed)
+      |SELECT parsed_title, width, height, duration_s, size_bytes, volume, path
+      |FROM titled
+      |WHERE n_variants > 1
+      |ORDER BY parsed_title, width ASC NULLS FIRST, height ASC NULLS FIRST,
+      |  path DESC""".stripMargin
+
   val q03Sql: String = listingCte +
     """SELECT path, size_bytes, volume, width, height
       |FROM probed
@@ -209,6 +226,7 @@ object VideoQueries {
     "q01_build"     -> (q01Build _),
     "q01_failures"  -> (q01Failures _),
     "q02_variants"  -> (q02Variants _),
+    "q02_variant_detail" -> (q02VariantDetail _),
     "q03_merge"     -> (q03Merge _),
     "q04_update"    -> (q04Update _))
 
@@ -216,6 +234,7 @@ object VideoQueries {
     "q01_build"    -> q01Sql,
     "q01_failures" -> q01FailuresSql,
     "q02_variants" -> q02Sql,
+    "q02_variant_detail" -> q02DetailSql,
     "q03_merge"    -> q03Sql,
     "q04_update"   -> q04Sql)
 }

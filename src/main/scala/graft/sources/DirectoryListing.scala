@@ -18,8 +18,13 @@ object DirectoryListing {
   /** F12: volume label — an environment constant per host, like the
     * reference's psutil lookup (its Unix branch returns the first
     * partition's mountpoint regardless of path; we use an env override
-    * with a sane default instead of reproducing that bug). */
-  def volumeLabel(): String = sys.env.getOrElse("GRAFT_VOLUME_LABEL", "/")
+    * with a sane default instead of reproducing that bug). The system
+    * property takes precedence so embedding applications (and tests) can
+    * inject a label at runtime. */
+  def volumeLabel(): String =
+    sys.props.get("graft.volume.label")
+      .orElse(sys.env.get("GRAFT_VOLUME_LABEL"))
+      .getOrElse("/")
 
   /** Walk `roots` recursively; returns path/sizeBytes/volume (the
     * FileListing shape). No filters applied here — scan-time pruning
@@ -35,9 +40,35 @@ object DirectoryListing {
 
   /** The sibling subtitle listing for the same roots (feeds the U2 join). */
   def srtListing(spark: SparkSession, roots: Seq[String]): DataFrame =
-    walk(spark, roots)
+    srtOf(walk(spark, roots))
+
+  /** The .srt subset of any listing, in the srt-join shape. */
+  def srtOf(listing: DataFrame): DataFrame =
+    listing
       .filter(lower(col("path")).endsWith(".srt"))
       .select(col("path"), col("sizeBytes").as("size_bytes"))
+
+  /** S1 at billions of files: a MANIFEST-TABLE listing source. A live
+    * recursive walk funnels every path through the driver's file index —
+    * fine for millions of files, a bottleneck for billions. Object stores
+    * and HDFS publish inventory/fsimage manifests precisely for this; a
+    * manifest is itself a parquet table, so reading it is an ordinary
+    * distributed scan with pushdown and pruning, and the listing stage
+    * stops being special. Accepts columns `path` + `size_bytes` (or
+    * `sizeBytes`), optional `volume`; emits the exact FileListing shape
+    * `walk` does, so the whole downstream pipeline (filters → probe →
+    * derive → joins) is source-agnostic. */
+  def fromManifest(spark: SparkSession, manifestPath: String): DataFrame = {
+    val df = spark.read.parquet(manifestPath)
+    val sizeCol =
+      if (df.columns.contains("sizeBytes")) col("sizeBytes")
+      else col("size_bytes")
+    val volCol =
+      if (df.columns.contains("volume")) col("volume")
+      else lit(volumeLabel())
+    df.select(col("path"), sizeCol.cast("long").as("sizeBytes"),
+              volCol.as("volume"))
+  }
 
   /** S5: CLI-path dedup — distinct on the source list. */
   def dedupRoots(roots: Seq[String]): Seq[String] = roots.distinct

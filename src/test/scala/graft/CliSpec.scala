@@ -72,4 +72,55 @@ class CliSpec extends SparkSpec {
     assert(mtext.stripPrefix("﻿").linesIterator.next() == Tsv.headerLine)
     assert(Tsv.readReferenceTsv(spark, merged).count() == 8) // 4 + 4 rows
   }
+
+  test("F13: build without --db auto-derives '<root> - <volume>.tsv'") {
+    spark
+    val root = Files.createTempDirectory("graft-autoname").toString
+    touch(s"$root/m/f1/[2010] Epsilon.mkv", 4096)
+    assert(Cli.dbNameGenerate("/x/y", "MyVol") == "/x/y - MyVol.tsv")
+    assert(Cli.dbNameGenerate("/x/y", "/") == "/x/y - _.tsv",
+      "mountpoint labels must not split the name into directories")
+    System.setProperty("graft.volume.label", "TestVol")
+    try {
+      Cli.main(Array("build", root, "--stub-probe"))
+      val expected = s"$root - TestVol.tsv"
+      assert(Files.exists(Paths.get(expected)), s"auto-named db missing: $expected")
+      val rows = Tsv.readReferenceTsv(spark, expected).collect()
+      assert(rows.length == 1 && rows.head.getAs[String]("volume") == "TestVol")
+    } finally System.clearProperty("graft.volume.label")
+  }
+
+  test("manifest-table listing drives the identical pipeline as a live walk") {
+    spark
+    val root = Files.createTempDirectory("graft-manifest").toString
+    touch(s"$root/a/f1/[1999] Alpha [AV1].mkv", 2048)
+    touch(s"$root/a/f2/[2001] Beta.mp4", 4096)
+    touch(s"$root/a/f2/[2001] Beta.en.srt", 100)
+    touch(s"$root/Trailers/f3/[2003] Skipme.mkv", 512)
+
+    import org.apache.spark.sql.functions.col
+    val walked = graft.sources.DirectoryListing.walk(spark, Seq(root))
+    val mdir = Files.createTempDirectory("graft-manifest-tbl").toString + "/listing"
+    // manifest written in the "inventory" shape: path + size_bytes + volume
+    walked.select(col("path"), col("sizeBytes").as("size_bytes"), col("volume"))
+      .write.parquet(mdir)
+
+    val fromM = graft.sources.DirectoryListing.fromManifest(spark, mdir)
+    def runPipeline(listing: org.apache.spark.sql.DataFrame) =
+      graft.operators.VideoPipeline.build(listing,
+          graft.sources.DirectoryListing.srtOf(listing),
+          new graft.operators.StubProber)
+        .orderBy("path").collect().map(_.toSeq).toSeq
+    assert(runPipeline(fromM) == runPipeline(walked),
+      "manifest source must be indistinguishable downstream")
+
+    // and end to end through the CLI flag
+    val dbW = s"$root/walk.tsv"
+    val dbM = s"$root/manifest.tsv"
+    Cli.main(Array("build", root, "--db", dbW, "--stub-probe"))
+    Cli.main(Array("build", mdir, "--manifest", "--db", dbM, "--stub-probe"))
+    val w = new String(Files.readAllBytes(Paths.get(dbW)), "UTF-8")
+    val m = new String(Files.readAllBytes(Paths.get(dbM)), "UTF-8")
+    assert(w == m, "CLI --manifest build must byte-match the walk build")
+  }
 }

@@ -154,6 +154,72 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("hot-bucket caps bound adversarial all-identical corpora (q14/q16 skew guards)") {
+    import spark.implicits._
+    // 5000 byte-identical docs: every LSH band bucket and every shingle
+    // posting list holds the whole corpus. Uncapped that is ~12.5M pairs
+    // per bucket; capped, the degenerate buckets are dropped outright and
+    // the run is bounded by O(n_buckets * cap^2).
+    val text = "the same exact boilerplate text repeated for every document here"
+    val clones = (1 to 5000).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    assert(Dedup.minhashPairs(clones).count() == 0, "over-cap LSH buckets must drop")
+    assert(Dedup.ngramJaccardPairs(clones).count() == 0, "over-cap postings must drop")
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60, f"adversarial corpus took $secs%.1f s — caps not effective")
+    // caps are parameters: under-cap duplicates ARE all paired...
+    val small = (1 to 20).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccardPairs(small).collect()
+    assert(jac.length == 20 * 19 / 2)
+    assert(jac.forall(_.getAs[Long]("jaccard_e4") == 10000L))
+    assert(Dedup.minhashPairs(small).count() == 20L * 19 / 2)
+    // ...and tightening the cap drops the same bucket
+    assert(Dedup.ngramJaccardPairs(small, maxShingleDf = 5).count() == 0)
+    assert(Dedup.minhashPairs(small, maxLshBucket = 5).count() == 0)
+  }
+
+  test("q30 banding: skewed single-brand fixture matches a naive quadratic check") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // one hot brand (skew) + a second brand; name lengths engineered to
+    // straddle the 16-char band boundary so cross-band pairs and the
+    // dedup rule (generate only in min native band) are both exercised
+    val rows = (1 to 300).map { i =>
+      val len = 12 + rnd.nextInt(8) // 12..19
+      val base = Seq.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString
+      val name = i % 3 match {
+        case 0 => base
+        case 1 => base + "a"
+        case _ => base.dropRight(1)
+      }
+      (if (i % 5 == 0) "Brand#2" else "Brand#1", i.toLong, name)
+    }
+    val parts = rows.toDF("p_brand", "p_partkey", "p_name")
+    val got = Dedup.editDistancePairs(parts).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val want = (for {
+      (ba, ka, na) <- rows
+      (bb, kb, nb) <- rows
+      if ba == bb && ka < kb
+      d = Dedup.boundedLevenshtein(na, nb, Dedup.MaxEditDistance)
+      if d >= 0
+    } yield (ka, kb, d)).sortBy(p => (p._1, p._2))
+    assert(got == want,
+      s"banding changed the answer: got ${got.length} pairs, want ${want.length}")
+  }
+
+  test("q31 sign-LSH: candidates are a subset of q24's exact pairs, same scores") {
+    val exact = Similarity.embeddingNearDups(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.signLshNearDups(emb).collect()
+    lsh.foreach { r =>
+      val k = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      assert(exact.contains(k), s"LSH produced a pair $k the exact kernel lacks")
+      assert(exact(k) == r.getAs[Double]("cos_sim"), s"score drift for $k")
+    }
+  }
+
   test("observe metrics count probed and failed files inline (A3)") {
     val (probed, obs) = graft.operators.VideoPipeline.observedProbe(
       graft.queries.VideoQueries.syntheticListing(spark, sf),

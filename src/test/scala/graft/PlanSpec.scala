@@ -95,6 +95,52 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
   }
 
+  test("q17/q18/q24/q31: similarity plans are declarative — no driver kernels") {
+    val names = Seq("q17_cosine_topk", "q18_ivf_topk",
+      "q24_embedding_neardup", "q31_signlsh_neardup")
+    for (name <- names) {
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      assert(!p.contains("MapPartitions"),
+        s"$name regressed to an opaque kernel — the corpus must stay relational")
+      assert(!p.contains("Scan ExistingRDD"),
+        s"$name must not materialize data through the driver")
+    }
+    // scoring runs through the codegen vector expressions, and the small
+    // side is broadcast (corpus side stays a streaming scan)
+    val p17 = plan(SparkEntry.queries("q17_cosine_topk")(spark, sf))
+    assert(p17.contains("vec_dot") && p17.contains("BroadcastExchange"))
+    val p18 = plan(SparkEntry.queries("q18_ivf_topk")(spark, sf))
+    assert(p18.contains("vec_dist2") && p18.contains("vec_dot"))
+  }
+
+  test("q18: centroid assignment is a partial-aggregable argmin, not a window sort") {
+    val p = plan(SparkEntry.queries("q18_ivf_topk")(spark, sf))
+    // exactly one real Window — the final top-k (WindowGroupLimit pushdown
+    // lines are that same window, not extra sorts); the |V|x|centroids|
+    // argmin must reduce through aggregate partials, never a window sort
+    assert("Window \\[".r.findAllIn(p).length == 1,
+      s"assignment leaked into a window sort:\n${p.take(2000)}")
+    assert(p.contains("min(struct(d2"),
+      "argmin must plan as a struct-min aggregate (partial-combinable)")
+  }
+
+  test("q16: single pass — no persist, documents scanned once") {
+    val p = plan(graft.ext.Dedup.ngramJaccardPairs(Tables.documents(spark, sf)))
+    assert(!p.contains("InMemoryTableScan"),
+      "q16 must not cache (the round-2 persist leaked into the session)")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"documents must be scanned exactly once, saw $scans")
+  }
+
+  test("q27: one scan of orders serves count/min/max AND medians") {
+    val p = plan(graft.queries.Relational.q27CubeStats(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"orders must be scanned exactly once, saw $scans")
+    // a single hash-partition exchange feeds both window frames
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"grouping sets must share one shuffle, saw $hashEx:\n${p.take(2000)}")
+  }
+
   test("GraftExtensions injects poly_hash for SQL-only sessions") {
     // the injection list accepts our builder (a bad signature would throw)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)

@@ -100,4 +100,24 @@ class RelationalSpec extends SparkSpec {
       }
     }
   }
+
+  test("q27 one-pass grouping sets equal a native CUBE with exact percentile") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Relational.q27CubeStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_orders"), r.getAs[Double]("median_cents"),
+         r.getAs[Long]("min_cents"), r.getAs[Long]("max_cents"))).toMap
+    val want = Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("p0"), col("o_orderstatus").as("s0"),
+              round(col("o_totalprice") * 100).cast("long").as("cents_v"))
+      .cube(col("p0"), col("s0"))
+      .agg(count(lit(1)).as("n"), expr("percentile(cents_v, 0.5)").as("med"),
+           min(col("cents_v")).as("mn"), max(col("cents_v")).as("mx"))
+      .collect()
+      .map(r => (Option(r.getString(0)).getOrElse("ALL"),
+                 Option(r.getString(1)).getOrElse("ALL")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("med"),
+         r.getAs[Long]("mn"), r.getAs[Long]("mx"))).toMap
+    assert(got == want, "one-pass expansion drifted from the native CUBE")
+  }
 }

