@@ -301,38 +301,45 @@ object Dedup {
     *    exploded relation to feed two subtrees — pure overhead with no
     *    reuse win, and the cache leaked into the rest of the session);
     *  - (doc_id, n_shingles) ride TOGETHER through the posting lists and
-    *    the in-bucket pair expansion, so the final Jaccard is computed
-    *    where the pair is born;
+    *    the in-bucket pair expansion as ONE packed long
+    *    (doc_id * 2^20 + n), so both shuffles move 8-byte keys, the
+    *    posting-list sort compares longs (doc_id lives in the high bits,
+    *    so packed order == doc_id order), and the final Jaccard is
+    *    computed where the pair is born. [[PackShift]] bounds docs to
+    *    2^20-1 distinct shingles — ~10 MB of text per document — checked
+    *    nowhere because a doc that large should have been length-capped
+    *    long before dedup;
     *  - candidate pairs come from IN-BUCKET expansion of each shingle's
     *    sorted posting list (like minhashPairs), not a self-join — one
     *    aggregation instead of a join that re-shuffles both sides;
     *  - posting lists longer than `maxShingleDf` are dropped (skew guard,
     *    default [[MaxShingleDf]]). */
+  val PackShift: Long = 1L << 20
+
   def ngramJaccardPairs(docs: DataFrame,
                         maxShingleDf: Int = MaxShingleDf): DataFrame = {
     graft.functions.ShingleHashes.register(docs.sparkSession, 3, HashBase, HashMod)
+    val c = PackShift
     docs
       .select(col("doc_id"),
         array_distinct(expr("shingle_hashes(text)")).as("shs"))
-      .select(col("doc_id"), size(col("shs")).as("n_shingles"),
+      .select((col("doc_id") * c + size(col("shs"))).as("packed"),
         explode(col("shs")).as("shingle"))
       .groupBy("shingle")
-      .agg(sort_array(collect_list(
-        struct(col("doc_id"), col("n_shingles")))).as("ids"))
+      .agg(sort_array(collect_list(col("packed"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxShingleDf)
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
           |  i -> transform(sequence(i + 1, size(ids)),
-          |    j -> named_struct('doc_a', element_at(ids, i).doc_id,
-          |                      'na',    element_at(ids, i).n_shingles,
-          |                      'doc_b', element_at(ids, j).doc_id,
-          |                      'nb',    element_at(ids, j).n_shingles))))""".stripMargin)).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"),
-           max(col("p.na")).as("na"), max(col("p.nb")).as("nb"))
+          |    j -> named_struct('a', element_at(ids, i),
+          |                      'b', element_at(ids, j)))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
+      .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= MinCommonShingles)
-      .select(col("doc_a"), col("doc_b"), col("n_common"),
-        expr("(10000 * n_common) div (na + nb - n_common)").as("jaccard_e4"))
+      .select(expr(s"pa div $c").as("doc_a"),
+              expr(s"pb div $c").as("doc_b"), col("n_common"),
+        expr(s"(10000 * n_common) div (pa % $c + pb % $c - n_common)")
+          .as("jaccard_e4"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -365,13 +372,21 @@ object Dedup {
     * two-row DP restricted to the |i-j| <= max diagonal band — O(len*max)
     * per pair instead of O(len^2). Equals the engines' unbounded
     * levenshtein() for every kept pair (spec-tested against Spark's). */
-  def boundedLevenshtein(s: String, t: String, max: Int): Int = {
+  def boundedLevenshtein(s: String, t: String, max: Int): Int =
+    boundedLevenshtein(s, t, max,
+      new Array[Int](t.length + 1), new Array[Int](t.length + 1))
+
+  /** Buffer-reusing variant: `prev`/`cur` must be at least t.length+1
+    * long. The block kernel calls this millions of times per task — two
+    * fresh arrays per pair was measurable allocation pressure. */
+  def boundedLevenshtein(s: String, t: String, max: Int,
+                         prev0: Array[Int], cur0: Array[Int]): Int = {
     val n = s.length
     val m = t.length
     if (math.abs(n - m) > max) return -1
     val INF = max + 1
-    var prev = new Array[Int](m + 1)
-    var cur = new Array[Int](m + 1)
+    var prev = prev0
+    var cur = cur0
     var j = 0
     while (j <= m) { prev(j) = if (j <= max) j else INF; j += 1 }
     var i = 1
@@ -445,14 +460,34 @@ object Dedup {
         val band = k._2
         val ms = rows.map { case (_, _, nb, key, name) => (nb, key, name) }
           .toArray.sortInPlaceBy(r => (r._3.length, r._2))
+        // 64-bit char-class signature per name, computed once per row: a
+        // single edit changes at most 2 bits, so popcount(sigA ^ sigB) >
+        // 2*maxD lower-bounds the distance above the cap — an O(1) gate
+        // that kills the vast majority of same-length pairs before the
+        // O(len*maxD) DP runs
+        val sigs = new Array[Long](ms.length)
+        var si = 0
+        while (si < ms.length) {
+          val s = ms(si)._3
+          var sig = 0L
+          var ci = 0
+          while (ci < s.length) { sig |= 1L << (s.charAt(ci) & 63); ci += 1 }
+          sigs(si) = sig
+          si += 1
+        }
+        val maxLen = if (ms.isEmpty) 0 else ms(ms.length - 1)._3.length
+        val bufA = new Array[Int](maxLen + 1)
+        val bufB = new Array[Int](maxLen + 1)
         Iterator.range(0, ms.length).flatMap { i =>
           Iterator.range(i + 1, ms.length)
             .takeWhile(j => ms(j)._3.length - ms(i)._3.length <= maxD)
             .flatMap { j =>
               // generate in the lower of the two native bands only
-              if (math.min(ms(i)._1, ms(j)._1) != band) Iterator.empty
+              if (math.min(ms(i)._1, ms(j)._1) != band ||
+                  java.lang.Long.bitCount(sigs(i) ^ sigs(j)) > 2 * maxD)
+                Iterator.empty
               else {
-                val d = boundedLevenshtein(ms(i)._3, ms(j)._3, maxD)
+                val d = boundedLevenshtein(ms(i)._3, ms(j)._3, maxD, bufA, bufB)
                 if (d >= 0) {
                   val (ka, kb) = (ms(i)._2, ms(j)._2)
                   Iterator.single((math.min(ka, kb), math.max(ka, kb), d))
