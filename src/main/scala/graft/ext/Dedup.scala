@@ -134,11 +134,26 @@ object Dedup {
     * a self-join would evaluate the signature pipeline twice, and bucket
     * sizes are small by LSH construction so the in-bucket expansion is
     * cheap. Buckets larger than `maxLshBucket` are dropped (skew guard,
-    * default [[MaxLshBucket]]). */
-  def minhashPairs(docs: DataFrame, maxLshBucket: Int = MaxLshBucket): DataFrame = {
-    minhashBands(docs)
+    * default [[MaxLshBucket]]).
+    *
+    * Truncation is OBSERVABLE, not silent: pass `dropObs` and read
+    * `dropped_buckets` / `dropped_docs` after any action — the metrics
+    * ride the existing aggregation (observe() is a free CollectMetrics
+    * node), so visibility costs no extra pass. Caveat: this Spark
+    * version loses mid-plan observed metrics when AQE re-plans the
+    * stage; disable AQE for the reading query (the spec pins this). */
+  def minhashPairs(docs: DataFrame, maxLshBucket: Int = MaxLshBucket,
+                   dropObs: Option[org.apache.spark.sql.Observation] = None)
+      : DataFrame = {
+    val buckets = minhashBands(docs)
       .groupBy("band", "band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val watched = dropObs.fold(buckets)(o => buckets.observe(o,
+      sum(when(size(col("ids")) > maxLshBucket, 1L).otherwise(0L))
+        .as("dropped_buckets"),
+      sum(when(size(col("ids")) > maxLshBucket, size(col("ids")).cast("long"))
+        .otherwise(0L)).as("dropped_docs")))
+    watched
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxLshBucket)
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
@@ -317,16 +332,24 @@ object Dedup {
   val PackShift: Long = 1L << 20
 
   def ngramJaccardPairs(docs: DataFrame,
-                        maxShingleDf: Int = MaxShingleDf): DataFrame = {
+                        maxShingleDf: Int = MaxShingleDf,
+                        dropObs: Option[org.apache.spark.sql.Observation] = None)
+      : DataFrame = {
     graft.functions.ShingleHashes.register(docs.sparkSession, 3, HashBase, HashMod)
     val c = PackShift
-    docs
+    val postings = docs
       .select(col("doc_id"),
         array_distinct(expr("shingle_hashes(text)")).as("shs"))
       .select((col("doc_id") * c + size(col("shs"))).as("packed"),
         explode(col("shs")).as("shingle"))
       .groupBy("shingle")
       .agg(sort_array(collect_list(col("packed"))).as("ids"))
+    val watched = dropObs.fold(postings)(o => postings.observe(o,
+      sum(when(size(col("ids")) > maxShingleDf, 1L).otherwise(0L))
+        .as("dropped_shingles"),
+      sum(when(size(col("ids")) > maxShingleDf, size(col("ids")).cast("long"))
+        .otherwise(0L)).as("dropped_postings")))
+    watched
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxShingleDf)
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1),

@@ -163,8 +163,23 @@ class ExtSpec extends SparkSpec {
     val text = "the same exact boilerplate text repeated for every document here"
     val clones = (1 to 5000).map(i => (i.toLong, text)).toDF("doc_id", "text")
     val t0 = System.nanoTime()
-    assert(Dedup.minhashPairs(clones).count() == 0, "over-cap LSH buckets must drop")
-    assert(Dedup.ngramJaccardPairs(clones).count() == 0, "over-cap postings must drop")
+    // truncation is observable: every band bucket / every shingle posting
+    // holds the whole corpus, and the metrics say so (AQE off: this Spark
+    // drops mid-plan observed metrics when AQE re-plans the stage)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val lshObs = org.apache.spark.sql.Observation("lsh_drops")
+      assert(Dedup.minhashPairs(clones, dropObs = Some(lshObs)).count() == 0,
+        "over-cap LSH buckets must drop")
+      assert(lshObs.get("dropped_buckets") == Dedup.NumBands.toLong)
+      assert(lshObs.get("dropped_docs") == 5000L * Dedup.NumBands)
+      val jacObs = org.apache.spark.sql.Observation("jaccard_drops")
+      assert(Dedup.ngramJaccardPairs(clones, dropObs = Some(jacObs)).count() == 0,
+        "over-cap postings must drop")
+      val nShingles = text.split(" ").length - 2
+      assert(jacObs.get("dropped_shingles") == nShingles.toLong)
+      assert(jacObs.get("dropped_postings") == 5000L * nShingles)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     val secs = (System.nanoTime() - t0) / 1e9
     assert(secs < 60, f"adversarial corpus took $secs%.1f s — caps not effective")
     // caps are parameters: under-cap duplicates ARE all paired...
