@@ -52,7 +52,7 @@ object Similarity {
 
   /** vec_id + embedding + its squared norm (one codegen projection). */
   private def withNorm2(emb: DataFrame): DataFrame = {
-    VectorOps.register(emb.sparkSession)
+    VectorOps.register(emb.sparkSession, lshBits = LshBits)
     emb.select(col("vec_id"), col("embedding"))
       .withColumn("norm2", expr("vec_dot(embedding, embedding)"))
   }
@@ -230,10 +230,12 @@ object Similarity {
     * bands (the minhash trick) to buy recall back. */
   val LshBits = 3
 
-  /** Deterministic pseudo-random hyperplane component j,i — an LCG step
-    * over the flattened index, scaled to [-0.5, 0.5). Expressible
-    * identically in both engines (pure integer arithmetic + one divide),
-    * which is what makes the bucketing oracle-checkable. */
+  /** The pure-SQL HOF form of the signature (kept as the spec reference:
+    * the fused [[graft.functions.SignLshSig]] expression must equal it
+    * bit for bit). Plane components are LCG steps over the flattened
+    * index, scaled to [-0.5, 0.5) — pure integer arithmetic + one
+    * divide, expressible identically in both engines, which is what
+    * makes the bucketing oracle-checkable. */
   private def planeSpark(j: String, i: String): String =
     s"(CAST((CAST(1103515245 AS BIGINT) * (($j) * 4096 + ($i)) + 12345) % 2147483648 AS DOUBLE)" +
       s" / 2147483648.0 - 0.5)"
@@ -250,18 +252,23 @@ object Similarity {
     * the classic LSH bargain, bought back in production with multiple
     * signature bands. The oracle mirrors the bucketing exactly, so
     * parity holds by construction rather than by luck. */
-  def signLshNearDups(emb: DataFrame): DataFrame = {
-    val v = withNorm2(emb)
-    // projection of `embedding` onto plane j, as a left-to-right fold via
-    // aggregate() over the element index (deterministic op order)
+  /** The interpreted HOF signature — spec reference for [[SignLshSig]];
+    * production path is the fused codegen expression below. */
+  def signatureHofColumn: org.apache.spark.sql.Column = {
     def proj(j: Int): String =
       s"aggregate(sequence(0, size(embedding) - 1), CAST(0.0 AS DOUBLE), " +
         s"(acc, i) -> acc + CAST(element_at(embedding, i + 1) AS DOUBLE) * " +
         planeSpark(j.toString, "i") + ")"
-    val bucket = (0 until LshBits).map { j =>
+    (0 until LshBits).map { j =>
       when(expr(proj(j)) >= 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
-    val sig = v.withColumn("bucket", bucket)
+  }
+
+  def signLshNearDups(emb: DataFrame): DataFrame = {
+    val v = withNorm2(emb)
+    // bucket = fused codegen signature (one while-loop over the array;
+    // the bits-wide HOF fold chain above is its spec-checked reference)
+    val sig = v.withColumn("bucket", expr("sign_lsh_sig(embedding)"))
     val a = sig.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("norm2").as("norm2_a"))
     val b = sig.select(col("bucket"), col("vec_id").as("id_b"),

@@ -58,6 +58,31 @@ case class VecDist2(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused sign-LSH signature: bit j of the result is the sign of the
+  * projection of an Array[Float] embedding onto pseudo-random hyperplane
+  * j (LCG-derived components, see [[VectorOps.plane]]). One codegen
+  * while-loop replaces `bits` interpreted aggregate() HOF projections —
+  * at corpus scale the signature is computed once per row per write, so
+  * it must live inside whole-stage codegen like any other hot
+  * projection. Folds are strictly left-to-right per plane, so results
+  * are bit-identical with the oracle's list_reduce. */
+case class SignLshSig(child: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_lsh_sig"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.signLshSig(a.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorOps$$.MODULE$$.signLshSig($a, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshSig =
+    copy(child = newChild)
+}
+
 object VectorOps {
   /** Left-to-right double fold of elementwise products (== the oracle's
     * list_reduce over CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE)). */
@@ -82,12 +107,39 @@ object VectorOps {
     s
   }
 
-  /** Register `vec_dot(a, b)` / `vec_dist2(a, b)` for expr()/SQL use.
+  /** Deterministic pseudo-random hyperplane component (j, i): one LCG
+    * step over the flattened index, scaled to [-0.5, 0.5). Pure integer
+    * arithmetic + one divide — expressible identically in DuckDB SQL,
+    * which is what makes the sign-LSH bucketing oracle-checkable. */
+  def plane(j: Int, i: Int): Double =
+    ((1103515245L * (j * 4096 + i) + 12345L) % 2147483648L).toDouble /
+      2147483648.0 - 0.5
+
+  /** `bits`-bit sign-LSH signature: bit j = [projection onto plane j >= 0].
+    * Left-to-right fold per plane — IEEE754-identical to the oracle. */
+  def signLshSig(a: ArrayData, bits: Int): Long = {
+    val n = a.numElements()
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a.getFloat(i).toDouble * plane(j, i); i += 1 }
+      if (acc >= 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
+  /** Register `vec_dot(a, b)` / `vec_dist2(a, b)` /
+    * `sign_lsh_sig(a)` (bits baked at registration) for expr()/SQL use.
     * Idempotent per session. */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession, lshBits: Int = 8): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dist2", exprs => VecDist2(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sign_lsh_sig", exprs => SignLshSig(exprs.head, lshBits), "built-in")
   }
 }

@@ -47,6 +47,17 @@ class VectorOpsSpec extends SparkSpec {
     assert(df.head.isNullAt(0) && df.head.isNullAt(1))
   }
 
+  test("sign_lsh_sig equals the interpreted HOF fold chain, bit for bit") {
+    VectorOps.register(spark, lshBits = graft.ext.Similarity.LshBits)
+    val both = Tables.embeddings(spark, sf)
+      .select(expr("sign_lsh_sig(embedding)").as("fused"),
+              graft.ext.Similarity.signatureHofColumn.as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      "fused signature must be IEEE754-identical to the HOF reference"))
+  }
+
   test("vec_dot runs inside whole-stage codegen (no interpreted fallback)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
