@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.PolyHash
+import graft.functions.{PolyHash, SignLshSig, VecDist2, VecDot}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions at session build time so ANY session (including pure-SQL
@@ -13,6 +13,7 @@ import graft.functions.PolyHash
   *
   *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
   *   spark.sql("SELECT poly_hash(text, 31, 1000000007) FROM docs")
+  *   spark.sql("SELECT vec_dot(a, b), sign_lsh_sig(a, 8) FROM embs")
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -23,5 +24,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         PolyHash(exprs.head,
           exprs(1).eval().asInstanceOf[Number].longValue(),
           exprs(2).eval().asInstanceOf[Number].longValue())))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dist2"),
+      new ExpressionInfo(classOf[VecDist2].getName, "vec_dist2"),
+      (exprs: Seq[Expression]) => VecDist2(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sign_lsh_sig"),
+      new ExpressionInfo(classOf[SignLshSig].getName, "sign_lsh_sig"),
+      (exprs: Seq[Expression]) =>
+        SignLshSig(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

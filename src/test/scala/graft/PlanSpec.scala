@@ -141,12 +141,17 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"grouping sets must share one shuffle, saw $hashEx:\n${p.take(2000)}")
   }
 
-  test("GraftExtensions injects poly_hash for SQL-only sessions") {
+  test("GraftExtensions injects poly_hash + vector functions for SQL-only sessions") {
     // the injection list accepts our builder (a bad signature would throw)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
-    // and the registered function resolves from SQL text with the right value
+    // and the registered functions resolve from SQL text with the right values
     graft.functions.PolyHash.register(spark)
+    graft.functions.VectorOps.register(spark, lshBits = 3)
     val r = spark.sql("SELECT poly_hash('abc', 31, 1000000007) AS h").collect()
     assert(r.head.getLong(0) == graft.functions.PolyHash.eval("abc", 31, 1000000007))
+    val v = spark.sql(
+      "SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d, " +
+      "vec_dist2(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS e").collect().head
+    assert(v.getDouble(0) == 11.0 && v.getDouble(1) == 8.0)
   }
 }
