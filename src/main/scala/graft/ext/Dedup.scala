@@ -289,6 +289,68 @@ object Dedup {
        |FROM sums ORDER BY doc_id""".stripMargin
   }
 
+  /** SimHash near-dup distance cap: pairs within this Hamming distance
+    * (of [[SimhashBits]] fingerprint bits) are reported. */
+  val HammingMax = 3
+
+  /** SimHash near-dup PAIRS — the operator that actually dedups (the
+    * fingerprint query q15 only labels). Candidate generation is the
+    * fingerprint's top-8-bit bucket (each doc lands in exactly ONE
+    * bucket, so no pair is generated twice and no distinct is needed);
+    * within a bucket the exact Hamming distance is one codegen
+    * `bit_count(a ^ b)`. Same in-bucket expansion shape as
+    * [[minhashPairs]], with (doc_id, simhash) packed into one long
+    * (simhash < 2^SimhashBits, doc_id in the high bits so packed order
+    * is doc order) — shuffles move 8-byte keys. Docs whose fingerprints
+    * differ only in a top-8 bit land in different buckets and are
+    * missed: the standard single-probe LSH recall trade, bought back in
+    * production with multi-probe (query neighboring buckets) or a
+    * second banding of the fingerprint. The oracle mirrors the
+    * bucketing, so parity holds by construction. */
+  def simhashPairs(docs: DataFrame, maxBucket: Int = MaxLshBucket): DataFrame = {
+    val c = 1L << SimhashBits
+    simhash(docs)
+      .select((col("doc_id") * c + col("simhash")).as("packed"), col("bucket"))
+      .groupBy("bucket")
+      .agg(sort_array(collect_list(col("packed"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(sequence(i + 1, size(ids)),
+          |    j -> named_struct('a', element_at(ids, i),
+          |                      'b', element_at(ids, j)))))""".stripMargin)).as("p"))
+      .select(expr(s"p.a div $c").as("doc_a"), expr(s"p.b div $c").as("doc_b"),
+        expr(s"cast(bit_count((p.a % $c) ^ (p.b % $c)) as bigint)").as("hamming"))
+      .filter(col("hamming") <= HammingMax)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def simhashPairsSql: String = {
+    val bitSums = (0 until SimhashBits).map { j =>
+      s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }
+    val fp = (0 until SimhashBits).map { j =>
+      s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${duckH("t.tok")} AS th
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t),
+       |sums AS (SELECT doc_id, ${bitSums.mkString(", ")} FROM toks GROUP BY doc_id),
+       |sh AS (
+       |  SELECT doc_id, CAST($fp AS BIGINT) AS simhash,
+       |    CAST($fp AS BIGINT) >> ${SimhashBits - 8} AS bucket
+       |  FROM sums),
+       |kept AS (
+       |  SELECT bucket FROM sh
+       |  GROUP BY bucket HAVING COUNT(*) BETWEEN 2 AND $MaxLshBucket)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |JOIN kept k ON k.bucket = a.bucket
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ------------------------------------------------------- ngram jaccard
   val MinCommonShingles = 2
 
@@ -538,6 +600,7 @@ object Dedup {
     "q14_minhash_sig" -> ((s, d) => minhashSignatures(Tables.documents(s, d)).orderBy("doc_id")),
     "q14_minhash_pairs" -> ((s, d) => minhashPairs(Tables.documents(s, d))),
     "q15_simhash"     -> ((s, d) => simhash(Tables.documents(s, d))),
+    "q32_simhash_pairs" -> ((s, d) => simhashPairs(Tables.documents(s, d))),
     "q16_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(Tables.documents(s, d))),
     "q29_source_sketch" -> ((s, d) => sourceSketches(Tables.documents(s, d))),
     "q30_edit_distance" -> ((s, d) => editDistancePairs(Tables.part(s, d))))
@@ -547,6 +610,7 @@ object Dedup {
     "q14_minhash_sig" -> minhashSignaturesSql,
     "q14_minhash_pairs" -> minhashPairsSql,
     "q15_simhash"     -> simhashSql,
+    "q32_simhash_pairs" -> simhashPairsSql,
     "q16_ngram_jaccard" -> ngramJaccardSql,
     "q29_source_sketch" -> sourceSketchesSql,
     "q30_edit_distance" -> editDistancePairsSql)

@@ -92,6 +92,24 @@ class ExtSpec extends SparkSpec {
     a.foreach(r => assert((r.getAs[Long]("simhash") >> Dedup.SimhashBits) == 0))
   }
 
+  test("q32 simhash pairs: hamming bounded, identical docs pair at distance 0") {
+    import spark.implicits._
+    val r = Dedup.simhashPairs(docs).collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("doc_a") < row.getAs[Long]("doc_b"))
+      val h = row.getAs[Long]("hamming")
+      assert(h >= 0 && h <= Dedup.HammingMax)
+    }
+    // identical texts have identical fingerprints -> same bucket, distance 0
+    val twins = Seq((1L, "alpha beta gamma delta epsilon"),
+                    (2L, "alpha beta gamma delta epsilon"),
+                    (3L, "a completely different set of words here"))
+      .toDF("doc_id", "text")
+    val tp = Dedup.simhashPairs(twins).collect()
+    assert(tp.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getAs[Long]("hamming") == 0L))
+  }
+
   test("q16 jaccard pairs: bounded in [0, 10000], symmetric construction a<b") {
     val r = Dedup.ngramJaccardPairs(docs).collect()
     r.foreach { row =>
