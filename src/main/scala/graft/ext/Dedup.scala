@@ -525,11 +525,13 @@ object Dedup {
     * microkernel ([[boundedLevenshtein]]) does O(len·maxD) work per
     * surviving pair (a DataFrame self-join + levenshtein() column was 4x
     * slower than the DuckDB anchor on join machinery alone). */
-  def editDistancePairs(parts: DataFrame): DataFrame = {
+  def editDistancePairs(parts: DataFrame,
+                        bandWidth: Int = LengthBandWidth): DataFrame = {
     val spark = parts.sparkSession
     import spark.implicits._
     val maxD = MaxEditDistance
-    val w = LengthBandWidth
+    val w = bandWidth
+    require(w > maxD, s"band width $w must exceed the edit bound $maxD")
     parts.select(col("p_brand"), col("p_partkey"), col("p_name"))
       .as[(String, Long, String)]
       .flatMap { case (brand, key, name) =>

@@ -240,6 +240,13 @@ class ExtSpec extends SparkSpec {
     } yield (ka, kb, d)).sortBy(p => (p._1, p._2))
     assert(got == want,
       s"banding changed the answer: got ${got.length} pairs, want ${want.length}")
+    // and the answer is invariant to the salt geometry: any band width
+    // (boundary placement) yields the identical pair set
+    for (w <- Seq(3, 5, 8, 64)) {
+      val alt = Dedup.editDistancePairs(parts, bandWidth = w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(alt == want, s"band width $w changed the answer")
+    }
   }
 
   test("q31 sign-LSH: candidates are a subset of q24's exact pairs, same scores") {
