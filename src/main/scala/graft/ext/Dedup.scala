@@ -450,6 +450,78 @@ object Dedup {
        |JOIN sizes sb ON sb.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------------ dedup clusters
+  /** Iteration cap for label propagation — components from near-dup
+    * pairs are shallow (clone groups), so convergence is fast; the cap
+    * guards against a pathological chain. */
+  val MaxClusterIters = 20
+
+  /** The step every real dedup pipeline needs AFTER pair generation:
+    * connected components over the candidate-pair graph, so each
+    * near-dup group gets ONE representative (cluster_id = min doc_id in
+    * the component; docs in no pair are their own singleton cluster).
+    *
+    * Distributed min-label propagation: every doc starts labeled with
+    * itself; each round every doc takes the min of its own label and its
+    * neighbors' labels; fixpoint = components. Each round is one
+    * broadcast-able join + hash agg over (edges ⋈ labels) — the classic
+    * Spark shape for iterative graph algorithms — and `localCheckpoint`
+    * cuts the growing lineage so round N doesn't recompute rounds
+    * 1..N-1 (materialized on executors, never the driver). Rounds needed
+    * = component diameter; near-dup clusters are clone groups, so
+    * convergence is 2-4 rounds in practice.
+    *
+    * At 100 TB: the same loop, with labels persisted between rounds and
+    * the small frontier optimization (only changed labels join) —
+    * label-prop scales linearly in |edges| per round, which is why it is
+    * the industry-standard dedup clustering pass. */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("id"), col("doc_b").as("nbr"))
+      .unionByName(pairs.select(col("doc_b").as("id"), col("doc_a").as("nbr")))
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < MaxClusterIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("nbr"), col("label").as("nbr_label")), "nbr")
+        .groupBy("id").agg(min(col("nbr_label")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (col("nbr_min") < col("label")).as("moved"))
+        .localCheckpoint(true)
+      changed = next.filter(col("moved")).count()
+      labels = next.select("id", "label")
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** q33: cluster assignment over the MinHash-LSH candidate pairs. */
+  def minhashClusters(docs: DataFrame): DataFrame =
+    dedupClusters(docs, minhashPairs(docs))
+
+  /** Oracle: transitive closure by recursive CTE over the same pair
+    * relation (min reachable id, self included). */
+  def minhashClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT * FROM ($minhashPairsSql)),
+       |edges(a, b) AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+       |SELECT d.doc_id,
+       |  CASE WHEN min(r.dst) IS NULL OR d.doc_id < min(r.dst)
+       |       THEN d.doc_id ELSE min(r.dst) END AS cluster_id
+       |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // --------------------------------------------------- edit-distance dup
   val MaxEditDistance = 2
 
@@ -605,7 +677,8 @@ object Dedup {
     "q32_simhash_pairs" -> ((s, d) => simhashPairs(Tables.documents(s, d))),
     "q16_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(Tables.documents(s, d))),
     "q29_source_sketch" -> ((s, d) => sourceSketches(Tables.documents(s, d))),
-    "q30_edit_distance" -> ((s, d) => editDistancePairs(Tables.part(s, d))))
+    "q30_edit_distance" -> ((s, d) => editDistancePairs(Tables.part(s, d))),
+    "q33_dedup_clusters" -> ((s, d) => minhashClusters(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q13_dedup_exact" -> exactDedupSql,
@@ -615,5 +688,6 @@ object Dedup {
     "q32_simhash_pairs" -> simhashPairsSql,
     "q16_ngram_jaccard" -> ngramJaccardSql,
     "q29_source_sketch" -> sourceSketchesSql,
-    "q30_edit_distance" -> editDistancePairsSql)
+    "q30_edit_distance" -> editDistancePairsSql,
+    "q33_dedup_clusters" -> minhashClustersSql)
 }

@@ -92,6 +92,29 @@ class ExtSpec extends SparkSpec {
     a.foreach(r => assert((r.getAs[Long]("simhash") >> Dedup.SimhashBits) == 0))
   }
 
+  test("q33 dedup clusters: label propagation equals union-find on the pair graph") {
+    import spark.implicits._
+    // hand-built components: {1,2,3} via chain 1-2, 2-3; {10,11}; 20 isolated
+    val d = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val p = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClusters(d, p).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // chain of length 6 (worst diameter shape): still converges to one min
+    val chainDocs = (1L to 7L).toDF("doc_id")
+    val chain = (1L to 6L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cg = Dedup.dedupClusters(chainDocs, chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cg.values.toSet == Set(1L))
+    // real corpus: clusters are consistent with the pairs that made them —
+    // both endpoints of every pair share a cluster id
+    val clusters = Dedup.minhashClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Dedup.minhashPairs(docs).collect().foreach { r =>
+      assert(clusters(r.getLong(0)) == clusters(r.getLong(1)))
+    }
+  }
+
   test("q32 simhash pairs: hamming bounded, identical docs pair at distance 0") {
     import spark.implicits._
     val r = Dedup.simhashPairs(docs).collect()
