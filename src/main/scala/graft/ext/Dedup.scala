@@ -461,38 +461,41 @@ object Dedup {
     * near-dup group gets ONE representative (cluster_id = min doc_id in
     * the component; docs in no pair are their own singleton cluster).
     *
-    * Distributed min-label propagation: every doc starts labeled with
-    * itself; each round every doc takes the min of its own label and its
-    * neighbors' labels; fixpoint = components. Each round is one
-    * broadcast-able join + hash agg over (edges ⋈ labels) — the classic
-    * Spark shape for iterative graph algorithms — and `localCheckpoint`
-    * cuts the growing lineage so round N doesn't recompute rounds
-    * 1..N-1 (materialized on executors, never the driver). Rounds needed
-    * = component diameter; near-dup clusters are clone groups, so
-    * convergence is 2-4 rounds in practice.
-    *
-    * At 100 TB: the same loop, with labels persisted between rounds and
-    * the small frontier optimization (only changed labels join) —
-    * label-prop scales linearly in |edges| per round, which is why it is
-    * the industry-standard dedup clustering pass. */
+    * Distributed min-label propagation with a DELTA FRONTIER: every doc
+    * starts labeled with itself; each round, only labels that CHANGED
+    * last round are joined against the edge list (min-propagation is
+    * monotone, so a label can only improve when a neighbor's label
+    * improved — the unchanged majority can't contribute anything new).
+    * Each round is one broadcast-able join + hash agg over
+    * (edges ⋈ frontier) — the classic Spark shape for iterative graph
+    * algorithms — and `localCheckpoint` cuts the growing lineage so
+    * round N doesn't recompute rounds 1..N-1 (materialized on
+    * executors, never the driver). Rounds needed = component diameter;
+    * near-dup clusters are clone groups, so convergence is 2-4 rounds,
+    * and the frontier collapses to the few still-merging components
+    * after round 1 — per-round cost tracks the work remaining, not the
+    * corpus. This is why label-prop is the industry-standard dedup
+    * clustering pass at corpus scale. */
   def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("id"), col("doc_b").as("nbr"))
       .unionByName(pairs.select(col("doc_b").as("id"), col("doc_a").as("nbr")))
       .localCheckpoint(true)
     var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("label"))
       .localCheckpoint(true)
+    var frontier = labels // round 0: everyone announces their label
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < MaxClusterIters) {
+    var frontierSize = 1L
+    while (frontierSize > 0 && iter < MaxClusterIters) {
       val nbrMin = edges
-        .join(labels.select(col("id").as("nbr"), col("label").as("nbr_label")), "nbr")
+        .join(frontier.select(col("id").as("nbr"), col("label").as("nbr_label")), "nbr")
         .groupBy("id").agg(min(col("nbr_label")).as("nbr_min"))
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
           (col("nbr_min") < col("label")).as("moved"))
         .localCheckpoint(true)
-      changed = next.filter(col("moved")).count()
+      frontier = next.filter(col("moved")).select("id", "label")
+      frontierSize = frontier.count()
       labels = next.select("id", "label")
       iter += 1
     }
