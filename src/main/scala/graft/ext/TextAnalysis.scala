@@ -151,16 +151,95 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------- vocab
+  val VocabTopK = 100
+
+  /** Corpus vocabulary: per-token total frequency + document frequency,
+    * top-K by tf — the tokenizer-training / stopword-mining prep step.
+    * Top-K over an aggregate plans as TakeOrderedAndProject (per-
+    * partition heaps, K rows to the driver — never a global sort), and
+    * the (tf, df) aggregation is a single shuffle with map-side
+    * partials; at corpus scale this is THE canonical two-phase count.
+    * Ties broken on the token text so the cut is deterministic. */
+  def vocab(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("token"), col("doc_id"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(VocabTopK)
+
+  val vocabSql: String =
+    s"""SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |WHERE length(token) > 0
+       |GROUP BY token
+       |ORDER BY tf DESC, token
+       |LIMIT $VocabTopK""".stripMargin
+
+  // ------------------------------------------------------------ sampling
+  val SamplePct = 10
+  val MinChars = 120
+  val MaxStopwordBp = 4000
+
+  /** Quality-gated deterministic sample: the curation step that turns a
+    * scored corpus into a training slice. The gate reuses the q20
+    * quality signals (length floor, stopword-ratio ceiling); the sample
+    * is a DETERMINISTIC hash split — poly_hash(md5 prefix of the
+    * normalized text) mod 100 < pct — so the slice is reproducible
+    * across runs, engines, and partitionings (rand()-based sampling is
+    * none of those). Hashing CONTENT (not doc_id) also means exact
+    * duplicates land on the same side of the cut — a well-known
+    * train/eval-leak guard. */
+  def qualitySample(docs: DataFrame): DataFrame = {
+    graft.functions.PolyHash.register(docs.sparkSession)
+    val norm = "regexp_replace(lower(text), '\\\\s+', ' ')"
+    val padded = "concat(' ', text, ' ')"
+    val stopCount = Seq(" the ", " a ", " of ", " and ", " is ")
+      .map(w => s"(${sparkCount(padded, w)})").mkString(" + ")
+    docs.select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= MinChars)
+      .filter(expr(s"(10000 * ($stopCount)) div greatest(size(split(text, ' ')), 1)")
+        <= MaxStopwordBp)
+      .withColumn("bucket_pc",
+        expr(s"poly_hash(substring(md5(cast($norm as binary)), 1, 8), 31, 1000000007) % 100"))
+      .filter(col("bucket_pc") < SamplePct)
+      .select(col("doc_id"), col("bucket_pc"))
+      .orderBy("doc_id")
+  }
+
+  val qualitySampleSql: String = {
+    val norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    val padded = "concat(' ', text, ' ')"
+    val stopCount = Seq(" the ", " a ", " of ", " and ", " is ")
+      .map(w => s"(${duckCount(padded, w)})").mkString(" + ")
+    s"""SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+       |    generate_series(1, 8), i -> CAST(ord(substr(md5($norm), i, 1)) AS BIGINT))),
+       |    (acc, c) -> (acc * 31 + c) % 1000000007) % 100 AS bucket_pc
+       |FROM documents
+       |WHERE length(text) >= $MinChars
+       |  AND (10000 * ($stopCount)) // greatest(len(string_split(text, ' ')), 1) <= $MaxStopwordBp
+       |  AND list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+       |    generate_series(1, 8), i -> CAST(ord(substr(md5($norm), i, 1)) AS BIGINT))),
+       |    (acc, c) -> (acc * 31 + c) % 1000000007) % 100 < $SamplePct
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
     "q20_quality"     -> ((s, d) => quality(Tables.documents(s, d))),
     "q21_tokens"      -> ((s, d) => tokenCounts(Tables.documents(s, d))),
-    "q22_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))))
+    "q22_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
+    "q34_vocab"       -> ((s, d) => vocab(Tables.documents(s, d))),
+    "q35_quality_sample" -> ((s, d) => qualitySample(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q19_lang_id"     -> langIdSql,
     "q20_quality"     -> qualitySql,
     "q21_tokens"      -> tokenCountsSql,
-    "q22_fingerprint" -> fingerprintsSql)
+    "q22_fingerprint" -> fingerprintsSql,
+    "q34_vocab"       -> vocabSql,
+    "q35_quality_sample" -> qualitySampleSql)
 }
