@@ -283,6 +283,33 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("q34 vocab: tf >= df >= 1, descending, deterministic across partitionings") {
+    val r = TextAnalysis.vocab(docs).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("tf") >= row.getAs[Long]("df"))
+      assert(row.getAs[Long]("df") >= 1L)
+    }
+    assert(r.map(_.getAs[Long]("tf")).toSeq == r.map(_.getAs[Long]("tf")).sortBy(-_).toSeq)
+    val rep = TextAnalysis.vocab(docs.repartition(13)).collect()
+    assert(r.map(_.toSeq).toSeq == rep.map(_.toSeq).toSeq,
+      "top-K cut must not depend on partitioning")
+  }
+
+  test("q35 sample: every sampled doc passes the gates; selection is content-determined") {
+    import spark.implicits._
+    val sampled = TextAnalysis.qualitySample(docs).collect()
+    assert(sampled.nonEmpty)
+    sampled.foreach(r => assert(r.getAs[Long]("bucket_pc") < TextAnalysis.SamplePct))
+    val byId = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    sampled.foreach(r => assert(byId(r.getLong(0)).length >= TextAnalysis.MinChars))
+    // identical texts land on the same side of the cut (leak guard)
+    val twins = Seq((1L, ("x " * 200).trim), (2L, ("x " * 200).trim)).toDF("doc_id", "text")
+    val t = TextAnalysis.qualitySample(twins).collect().map(_.getLong(0)).toSet
+    assert(t.isEmpty || t == Set(1L, 2L), "clones must not split across the cut")
+  }
+
   test("observe metrics count probed and failed files inline (A3)") {
     val (probed, obs) = graft.operators.VideoPipeline.observedProbe(
       graft.queries.VideoQueries.syntheticListing(spark, sf),
