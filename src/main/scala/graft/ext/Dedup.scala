@@ -256,7 +256,10 @@ object Dedup {
     * iff sum over tokens of (+1 if bit j of H(token) set else -1) > 0.
     * Computed with explode + 28 conditional sums (single shuffle on
     * doc_id, all codegen'd). */
-  def simhash(docs: DataFrame): DataFrame = {
+  /** Unordered fingerprint relation — the composable form the pair
+    * queries build on (an ORDER BY here would cost the downstream
+    * aggregations a wasted range exchange + sort). */
+  def simhashCore(docs: DataFrame): DataFrame = {
     graft.functions.PolyHash.register(docs.sparkSession)
     val tokens = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
@@ -270,8 +273,10 @@ object Dedup {
     tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), fp.as("simhash"))
       .withColumn("bucket", expr(s"simhash >> ${SimhashBits - 8}"))
-      .orderBy("doc_id")
   }
+
+  def simhash(docs: DataFrame): DataFrame =
+    simhashCore(docs).orderBy("doc_id")
 
   def simhashSql: String = {
     val bitSums = (0 until SimhashBits).map { j =>
@@ -309,7 +314,7 @@ object Dedup {
     * bucketing, so parity holds by construction. */
   def simhashPairs(docs: DataFrame, maxBucket: Int = MaxLshBucket): DataFrame = {
     val c = 1L << SimhashBits
-    simhash(docs)
+    simhashCore(docs)
       .select((col("doc_id") * c + col("simhash")).as("packed"), col("bucket"))
       .groupBy("bucket")
       .agg(sort_array(collect_list(col("packed"))).as("ids"))
@@ -346,6 +351,89 @@ object Dedup {
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM sh a JOIN sh b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |JOIN kept k ON k.bucket = a.bucket
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Bucket-prefix width for simhash LSH (the fingerprint's top bits). */
+  val SimhashBucketBits = 8
+
+  /** Multi-probe SimHash pairs: q32 recall bought back. Single-probe LSH
+    * misses a near-dup whose fingerprints differ in a bucket-prefix bit;
+    * multi-probe ALSO visits the [[SimhashBucketBits]] one-bit-flip
+    * neighbor buckets, so any pair whose prefixes differ in <= 1 bit is
+    * co-located — at 9x the candidate volume instead of 2^8x full scan.
+    * Each emitted row carries a NATIVE flag (its own bucket vs a probe);
+    * a pair is generated only in the bucket where the LOWER doc id is
+    * native, which yields every qualifying pair EXACTLY once (d=0 pairs:
+    * the shared native bucket; prefix-d=1 pairs: the lower doc's native
+    * bucket) — no distinct pass. (doc_id, native, simhash) pack into one
+    * long, so the shuffle stays 8-byte and list order stays doc order.
+    * The bucket cap scales with the probe factor; the oracle mirrors the
+    * probe expansion, the native rule, and the cap exactly. */
+  def simhashPairsMultiProbe(docs: DataFrame,
+                             maxBucket: Int = MaxLshBucket * (SimhashBucketBits + 1))
+      : DataFrame = {
+    val c = 1L << SimhashBits
+    val nativeBit = c // 2^SimhashBits
+    val docShift = 2L * c // doc_id lives above the native bit
+    val sh = simhashCore(docs)
+    val probeStructs = (0 until SimhashBucketBits).map { i =>
+      struct((col("bucket").bitwiseXOR(1L << i)).as("bk"), lit(0L).as("nat"))
+    }
+    val emitted = sh.select(
+      col("doc_id"), col("simhash"),
+      explode(array(
+        (struct(col("bucket").as("bk"), lit(1L).as("nat")) +: probeStructs): _*)).as("p"))
+      .select(col("p.bk").as("bucket"),
+        (col("doc_id") * docShift + col("p.nat") * nativeBit + col("simhash"))
+          .as("packed"))
+    emitted
+      .groupBy("bucket")
+      .agg(sort_array(collect_list(col("packed"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(sequence(i + 1, size(ids)),
+          |    j -> named_struct('a', element_at(ids, i),
+          |                      'b', element_at(ids, j)))))""".stripMargin)).as("p"))
+      .filter(expr(s"(p.a div $nativeBit) % 2 = 1")) // lower doc must be native here
+      .select(expr(s"p.a div $docShift").as("doc_a"),
+        expr(s"p.b div $docShift").as("doc_b"),
+        expr(s"cast(bit_count((p.a % $c) ^ (p.b % $c)) as bigint)").as("hamming"))
+      .filter(col("doc_a") =!= col("doc_b") && col("hamming") <= HammingMax)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def simhashPairsMultiProbeSql: String = {
+    val bitSums = (0 until SimhashBits).map { j =>
+      s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }
+    val fp = (0 until SimhashBits).map { j =>
+      s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    val cap = MaxLshBucket * (SimhashBucketBits + 1)
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${duckH("t.tok")} AS th
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t),
+       |sums AS (SELECT doc_id, ${bitSums.mkString(", ")} FROM toks GROUP BY doc_id),
+       |sh AS (
+       |  SELECT doc_id, CAST($fp AS BIGINT) AS simhash,
+       |    CAST($fp AS BIGINT) >> ${SimhashBits - SimhashBucketBits} AS bucket
+       |  FROM sums),
+       |probes AS (
+       |  SELECT doc_id, simhash, bucket, 1 AS native FROM sh
+       |  UNION ALL
+       |  SELECT doc_id, simhash, xor(bucket, CAST(1 AS BIGINT) << i) AS bucket, 0 AS native
+       |  FROM sh, generate_series(0, ${SimhashBucketBits - 1}) AS g(i)),
+       |kept AS (
+       |  SELECT bucket FROM probes
+       |  GROUP BY bucket HAVING COUNT(*) BETWEEN 2 AND $cap)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM probes a JOIN probes b
+       |  ON a.bucket = b.bucket AND a.doc_id < b.doc_id AND a.native = 1
        |JOIN kept k ON k.bucket = a.bucket
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
@@ -678,6 +766,7 @@ object Dedup {
     "q14_minhash_pairs" -> ((s, d) => minhashPairs(Tables.documents(s, d))),
     "q15_simhash"     -> ((s, d) => simhash(Tables.documents(s, d))),
     "q32_simhash_pairs" -> ((s, d) => simhashPairs(Tables.documents(s, d))),
+    "q36_simhash_multiprobe" -> ((s, d) => simhashPairsMultiProbe(Tables.documents(s, d))),
     "q16_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(Tables.documents(s, d))),
     "q29_source_sketch" -> ((s, d) => sourceSketches(Tables.documents(s, d))),
     "q30_edit_distance" -> ((s, d) => editDistancePairs(Tables.part(s, d))),
@@ -689,6 +778,7 @@ object Dedup {
     "q14_minhash_pairs" -> minhashPairsSql,
     "q15_simhash"     -> simhashSql,
     "q32_simhash_pairs" -> simhashPairsSql,
+    "q36_simhash_multiprobe" -> simhashPairsMultiProbeSql,
     "q16_ngram_jaccard" -> ngramJaccardSql,
     "q29_source_sketch" -> sourceSketchesSql,
     "q30_edit_distance" -> editDistancePairsSql,

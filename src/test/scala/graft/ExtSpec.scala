@@ -133,6 +133,18 @@ class ExtSpec extends SparkSpec {
       r.getAs[Long]("hamming") == 0L))
   }
 
+  test("q36 multi-probe: superset of single-probe pairs, no duplicates") {
+    val single = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multiRows = Dedup.simhashPairsMultiProbe(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val multi = multiRows.toSet
+    assert(multiRows.length == multi.size, "native-bucket rule must dedup exactly")
+    assert(single.subsetOf(multi),
+      s"multi-probe lost single-probe pairs: ${single -- multi}")
+    assert(multi.size >= single.size)
+  }
+
   test("q16 jaccard pairs: bounded in [0, 10000], symmetric construction a<b") {
     val r = Dedup.ngramJaccardPairs(docs).collect()
     r.foreach { row =>
