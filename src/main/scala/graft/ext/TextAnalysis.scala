@@ -226,6 +226,57 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- histogram quantiles
+  val QuantileBinWidth = 8
+  val QuantilePcts = Seq(25, 50, 90)
+
+  /** Per-source token-length distribution quantiles via a fixed-width
+    * HISTOGRAM — the mergeable form of a quantile at corpus scale. Bin
+    * counts are associative (partial-aggregated map-side, mergeable
+    * across any partitioning — the same property as the MinHash corpus
+    * sketch), and the quantile read-off is a tiny cumulative window over
+    * |bins| rows per source, not a sort of the corpus. Exact percentiles
+    * need a full shuffle-sort per group (q27's shape); histogram
+    * quantiles trade bounded resolution ([[QuantileBinWidth]] tokens)
+    * for one cheap pass — the standard trade for distribution monitoring
+    * over a 100 TB corpus. All-integer semantics (quantile = lower bound
+    * of the first bin whose cumulative count reaches ceil(p% of total)),
+    * so both engines agree bit for bit. */
+  def lengthQuantiles(docs: DataFrame): DataFrame = {
+    val w = QuantileBinWidth
+    val bins = docs
+      .select(col("source"), expr(s"size(split(text, ' ')) div $w").as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("bin")
+    val totW = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val cum = bins
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("total", sum(col("c")).over(totW))
+    val qCols = QuantilePcts.map { p =>
+      min(when(col("cum") * 100 >= col("total") * p, col("bin") * w))
+        .as(s"p${p}_tokens")
+    }
+    cum.groupBy("source").agg(qCols.head, qCols.tail: _*).orderBy("source")
+  }
+
+  def lengthQuantilesSql: String = {
+    val w = QuantileBinWidth
+    val qs = QuantilePcts.map { p =>
+      s"MIN(CASE WHEN cum * 100 >= total * $p THEN bin * $w END) AS p${p}_tokens"
+    }
+    s"""WITH bins AS (
+       |  SELECT source, len(string_split(text, ' ')) // $w AS bin, COUNT(*) AS c
+       |  FROM documents GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT source, bin, c,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
+       |    SUM(c) OVER (PARTITION BY source) AS total
+       |  FROM bins)
+       |SELECT source, ${qs.mkString(", ")}
+       |FROM cum GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
@@ -233,7 +284,8 @@ object TextAnalysis {
     "q21_tokens"      -> ((s, d) => tokenCounts(Tables.documents(s, d))),
     "q22_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
     "q34_vocab"       -> ((s, d) => vocab(Tables.documents(s, d))),
-    "q35_quality_sample" -> ((s, d) => qualitySample(Tables.documents(s, d))))
+    "q35_quality_sample" -> ((s, d) => qualitySample(Tables.documents(s, d))),
+    "q37_length_quantiles" -> ((s, d) => lengthQuantiles(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q19_lang_id"     -> langIdSql,
@@ -241,5 +293,6 @@ object TextAnalysis {
     "q21_tokens"      -> tokenCountsSql,
     "q22_fingerprint" -> fingerprintsSql,
     "q34_vocab"       -> vocabSql,
-    "q35_quality_sample" -> qualitySampleSql)
+    "q35_quality_sample" -> qualitySampleSql,
+    "q37_length_quantiles" -> lengthQuantilesSql)
 }

@@ -322,6 +322,28 @@ class ExtSpec extends SparkSpec {
     assert(t.isEmpty || t == Set(1L, 2L), "clones must not split across the cut")
   }
 
+  test("q37 histogram quantiles: monotone, within a bin of the exact percentile") {
+    val r = TextAnalysis.lengthQuantiles(docs).collect()
+    assert(r.nonEmpty)
+    val exact = docs.selectExpr("source", "size(split(text, ' ')) AS n").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getInt(1)).sorted).toMap
+    r.foreach { row =>
+      val (p25, p50, p90) = (row.getAs[Long]("p25_tokens"),
+        row.getAs[Long]("p50_tokens"), row.getAs[Long]("p90_tokens"))
+      assert(p25 <= p50 && p50 <= p90)
+      val xs = exact(row.getString(0))
+      for ((p, got) <- Seq(25 -> p25, 50 -> p50, 90 -> p90)) {
+        val idx = math.ceil(p / 100.0 * xs.length).toInt - 1
+        val truth = xs(math.max(idx, 0))
+        assert(math.abs(got - truth) < TextAnalysis.QuantileBinWidth,
+          s"src=${row.getString(0)} p$p: got $got, exact $truth")
+      }
+    }
+    // bin counts merge associatively: any partitioning, same histogram read-off
+    val rep = TextAnalysis.lengthQuantiles(docs.repartition(17)).collect()
+    assert(r.map(_.toSeq).toSeq == rep.map(_.toSeq).toSeq)
+  }
+
   test("observe metrics count probed and failed files inline (A3)") {
     val (probed, obs) = graft.operators.VideoPipeline.observedProbe(
       graft.queries.VideoQueries.syntheticListing(spark, sf),
