@@ -207,7 +207,8 @@ object Dedup {
       }
       b
     }
-    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = reduce(x, y)
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+      reduce(x, scala.collection.immutable.ArraySeq.unsafeWrapArray(y))
     override def finish(r: Array[Long]): Seq[Long] = r.toSeq
     override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
