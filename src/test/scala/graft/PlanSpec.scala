@@ -141,6 +141,24 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"grouping sets must share one shuffle, saw $hashEx:\n${p.take(2000)}")
   }
 
+  test("q34: top-K vocabulary plans as TakeOrderedAndProject over one scan") {
+    val p = plan(SparkEntry.queries("q34_vocab")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-K must use per-partition heaps, not a global sort")
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+  }
+
+  test("q37: histogram quantiles scan documents once, aggregate before windowing") {
+    val p = plan(SparkEntry.queries("q37_length_quantiles")(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+    // the corpus reduces to bin counts BEFORE any window: the window input
+    // is the aggregated relation, so no corpus-sized sort exists
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      "bin-count aggregation must sit below the cumulative window")
+  }
+
   test("GraftExtensions injects poly_hash + vector functions for SQL-only sessions") {
     // the injection list accepts our builder (a bad signature would throw)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
