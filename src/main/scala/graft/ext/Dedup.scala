@@ -614,6 +614,49 @@ object Dedup {
        |GROUP BY d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Cross-source contamination report: near-dup clusters whose members
+    * span MULTIPLE sources — the check that catches eval/benchmark text
+    * leaked into training corpora, licensed content duplicated across
+    * crawls, and mirror sites. Builds on [[dedupClusters]]; per
+    * multi-source cluster it reports the member count and the sorted
+    * source list (sorted → deterministic rendering, hash-stable). The
+    * whole report is the cluster relation joined back to doc metadata +
+    * one aggregation — at corpus scale it rides the clustering pass. */
+  def crossSourceClusters(docs: DataFrame): DataFrame = {
+    val clusters = dedupClusters(docs, minhashPairs(docs))
+    clusters
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("source")).as("n_sources"),
+           concat_ws(",", sort_array(collect_set(col("source")))).as("sources"))
+      .filter(col("n_sources") > 1)
+      .orderBy("cluster_id")
+  }
+
+  def crossSourceClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT * FROM ($minhashPairsSql)),
+       |edges(a, b) AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |clusters AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN min(r.dst) IS NULL OR d.doc_id < min(r.dst)
+       |         THEN d.doc_id ELSE min(r.dst) END AS cluster_id
+       |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+       |  GROUP BY d.doc_id)
+       |SELECT c.cluster_id, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT d.source) AS n_sources,
+       |  array_to_string(list_sort(list(DISTINCT d.source)), ',') AS sources
+       |FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+       |GROUP BY c.cluster_id
+       |HAVING COUNT(DISTINCT d.source) > 1
+       |ORDER BY cluster_id""".stripMargin
+
   // --------------------------------------------------- edit-distance dup
   val MaxEditDistance = 2
 
@@ -771,7 +814,8 @@ object Dedup {
     "q16_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(Tables.documents(s, d))),
     "q29_source_sketch" -> ((s, d) => sourceSketches(Tables.documents(s, d))),
     "q30_edit_distance" -> ((s, d) => editDistancePairs(Tables.part(s, d))),
-    "q33_dedup_clusters" -> ((s, d) => minhashClusters(Tables.documents(s, d))))
+    "q33_dedup_clusters" -> ((s, d) => minhashClusters(Tables.documents(s, d))),
+    "q38_cross_source" -> ((s, d) => crossSourceClusters(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q13_dedup_exact" -> exactDedupSql,
@@ -783,5 +827,6 @@ object Dedup {
     "q16_ngram_jaccard" -> ngramJaccardSql,
     "q29_source_sketch" -> sourceSketchesSql,
     "q30_edit_distance" -> editDistancePairsSql,
-    "q33_dedup_clusters" -> minhashClustersSql)
+    "q33_dedup_clusters" -> minhashClustersSql,
+    "q38_cross_source" -> crossSourceClustersSql)
 }
