@@ -115,6 +115,24 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("q38 cross-source report: consistent with clusters and doc sources") {
+    val srcById = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clusterOf = Dedup.minhashClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = clusterOf.groupBy(_._2).view
+      .mapValues(_.keys.map(srcById).toSet).toMap
+    val report = Dedup.crossSourceClusters(docs).collect()
+    val want = byCluster.filter(_._2.size > 1).keySet
+    assert(report.map(_.getAs[Long]("cluster_id")).toSet == want,
+      "report must list exactly the multi-source clusters")
+    report.foreach { r =>
+      val srcs = byCluster(r.getAs[Long]("cluster_id"))
+      assert(r.getAs[Long]("n_sources") == srcs.size)
+      assert(r.getAs[String]("sources") == srcs.toSeq.sorted.mkString(","))
+    }
+  }
+
   test("q32 simhash pairs: hamming bounded, identical docs pair at distance 0") {
     import spark.implicits._
     val r = Dedup.simhashPairs(docs).collect()
