@@ -403,6 +403,35 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** PIVOT: order counts as a priority x status matrix. The status value
+    * list is EXPLICIT — with it, Spark plans one hash aggregate with
+    * conditional partials (map-side combined, single shuffle); without
+    * it, Spark must first run a distinct-values job to discover the
+    * columns, a hidden extra pass that surprises at 100 TB. Missing
+    * combinations surface as 0, not null, so the wide row is total. */
+  def q39Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority".as("priority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"priority",
+        coalesce($"F", lit(0L)).as("n_f"),
+        coalesce($"O", lit(0L)).as("n_o"),
+        coalesce($"P", lit(0L)).as("n_p"))
+      .orderBy($"priority")
+  }
+
+  val q39Sql: String =
+    """SELECT o_orderpriority AS priority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY priority""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_pricing"     -> (q05Pricing _),
@@ -417,13 +446,15 @@ object Relational {
     "q25_asof_purchase" -> (q25AsofPurchase _),
     "q26_interval_join" -> (q26IntervalJoin _),
     "q27_cube_stats"    -> (q27CubeStats _),
-    "q28_json_extract"  -> (q28JsonExtract _))
+    "q28_json_extract"  -> (q28JsonExtract _),
+    "q39_pivot"         -> (q39Pivot _))
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
     "q26_interval_join" -> q26Sql,
     "q27_cube_stats"    -> q27Sql,
     "q28_json_extract"  -> q28Sql,
+    "q39_pivot"         -> q39Sql,
     "q05_pricing"     -> q05Sql,
     "q06_join5"       -> q06Sql,
     "q07_topk"        -> q07Sql,
