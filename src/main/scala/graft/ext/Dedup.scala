@@ -394,12 +394,15 @@ object Dedup {
       .groupBy("bucket")
       .agg(sort_array(collect_list(col("packed"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      // outer loop over NATIVE members only (the native-rule filter is
+      // applied before pair structs are built, not after — an 8/9 cut in
+      // allocation for the probe-expanded buckets); b > a over the packed
+      // longs == doc order because doc_id owns the high bits
       .select(explode(expr(
-        """flatten(transform(sequence(1, size(ids) - 1),
-          |  i -> transform(sequence(i + 1, size(ids)),
-          |    j -> named_struct('a', element_at(ids, i),
-          |                      'b', element_at(ids, j)))))""".stripMargin)).as("p"))
-      .filter(expr(s"(p.a div $nativeBit) % 2 = 1")) // lower doc must be native here
+        s"""flatten(transform(
+           |  filter(ids, a -> (a div $nativeBit) % 2 = 1),
+           |  a -> transform(filter(ids, b -> b > a),
+           |    b -> named_struct('a', a, 'b', b))))""".stripMargin)).as("p"))
       .select(expr(s"p.a div $docShift").as("doc_a"),
         expr(s"p.b div $docShift").as("doc_b"),
         expr(s"cast(bit_count((p.a % $c) ^ (p.b % $c)) as bigint)").as("hamming"))
