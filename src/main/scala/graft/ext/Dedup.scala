@@ -505,12 +505,15 @@ object Dedup {
         .otherwise(0L)).as("dropped_postings")))
     watched
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxShingleDf)
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ids) - 1),
-          |  i -> transform(sequence(i + 1, size(ids)),
-          |    j -> named_struct('a', element_at(ids, i),
-          |                      'b', element_at(ids, j)))))""".stripMargin)).as("p"))
-      .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
+      // pair expansion as two chained explodes over primitive longs (the
+      // outer element + the sorted tail slice) — building an array of
+      // pair structs per posting list cost more than the rest of the
+      // query combined in allocation (the q36 lesson); list order is
+      // packed order, so pa < pb holds by construction
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "pa")))
+      .select(col("pa"),
+        explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("pb"))
+      .groupBy("pa", "pb")
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= MinCommonShingles)
       .select(expr(s"pa div $c").as("doc_a"),
