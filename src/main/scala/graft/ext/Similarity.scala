@@ -194,16 +194,28 @@ object Similarity {
     * Scale path past broadcastable corpora: sign-LSH bucketing first
     * ([[signLshNearDups]], q31 — random-hyperplane signatures, the vector
     * analogue of minhashPairs), with this exact kernel per bucket. */
-  def embeddingNearDups(emb: DataFrame): DataFrame = {
+  /** usePrune=true scores each pair with the Cauchy-Schwarz-pruned dot
+    * ([[graft.functions.VecDotPrune]]): precomputed suffix norms bound
+    * the remaining mass, and a pair provably below the threshold aborts
+    * mid-loop with -Infinity (filtered like any sub-threshold cosine).
+    * Kept pairs run the identical left-to-right fold, so results are
+    * bit-for-bit the plain kernel's — asserted by spec AND by the
+    * unchanged exact oracle. */
+  def embeddingNearDups(emb: DataFrame, usePrune: Boolean = true): DataFrame = {
     val v = withNorm2(emb)
+      .withColumn("sn", expr("vec_suffix_norms(embedding)"))
     val a = v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
-                     col("norm2").as("norm2_a"))
+                     col("norm2").as("norm2_a"), col("sn").as("sn_a"))
     val b = v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
-                     col("norm2").as("norm2_b"))
+                     col("norm2").as("norm2_b"), col("sn").as("sn_b"))
+    val dotExpr =
+      if (usePrune)
+        expr(s"vec_dot_prune(emb_a, emb_b, sn_a, sn_b, " +
+             s"$NearDupThreshold * sqrt(norm2_a) * sqrt(norm2_b))")
+      else expr("vec_dot(emb_a, emb_b)")
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (expr("vec_dot(emb_a, emb_b)") /
-          (sqrt(col("norm2_a")) * sqrt(col("norm2_b")))).as("cos_raw"))
+        (dotExpr / (sqrt(col("norm2_a")) * sqrt(col("norm2_b")))).as("cos_raw"))
       .filter(col("cos_raw") >= NearDupThreshold)
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos_sim"))
       .orderBy("id_a", "id_b")
