@@ -362,6 +362,39 @@ class ExtSpec extends SparkSpec {
     assert(r.map(_.toSeq).toSeq == rep.map(_.toSeq).toSeq)
   }
 
+  test("degenerate corpora: every text operator completes with sane output") {
+    import spark.implicits._
+    val weird = Seq(
+      (1L, "", "srcA"), (2L, "x", "srcA"), (3L, "one word", "srcB"),
+      (4L, "   ", "srcB"), (5L, "été café über naïve", "srcC"),
+      // 4 distinct words -> 2 distinct shingles, enough for the q16
+      // MinCommonShingles=2 floor
+      (6L, "alpha beta gamma delta", "srcC"),
+      (7L, "alpha beta gamma delta", "srcA"))
+      .toDF("doc_id", "text", "source")
+    assert(Dedup.exactDedup(weird).count() > 0)
+    // identical docs 6/7 must pair everywhere pairs exist
+    val mh = Dedup.minhashPairs(weird).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mh.contains((6L, 7L)))
+    val jac = Dedup.ngramJaccardPairs(weird).collect()
+    jac.foreach { r =>
+      val j = r.getAs[Long]("jaccard_e4"); assert(j >= 0 && j <= 10000)
+    }
+    assert(jac.exists(r => r.getLong(0) == 6L && r.getLong(1) == 7L &&
+      r.getAs[Long]("jaccard_e4") == 10000L))
+    val sp = Dedup.simhashPairs(weird).collect()
+    assert(sp.exists(r => r.getLong(0) == 6L && r.getLong(1) == 7L &&
+      r.getAs[Long]("hamming") == 0L))
+    assert(Dedup.dedupClusters(weird, Dedup.minhashPairs(weird)).count() == 7)
+    assert(Dedup.crossSourceClusters(weird).collect()
+      .exists(_.getAs[String]("sources") == "srcA,srcC"))
+    assert(TextAnalysis.vocab(weird).collect()
+      .forall(_.getAs[Long]("tf") >= 1))
+    assert(TextAnalysis.lengthQuantiles(weird).count() == 3) // one row per source
+    assert(TextAnalysis.fingerprints(weird).count() == 7)
+    assert(TextAnalysis.quality(weird).count() == 7)
+  }
+
   test("observe metrics count probed and failed files inline (A3)") {
     val (probed, obs) = graft.operators.VideoPipeline.observedProbe(
       graft.queries.VideoQueries.syntheticListing(spark, sf),
