@@ -54,7 +54,12 @@ object Bench {
     materialize("q05_pricing")
     materialize("q01_build")
 
+    // SPARK_GRAFT_ONLY=q24_embedding_neardup,q17_cosine_topk — subset
+    // runs for local perf iteration; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> median3(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -35,9 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("sign_lsh_sig"),
       new ExpressionInfo(classOf[SignLshSig].getName, "sign_lsh_sig"),
-      (exprs: Seq[Expression]) =>
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"sign_lsh_sig(embedding, bits) requires exactly 2 arguments, got ${exprs.length}")
         SignLshSig(exprs.head,
-          exprs(1).eval().asInstanceOf[Number].intValue())))
+          exprs(1).eval().asInstanceOf[Number].intValue())
+      }))
     ext.injectFunction((
       FunctionIdentifier("vec_suffix_norms"),
       new ExpressionInfo(classOf[VecSuffixNorms].getName, "vec_suffix_norms"),

@@ -21,7 +21,8 @@ object SparkEntry {
     graft.ext.Dedup.queries ++
     graft.ext.Similarity.queries ++
     graft.ext.TextAnalysis.queries ++
-    graft.ext.Multimodal.queries
+    graft.ext.Multimodal.queries ++
+    graft.streaming.StreamingGate.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     graft.ext.Dedup.oracles ++
     graft.ext.Similarity.oracles ++
     graft.ext.TextAnalysis.oracles ++
-    graft.ext.Multimodal.oracles
+    graft.ext.Multimodal.oracles ++
+    graft.streaming.StreamingGate.oracles
 }

@@ -546,10 +546,6 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------ dedup clusters
-  /** Iteration cap for label propagation — components from near-dup
-    * pairs are shallow (clone groups), so convergence is fast; the cap
-    * guards against a pathological chain. */
-  val MaxClusterIters = 20
 
   /** The step every real dedup pipeline needs AFTER pair generation:
     * connected components over the candidate-pair graph, so each
@@ -577,10 +573,15 @@ object Dedup {
       .localCheckpoint(true)
     var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("label"))
       .localCheckpoint(true)
+    // Runs to CONVERGENCE (empty frontier), not to an iteration cap:
+    // min-propagation is monotone over a finite label set, so every
+    // round either strictly lowers at least one label or empties the
+    // frontier — termination is guaranteed in <= diameter rounds, and a
+    // cap would silently return unconverged labels on a chain longer
+    // than the cap (breaking transitive-closure parity with the oracle).
     var frontier = labels // round 0: everyone announces their label
-    var iter = 0
     var frontierSize = 1L
-    while (frontierSize > 0 && iter < MaxClusterIters) {
+    while (frontierSize > 0) {
       val nbrMin = edges
         .join(frontier.select(col("id").as("nbr"), col("label").as("nbr_label")), "nbr")
         .groupBy("id").agg(min(col("nbr_label")).as("nbr_min"))
@@ -592,7 +593,6 @@ object Dedup {
       frontier = next.filter(col("moved")).select("id", "label")
       frontierSize = frontier.count()
       labels = next.select("id", "label")
-      iter += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")

@@ -52,10 +52,24 @@ object Similarity {
 
   /** vec_id + embedding + its squared norm (one codegen projection). */
   private def withNorm2(emb: DataFrame): DataFrame = {
-    VectorOps.register(emb.sparkSession, lshBits = LshBits)
+    VectorOps.register(emb.sparkSession)
     emb.select(col("vec_id"), col("embedding"))
       .withColumn("norm2", expr("vec_dot(embedding, embedding)"))
   }
+
+  /** Spread the STREAMED side of a broadcast O(|stream|·|bcast|) kernel
+    * across the cluster. A quadratic kernel's parallelism equals the
+    * stream side's partition count — and the local fixture is ONE small
+    * parquet file, so without this the whole n² loop runs in a single
+    * task (measured: q24 2.1 s single-task vs 0.4 s spread at sf0.1).
+    * At 100 TB a corpus scan has thousands of native splits and this
+    * becomes a no-op-ish rebalance; the explicit partition count (not a
+    * bare repartition()) also stops AQE from coalescing the tiny row
+    * payload back into one partition — the row count is small but the
+    * WORK per row is O(|bcast|), which AQE's size-based coalescing
+    * cannot see. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   // ---------------------------------------------------------- brute force
   /** Exact top-k cosine neighbors for each query vector. The query subset
@@ -73,7 +87,7 @@ object Similarity {
       col("norm2").as("q_norm2"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_raw").desc, col("cand_id"))
-    v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    spread(v).join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         (expr("vec_dot(q_emb, embedding)") /
           (sqrt(col("q_norm2")) * sqrt(col("norm2")))).as("cos_raw"))
@@ -200,20 +214,30 @@ object Similarity {
     * mid-loop with -Infinity (filtered like any sub-threshold cosine).
     * Kept pairs run the identical left-to-right fold, so results are
     * bit-for-bit the plain kernel's — asserted by spec AND by the
-    * unchanged exact oracle. */
-  def embeddingNearDups(emb: DataFrame, usePrune: Boolean = true): DataFrame = {
-    val v = withNorm2(emb)
-      .withColumn("sn", expr("vec_suffix_norms(embedding)"))
-    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
-                     col("norm2").as("norm2_a"), col("sn").as("sn_a"))
-    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
-                     col("norm2").as("norm2_b"), col("sn").as("sn_b"))
+    * unchanged exact oracle.
+    *
+    * Default is the PLAIN kernel: at dim=64 the suffix-norm arrays
+    * (65 doubles per row — wider than the embedding itself, carried on
+    * BOTH join sides) cost more than the aborted tail multiplies save —
+    * the round-3 bench measured the pruned path at 2.1x the plain one.
+    * The prune is the opt-in scale variant for long vectors (dim in the
+    * hundreds-plus) and tight thresholds, where the tail bound fires
+    * early enough to amortize its own payload. */
+  def embeddingNearDups(emb: DataFrame, usePrune: Boolean = false): DataFrame = {
+    val v0 = withNorm2(emb)
+    val v = if (usePrune) v0.withColumn("sn", expr("vec_suffix_norms(embedding)"))
+            else v0
+    val snCols = if (usePrune) Seq(col("sn")) else Seq.empty
+    val a = v.select(Seq(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+                     col("norm2").as("norm2_a")) ++ snCols.map(_.as("sn_a")): _*)
+    val b = v.select(Seq(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+                     col("norm2").as("norm2_b")) ++ snCols.map(_.as("sn_b")): _*)
     val dotExpr =
       if (usePrune)
         expr(s"vec_dot_prune(emb_a, emb_b, sn_a, sn_b, " +
              s"$NearDupThreshold * sqrt(norm2_a) * sqrt(norm2_b))")
       else expr("vec_dot(emb_a, emb_b)")
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    spread(a).join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (dotExpr / (sqrt(col("norm2_a")) * sqrt(col("norm2_b")))).as("cos_raw"))
       .filter(col("cos_raw") >= NearDupThreshold)
@@ -280,7 +304,7 @@ object Similarity {
     val v = withNorm2(emb)
     // bucket = fused codegen signature (one while-loop over the array;
     // the bits-wide HOF fold chain above is its spec-checked reference)
-    val sig = v.withColumn("bucket", expr("sign_lsh_sig(embedding)"))
+    val sig = v.withColumn("bucket", expr(s"sign_lsh_sig(embedding, $LshBits)"))
     val a = sig.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("norm2").as("norm2_a"))
     val b = sig.select(col("bucket"), col("vec_id").as("id_b"),

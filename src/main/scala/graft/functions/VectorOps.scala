@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expressions for embedding arithmetic over
   * Array[Float] columns: `vec_dot(a, b)` and `vec_dist2(a, b)`.
@@ -116,6 +117,38 @@ case class VecDotPrune(children: Seq[Expression]) extends Expression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = children.exists(_.nullable)
   override def prettyName: String = "vec_dot_prune"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val expected: Seq[DataType] = Seq(
+      ArrayType(FloatType, containsNull = false),
+      ArrayType(FloatType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false),
+      DoubleType)
+    if (children.length != expected.length)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires exactly ${expected.length} arguments " +
+          s"(a array<float>, b array<float>, suffix_norms_a array<double>, " +
+          s"suffix_norms_b array<double>, min_dot double); got ${children.length}")
+    else {
+      val bad = children.zip(expected).zipWithIndex.collectFirst {
+        // accept containsNull variants — eval reads primitives and is
+        // null-guarded at the row level
+        case ((c, ArrayType(et, _)), i) if (c.dataType match {
+              case ArrayType(actual, _) => actual != et
+              case _                    => true
+            }) => (i, c.dataType, s"array<${et.simpleString}>")
+        case ((c, DoubleType), i) if c.dataType != DoubleType =>
+          (i, c.dataType, "double")
+      }
+      bad match {
+        case Some((i, actual, want)) =>
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName argument ${i + 1} must be $want, got ${actual.simpleString}")
+        case None => TypeCheckResult.TypeCheckSuccess
+      }
+    }
+  }
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val vs = children.map(_.eval(input))
@@ -236,15 +269,24 @@ object VectorOps {
   }
 
   /** Register `vec_dot(a, b)` / `vec_dist2(a, b)` /
-    * `sign_lsh_sig(a)` (bits baked at registration) for expr()/SQL use.
+    * `sign_lsh_sig(a, bits)` for expr()/SQL use. `sign_lsh_sig` takes
+    * its bit width as an explicit literal second argument — the SAME
+    * arity as the [[graft.GraftExtensions]] injection, so a query string
+    * behaves identically whether the function came from this helper or
+    * from `spark.sql.extensions` (a 1-arg form with a register-time
+    * default drifted against the extension and is gone).
     * Idempotent per session. */
-  def register(spark: SparkSession, lshBits: Int = 8): Unit = {
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dist2", exprs => VecDist2(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sign_lsh_sig", exprs => SignLshSig(exprs.head, lshBits), "built-in")
+      "sign_lsh_sig", exprs => {
+        require(exprs.length == 2,
+          s"sign_lsh_sig(embedding, bits) requires exactly 2 arguments, got ${exprs.length}")
+        SignLshSig(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_suffix_norms", exprs => VecSuffixNorms(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

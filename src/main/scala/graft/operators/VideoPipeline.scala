@@ -174,12 +174,17 @@ object VideoPipeline {
     * (width, height, duration, size, volume, path) tuples the reference's
     * verbose report prints (video_metadata_db.py:1196-1210) — the rows a
     * user needs to decide WHICH file to delete. The reference walks each
-    * title's insertion list in reverse; insertion order there is the db
-    * file's line order, so the deterministic distributed equivalent is
-    * the reverse of the db's global sort: (width ASC NULLS FIRST, height
-    * ASC NULLS FIRST, path DESC) within each title. Membership comes from
-    * a count window over the title partition — one shuffle, no
-    * group-then-rejoin. */
+    * title's insertion list in reverse of the db file's descending line
+    * sort (video_metadata_db.py:766-800), which would order the trailing
+    * columns ASC too. We DELIBERATELY deviate on the tiebreak: (width ASC
+    * NULLS FIRST, height ASC NULLS FIRST, path DESC) within each title —
+    * resolution remains the primary key (the "which copy is bigger"
+    * signal), and path DESC surfaces the lexicographically-latest copy
+    * (deepest/most-recently-named path) first among same-resolution
+    * variants, which is the copy a cleanup usually keeps. The DuckDB
+    * oracle mirrors this exact key, so the deviation is pinned by the
+    * correctness gate, not incidental. Membership comes from a count
+    * window over the title partition — one shuffle, no group-then-rejoin. */
   def variantDetails(built: DataFrame,
                      durationCol: String = "duration_s"): DataFrame = {
     val base = regexp_replace(

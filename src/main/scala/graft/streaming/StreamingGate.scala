@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Oracle gate for the STREAMING engine (q40/q41): the q11/q12 window
+  * semantics executed through `readStream` → watermark → append-mode
+  * emission → `Trigger.AvailableNow` → memory sink, hash-compared by the
+  * driver against the SAME DuckDB oracles as their batch twins. This is
+  * the gap the batch queries can't cover: append mode only emits a
+  * window once the event-time watermark passes its end, so these rows
+  * exist in the sink *because* watermark bookkeeping, state eviction and
+  * finalization ran — a wrong watermark or output-mode bug changes the
+  * row set and fails the hash.
+  *
+  * Finite-input finalization: on a bounded file source the watermark
+  * plateaus at max(event_time) - horizon, which would leave the last
+  * horizon's worth of windows sitting in state forever (correct
+  * streaming semantics — those windows are still "open"). To close them
+  * deterministically the staged source directory gets ONE far-future
+  * sentinel event (+1 day, ids = -1): processing it advances the
+  * watermark past every real window, the engine's no-data finalization
+  * batch (`spark.sql.streaming.noDataMicroBatches.enabled`, on by
+  * default) flushes them to the sink, and the sentinel's own window —
+  * still within ITS horizon — is never emitted. The sink therefore holds
+  * exactly the real windows: parity with the batch oracle is a
+  * *consequence* of append-mode semantics, not a filter. In production
+  * the same trick is unnecessary (streams don't end) — this is the
+  * bounded-replay harness for CI parity, the streaming analogue of a
+  * golden-file test.
+  */
+object StreamingGate {
+
+  /** Copy the events fixture + write the sentinel row into a fresh temp
+    * dir, mtimes ordered (fixture old, sentinel new) so `latestFirst =
+    * false` + `maxFilesPerTrigger = 1` replays real data before the
+    * sentinel — the realistic arrival order. */
+  private def stageWithSentinel(spark: SparkSession, dir: String): Path = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = Files.createTempDirectory("graft-stream-gate")
+    staged.toFile.deleteOnExit()
+    val fixture = staged.resolve("00-events.parquet")
+    Files.copy(Paths.get(s"$dir/events.parquet"), fixture,
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(fixture,
+      FileTime.fromMillis(System.currentTimeMillis() - 60000))
+
+    // sentinel ts: +1 day past the fixture max, in the fixture's raw
+    // nanos encoding (read back as long via nanosAsLong)
+    val maxNs = spark.read.schema(EventsStreaming.rawSchema)
+      .parquet(fixture.toString).agg(max(col("ts"))).head.getLong(0)
+    val sentinel = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(-1L, maxNs + 86400L * 1000000000L, -1L, "sentinel", 0.0, null)),
+      EventsStreaming.rawSchema)
+    val outTmp = Files.createTempDirectory("graft-stream-sentinel")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(outTmp.toString)
+    val part = Files.list(outTmp).filter(_.toString.endsWith(".parquet"))
+      .findFirst.get
+    val dst = staged.resolve("99-sentinel.parquet")
+    Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dst, FileTime.fromMillis(System.currentTimeMillis()))
+    staged
+  }
+
+  /** readStream over the staged dir, ts normalized exactly like the
+    * batch loader (micros TimestampType). */
+  private def stream(spark: SparkSession, staged: Path): DataFrame =
+    spark.readStream
+      .schema(EventsStreaming.rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", false)
+      .parquet(staged.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Run `transform` through the real micro-batch engine with
+    * Trigger.AvailableNow into a memory sink; return the sink table. */
+  private def runToMemory(spark: SparkSession, dir: String,
+                          transform: DataFrame => DataFrame): DataFrame = {
+    val staged = stageWithSentinel(spark, dir)
+    val name = s"graft_stream_gate_${runCounter.incrementAndGet()}"
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    ckpt.toFile.deleteOnExit()
+    val q = transform(stream(spark, staged)).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** q40: tumbling 5-minute counts per type, via the streaming engine.
+    * Columns + oracle identical to q11 — the diff is the runtime. */
+  def q40StreamTumbling(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, dir, EventsStreaming.tumblingCounts)
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** q41: 30-minute-gap session windows per user, via the streaming
+    * engine (session-window state merge + append emission). */
+  def q41StreamSessions(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, dir, EventsStreaming.sessionCounts)
+      .orderBy(col("user_id"), col("session_start_us"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_stream_tumbling" -> (q40StreamTumbling _),
+    "q41_stream_sessions" -> (q41StreamSessions _))
+
+  /** Same oracles as the batch twins: the streaming engine must land on
+    * the identical relation. */
+  val oracles: Map[String, String] = Map(
+    "q40_stream_tumbling" -> graft.queries.Relational.q11Sql,
+    "q41_stream_sessions" -> graft.queries.Relational.q12Sql)
+}

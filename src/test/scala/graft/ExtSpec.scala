@@ -106,6 +106,18 @@ class ExtSpec extends SparkSpec {
     val cg = Dedup.dedupClusters(chainDocs, chain).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cg.values.toSet == Set(1L))
+    // chain of diameter 30 — longer than any iteration cap a "clone
+    // groups are shallow" assumption would pick: the loop must run to an
+    // EMPTY FRONTIER and still produce the full transitive closure
+    // (min-propagation is monotone, so termination is guaranteed; a
+    // silent cap here would return unconverged labels and break parity
+    // with the oracle's recursive CTE)
+    val longDocs = (1L to 31L).toDF("doc_id")
+    val longChain = (1L to 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val lg = Dedup.dedupClusters(longDocs, longChain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lg.size == 31 && lg.values.toSet == Set(1L),
+      "diameter-30 chain must fully converge to the component min")
     // real corpus: clusters are consistent with the pairs that made them —
     // both endpoints of every pair share a cluster id
     val clusters = Dedup.minhashClusters(docs).collect()

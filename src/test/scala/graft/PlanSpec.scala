@@ -164,12 +164,21 @@ class PlanSpec extends SparkSpec {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     // and the registered functions resolve from SQL text with the right values
     graft.functions.PolyHash.register(spark)
-    graft.functions.VectorOps.register(spark, lshBits = 3)
+    graft.functions.VectorOps.register(spark)
     val r = spark.sql("SELECT poly_hash('abc', 31, 1000000007) AS h").collect()
     assert(r.head.getLong(0) == graft.functions.PolyHash.eval("abc", 31, 1000000007))
     val v = spark.sql(
       "SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d, " +
       "vec_dist2(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS e").collect().head
     assert(v.getDouble(0) == 11.0 && v.getDouble(1) == 8.0)
+    // sign_lsh_sig is 2-arg ONLY (same arity as the extension injection);
+    // a 1-arg call must fail analysis cleanly, not bucket with a silent
+    // default width
+    val sig = spark.sql(
+      "SELECT sign_lsh_sig(array(1.0F, 2.0F), 3) AS s").collect().head
+    assert(sig.getLong(0) >= 0 && sig.getLong(0) < 8)
+    intercept[Exception] {
+      spark.sql("SELECT sign_lsh_sig(array(1.0F, 2.0F)) AS s")
+    }
   }
 }

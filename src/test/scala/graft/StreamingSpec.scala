@@ -41,6 +41,26 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q40 gate: APPEND-mode tumbling windows equal batch q11 exactly") {
+    // Unlike the complete-mode smoke above, this runs the oracle-gated
+    // path: AvailableNow + watermark + append emission + the far-future
+    // sentinel that finalizes the tail windows. Every row must have been
+    // EMITTED by watermark passage — full-row equality, ordering included.
+    val got = graft.streaming.StreamingGate.q40StreamTumbling(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.queries.Relational.q11EventWindows(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "append-mode emission must reproduce the batch relation")
+  }
+
+  test("q41 gate: APPEND-mode session windows equal batch q12 exactly") {
+    val got = graft.streaming.StreamingGate.q41StreamSessions(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.queries.Relational.q12Sessionize(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "session-window state finalization must match batch")
+  }
+
   test("streaming dedup keeps all distinct event ids") {
     val stream = EventsStreaming.eventsStream(spark, sf)
     val got = runToMemory(EventsStreaming.dedupEvents(stream), "t_dedup")

@@ -48,9 +48,9 @@ class VectorOpsSpec extends SparkSpec {
   }
 
   test("sign_lsh_sig equals the interpreted HOF fold chain, bit for bit") {
-    VectorOps.register(spark, lshBits = graft.ext.Similarity.LshBits)
+    VectorOps.register(spark)
     val both = Tables.embeddings(spark, sf)
-      .select(expr("sign_lsh_sig(embedding)").as("fused"),
+      .select(expr(s"sign_lsh_sig(embedding, ${graft.ext.Similarity.LshBits})").as("fused"),
               graft.ext.Similarity.signatureHofColumn.as("hof"))
       .collect()
     assert(both.nonEmpty)
