@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorOps
@@ -75,26 +74,31 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector. The query subset
     * is broadcast; the candidate corpus streams past it in a
     * BroadcastNestedLoopJoin whose projection (vec_dot + the norm
-    * division) is all whole-stage codegen. Top-k per query is a rank
-    * window partitioned by q_id — |Q| partitions, each |C| rows, sorted
-    * and spilled by WindowExec (never driver memory). Ranking breaks ties
-    * on candidate id and the 6-decimal rounding happens in the Column
-    * layer, so round() semantics are engine-checked, not hand-rolled. */
+    * division) is all whole-stage codegen. Top-k per query is the
+    * bounded-heap aggregator [[graft.functions.TopKByScore]]: each scan
+    * task reduces its pairs to k-row partials map-side, so the shuffle
+    * carries |Q|·k rows and NOTHING sorts the |Q|·|C| scored relation
+    * (the row_number-window formulation this replaced shuffled and
+    * sorted every scored pair — wrong shape at 100x corpus). Rank is
+    * recovered by posexploding the k-element result array. Ties break
+    * on candidate id inside the aggregator's total order; the 6-decimal
+    * rounding happens in the Column layer. */
   def cosineTopK(emb: DataFrame): DataFrame = {
     val v = withNorm2(emb)
     val q = v.filter(col("vec_id") % QueryMod === 0).select(
       col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("norm2").as("q_norm2"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_raw").desc, col("cand_id"))
+    val topk = graft.functions.BoundedTopK.topK(TopK)
     spread(v).join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         (expr("vec_dot(q_emb, embedding)") /
           (sqrt(col("q_norm2")) * sqrt(col("norm2")))).as("cos_raw"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("rank"), col("cand_id"),
-              round(col("cos_raw"), 6).as("cos_sim"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos_raw"), col("cand_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+              col("col.id").as("cand_id"),
+              round(col("col.cos"), 6).as("cos_sim"))
       .orderBy("q_id", "rank")
   }
 
@@ -148,17 +152,18 @@ object Similarity {
     val q = assigned.filter(col("vec_id") % QueryMod === 0).select(
       col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("norm2").as("q_norm2"), col("cell"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_raw").desc, col("cand_id"))
+    val topk = graft.functions.BoundedTopK.topK(IvfTopK)
     assigned.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("cell"), col("vec_id").as("cand_id"),
         (expr("vec_dot(q_emb, embedding)") /
           (sqrt(col("q_norm2")) * sqrt(col("norm2")))).as("cos_raw"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= IvfTopK)
-      .select(col("q_id"), col("cell"), col("rank"), col("cand_id"),
-              round(col("cos_raw"), 6).as("cos_sim"))
+      .groupBy(col("q_id"), col("cell"))
+      .agg(topk(col("cos_raw"), col("cand_id")).as("top"))
+      .select(col("q_id"), col("cell"), posexplode(col("top")))
+      .select(col("q_id"), col("cell"), (col("pos") + 1).cast("int").as("rank"),
+              col("col.id").as("cand_id"),
+              round(col("col.cos"), 6).as("cos_sim"))
       .orderBy("q_id", "rank")
   }
 

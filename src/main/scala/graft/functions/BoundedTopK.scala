@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.functions.udaf
+
+/** One scored candidate: similarity + id. Comparator everywhere is
+  * (cos DESC, id ASC) — a strict total order (ids are unique), so the
+  * aggregation result is independent of partial-merge order. */
+case class ScoredCand(cos: Double, id: Long)
+
+/** Bounded-heap top-k by score: a typed Aggregator whose buffer is a
+  * DESC-sorted list of at most k candidates.
+  *
+  * Why this beats a `row_number` window for per-query top-k (q17):
+  * WindowExec must hash-partition and SORT the full scored relation —
+  * |Q|·|C| rows through one range/sort shuffle, spilling at scale. This
+  * aggregator reduces each scan task's pairs into k-row partials
+  * map-side (ObjectHashAggregate partial → final), so the shuffle
+  * carries |Q|·k rows instead of |Q|·|C| and nothing is ever sorted but
+  * k-element buffers. State per key is O(k) regardless of corpus size —
+  * the same bounded-memory argument as q34's TakeOrderedAndProject,
+  * applied per key.
+  *
+  * Determinism: insertion and merge respect the (cos DESC, id ASC)
+  * total order, so any partial grouping yields the same top-k — no
+  * dependence on row arrival order (asserted by the merge-invariance
+  * spec). */
+class TopKByScore(k: Int)
+    extends Aggregator[ScoredCand, List[ScoredCand], Seq[ScoredCand]] {
+  require(k > 0, s"top-k needs k > 0, got $k")
+
+  private def better(a: ScoredCand, b: ScoredCand): Boolean =
+    a.cos > b.cos || (a.cos == b.cos && a.id < b.id)
+
+  override def zero: List[ScoredCand] = Nil
+
+  override def reduce(buf: List[ScoredCand], in: ScoredCand): List[ScoredCand] = {
+    // skip the common case without allocation: buffer full and the new
+    // candidate loses to the current k-th
+    if (buf.lengthCompare(k) >= 0 && !better(in, buf.last)) buf
+    else {
+      val (keep, rest) = buf.span(better(_, in))
+      (keep ::: in :: rest).take(k)
+    }
+  }
+
+  override def merge(a: List[ScoredCand], b: List[ScoredCand]): List[ScoredCand] = {
+    // merge of two DESC-sorted lists, truncated at k
+    val out = List.newBuilder[ScoredCand]
+    var (x, y, n) = (a, b, 0)
+    while (n < k && (x.nonEmpty || y.nonEmpty)) {
+      if (y.isEmpty || (x.nonEmpty && better(x.head, y.head))) {
+        out += x.head; x = x.tail
+      } else { out += y.head; y = y.tail }
+      n += 1
+    }
+    out.result()
+  }
+
+  override def finish(buf: List[ScoredCand]): Seq[ScoredCand] = buf
+
+  override def bufferEncoder: Encoder[List[ScoredCand]] =
+    ExpressionEncoder[List[ScoredCand]]()
+  override def outputEncoder: Encoder[Seq[ScoredCand]] =
+    ExpressionEncoder[Seq[ScoredCand]]()
+}
+
+object BoundedTopK {
+  /** Column function: `topK(k)(cosCol, idCol)` aggregates to
+    * array<struct<cos,id>> of the k best, DESC by (cos, id ASC). */
+  def topK(k: Int): (Column, Column) => Column = {
+    val f = udaf(new TopKByScore(k))
+    (cos: Column, id: Column) => f(cos, id)
+  }
+}

@@ -109,17 +109,21 @@ class PlanSpec extends SparkSpec {
     // side is broadcast (corpus side stays a streaming scan)
     val p17 = plan(SparkEntry.queries("q17_cosine_topk")(spark, sf))
     assert(p17.contains("vec_dot") && p17.contains("BroadcastExchange"))
+    // top-k reduces through the bounded-heap aggregator: the |Q|x|C|
+    // scored relation must never pass through a WindowExec sort
+    assert(!p17.contains("Window"),
+      s"q17 top-k regressed to a window sort over the scored relation:\n${p17.take(2000)}")
     val p18 = plan(SparkEntry.queries("q18_ivf_topk")(spark, sf))
     assert(p18.contains("vec_dist2") && p18.contains("vec_dot"))
   }
 
-  test("q18: centroid assignment is a partial-aggregable argmin, not a window sort") {
+  test("q18: argmin assignment and top-k both aggregate — no window sorts at all") {
     val p = plan(SparkEntry.queries("q18_ivf_topk")(spark, sf))
-    // exactly one real Window — the final top-k (WindowGroupLimit pushdown
-    // lines are that same window, not extra sorts); the |V|x|centroids|
-    // argmin must reduce through aggregate partials, never a window sort
-    assert("Window \\[".r.findAllIn(p).length == 1,
-      s"assignment leaked into a window sort:\n${p.take(2000)}")
+    // the |V|x|centroids| argmin reduces through aggregate partials and
+    // the per-(query,cell) top-k through the bounded-heap aggregator —
+    // nothing in the plan may sort a scored relation
+    assert(!p.contains("Window"),
+      s"scored relation leaked into a window sort:\n${p.take(2000)}")
     assert(p.contains("min(struct(d2"),
       "argmin must plan as a struct-min aggregate (partial-combinable)")
   }

@@ -99,6 +99,24 @@ class VectorOpsSpec extends SparkSpec {
     assert(p == q, "pruning changed the q24 answer")
   }
 
+  test("TopKByScore: any partial grouping merges to the same bounded top-k") {
+    import graft.functions.{ScoredCand, TopKByScore}
+    val agg = new TopKByScore(5)
+    val rnd = new scala.util.Random(41)
+    // duplicate scores force the id tiebreak; ids unique
+    val cands = rnd.shuffle((1L to 200L).map(i => ScoredCand((i % 17).toDouble / 17.0, i)))
+    val want = cands.sortBy(c => (-c.cos, c.id)).take(5).toList
+    // straight fold
+    assert(cands.foldLeft(agg.zero)(agg.reduce) == want)
+    // arbitrary partial splits + merges, in both merge orders
+    for (chunks <- Seq(7, 3, 50, 199)) {
+      val partials = cands.grouped(chunks).map(_.foldLeft(agg.zero)(agg.reduce)).toList
+      assert(partials.reduce(agg.merge) == want)
+      assert(partials.reverse.reduce(agg.merge) == want)
+      partials.foreach(p => assert(p.lengthCompare(5) <= 0, "buffer must stay bounded"))
+    }
+  }
+
   test("vec_dot runs inside whole-stage codegen (no interpreted fallback)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
