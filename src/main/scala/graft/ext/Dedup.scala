@@ -316,7 +316,8 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxBucket: Int = MaxLshBucket): DataFrame = {
     val c = 1L << SimhashBits
     simhashCore(docs)
-      .select((col("doc_id") * c + col("simhash")).as("packed"), col("bucket"))
+      .select((packGuard(col("doc_id"), Long.MaxValue / c, "q32 doc_id") * c +
+          col("simhash")).as("packed"), col("bucket"))
       .groupBy("bucket")
       .agg(sort_array(collect_list(col("packed"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
@@ -388,7 +389,8 @@ object Dedup {
       explode(array(
         (struct(col("bucket").as("bk"), lit(1L).as("nat")) +: probeStructs): _*)).as("p"))
       .select(col("p.bk").as("bucket"),
-        (col("doc_id") * docShift + col("p.nat") * nativeBit + col("simhash"))
+        (packGuard(col("doc_id"), Long.MaxValue / docShift, "q36 doc_id") *
+          docShift + col("p.nat") * nativeBit + col("simhash"))
           .as("packed"))
     emitted
       .groupBy("bucket")
@@ -443,6 +445,20 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Loud guard on 8-byte packing headroom: the packed-long shuffles
+    * (q16 postings, q32/q36 simhash lists) multiply ids into the high
+    * bits of one long, which silently CORRUPTS results if an id exceeds
+    * its headroom. This raises a descriptive error at the packing site
+    * instead — at corpus scale a violated invariant (doc_id beyond
+    * ~2^34-2^43, a >1M-distinct-shingle document) must fail the job
+    * noisily, never hash wrong pairs. Cost: one branch per row, beside
+    * explodes that dominate by orders of magnitude. */
+  private def packGuard(id: Column, limit: Long, what: String): Column =
+    when(id < 0 || id >= limit,
+      raise_error(concat(lit(s"$what exceeds packing bound [0, $limit): "),
+        id.cast("string"))))
+    .otherwise(id)
+
   // ------------------------------------------------------- ngram jaccard
   val MinCommonShingles = 2
 
@@ -475,9 +491,11 @@ object Dedup {
     *    posting-list sort compares longs (doc_id lives in the high bits,
     *    so packed order == doc_id order), and the final Jaccard is
     *    computed where the pair is born. [[PackShift]] bounds docs to
-    *    2^20-1 distinct shingles — ~10 MB of text per document — checked
-    *    nowhere because a doc that large should have been length-capped
-    *    long before dedup;
+    *    2^20-1 distinct shingles (~10 MB of text per document) and
+    *    doc_id to 2^43 — both enforced loudly by the packGuard
+    *    raise_error, since a doc that large should have been
+    *    length-capped long before dedup and a silent wrap would hash
+    *    WRONG pairs;
     *  - candidate pairs come from IN-BUCKET expansion of each shingle's
     *    sorted posting list (like minhashPairs), not a self-join — one
     *    aggregation instead of a join that re-shuffles both sides;
@@ -494,7 +512,9 @@ object Dedup {
     val postings = docs
       .select(col("doc_id"),
         array_distinct(expr("shingle_hashes(text)")).as("shs"))
-      .select((col("doc_id") * c + size(col("shs"))).as("packed"),
+      .select((packGuard(col("doc_id"), Long.MaxValue / c, "q16 doc_id") * c +
+          packGuard(size(col("shs")).cast("long"), c, "q16 shingle count"))
+          .as("packed"),
         explode(col("shs")).as("shingle"))
       .groupBy("shingle")
       .agg(sort_array(collect_list(col("packed"))).as("ids"))

@@ -349,16 +349,106 @@ object Similarity {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---------------------------------------------- multi-band sign-LSH
+  /** Band count for the multi-band variant: [[LshBands]] independent
+    * bands of [[LshBits]] planes each (the minhash banding trick applied
+    * to random-hyperplane LSH). A pair is a candidate if ANY band's bits
+    * all agree — per-band match probability for a pair at angle θ is
+    * (1 - θ/π)^r, so b bands lift recall to 1 - (1 - (1-θ/π)^r)^b while
+    * per-band buckets stay small. Band 0 uses EXACTLY q31's planes
+    * (plane index = band·r + bit, so bits 0..r-1 of the wide signature
+    * ARE the single-band signature), which makes the recall guarantee
+    * structural: q42's pair set is a superset of q31's by construction,
+    * spec-asserted rather than hoped. */
+  val LshBands = 4
+
+  /** Multi-band sign-LSH near-dup: q31's recall buy-back. One fused
+    * codegen signature of b·r bits per vector, exploded into b
+    * (band, band_bits) keys; candidates join per band; a pair is
+    * emitted EXACTLY ONCE — by its first matching band — via a
+    * generated bit predicate over sig_a XOR sig_b (band j matches iff
+    * bits [j·r, (j+1)·r) of the XOR are zero; emit at band j iff no
+    * band < j matches). No distinct pass, no post-hoc dedup shuffle —
+    * the q36 native-rule emission idea applied to vectors. Survivors
+    * run the exact vec_dot verify at the same threshold as q24/q31.
+    *
+    * Scale: O(sum over bands of bucket²) candidate work, b·n exploded
+    * rows shuffled by (band, bits) — never O(n²); the predicate and the
+    * verify kernel are whole-stage codegen. */
+  def signLshMultiBand(emb: DataFrame): DataFrame = {
+    val totalBits = LshBands * LshBits
+    val mask = (1L << LshBits) - 1
+    val v = withNorm2(emb)
+      .withColumn("sig", expr(s"sign_lsh_sig(embedding, $totalBits)"))
+    val banded = v
+      .select(col("vec_id"), col("embedding"), col("norm2"), col("sig"),
+        explode(sequence(lit(0), lit(LshBands - 1))).as("band"))
+      .withColumn("bkey", expr(s"shiftright(sig, band * $LshBits) & $mask"))
+    val a = banded.select(col("band"), col("bkey"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("norm2").as("norm2_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bkey"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("norm2").as("norm2_b"), col("sig").as("sig_b"))
+    // first-matching-band predicate, generated as pure integer codegen
+    // (no HOF lambda per pair): x = sig_a XOR sig_b; band j matched iff
+    // ((x >> j*r) & mask) = 0; emit here iff every earlier band differs
+    val firstMatch = (0 until LshBands).map { j =>
+      val earlierDiffer = (0 until j)
+        .map(e => s"(shiftright(sig_a ^ sig_b, ${e * LshBits}) & $mask) != 0")
+      (s"band = $j" +: earlierDiffer).mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(expr(firstMatch))
+      .select(col("id_a"), col("id_b"),
+        (expr("vec_dot(emb_a, emb_b)") /
+          (sqrt(col("norm2_a")) * sqrt(col("norm2_b")))).as("cos_raw"))
+      .filter(col("cos_raw") >= NearDupThreshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val signLshMultiBandSql: String = {
+    def planeDuck(j: String, i: String): String =
+      s"(CAST((CAST(1103515245 AS BIGINT) * (($j) * 4096 + ($i)) + 12345) % 2147483648 AS DOUBLE)" +
+        s" / 2147483648.0 - 0.5)"
+    def projDuck(p: Int): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(generate_series(1, len(embedding)), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * ${planeDuck(p.toString, "(i - 1)")})), " +
+        s"(x, y) -> x + y)"
+    // band j's key: r sign bits from planes j*r .. j*r+r-1
+    def bandKey(j: Int): String = (0 until LshBits).map { bit =>
+      s"CASE WHEN ${projDuck(j * LshBits + bit)} >= 0 THEN ${1L << bit} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+    val bandCols = (0 until LshBands)
+      .map(j => s"${bandKey(j)} AS band$j").mkString(",\n    ")
+    val anyBand = (0 until LshBands)
+      .map(j => s"a.band$j = b.band$j").mkString(" OR ")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, ${duckNorm2("embedding")} AS norm2,
+       |    $bandCols
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${duckDot("a.embedding", "b.embedding")} / (sqrt(a.norm2) * sqrt(b.norm2)) AS cos_raw
+       |  FROM v a JOIN v b ON a.vec_id < b.vec_id AND ($anyBand))
+       |SELECT id_a, id_b, round(cos_raw, 6) AS cos_sim
+       |FROM pairs WHERE cos_raw >= $NearDupThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_cosine_topk" -> ((s, d) => cosineTopK(Tables.embeddings(s, d))),
     "q18_ivf_topk"    -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "q24_embedding_neardup" -> ((s, d) => embeddingNearDups(Tables.embeddings(s, d))),
-    "q31_signlsh_neardup" -> ((s, d) => signLshNearDups(Tables.embeddings(s, d))))
+    "q31_signlsh_neardup" -> ((s, d) => signLshNearDups(Tables.embeddings(s, d))),
+    "q42_signlsh_multiband" -> ((s, d) => signLshMultiBand(Tables.embeddings(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q17_cosine_topk" -> cosineTopKSql,
     "q18_ivf_topk"    -> ivfTopKSql,
     "q24_embedding_neardup" -> embeddingNearDupsSql,
-    "q31_signlsh_neardup" -> signLshNearDupsSql)
+    "q31_signlsh_neardup" -> signLshNearDupsSql,
+    "q42_signlsh_multiband" -> signLshMultiBandSql)
 }

@@ -1,6 +1,5 @@
 package graft.operators
 
-import scala.sys.process._
 import scala.util.control.NonFatal
 
 /** One probed file's metadata — the union of the reference's two ffprobe
@@ -26,6 +25,39 @@ case class ProbeResult(
   */
 trait Prober extends Serializable {
   def probe(path: String): ProbeResult
+
+  /** Probe a partition's paths with at most `concurrency` subprocesses
+    * in flight, results in INPUT ORDER. The pool is per-partition and
+    * bounded: a sliding window of `concurrency` outstanding futures —
+    * path i+c is not forked until path i's result is consumed, so the
+    * process count on an executor is task_slots × concurrency, a number
+    * you can capacity-plan. Probing is almost pure subprocess wait
+    * (ffprobe reads a few KB of headers), so a modest pool hides fork +
+    * I/O latency without oversubscribing CPU. concurrency <= 1 is the
+    * plain sequential map. Worker threads are daemons: an abandoned
+    * iterator (task kill, downstream limit) can't pin the executor JVM. */
+  def probeAll(paths: Iterator[String], concurrency: Int): Iterator[ProbeResult] =
+    if (concurrency <= 1) paths.map(probe)
+    else new Iterator[ProbeResult] {
+      private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        concurrency,
+        (r: Runnable) => { val t = new Thread(r, "graft-probe"); t.setDaemon(true); t })
+      private val inflight =
+        new java.util.ArrayDeque[java.util.concurrent.Future[ProbeResult]]()
+      private def fill(): Unit =
+        while (inflight.size < concurrency && paths.hasNext) {
+          val p = paths.next()
+          inflight.add(pool.submit(() => probe(p)))
+        }
+      fill()
+      override def hasNext: Boolean = !inflight.isEmpty
+      override def next(): ProbeResult = {
+        val r = inflight.remove().get() // probe() never throws (P3)
+        fill()
+        if (inflight.isEmpty) pool.shutdown()
+        r
+      }
+    }
 }
 
 /** Real ffprobe prober. ONE invocation per file fetches both the video and
@@ -36,29 +68,47 @@ trait Prober extends Serializable {
   * Per-row failures are captured into `probeError` (P3) so one corrupt
   * file never fails a 100 TB job; the quarantine set is a filter away.
   */
-final class FfprobeProber(timeoutSec: Int = 30) extends Prober {
+final class FfprobeProber(timeoutSec: Int = 30,
+                          binary: String = "ffprobe") extends Prober {
 
+  /** Fork one probe with a bounded wait and GUARANTEED reaping:
+    *  - stdout/stderr drain on a daemon thread (a chatty probe filling
+    *    the pipe buffer must not deadlock against our waitFor),
+    *  - `waitFor(timeout)` bounds the wedge (truncated container, dead
+    *    NFS) — the ROW quarantines, the task slot survives,
+    *  - timeout escalates SIGTERM → (2 s grace) → SIGKILL
+    *    (`destroyForcibly`, which a TERM-trapping child can't ignore),
+    *  - the final untimed `waitFor` REAPS the dead child so no zombie
+    *    pid accumulates over a multi-million-file partition. */
   private def run(cmd: Seq[String]): Seq[String] = {
-    val out = new StringBuilder
-    val err = new StringBuilder
-    val proc = Process(cmd).run(ProcessLogger(l => out.append(l).append('\n'),
-                                              l => err.append(l).append('\n')))
-    // bounded wait — a wedged probe (truncated container, dead NFS) must
-    // quarantine the ROW, not hang the task slot
-    val done = new java.util.concurrent.CompletableFuture[Int]()
-    val waiter = new Thread(() => done.complete(proc.exitValue()))
-    waiter.setDaemon(true)
-    waiter.start()
-    val status =
-      try done.get(timeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
-      catch {
-        case _: java.util.concurrent.TimeoutException =>
-          proc.destroy()
-          throw new RuntimeException(s"ffprobe timeout after ${timeoutSec}s")
-      }
+    import java.util.concurrent.TimeUnit
+    val pb = new ProcessBuilder(cmd: _*)
+    val proc = pb.start()
+    proc.getOutputStream.close()
+    val out = new java.io.ByteArrayOutputStream
+    val err = new java.io.ByteArrayOutputStream
+    def drain(src: java.io.InputStream, dst: java.io.ByteArrayOutputStream) = {
+      val t = new Thread(() => {
+        try src.transferTo(dst) catch { case NonFatal(_) => () }
+      }, "graft-probe-drain")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    val outT = drain(proc.getInputStream, out)
+    val errT = drain(proc.getErrorStream, err)
+    val finished = proc.waitFor(timeoutSec.toLong, TimeUnit.SECONDS)
+    if (!finished) {
+      proc.destroy()
+      if (!proc.waitFor(2, TimeUnit.SECONDS)) proc.destroyForcibly()
+      proc.waitFor() // reap — never leave a zombie behind
+      throw new RuntimeException(s"ffprobe timeout after ${timeoutSec}s")
+    }
+    outT.join(1000); errT.join(1000)
+    val status = proc.exitValue()
     if (status != 0) throw new RuntimeException(
-      s"ffprobe exit $status: ${err.toString.trim.take(200)}")
-    out.toString.split('\n').toSeq.filter(_.nonEmpty)
+      s"ffprobe exit $status: ${err.toString("UTF-8").trim.take(200)}")
+    out.toString("UTF-8").split('\n').toSeq.filter(_.nonEmpty)
   }
 
   override def probe(path: String): ProbeResult =
@@ -66,13 +116,13 @@ final class FfprobeProber(timeoutSec: Int = 30) extends Prober {
       // Positional output parity with video_metadata_db.py:218-225:
       // codec_long_name, width, height, nb_streams, format_long_name,
       // duration, [title]
-      val v = run(Seq("ffprobe", "-v", "error", "-select_streams", "v:0",
+      val v = run(Seq(binary, "-v", "error", "-select_streams", "v:0",
         "-show_entries",
         "format_tags=title:format=nb_streams,format_long_name:stream=codec_long_name,width,height:format=duration",
         "-print_format", "default=noprint_wrappers=1:nokey=1", "-i", path))
       // Audio entries (video_metadata_db.py:227-229): codec_long_name,
       // channels; absence detected by line count != 2 (ref :320-339).
-      val a = try run(Seq("ffprobe", "-v", "error", "-select_streams", "a:0",
+      val a = try run(Seq(binary, "-v", "error", "-select_streams", "a:0",
         "-show_entries", "stream=channels,codec_long_name",
         "-print_format", "default=noprint_wrappers=1:nokey=1", "-i", path))
       catch { case NonFatal(_) => Seq.empty }

@@ -33,17 +33,27 @@ object VideoPipeline {
     * failing the task (P3). Returns listing columns + probe columns.
     *
     * 100 TB note: probing is subprocess-bound, so callers repartition the
-    * listing to ≫ cores before this stage; each task forks sequentially
-    * within its partition (bounded process count = task slots).
+    * listing to ≫ cores before this stage. Within a task, forks go
+    * through [[Prober.probeAll]] — a bounded per-partition pool of
+    * `probeConcurrency` in-flight subprocesses (order-preserving), so
+    * executor process count stays task_slots × concurrency. The default
+    * of 1 is plain sequential forking.
     */
   def probeStage(listing: DataFrame, prober: Prober,
-                 probePartitions: Option[Int] = None): DataFrame = {
+                 probePartitions: Option[Int] = None,
+                 probeConcurrency: Int = 1): DataFrame = {
     val spark = listing.sparkSession
     import spark.implicits._
     val src = probePartitions.fold(listing)(n => listing.repartition(n))
     val probed: Dataset[(FileListing, ProbeResult)] =
       src.select("path", "sizeBytes", "volume").as[FileListing]
-        .mapPartitions { it => it.map(f => (f, prober.probe(f.path))) }
+        .mapPartitions { it =>
+          // duplicate: one stream feeds the pool, the other re-pairs
+          // results with their listing rows (lockstep — the buffer
+          // between the twins never exceeds the in-flight window)
+          val (rows, paths) = it.duplicate
+          rows.zip(prober.probeAll(paths.map(_.path), probeConcurrency))
+        }
     probed.select(
       $"_1.path".as("path"),
       $"_1.sizeBytes".as("size_bytes"),

@@ -134,13 +134,20 @@ object Tsv {
     // blank placeholders (" ", "") must read as null, not an ANSI cast error
     def num(c: Column, t: String): Column =
       when(c.rlike("^\\d+$"), c).otherwise(lit(null)).cast(t)
+    // "0000" is the writer's missing-dimension SENTINEL
+    // (video_metadata_db.py's else-branch, see renderLines) — decode it
+    // back to null so parse∘render is the identity on dimensions: a
+    // re-export of a parsed db must reproduce "0000", not right-pad a
+    // fake literal zero width
+    def dim(c: Column): Column =
+      when(c === "0000", lit(null)).otherwise(num(c, "int"))
     // ragged: 18 fields with audio, 16 without; audio sits at 10/11
     val n = size(f)
     val shifted = (idx: Int) => // index for columns AFTER the audio pair
       when(n === 18, fld(lit(idx))).otherwise(fld(lit(idx - 2)))
     raw.select(
-      num(fld(lit(1)), "int").as("width"),
-      num(fld(lit(2)), "int").as("height"),
+      dim(fld(lit(1))).as("width"),
+      dim(fld(lit(2))).as("height"),
       fld(lit(3)).as("duration_display"),
       fld(lit(4)).as("size_display"),
       num(fld(lit(5)), "long").as("size_bytes"),

@@ -325,6 +325,29 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("q42 multi-band sign-LSH: superset of q31, subset of q24, exactly-once pairs") {
+    val exact = Similarity.embeddingNearDups(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val single = Similarity.signLshNearDups(emb).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val multi = Similarity.signLshMultiBand(emb).collect()
+    val multiKeys = multi.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    // exactly-once emission: first-matching-band predicate, not distinct —
+    // a duplicate here means two bands both emitted the same pair
+    assert(multiKeys.length == multiKeys.toSet.size,
+      "a pair was emitted by more than one band")
+    // recall buy-back is structural: band 0 IS q31's bucket (same planes),
+    // so every single-band pair must reappear
+    assert(single.subsetOf(multiKeys.toSet),
+      s"multi-band lost single-band pairs: ${single -- multiKeys.toSet}")
+    // and precision is inherited from the exact verify kernel
+    multi.foreach { r =>
+      val k = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      assert(exact.contains(k), s"multi-band produced a pair $k the exact kernel lacks")
+      assert(exact(k) == r.getAs[Double]("cos_sim"), s"score drift for $k")
+    }
+  }
+
   test("q34 vocab: tf >= df >= 1, descending, deterministic across partitionings") {
     val r = TextAnalysis.vocab(docs).collect()
     assert(r.nonEmpty)
@@ -405,6 +428,36 @@ class ExtSpec extends SparkSpec {
     assert(TextAnalysis.lengthQuantiles(weird).count() == 3) // one row per source
     assert(TextAnalysis.fingerprints(weird).count() == 7)
     assert(TextAnalysis.quality(weird).count() == 7)
+  }
+
+  test("packed-long operators fail LOUDLY past their id headroom, never corrupt") {
+    import spark.implicits._
+    // q16 packs doc_id * 2^20, q32 doc_id * 2^28, q36 doc_id * 2^29 into
+    // one long; an id past the headroom must raise a descriptive error
+    // at the packing site (a silent wrap would emit WRONG pairs, the
+    // worst possible failure mode for a dedup pass). In-bounds ids — the
+    // same magnitude minus one — must keep working.
+    val hot = "alpha beta gamma delta epsilon zeta"
+    def corpus(id: Long) = Seq((1L, hot, "srcA"), (id, hot, "srcB"))
+      .toDF("doc_id", "text", "source")
+    val overQ16 = corpus(Long.MaxValue / Dedup.PackShift)
+    val e16 = intercept[Exception] { Dedup.ngramJaccardPairs(overQ16).collect() }
+    assert(e16.getMessage.contains("packing bound") ||
+           e16.getCause != null && e16.getCause.getMessage.contains("packing bound"))
+    val e32 = intercept[Exception] { Dedup.simhashPairs(corpus(1L << 40)).collect() }
+    assert(e32.toString.contains("packing bound") ||
+           Option(e32.getCause).exists(_.getMessage.contains("packing bound")))
+    val e36 = intercept[Exception] {
+      Dedup.simhashPairsMultiProbe(corpus(1L << 40)).collect()
+    }
+    assert(e36.toString.contains("packing bound") ||
+           Option(e36.getCause).exists(_.getMessage.contains("packing bound")))
+    // one below the bound: still a clean, correct pair
+    val okId = Long.MaxValue / Dedup.PackShift - 1
+    val ok = Dedup.ngramJaccardPairs(corpus(okId)).collect()
+    assert(ok.exists(r => r.getLong(0) == 1L && r.getLong(1) == okId &&
+      r.getAs[Long]("jaccard_e4") == 10000L),
+      "in-bounds max-magnitude id must still pair correctly")
   }
 
   test("observe metrics count probed and failed files inline (A3)") {

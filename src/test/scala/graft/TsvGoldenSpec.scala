@@ -53,9 +53,10 @@ class TsvGoldenSpec extends SparkSpec {
     val r13 = df.filter(col("path_on_volume").contains("/f13/")).collect().head
     assert(r13.isNullAt(r13.fieldIndex("audio_channels")))
     assert(r13.getAs[String]("title") == "Movie 13")
-    // id 11: missing dims were written as "0000" (reference's lossy quirk)
+    // id 11: missing dims were written as "0000" (the writer's sentinel)
+    // and must decode back to null, so parse∘render is the identity
     val r11 = df.filter(col("path_on_volume").contains("/f11/")).collect().head
-    assert(r11.getAs[Int]("width") == 0)
+    assert(r11.isNullAt(r11.fieldIndex("width")))
     // id 3 has an srt subtitle with its size
     val r3 = df.filter(col("path_on_volume").contains("/f3/")).collect().head
     assert(r3.getAs[String]("srt_avail") == "Y" && r3.getAs[Long]("srt_size") == 9017L)
@@ -76,6 +77,39 @@ class TsvGoldenSpec extends SparkSpec {
     assert(full.isNullAt(full.fieldIndex("width")))   // "abcd" -> null
     assert(full.isNullAt(full.fieldIndex("size_bytes"))) // "NaN" -> null
     assert(full.getAs[String]("title") == "title")
+  }
+
+  test("round trip: BOM + header + ragged + 0000 dims + N/A re-export byte-identically") {
+    // A crafted db exercising all the raggedness quirks SIMULTANEOUSLY:
+    // BOM + header at the file level, an 18-field row, a 16-field
+    // audio-less row, and a row with 0000 dims, N/A duration and blank
+    // subtitle sizes. readReferenceTsv → renderLines → writeSingleFile
+    // must reproduce the input byte for byte (parse∘render = identity):
+    // duration display strings pass through durationDisplay's
+    // non-numeric branch, sizeof_fmt re-derives from size_bytes, and the
+    // 0000 sentinel survives via the null decode.
+    val full = "1920\t1080\t2h:30m:30s\t1.5KiB\t1536\tH.264 / AVC\tN\t3\t" +
+      "Matroska / WebM\t6\tAAC (Advanced Audio Coding)\tMovie A\tY\t9017\tN\t \t" +
+      "vol0\t/d1/f1/Movie A.mkv"
+    val audioless = " 640\t 360\t47s\t500.0B\t500\tMPEG-4 part 2\tN\t2\t" +
+      "QuickTime / MOV\tMovie B\tN\t \tN\t \tvol1\t/d2/f2/Movie B.avi"
+    val sentinel = "0000\t0000\tN/A\t2.0KiB\t2048\tAlliance for Open Media AV1\tY\t2\t" +
+      "AVI (Audio Video Interleaved)\t2\tAAC (Advanced Audio Coding)\t<Untitled>\t" +
+      "N\t \tN\t \tvol2\t/d3/f3/[1999] Movie C [4K].mkv"
+    val body = Seq(full, audioless, sentinel).sorted(Ordering[String].reverse)
+    val fixture = Files.createTempFile("graft-roundtrip", ".tsv")
+    Files.write(fixture,
+      ("﻿" + Tsv.headerLine + "\n" + body.mkString("\n") + "\n").getBytes("UTF-8"))
+
+    val parsed = Tsv.readReferenceTsv(spark, fixture.toString)
+    assert(parsed.count() == 3)
+    val builtShape = parsed.withColumn("duration_raw", col("duration_display"))
+    val out = Files.createTempFile("graft-roundtrip-out", ".tsv")
+    Tsv.writeSingleFile(Tsv.sortLinesDesc(Tsv.renderLines(builtShape)),
+      out.toString, withHeader = true)
+    val got = new String(Files.readAllBytes(out), "UTF-8")
+    val want = new String(Files.readAllBytes(fixture), "UTF-8")
+    assert(got == want, s"round trip drifted:\ngot:\n$got\nwant:\n$want")
   }
 
   test("merge export: header + BOM + unioned sorted content") {
