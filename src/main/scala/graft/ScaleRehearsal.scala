@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal: synthesize a ~10x, deliberately SKEWED
+  * documents/embeddings fixture from a base scale factor, run the
+  * LLM-data-pipeline operator suite on both, and report the scaling
+  * ratio plus the skew-cap observe() metrics. This answers the question
+  * the correctness gate can't: do the bucketed designs actually hold
+  * when the data grows and a hot key appears?
+  *
+  * The synthetic skew is the shape production corpora actually have:
+  *  - BOILERPLATE: one fixed 12-word sentence appended to 30% of docs
+  *    (license headers, cookie banners) — its shingles' posting lists
+  *    cover 30% of the corpus, exactly what the df/bucket caps exist
+  *    for. The rehearsal asserts the caps ENGAGE (nonzero dropped
+  *    metrics) instead of letting those buckets go quadratic.
+  *  - NEAR-DUP FAMILIES: each base doc yields 10 perturbed copies
+  *    (distinct tails), so pair generators and clustering see real
+  *    cluster structure at 10x volume, not independent rows.
+  *  - Embeddings likewise 10x with per-copy offsets.
+  *
+  * The quadratic-BY-SEMANTICS kernels (q17 brute-force top-k, q18
+  * cell-probe over a fixed centroid stand-in, q24 exact all-pairs) are
+  * excluded and listed in the output: their cost is declared O(n^2) —
+  * the rehearsal measures the operators that claim sub-quadratic
+  * scaling (q31/q36/q42 are those kernels' scale paths and ARE
+  * included). Usage:
+  *
+  *   runMain graft.ScaleRehearsal [baseDir] [outDir]
+  *
+  * Prints one JSON line; also writes scale_rehearsal.json.
+  */
+object ScaleRehearsal {
+
+  val Copies = 10
+  val IdStride = 16 // new_id = old_id * 16 + copy; headroom-safe
+  val Boilerplate =
+    "all rights reserved this document is provided as is without warranty of any kind"
+
+  /** The sub-quadratic data-pipeline surface measured at both scales. */
+  val RehearsalQueries: Seq[String] = Seq(
+    "q13_dedup_exact", "q14_minhash_sig", "q14_minhash_pairs",
+    "q15_simhash", "q16_ngram_jaccard", "q19_lang_id", "q20_quality",
+    "q21_tokens", "q22_fingerprint", "q23_multimodal", "q29_source_sketch",
+    "q31_signlsh_neardup", "q32_simhash_pairs", "q33_dedup_clusters",
+    "q34_vocab", "q35_quality_sample", "q36_simhash_multiprobe",
+    "q37_length_quantiles", "q38_cross_source", "q42_signlsh_multiband")
+
+  val ExcludedQuadratic: Seq[String] =
+    Seq("q17_cosine_topk", "q18_ivf_topk", "q24_embedding_neardup")
+
+  def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    val fs = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.exists(fs.resolve("documents.parquet"))) return
+    java.nio.file.Files.createDirectories(fs)
+    val reps = explode(sequence(lit(0), lit(Copies - 1))).as("rep")
+    Tables.documents(spark, baseDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), reps)
+      .select(
+        (col("doc_id") * IdStride + col("rep")).as("doc_id"),
+        // perturbed copy + hot boilerplate on 30% of base docs
+        concat(col("text"), lit(" copytail"), col("rep"),
+          expr(s"CASE WHEN doc_id % 10 < 3 THEN ' $Boilerplate' ELSE '' END"))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    Tables.embeddings(spark, baseDir)
+      .select(col("vec_id"), col("embedding"), reps)
+      .select((col("vec_id") * IdStride + col("rep")).as("vec_id"),
+        expr("transform(embedding, x -> cast(x + rep / 1024.0 as float))")
+          .as("embedding"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  private def timeAll(spark: SparkSession, dir: String): Map[String, Double] =
+    RehearsalQueries.map { name =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+
+  /** Run the capped pair generators with their drop Observations and
+    * return the metrics (AQE off — Spark 4.1 AQE drops mid-plan observed
+    * metrics, the round-3 lesson). */
+  private def dropMetrics(spark: SparkSession, dir: String): Map[String, Long] = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables.documents(spark, dir)
+      val o16 = Observation("rehearsal_q16")
+      graft.ext.Dedup.ngramJaccardPairs(docs, dropObs = Some(o16))
+        .write.format("noop").mode("overwrite").save()
+      val o14 = Observation("rehearsal_q14")
+      graft.ext.Dedup.minhashPairs(docs, dropObs = Some(o14))
+        .write.format("noop").mode("overwrite").save()
+      Map(
+        "q16_dropped_shingles" -> o16.get("dropped_shingles").asInstanceOf[Long],
+        "q16_dropped_postings" -> o16.get("dropped_postings").asInstanceOf[Long],
+        "q14_dropped_buckets" -> o14.get("dropped_buckets").asInstanceOf[Long],
+        "q14_dropped_docs" -> o14.get("dropped_docs").asInstanceOf[Long])
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/tmp/graft-sf1-rehearsal")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-rehearsal")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    synthesize(spark, baseDir, outDir)
+    // events/lineitem/etc. are not regenerated: the rehearsal surface is
+    // the documents/embeddings pipeline; point the other loaders at base
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events")) {
+      val link = java.nio.file.Paths.get(s"$outDir/$t.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$baseDir/$t.parquet"))
+    }
+
+    timeAll(spark, baseDir) // warmup (codegen + JIT), untimed
+    val baseTimes = timeAll(spark, baseDir)
+    val bigTimes = timeAll(spark, outDir)
+    val drops = dropMetrics(spark, outDir)
+    val baseTotal = baseTimes.values.sum
+    val bigTotal = bigTimes.values.sum
+
+    // LSH bit-width scaling: with bucket count FIXED, 10x corpus means
+    // ~100x in-bucket pair work (the fixed-bits x10 numbers above show
+    // it). The production knob is bits ~ log2(n / target_bucket): +3
+    // bits per 10x data (next power of two of 10) keeps per-bucket work
+    // flat. Measure both vector-LSH kernels with the rescaled width.
+    def timed(f: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val emb10 = Tables.embeddings(spark, outDir)
+    val scaledBits = Map(
+      "q31_bits+3" -> timed(graft.ext.Similarity.signLshNearDups(
+        emb10, bits = graft.ext.Similarity.LshBits + 3)),
+      "q42_bits+3" -> timed(graft.ext.Similarity.signLshMultiBand(
+        emb10, bandBits = graft.ext.Similarity.LshBits + 3)))
+
+    def jmap(m: Map[String, Double]) = m.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val line =
+      s"""{"base_dir":"$baseDir","copies":$Copies,""" +
+      s""""base_total_sec":${f"$baseTotal%.2f"},"x10_total_sec":${f"$bigTotal%.2f"},""" +
+      s""""scaling_ratio":${f"${bigTotal / baseTotal}%.2f"},""" +
+      drops.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",") + "," +
+      s""""excluded_quadratic":${ExcludedQuadratic.mkString("[\"", "\",\"", "\"]")},""" +
+      s""""x10_scaled_bits":${jmap(scaledBits)},""" +
+      s""""base_queries":${jmap(baseTimes)},"x10_queries":${jmap(bigTimes)}}"""
+    println(line)
+    java.nio.file.Files.write(java.nio.file.Paths.get("scale_rehearsal.json"),
+      (line + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

@@ -445,6 +445,61 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ------------------------------------------- eval contamination (bloom)
+  /** Eval-set split modulus: doc_id % EvalMod == 0 stands in for the
+    * held-out benchmark set. */
+  val EvalMod = 10
+  /** Prefix length (words) for the contamination fingerprint: an eval
+    * question leaked into training text usually keeps its opening words
+    * verbatim even when the tail is paraphrased/truncated, so an 8-word
+    * normalized prefix catches what whole-document equality misses. */
+  val PrefixWords = 8
+
+  private val prefixFpSpark =
+    s"md5(cast(array_join(slice(split(regexp_replace(lower(text), '\\\\s+', ' '), ' '), 1, $PrefixWords), ' ') as binary))"
+
+  /** Benchmark-contamination check: training docs whose normalized
+    * [[PrefixWords]]-word prefix fingerprint appears in the eval set.
+    *
+    * Scale shape — the broadcast-Bloom pre-filter pattern: the eval set
+    * is small (benchmarks are thousands of rows; training corpora are
+    * billions), so its fingerprints build a Bloom filter that broadcasts
+    * to every scan task and discards ~all of the training corpus BEFORE
+    * any shuffle — the corpus-side work is one scan + a bitset probe per
+    * row. Exactness is NOT delegated to the filter: survivors (a tiny,
+    * false-positive-inflated subset) run a real broadcast semi-join
+    * against the eval fingerprints, so the emitted rows are exactly the
+    * oracle's semi-join semantics and the Bloom's fpp only costs a few
+    * extra pre-filter survivors. This is the standard two-phase design
+    * for "is my benchmark in the training data" at 100 TB. */
+  def evalContamination(docs: DataFrame, fpp: Double = 0.01): DataFrame = {
+    val fp = docs.select(col("doc_id"), expr(prefixFpSpark).as("prefix_fp"))
+    val eval = fp.filter(col("doc_id") % EvalMod === 0)
+      .select(col("prefix_fp"))
+    val train = fp.filter(col("doc_id") % EvalMod =!= 0)
+    val nEval = math.max(eval.count(), 1L)
+    val bloom = eval.stat.bloomFilter("prefix_fp", nEval, fpp)
+    val spark = docs.sparkSession
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bloomB.value.mightContainString(s))
+    train
+      .filter(mightContain(col("prefix_fp")))
+      .join(broadcast(eval.distinct()), Seq("prefix_fp"), "left_semi")
+      .select(col("doc_id"), col("prefix_fp"))
+      .orderBy("doc_id")
+  }
+
+  val evalContaminationSql: String = {
+    val fp = s"md5(array_to_string(list_slice(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), 1, $PrefixWords), ' '))"
+    s"""WITH fp AS (SELECT doc_id, $fp AS prefix_fp FROM documents)
+       |SELECT t.doc_id, t.prefix_fp
+       |FROM fp t
+       |WHERE t.doc_id % $EvalMod <> 0
+       |  AND EXISTS (SELECT 1 FROM fp e
+       |              WHERE e.doc_id % $EvalMod = 0 AND e.prefix_fp = t.prefix_fp)
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   /** Loud guard on 8-byte packing headroom: the packed-long shuffles
     * (q16 postings, q32/q36 simhash lists) multiply ids into the high
     * bits of one long, which silently CORRUPTS results if an id exceeds
@@ -841,7 +896,8 @@ object Dedup {
     "q29_source_sketch" -> ((s, d) => sourceSketches(Tables.documents(s, d))),
     "q30_edit_distance" -> ((s, d) => editDistancePairs(Tables.part(s, d))),
     "q33_dedup_clusters" -> ((s, d) => minhashClusters(Tables.documents(s, d))),
-    "q38_cross_source" -> ((s, d) => crossSourceClusters(Tables.documents(s, d))))
+    "q38_cross_source" -> ((s, d) => crossSourceClusters(Tables.documents(s, d))),
+    "q45_eval_contamination" -> ((s, d) => evalContamination(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q13_dedup_exact" -> exactDedupSql,
@@ -854,5 +910,6 @@ object Dedup {
     "q29_source_sketch" -> sourceSketchesSql,
     "q30_edit_distance" -> editDistancePairsSql,
     "q33_dedup_clusters" -> minhashClustersSql,
-    "q38_cross_source" -> crossSourceClustersSql)
+    "q38_cross_source" -> crossSourceClustersSql,
+    "q45_eval_contamination" -> evalContaminationSql)
 }

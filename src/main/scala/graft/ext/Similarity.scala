@@ -305,11 +305,17 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  def signLshNearDups(emb: DataFrame): DataFrame = {
+  /** `bits` is THE scale knob: bucket count is 2^bits, so in-bucket
+    * pair work grows as (n / 2^bits)^2 per bucket. Production sizing is
+    * bits ≈ log2(n / target_bucket_size) — the 10x rehearsal measured
+    * the fixed-bits variant going super-linear exactly as that formula
+    * predicts, and the +3-bits variant restoring the balance. The
+    * oracle-gated default stays [[LshBits]]. */
+  def signLshNearDups(emb: DataFrame, bits: Int = LshBits): DataFrame = {
     val v = withNorm2(emb)
     // bucket = fused codegen signature (one while-loop over the array;
     // the bits-wide HOF fold chain above is its spec-checked reference)
-    val sig = v.withColumn("bucket", expr(s"sign_lsh_sig(embedding, $LshBits)"))
+    val sig = v.withColumn("bucket", expr(s"sign_lsh_sig(embedding, $bits)"))
     val a = sig.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("norm2").as("norm2_a"))
     val b = sig.select(col("bucket"), col("vec_id").as("id_b"),
@@ -375,15 +381,15 @@ object Similarity {
     * Scale: O(sum over bands of bucket²) candidate work, b·n exploded
     * rows shuffled by (band, bits) — never O(n²); the predicate and the
     * verify kernel are whole-stage codegen. */
-  def signLshMultiBand(emb: DataFrame): DataFrame = {
-    val totalBits = LshBands * LshBits
-    val mask = (1L << LshBits) - 1
+  def signLshMultiBand(emb: DataFrame, bandBits: Int = LshBits): DataFrame = {
+    val totalBits = LshBands * bandBits
+    val mask = (1L << bandBits) - 1
     val v = withNorm2(emb)
       .withColumn("sig", expr(s"sign_lsh_sig(embedding, $totalBits)"))
     val banded = v
       .select(col("vec_id"), col("embedding"), col("norm2"), col("sig"),
         explode(sequence(lit(0), lit(LshBands - 1))).as("band"))
-      .withColumn("bkey", expr(s"shiftright(sig, band * $LshBits) & $mask"))
+      .withColumn("bkey", expr(s"shiftright(sig, band * $bandBits) & $mask"))
     val a = banded.select(col("band"), col("bkey"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("norm2").as("norm2_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bkey"), col("vec_id").as("id_b"),
@@ -393,7 +399,7 @@ object Similarity {
     // ((x >> j*r) & mask) = 0; emit here iff every earlier band differs
     val firstMatch = (0 until LshBands).map { j =>
       val earlierDiffer = (0 until j)
-        .map(e => s"(shiftright(sig_a ^ sig_b, ${e * LshBits}) & $mask) != 0")
+        .map(e => s"(shiftright(sig_a ^ sig_b, ${e * bandBits}) & $mask) != 0")
       (s"band = $j" +: earlierDiffer).mkString("(", " AND ", ")")
     }.mkString(" OR ")
     a.join(b, Seq("band", "bkey"))

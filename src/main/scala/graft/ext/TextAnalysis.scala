@@ -151,6 +151,39 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------- top docs per source
+  val TopDocsK = 3
+
+  /** Grouped top-k: the k longest (by whitespace token count) documents
+    * of each source — the "best docs per domain" selection step of a
+    * curation pipeline. Runs through the bounded-heap
+    * [[graft.functions.TopKByScore]] aggregator (k-row partials merged
+    * map-side), so per-source state is O(k) and NOTHING sorts the corpus
+    * — same shape argument as q17's top-k, applied to a text metric.
+    * Ties break on doc_id via the aggregator's total order; the oracle
+    * mirrors with (n_tokens DESC, doc_id). */
+  def topDocsPerSource(docs: DataFrame): DataFrame = {
+    val topk = graft.functions.BoundedTopK.topK(TopDocsK)
+    docs.select(col("source"), col("doc_id"),
+        expr("size(split(text, ' '))").cast("double").as("score"))
+      .groupBy(col("source"))
+      .agg(topk(col("score"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+              col("col.id").as("doc_id"), col("col.cos").cast("long").as("n_tokens"))
+      .orderBy("source", "rank")
+  }
+
+  val topDocsPerSourceSql: String =
+    s"""SELECT source, CAST(rank AS INT) AS rank, doc_id, n_tokens FROM (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS rank
+       |  FROM documents)
+       |WHERE rank <= $TopDocsK
+       |ORDER BY source, rank""".stripMargin
+
   // ------------------------------------------------------------- vocab
   val VocabTopK = 100
 
@@ -285,7 +318,8 @@ object TextAnalysis {
     "q22_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
     "q34_vocab"       -> ((s, d) => vocab(Tables.documents(s, d))),
     "q35_quality_sample" -> ((s, d) => qualitySample(Tables.documents(s, d))),
-    "q37_length_quantiles" -> ((s, d) => lengthQuantiles(Tables.documents(s, d))))
+    "q37_length_quantiles" -> ((s, d) => lengthQuantiles(Tables.documents(s, d))),
+    "q44_top_docs_per_source" -> ((s, d) => topDocsPerSource(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q19_lang_id"     -> langIdSql,
@@ -294,5 +328,6 @@ object TextAnalysis {
     "q22_fingerprint" -> fingerprintsSql,
     "q34_vocab"       -> vocabSql,
     "q35_quality_sample" -> qualitySampleSql,
-    "q37_length_quantiles" -> lengthQuantilesSql)
+    "q37_length_quantiles" -> lengthQuantilesSql,
+    "q44_top_docs_per_source" -> topDocsPerSourceSql)
 }

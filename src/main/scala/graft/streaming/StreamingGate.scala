@@ -111,13 +111,27 @@ object StreamingGate {
     runToMemory(spark, dir, EventsStreaming.sessionCounts)
       .orderBy(col("user_id"), col("session_start_us"))
 
+  /** q43: the stream-STREAM interval join (clicks ⋈ purchases within 10
+    * minutes) through the micro-batch engine. Inner joins emit matches
+    * as soon as both sides arrive — the watermarks bound join STATE, not
+    * emission — so the bounded replay needs no finalization push; the
+    * sentinel row matches neither side's filter and is inert. What this
+    * gates that q26 (the batch twin) can't: the symmetric hash-join
+    * state machine, both-side watermark bookkeeping, and cross-batch
+    * match retention. */
+  def q43StreamIntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, dir, EventsStreaming.purchaseClickCorrelation)
+      .orderBy(col("click_id"), col("purchase_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_stream_tumbling" -> (q40StreamTumbling _),
-    "q41_stream_sessions" -> (q41StreamSessions _))
+    "q41_stream_sessions" -> (q41StreamSessions _),
+    "q43_stream_interval_join" -> (q43StreamIntervalJoin _))
 
   /** Same oracles as the batch twins: the streaming engine must land on
     * the identical relation. */
   val oracles: Map[String, String] = Map(
     "q40_stream_tumbling" -> graft.queries.Relational.q11Sql,
-    "q41_stream_sessions" -> graft.queries.Relational.q12Sql)
+    "q41_stream_sessions" -> graft.queries.Relational.q12Sql,
+    "q43_stream_interval_join" -> graft.queries.Relational.q26Sql)
 }

@@ -430,6 +430,41 @@ class ExtSpec extends SparkSpec {
     assert(TextAnalysis.quality(weird).count() == 7)
   }
 
+  test("q44 grouped top-k: matches a local sort, invariant to partitioning") {
+    val got = TextAnalysis.topDocsPerSource(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // local reference: full sort per source
+    val local = docs.selectExpr("source", "doc_id", "size(split(text, ' ')) AS n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2).toLong))
+      .groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(TextAnalysis.TopDocsK).zipWithIndex
+          .map { case ((_, id, n), i) => (src, i + 1, id, n) }
+      }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == local)
+    val rep = TextAnalysis.topDocsPerSource(docs.repartition(13)).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == rep.toSeq, "bounded-heap cut must not depend on partitioning")
+  }
+
+  test("q45 contamination: bloom prefilter is exact even at absurd fpp") {
+    // reference semantics without any bloom: plain semi join on the fp
+    val fpExpr = "md5(cast(array_join(slice(split(regexp_replace(lower(text)," +
+      " '\\\\s+', ' '), ' '), 1, 8), ' ') as binary))"
+    val fp = docs.selectExpr("doc_id", s"$fpExpr AS prefix_fp")
+    val want = fp.filter(col("doc_id") % Dedup.EvalMod =!= 0)
+      .join(fp.filter(col("doc_id") % Dedup.EvalMod === 0)
+        .select("prefix_fp").distinct(), Seq("prefix_fp"), "left_semi")
+      .select("doc_id", "prefix_fp").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty, "fixture must contain prefix contamination to test against")
+    val got = Dedup.evalContamination(docs).collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // a 50% fpp floods the prefilter with false positives; the exact
+    // verify join must still discard every one of them
+    val sloppy = Dedup.evalContamination(docs, fpp = 0.5).collect().map(_.toSeq).toSeq
+    assert(sloppy == want, "exactness must come from the verify join, not the bloom")
+  }
+
   test("packed-long operators fail LOUDLY past their id headroom, never corrupt") {
     import spark.implicits._
     // q16 packs doc_id * 2^20, q32 doc_id * 2^28, q36 doc_id * 2^29 into

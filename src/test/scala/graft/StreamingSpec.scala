@@ -61,6 +61,14 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "session-window state finalization must match batch")
   }
 
+  test("q43 gate: stream-stream interval join equals batch q26 exactly") {
+    val got = graft.streaming.StreamingGate.q43StreamIntervalJoin(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.queries.Relational.q26IntervalJoin(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "symmetric-hash stream join must reproduce the batch relation")
+  }
+
   test("streaming dedup keeps all distinct event ids") {
     val stream = EventsStreaming.eventsStream(spark, sf)
     val got = runToMemory(EventsStreaming.dedupEvents(stream), "t_dedup")
