@@ -163,6 +163,45 @@ class PlanSpec extends SparkSpec {
       "bin-count aggregation must sit below the cumulative window")
   }
 
+  test("q42: exactly-once is a predicate, not a distinct — and no cartesian") {
+    val p = plan(SparkEntry.queries("q42_signlsh_multiband")(spark, sf))
+    // pair dedup must come from the generated first-matching-band bit
+    // predicate; an aggregate/distinct over (id_a, id_b) would mean the
+    // same pair was produced twice and shuffled to be collapsed
+    assert(!p.contains("HashAggregate(keys=[id_a"),
+      s"q42 regressed to a distinct pass over emitted pairs:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "q42 candidates must come from the banded equi-join, never all pairs")
+  }
+
+  test("q44: grouped top-k aggregates with k-row partials, no window, one scan") {
+    val p = plan(SparkEntry.queries("q44_top_docs_per_source")(spark, sf))
+    assert(!p.contains("Window"),
+      s"q44 must not sort the corpus under a window:\n${p.take(1500)}")
+    assert(p.contains("ObjectHashAggregate"),
+      "bounded-heap aggregator should plan as ObjectHashAggregate")
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+  }
+
+  test("q45: corpus side never shuffles — bloom prefilter + broadcast semi-join") {
+    val p = plan(SparkEntry.queries("q45_eval_contamination")(spark, sf))
+    assert(p.contains("BroadcastExchange"),
+      "eval fingerprints must broadcast for the verify join")
+    // the TRAINING side must reach the semi-join via scan+filter only —
+    // in the tree print, the stream-side subtree sits between the join
+    // node and its BroadcastExchange child; a shuffle of eval's tiny
+    // distinct below the broadcast is fine, a corpus shuffle is not
+    val join = p.indexOf("BroadcastHashJoin")
+    val bcast = p.indexOf("BroadcastExchange", join)
+    assert(join >= 0 && bcast > join, s"expected a broadcast semi-join:\n${p.take(1500)}")
+    val trainSide = p.substring(join, bcast)
+    assert(!trainSide.contains("Exchange"),
+      s"training corpus leaked into a shuffle:\n$trainSide")
+    // and the bloom prefilter reaches the corpus SCAN (pushed data filter)
+    assert(trainSide.contains("UDF"),
+      "bloom prefilter must sit on the corpus side before the join")
+  }
+
   test("GraftExtensions injects poly_hash + vector functions for SQL-only sessions") {
     // the injection list accepts our builder (a bad signature would throw)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
