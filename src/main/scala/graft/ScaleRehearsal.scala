@@ -98,16 +98,26 @@ object ScaleRehearsal {
       val o14 = Observation("rehearsal_q14")
       graft.ext.Dedup.minhashPairs(docs, dropObs = Some(o14))
         .write.format("noop").mode("overwrite").save()
-      Map(
+      val drops = Map(
         "q16_dropped_shingles" -> o16.get("dropped_shingles").asInstanceOf[Long],
         "q16_dropped_postings" -> o16.get("dropped_postings").asInstanceOf[Long],
         "q14_dropped_buckets" -> o14.get("dropped_buckets").asInstanceOf[Long],
         "q14_dropped_docs" -> o14.get("dropped_docs").asInstanceOf[Long])
+      // the property this harness exists to prove: under the injected
+      // hot key, the caps ENGAGE (observable truncation) instead of the
+      // buckets going quadratic — fail loudly if they never fired
+      require(drops.values.exists(_ > 0),
+        s"skew caps never engaged on the skewed fixture: $drops")
+      drops
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   def main(args: Array[String]): Unit = {
-    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // absolute: symlink TARGETS resolve relative to the link's own
+    // directory, so a relative baseDir would dangle under outDir
+    val baseDir = java.nio.file.Paths.get(
+      args.headOption.getOrElse("/root/testdata/sf0.1"))
+      .toAbsolutePath.normalize.toString
     val outDir = args.lift(1).getOrElse("/tmp/graft-sf1-rehearsal")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -473,18 +473,29 @@ object Dedup {
     * extra pre-filter survivors. This is the standard two-phase design
     * for "is my benchmark in the training data" at 100 TB. */
   def evalContamination(docs: DataFrame, fpp: Double = 0.01): DataFrame = {
-    val fp = docs.select(col("doc_id"), expr(prefixFpSpark).as("prefix_fp"))
-    val eval = fp.filter(col("doc_id") % EvalMod === 0)
-      .select(col("prefix_fp"))
-    val train = fp.filter(col("doc_id") % EvalMod =!= 0)
-    val nEval = math.max(eval.count(), 1L)
-    val bloom = eval.stat.bloomFilter("prefix_fp", nEval, fpp)
     val spark = docs.sparkSession
+    import spark.implicits._
+    val fp = docs.select(col("doc_id"), expr(prefixFpSpark).as("prefix_fp"))
+    val train = fp.filter(col("doc_id") % EvalMod =!= 0)
+    // ONE scan computes the eval fingerprint set. The set is
+    // small-by-definition (a benchmark is thousands of rows; any
+    // broadcast join would materialize the same data driver-side
+    // anyway), so collecting it is the cheap move — the bloom builds
+    // locally from it, and the verify join's build side becomes a
+    // LocalRelation instead of a second/third corpus scan. The CORPUS
+    // side is scanned exactly once, prefiltered by the broadcast bloom
+    // inside its scan, and never shuffled.
+    val evalFps: Array[String] = fp.filter(col("doc_id") % EvalMod === 0)
+      .select(col("prefix_fp")).distinct()
+      .collect().map(_.getString(0))
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(evalFps.length.toLong, 1L), fpp)
+    evalFps.foreach(bloom.putString)
     val bloomB = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => s != null && bloomB.value.mightContainString(s))
     train
       .filter(mightContain(col("prefix_fp")))
-      .join(broadcast(eval.distinct()), Seq("prefix_fp"), "left_semi")
+      .join(broadcast(evalFps.toSeq.toDF("prefix_fp")), Seq("prefix_fp"), "left_semi")
       .select(col("doc_id"), col("prefix_fp"))
       .orderBy("doc_id")
   }

@@ -31,8 +31,17 @@ class TopKByScore(k: Int)
     extends Aggregator[ScoredCand, List[ScoredCand], Seq[ScoredCand]] {
   require(k > 0, s"top-k needs k > 0, got $k")
 
-  private def better(a: ScoredCand, b: ScoredCand): Boolean =
-    a.cos > b.cos || (a.cos == b.cos && a.id < b.id)
+  // TOTAL order via Double.compare, not the IEEE > operator: a NaN
+  // score (0/0 cosine from a zero-norm vector) compares false under >
+  // in both directions, which would wedge it at buf.last and silently
+  // drop every later candidate. Double.compare ranks NaN greatest —
+  // the same total order Spark's own DESC sort and the DuckDB oracle
+  // use — so degenerate vectors rank first instead of corrupting the
+  // heap, and parity with the window formulation this replaced holds.
+  private def better(a: ScoredCand, b: ScoredCand): Boolean = {
+    val c = java.lang.Double.compare(a.cos, b.cos)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   override def zero: List[ScoredCand] = Nil
 
@@ -69,9 +78,14 @@ class TopKByScore(k: Int)
 
 object BoundedTopK {
   /** Column function: `topK(k)(cosCol, idCol)` aggregates to
-    * array<struct<cos,id>> of the k best, DESC by (cos, id ASC). */
+    * array<struct<cos,id>> of the k best, DESC by (cos, id ASC).
+    * A null score coalesces to -Infinity (ranks last, like a DESC
+    * NULLS LAST window) instead of failing the non-nullable encoder;
+    * NaN ranks first per the total order above. */
   def topK(k: Int): (Column, Column) => Column = {
     val f = udaf(new TopKByScore(k))
-    (cos: Column, id: Column) => f(cos, id)
+    (cos: Column, id: Column) =>
+      f(org.apache.spark.sql.functions.coalesce(
+          cos, org.apache.spark.sql.functions.lit(Double.NegativeInfinity)), id)
   }
 }

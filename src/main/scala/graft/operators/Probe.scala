@@ -39,9 +39,22 @@ trait Prober extends Serializable {
   def probeAll(paths: Iterator[String], concurrency: Int): Iterator[ProbeResult] =
     if (concurrency <= 1) paths.map(probe)
     else new Iterator[ProbeResult] {
-      private val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        concurrency,
+      import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
+      // Workers time out when idle (allowCoreThreadTimeOut): if the
+      // consumer abandons the iterator mid-partition (downstream limit,
+      // task kill) pool.shutdown() is never reached, and ever-live core
+      // threads would be GC roots — thousands of tasks on a long-lived
+      // executor would strand thousands of parked threads. With the
+      // timeout an orphaned pool drains itself in 10 s; the task-level
+      // completion listener below shuts it down eagerly when Spark
+      // tells us the task is over.
+      private val pool = new ThreadPoolExecutor(
+        concurrency, concurrency, 10L, TimeUnit.SECONDS,
+        new LinkedBlockingQueue[Runnable](),
         (r: Runnable) => { val t = new Thread(r, "graft-probe"); t.setDaemon(true); t })
+      pool.allowCoreThreadTimeOut(true)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
       private val inflight =
         new java.util.ArrayDeque[java.util.concurrent.Future[ProbeResult]]()
       private def fill(): Unit =

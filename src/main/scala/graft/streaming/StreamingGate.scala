@@ -83,13 +83,18 @@ object StreamingGate {
     * after the watermark advances — one fewer batch than rate-limited
     * replay, with an identical emitted set (emission depends on the
     * final watermark, not on batch boundaries). */
-  private def stream(spark: SparkSession, staged: Path): DataFrame =
+  private def stream(spark: SparkSession, staged: Path): DataFrame = {
+    // set at the READ site, not in buildStagedDir: the staged-dir cache
+    // is JVM-global but this conf is per-SparkSession — a second
+    // session hitting the cache must still get the nanos read path
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(EventsStreaming.rawSchema)
       .option("latestFirst", false)
       .parquet(staged.toString)
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
 
   private val runCounter = new java.util.concurrent.atomic.AtomicLong(0)
 

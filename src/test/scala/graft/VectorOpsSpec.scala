@@ -115,6 +115,14 @@ class VectorOpsSpec extends SparkSpec {
       assert(partials.reverse.reduce(agg.merge) == want)
       partials.foreach(p => assert(p.lengthCompare(5) <= 0, "buffer must stay bounded"))
     }
+    // NaN (a zero-norm vector's 0/0 cosine) ranks FIRST under the total
+    // order — and must never wedge the heap: candidates arriving after
+    // the NaN still displace lower scores
+    val poisoned = (ScoredCand(Double.NaN, 999L) +: cands.take(20) :+
+      ScoredCand(2.0, 1000L)).foldLeft(agg.zero)(agg.reduce)
+    assert(poisoned.head.id == 999L, "NaN must rank first like a DESC sort")
+    assert(poisoned.map(_.id).contains(1000L),
+      "a high score arriving after a NaN must still enter the heap")
   }
 
   test("vec_dot runs inside whole-stage codegen (no interpreted fallback)") {
