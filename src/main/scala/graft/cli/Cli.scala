@@ -9,6 +9,7 @@ import graft.sources.{DirectoryListing, Tsv}
   * from video_metadata_db.py:849-915):
   *
   *   build  <dir>... --db out.tsv [--nomedia] [--verbose] [--stub-probe]
+  *                    [--probe-concurrency N]
   *   update <dir>... --db existing.tsv [--stub-probe]
   *   merge  <in.tsv>... --db merged.tsv
   *   report --db db.tsv                      (the -v variant report)
@@ -39,7 +40,7 @@ object Cli {
   private case class Args(
       verb: String, inputs: Seq[String], db: String,
       nomedia: Boolean, verbose: Boolean, stubProbe: Boolean,
-      manifest: Boolean)
+      manifest: Boolean, probeConcurrency: Int)
 
   /** F13: the reference auto-derives the db file name from the scan root
     * and the volume label when no explicit name is given
@@ -56,6 +57,7 @@ object Cli {
     var db = ""
     var nomedia = false; var verbose = false; var stub = false
     var manifest = false
+    var probeConcurrency = 1
     var i = 0
     while (i < argv.length) {
       argv(i) match {
@@ -65,6 +67,10 @@ object Cli {
         case "--verbose" => verbose = true
         case "--stub-probe" => stub = true
         case "--manifest" => manifest = true
+        // bounded per-task subprocess pool (Prober.probeAll): executor
+        // process count = task_slots x this
+        case "--probe-concurrency" =>
+          probeConcurrency = argv(i + 1).toInt; i += 1
         case p => inputs += p
       }
       i += 1
@@ -74,7 +80,7 @@ object Cli {
       db = dbNameGenerate(inputs.head, DirectoryListing.volumeLabel())
     require(db.nonEmpty, "--db <file.tsv> required")
     Args(verb, DirectoryListing.dedupRoots(inputs.toSeq), db, nomedia, verbose,
-         stub, manifest)
+         stub, manifest, probeConcurrency)
   }
 
   private def prober(a: Args): Prober =
@@ -98,7 +104,8 @@ object Cli {
       val n = DirectoryListing.createNomediaMarkers(listing)
       println(s"[graft] created $n .nomedia markers")
     }
-    val built = VideoPipeline.build(listing, srt, prober(a))
+    val built = VideoPipeline.build(listing, srt, prober(a),
+      probeConcurrency = a.probeConcurrency)
     if (a.verbose) {
       println("[graft] variant report:")
       VideoPipeline.variants(built).show(100, truncate = false)

@@ -108,8 +108,10 @@ object VideoPipeline {
     * with [[failures]] (A5).
     */
   def build(listing: DataFrame, srtListing: DataFrame, prober: Prober,
-            probePartitions: Option[Int] = None): DataFrame = {
-    val probed = probeStage(scanFilters(listing), prober, probePartitions)
+            probePartitions: Option[Int] = None,
+            probeConcurrency: Int = 1): DataFrame = {
+    val probed = probeStage(scanFilters(listing), prober, probePartitions,
+      probeConcurrency)
     val ok = probed.filter(col("probe_error").isNull)
     withSubtitles(deriveColumns(ok), srtListing)
   }

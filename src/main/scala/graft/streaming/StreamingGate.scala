@@ -61,8 +61,11 @@ object StreamingGate {
 
     // sentinel ts: +1 day past the fixture max, in the fixture's raw
     // nanos encoding (read back as long via nanosAsLong)
-    val maxNs = spark.read.schema(EventsStreaming.rawSchema)
-      .parquet(fixture.toString).agg(max(col("ts"))).head.getLong(0)
+    val maxRow = spark.read.schema(EventsStreaming.rawSchema)
+      .parquet(fixture.toString).agg(max(col("ts"))).head
+    // empty fixture: any sentinel time works (there are no real
+    // windows to finalize) — use epoch rather than NPE on the null max
+    val maxNs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val sentinel = spark.createDataFrame(
       java.util.Arrays.asList(
         Row(-1L, maxNs + 86400L * 1000000000L, -1L, "sentinel", 0.0, null)),
