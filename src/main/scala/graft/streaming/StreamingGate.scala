@@ -62,7 +62,7 @@ object StreamingGate {
     // sentinel ts: +1 day past the fixture max, in the fixture's raw
     // nanos encoding (read back as long via nanosAsLong)
     val maxRow = spark.read.schema(EventsStreaming.rawSchema)
-      .parquet(fixture.toString).agg(max(col("ts"))).head
+      .parquet(fixture.toString).agg(max(col("ts"))).head()
     // empty fixture: any sentinel time works (there are no real
     // windows to finalize) — use epoch rather than NPE on the null max
     val maxNs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
