@@ -96,7 +96,14 @@ object Tsv {
   /** Single-file TSV export with utf-8-sig BOM and optional header.
     * The distributed write lands part files; the BOM + concat assembly is
     * a driver-side stream copy at the presentation edge (same role as the
-    * reference's header-file + concatenate choreography). */
+    * reference's header-file + concatenate choreography).
+    *
+    * Deployment note: `outFile` must be a filesystem path the DRIVER can
+    * open (local disk, NFS) — on an object-store deployment (s3a/abfs)
+    * point the part-file write at the store and run the concat as a
+    * store-native multipart copy instead; the TSV db is a
+    * reference-parity presentation artifact, not the engine's at-rest
+    * format (that's parquet). */
   def writeSingleFile(lines: DataFrame, outFile: String,
                       withHeader: Boolean = false, withBom: Boolean = true): Unit = {
     import java.io._

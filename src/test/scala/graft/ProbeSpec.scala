@@ -53,6 +53,37 @@ class ProbeSpec extends AnyFunSuite {
       s"stderr must reach the quarantine record, got $r")
   }
 
+  test("realistic ffprobe output parses into every ProbeResult field") {
+    // emits the reference's positional entry order for the video call
+    // (codec_long_name, width, height, nb_streams, format_long_name,
+    // duration, title) and (codec, channels) for the audio call — the
+    // -select_streams argument distinguishes the two invocations
+    val bin = script(
+      """case "$*" in
+        |  *"v:0"*) printf 'H.264 / AVC / MPEG-4 AVC / MPEG-4 part 10\n1920\n1080\n3\nMatroska / WebM\n5430.2\nSome Title\n' ;;
+        |  *)       printf 'AAC (Advanced Audio Coding)\n6\n' ;;
+        |esac""".stripMargin)
+    val r = new FfprobeProber(timeoutSec = 5, binary = bin).probe("/m.mkv")
+    assert(r.probeError.isEmpty, s"unexpected error: $r")
+    assert(r.videoCodec.contains("H.264 / AVC / MPEG-4 AVC / MPEG-4 part 10"))
+    assert(r.width.contains(1920) && r.height.contains(1080))
+    assert(r.nbStreams.contains(3))
+    assert(r.container.contains("Matroska / WebM"))
+    assert(r.durationRaw.contains("5430.2"))
+    assert(r.title.contains("Some Title"))
+    assert(r.audioCodec.contains("AAC (Advanced Audio Coding)"))
+    assert(r.audioChannels.contains(6))
+    // audio-less file: audio call returns nothing -> fields null, no error
+    val noAudio = script(
+      """case "$*" in
+        |  *"v:0"*) printf 'MPEG-4 part 2\n640\n360\n1\nAVI (Audio Video Interleaved)\nN/A\n' ;;
+        |  *)       exit 1 ;;
+        |esac""".stripMargin)
+    val r2 = new FfprobeProber(timeoutSec = 5, binary = noAudio).probe("/m.avi")
+    assert(r2.probeError.isEmpty && r2.audioCodec.isEmpty && r2.audioChannels.isEmpty)
+    assert(r2.title.isEmpty && r2.durationRaw.contains("N/A"))
+  }
+
   test("probeAll: pooled probing preserves input order") {
     // the fake echoes its last arg (the -i path) as the only output line,
     // so videoCodec carries the path back out
