@@ -445,6 +445,35 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ------------------------------------------------- repetition score
+  /** Duplicate-3-gram repetition score (the Gopher-rule quality
+    * signal): dup_e4 = 10000 · (1 - distinct/total shingles). Template
+    * pages, keyboard mashing and boilerplate-heavy docs score high and
+    * get culled before training. Rides the SAME fused ShingleHashes
+    * expression as the dedup family, so the whole operator is one
+    * codegen projection per doc — scan speed at any corpus size, no
+    * shuffle but the presentation sort. */
+  def repetitionScore(docs: DataFrame): DataFrame = {
+    graft.functions.ShingleHashes.register(docs.sparkSession, 3, HashBase, HashMod)
+    docs.select(col("doc_id"), expr("shingle_hashes(text)").as("hs"))
+      .select(col("doc_id"),
+        size(col("hs")).cast("long").as("n_shingles"),
+        size(array_distinct(col("hs"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        expr("(10000 * (n_shingles - n_distinct)) div greatest(n_shingles, 1)")
+          .as("dup_e4"))
+      .orderBy("doc_id")
+  }
+
+  def repetitionScoreSql: String =
+    s"""WITH hashed AS (
+       |  SELECT doc_id, list_transform($duckShingles, s -> ${duckH("s")}) AS hs
+       |  FROM documents)
+       |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles,
+       |  CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct,
+       |  (10000 * (len(hs) - len(list_distinct(hs)))) // greatest(len(hs), 1) AS dup_e4
+       |FROM hashed ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------- eval contamination (bloom)
   /** Eval-set split modulus: doc_id % EvalMod == 0 stands in for the
     * held-out benchmark set. */
@@ -908,7 +937,8 @@ object Dedup {
     "q30_edit_distance" -> ((s, d) => editDistancePairs(Tables.part(s, d))),
     "q33_dedup_clusters" -> ((s, d) => minhashClusters(Tables.documents(s, d))),
     "q38_cross_source" -> ((s, d) => crossSourceClusters(Tables.documents(s, d))),
-    "q45_eval_contamination" -> ((s, d) => evalContamination(Tables.documents(s, d))))
+    "q45_eval_contamination" -> ((s, d) => evalContamination(Tables.documents(s, d))),
+    "q47_repetition" -> ((s, d) => repetitionScore(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q13_dedup_exact" -> exactDedupSql,
@@ -922,5 +952,6 @@ object Dedup {
     "q30_edit_distance" -> editDistancePairsSql,
     "q33_dedup_clusters" -> minhashClustersSql,
     "q38_cross_source" -> crossSourceClustersSql,
-    "q45_eval_contamination" -> evalContaminationSql)
+    "q45_eval_contamination" -> evalContaminationSql,
+    "q47_repetition" -> repetitionScoreSql)
 }

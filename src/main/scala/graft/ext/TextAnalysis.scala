@@ -184,6 +184,46 @@ object TextAnalysis {
        |WHERE rank <= $TopDocsK
        |ORDER BY source, rank""".stripMargin
 
+  // ---------------------------------------------------------- chunking
+  val ChunkSize = 64   // tokens per chunk
+  val ChunkStride = 48 // 16-token overlap between neighbors
+
+  /** Sliding-window document chunking — the context-window prep step of
+    * every RAG / pretraining pipeline: whitespace tokens re-joined into
+    * [[ChunkSize]]-token windows every [[ChunkStride]] tokens (so
+    * neighbors overlap by size-stride tokens; the final window is
+    * whatever remains). Emits (doc_id, chunk_idx, token count, md5 of
+    * the chunk text) — the hash stands in for the chunk payload so the
+    * gate compares content without hauling every window's full text
+    * through the diff.
+    *
+    * Shape: one scan, one generator projection (explode over the
+    * chunk-start sequence), no shuffle but the presentation sort —
+    * chunking any corpus is embarrassingly parallel, and the chunk
+    * count per doc (~n_tokens/stride) bounds the fan-out. */
+  def chunkDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, (size(toks) - 1) div $ChunkStride)"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        expr(s"slice(toks, chunk_idx * $ChunkStride + 1, $ChunkSize)").as("c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("c")).cast("long").as("n_chunk_tokens"),
+        expr("md5(cast(array_join(c, ' ') as binary))").as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val chunkDocsSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (SELECT doc_id,
+       |        unnest(generate_series(0, (len(toks) - 1) // $ChunkStride)) AS chunk_idx,
+       |        toks
+       |      FROM t)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(len(toks[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkSize]) AS BIGINT) AS n_chunk_tokens,
+       |  md5(array_to_string(toks[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkSize], ' ')) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ------------------------------------------------------------- vocab
   val VocabTopK = 100
 
@@ -319,7 +359,8 @@ object TextAnalysis {
     "q34_vocab"       -> ((s, d) => vocab(Tables.documents(s, d))),
     "q35_quality_sample" -> ((s, d) => qualitySample(Tables.documents(s, d))),
     "q37_length_quantiles" -> ((s, d) => lengthQuantiles(Tables.documents(s, d))),
-    "q44_top_docs_per_source" -> ((s, d) => topDocsPerSource(Tables.documents(s, d))))
+    "q44_top_docs_per_source" -> ((s, d) => topDocsPerSource(Tables.documents(s, d))),
+    "q46_chunking" -> ((s, d) => chunkDocs(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q19_lang_id"     -> langIdSql,
@@ -329,5 +370,6 @@ object TextAnalysis {
     "q34_vocab"       -> vocabSql,
     "q35_quality_sample" -> qualitySampleSql,
     "q37_length_quantiles" -> lengthQuantilesSql,
-    "q44_top_docs_per_source" -> topDocsPerSourceSql)
+    "q44_top_docs_per_source" -> topDocsPerSourceSql,
+    "q46_chunking" -> chunkDocsSql)
 }

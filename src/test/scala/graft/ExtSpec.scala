@@ -465,6 +465,47 @@ class ExtSpec extends SparkSpec {
     assert(sloppy == want, "exactness must come from the verify join, not the bloom")
   }
 
+  test("q46 chunking: windows tile the doc with the declared overlap") {
+    import spark.implicits._
+    val tokens = (1 to 100).map(i => s"w$i")
+    val one = Seq((1L, tokens.mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocs(one).collect()
+    // starts at 1, 49, 97 -> sizes 64, 52, 4
+    assert(chunks.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 64L), (1L, 52L), (2L, 4L)))
+    // a doc shorter than one stride still yields exactly one chunk
+    val tiny = Seq((2L, "a b c")).toDF("doc_id", "text")
+    val t = TextAnalysis.chunkDocs(tiny).collect()
+    assert(t.length == 1 && t.head.getLong(2) == 3L)
+    // fixture-wide: every doc's chunk count is ceil-ish of tokens/stride
+    // and consecutive chunk hashes differ (overlap != identity)
+    val all = TextAnalysis.chunkDocs(docs).collect()
+    assert(all.nonEmpty)
+    all.groupBy(_.getLong(0)).foreach { case (_, cs) =>
+      val hashes = cs.sortBy(_.getLong(1)).map(_.getString(3))
+      assert(hashes.distinct.length == hashes.length,
+        "sliding windows of a real doc must not collide")
+    }
+  }
+
+  test("q47 repetition: bounded, zero for all-distinct, high for degenerate text") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, (1 to 50).map(i => s"u$i").mkString(" ")), // all-distinct shingles
+      (2L, Seq.fill(50)("spam").mkString(" ")))       // one shingle repeated
+      .toDF("doc_id", "text")
+    val r = Dedup.repetitionScore(probe).collect()
+      .map(x => x.getLong(0) -> x.getAs[Long]("dup_e4")).toMap
+    assert(r(1L) == 0L, "distinct text must score zero repetition")
+    assert(r(2L) > 9000L, "degenerate text must score near-maximal")
+    val all = Dedup.repetitionScore(docs).collect()
+    all.foreach { x =>
+      val d = x.getAs[Long]("dup_e4")
+      assert(d >= 0 && d <= 10000)
+      assert(x.getAs[Long]("n_distinct") <= x.getAs[Long]("n_shingles"))
+    }
+  }
+
   test("packed-long operators fail LOUDLY past their id headroom, never corrupt") {
     import spark.implicits._
     // q16 packs doc_id * 2^20, q32 doc_id * 2^28, q36 doc_id * 2^29 into
