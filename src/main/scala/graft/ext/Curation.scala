@@ -1,0 +1,323 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators: the pipeline steps that sit BETWEEN the
+  * per-doc scoring family (q19-q22, q47) and the dedup family (q13-q16,
+  * q33) in a real training-data build — composite filter verdicts,
+  * statistical rarity scoring, incremental-batch dedup, shard planning,
+  * and canonical-document selection.
+  *
+  * Same portability contract as [[Dedup]]/[[TextAnalysis]]: every score
+  * is integer arithmetic (counts, basis points, e4 fixed-point) derived
+  * from md5/poly_hash so the DuckDB oracle agrees bit-for-bit; no float
+  * ever reaches the driver compare.
+  */
+object Curation {
+
+  // ------------------------------------------------- composite filter
+  val MinTokens = 25
+  val MaxTokens = 50000
+  val MinWordLenC = 300  // mean word length floor, centichars
+  val MaxWordLenC = 520  // ceiling
+  val MaxSymbolBp = 1500 // non-alphanumeric char ratio ceiling, bp
+  val MinStopCount = 2   // minimum stopword occurrences
+  val MaxDupE4 = 300     // duplicate-3-gram ratio ceiling, e4
+
+  private val stopwords = Seq(" the ", " a ", " of ", " and ", " is ")
+
+  /** Gopher/C4-style composite quality gate: every rule evaluated from
+    * the integer signals of q20/q47, verdict = the FIRST failing rule
+    * (rule order is part of the contract — a doc failing several rules
+    * reports the earliest, the way production filter pipelines log one
+    * rejection reason per doc). Rules, in order: token-count floor and
+    * ceiling, mean-word-length band, symbol-ratio ceiling, stopword
+    * floor, duplicate-3-gram ceiling.
+    *
+    * Shape: one projection over the corpus — every signal including the
+    * repetition score rides the fused ShingleHashes codegen expression,
+    * so the whole verdict is scan-speed with no shuffle but the
+    * presentation sort. At 100 TB this is the canonical "score + filter
+    * in one pass" map stage; the verdict column (rather than a bare
+    * filter) keeps the reject stream inspectable, which is how filter
+    * rules get audited and tuned. */
+  def filterVerdicts(docs: DataFrame): DataFrame = {
+    graft.functions.ShingleHashes.register(docs.sparkSession, 3,
+      Dedup.HashBase, Dedup.HashMod)
+    val padded = "concat(' ', text, ' ')"
+    val stopCnt = stopwords
+      .map(w => s"(${TextAnalysis.sparkCount(padded, w)})").mkString(" + ")
+    val sig = docs.select(
+      col("doc_id"),
+      expr("size(split(text, ' '))").as("n_tokens"),
+      expr("(100 * (length(text) - size(split(text, ' ')) + 1)) div greatest(size(split(text, ' ')), 1)")
+        .as("mwl_c"),
+      expr("(10000 * length(regexp_replace(text, '[A-Za-z0-9 ]', ''))) div greatest(length(text), 1)")
+        .as("symbol_bp"),
+      expr(s"$stopCnt").as("stop_cnt"),
+      expr("shingle_hashes(text)").as("hs"))
+      .withColumn("dup_e4",
+        expr("(10000 * (size(hs) - size(array_distinct(hs)))) div greatest(size(hs), 1)"))
+    sig.select(
+      col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+      when(col("n_tokens") < MinTokens, "too_short")
+        .when(col("n_tokens") > MaxTokens, "too_long")
+        .when(col("mwl_c") < MinWordLenC || col("mwl_c") > MaxWordLenC, "word_length")
+        .when(col("symbol_bp") > MaxSymbolBp, "symbol_ratio")
+        .when(col("stop_cnt") < MinStopCount, "stopword")
+        .when(col("dup_e4") > MaxDupE4, "repetition")
+        .otherwise("pass").as("verdict"))
+      .withColumn("passed",
+        when(col("verdict") === "pass", 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  val filterVerdictsSql: String = {
+    val padded = "concat(' ', text, ' ')"
+    val stopCnt = stopwords
+      .map(w => s"(${TextAnalysis.duckCount(padded, w)})").mkString(" + ")
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    (100 * (length(text) - len(string_split(text, ' ')) + 1)) // greatest(len(string_split(text, ' ')), 1) AS mwl_c,
+       |    (10000 * length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))) // greatest(length(text), 1) AS symbol_bp,
+       |    ($stopCnt) AS stop_cnt,
+       |    list_transform(${Dedup.duckShingles}, s -> ${Dedup.duckH("s")}) AS hs
+       |  FROM documents),
+       |v AS (
+       |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    CASE
+       |      WHEN n_tokens < $MinTokens THEN 'too_short'
+       |      WHEN n_tokens > $MaxTokens THEN 'too_long'
+       |      WHEN mwl_c < $MinWordLenC OR mwl_c > $MaxWordLenC THEN 'word_length'
+       |      WHEN symbol_bp > $MaxSymbolBp THEN 'symbol_ratio'
+       |      WHEN stop_cnt < $MinStopCount THEN 'stopword'
+       |      WHEN (10000 * (len(hs) - len(list_distinct(hs)))) // greatest(len(hs), 1) > $MaxDupE4 THEN 'repetition'
+       |      ELSE 'pass' END AS verdict
+       |  FROM sig)
+       |SELECT doc_id, n_tokens, verdict,
+       |  CASE WHEN verdict = 'pass' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS passed
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------- token rarity
+  /** Fixed-point scale for the rarity score. e4 (not e6) keeps the
+    * worst case — a singleton token in a 10^13-token corpus — inside
+    * int64 for BOTH engines (DuckDB errors on overflow, Spark wraps;
+    * staying small keeps them identical). */
+  val RarityScale = 10000L
+
+  /** Unigram-LM surprisal proxy: rarity(token) = scale * N / tf (the
+    * integer inverse of the token's corpus probability), mean over each
+    * doc's token instances. The statistical twin of the rule-based q48:
+    * boilerplate and template docs score LOW (their tokens saturate the
+    * corpus), genuinely informative docs score high — the cheap stand-in
+    * for model-based perplexity filtering when no LM is at hand.
+    *
+    * Two-phase shape, the canonical frequency-join: (1) one shuffle
+    * builds the corpus vocabulary (token → tf, plus the corpus total as
+    * a 1-row aggregate); (2) the token stream joins the vocabulary back
+    * BROADCAST — a natural-language vocabulary is Zipf-bounded (millions
+    * of types against trillions of instances), so the corpus side is
+    * never shuffled by token: scan → broadcast probe → one groupBy
+    * doc_id. If the type count ever outgrows the broadcast ceiling the
+    * same plan degrades to a shuffle join on token — the declarative
+    * form survives the scale-up either way. */
+  def tokenRarity(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    val total = vocab.agg(sum(col("tf")).as("corpus_n"))
+    toks
+      .join(broadcast(vocab), "token")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        expr(s"($RarityScale * corpus_n) div tf").as("rarity"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           expr("sum(rarity) div count(1)").as("mean_rarity_e4"))
+      .orderBy("doc_id")
+  }
+
+  val tokenRaritySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |t AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+       |vocab AS (SELECT token, COUNT(*) AS tf FROM t GROUP BY token),
+       |total AS (SELECT SUM(tf) AS corpus_n FROM vocab)
+       |SELECT t.doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(($RarityScale * total.corpus_n) // vocab.tf) AS BIGINT) // COUNT(*) AS mean_rarity_e4
+       |FROM t JOIN vocab USING (token) CROSS JOIN total
+       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- incremental dedup
+  /** The source treated as the newly-arriving batch. */
+  val IncomingSource = "src0"
+
+  /** Incremental-ingest dedup: which docs of an INCOMING batch are
+    * already represented in the EXISTING corpus? The every-day shape of
+    * production dedup — the corpus is deduped once, then each new crawl
+    * is checked against it; re-clustering the union from scratch per
+    * batch would be quadratic over time.
+    *
+    * Semantics: an incoming doc is flagged when any of its MinHash LSH
+    * band keys (exactly q14's banding) collides with any existing doc's
+    * band; n_hit_bands counts how many of its [[Dedup.NumBands]] bands
+    * hit (a crude similarity confidence: all bands ≈ exact dup, one
+    * band ≈ borderline near-dup).
+    *
+    * Shape: signatures are computed per side (each doc hashed exactly
+    * once — the sides are disjoint), then one semi-join on
+    * (band, band_key). The batch side is small by construction, so at
+    * scale the flag join broadcasts the INCOMING bands against the
+    * existing corpus's band stream — or, better, probes a persisted
+    * band index instead of re-sketching the corpus: the band relation
+    * is exactly what a production pipeline materializes as its "dedup
+    * index" table, and this operator is one semi-join against it. */
+  def incrementalDedup(docs: DataFrame,
+                       incomingSource: String = IncomingSource): DataFrame = {
+    val incoming = Dedup.minhashBands(docs.filter(col("source") === incomingSource))
+    val existing = Dedup.minhashBands(docs.filter(col("source") =!= incomingSource))
+      .select("band", "band_key").distinct()
+    incoming
+      .join(existing, Seq("band", "band_key"), "left_semi")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("band")).as("n_hit_bands"))
+      .orderBy("doc_id")
+  }
+
+  def incrementalDedupSql: String = {
+    val sigCols = (0 until Dedup.NumHashes).map { i =>
+      s"list_min(list_transform(hs, h -> " +
+        s"(${Dedup.coefA(i)} * h + ${Dedup.coefB(i)}) % ${Dedup.P})) AS h$i"
+    }
+    val bandSelects = (0 until Dedup.NumBands).map { b =>
+      val key = (0 until Dedup.BandRows)
+        .map(r => s"CAST(h${b * Dedup.BandRows + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, source, $b AS band, $key AS band_key FROM sig"
+    }
+    s"""WITH hashed AS (
+       |  SELECT doc_id, source,
+       |    list_transform(${Dedup.duckShingles}, s -> ${Dedup.duckH("s")}) AS hs
+       |  FROM documents),
+       |sig AS (SELECT doc_id, source, ${sigCols.mkString(", ")} FROM hashed),
+       |bands AS (${bandSelects.mkString(" UNION ALL ")})
+       |SELECT a.doc_id, COUNT(DISTINCT a.band) AS n_hit_bands
+       |FROM bands a
+       |WHERE a.source = '$IncomingSource'
+       |  AND EXISTS (SELECT 1 FROM bands e
+       |              WHERE e.source <> '$IncomingSource'
+       |                AND e.band = a.band AND e.band_key = a.band_key)
+       |GROUP BY a.doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------ shard plan
+  val ShardTokens = 1000L
+
+  /** Token-budget shard planner: assign each doc (within its source, in
+    * doc_id order) to an output shard of ~[[ShardTokens]] tokens — the
+    * materialization step that cuts a curated corpus into near-equal
+    * training files. shard = exclusive-prefix-sum(n_tokens) div budget:
+    * a doc starts a new shard exactly when the tokens before it fill the
+    * previous budget, so shard sizes overshoot by at most one doc —
+    * deterministic, engine-independent, no packing heuristics.
+    *
+    * Shape: one hash partition by source + one in-partition sort —
+    * Spark's WindowExec computes the running sum without any global
+    * sort, and sources are independent so the stage scales with the
+    * source count. (A GLOBAL shard plan ordered across the whole corpus
+    * would serialize on one partition — per-source framing is what makes
+    * the operator parallel, and matches how corpora ship: shards nested
+    * under source prefixes.) */
+  def shardPlan(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("source"), col("doc_id"),
+        expr("size(split(text, ' '))").cast("long").as("n_tokens"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"tokens_before div $ShardTokens").as("shard"))
+      .orderBy("source", "doc_id")
+  }
+
+  val shardPlanSql: String =
+    s"""SELECT source, doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+       |    OVER (PARTITION BY source ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    // $ShardTokens AS shard
+       |FROM documents ORDER BY source, doc_id""".stripMargin
+
+  // ----------------------------------------------- canonical selection
+  /** Canonical-doc selection: the dedup pipeline's LAST step — per
+    * near-dup cluster (q33's MinHash-LSH connected components), keep the
+    * single best member. "Best" = longest text (n_chars), ties to the
+    * smallest doc_id; emitted only for clusters that actually merged
+    * (singletons pass through dedup unchanged and don't need a
+    * decision row).
+    *
+    * The argmax is ONE aggregation — max over (n_chars, -doc_id) structs,
+    * whose field-order comparison implements "longest, then smallest id"
+    * with map-side partials (no per-cluster sort, no window): the
+    * grouped-argmax shape that replaces a rank window at corpus scale.
+    * Rides the q33 clustering pass; the join back to doc metadata is by
+    * doc_id, broadcast-able when the cluster relation is small. */
+  def canonicalDocs(docs: DataFrame): DataFrame = {
+    val clusters = Dedup.dedupClusters(docs, Dedup.minhashPairs(docs))
+    clusters
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+           max(struct(col("n_chars").as("c"), (-col("doc_id")).as("nid"))).as("m"))
+      .filter(col("n_docs") > 1)
+      .select(col("cluster_id"), col("n_docs"),
+        (-col("m.nid")).as("keep_doc_id"), col("m.c").as("keep_chars"))
+      .orderBy("cluster_id")
+  }
+
+  def canonicalDocsSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT * FROM (${Dedup.minhashPairsSql})),
+       |edges(a, b) AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |clusters AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN min(r.dst) IS NULL OR d.doc_id < min(r.dst)
+       |         THEN d.doc_id ELSE min(r.dst) END AS cluster_id
+       |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+       |  GROUP BY d.doc_id),
+       |ranked AS (
+       |  SELECT c.cluster_id, d.doc_id, d.n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+       |  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id)
+       |SELECT cluster_id, n_docs, doc_id AS keep_doc_id, n_chars AS keep_chars
+       |FROM ranked WHERE rn = 1 AND n_docs > 1
+       |ORDER BY cluster_id""".stripMargin
+
+  // ------------------------------------------------------------ wiring
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_filter_verdicts" -> ((s, d) => filterVerdicts(Tables.documents(s, d))),
+    "q49_token_rarity" -> ((s, d) => tokenRarity(Tables.documents(s, d))),
+    "q50_incremental_dedup" -> ((s, d) => incrementalDedup(Tables.documents(s, d))),
+    "q51_shard_plan" -> ((s, d) => shardPlan(Tables.documents(s, d))),
+    "q52_canonical_docs" -> ((s, d) => canonicalDocs(Tables.documents(s, d))))
+
+  val oracles: Map[String, String] = Map(
+    "q48_filter_verdicts" -> filterVerdictsSql,
+    "q49_token_rarity" -> tokenRaritySql,
+    "q50_incremental_dedup" -> incrementalDedupSql,
+    "q51_shard_plan" -> shardPlanSql,
+    "q52_canonical_docs" -> canonicalDocsSql)
+}

@@ -19,9 +19,9 @@ object TextAnalysis {
 
   /** Occurrences of `needle` via replace-length arithmetic (portable,
     * no regex dialect involved). */
-  private def sparkCount(textExpr: String, needle: String): String =
+  private[ext] def sparkCount(textExpr: String, needle: String): String =
     s"(length($textExpr) - length(replace($textExpr, '$needle', ''))) div ${needle.length}"
-  private def duckCount(textExpr: String, needle: String): String =
+  private[ext] def duckCount(textExpr: String, needle: String): String =
     s"(length($textExpr) - length(replace($textExpr, '$needle', ''))) // ${needle.length}"
 
   /** Language marker words (space-padded to match whole tokens; text is

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext._
+
+/** Behavior specs for the curation operators (q48-q52) on crafted
+  * corpora with hand-computed expectations. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q48 filter verdicts: first failing rule wins, all-integer signals") {
+    // d1: 10 tokens -> too_short (even though it also has no stopwords)
+    val d1 = Seq.fill(10)("word").mkString(" ")
+    // d2: 30 x "hello": mwl_c = 100*150/30 = 500 (in band), no stopwords
+    val d2 = Seq.fill(30)("hello").mkString(" ")
+    // d3: "the of" x20: mwl_c = 100*100/40 = 250 < 300 -> word_length
+    val d3 = Seq.fill(20)("the of").mkString(" ")
+    // d4: 28 distinct 4-char words + "the of": mwl_c = 390, 2 stopwords,
+    // all 3-grams distinct -> pass
+    val d4 = ((0 until 28).map(i => f"w$i%03d") ++ Seq("the", "of")).mkString(" ")
+    // d5: "abcd efgh the" x10: mwl_c = 366, 10 stopwords, 3 distinct
+    // 3-grams of 28 -> dup_e4 = 8928 -> repetition
+    val d5 = Seq.fill(10)("abcd efgh the").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4), (5L, d5))
+      .toDF("doc_id", "text")
+    val got = Curation.filterVerdicts(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("verdict"), r.getAs[Long]("passed"))).toMap
+    assert(got == Map(
+      1L -> ("too_short", 0L), 2L -> ("stopword", 0L),
+      3L -> ("word_length", 0L), 4L -> ("pass", 1L),
+      5L -> ("repetition", 0L)))
+  }
+
+  test("q49 token rarity: exact integer surprisal on a two-doc corpus") {
+    // tokens: a x5, b x1 -> total 6; rarity(a) = 10000*6/5 = 12000,
+    // rarity(b) = 60000
+    val docs = Seq((1L, "a a a a"), (2L, "a b")).toDF("doc_id", "text")
+    val got = Curation.tokenRarity(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("mean_rarity_e4")))
+    assert(got.toSeq == Seq((1L, 4L, 12000L), (2L, 2L, 36000L)))
+  }
+
+  test("q50 incremental dedup: exact clone hits all bands, novel doc silent") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "iota kappa lambda mu nu xi omicron pi"
+    val novel = "uno dos tres cuatro cinco seis siete ocho"
+    val docs = Seq(
+      (1L, t1, "old"), (2L, t2, "old"),
+      (11L, t1, "src0"), (12L, novel, "src0"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.incrementalDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_hit_bands")).toMap
+    assert(got == Map(11L -> Dedup.NumBands.toLong),
+      s"clone must hit every band; novel doc must not appear: $got")
+  }
+
+  test("q51 shard plan: exclusive prefix sum, per-source framing") {
+    val text400 = Seq.fill(400)("w").mkString(" ")
+    val docs = (1L to 5L).map(i => (s"s1", i, text400)) ++
+      Seq(("s2", 10L, text400))
+    val df = docs.toDF("source", "doc_id", "text")
+    val got = Curation.shardPlan(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("shard")))
+    // tokens_before in s1: 0,400,800,1200,1600 -> shards 0,0,0,1,1;
+    // s2 restarts at shard 0
+    assert(got.toSeq == Seq(
+      ("s1", 1L, 0L), ("s1", 2L, 0L), ("s1", 3L, 0L),
+      ("s1", 4L, 1L), ("s1", 5L, 1L), ("s2", 10L, 0L)))
+  }
+
+  test("q52 canonical pick: longest wins, ties break to min doc_id") {
+    val tA = "red orange yellow green blue indigo violet ultraviolet"
+    val tB = "mon tue wed thu fri sat sun always"
+    val lone = "rock paper scissors lizard spock alone here now"
+    // cluster A: docs 1,2,3 identical text; doc 2 longest -> keep 2
+    // cluster B: docs 5,6 identical text, equal length -> keep 5
+    // doc 9: singleton -> absent
+    val docs = Seq(
+      (1L, tA, 100L), (2L, tA, 150L), (3L, tA, 120L),
+      (5L, tB, 80L), (6L, tB, 80L),
+      (9L, lone, 999L)).toDF("doc_id", "text", "n_chars")
+    val got = Curation.canonicalDocs(docs).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("keep_doc_id"), r.getAs[Long]("keep_chars")))
+    assert(got.toSeq == Seq((1L, 3L, 2L, 150L), (5L, 2L, 5L, 80L)))
+  }
+}
