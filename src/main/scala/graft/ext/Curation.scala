@@ -172,12 +172,12 @@ object Curation {
     *
     * Shape: signatures are computed per side (each doc hashed exactly
     * once — the sides are disjoint), then one semi-join on
-    * (band, band_key). The batch side is small by construction, so at
-    * scale the flag join broadcasts the INCOMING bands against the
-    * existing corpus's band stream — or, better, probes a persisted
-    * band index instead of re-sketching the corpus: the band relation
-    * is exactly what a production pipeline materializes as its "dedup
-    * index" table, and this operator is one semi-join against it. */
+    * (band, band_key). Locally Catalyst broadcasts the smaller side; at
+    * corpus scale the existing side's bands are a PERSISTED index table
+    * (bucketed by band_key — the band relation is exactly what a
+    * production pipeline materializes as its dedup index), so the check
+    * is one co-located semi-join whose shuffled volume is the tiny
+    * incoming batch, never a re-sketch of the corpus. */
   def incrementalDedup(docs: DataFrame,
                        incomingSource: String = IncomingSource): DataFrame = {
     val incoming = Dedup.minhashBands(docs.filter(col("source") === incomingSource))

@@ -681,12 +681,21 @@ object Dedup {
     * and the frontier collapses to the few still-merging components
     * after round 1 — per-round cost tracks the work remaining, not the
     * corpus. This is why label-prop is the industry-standard dedup
-    * clustering pass at corpus scale. */
+    * clustering pass at corpus scale.
+    *
+    * The iteration runs over the INDUCED SUBGRAPH only: a doc in no
+    * pair can never change its label, so labels start from the edge
+    * endpoints (|V(pairs)| rows — a small fraction of any deduped
+    * corpus), and the corpus joins the converged labels exactly once at
+    * the end (singletons label themselves via coalesce). Iterating
+    * corpus-sized label relations instead would shuffle the whole
+    * corpus once per round for rows that by construction cannot move. */
   def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("id"), col("doc_b").as("nbr"))
       .unionByName(pairs.select(col("doc_b").as("id"), col("doc_a").as("nbr")))
       .localCheckpoint(true)
-    var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("label"))
+    var labels = edges.select(col("id")).distinct()
+      .withColumn("label", col("id"))
       .localCheckpoint(true)
     // Runs to CONVERGENCE (empty frontier), not to an iteration cap:
     // min-propagation is monotone over a finite label set, so every
@@ -709,7 +718,10 @@ object Dedup {
       frontierSize = frontier.count()
       labels = next.select("id", "label")
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .orderBy("doc_id")
   }
 

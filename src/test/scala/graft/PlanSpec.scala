@@ -202,6 +202,32 @@ class PlanSpec extends SparkSpec {
       "bloom prefilter must sit on the corpus side before the join")
   }
 
+  test("q48: verdicts are one scan-speed projection — no mid-plan shuffle") {
+    val p = plan(SparkEntry.queries("q48_filter_verdicts")(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the verdict must not shuffle the corpus:\n${p.take(1500)}")
+  }
+
+  test("q49: corpus probes the vocabulary via broadcast, never shuffles by token") {
+    val p = plan(SparkEntry.queries("q49_token_rarity")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab join must broadcast (Zipf-bounded vocabulary)")
+    // the only corpus-sized hash shuffle is the final per-doc aggregation;
+    // the token-keyed exchange feeds the small vocab aggregate only
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val corpusSide = p.substring(0, joinIdx)
+    assert(!corpusSide.contains("Exchange hashpartitioning(token"),
+      s"corpus side leaked into a token shuffle:\n${p.take(2000)}")
+  }
+
+  test("q51: shard plan is one scan + one source-partitioned window") {
+    val p = plan(SparkEntry.queries("q51_shard_plan")(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"one shuffle by source only:\n${p.take(1500)}")
+  }
+
   test("GraftExtensions injects poly_hash + vector functions for SQL-only sessions") {
     // the injection list accepts our builder (a bad signature would throw)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
