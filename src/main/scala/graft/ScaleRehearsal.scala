@@ -46,7 +46,10 @@ object ScaleRehearsal {
     "q21_tokens", "q22_fingerprint", "q23_multimodal", "q29_source_sketch",
     "q31_signlsh_neardup", "q32_simhash_pairs", "q33_dedup_clusters",
     "q34_vocab", "q35_quality_sample", "q36_simhash_multiprobe",
-    "q37_length_quantiles", "q38_cross_source", "q42_signlsh_multiband")
+    "q37_length_quantiles", "q38_cross_source", "q42_signlsh_multiband",
+    "q44_top_docs_per_source", "q45_eval_contamination", "q46_chunking",
+    "q47_repetition", "q48_filter_verdicts", "q49_token_rarity",
+    "q50_incremental_dedup", "q51_shard_plan", "q52_canonical_docs")
 
   val ExcludedQuadratic: Seq[String] =
     Seq("q17_cosine_topk", "q18_ivf_topk", "q24_embedding_neardup")
