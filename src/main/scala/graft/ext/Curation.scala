@@ -306,18 +306,190 @@ object Curation {
        |FROM ranked WHERE rn = 1 AND n_docs > 1
        |ORDER BY cluster_id""".stripMargin
 
+  // ------------------------------------------------------- bigram stats
+  val BpeTopK = 50
+
+  /** Top-K adjacent-token-pair frequencies — the first merge-candidate
+    * table of BPE/WordPiece tokenizer training, and the bigram half of
+    * the q34 vocabulary family. Same scale shape as q34: one generator
+    * projection (each doc emits its n-1 adjacent pairs), one count
+    * shuffle with map-side partials, and the top-K cut plans as
+    * TakeOrderedAndProject — per-partition heaps, never a global sort
+    * of the pair vocabulary. Ties break on the pair text. */
+  def bpePairs(docs: DataFrame): DataFrame =
+    docs.select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+          .stripMargin)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(BpeTopK)
+
+  val bpePairsSql: String =
+    s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+       |p AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS pair
+       |  FROM t WHERE len(toks) >= 2)
+       |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+       |ORDER BY n DESC, pair LIMIT $BpeTopK""".stripMargin
+
+  // ------------------------------------------------ prefix containment
+  /** Minimum leading tokens for containment to count (and the blocking
+    * fingerprint width — see the losslessness argument below). */
+  val ContainPrefixWords = 8
+
+  /** Prefix-containment dedup: docs whose full (normalized) text is a
+    * strict prefix of another doc — the truncated-duplicate family that
+    * near-dup sketches often miss (a 10% crawl truncation keeps Jaccard
+    * high, but an aggressive cut drops most shingles while the page is
+    * still the same content). Only docs with at least
+    * [[ContainPrefixWords]] leading tokens participate: shorter docs are
+    * too small for containment to be meaningful.
+    *
+    * Blocking is LOSSLESS by construction: a qualifying pair shares its
+    * first [[ContainPrefixWords]] words verbatim (the short side has at
+    * least that many, and the long side starts with the short side), so
+    * both land in the same md5-prefix bucket — the oracle's unblocked
+    * self-join provably emits the same set. Shape: one scan, one
+    * shuffle on the 16-byte fingerprint, in-bucket pair expansion (the
+    * minhashPairs shape) with the strict-shorter + substring check
+    * evaluated where the pair is born; only docs sharing a prefix
+    * fingerprint ever carry their text into a bucket list. */
+  def prefixContained(docs: DataFrame): DataFrame = {
+    val norm = "regexp_replace(lower(text), '\\\\s+', ' ')"
+    docs
+      .select(col("doc_id"), expr(norm).as("t"))
+      .withColumn("ntok", size(split(col("t"), " ")))
+      .filter(col("ntok") >= ContainPrefixWords)
+      .select(col("doc_id"), col("t"), length(col("t")).as("n"),
+        expr(s"md5(cast(array_join(slice(split(t, ' '), 1, $ContainPrefixWords), ' ') as binary))")
+          .as("fp"))
+      .groupBy("fp")
+      .agg(sort_array(collect_list(struct(col("n"), col("doc_id"), col("t"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ds) - 1),
+          |  i -> filter(
+          |    transform(sequence(i + 1, size(ds)),
+          |      j -> named_struct('s', element_at(ds, i), 'l', element_at(ds, j))),
+          |    p -> p.s.n < p.l.n AND substring(p.l.t, 1, p.s.n) = p.s.t)))"""
+          .stripMargin)).as("p"))
+      .select(col("p.s.doc_id").as("short_doc"), col("p.l.doc_id").as("long_doc"),
+        col("p.s.n").cast("long").as("short_chars"),
+        col("p.l.n").cast("long").as("long_chars"))
+      .orderBy("short_doc", "long_doc")
+  }
+
+  val prefixContainedSql: String = {
+    val norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    s"""WITH t AS (
+       |  SELECT doc_id, $norm AS t FROM documents
+       |  WHERE len(string_split($norm, ' ')) >= $ContainPrefixWords)
+       |SELECT a.doc_id AS short_doc, b.doc_id AS long_doc,
+       |  CAST(length(a.t) AS BIGINT) AS short_chars,
+       |  CAST(length(b.t) AS BIGINT) AS long_chars
+       |FROM t a JOIN t b
+       |  ON length(a.t) < length(b.t)
+       | AND substr(b.t, 1, length(a.t)) = a.t
+       |ORDER BY short_doc, long_doc""".stripMargin
+  }
+
+  // ------------------------------------------------- alignment audit
+  /** Multimodal alignment audit: per source, how many docs lack a row in
+    * the embeddings table (doc_id ↔ vec_id)? The integrity check every
+    * multi-table pipeline runs before training — a failed embedding job
+    * shows up here as a nonzero gap, not as silent corpus shrinkage
+    * three joins later. One outer join + one aggregation; at scale both
+    * sides shuffle by id once (or co-locate for free if the tables are
+    * bucketed by id, the layout §2's sources recommend). */
+  def alignmentAudit(docs: DataFrame, emb: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"))
+      .join(emb.select(col("vec_id").as("doc_id"), lit(1).as("has_emb")),
+        Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("has_emb").isNull, 1L).otherwise(0L))
+          .as("n_missing_embedding"))
+      .orderBy("source")
+
+  val alignmentAuditSql: String =
+    """SELECT d.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_missing_embedding
+      |FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  // ---------------------------------------------- stratified k-sample
+  val StratumK = 5
+
+  /** Deterministic k-per-stratum sample: exactly [[StratumK]] docs per
+    * source, chosen by content-hash order — the eval-set construction
+    * step that needs FIXED per-stratum counts (q35's rate-based cut
+    * can't guarantee them). The selector is the same content hash as
+    * q35 (md5-prefix poly-hash of the normalized text), so the pick is
+    * reproducible across runs, engines and partitionings, and exact
+    * dup docs sort adjacently rather than randomly.
+    *
+    * Shape: the bounded-heap [[graft.functions.TopKByScore]] aggregator
+    * again — k-row partials map-side, |sources|·k rows through the
+    * shuffle, no window sort of the corpus (q44's argument applied to
+    * sampling). */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    graft.functions.PolyHash.register(docs.sparkSession)
+    val norm = "regexp_replace(lower(text), '\\\\s+', ' ')"
+    val topk = graft.functions.BoundedTopK.topK(StratumK)
+    docs.select(col("source"), col("doc_id"),
+        expr(s"poly_hash(substring(md5(cast($norm as binary)), 1, 8), 31, 1000000007)")
+          .cast("double").as("h"))
+      .groupBy("source")
+      .agg(topk(col("h"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), col("col.cos").cast("long").as("h"))
+      .orderBy("source", "rank")
+  }
+
+  val stratifiedSampleSql: String = {
+    val norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    val h = s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(" +
+      s"generate_series(1, 8), i -> CAST(ord(substr(md5($norm), i, 1)) AS BIGINT)))," +
+      s" (acc, c) -> (acc * 31 + c) % 1000000007)"
+    s"""WITH scored AS (
+       |  SELECT source, doc_id, $h AS h FROM documents),
+       |ranked AS (
+       |  SELECT source, doc_id, h,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT source, CAST(rank AS INT) AS rank, doc_id, h
+       |FROM ranked WHERE rank <= $StratumK
+       |ORDER BY source, rank""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_filter_verdicts" -> ((s, d) => filterVerdicts(Tables.documents(s, d))),
     "q49_token_rarity" -> ((s, d) => tokenRarity(Tables.documents(s, d))),
     "q50_incremental_dedup" -> ((s, d) => incrementalDedup(Tables.documents(s, d))),
     "q51_shard_plan" -> ((s, d) => shardPlan(Tables.documents(s, d))),
-    "q52_canonical_docs" -> ((s, d) => canonicalDocs(Tables.documents(s, d))))
+    "q52_canonical_docs" -> ((s, d) => canonicalDocs(Tables.documents(s, d))),
+    "q53_bpe_pairs" -> ((s, d) => bpePairs(Tables.documents(s, d))),
+    "q54_prefix_contained" -> ((s, d) => prefixContained(Tables.documents(s, d))),
+    "q55_alignment_audit" -> ((s, d) =>
+      alignmentAudit(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "q56_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q48_filter_verdicts" -> filterVerdictsSql,
     "q49_token_rarity" -> tokenRaritySql,
     "q50_incremental_dedup" -> incrementalDedupSql,
     "q51_shard_plan" -> shardPlanSql,
-    "q52_canonical_docs" -> canonicalDocsSql)
+    "q52_canonical_docs" -> canonicalDocsSql,
+    "q53_bpe_pairs" -> bpePairsSql,
+    "q54_prefix_contained" -> prefixContainedSql,
+    "q55_alignment_audit" -> alignmentAuditSql,
+    "q56_stratified_sample" -> stratifiedSampleSql)
 }

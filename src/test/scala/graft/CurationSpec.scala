@@ -70,6 +70,54 @@ class CurationSpec extends SparkSpec {
       ("s1", 4L, 1L), ("s1", 5L, 1L), ("s2", 10L, 0L)))
   }
 
+  test("q53 bigram stats: exact adjacent-pair counts, short docs excluded") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = Curation.bpePairs(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n"))
+    // d1 emits (a b), (b a), (a b); d2 emits (a b); d3 emits nothing
+    assert(got.toSeq == Seq("a b" -> 3L, "b a" -> 1L))
+  }
+
+  test("q54 prefix containment: normalized strict prefixes only, 8-token floor") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base),                               // short, exactly 8 tokens
+      (2L, base + " iota kappa"),               // contains 1 as prefix
+      (3L, "ALPHA  beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+      // ^ contains 1 AND 2 after case/whitespace normalization
+      (4L, "alpha beta gamma"),                 // < 8 tokens: exempt
+      (5L, "omega " + base))                    // base not at the start
+      .toDF("doc_id", "text")
+    val got = Curation.prefixContained(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("q55 alignment audit: missing embeddings counted per source") {
+    val docs = Seq((1L, "s1"), (2L, "s1"), (3L, "s2"))
+      .toDF("doc_id", "source")
+    val emb = Seq((1L, 0), (3L, 1)).toDF("vec_id", "label")
+    val got = Curation.alignmentAudit(docs, emb).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_missing_embedding"))).toMap
+    assert(got == Map("s1" -> (2L, 1L), "s2" -> (1L, 0L)))
+  }
+
+  test("q56 stratified sample: exactly k per stratum, partition-invariant") {
+    val rnd = new scala.util.Random(11)
+    val docs = (for (s <- Seq("sa", "sb"); i <- 1 to 20) yield
+      (s, s.hashCode.toLong * 100 + i,
+        (1 to 12).map(_ => rnd.alphanumeric.take(4).mkString).mkString(" ")))
+      .toDF("source", "doc_id", "text")
+    val a = Curation.stratifiedSample(docs).collect().map(_.toSeq).toSeq
+    assert(a.count(_.head == "sa") == Curation.StratumK)
+    assert(a.count(_.head == "sb") == Curation.StratumK)
+    val b = Curation.stratifiedSample(docs.repartition(7)).collect()
+      .map(_.toSeq).toSeq
+    assert(a == b, "sample must not depend on partitioning")
+  }
+
   test("q52 canonical pick: longest wins, ties break to min doc_id") {
     val tA = "red orange yellow green blue indigo violet ultraviolet"
     val tB = "mon tue wed thu fri sat sun always"
