@@ -49,7 +49,9 @@ object ScaleRehearsal {
     "q37_length_quantiles", "q38_cross_source", "q42_signlsh_multiband",
     "q44_top_docs_per_source", "q45_eval_contamination", "q46_chunking",
     "q47_repetition", "q48_filter_verdicts", "q49_token_rarity",
-    "q50_incremental_dedup", "q51_shard_plan", "q52_canonical_docs")
+    "q50_incremental_dedup", "q51_shard_plan", "q52_canonical_docs",
+    "q53_bpe_pairs", "q54_prefix_contained", "q55_alignment_audit",
+    "q56_stratified_sample")
 
   val ExcludedQuadratic: Seq[String] =
     Seq("q17_cosine_topk", "q18_ivf_topk", "q24_embedding_neardup")

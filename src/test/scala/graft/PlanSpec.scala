@@ -228,6 +228,29 @@ class PlanSpec extends SparkSpec {
       s"one shuffle by source only:\n${p.take(1500)}")
   }
 
+  test("q53: bigram top-K plans as TakeOrderedAndProject over one scan") {
+    val p = plan(SparkEntry.queries("q53_bpe_pairs")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "pair-vocabulary top-K must use per-partition heaps, not a global sort")
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+  }
+
+  test("q54: containment candidates come from the fingerprint bucket join — no cartesian") {
+    val p = plan(SparkEntry.queries("q54_prefix_contained")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q54 must never compare all pairs:\n${p.take(1500)}")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "one scan feeds the bucket aggregation")
+  }
+
+  test("q56: stratified sample aggregates with k-row partials, no window") {
+    val p = plan(SparkEntry.queries("q56_stratified_sample")(spark, sf))
+    assert(!p.contains("Window"),
+      s"q56 must not rank the corpus under a window:\n${p.take(1500)}")
+    assert(p.contains("ObjectHashAggregate"),
+      "bounded-heap aggregator should plan as ObjectHashAggregate")
+  }
+
   test("GraftExtensions injects poly_hash + vector functions for SQL-only sessions") {
     // the injection list accepts our builder (a bad signature would throw)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
