@@ -936,6 +936,71 @@ object Dedup {
        |WHERE levenshtein(a.p_name, b.p_name) <= $MaxEditDistance
        |ORDER BY key_a, key_b""".stripMargin
 
+  // ------------------------------------------------- block-level dedup
+  val BlockTokens = 8
+
+  /** Sub-document (block-level) exact dedup — the CCNet/RefinedWeb move:
+    * whole-document dedup misses the boilerplate PARAGRAPHS shared
+    * across otherwise-distinct pages, so the corpus is deduped at the
+    * block granularity instead. The fixture text has no newlines, so a
+    * "block" is [[BlockTokens]] consecutive non-overlapping whitespace
+    * tokens (the tail block keeps whatever remains); first occurrence
+    * in (doc_id, block_idx) order is the keeper, every later identical
+    * block is a duplicate. Emits the per-document damage report:
+    * total/duplicate block counts + tokens surviving the clean.
+    *
+    * Shape: one generator projection explodes docs into blocks, one
+    * hash-aggregation on the block text finds each block's keeper
+    * (min of a packed (doc_id, block_idx) long — a 2-field sort key in
+    * 8 bytes), and the keeper join lands on the SAME key the aggregate
+    * just shuffled on, so it co-locates without a new exchange; the
+    * per-doc rollup is the only other shuffle. Never quadratic, no
+    * window over the corpus. At 100 TB the block text in the shuffle
+    * key would be replaced by its 128-bit hash (md5 here keeps the
+    * DuckDB oracle bit-identical). */
+  def blockDedup(docs: DataFrame): DataFrame = {
+    val bt = BlockTokens
+    val blocks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(toks) - 1) div $bt), " +
+          s"i -> slice(toks, i * $bt + 1, $bt))")).as(Seq("block_idx", "barr")))
+      .select(col("doc_id"), col("block_idx"),
+        array_join(col("barr"), " ").as("block"),
+        size(col("barr")).cast("long").as("bt"),
+        // packed first-occurrence key: block_idx < 2^20 enforced by the
+        // fixture's doc length; doc_id headroom to 2^43
+        (col("doc_id") * lit(1048576L) + col("block_idx")).as("pos"))
+    val keepers = blocks.groupBy("block").agg(min("pos").as("keeper_pos"))
+    blocks.join(keepers, "block")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("pos") =!= col("keeper_pos"), 1L).otherwise(0L))
+          .as("n_dup_blocks"),
+        sum(when(col("pos") === col("keeper_pos"), col("bt")).otherwise(0L))
+          .as("n_clean_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val blockDedupSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |b AS (SELECT doc_id,
+       |        unnest(generate_series(0, (len(toks) - 1) // $BlockTokens)) AS block_idx,
+       |        toks
+       |      FROM t),
+       |bb AS (SELECT doc_id, block_idx,
+       |         array_to_string(toks[block_idx * $BlockTokens + 1 : block_idx * $BlockTokens + $BlockTokens], ' ') AS block,
+       |         len(toks[block_idx * $BlockTokens + 1 : block_idx * $BlockTokens + $BlockTokens]) AS bt,
+       |         doc_id * 1048576 + block_idx AS pos
+       |       FROM b),
+       |k AS (SELECT block, MIN(pos) AS keeper_pos FROM bb GROUP BY block)
+       |SELECT bb.doc_id, COUNT(*) AS n_blocks,
+       |  CAST(SUM(CASE WHEN bb.pos <> k.keeper_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+       |  CAST(SUM(CASE WHEN bb.pos = k.keeper_pos THEN bt ELSE 0 END) AS BIGINT) AS n_clean_tokens
+       |FROM bb JOIN k USING (block)
+       |GROUP BY bb.doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_dedup_exact" -> ((s, d) => exactDedup(Tables.documents(s, d))),
@@ -950,7 +1015,8 @@ object Dedup {
     "q33_dedup_clusters" -> ((s, d) => minhashClusters(Tables.documents(s, d))),
     "q38_cross_source" -> ((s, d) => crossSourceClusters(Tables.documents(s, d))),
     "q45_eval_contamination" -> ((s, d) => evalContamination(Tables.documents(s, d))),
-    "q47_repetition" -> ((s, d) => repetitionScore(Tables.documents(s, d))))
+    "q47_repetition" -> ((s, d) => repetitionScore(Tables.documents(s, d))),
+    "q59_block_dedup" -> ((s, d) => blockDedup(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q13_dedup_exact" -> exactDedupSql,
@@ -965,5 +1031,6 @@ object Dedup {
     "q33_dedup_clusters" -> minhashClustersSql,
     "q38_cross_source" -> crossSourceClustersSql,
     "q45_eval_contamination" -> evalContaminationSql,
-    "q47_repetition" -> repetitionScoreSql)
+    "q47_repetition" -> repetitionScoreSql,
+    "q59_block_dedup" -> blockDedupSql)
 }

@@ -34,7 +34,21 @@ case class MediaFeatures(
   */
 trait MediaDecoder extends Serializable {
   def decode(rec: MediaRecord): MediaFeatures
+
+  /** Frame-sampling boundary: one row per sampled frame (a real decoder
+    * seeks keyframes; the stub strides the byte stream). Returned lazily
+    * so a huge record streams frames instead of materializing them. */
+  def frames(rec: MediaRecord): Iterator[FrameSample]
 }
+
+/** One sampled "frame": its index, byte offset, lead byte, and a short
+  * window hash standing in for the decoded frame signature. */
+case class FrameSample(
+    doc_id: Long,
+    frame_idx: Int,
+    frame_off: Long,
+    frame_byte: Int,
+    window_hash: Long)
 
 /** Deterministic fake decode: byte statistics + stride-sampled "frames".
   * A real decoder is intentionally NOT implementable here (no codec libs
@@ -70,6 +84,19 @@ final class StubDecoder extends MediaDecoder {
       }
     }
     MediaFeatures(rec.doc_id, n, if (n == 0) 0 else sum * 100 / n, mx, f, fs, th)
+  }
+
+  /** One "frame" every 256 bytes: lead byte + polynomial hash of the
+    * 16-byte window at the offset (clipped at end-of-payload). */
+  override def frames(rec: MediaRecord): Iterator[FrameSample] = {
+    val bytes = rec.payload
+    Iterator.range(0, bytes.length, 256).map { off =>
+      var h = 0L
+      var i = off
+      val end = math.min(off + 16, bytes.length)
+      while (i < end) { h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+      FrameSample(rec.doc_id, off / 256, off.toLong, bytes(off) & 0xff, h)
+    }
   }
 }
 
@@ -140,9 +167,44 @@ object Multimodal {
       |FROM stats s JOIN documents d ON s.doc_id = d.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
+  /** The explode-shaped decode stage: each record fans out into its
+    * sampled frames via flatMap — same one-decoder-per-partition,
+    * never-collected discipline as [[decodeFeatures]], but the output
+    * cardinality is data-dependent (n_bytes / stride per record). At
+    * 100 TB this is the video-keyframe extraction shape: fan-out
+    * bounded by payload size, embarrassingly parallel, column pruning
+    * still drops the payload for queries over the frame table. */
+  def sampleFrames(media: DataFrame, decoder: MediaDecoder): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.flatMap(decoder.frames))
+  }
+
+  /** q60: frame-sample table over the corpus payloads. */
+  def q60(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(attachPayload(Tables.documents(s, dir)), new StubDecoder)
+      .toDF().orderBy("doc_id", "frame_idx")
+
+  /** Oracle: same stride/window arithmetic over the utf-8 text (ASCII
+    * fixture: ord == byte, see q23's note). */
+  val q60Sql: String =
+    """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      |f AS (SELECT doc_id, text, n, unnest(generate_series(1, n, 256)) AS off1
+      |      FROM b WHERE n > 0)
+      |SELECT doc_id, CAST((off1 - 1) // 256 AS INT) AS frame_idx,
+      |  CAST(off1 - 1 AS BIGINT) AS frame_off,
+      |  ord(substr(text, off1, 1)) AS frame_byte,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |    generate_series(off1, least(off1 + 15, n)),
+      |    i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+      |    (a, c) -> (a * 31 + c) % 1000000007) AS window_hash
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q23_multimodal" -> (q23 _))
+    "q23_multimodal" -> (q23 _),
+    "q60_frame_sample" -> (q60 _))
 
   val oracles: Map[String, String] = Map(
-    "q23_multimodal" -> q23Sql)
+    "q23_multimodal" -> q23Sql,
+    "q60_frame_sample" -> q60Sql)
 }

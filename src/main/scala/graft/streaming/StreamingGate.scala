@@ -42,22 +42,30 @@ object StreamingGate {
   private val stagedCache =
     new java.util.concurrent.ConcurrentHashMap[String, Path]()
 
-  private def stageWithSentinel(spark: SparkSession, dir: String): Path =
-    stagedCache.computeIfAbsent(dir, d => buildStagedDir(spark, d))
+  private def stageWithSentinel(spark: SparkSession, dir: String,
+                                copies: Int = 1): Path =
+    stagedCache.computeIfAbsent(s"$dir#$copies",
+      _ => buildStagedDir(spark, dir, copies))
 
-  /** Copy the events fixture + write the sentinel row into a fresh temp
-    * dir, mtimes ordered (fixture old, sentinel new) so `latestFirst =
-    * false` + `maxFilesPerTrigger = 1` replays real data before the
-    * sentinel — the realistic arrival order. */
-  private def buildStagedDir(spark: SparkSession, dir: String): Path = {
+  /** Copy the events fixture (`copies` identical files — the dedup gate
+    * stages it twice to manufacture a duplicated arrival) + write the
+    * sentinel row into a fresh temp dir, mtimes ordered (fixture copies
+    * oldest-first, sentinel new) so `latestFirst = false` +
+    * `maxFilesPerTrigger = 1` replays real data in arrival order with
+    * the sentinel last. */
+  private def buildStagedDir(spark: SparkSession, dir: String,
+                             copies: Int): Path = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staged = Files.createTempDirectory("graft-stream-gate")
     staged.toFile.deleteOnExit()
     val fixture = staged.resolve("00-events.parquet")
-    Files.copy(Paths.get(s"$dir/events.parquet"), fixture,
-      StandardCopyOption.REPLACE_EXISTING)
-    Files.setLastModifiedTime(fixture,
-      FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    for (c <- 0 until copies) {
+      val f = staged.resolve(f"$c%02d-events.parquet")
+      Files.copy(Paths.get(s"$dir/events.parquet"), f,
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(f, FileTime.fromMillis(
+        System.currentTimeMillis() - 60000L * (copies - c)))
+    }
 
     // sentinel ts: +1 day past the fixture max, in the fixture's raw
     // nanos encoding (read back as long via nanosAsLong)
@@ -86,15 +94,18 @@ object StreamingGate {
     * after the watermark advances — one fewer batch than rate-limited
     * replay, with an identical emitted set (emission depends on the
     * final watermark, not on batch boundaries). */
-  private def stream(spark: SparkSession, staged: Path): DataFrame = {
+  private def stream(spark: SparkSession, staged: Path,
+                     filesPerTrigger: Option[Int]): DataFrame = {
     // set at the READ site, not in buildStagedDir: the staged-dir cache
     // is JVM-global but this conf is per-SparkSession — a second
     // session hitting the cache must still get the nanos read path
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    val rs = spark.readStream
       .schema(EventsStreaming.rawSchema)
       .option("latestFirst", false)
-      .parquet(staged.toString)
+    val limited = filesPerTrigger
+      .fold(rs)(n => rs.option("maxFilesPerTrigger", n))
+    limited.parquet(staged.toString)
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
@@ -104,8 +115,10 @@ object StreamingGate {
   /** Run `transform` through the real micro-batch engine with
     * Trigger.AvailableNow into a memory sink; return the sink table. */
   private def runToMemory(spark: SparkSession, dir: String,
-                          transform: DataFrame => DataFrame): DataFrame = {
-    val staged = stageWithSentinel(spark, dir)
+                          transform: DataFrame => DataFrame,
+                          copies: Int = 1,
+                          filesPerTrigger: Option[Int] = None): DataFrame = {
+    val staged = stageWithSentinel(spark, dir, copies)
     val name = s"graft_stream_gate_${runCounter.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
     ckpt.toFile.deleteOnExit()
@@ -118,7 +131,7 @@ object StreamingGate {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = transform(stream(spark, staged)).writeStream
+      val q = transform(stream(spark, staged, filesPerTrigger)).writeStream
         .format("memory")
         .queryName(name)
         .outputMode("append")
@@ -154,15 +167,48 @@ object StreamingGate {
     runToMemory(spark, dir, EventsStreaming.purchaseClickCorrelation)
       .orderBy(col("click_id"), col("purchase_id"))
 
+  /** q58: watermark-scoped streaming dedup through the micro-batch
+    * engine. The staging makes the test real: the fixture is staged
+    * TWICE and `maxFilesPerTrigger = 1` forces three micro-batches
+    * (copy A, copy B, sentinel), so every copy-B row is suppressed by
+    * the dedup STATE STORE across a batch boundary — rows still inside
+    * the watermark horizon hit their batch-A state entry, older rows
+    * are dropped by the late-event filter; both paths must fire or
+    * duplicates leak into the sink and fail the hash. State is keyed on
+    * (event_id, ts) WITH the event-time column, so entries expire as
+    * the watermark advances — bounded state, the only dedup shape that
+    * survives an unbounded stream. The sentinel (ids = -1) advances the
+    * watermark through the real data and is filtered inside the
+    * transform before the sink. */
+  def q58StreamDedup(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, dir,
+      events => EventsStreaming.dedupEvents(events)
+        .filter(col("event_id") >= 0)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents")),
+      copies = 2, filesPerTrigger = Some(1))
+      .orderBy("event_id")
+
+  /** The deduped stream must equal the original relation (fixture
+    * event_ids are unique — the duplication is manufactured by the
+    * two-copy staging, so the batch oracle is just the table). */
+  val q58Sql: String =
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+      |  CAST(round(value * 100) AS BIGINT) AS value_cents
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_stream_tumbling" -> (q40StreamTumbling _),
     "q41_stream_sessions" -> (q41StreamSessions _),
-    "q43_stream_interval_join" -> (q43StreamIntervalJoin _))
+    "q43_stream_interval_join" -> (q43StreamIntervalJoin _),
+    "q58_stream_dedup" -> (q58StreamDedup _))
 
   /** Same oracles as the batch twins: the streaming engine must land on
     * the identical relation. */
   val oracles: Map[String, String] = Map(
     "q40_stream_tumbling" -> graft.queries.Relational.q11Sql,
     "q41_stream_sessions" -> graft.queries.Relational.q12Sql,
-    "q43_stream_interval_join" -> graft.queries.Relational.q26Sql)
+    "q43_stream_interval_join" -> graft.queries.Relational.q26Sql,
+    "q58_stream_dedup" -> q58Sql)
 }

@@ -556,4 +556,85 @@ class ExtSpec extends SparkSpec {
       bytes.map(_ & 0xff).map(_.toLong).sum * 100 / bytes.length)
     assert(row.getAs[Int]("n_frames") == (bytes.length + 255) / 256)
   }
+
+  test("q60 frame sample: per-doc frame count equals q23's n_frames; hand check") {
+    val frames = Multimodal.q60(spark, sf)
+    val perDoc = frames.groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Multimodal.q23(spark, sf).select("doc_id", "n_frames").collect().foreach { r =>
+      assert(perDoc.getOrElse(r.getLong(0), 0L) == r.getInt(1).toLong,
+        s"frame fan-out mismatch for doc ${r.getLong(0)}")
+    }
+    // window hash of frame 1 of doc 1, recomputed by hand
+    val text = docs.filter(col("doc_id") === 1).select("text").collect().head.getString(0)
+    val bytes = text.getBytes("UTF-8")
+    if (bytes.length > 256) {
+      val want = bytes.slice(256, math.min(272, bytes.length))
+        .foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+      val got = frames.filter(col("doc_id") === 1 && col("frame_idx") === 1)
+        .collect().head
+      assert(got.getAs[Long]("window_hash") == want)
+      assert(got.getAs[Int]("frame_byte") == (bytes(256) & 0xff))
+    }
+  }
+
+  test("count-min sketch: never under-estimates; partition-order invariant") {
+    import graft.functions.CountMinSketch
+    val rnd = new scala.util.Random(11)
+    // zipf-ish multiset with forced collisions at a tiny width
+    val items = (1 to 2000).map(_ => s"tok${rnd.nextInt(300)}")
+    val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val (d, w) = (4, 64)
+    val sk = new Array[Long](d * w)
+    items.foreach(CountMinSketch.update(sk, _, d, w))
+    truth.foreach { case (k, n) =>
+      assert(CountMinSketch.estimate(sk, k, d, w) >= n,
+        s"CMS under-estimated $k")
+    }
+    // merge of split halves == single-pass sketch (mergeability)
+    val (h1, h2) = items.splitAt(items.size / 2)
+    val a = new Array[Long](d * w); h1.foreach(CountMinSketch.update(a, _, d, w))
+    val b = new Array[Long](d * w); h2.foreach(CountMinSketch.update(b, _, d, w))
+    val merged = a.zip(b).map { case (x, y) => x + y }
+    assert(merged.sameElements(sk), "sketch must be a commutative monoid")
+  }
+
+  test("q57 heavy hitters: sketch path equals the exact-count relation") {
+    val got = TextAnalysis.heavyHitterGrams(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = docs
+      .select(explode(expr(
+        """transform(sequence(0, size(split(text, ' ')) - 3),
+          |  i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i + 1],
+          |                 split(text, ' ')[i + 2]))""".stripMargin)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= TextAnalysis.HhThreshold)
+      .orderBy(col("n").desc, col("gram"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sameElements(want),
+      "CMS prefilter must not change the exact heavy-hitter relation")
+  }
+
+  test("q59 block dedup: keeper/duplicate accounting on a crafted corpus") {
+    import spark.implicits._
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")  // one full block
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val c = (1 to 4).map(i => s"c$i").mkString(" ")  // tail block, 4 tokens
+    val crafted = Seq(
+      (1L, s"$a $b"),  // doc 1: blocks [a, b] — both keepers
+      (2L, s"$a $c"),  // doc 2: [a (dup), c] — keeps 4 tokens
+      (3L, s"$a $b")   // doc 3: exact clone — both blocks dup
+    ).toDF("doc_id", "text")
+    val r = Dedup.blockDedup(crafted).collect()
+      .map(x => x.getLong(0) -> (x.getAs[Long]("n_blocks"),
+        x.getAs[Long]("n_dup_blocks"), x.getAs[Long]("n_clean_tokens"))).toMap
+    assert(r(1L) == ((2L, 0L, 16L)))
+    assert(r(2L) == ((2L, 1L, 4L)))
+    assert(r(3L) == ((2L, 2L, 0L)))
+    // corpus-level conservation: kept tokens + dropped tokens = all tokens
+    val full = Dedup.blockDedup(docs)
+    val kept = full.agg(sum("n_clean_tokens")).head().getLong(0)
+    val total = docs.select(expr("sum(size(split(text, ' ')))")).head().getLong(0)
+    assert(kept <= total && kept > 0)
+  }
 }

@@ -251,6 +251,28 @@ class PlanSpec extends SparkSpec {
       "bounded-heap aggregator should plan as ObjectHashAggregate")
   }
 
+  test("q57: candidate filter sits below the exact count — no window, no extra scan") {
+    val p = plan(SparkEntry.queries("q57_heavy_hitters")(spark, sf))
+    assert(!p.contains("Window"), "heavy hitters must never sort the gram stream")
+    // the broadcast-sketch prefilter must run scan-side, upstream of the
+    // aggregate's shuffle (textually BELOW HashAggregate in the plan tree)
+    val aggIdx = p.indexOf("HashAggregate")
+    val filtIdx = p.lastIndexOf("Filter")
+    assert(aggIdx >= 0 && filtIdx > aggIdx,
+      "CMS candidate filter must execute before the exact-count shuffle")
+  }
+
+  test("q59: block dedup reuses the keeper shuffle for the join — no window, no cartesian") {
+    val p = plan(SparkEntry.queries("q59_block_dedup")(spark, sf))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"block dedup must stay hash-shaped:\n${p.take(1500)}")
+    // keeper aggregation and the block join key are identical, so the
+    // plan needs at most: block shuffle (x2 sides), doc rollup, sort
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 5, s"unexpected extra shuffles ($exchanges):\n${p.take(2000)}")
+  }
+
   test("GraftExtensions injects poly_hash + vector functions for SQL-only sessions") {
     // the injection list accepts our builder (a bad signature would throw)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)

@@ -69,6 +69,21 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "symmetric-hash stream join must reproduce the batch relation")
   }
 
+  test("q58 gate: two-copy replay dedups to the original relation across batches") {
+    // the staging plants a FULL duplicate of the fixture in a later
+    // micro-batch; only state-store suppression (or the late-event
+    // filter) keeps those rows out of the sink
+    val got = graft.streaming.StreamingGate.q58StreamDedup(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val want = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .orderBy("event_id")
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "duplicated arrivals must be suppressed exactly once")
+  }
+
   test("streaming dedup keeps all distinct event ids") {
     val stream = EventsStreaming.eventsStream(spark, sf)
     val got = runToMemory(EventsStreaming.dedupEvents(stream), "t_dedup")
