@@ -250,6 +250,43 @@ object Dedup {
        |FROM sig GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** q62: the pairwise source-overlap matrix, estimated FROM THE
+    * SKETCHES — the payoff of q29's mergeable union sketch: once each
+    * source is folded to [[NumHashes]] longs, estimating shingle overlap
+    * between every pair of sources is an all-pairs join over |sources|
+    * ROWS (broadcast, trivially), never a rescan of the corpus. The
+    * estimate is the matching-component fraction of the two min-sketches
+    * (a consistent estimator of the Jaccard of the shingle sets),
+    * reported in basis points. This is the source-mixing diagnostic a
+    * training-data pipeline runs before setting domain weights: at
+    * 100 TB the expensive half (the sketch) is one aggregation and the
+    * matrix itself costs nothing. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val sk = sourceSketches(docs)
+    val l = sk.select(col("source").as("source_a") +:
+      (0 until NumHashes).map(i => col(s"h$i").as(s"a$i")): _*)
+    val r = sk.select(col("source").as("source_b") +:
+      (0 until NumHashes).map(i => col(s"h$i").as(s"b$i")): _*)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    l.join(broadcast(r), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        ((lit(10000L) * matches) / NumHashes).cast("long").as("match_e4"))
+      .orderBy("source_a", "source_b")
+  }
+
+  def sourceOverlapSql: String = {
+    val matches = (0 until NumHashes)
+      .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH sk AS (${sourceSketchesSql.replace("ORDER BY source", "")})
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST((10000 * ($matches)) // $NumHashes AS BIGINT) AS match_e4
+       |FROM sk a JOIN sk b ON a.source < b.source
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   // -------------------------------------------------------------- simhash
   val SimhashBits = 28
 
@@ -1016,7 +1053,8 @@ object Dedup {
     "q38_cross_source" -> ((s, d) => crossSourceClusters(Tables.documents(s, d))),
     "q45_eval_contamination" -> ((s, d) => evalContamination(Tables.documents(s, d))),
     "q47_repetition" -> ((s, d) => repetitionScore(Tables.documents(s, d))),
-    "q59_block_dedup" -> ((s, d) => blockDedup(Tables.documents(s, d))))
+    "q59_block_dedup" -> ((s, d) => blockDedup(Tables.documents(s, d))),
+    "q62_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q13_dedup_exact" -> exactDedupSql,
@@ -1032,5 +1070,6 @@ object Dedup {
     "q38_cross_source" -> crossSourceClustersSql,
     "q45_eval_contamination" -> evalContaminationSql,
     "q47_repetition" -> repetitionScoreSql,
-    "q59_block_dedup" -> blockDedupSql)
+    "q59_block_dedup" -> blockDedupSql,
+    "q62_source_overlap" -> sourceOverlapSql)
 }

@@ -357,9 +357,9 @@ object TextAnalysis {
 
   /** All word 3-grams of the corpus, one row per occurrence. */
   private def trigrams(docs: DataFrame): DataFrame =
-    docs.select(split(col("text"), " ").as("toks"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(explode(expr(
+      .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 3), " +
           "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))")).as("gram"))
 
@@ -383,11 +383,11 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val (d, w, t) = (HhDepth, HhWidth, HhThreshold)
-    val sketch: Array[Long] = trigrams(docs).as[String]
+    val sketch: Array[Long] = trigrams(docs).select("gram").as[String]
       .select(new graft.functions.CountMinSketch.Agg(d, w).toColumn).head()
     val candidate = udf((g: String) =>
       graft.functions.CountMinSketch.estimate(sketch, g, d, w) >= t)
-    trigrams(docs)
+    trigrams(docs).select("gram")
       .filter(candidate(col("gram")))
       .groupBy("gram").agg(count(lit(1)).as("n"))
       .filter(col("n") >= t)
@@ -404,6 +404,45 @@ object TextAnalysis {
        |HAVING COUNT(*) >= $HhThreshold
        |ORDER BY n DESC, gram""".stripMargin
 
+  // ----------------------------------------------------- novelty score
+  /** Per-document novelty: the fraction of a doc's DISTINCT 3-grams that
+    * appear nowhere else in the corpus — the inverse of the boilerplate
+    * signal (q47 scores repetition WITHIN a doc; this scores originality
+    * ACROSS the corpus). Low novelty + not-a-near-dup is the classic
+    * "templated page" curation bucket.
+    *
+    * Shape: distinct (doc, gram) pairs, a gram document-frequency
+    * aggregate, and a join back that lands on the key the aggregate just
+    * shuffled on — the q16 inverted-index family. Integer basis-points
+    * so both engines agree exactly. At 100 TB the df aggregate takes the
+    * same hot-shingle cap as q16 (a gram in every doc is boilerplate,
+    * not signal — dropping it from the DF JOIN changes df counts only
+    * for grams nobody calls novel). */
+  def noveltyScores(docs: DataFrame): DataFrame = {
+    val g = trigrams(docs).distinct()
+    val dfreq = g.groupBy("gram").agg(count(lit(1)).as("df"))
+    g.join(dfreq, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        expr("(10000 * n_unique) div n_grams").as("novelty_e4"))
+      .orderBy("doc_id")
+  }
+
+  val noveltyScoresSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT DISTINCT doc_id, gram FROM (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+      |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+      |  FROM t WHERE len(toks) >= 3)),
+      |d AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+      |SELECT doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |  CAST((10000 * SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS novelty_e4
+      |FROM g JOIN d USING (gram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
@@ -415,7 +454,8 @@ object TextAnalysis {
     "q37_length_quantiles" -> ((s, d) => lengthQuantiles(Tables.documents(s, d))),
     "q44_top_docs_per_source" -> ((s, d) => topDocsPerSource(Tables.documents(s, d))),
     "q46_chunking" -> ((s, d) => chunkDocs(Tables.documents(s, d))),
-    "q57_heavy_hitters" -> ((s, d) => heavyHitterGrams(Tables.documents(s, d))))
+    "q57_heavy_hitters" -> ((s, d) => heavyHitterGrams(Tables.documents(s, d))),
+    "q61_novelty" -> ((s, d) => noveltyScores(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q19_lang_id"     -> langIdSql,
@@ -427,5 +467,6 @@ object TextAnalysis {
     "q37_length_quantiles" -> lengthQuantilesSql,
     "q44_top_docs_per_source" -> topDocsPerSourceSql,
     "q46_chunking" -> chunkDocsSql,
-    "q57_heavy_hitters" -> heavyHitterGramsSql)
+    "q57_heavy_hitters" -> heavyHitterGramsSql,
+    "q61_novelty" -> noveltyScoresSql)
 }

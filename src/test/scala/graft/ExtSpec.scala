@@ -615,6 +615,38 @@ class ExtSpec extends SparkSpec {
       "CMS prefilter must not change the exact heavy-hitter relation")
   }
 
+  test("q61 novelty: clones score 0, a fully-distinct doc scores 10000") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"w$i").mkString(" ")
+    val crafted = Seq(
+      (1L, shared), (2L, shared),             // every gram appears in both
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "))  // grams nowhere else
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.noveltyScores(crafted).collect()
+      .map(x => x.getLong(0) -> x.getAs[Long]("novelty_e4")).toMap
+    assert(r(1L) == 0L && r(2L) == 0L && r(3L) == 10000L)
+    // corpus: basis points bounded, n_unique <= n_grams
+    TextAnalysis.noveltyScores(docs).collect().foreach { x =>
+      val (g, u, e4) = (x.getAs[Long]("n_grams"), x.getAs[Long]("n_unique"),
+        x.getAs[Long]("novelty_e4"))
+      assert(u <= g && e4 >= 0 && e4 <= 10000)
+    }
+  }
+
+  test("q62 source overlap: identical sources match 10000, disjoint near 0") {
+    import spark.implicits._
+    val textA = (1 to 40).map(i => s"a$i").mkString(" ")
+    val crafted = Seq(
+      (1L, "s1", textA), (2L, "s2", textA),  // identical shingle sets
+      (3L, "s3", (1 to 40).map(i => s"q$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val r = Dedup.sourceOverlap(crafted).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getAs[Long]("match_e4")).toMap
+    assert(r.size == 3, "3 sources -> 3 unordered pairs")
+    assert(r(("s1", "s2")) == 10000L, "equal shingle sets must match every component")
+    assert(r(("s1", "s3")) < 10000L && r(("s2", "s3")) < 10000L)
+  }
+
   test("q59 block dedup: keeper/duplicate accounting on a crafted corpus") {
     import spark.implicits._
     val a = (1 to 8).map(i => s"a$i").mkString(" ")  // one full block
