@@ -52,7 +52,8 @@ object ScaleRehearsal {
     "q50_incremental_dedup", "q51_shard_plan", "q52_canonical_docs",
     "q53_bpe_pairs", "q54_prefix_contained", "q55_alignment_audit",
     "q56_stratified_sample", "q57_heavy_hitters", "q59_block_dedup",
-    "q60_frame_sample", "q61_novelty", "q62_source_overlap")
+    "q60_frame_sample", "q61_novelty", "q62_source_overlap",
+    "q63_domain_mix", "q64_doc_stitches")
 
   val ExcludedQuadratic: Seq[String] =
     Seq("q17_cosine_topk", "q18_ivf_topk", "q24_embedding_neardup")

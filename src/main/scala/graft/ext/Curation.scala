@@ -469,6 +469,113 @@ object Curation {
        |ORDER BY source, rank""".stripMargin
   }
 
+  // ------------------------------------------------------- domain mix
+  val MixBudget = 1000L
+
+  /** Temperature-flattened domain mixing — the step that turns per-source
+    * token masses into a training slice: source s gets a quota
+    * proportional to sqrt(tokens_s) (temperature T = 0.5: big sources
+    * are damped, small sources up-weighted — sqrt specifically because
+    * IEEE-754 defines it correctly-rounded, so Spark and DuckDB agree
+    * bit-for-bit where pow(x, 0.7) would not), and fills the quota with
+    * the top-quota docs by content hash — the same deterministic,
+    * engine-independent pick as q35/q56.
+    *
+    * Shape: the quota relation is |sources| rows (one aggregate + one
+    * tiny unpartitioned window); the selection reuses the q56 bounded-
+    * heap aggregator with k = [[MixBudget]] (every quota is <= the
+    * budget by construction), so the corpus is never window-sorted —
+    * k-row partials map-side, |sources|*k rows through the shuffle,
+    * rank > quota trimmed after the broadcast quota join. */
+  def domainMix(docs: DataFrame): DataFrame = {
+    graft.functions.PolyHash.register(docs.sparkSession)
+    val norm = "regexp_replace(lower(text), '\\\\s+', ' ')"
+    val quotas = docs.groupBy("source")
+      .agg(sum(expr("size(split(text, ' '))")).as("src_tokens"))
+      .withColumn("w",
+        expr("cast(floor(sqrt(cast(src_tokens as double))) as bigint)"))
+      .withColumn("quota",
+        expr(s"($MixBudget * w) div (sum(w) over ())"))
+      .select("source", "quota")
+    val topk = graft.functions.BoundedTopK.topK(MixBudget.toInt)
+    val picked = docs.select(col("source"), col("doc_id"),
+        expr(s"poly_hash(substring(md5(cast($norm as binary)), 1, 8), 31, 1000000007)")
+          .cast("double").as("h"))
+      .groupBy("source")
+      .agg(topk(col("h"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"))
+    picked.join(broadcast(quotas), "source")
+      .filter(col("rank") <= col("quota"))
+      .select(col("source"), col("quota"), col("rank"), col("doc_id"))
+      .orderBy("source", "rank")
+  }
+
+  val domainMixSql: String = {
+    val norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    val h = s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(" +
+      s"generate_series(1, 8), i -> CAST(ord(substr(md5($norm), i, 1)) AS BIGINT)))," +
+      s" (acc, c) -> (acc * 31 + c) % 1000000007)"
+    s"""WITH s AS (
+       |  SELECT source, SUM(len(string_split(text, ' '))) AS src_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (SELECT source,
+       |        CAST(floor(sqrt(CAST(src_tokens AS DOUBLE))) AS BIGINT) AS w
+       |      FROM s),
+       |q AS (SELECT source,
+       |        CAST(($MixBudget * w) // (SUM(w) OVER ()) AS BIGINT) AS quota
+       |      FROM w),
+       |scored AS (SELECT source, doc_id, $h AS h FROM documents),
+       |ranked AS (
+       |  SELECT source, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT r.source, q.quota, CAST(r.rank AS INT) AS rank, r.doc_id
+       |FROM ranked r JOIN q USING (source)
+       |WHERE r.rank <= q.quota
+       |ORDER BY source, rank""".stripMargin
+  }
+
+  // ----------------------------------------------------- doc stitching
+  val StitchTokens = 3
+
+  /** Crawl-continuation detection: doc A's last [[StitchTokens]] tokens
+    * equal doc B's first [[StitchTokens]] — the "page 2 starts where
+    * page 1 ended" signal used to re-stitch shattered documents before
+    * training. A pure hash-join on the boundary key: each doc
+    * contributes ONE prefix key and ONE suffix key, so the match is one
+    * equi-join over 2n short rows — never a similarity scan. */
+  def docStitches(docs: DataFrame): DataFrame = {
+    val k = StitchTokens
+    val t = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+    val pre = t.select(col("doc_id").as("b_doc"),
+      array_join(expr(s"slice(toks, 1, $k)"), " ").as("boundary"))
+    val suf = t.select(col("doc_id").as("a_doc"),
+      array_join(expr(s"slice(toks, -$k, $k)"), " ").as("boundary"))
+    suf.join(pre, "boundary")
+      .filter(col("a_doc") =!= col("b_doc"))
+      .select(col("a_doc"), col("b_doc"), col("boundary"))
+      .orderBy("a_doc", "b_doc")
+  }
+
+  val docStitchesSql: String = {
+    val k = StitchTokens
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents WHERE len(string_split(text, ' ')) >= $k),
+       |pre AS (SELECT doc_id AS b_doc,
+       |          array_to_string(toks[1 : $k], ' ') AS boundary FROM t),
+       |suf AS (SELECT doc_id AS a_doc,
+       |          array_to_string(toks[len(toks) - ${k - 1} : len(toks)], ' ') AS boundary
+       |        FROM t)
+       |SELECT a_doc, b_doc, boundary
+       |FROM suf JOIN pre USING (boundary)
+       |WHERE a_doc <> b_doc
+       |ORDER BY a_doc, b_doc""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_filter_verdicts" -> ((s, d) => filterVerdicts(Tables.documents(s, d))),
@@ -480,7 +587,9 @@ object Curation {
     "q54_prefix_contained" -> ((s, d) => prefixContained(Tables.documents(s, d))),
     "q55_alignment_audit" -> ((s, d) =>
       alignmentAudit(Tables.documents(s, d), Tables.embeddings(s, d))),
-    "q56_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))))
+    "q56_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
+    "q63_domain_mix" -> ((s, d) => domainMix(Tables.documents(s, d))),
+    "q64_doc_stitches" -> ((s, d) => docStitches(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q48_filter_verdicts" -> filterVerdictsSql,
@@ -491,5 +600,7 @@ object Curation {
     "q53_bpe_pairs" -> bpePairsSql,
     "q54_prefix_contained" -> prefixContainedSql,
     "q55_alignment_audit" -> alignmentAuditSql,
-    "q56_stratified_sample" -> stratifiedSampleSql)
+    "q56_stratified_sample" -> stratifiedSampleSql,
+    "q63_domain_mix" -> domainMixSql,
+    "q64_doc_stitches" -> docStitchesSql)
 }

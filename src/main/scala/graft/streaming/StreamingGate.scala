@@ -198,11 +198,46 @@ object StreamingGate {
       |  CAST(round(value * 100) AS BIGINT) AS value_cents
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** q65: CUSTOM KEYED STATE (flatMapGroupsWithState) through the
+    * micro-batch engine. Same two-copy staging as q58, but here the
+    * duplicates are the PROOF rather than the noise: the per-user
+    * running counter emits n after batch A and 2n after batch B, and
+    * 2n is only reachable by reading batch A's state back out of the
+    * checkpointed store — a fresh-state batch B would emit n again.
+    * The sink keeps every update (append emission), so the final state
+    * per user is the lexicographic max over (n_events, last_type);
+    * n_events strictly increases whenever a user appears, making the
+    * max unambiguous. Oracle: 2x the per-user event count, last event
+    * type by (ts, type) order — pure batch SQL over the fixture. */
+  def q65StreamRunningCounts(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, dir,
+      events => EventsStreaming.userRunningCounts(events).toDF()
+        .filter(col("user_id") >= 0),
+      copies = 2, filesPerTrigger = Some(1))
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("last_type"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.last_type").as("last_type"))
+      .orderBy("user_id")
+
+  val q65Sql: String =
+    """WITH last AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_type DESC) AS rn
+      |  FROM events),
+      |counts AS (
+      |  SELECT user_id, 2 * COUNT(*) AS n_events FROM events GROUP BY user_id)
+      |SELECT c.user_id, c.n_events, l.event_type AS last_type
+      |FROM counts c JOIN last l ON c.user_id = l.user_id AND l.rn = 1
+      |ORDER BY c.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_stream_tumbling" -> (q40StreamTumbling _),
     "q41_stream_sessions" -> (q41StreamSessions _),
     "q43_stream_interval_join" -> (q43StreamIntervalJoin _),
-    "q58_stream_dedup" -> (q58StreamDedup _))
+    "q58_stream_dedup" -> (q58StreamDedup _),
+    "q65_stream_running_counts" -> (q65StreamRunningCounts _))
 
   /** Same oracles as the batch twins: the streaming engine must land on
     * the identical relation. */
@@ -210,5 +245,6 @@ object StreamingGate {
     "q40_stream_tumbling" -> graft.queries.Relational.q11Sql,
     "q41_stream_sessions" -> graft.queries.Relational.q12Sql,
     "q43_stream_interval_join" -> graft.queries.Relational.q26Sql,
-    "q58_stream_dedup" -> q58Sql)
+    "q58_stream_dedup" -> q58Sql,
+    "q65_stream_running_counts" -> q65Sql)
 }

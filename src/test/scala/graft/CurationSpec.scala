@@ -118,6 +118,40 @@ class CurationSpec extends SparkSpec {
     assert(a == b, "sample must not depend on partitioning")
   }
 
+  test("q63 domain mix: sqrt-mass quotas, selection fills each quota deterministically") {
+    import spark.implicits._
+    // source sA: 100 tokens across 10 docs; sB: 400 tokens across 10 docs
+    // -> w = 10 / 20, quotas = 1000*10/30 = 333 and 1000*20/30 = 666
+    val docs = ((1 to 10).map(i => (i.toLong, "sA", (1 to 10).map(j => s"a$i-$j").mkString(" "))) ++
+      (1 to 10).map(i => (100L + i, "sB", (1 to 40).map(j => s"b$i-$j").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val r = Curation.domainMix(docs).collect()
+    val bySrc = r.groupBy(_.getString(0))
+    assert(bySrc("sA").head.getAs[Long]("quota") == 333L)
+    assert(bySrc("sB").head.getAs[Long]("quota") == 666L)
+    // quota exceeds the tiny corpus -> every doc selected, ranks contiguous
+    assert(bySrc("sA").map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
+    assert(bySrc("sB").map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
+    // determinism: same input, same pick
+    val r2 = Curation.domainMix(docs).collect()
+    assert(r.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
+  }
+
+  test("q64 doc stitching: suffix->prefix boundary matches, no self pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x1 x2 x3 a b c"),     // ends with the boundary
+      (2L, "a b c y1 y2"),        // starts with it
+      (3L, "a b c"),              // IS the boundary (both ends)
+      (4L, "unrelated words only here")
+    ).toDF("doc_id", "text")
+    val got = Curation.docStitches(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // 1->2, 1->3, 3->2 (doc 3's suffix==prefix==itself is excluded)
+    assert(got == Set((1L, 2L, "a b c"), (1L, 3L, "a b c"),
+      (3L, 2L, "a b c")))
+  }
+
   test("q52 canonical pick: longest wins, ties break to min doc_id") {
     val tA = "red orange yellow green blue indigo violet ultraviolet"
     val tB = "mon tue wed thu fri sat sun always"

@@ -84,6 +84,15 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "duplicated arrivals must be suppressed exactly once")
   }
 
+  test("q65 gate: custom state survives the batch boundary (2n after two copies)") {
+    val got = graft.streaming.StreamingGate.q65StreamRunningCounts(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> 2 * r.getLong(1)).toMap
+    assert(got == want,
+      "batch B must read batch A's state back from the store (n + n = 2n)")
+  }
+
   test("streaming dedup keeps all distinct event ids") {
     val stream = EventsStreaming.eventsStream(spark, sf)
     val got = runToMemory(EventsStreaming.dedupEvents(stream), "t_dedup")
