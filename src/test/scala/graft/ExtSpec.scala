@@ -647,6 +647,19 @@ class ExtSpec extends SparkSpec {
     assert(r(("s1", "s3")) < 10000L && r(("s2", "s3")) < 10000L)
   }
 
+  test("document operators degrade to empty output on an empty corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    assert(TextAnalysis.heavyHitterGrams(empty).count() == 0)
+    assert(TextAnalysis.noveltyScores(empty).count() == 0)
+    assert(Dedup.blockDedup(empty).count() == 0)
+    assert(Dedup.sourceOverlap(empty).count() == 0)
+    assert(Curation.domainMix(empty).count() == 0)
+    assert(Curation.docStitches(empty).count() == 0)
+    assert(Multimodal.sampleFrames(
+      Multimodal.attachPayload(empty), new StubDecoder).count() == 0)
+  }
+
   test("q59 block dedup: keeper/duplicate accounting on a crafted corpus") {
     import spark.implicits._
     val a = (1 to 8).map(i => s"a$i").mkString(" ")  // one full block

@@ -273,6 +273,34 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 5, s"unexpected extra shuffles ($exchanges):\n${p.take(2000)}")
   }
 
+  test("q61: novelty reuses the distinct-pair exchange; no window over the corpus") {
+    // AQE resolves exchange reuse at runtime and the pre-execution plan
+    // hides it — inspect the statically-planned form (q22's pattern)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(SparkEntry.queries("q61_novelty")(spark, sf))
+      assert(!p.contains("Window"), "novelty must never window-sort the gram relation")
+      assert(p.contains("ReusedExchange"),
+        "the df aggregate and the join probe must share the distinct exchange, " +
+          s"not rescan the corpus:\n${p.take(1500)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q63: domain mix aggregates with k-row partials; quota join broadcasts") {
+    val p = plan(SparkEntry.queries("q63_domain_mix")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(p.contains("ObjectHashAggregate"),
+      "selection must ride the bounded-heap aggregator")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |sources|-row quota relation must broadcast")
+  }
+
+  test("q64: stitching is a plain equi-join on the boundary key") {
+    val p = plan(SparkEntry.queries("q64_doc_stitches")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"boundary match must stay an equi-join:\n${p.take(1500)}")
+  }
+
   test("GraftExtensions injects poly_hash + vector functions for SQL-only sessions") {
     // the injection list accepts our builder (a bad signature would throw)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
