@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{PolyHash, SignLshSig, VecDist2, VecDot, VecDotPrune, VecSuffixNorms}
+import graft.functions.{PolyHash, SignLshSig, VecDist2, VecDot, VecDotInt, VecDotPrune, VecSuffixNorms}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions at session build time so ANY session (including pure-SQL
@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dist2"),
       new ExpressionInfo(classOf[VecDist2].getName, "vec_dist2"),
       (exprs: Seq[Expression]) => VecDist2(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot_int"),
+      new ExpressionInfo(classOf[VecDotInt].getName, "vec_dot_int"),
+      (exprs: Seq[Expression]) => VecDotInt(exprs.head, exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("sign_lsh_sig"),
       new ExpressionInfo(classOf[SignLshSig].getName, "sign_lsh_sig"),

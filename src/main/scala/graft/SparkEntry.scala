@@ -21,6 +21,7 @@ object SparkEntry {
     graft.ext.Dedup.queries ++
     graft.ext.Similarity.queries ++
     graft.ext.TextAnalysis.queries ++
+    graft.ext.Lm.queries ++
     graft.ext.Curation.queries ++
     graft.ext.Multimodal.queries ++
     graft.streaming.StreamingGate.queries
@@ -33,6 +34,7 @@ object SparkEntry {
     graft.ext.Dedup.oracles ++
     graft.ext.Similarity.oracles ++
     graft.ext.TextAnalysis.oracles ++
+    graft.ext.Lm.oracles ++
     graft.ext.Curation.oracles ++
     graft.ext.Multimodal.oracles ++
     graft.streaming.StreamingGate.oracles

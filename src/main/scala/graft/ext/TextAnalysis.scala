@@ -443,6 +443,129 @@ object TextAnalysis {
       |FROM g JOIN d USING (gram)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- tf-idf top terms
+  val TfIdfTopK = 3
+
+  /** Per-document top-K terms by integer tf-idf — the keyword-extraction
+    * step behind doc routing / topic bucketing in a curation pipeline:
+    *
+    *   idf_e6(t)      = (1e6 * n_docs) div df(t)
+    *   score_e6(d, t) = tf(d, t) * idf_e6(t)
+    *
+    * (idf as a fixed-point RATIO, not its log — log is monotone over
+    * df for fixed tf but not over the tf·idf product, so this is a
+    * deliberately declared integer variant, mirrored exactly by the
+    * oracle. No float reaches the compare.)
+    *
+    * Plan: tf = one (doc, token) aggregate; df = one token aggregate OF
+    * that relation (reuses its exchange); idf joins back on `token`,
+    * the key df just shuffled on — co-partitioned. Per-doc top-K runs
+    * the string-payload bounded heap [[graft.functions.TopTermsByScore]]
+    * (k-row partials map-side), so nothing window-sorts the corpus-sized
+    * (doc, term) relation — q17's shape argument with a text payload.
+    * n_docs rides in as a broadcast 1-row cross join. */
+  def tfIdfTopTerms(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val topTerms = graft.functions.BoundedTopK.topTerms(TfIdfTopK)
+    tf.join(df, "token")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"),
+        expr("tf * ((1000000 * n_docs) div df)").as("score_e6"))
+      .groupBy("doc_id")
+      .agg(topTerms(col("score_e6").cast("double"), col("token")).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("rank"),
+              col("col.term").as("token"), col("col.score").cast("long").as("score_e6"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfIdfTopTermsSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM
+       |    (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE length(token) > 0 GROUP BY doc_id, token),
+       |d AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, token, tf * ((1000000 * n_docs) // df) AS score_e6
+       |  FROM tf JOIN d USING (token) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, token, score_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score_e6 DESC, token) AS rank
+       |  FROM scored)
+       |SELECT doc_id, CAST(rank AS INT) AS rank, token,
+       |  CAST(score_e6 AS BIGINT) AS score_e6
+       |FROM ranked WHERE rank <= $TfIdfTopK
+       |ORDER BY doc_id, rank""".stripMargin
+
+  // ------------------------------------------------------------- scrub
+  /** PII patterns, backslash-free so one spelling parses identically in
+    * Java regex (Spark) and RE2 (DuckDB): email, IPv4-ish digit quads,
+    * US-style dashed phone numbers. Greedy-run semantics (no \b word
+    * anchors — those differ in spirit across dialects; a scrubber wants
+    * the whole run anyway). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
+    "ipv4"  -> "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+",
+    "phone" -> "[0-9][0-9][0-9][-][0-9][0-9][0-9][-][0-9][0-9][0-9][0-9]")
+
+  /** Compliance blocklist terms (entity names to be masked), matched as
+    * whole space-delimited tokens via replace-length arithmetic — no
+    * regex dialect involved. */
+  val BlockTerms: Seq[String] = Seq("customer", "supplier")
+
+  /** PII / blocklist scrubbing — the compliance pass every training
+    * corpus takes before anything else sees it: redact PII spans
+    * (regex), mask blocklist entity tokens (literal replace), report
+    * per-doc counts per category, and fingerprint the scrubbed text so
+    * the gate verifies the REDACTED PAYLOAD byte for byte, not just the
+    * counts. Scrub order (email, ipv4, phone, then blocklist terms in
+    * declaration order) is part of the contract — replacements compose,
+    * so order changes bytes.
+    *
+    * Pure projection over the corpus: scan-speed, no shuffle but the
+    * presentation sort — the canonical "one more map stage" cost at
+    * 100 TB. On the synthetic fixture the regex categories count zero
+    * (no PII in the word-salad corpus — the crafted-corpus spec drives
+    * them); the blocklist engages corpus-wide, so the md5 column proves
+    * the rewrite path end to end. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val padded = "concat(' ', text, ' ')"
+    val counts = PiiPatterns.map { case (name, re) =>
+      expr(s"size(regexp_extract_all(text, '$re', 0))").cast("long").as(s"n_$name")
+    } ++ Seq(
+      expr(BlockTerms.map(t => s"(${sparkCount(padded, s" $t ")})").mkString(" + "))
+        .cast("long").as("n_blocked"))
+    val scrubbed = BlockTerms.foldLeft(
+      PiiPatterns.foldLeft(s"concat(' ', text, ' ')") { case (acc, (name, re)) =>
+        s"regexp_replace($acc, '$re', '<${name.toUpperCase}>')"
+      }) { case (acc, t) => s"replace($acc, ' $t ', ' <TERM> ')" }
+    docs.select(col("doc_id") +: counts :+
+        expr(s"md5(cast($scrubbed as binary))").as("scrub_md5"): _*)
+      .orderBy("doc_id")
+  }
+
+  val piiScrubSql: String = {
+    val padded = "concat(' ', text, ' ')"
+    val counts = PiiPatterns.map { case (name, re) =>
+      s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$name"
+    } ++ Seq(
+      s"CAST(${BlockTerms.map(t => s"(${duckCount(padded, s" $t ")})").mkString(" + ")} AS BIGINT) AS n_blocked")
+    val scrubbed = BlockTerms.foldLeft(
+      PiiPatterns.foldLeft("concat(' ', text, ' ')") { case (acc, (name, re)) =>
+        s"regexp_replace($acc, '$re', '<${name.toUpperCase}>', 'g')"
+      }) { case (acc, t) => s"replace($acc, ' $t ', ' <TERM> ')" }
+    s"""SELECT doc_id, ${counts.mkString(", ")},
+       |  md5($scrubbed) AS scrub_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
@@ -455,7 +578,9 @@ object TextAnalysis {
     "q44_top_docs_per_source" -> ((s, d) => topDocsPerSource(Tables.documents(s, d))),
     "q46_chunking" -> ((s, d) => chunkDocs(Tables.documents(s, d))),
     "q57_heavy_hitters" -> ((s, d) => heavyHitterGrams(Tables.documents(s, d))),
-    "q61_novelty" -> ((s, d) => noveltyScores(Tables.documents(s, d))))
+    "q61_novelty" -> ((s, d) => noveltyScores(Tables.documents(s, d))),
+    "q68_tfidf_terms" -> ((s, d) => tfIdfTopTerms(Tables.documents(s, d))),
+    "q70_pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q19_lang_id"     -> langIdSql,
@@ -468,5 +593,7 @@ object TextAnalysis {
     "q44_top_docs_per_source" -> topDocsPerSourceSql,
     "q46_chunking" -> chunkDocsSql,
     "q57_heavy_hitters" -> heavyHitterGramsSql,
-    "q61_novelty" -> noveltyScoresSql)
+    "q61_novelty" -> noveltyScoresSql,
+    "q68_tfidf_terms" -> tfIdfTopTermsSql,
+    "q70_pii_scrub" -> piiScrubSql)
 }

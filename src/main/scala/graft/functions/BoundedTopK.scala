@@ -76,6 +76,58 @@ class TopKByScore(k: Int)
     ExpressionEncoder[Seq[ScoredCand]]()
 }
 
+/** One scored term: score + the term text. Comparator is
+  * (score DESC, term ASC) — unique terms per group make it a strict
+  * total order, so results are partial-merge-order independent. */
+case class ScoredTerm(score: Double, term: String)
+
+/** String-payload sibling of [[TopKByScore]] (same bounded-heap shape,
+  * same shuffle argument: k-row partials map-side, |groups|·k rows
+  * through the exchange, nothing sorts the scored relation). Exists
+  * because the (Double, Long) buffer can't carry a token — and hashing
+  * the token to a long would need a join back to recover it, which is
+  * exactly the extra shuffle this aggregator removes. */
+class TopTermsByScore(k: Int)
+    extends Aggregator[ScoredTerm, List[ScoredTerm], Seq[ScoredTerm]] {
+  require(k > 0, s"top-k needs k > 0, got $k")
+
+  // Double.compare total order (NaN greatest) + String compareTo: same
+  // rationale as TopKByScore; String order is binary/UTF-16 code-unit,
+  // which equals DuckDB's default binary collation on ASCII tokens.
+  private def better(a: ScoredTerm, b: ScoredTerm): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.term < b.term)
+  }
+
+  override def zero: List[ScoredTerm] = Nil
+
+  override def reduce(buf: List[ScoredTerm], in: ScoredTerm): List[ScoredTerm] =
+    if (buf.lengthCompare(k) >= 0 && !better(in, buf.last)) buf
+    else {
+      val (keep, rest) = buf.span(better(_, in))
+      (keep ::: in :: rest).take(k)
+    }
+
+  override def merge(a: List[ScoredTerm], b: List[ScoredTerm]): List[ScoredTerm] = {
+    val out = List.newBuilder[ScoredTerm]
+    var (x, y, n) = (a, b, 0)
+    while (n < k && (x.nonEmpty || y.nonEmpty)) {
+      if (y.isEmpty || (x.nonEmpty && better(x.head, y.head))) {
+        out += x.head; x = x.tail
+      } else { out += y.head; y = y.tail }
+      n += 1
+    }
+    out.result()
+  }
+
+  override def finish(buf: List[ScoredTerm]): Seq[ScoredTerm] = buf
+
+  override def bufferEncoder: Encoder[List[ScoredTerm]] =
+    ExpressionEncoder[List[ScoredTerm]]()
+  override def outputEncoder: Encoder[Seq[ScoredTerm]] =
+    ExpressionEncoder[Seq[ScoredTerm]]()
+}
+
 object BoundedTopK {
   /** Column function: `topK(k)(cosCol, idCol)` aggregates to
     * array<struct<cos,id>> of the k best, DESC by (cos, id ASC).
@@ -87,5 +139,15 @@ object BoundedTopK {
     (cos: Column, id: Column) =>
       f(org.apache.spark.sql.functions.coalesce(
           cos, org.apache.spark.sql.functions.lit(Double.NegativeInfinity)), id)
+  }
+
+  /** Column function: `topTerms(k)(scoreCol, termCol)` aggregates to
+    * array<struct<score,term>> of the k best, DESC by (score, term ASC).
+    * Null handling mirrors [[topK]]. */
+  def topTerms(k: Int): (Column, Column) => Column = {
+    val f = udaf(new TopTermsByScore(k))
+    (score: Column, term: Column) =>
+      f(org.apache.spark.sql.functions.coalesce(
+          score, org.apache.spark.sql.functions.lit(Double.NegativeInfinity)), term)
   }
 }

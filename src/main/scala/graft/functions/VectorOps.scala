@@ -59,6 +59,42 @@ case class VecDist2(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer dot product over two Array[Int] columns (quantized
+  * embeddings): exact BIGINT fold — integer addition is associative, so
+  * unlike the float kernels there is no op-order caveat at all; any
+  * evaluation order is bit-identical, which is what makes the quantized
+  * ANN ranking (q69) hash-exact by construction. Same codegen rationale
+  * as [[VecDot]]: the pair loop must live inside whole-stage codegen.
+  * Overflow headroom: |dot| <= dim * 127^2 — a 2^46-dim vector before a
+  * BIGINT could wrap. */
+case class VecDotInt(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot_int"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<int> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotInt(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps$$.MODULE$$.dotInt($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotInt =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Fused sign-LSH signature: bit j of the result is the sign of the
   * projection of an Array[Float] embedding onto pseudo-random hyperplane
   * j (LCG-derived components, see [[VectorOps.plane]]). One codegen
@@ -195,6 +231,15 @@ object VectorOps {
     s
   }
 
+  /** Exact BIGINT dot of two int arrays (quantized embeddings). */
+  def dotInt(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getInt(i).toLong * b.getInt(i).toLong; i += 1 }
+    s
+  }
+
   /** Left-to-right double fold of squared differences. */
   def dist2(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -281,6 +326,8 @@ object VectorOps {
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dist2", exprs => VecDist2(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot_int", exprs => VecDotInt(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sign_lsh_sig", exprs => {
         require(exprs.length == 2,

@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext._
+
+/** Specs for the round-5 LM/scrub/quantized operators (q66-q70). */
+class LmSpec extends SparkSpec {
+
+  lazy val docs = Tables.documents(spark, sf)
+  lazy val emb = Tables.embeddings(spark, sf)
+
+  test("q66 bigram LM: hand-computed add-1 ppm scores on a tiny corpus") {
+    import spark.implicits._
+    // corpus: c(a)=3 c(b)=3 c(c)=1, V=3; bigrams "a b"x3, "b a", "b c"
+    val tiny = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val r = Lm.bigramLmScores(tiny).collect()
+      .map(x => x.getLong(0) -> (x.getAs[Long]("n_bigrams"), x.getAs[Long]("lm_ppm")))
+      .toMap
+    // p(a b) = 1e6*4 div 6 = 666666; p(b a) = p(b c) = 1e6*2 div 6 = 333333
+    assert(r(1L) == ((3L, (666666L * 2 + 333333L) / 3)))  // 555555
+    assert(r(2L) == ((2L, (666666L + 333333L) / 2)))      // 499999
+  }
+
+  test("q66: sub-2-token docs are excluded; scores are valid ppm") {
+    import spark.implicits._
+    val mixed = Seq((1L, "only"), (2L, ""), (3L, "two tokens")).toDF("doc_id", "text")
+    val r = Lm.bigramLmScores(mixed).collect()
+    assert(r.map(_.getLong(0)).toSet == Set(3L))
+    val full = Lm.bigramLmScores(docs).collect()
+    full.foreach { x =>
+      val p = x.getAs[Long]("lm_ppm")
+      assert(p >= 0 && p <= 1000000, s"ppm out of range: $p")
+    }
+  }
+
+  test("q67 collocations: a perfectly-dependent pair tops half-dependent ones") {
+    import spark.implicits._
+    // "x y": x ALWAYS followed by y (cl = cr = c12 = 12 -> lift = 1e6*N/12);
+    // "a" is followed by b half the time and c half the time, so every
+    // a-pair has cl(a) = 24 -> lift = 1e6*N/24, exactly half
+    val text = (1 to 12).map(_ => "x y a b a c").mkString(" ")
+    val tiny = Seq((1L, text)).toDF("doc_id", "text")
+    val r = Lm.collocations(tiny).collect()
+    val n = 6 * 12 - 1 // total bigram occurrences
+    val lifts = r.map(x => (x.getString(0), x.getString(1)) -> x.getAs[Long]("lift_e6")).toMap
+    assert(lifts(("x", "y")) == 1000000L * n / 12)
+    // every pair led by the promiscuous token caps at exactly half
+    lifts.filter(_._1._1 == "a").values.foreach { l =>
+      assert(l <= 1000000L * n / 24, s"half-dependent pairs cap at half the lift")
+    }
+    // ((c,x) is ALSO perfectly dependent — the chain wraps — and at c12=11
+    // its lift is higher still: rarer exclusive pairs score higher, the
+    // defining PMI property, so assert order between the a-pairs and (x,y))
+    val aBest = lifts.filter(_._1._1 == "a").values.max
+    assert(lifts(("x", "y")) > aBest)
+    assert(r.length <= Lm.CollocTopK)
+  }
+
+  test("q67: deterministic across partitionings; count floor respected") {
+    val base = Lm.collocations(docs).collect().toSeq
+    val repart = Lm.collocations(docs.repartition(7)).collect().toSeq
+    assert(base == repart, "collocation report must be partition-invariant")
+    base.foreach(x => assert(x.getAs[Long]("c12") >= Lm.CollocMinCount))
+  }
+
+  test("q68 tf-idf: rare terms win; score ties break on token ASC") {
+    import spark.implicits._
+    val tiny = Seq((1L, "rare common common"), (2L, "common common other"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.tfIdfTopTerms(tiny).collect()
+      .map(x => (x.getLong(0), x.getAs[Int]("rank")) ->
+        (x.getAs[String]("token"), x.getAs[Long]("score_e6"))).toMap
+    // n_docs=2: idf_e6(common)=1e6, idf(rare)=idf(other)=2e6
+    // doc1: rare 1*2e6 = common 2*1e6 — tie, 'common' < 'rare'
+    assert(r((1L, 1)) == (("common", 2000000L)))
+    assert(r((1L, 2)) == (("rare", 2000000L)))
+    assert(r((2L, 1)) == (("common", 2000000L)))
+    assert(r((2L, 2)) == (("other", 2000000L)))
+  }
+
+  test("TopTermsByScore: merge-order invariant, caps at k, ranks NaN first") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map(i => (i % 7, rnd.nextDouble(), s"t$i")) :+
+      ((3, Double.NaN, "nan-term"))
+    val df = rows.toDF("g", "score", "term")
+    val topTerms = graft.functions.BoundedTopK.topTerms(4)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("g").agg(topTerms(col("score"), col("term")).as("top"))
+        .collect().map(r => r.getInt(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(1))).toMap
+    val a = run(df.repartition(1))
+    val b = run(df.repartition(13))
+    assert(a == b, "bounded term heap must be merge-order invariant")
+    assert(a.values.forall(_.length == 4))
+    assert(a(3).head == "nan-term", "NaN ranks first under the total order")
+  }
+
+  test("q70 scrub: crafted PII is redacted, counted, and byte-verified") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "email bob@example.com call 555-123-4567 at 10.0.0.1 the customer agrees"),
+      (2L, "no pii here just a supplier note"),
+      (3L, "two mails a@b.io c.d@e-f.org and ip 192.168.0.255")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(crafted).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("n_email") == 1)
+    assert(r(1L).getAs[Long]("n_phone") == 1)
+    assert(r(1L).getAs[Long]("n_ipv4") == 1)
+    assert(r(1L).getAs[Long]("n_blocked") == 1)
+    assert(r(2L).getAs[Long]("n_blocked") == 1)
+    assert(r(3L).getAs[Long]("n_email") == 2)
+    assert(r(3L).getAs[Long]("n_ipv4") == 1)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r(1L).getAs[String]("scrub_md5") ==
+      md5hex(" email <EMAIL> call <PHONE> at <IPV4> the <TERM> agrees "))
+    assert(r(2L).getAs[String]("scrub_md5") ==
+      md5hex(" no pii here just a <TERM> note "))
+  }
+
+  test("q70: fixture corpus has zero regex PII but the blocklist engages") {
+    val r = TextAnalysis.piiScrub(docs).collect()
+    assert(r.forall(x => x.getAs[Long]("n_email") == 0 &&
+      x.getAs[Long]("n_ipv4") == 0 && x.getAs[Long]("n_phone") == 0))
+    assert(r.exists(_.getAs[Long]("n_blocked") > 0),
+      "the fixture vocabulary contains blocklist terms — the scrub must fire")
+  }
+
+  test("q69 quantized top-k: high recall vs the exact float inner-product ranking") {
+    graft.functions.VectorOps.register(spark)
+    // exact float MIPS top-5 per query (same query set as q69)
+    val v = emb.select(col("vec_id"), col("embedding"))
+    val q = v.filter(col("vec_id") % Similarity.QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        expr("vec_dot(q_emb, embedding)").as("dot"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("dot").desc, col("cand_id"))
+    val exactTop = exact.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= Similarity.TopK)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    val quantTop = Similarity.quantizedTopK(emb).collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("cand_id")).toSet }
+    assert(quantTop.keySet == exactTop.keySet)
+    val recalls = exactTop.map { case (k, ex) =>
+      quantTop(k).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"int8 quantization should barely move top-5: recall=$mean")
+  }
+
+  test("q69: degenerate all-zero corpus quantizes to zeros, no NaN") {
+    import spark.implicits._
+    val zeros = (0L to 30L).map(i => (i, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.quantizedTopK(zeros).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Long]("qdot") == 0L))
+  }
+
+  test("vec_dot_int: codegen kernel equals a hand computation; type-checked") {
+    import spark.implicits._
+    graft.functions.VectorOps.register(spark)
+    val df = Seq((Array(1, -2, 3, 127), Array(4, 5, -6, 127))).toDF("a", "b")
+    val got = df.selectExpr("vec_dot_int(a, b)").head().getLong(0)
+    assert(got == (4L - 10 - 18 + 127L * 127))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Array(1.0f), Array(1))).toDF("a", "b")
+        .selectExpr("vec_dot_int(a, b)").collect()
+    }
+    assert(err.getMessage.contains("array<int>"))
+  }
+
+  test("q69 quantization: elements clamped to the int8 range, max hits 127") {
+    graft.functions.VectorOps.register(spark)
+    import spark.implicits._
+    val v = Seq((1L, Array(0.5f, -1.0f)), (2L, Array(2.0f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val mx = v.select(max(expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, e) -> greatest(acc, abs(CAST(e AS DOUBLE))))"))
+      .as("mx"))
+    val quant = v.crossJoin(broadcast(mx)).selectExpr("vec_id",
+      s"transform(embedding, e -> CAST(greatest(-127, least(127, " +
+        s"floor(CAST(e AS DOUBLE) * (127.0 / greatest(mx, 1e-30d)) + 0.5d))) AS INT)) AS q")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(quant(2L) == Seq(127, 16))   // 2.0 is the corpus max; 0.25*63.5+0.5 -> 16
+    assert(quant(1L) == Seq(32, -63))   // 0.5*63.5=31.75->32; -1.0*63.5+0.5=-63
+    quant.values.flatten.foreach(x => assert(x >= -127 && x <= 127))
+  }
+}

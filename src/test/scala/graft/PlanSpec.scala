@@ -301,6 +301,35 @@ class PlanSpec extends SparkSpec {
       s"boundary match must stay an equi-join:\n${p.take(1500)}")
   }
 
+  test("q66/q68: LM and tf-idf model joins stay equi-joins; no corpus window") {
+    val lm = plan(SparkEntry.queries("q66_bigram_lm")(spark, sf))
+    assert(!lm.contains("Window"), "per-doc LM score is an aggregate, not a window")
+    assert(!lm.contains("CartesianProduct"),
+      "the only cross join is the broadcast 1-row vocab scalar")
+    val tf = plan(SparkEntry.queries("q68_tfidf_terms")(spark, sf))
+    assert(!tf.contains("Window"),
+      "per-doc top terms must ride the bounded heap, never window-sort the (doc,term) relation")
+    assert(tf.contains("ObjectHashAggregate"),
+      "top terms must aggregate with k-row partials")
+  }
+
+  test("q69: quantized search broadcasts queries and aggregates top-k — no sort of pairs") {
+    val p = plan(SparkEntry.queries("q69_quantized_topk")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the query side must broadcast (q17's shape)")
+    assert(!p.contains("Window"),
+      "top-k must ride the bounded heap, never sort the scored relation")
+    assert(p.contains("vec_dot_int"),
+      "scoring must run the native integer-dot kernel")
+  }
+
+  test("q70: scrub is one scan-speed projection — no shuffle but the sort") {
+    val p = plan(SparkEntry.queries("q70_pii_scrub")(spark, sf))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"scrub must be a pure projection (one presentation sort), got:\n${p.take(1500)}")
+  }
+
   test("GraftExtensions injects poly_hash + vector functions for SQL-only sessions") {
     // the injection list accepts our builder (a bad signature would throw)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
