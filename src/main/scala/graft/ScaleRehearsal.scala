@@ -53,10 +53,12 @@ object ScaleRehearsal {
     "q53_bpe_pairs", "q54_prefix_contained", "q55_alignment_audit",
     "q56_stratified_sample", "q57_heavy_hitters", "q59_block_dedup",
     "q60_frame_sample", "q61_novelty", "q62_source_overlap",
-    "q63_domain_mix", "q64_doc_stitches")
+    "q63_domain_mix", "q64_doc_stitches", "q66_bigram_lm",
+    "q67_collocations", "q68_tfidf_terms", "q70_pii_scrub")
 
   val ExcludedQuadratic: Seq[String] =
-    Seq("q17_cosine_topk", "q18_ivf_topk", "q24_embedding_neardup")
+    Seq("q17_cosine_topk", "q18_ivf_topk", "q24_embedding_neardup",
+      "q69_quantized_topk")
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     val fs = java.nio.file.Paths.get(outDir)

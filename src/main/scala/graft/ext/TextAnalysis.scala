@@ -457,22 +457,28 @@ object TextAnalysis {
     * deliberately declared integer variant, mirrored exactly by the
     * oracle. No float reaches the compare.)
     *
-    * Plan: tf = one (doc, token) aggregate; df = one token aggregate OF
-    * that relation (reuses its exchange); idf joins back on `token`,
-    * the key df just shuffled on — co-partitioned. Per-doc top-K runs
-    * the string-payload bounded heap [[graft.functions.TopTermsByScore]]
-    * (k-row partials map-side), so nothing window-sorts the corpus-sized
-    * (doc, term) relation — q17's shape argument with a text payload.
-    * n_docs rides in as a broadcast 1-row cross join. */
+    * Plan: ONE corpus pass — tf = one (doc, token) aggregate, and df
+    * rides a count-over-token-partition window of THAT AGGREGATE (the
+    * self-join formulation re-explodes and re-aggregates the corpus on
+    * the df branch because column pruning breaks exchange reuse —
+    * measured 1.6x slower at sf0.1). The window input is the aggregated
+    * tf relation, never the raw token stream, and it carries no
+    * ordering rank: per-doc top-K selection runs the string-payload
+    * bounded heap [[graft.functions.TopTermsByScore]] (k-row partials
+    * map-side), so nothing RANKS the (doc, term) relation — q17's shape
+    * argument with a text payload. n_docs rides in as a broadcast 1-row
+    * cross join. At production scale the alternative is q49's shape
+    * (trimmed df vocabulary broadcast onto the tf relation), which
+    * trades a second corpus scan for not shuffling tf by token. */
   def tfIdfTopTerms(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val byToken = org.apache.spark.sql.expressions.Window.partitionBy("token")
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val topTerms = graft.functions.BoundedTopK.topTerms(TfIdfTopK)
-    tf.join(df, "token")
+    tf.withColumn("df", count(lit(1)).over(byToken))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("token"),
         expr("tf * ((1000000 * n_docs) div df)").as("score_e6"))

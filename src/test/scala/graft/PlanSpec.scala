@@ -307,10 +307,12 @@ class PlanSpec extends SparkSpec {
     assert(!lm.contains("CartesianProduct"),
       "the only cross join is the broadcast 1-row vocab scalar")
     val tf = plan(SparkEntry.queries("q68_tfidf_terms")(spark, sf))
-    assert(!tf.contains("Window"),
-      "per-doc top terms must ride the bounded heap, never window-sort the (doc,term) relation")
+    assert(!tf.contains("row_number"),
+      "per-doc top terms must ride the bounded heap, never a ranking window")
     assert(tf.contains("ObjectHashAggregate"),
       "top terms must aggregate with k-row partials")
+    assert(tf.linesIterator.count(_.contains("Generate explode")) == 1,
+      "one corpus pass: df must come from the tf aggregate, not a re-explode")
   }
 
   test("q69: quantized search broadcasts queries and aggregates top-k — no sort of pairs") {
