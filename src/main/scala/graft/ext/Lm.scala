@@ -159,12 +159,76 @@ object Lm {
        |ORDER BY lift_e6 DESC, w1, w2
        |LIMIT $CollocTopK""".stripMargin
 
+  // ---------------------------------------------------- source drift
+  /** Per-source unigram-distribution drift vs the whole corpus — the
+    * mixture-monitoring op that tells a 100 TB pipeline "source X
+    * changed under you" (crawl snapshot shifted, a scraper broke, a
+    * new template flooded in):
+    *
+    *   diff_bp(s, t)  = (1e4 * o(s,t)) div S(s)  -  (1e4 * c(t)) div T
+    *   drift_l2e8(s)  = sum over the CORPUS vocabulary of diff_bp²
+    *
+    * (o = token count within the source, S = source token mass, c/T =
+    * corpus-wide.) The frequency ratios are floored to basis points
+    * BEFORE squaring, so everything stays BIGINT and both engines agree
+    * exactly; tokens a source never emits still contribute their
+    * corpus-frequency term (the vocab × sources grid is built
+    * explicitly — an inner join on observed pairs would silently drop
+    * exactly the drift signal, the absent tokens).
+    *
+    * Shape: two token aggregates (per-source and corpus-wide), a
+    * broadcast of the AGGREGATED vocabulary onto the |sources| spine,
+    * and one left join of observed (source, token) counts — every
+    * relation past the first aggregate is vocabulary-sized, never
+    * corpus-sized. At 100 TB the vocab broadcast becomes the trimmed
+    * top-K vocabulary (the tail's diff_bp floors to zero anyway at
+    * e4 resolution). */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val bySrc = toks.groupBy("source", "token").agg(count(lit(1)).as("o"))
+    val srcMass = bySrc.groupBy("source").agg(sum(col("o")).as("s_mass"))
+    val corpus = bySrc.groupBy("token").agg(sum(col("o")).as("c"))
+    val tMass = corpus.agg(sum(col("c")).as("t_mass"))
+    srcMass.crossJoin(broadcast(corpus.crossJoin(tMass)))
+      .join(bySrc, Seq("source", "token"), "left")
+      .select(col("source"), col("s_mass"),
+        (expr("(10000 * coalesce(o, 0)) div s_mass") -
+          expr("(10000 * c) div t_mass")).as("d"))
+      .groupBy("source")
+      .agg(min(col("s_mass")).as("n_tokens"),
+           sum(col("d") * col("d")).as("drift_l2e8"))
+      .orderBy("source")
+  }
+
+  val sourceDriftSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+      |o AS (SELECT source, token, COUNT(*) AS o FROM toks
+      |      WHERE length(token) > 0 GROUP BY source, token),
+      |sm AS (SELECT source, SUM(o) AS s_mass FROM o GROUP BY source),
+      |c AS (SELECT token, SUM(o) AS c FROM o GROUP BY token),
+      |t AS (SELECT SUM(c) AS t_mass FROM c),
+      |grid AS (SELECT sm.source, sm.s_mass, c.token, c.c, t.t_mass
+      |         FROM sm CROSS JOIN c CROSS JOIN t),
+      |d AS (SELECT grid.source, grid.s_mass,
+      |        (10000 * COALESCE(o.o, 0)) // grid.s_mass
+      |          - (10000 * grid.c) // grid.t_mass AS d
+      |      FROM grid LEFT JOIN o
+      |        ON grid.source = o.source AND grid.token = o.token)
+      |SELECT source, CAST(MIN(s_mass) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(d * d) AS BIGINT) AS drift_l2e8
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_bigram_lm" -> ((s, d) => bigramLmScores(Tables.documents(s, d))),
-    "q67_collocations" -> ((s, d) => collocations(Tables.documents(s, d))))
+    "q67_collocations" -> ((s, d) => collocations(Tables.documents(s, d))),
+    "q71_source_drift" -> ((s, d) => sourceDrift(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q66_bigram_lm" -> bigramLmScoresSql,
-    "q67_collocations" -> collocationsSql)
+    "q67_collocations" -> collocationsSql,
+    "q71_source_drift" -> sourceDriftSql)
 }

@@ -175,6 +175,98 @@ class LmSpec extends SparkSpec {
     assert(err.getMessage.contains("array<int>"))
   }
 
+  test("q71 drift: identical-mix sources score 0; disjoint vocabularies score high") {
+    import spark.implicits._
+    // two sources with the same distribution -> every diff_bp is 0
+    val same = Seq((1L, "x x y", "srcA"), (2L, "x x y", "srcB"))
+      .toDF("doc_id", "text", "source")
+    Lm.sourceDrift(same).collect().foreach { r =>
+      assert(r.getAs[Long]("drift_l2e8") == 0L, s"identical mix must not drift: $r")
+    }
+    // disjoint vocabularies: each source is 100% its own token, corpus
+    // is 50/50 -> per token diff = +/-5000 bp, l2 = 2 * 5000^2
+    val disj = Seq((1L, "x x x", "srcA"), (2L, "y y y", "srcB"))
+      .toDF("doc_id", "text", "source")
+    Lm.sourceDrift(disj).collect().foreach { r =>
+      assert(r.getAs[Long]("drift_l2e8") == 2L * 5000 * 5000, s"$r")
+    }
+  }
+
+  test("q71: absent tokens contribute their corpus term (no inner-join blind spot)") {
+    import spark.implicits._
+    // srcB never emits 'x'; x is 3/4 of the corpus. If absent tokens were
+    // dropped, srcB's drift would miss the dominant term.
+    val docs = Seq((1L, "x x x", "srcA"), (2L, "y", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val r = Lm.sourceDrift(docs).collect()
+      .map(x => x.getString(0) -> x.getAs[Long]("drift_l2e8")).toMap
+    // srcB: x: 0 - 7500 = -7500; y: 10000 - 2500 = +7500
+    assert(r("srcB") == 7500L * 7500 * 2)
+    // srcA: x: 10000 - 7500; y: 0 - 2500
+    assert(r("srcA") == 2500L * 2500 * 2)
+  }
+
+  test("rolling_hashes: equals per-window poly_hash composition, incl. non-ASCII") {
+    import spark.implicits._
+    graft.functions.PolyHash.register(spark)
+    graft.functions.RollingHashes.register(spark, 5,
+      ext.Dedup.SubstrBase, ext.Dedup.SubstrMod)
+    val texts = Seq("abcdefghij", "exact", "tiny", "", "été café über",
+      "aaaaaaaaaa", "one two three")
+    val df = texts.toDF("text")
+    val composed = df.selectExpr(
+      s"""CASE WHEN length(text) < 5 THEN array()
+         |ELSE transform(sequence(1, length(text) - 4),
+         |  i -> poly_hash(substring(text, i, 5), ${ext.Dedup.SubstrBase}, ${ext.Dedup.SubstrMod}))
+         |END AS hs""".stripMargin)
+      .collect().map(_.getSeq[Long](0))
+    val rolled = df.selectExpr("rolling_hashes(text) AS hs")
+      .collect().map(_.getSeq[Long](0))
+    composed.zip(rolled).zip(texts).foreach { case ((c, r), t) =>
+      assert(c == r, s"rolling mismatch for '$t': $c vs $r")
+    }
+  }
+
+  test("q72 substring dups: shared passage found, run length exact, clones saturate") {
+    import spark.implicits._
+    val w = ext.Dedup.SubstrWindow
+    val passage = "the quick brown fox jumps over the lazy dg" + "12345678" // 50 chars
+    assert(passage.length == 50)
+    val docs = Seq(
+      (1L, s"AA prefix one ${passage} suffix alpha beta gamma"),
+      (2L, s"totally different opener ${passage} and another closer"),
+      (3L, "no shared content here at all just unique words nothing else"),
+      (4L, "short"),
+      (5L, s"AA prefix one ${passage} suffix alpha beta gamma")) // clone of 1
+      .toDF("doc_id", "text")
+    val r = ext.Dedup.substringDups(docs).collect()
+      .map(x => x.getLong(0) -> (x.getAs[Long]("n_windows"),
+        x.getAs[Long]("n_shared"), x.getAs[Long]("max_run"))).toMap
+    // doc 3: nothing shared; doc 4: too short for one window
+    assert(r(3L)._2 == 0 && r(3L)._3 == 0)
+    assert(r(4L) == ((0L, 0L, 0L)))
+    // docs 1 and 5 are clones: every window shared, one full-length run
+    assert(r(1L)._2 == r(1L)._1 && r(1L)._3 == r(1L)._1)
+    assert(r(5L) == r(1L))
+    // doc 2 shares the passage with 1/5 — the shared region includes the
+    // flanking spaces present on both sides in both docs: 52 chars total,
+    // so the run is 52 - W + 1 (the chars beyond the spaces differ)
+    assert(r(2L)._3 == 52 - w + 1, s"expected run ${52 - w + 1}, got ${r(2L)}")
+    assert(r(2L)._2 == 52 - w + 1)
+  }
+
+  test("q72: empty corpus and all-unique corpus degrade to zeros") {
+    import spark.implicits._
+    assert(ext.Dedup.substringDups(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).count() == 0)
+    val uniq = Seq((1L, ('a' to 'z').mkString(" ") + " unique trailing content one"),
+      (2L, ('A' to 'Z').mkString(" ") + " other trailing content two"))
+      .toDF("doc_id", "text")
+    ext.Dedup.substringDups(uniq).collect().foreach { x =>
+      assert(x.getAs[Long]("n_shared") == 0 && x.getAs[Long]("max_run") == 0)
+    }
+  }
+
   test("q69 quantization: elements clamped to the int8 range, max hits 127") {
     graft.functions.VectorOps.register(spark)
     import spark.implicits._

@@ -332,6 +332,24 @@ class PlanSpec extends SparkSpec {
       s"scrub must be a pure projection (one presentation sort), got:\n${p.take(1500)}")
   }
 
+  test("q71: one corpus pass — the (source,token) aggregate is shared by all consumers") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(SparkEntry.queries("q71_source_drift")(spark, sf))
+      assert(p.contains("ReusedExchange"),
+        "source-mass, corpus-count, and the probe must share one exchange")
+      assert(!p.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q72: substring dedup is linear — equi-join on the window hash, no cartesian") {
+    val p = plan(SparkEntry.queries("q72_substring_dups")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "the shared-window probe must stay an equi-join on h")
+    assert(p.contains("rolling_hashes"),
+      "windows must come from the O(n) rolling kernel, not per-window substrings")
+  }
+
   test("GraftExtensions injects poly_hash + vector functions for SQL-only sessions") {
     // the injection list accepts our builder (a bad signature would throw)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
