@@ -54,7 +54,8 @@ object ScaleRehearsal {
     "q56_stratified_sample", "q57_heavy_hitters", "q59_block_dedup",
     "q60_frame_sample", "q61_novelty", "q62_source_overlap",
     "q63_domain_mix", "q64_doc_stitches", "q66_bigram_lm",
-    "q67_collocations", "q68_tfidf_terms", "q70_pii_scrub")
+    "q67_collocations", "q68_tfidf_terms", "q70_pii_scrub",
+    "q71_source_drift", "q72_substring_dups")
 
   val ExcludedQuadratic: Seq[String] =
     Seq("q17_cosine_topk", "q18_ivf_topk", "q24_embedding_neardup",

@@ -519,6 +519,99 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------- quantized k-means step
+  /** One k-means/IVF TRAINING iteration over the int8-quantized corpus —
+    * the job that periodically refreshes q18's centroid table. Runs
+    * entirely in exact integer arithmetic so the oracle agrees bit for
+    * bit (float k-means sums are partition-order dependent — the same
+    * reason q69 quantizes before ranking):
+    *
+    *  1. quantize every embedding with the q69 global scale;
+    *  2. assign each vector to the centroid minimizing the EXACT integer
+    *     squared distance d² = a·a − 2a·c + c·c (three `vec_dot_int`
+    *     kernels; argmin = `min(struct(d2, cent_id))`, associative and
+    *     map-side combined — q18's no-window assignment);
+    *  3. re-estimate centroids DIMENSION-PARALLEL: posexplode the
+    *     quantized vectors to (cell, dim, val) and sum per (cell, dim) —
+    *     integer sums are mergeable under any partitioning, the shuffle
+    *     carries cells × dims partial rows, and the final state is
+    *     O(cells · dims) however large the corpus.
+    *
+    * Output is the relational form (cell, dim, n_members, sum_q,
+    * mean_q) — the array re-assembly is presentation, not compute, and
+    * a relational centroid table is what the next assignment join
+    * consumes anyway. At 100 TB this is the canonical mergeable-
+    * aggregate shape: one corpus scan, one (cells × dims)-wide
+    * exchange, no sort anywhere. */
+  def kmeansStep(emb: DataFrame): DataFrame = {
+    VectorOps.register(emb.sparkSession)
+    val r = QuantRange
+    val mx = emb.select(max(expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+        "(acc, e) -> greatest(acc, abs(CAST(e AS DOUBLE))))")).as("mx"))
+    val v = emb.crossJoin(broadcast(mx))
+      .select(col("vec_id"), expr(
+        s"transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+          s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30d)) + 0.5d))) AS INT))")
+        .as("qemb"))
+      .withColumn("self", expr("vec_dot_int(qemb, qemb)"))
+    val cents = v.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("cent_id"), col("qemb").as("cent_q"),
+              col("self").as("cent_self"))
+    val assigned = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qemb"),
+        (col("self") - expr("2 * vec_dot_int(qemb, cent_q)") +
+          col("cent_self")).as("d2"), col("cent_id"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cent_id"))).as("m"),
+           first(col("qemb")).as("qemb"))
+      .select(col("vec_id"), col("qemb"), col("m.cent_id").as("cell"))
+    assigned
+      .select(col("cell"), posexplode(col("qemb")).as(Seq("dim", "val")))
+      .groupBy("cell", "dim")
+      .agg(count(lit(1)).as("n_members"),
+           sum(col("val")).as("sum_q"))
+      .select(col("cell"), col("dim").cast("int").as("dim"),
+        col("n_members"), col("sum_q"),
+        expr("sum_q div n_members").as("mean_q"))
+      .orderBy("cell", "dim")
+  }
+
+  val kmeansStepSql: String = {
+    val r = QuantRange
+    val quant = s"list_transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+      s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30)) + 0.5))) AS INT))"
+    def intDot(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, len($a)), " +
+        s"i -> CAST($a[i] AS BIGINT) * CAST($b[i] AS BIGINT))), (x, y) -> x + y)"
+    s"""WITH m AS (
+       |  SELECT MAX(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))),
+       |    (x, y) -> greatest(x, y))) AS mx
+       |  FROM embeddings),
+       |v0 AS (SELECT vec_id, $quant AS qemb FROM embeddings CROSS JOIN m),
+       |v AS (SELECT vec_id, qemb, ${intDot("qemb", "qemb")} AS self FROM v0),
+       |cents AS (SELECT vec_id AS cent_id, qemb AS cent_q, self AS cent_self
+       |          FROM v WHERE vec_id % $CentroidMod = 0),
+       |assigned AS (
+       |  SELECT vec_id, qemb, cell FROM (
+       |    SELECT v.vec_id, v.qemb, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY v.self - 2 * ${intDot("v.qemb", "c.cent_q")} + c.cent_self,
+       |                 c.cent_id) AS arn
+       |    FROM v CROSS JOIN cents c) WHERE arn = 1),
+       |flat AS (
+       |  SELECT cell, CAST(i - 1 AS INT) AS dim, qemb[i] AS val FROM (
+       |    SELECT cell, qemb, unnest(generate_series(1, len(qemb))) AS i
+       |    FROM assigned))
+       |SELECT cell, dim, COUNT(*) AS n_members,
+       |  CAST(SUM(val) AS BIGINT) AS sum_q,
+       |  CAST(SUM(val) // COUNT(*) AS BIGINT) AS mean_q
+       |FROM flat GROUP BY cell, dim
+       |ORDER BY cell, dim""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_cosine_topk" -> ((s, d) => cosineTopK(Tables.embeddings(s, d))),
@@ -526,7 +619,8 @@ object Similarity {
     "q24_embedding_neardup" -> ((s, d) => embeddingNearDups(Tables.embeddings(s, d))),
     "q31_signlsh_neardup" -> ((s, d) => signLshNearDups(Tables.embeddings(s, d))),
     "q42_signlsh_multiband" -> ((s, d) => signLshMultiBand(Tables.embeddings(s, d))),
-    "q69_quantized_topk" -> ((s, d) => quantizedTopK(Tables.embeddings(s, d))))
+    "q69_quantized_topk" -> ((s, d) => quantizedTopK(Tables.embeddings(s, d))),
+    "q73_kmeans_step" -> ((s, d) => kmeansStep(Tables.embeddings(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q17_cosine_topk" -> cosineTopKSql,
@@ -534,5 +628,6 @@ object Similarity {
     "q24_embedding_neardup" -> embeddingNearDupsSql,
     "q31_signlsh_neardup" -> signLshNearDupsSql,
     "q42_signlsh_multiband" -> signLshMultiBandSql,
-    "q69_quantized_topk" -> quantizedTopKSql)
+    "q69_quantized_topk" -> quantizedTopKSql,
+    "q73_kmeans_step" -> kmeansStepSql)
 }

@@ -267,6 +267,29 @@ class LmSpec extends SparkSpec {
     }
   }
 
+  test("q73 k-means step: hand-computed integer centroid update; partition-invariant") {
+    import spark.implicits._
+    // centroids = vec_id % 50 == 0 -> ids 0 and 50; two members each.
+    // maxabs = 1.0 -> scale 127: q(1.0)=127, q(0.9)=114, q(0.1)=13
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f)), (50L, Array(0.0f, 1.0f)),
+      (1L, Array(0.9f, 0.1f)), (51L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.kmeansStep(tiny).collect()
+      .map(x => (x.getLong(0), x.getInt(1)) ->
+        (x.getAs[Long]("n_members"), x.getAs[Long]("sum_q"), x.getAs[Long]("mean_q")))
+      .toMap
+    assert(r((0L, 0)) == ((2L, 241L, 120L)))  // 127 + 114
+    assert(r((0L, 1)) == ((2L, 13L, 6L)))     // 0 + 13
+    assert(r((50L, 0)) == ((2L, 13L, 6L)))
+    assert(r((50L, 1)) == ((2L, 241L, 120L)))
+    // mergeable by construction: any partitioning yields the same update
+    val emb = Tables.embeddings(spark, sf)
+    val a = Similarity.kmeansStep(emb).collect().toSeq
+    val b = Similarity.kmeansStep(emb.repartition(7)).collect().toSeq
+    assert(a == b, "integer centroid update must be partition-invariant")
+  }
+
   test("q69 quantization: elements clamped to the int8 range, max hits 127") {
     graft.functions.VectorOps.register(spark)
     import spark.implicits._
