@@ -39,6 +39,30 @@ trait MediaDecoder extends Serializable {
     * seeks keyframes; the stub strides the byte stream). Returned lazily
     * so a huge record streams frames instead of materializing them. */
   def frames(rec: MediaRecord): Iterator[FrameSample]
+
+  /** Difference-hash perceptual fingerprint (dHash): 33 evenly-sampled
+    * points over the decoded content, bit k = point_k < point_{k+1} —
+    * 32 bits, robust to uniform brightness shifts by construction. A
+    * real decoder samples the resized grayscale pixel grid; this
+    * default samples the RAW BYTES at idx_k = (k·n) div 33 (the q23
+    * thumbnail's sampling rule), so the stub stays codec-free while the
+    * signature semantics — and the downstream Hamming machinery — are
+    * the production ones. Empty payloads hash to 0. */
+  def dhash(rec: MediaRecord): Long = {
+    val bytes = rec.payload
+    val n = bytes.length.toLong
+    if (n == 0) return 0L
+    var sig = 0L
+    var prev = bytes(0) & 0xff
+    var k = 1
+    while (k <= 32) {
+      val cur = bytes(((k * n) / 33).toInt) & 0xff
+      if (prev < cur) sig |= 1L << (k - 1)
+      prev = cur
+      k += 1
+    }
+    sig
+  }
 }
 
 /** One sampled "frame": its index, byte offset, lead byte, and a short
@@ -200,11 +224,99 @@ object Multimodal {
       |    (a, c) -> (a * 31 + c) % 1000000007) AS window_hash
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ------------------------------------------------ perceptual near-dup
+  /** Max Hamming distance for a perceptual match and the band layout:
+    * [[PhashBands]] = PhashMaxHamming + 1 bands guarantee (pigeonhole)
+    * that any qualifying pair matches at least one band exactly. */
+  val PhashMaxHamming = 2
+  val PhashBands = 3
+  val PhashBandBits = Seq(11, 11, 10) // 32 bits total
+
+  /** Perceptual near-duplicate detection over the media payloads — the
+    * image-dedup member of the dedup family (re-encoded, resized, or
+    * slightly-retouched copies share most dHash bits even when their
+    * bytes differ entirely). Signatures come from the decoder boundary
+    * ([[MediaDecoder.dhash]], one decoder per partition like every
+    * decode stage); candidate pairs from banding the 32-bit signature
+    * into [[PhashBands]] bands — pigeonhole-complete for Hamming <=
+    * [[PhashMaxHamming]], so unlike the LSH families the recall here is
+    * exact, not probabilistic. Pairs are emitted exactly once by their
+    * first matching band (q42's generated XOR predicate — no distinct
+    * pass), then verified with one codegen `bit_count(sig_a ^ sig_b)`.
+    *
+    * Scale: band buckets hash-partition the signature table; in-bucket
+    * work is (n/2^bits)² per bucket — the band width is the scale knob,
+    * exactly like q31/q42. The payload column is pruned the moment the
+    * signature is computed: only (doc_id, sig) — 16 bytes — shuffles. */
+  def phashNearDups(media: DataFrame, decoder: MediaDecoder): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sigs = media.as[MediaRecord]
+      .mapPartitions(_.map(r => (r.doc_id, decoder.dhash(r))))
+      .toDF("doc_id", "sig")
+    val offsets = PhashBandBits.scanLeft(0)(_ + _).init
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(PhashBands - 1))).as("band"))
+      .withColumn("bkey",
+        expr(PhashBandBits.zip(offsets).zipWithIndex.map {
+          case ((bits, off), j) =>
+            s"WHEN band = $j THEN shiftright(sig, $off) & ${(1L << bits) - 1}"
+        }.mkString("CASE ", " ", " END")))
+    val a = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val firstMatch = (0 until PhashBands).map { j =>
+      val earlierDiffer = (0 until j).map { e =>
+        s"(shiftright(sig_a ^ sig_b, ${offsets(e)}) & ${(1L << PhashBandBits(e)) - 1}) != 0"
+      }
+      (s"band = $j" +: earlierDiffer).mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(expr(firstMatch))
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  def q74(s: SparkSession, dir: String): DataFrame =
+    phashNearDups(attachPayload(Tables.documents(s, dir)), new StubDecoder)
+
+  /** Oracle: the banding is pigeonhole-COMPLETE for Hamming <= 2, so the
+    * oracle is simply every pair within the Hamming bound — no band
+    * mirroring needed (contrast q31's probabilistic recall). dHash bits
+    * from the same byte-index arithmetic as q23's thumbnail. */
+  val q74Sql: String = {
+    val h = PhashMaxHamming
+    // bit k (0-based) = point_k < point_{k+1}, points at (k*n)//33
+    val sig =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      generate_series(1, 32), k -> CASE WHEN
+        |        ord(substr(text, CAST(((k - 1) * n) // 33 AS INT) + 1, 1)) <
+        |        ord(substr(text, CAST((k * n) // 33 AS INT) + 1, 1))
+        |      THEN CAST(1 AS BIGINT) << (k - 1) ELSE 0 END)),
+        |      (x, y) -> x + y)""".stripMargin
+    s"""WITH b AS (
+       |  SELECT doc_id, CASE WHEN n = 0 THEN 0 ELSE $sig END AS sig FROM
+       |    (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+       |    bit_count(xor(a.sig, b2.sig)) AS hamming
+       |  FROM b a JOIN b b2 ON a.doc_id < b2.doc_id)
+       |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM pairs WHERE hamming <= $h
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_multimodal" -> (q23 _),
-    "q60_frame_sample" -> (q60 _))
+    "q60_frame_sample" -> (q60 _),
+    "q74_phash_neardup" -> (q74 _))
 
   val oracles: Map[String, String] = Map(
     "q23_multimodal" -> q23Sql,
-    "q60_frame_sample" -> q60Sql)
+    "q60_frame_sample" -> q60Sql,
+    "q74_phash_neardup" -> q74Sql)
 }

@@ -290,6 +290,40 @@ class LmSpec extends SparkSpec {
     assert(a == b, "integer centroid update must be partition-invariant")
   }
 
+  test("q74 pHash: controlled bit flips — bound respected, pigeonhole recall exact") {
+    import spark.implicits._
+    // 33-char texts make the dHash sampling the identity map (idx_k = k),
+    // so single characters control single signature bits:
+    //   A: all 'a'            -> sig 0
+    //   B: c10='b'            -> bit 9  (hamming(A,B) = 1)
+    //   C: c5='b', c20='b'    -> bits 4 and 19 (hamming(A,C) = 2, split
+    //      across bands 0 and 1 — only band 2 matches: pigeonhole path)
+    //   hamming(B,C) = 3      -> must NOT pair
+    val base = "a" * 33
+    def flip(s: String, i: Int) = s.updated(i, 'b')
+    val docs = Seq(
+      (1L, base), (2L, flip(base, 10)), (3L, flip(flip(base, 5), 20)))
+      .toDF("doc_id", "text")
+    val r = Multimodal.phashNearDups(
+      Multimodal.attachPayload(docs), new StubDecoder).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getAs[Long]("hamming")).toMap
+    assert(r == Map((1L, 2L) -> 1L, (1L, 3L) -> 2L),
+      s"expected exactly (A,B)@1 and (A,C)@2, got $r")
+  }
+
+  test("q74: identical payloads pair at hamming 0; exactly-once across bands") {
+    import spark.implicits._
+    // identical sigs match EVERY band — the first-match predicate must
+    // still emit the pair exactly once
+    val docs = Seq((1L, "xyz " * 20), (2L, "xyz " * 20), (3L, "entirely different content here"))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.phashNearDups(
+      Multimodal.attachPayload(docs), new StubDecoder).collect()
+    assert(rows.count(x => x.getLong(0) == 1L && x.getLong(1) == 2L) == 1)
+    assert(rows.filter(x => x.getLong(0) == 1L && x.getLong(1) == 2L)
+      .head.getAs[Long]("hamming") == 0L)
+  }
+
   test("q69 quantization: elements clamped to the int8 range, max hits 127") {
     graft.functions.VectorOps.register(spark)
     import spark.implicits._

@@ -350,6 +350,14 @@ class PlanSpec extends SparkSpec {
       "windows must come from the O(n) rolling kernel, not per-window substrings")
   }
 
+  test("q74: pHash pairs come from the band bucket join — no cartesian, no distinct") {
+    val p = plan(SparkEntry.queries("q74_phash_neardup")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "candidates must come from the (band, bkey) equi-join")
+    assert(!p.contains("HashAggregate(keys=[id_a"),
+      "exactly-once is the first-match predicate, not a dedup aggregate")
+  }
+
   test("GraftExtensions injects poly_hash + vector functions for SQL-only sessions") {
     // the injection list accepts our builder (a bad signature would throw)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
