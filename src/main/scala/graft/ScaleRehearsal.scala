@@ -55,11 +55,14 @@ object ScaleRehearsal {
     "q60_frame_sample", "q61_novelty", "q62_source_overlap",
     "q63_domain_mix", "q64_doc_stitches", "q66_bigram_lm",
     "q67_collocations", "q68_tfidf_terms", "q70_pii_scrub",
-    "q71_source_drift", "q72_substring_dups")
+    "q71_source_drift", "q72_substring_dups", "q74_phash_neardup")
 
+  /** q17/q24/q69 are declared-O(n²) kernels; q18/q73 assign against a
+    * centroid set that GROWS with the fixture (vec_id % mod stand-in),
+    * so their 10x cost is a fixture artifact — production k is fixed. */
   val ExcludedQuadratic: Seq[String] =
     Seq("q17_cosine_topk", "q18_ivf_topk", "q24_embedding_neardup",
-      "q69_quantized_topk")
+      "q69_quantized_topk", "q73_kmeans_step")
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     val fs = java.nio.file.Paths.get(outDir)
