@@ -123,4 +123,85 @@ class PipelinePropertySpec extends SparkSpec {
     assert(sorted.sorted(Ordering[String].reverse).toSeq == sorted.toSeq)
     assert(sorted.sorted.toSeq == lines.as[String].collect().sorted.toSeq)
   }
+
+  // ------------------------------------------- round-5 kernel properties
+
+  test("vec_dot_int equals a BigInt reference on random int vectors") {
+    val rnd = new scala.util.Random(31L)
+    (1 to 200).foreach { _ =>
+      val n = rnd.nextInt(80)
+      val a = Array.fill(n)(rnd.nextInt(255) - 127)
+      val b = Array.fill(n)(rnd.nextInt(255) - 127)
+      val want = a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      val got = graft.functions.VectorOps.dotInt(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(b))
+      assert(BigInt(got) == want, s"n=$n")
+    }
+  }
+
+  test("dhash: self-distance 0; one flipped byte moves at most 2 bits (n >= 33)") {
+    val rnd = new scala.util.Random(47L)
+    def rec(bytes: Array[Byte]) =
+      graft.ext.MediaRecord(1L, bytes, "jpeg", 320, 180)
+    val dec = new graft.ext.StubDecoder
+    (1 to 200).foreach { _ =>
+      val n = 33 + rnd.nextInt(400)
+      val bytes = Array.fill(n)(rnd.nextInt(256).toByte)
+      val sig = dec.dhash(rec(bytes))
+      assert(sig == dec.dhash(rec(bytes.clone())))
+      val mutated = bytes.clone()
+      val j = rnd.nextInt(n)
+      mutated(j) = (mutated(j) ^ 0x5f).toByte
+      val d = java.lang.Long.bitCount(sig ^ dec.dhash(rec(mutated)))
+      // index j is sampled at most once for n >= 33, touching at most
+      // the bit where it is the right point and the one where it is left
+      assert(d <= 2, s"n=$n j=$j moved $d bits")
+    }
+  }
+
+  test("rolling_hashes equals composed per-window poly_hash on random strings") {
+    import spark.implicits._
+    graft.functions.PolyHash.register(spark)
+    val rnd = new scala.util.Random(59L)
+    val ws = Seq(1, 3, 7, 16)
+    ws.foreach { w =>
+      graft.functions.RollingHashes.register(spark,
+        w, ext.Dedup.SubstrBase, ext.Dedup.SubstrMod)
+      val texts = (1 to 40).map(_ =>
+        (0 until rnd.nextInt(60)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      val df = texts.toDF("text")
+      val composed = df.selectExpr(
+        s"""CASE WHEN length(text) < $w THEN array()
+           |ELSE transform(sequence(1, length(text) - $w + 1),
+           |  i -> poly_hash(substring(text, i, $w), ${ext.Dedup.SubstrBase}, ${ext.Dedup.SubstrMod}))
+           |END AS hs""".stripMargin).collect().map(_.getSeq[Long](0))
+      val rolled = df.selectExpr("rolling_hashes(text) AS hs")
+        .collect().map(_.getSeq[Long](0))
+      composed.zip(rolled).zip(texts).foreach { case ((c, r), t) =>
+        assert(c == r, s"w=$w text='$t'")
+      }
+    }
+  }
+
+  test("TopTermsByScore equals the sort-take reference on random inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(67L)
+    val rows = (1 to 400).map(i =>
+      (rnd.nextInt(9), rnd.nextInt(40).toDouble, s"t${rnd.nextInt(120)}-$i"))
+    val df = rows.toDF("g", "score", "term")
+    val topTerms = graft.functions.BoundedTopK.topTerms(5)
+    val got = df.repartition(11).groupBy("g")
+      .agg(topTerms(col("score"), col("term")).as("top"))
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getString(1))))
+      .toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3))
+        .sortBy { case (s, t) => (-s, t) }.take(5)
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (g, w) => assert(got(g) == w, s"group $g") }
+  }
 }
