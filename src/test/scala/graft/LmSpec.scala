@@ -255,6 +255,33 @@ class LmSpec extends SparkSpec {
     assert(r(2L)._2 == 52 - w + 1)
   }
 
+  test("round-5 operators degrade sanely on empty and degenerate corpora") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(Lm.bigramLmScores(empty).count() == 0)
+    assert(Lm.collocations(empty).count() == 0)
+    assert(Lm.sourceDrift(empty).count() == 0)
+    assert(TextAnalysis.tfIdfTopTerms(empty).count() == 0)
+    assert(TextAnalysis.piiScrub(empty).count() == 0)
+    assert(Similarity.kmeansStep(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")).count() == 0)
+    assert(Multimodal.phashNearDups(
+      Multimodal.attachPayload(empty), new StubDecoder).count() == 0)
+    // degenerate rows: empty text, whitespace, single token, unicode
+    val weird = Seq((1L, "", "srcA"), (2L, "   ", "srcA"), (3L, "solo", "srcB"),
+      (4L, "été café über naïve again été", "srcC"))
+      .toDF("doc_id", "text", "source")
+    assert(TextAnalysis.piiScrub(weird).count() == 4)   // scrub keeps every doc
+    assert(Lm.sourceDrift(weird).collect()
+      .forall(_.getAs[Long]("drift_l2e8") >= 0))
+    // split-on-space semantics: doc 2 ("   ") is four EMPTY tokens (3
+    // bigrams of empties — kept, same as the oracle), docs 1/3 are
+    // single-token and excluded, doc 4 has real bigrams
+    assert(Lm.bigramLmScores(weird).count() == 2)
+    Multimodal.phashNearDups(Multimodal.attachPayload(weird), new StubDecoder)
+      .collect()                                         // must not throw on empty payloads
+  }
+
   test("q72: empty corpus and all-unique corpus degrade to zeros") {
     import spark.implicits._
     assert(ext.Dedup.substringDups(
