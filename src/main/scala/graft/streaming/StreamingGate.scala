@@ -232,7 +232,27 @@ object StreamingGate {
       |FROM counts c JOIN last l ON c.user_id = l.user_id AND l.rn = 1
       |ORDER BY c.user_id""".stripMargin
 
+  /** q75: OVERLAPPING (sliding) windows through the micro-batch engine —
+    * 10-minute span sliding by 5, so every event feeds TWO window states
+    * simultaneously. What this gates beyond q40's tumbling twin: the
+    * multi-assignment expansion inside the stateful aggregate (one input
+    * row updating several window panes) and the watermark finalizing
+    * overlapping panes in staggered order. The oracle replays the same
+    * two-pane assignment relationally (each event cross-joined to
+    * offsets {0, 1} slide steps). */
+  def q75StreamSliding(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, dir, EventsStreaming.slidingCounts)
+      .orderBy(col("window_start"), col("event_type"))
+
+  val q75Sql: String =
+    """SELECT (epoch_us(ts) // 300000000) * 300 - k * 300 AS window_start,
+      |  event_type, COUNT(*) AS n_events
+      |FROM events, (VALUES (0), (1)) AS off(k)
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_stream_sliding" -> (q75StreamSliding _),
     "q40_stream_tumbling" -> (q40StreamTumbling _),
     "q41_stream_sessions" -> (q41StreamSessions _),
     "q43_stream_interval_join" -> (q43StreamIntervalJoin _),
@@ -242,6 +262,7 @@ object StreamingGate {
   /** Same oracles as the batch twins: the streaming engine must land on
     * the identical relation. */
   val oracles: Map[String, String] = Map(
+    "q75_stream_sliding" -> q75Sql,
     "q40_stream_tumbling" -> graft.queries.Relational.q11Sql,
     "q41_stream_sessions" -> graft.queries.Relational.q12Sql,
     "q43_stream_interval_join" -> graft.queries.Relational.q26Sql,
