@@ -109,6 +109,9 @@ object Lm {
   // ------------------------------------------------------ collocations
   val CollocMinCount = 10 // bigram occurrence floor (rare pairs are noise)
   val CollocTopK = 50
+  /** Largest bigram-occurrence total whose worst-case lift numerator
+    * (1e6·N·c12, c12 ≤ N) still fits a BIGINT. */
+  val CollocMaxN = 3000000L
 
   /** Collocation mining: the corpus's top bigrams by LIFT — the
     * integer-exact stand-in for PMI (PMI = log2(lift), monotone, so the
@@ -127,16 +130,23 @@ object Lm {
     * once. Top-K plans as TakeOrderedAndProject under the count floor.
     * Overflow headroom: the e6 numerator is 1e6·N·c12 ≤ 1e6·N², so
     * BIGINT holds to N ≈ 3e6 bigrams per exact run; past that the floor
-    * and the e6 scale shift to sampled counts (the CMS q57 path) — the
-    * bound is documented, not silently wrapped. */
-  def collocations(docs: DataFrame): DataFrame = {
+    * and the e6 scale shift to sampled counts (the CMS q57 path). The
+    * bound is ENFORCED (raise_error past [[CollocMaxN]]), never silently
+    * wrapped — the q16/q32 packGuard discipline. */
+  def collocations(docs: DataFrame, maxN: Long = CollocMaxN): DataFrame = {
     val grams = bigramStream(docs)
       .select(col("w1"), col("gram"),
         expr("substring(gram, length(w1) + 2)").as("w2"))
     val bc = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val left = bc.groupBy("w1").agg(sum(col("c12")).as("cl"))
     val right = bc.groupBy("w2").agg(sum(col("c12")).as("cr"))
-    val total = bc.agg(sum(col("c12")).as("n"))
+    val total = bc.agg(
+      when(sum(col("c12")) > maxN,
+        raise_error(concat(
+          lit(s"collocations: corpus bigram total exceeds the exact-lift BIGINT bound $maxN "),
+          lit("(switch to sampled counts, the q57 CMS path): "),
+          sum(col("c12")).cast("string"))))
+        .otherwise(sum(col("c12"))).as("n"))
     bc.filter(col("c12") >= CollocMinCount)
       .join(left, "w1").join(right, "w2")
       .crossJoin(broadcast(total))

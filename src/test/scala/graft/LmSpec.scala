@@ -56,6 +56,21 @@ class LmSpec extends SparkSpec {
     assert(r.length <= Lm.CollocTopK)
   }
 
+  test("q67: past the exact-lift BIGINT bound the query fails LOUDLY, never wraps") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 30).map(_ => "x y").mkString(" ")))
+      .toDF("doc_id", "text")
+    // same corpus, bound lowered under its 59 bigrams: the REAL guard
+    // path (the q16/q32 packGuard discipline) must raise, not wrap
+    val err = intercept[Exception] {
+      Lm.collocations(docs, maxN = 10).collect()
+    }
+    assert(err.getMessage.contains("exact-lift BIGINT bound"),
+      s"wrong failure: ${err.getMessage.take(200)}")
+    // at the default bound the same corpus answers normally
+    assert(Lm.collocations(docs).count() > 0)
+  }
+
   test("q67: deterministic across partitionings; count floor respected") {
     val base = Lm.collocations(docs).collect().toSeq
     val repart = Lm.collocations(docs.repartition(7)).collect().toSeq
