@@ -350,6 +350,16 @@ class PlanSpec extends SparkSpec {
       "windows must come from the O(n) rolling kernel, not per-window substrings")
   }
 
+  test("q73: assignment aggregates against broadcast centroids; update has no window") {
+    val p = plan(SparkEntry.queries("q73_kmeans_step")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroid table must broadcast (q18's assignment shape)")
+    assert(!p.contains("Window"),
+      "argmin must be the struct-min aggregate, never a ranking window")
+    assert(p.contains("vec_dot_int"),
+      "distances must run the native integer-dot kernel")
+  }
+
   test("q74: pHash pairs come from the band bucket join — no cartesian, no distinct") {
     val p = plan(SparkEntry.queries("q74_phash_neardup")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
