@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{PolyHash, SignLshSig, VecDist2, VecDot, VecDotInt, VecDotPrune, VecSuffixNorms}
+import graft.functions.{PolyHash, RollingHashes, SignLshSig, VecDist2, VecDot, VecDotInt, VecDotPrune, VecSuffixNorms}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions at session build time so ANY session (including pure-SQL
@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         PolyHash(exprs.head,
           exprs(1).eval().asInstanceOf[Number].longValue(),
           exprs(2).eval().asInstanceOf[Number].longValue())))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hashes"),
+      new ExpressionInfo(classOf[RollingHashes].getName, "rolling_hashes"),
+      (exprs: Seq[Expression]) => RollingHashes.fromExprs(exprs)))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

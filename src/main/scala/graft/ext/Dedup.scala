@@ -1118,10 +1118,10 @@ object Dedup {
     * 100 TB: one corpus scan, one hash-keyed exchange of fixed-width
     * rows, one per-doc window over the (small) shared slice. */
   def substringDups(docs: DataFrame): DataFrame = {
-    graft.functions.RollingHashes.register(
-      docs.sparkSession, SubstrWindow, SubstrBase, SubstrMod)
+    graft.functions.RollingHashes.register(docs.sparkSession)
     val wins = docs
-      .select(col("doc_id"), posexplode(expr("rolling_hashes(text)")))
+      .select(col("doc_id"), posexplode(expr(
+        s"rolling_hashes(text, $SubstrWindow, $SubstrBase, $SubstrMod)")))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
       .repartition(col("h"))
     val sharedH = wins.groupBy("h")

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -17,20 +17,45 @@ import org.apache.spark.unsafe.types.UTF8String
   * same accumulate step as [[PolyHash]] (code points, not UTF-16 units)
   * keeps parity with the oracle's per-window list_reduce.
   *
+  * Window/base/modulus are EXPRESSION arguments (foldable, evaluated at
+  * plan time — `rolling_hashes(text, 40, 31, 1000000007)`), so a single
+  * parameter-free registration serves every call site; two queries in
+  * one session with different windows can never clash on registration
+  * state (each plan carries its own constants).
+  *
+  * Codegen: the O(n) roll runs inside the generated projection via the
+  * companion's `eval` (MODULE$ call — Scala emits no static forwarder
+  * for a method named `eval`, the PolyHash Janino lesson), so the
+  * surrounding stage stays whole-stage codegen instead of dropping to
+  * the interpreted CodegenFallback path per row.
+  *
   * Strings shorter than W code points yield an EMPTY array (there is no
   * complete window), unlike ShingleHashes' whole-text fallback —
   * exact-substring semantics has no meaningful partial window.
   */
 case class RollingHashes(child: Expression, window: Int, base: Long, modulus: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(window > 0, s"rolling_hashes window must be positive, got $window")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "rolling_hashes"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHashes.eval(input.asInstanceOf[UTF8String].toString, window, base, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RollingHashes$$.MODULE$$.eval(" +
+        s"$c.toString(), $window, ${base}L, ${modulus}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashes =
+    copy(child = newChild)
+}
+
+object RollingHashes {
+  /** The O(n) Rabin-Karp roll both eval paths share. */
+  def eval(s: String, window: Int, base: Long, modulus: Long): GenericArrayData = {
     // decode once: code-point array (the roll steps over code points)
     val cps = s.codePoints().toArray
     val n = cps.length
@@ -56,14 +81,18 @@ case class RollingHashes(child: Expression, window: Int, base: Long, modulus: Lo
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): RollingHashes =
-    copy(child = newChild)
-}
+  def fromExprs(exprs: Seq[Expression]): RollingHashes = {
+    require(exprs.length == 4,
+      s"rolling_hashes(text, window, base, modulus) requires 4 arguments, got ${exprs.length}")
+    RollingHashes(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue(),
+      exprs(2).eval().asInstanceOf[Number].longValue(),
+      exprs(3).eval().asInstanceOf[Number].longValue())
+  }
 
-object RollingHashes {
-  def register(spark: SparkSession, window: Int, base: Long, modulus: Long): Unit =
+  /** Register `rolling_hashes(str, window, base, mod)` for expr()/SQL.
+    * Parameter-free and idempotent per session. */
+  def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hashes",
-      exprs => RollingHashes(exprs.head, window, base, modulus),
-      "built-in")
+      "rolling_hashes", fromExprs, "built-in")
 }

@@ -224,8 +224,7 @@ class LmSpec extends SparkSpec {
   test("rolling_hashes: equals per-window poly_hash composition, incl. non-ASCII") {
     import spark.implicits._
     graft.functions.PolyHash.register(spark)
-    graft.functions.RollingHashes.register(spark, 5,
-      ext.Dedup.SubstrBase, ext.Dedup.SubstrMod)
+    graft.functions.RollingHashes.register(spark)
     val texts = Seq("abcdefghij", "exact", "tiny", "", "été café über",
       "aaaaaaaaaa", "one two three")
     val df = texts.toDF("text")
@@ -235,11 +234,19 @@ class LmSpec extends SparkSpec {
          |  i -> poly_hash(substring(text, i, 5), ${ext.Dedup.SubstrBase}, ${ext.Dedup.SubstrMod}))
          |END AS hs""".stripMargin)
       .collect().map(_.getSeq[Long](0))
-    val rolled = df.selectExpr("rolling_hashes(text) AS hs")
+    val rolled = df.selectExpr(
+      s"rolling_hashes(text, 5, ${ext.Dedup.SubstrBase}, ${ext.Dedup.SubstrMod}) AS hs")
       .collect().map(_.getSeq[Long](0))
     composed.zip(rolled).zip(texts).foreach { case ((c, r), t) =>
       assert(c == r, s"rolling mismatch for '$t': $c vs $r")
     }
+    // two windows in ONE query — impossible under frozen-at-registration
+    // params; each call carries its own constants through the plan
+    val both = df.filter(length(col("text")) >= 7).selectExpr(
+      s"rolling_hashes(text, 5, 31, 1000000007) AS h5",
+      s"rolling_hashes(text, 7, 31, 1000000007) AS h7").collect()
+    both.foreach(r =>
+      assert(r.getSeq[Long](0).length == r.getSeq[Long](1).length + 2))
   }
 
   test("q72 substring dups: shared passage found, run length exact, clones saturate") {

@@ -348,6 +348,14 @@ class PlanSpec extends SparkSpec {
       "the shared-window probe must stay an equi-join on h")
     assert(p.contains("rolling_hashes"),
       "windows must come from the O(n) rolling kernel, not per-window substrings")
+    // the kernel must be a real codegen expression (not CodegenFallback:
+    // fallback would run the roll through interpreted eval per row and
+    // break the projection's whole-stage span)
+    val e = graft.functions.RollingHashes(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 5, 31L, 1000000007L)
+    assert(!e.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback],
+      "rolling_hashes must implement doGenCode")
   }
 
   test("q73: assignment aggregates against broadcast centroids; update has no window") {

@@ -164,10 +164,9 @@ class PipelinePropertySpec extends SparkSpec {
     import spark.implicits._
     graft.functions.PolyHash.register(spark)
     val rnd = new scala.util.Random(59L)
+    graft.functions.RollingHashes.register(spark)
     val ws = Seq(1, 3, 7, 16)
     ws.foreach { w =>
-      graft.functions.RollingHashes.register(spark,
-        w, ext.Dedup.SubstrBase, ext.Dedup.SubstrMod)
       val texts = (1 to 40).map(_ =>
         (0 until rnd.nextInt(60)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
       val df = texts.toDF("text")
@@ -176,7 +175,8 @@ class PipelinePropertySpec extends SparkSpec {
            |ELSE transform(sequence(1, length(text) - $w + 1),
            |  i -> poly_hash(substring(text, i, $w), ${ext.Dedup.SubstrBase}, ${ext.Dedup.SubstrMod}))
            |END AS hs""".stripMargin).collect().map(_.getSeq[Long](0))
-      val rolled = df.selectExpr("rolling_hashes(text) AS hs")
+      val rolled = df.selectExpr(
+        s"rolling_hashes(text, $w, ${ext.Dedup.SubstrBase}, ${ext.Dedup.SubstrMod}) AS hs")
         .collect().map(_.getSeq[Long](0))
       composed.zip(rolled).zip(texts).foreach { case ((c, r), t) =>
         assert(c == r, s"w=$w text='$t'")
