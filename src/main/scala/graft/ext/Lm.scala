@@ -156,6 +156,82 @@ object Lm {
       .limit(CollocTopK)
   }
 
+  /** Fixture-gate sampling modulus for [[collocationsSampled]]. */
+  val CollocSampleMod = 4L
+
+  /** SAMPLED collocation lift — the scale path past [[CollocMaxN]]:
+    * compute the identical lift statistic on a deterministic 1/mod
+    * document sample (`doc_id % mod = 0` — reproducible in any engine,
+    * no RNG, so the oracle hash-matches by construction). Every count
+    * shrinks by ~mod, so the exact-lift BIGINT bound stretches by mod:
+    * at 1e12 corpus bigrams, mod = 10^6 puts the sampled total back
+    * under the 3e6 exact bound and the whole computation stays in
+    * overflow-guarded integer arithmetic — `sampleMod` is the scale
+    * knob, sized mod ≈ N/[[CollocMaxN]] (the signLshNearDups bits-knob
+    * pattern).
+    *
+    * Statistics: lift is a HEAD statistic — a ratio of head-bigram
+    * frequencies — and uniform doc sampling preserves those
+    * frequencies in expectation; the count floor (scaled to
+    * ceil(minCount/mod), at least 2) keeps pairs whose sampled counts
+    * are too small to estimate from flooding the report, exactly the
+    * role the unsampled floor plays. `c12_est = c12·mod` reports the
+    * scaled-up occurrence estimate next to the sampled lift.
+    *
+    * The guard flips meaning: raise_error now fires when the SAMPLED
+    * total still exceeds maxN — i.e. "your sampleMod is too small for
+    * this corpus", an actionable sizing message instead of a dead end.
+    * Plan shape is [[collocations]]' exactly (one sampled-corpus scan,
+    * vocab-sized marginal joins, TakeOrderedAndProject). */
+  def collocationsSampled(docs: DataFrame,
+                          sampleMod: Long = CollocSampleMod,
+                          maxN: Long = CollocMaxN): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val minC = math.max(2L, (CollocMinCount + sampleMod - 1) / sampleMod)
+    val grams = bigramStream(docs.filter(pmod(col("doc_id"), lit(sampleMod)) === 0))
+      .select(col("w1"), col("gram"),
+        expr("substring(gram, length(w1) + 2)").as("w2"))
+    val bc = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val left = bc.groupBy("w1").agg(sum(col("c12")).as("cl"))
+    val right = bc.groupBy("w2").agg(sum(col("c12")).as("cr"))
+    val total = bc.agg(
+      when(sum(col("c12")) > maxN,
+        raise_error(concat(
+          lit(s"collocationsSampled: SAMPLED bigram total exceeds the exact-lift bound $maxN "),
+          lit(s"(raise sampleMod above $sampleMod): "),
+          sum(col("c12")).cast("string"))))
+        .otherwise(sum(col("c12"))).as("n"))
+    bc.filter(col("c12") >= minC)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"),
+        (col("c12") * sampleMod).as("c12_est"),
+        expr("(1000000 * n * c12) div (cl * cr)").as("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("w1"), col("w2"))
+      .limit(CollocTopK)
+  }
+
+  def collocationsSampledSql(sampleMod: Long = CollocSampleMod): String = {
+    val minC = math.max(2L, (CollocMinCount + sampleMod - 1) / sampleMod)
+    s"""WITH sdocs AS (SELECT * FROM documents WHERE doc_id % $sampleMod = 0),
+       |g AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS gram
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+       |                   unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+       |            FROM sdocs
+       |            WHERE len(string_split(text, ' ')) >= 2)),
+       |bc AS (SELECT w1, gram[len(w1) + 2:] AS w2, COUNT(*) AS c12
+       |       FROM g GROUP BY 1, 2),
+       |l AS (SELECT w1, SUM(c12) AS cl FROM bc GROUP BY w1),
+       |r AS (SELECT w2, SUM(c12) AS cr FROM bc GROUP BY w2),
+       |t AS (SELECT SUM(c12) AS n FROM bc)
+       |SELECT w1, w2, CAST(c12 * $sampleMod AS BIGINT) AS c12_est,
+       |  CAST((1000000 * n * c12) // (cl * cr) AS BIGINT) AS lift_e6
+       |FROM bc JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
+       |WHERE c12 >= $minC
+       |ORDER BY lift_e6 DESC, w1, w2
+       |LIMIT $CollocTopK""".stripMargin
+  }
+
   val collocationsSql: String =
     s"""WITH g AS ($duckBigrams),
        |bc AS (SELECT w1, gram[len(w1) + 2:] AS w2, COUNT(*) AS c12
@@ -170,6 +246,10 @@ object Lm {
        |LIMIT $CollocTopK""".stripMargin
 
   // ---------------------------------------------------- source drift
+  /** Largest corpus token mass whose basis-point numerator (1e4·c,
+    * c ≤ T) still fits a BIGINT — enforced loudly, never wrapped. */
+  val DriftMaxTokenMass = 900000000000000L // 9e14
+
   /** Per-source unigram-distribution drift vs the whole corpus — the
     * mixture-monitoring op that tells a 100 TB pipeline "source X
     * changed under you" (crawl snapshot shifted, a scraper broke, a
@@ -182,30 +262,59 @@ object Lm {
     * corpus-wide.) The frequency ratios are floored to basis points
     * BEFORE squaring, so everything stays BIGINT and both engines agree
     * exactly; tokens a source never emits still contribute their
-    * corpus-frequency term (the vocab × sources grid is built
-    * explicitly — an inner join on observed pairs would silently drop
-    * exactly the drift signal, the absent tokens).
+    * corpus-frequency term — dropping absent tokens would drop exactly
+    * the drift signal.
     *
-    * Shape: two token aggregates (per-source and corpus-wide), a
-    * broadcast of the AGGREGATED vocabulary onto the |sources| spine,
-    * and one left join of observed (source, token) counts — every
-    * relation past the first aggregate is vocabulary-sized, never
-    * corpus-sized. At 100 TB the vocab broadcast becomes the trimmed
-    * top-K vocabulary (the tail's diff_bp floors to zero anyway at
-    * e4 resolution). */
-  def sourceDrift(docs: DataFrame): DataFrame = {
+    * The sum splits EXACTLY into two bounded pieces (no trim, no
+    * approximation — the oracle is unchanged):
+    *  - OBSERVED (source, token) pairs: both terms; computed by joining
+    *    the aggregated per-source counts to the aggregated corpus
+    *    counts on `token` — aggregate-to-aggregate equi-joins, never a
+    *    vocabulary broadcast, co-partitioned with the exchanges the
+    *    aggregates already made.
+    *  - ABSENT pairs: d = -(1e4·c div T), which is ZERO unless
+    *    c ≥ T/1e4 — and at most 10^4 tokens can clear that bar (their
+    *    masses would otherwise exceed T). Only this HOT vocabulary is
+    *    broadcast onto the |sources| spine (≤ 10^4 rows at ANY corpus
+    *    size — bounded by arithmetic, not by hope), anti-joined against
+    *    the observed pairs.
+    * The earlier formulation broadcast the FULL corpus vocabulary to
+    * build a |sources|×|vocab| grid — a multi-GB broadcast and an OOM
+    * at web scale; this shape's broadcast is ≤ 160 KB forever. The
+    * hot-vocabulary size is observable via `hotObs` (the q16 dropObs
+    * pattern), and the e4 numerator bound is enforced with raise_error
+    * past [[DriftMaxTokenMass]] (the packGuard discipline). */
+  def sourceDrift(docs: DataFrame,
+                  hotObs: Option[org.apache.spark.sql.Observation] = None)
+      : DataFrame = {
     val toks = docs.select(col("source"),
       explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
     val bySrc = toks.groupBy("source", "token").agg(count(lit(1)).as("o"))
     val srcMass = bySrc.groupBy("source").agg(sum(col("o")).as("s_mass"))
     val corpus = bySrc.groupBy("token").agg(sum(col("o")).as("c"))
-    val tMass = corpus.agg(sum(col("c")).as("t_mass"))
-    srcMass.crossJoin(broadcast(corpus.crossJoin(tMass)))
-      .join(bySrc, Seq("source", "token"), "left")
+    val tMass = corpus.agg(
+      when(sum(col("c")) > DriftMaxTokenMass,
+        raise_error(concat(
+          lit(s"sourceDrift: corpus token mass exceeds the bp BIGINT bound $DriftMaxTokenMass: "),
+          sum(col("c")).cast("string"))))
+        .otherwise(sum(col("c"))).as("t_mass"))
+    // corpus counts with the bp term precomputed (vocab-sized, stays
+    // partitioned on token — only the HOT slice below ever broadcasts)
+    val corpusBp = corpus.crossJoin(broadcast(tMass))
+      .select(col("token"), expr("(10000 * c) div t_mass").as("c_bp"))
+    val observed = bySrc
+      .join(corpusBp, "token")
+      .join(broadcast(srcMass), "source")
       .select(col("source"), col("s_mass"),
-        (expr("(10000 * coalesce(o, 0)) div s_mass") -
-          expr("(10000 * c) div t_mass")).as("d"))
+        (expr("(10000 * o) div s_mass") - col("c_bp")).as("d"))
+    val hot0 = corpusBp.filter(col("c_bp") > 0)
+    val hot = hotObs.fold(hot0)(o =>
+      hot0.observe(o, count(lit(1)).as("hot_vocab")))
+    val absent = srcMass.crossJoin(broadcast(hot))
+      .join(bySrc, Seq("source", "token"), "left_anti")
+      .select(col("source"), col("s_mass"), (-col("c_bp")).as("d"))
+    observed.unionByName(absent)
       .groupBy("source")
       .agg(min(col("s_mass")).as("n_tokens"),
            sum(col("d") * col("d")).as("drift_l2e8"))
@@ -235,10 +344,12 @@ object Lm {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_bigram_lm" -> ((s, d) => bigramLmScores(Tables.documents(s, d))),
     "q67_collocations" -> ((s, d) => collocations(Tables.documents(s, d))),
-    "q71_source_drift" -> ((s, d) => sourceDrift(Tables.documents(s, d))))
+    "q71_source_drift" -> ((s, d) => sourceDrift(Tables.documents(s, d))),
+    "q77_colloc_sampled" -> ((s, d) => collocationsSampled(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q66_bigram_lm" -> bigramLmScoresSql,
     "q67_collocations" -> collocationsSql,
-    "q71_source_drift" -> sourceDriftSql)
+    "q71_source_drift" -> sourceDriftSql,
+    "q77_colloc_sampled" -> collocationsSampledSql())
 }

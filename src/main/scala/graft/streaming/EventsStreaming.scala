@@ -8,7 +8,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class UserEvent(user_id: Long, event_type: String, tsUs: Long)
 case class UserRunning(user_id: Long, n_events: Long, last_type: String)
 case class EventVal(user_id: Long, value: Double)
-case class UserValueMax(user_id: Long, max_value: Double)
+case class UserValueMax(user_id: Long, n_events: Long, max_value: Double)
+/** Persisted state for [[MaxValueProcessor]]: running count + max. */
+case class MaxCount(n: Long, mx: Double)
+/** Persisted state for [[SessionCloseProcessor]]: count + max event µs. */
+case class SessState(n: Long, maxUs: Long)
+/** Timer-emitted session close record ([[SessionCloseProcessor]]). */
+case class SessionClose(user_id: Long, n_events: Long, close_us: Long)
 
 /** Structured Streaming surface over the `events` fixture (SURVEY.md
   * §2.7): the reference is strictly batch, so these are the engine's
@@ -109,8 +115,11 @@ object EventsStreaming {
   }
 
   /** transformWithState (the arbitrary-state v2 API): per-user running
-    * max of `value` kept in a ValueState, emitted on every batch. Needs
-    * the RocksDB state store provider. */
+    * event count + running max of `value` in one ValueState, emitted on
+    * every batch the user appears in. The count is what makes the
+    * two-copy replay gate (q76) a PROOF: batch B emits 2n, reachable
+    * only by reading batch A's state back out of the checkpointed
+    * store. Needs the RocksDB state store provider. */
   def userMaxValue(events: DataFrame): Dataset[UserValueMax] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -119,6 +128,28 @@ object EventsStreaming {
       .transformWithState(new MaxValueProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** transformWithState with EVENT-TIME TIMERS: per-user "session
+    * close" — each batch re-arms a timer at (user's max event time +
+    * 5 minutes); when the watermark passes it, the expiry callback
+    * emits ONE record carrying the user's total count and the close
+    * timestamp, then clears the state. This is the v2-API state
+    * machine the built-in session_window can't express (emit-on-close
+    * with custom payload + explicit state lifecycle), and the timer
+    * path is only reachable through watermark bookkeeping — the q78
+    * gate's whole point. */
+  def userSessionClose(events: DataFrame): Dataset[SessionClose] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsUs"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionCloseProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   /** Custom keyed state: per-user running event count + last event type,
@@ -147,23 +178,64 @@ object EventsStreaming {
   }
 }
 
-/** StatefulProcessor for [[EventsStreaming.userMaxValue]]: one Double
-  * ValueState per user holding the running max. */
+/** StatefulProcessor for [[EventsStreaming.userMaxValue]]: one
+  * [[MaxCount]] ValueState per user (running count + running max). */
 class MaxValueProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
     Long, EventVal, UserValueMax] {
   import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
   import org.apache.spark.sql.Encoders
 
-  @transient private var maxState: ValueState[Double] = _
+  @transient private var maxState: ValueState[MaxCount] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    maxState = getHandle.getValueState[Double]("maxv", Encoders.scalaDouble, TTLConfig.NONE)
+    maxState = getHandle.getValueState[MaxCount]("maxv",
+      Encoders.product[MaxCount], TTLConfig.NONE)
 
   override def handleInputRows(key: Long, rows: Iterator[EventVal],
       timers: TimerValues): Iterator[UserValueMax] = {
-    val prev = if (maxState.exists()) maxState.get() else Double.MinValue
-    val mx = rows.foldLeft(prev)((a, e) => math.max(a, e.value))
-    maxState.update(mx)
-    Iterator.single(UserValueMax(key, mx))
+    val prev = if (maxState.exists()) maxState.get() else MaxCount(0L, Double.MinValue)
+    val upd = rows.foldLeft(prev)((a, e) => MaxCount(a.n + 1, math.max(a.mx, e.value)))
+    maxState.update(upd)
+    Iterator.single(UserValueMax(key, upd.n, upd.mx))
+  }
+}
+
+/** StatefulProcessor for [[EventsStreaming.userSessionClose]]: per-user
+  * count + max-event-time state, an event-time timer re-armed on every
+  * batch at max_ts + 5 minutes; expiry emits the close record and
+  * CLEARS the state (full state lifecycle: create → update → timer →
+  * delete). `close_us` is derived from the µs state, not the ms timer,
+  * so the emitted value is exact even though timers tick in ms. */
+class SessionCloseProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, UserEvent, SessionClose] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  val GapUs = 300000000L // 5 minutes
+
+  @transient private var state: ValueState[SessState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[SessState]("sess",
+      Encoders.product[SessState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+      timers: TimerValues): Iterator[SessionClose] = {
+    val prev = if (state.exists()) state.get() else SessState(0L, Long.MinValue)
+    val upd = rows.foldLeft(prev)((a, e) =>
+      SessState(a.n + 1, math.max(a.maxUs, e.tsUs)))
+    state.update(upd)
+    // re-arm: exactly one live timer per key, at the latest close time
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    getHandle.registerTimer((upd.maxUs + GapUs) / 1000L)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[SessionClose] = {
+    if (!state.exists()) return Iterator.empty
+    val s = state.get()
+    state.clear()
+    Iterator.single(SessionClose(key, s.n, s.maxUs + GapUs))
   }
 }

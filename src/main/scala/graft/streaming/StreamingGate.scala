@@ -117,7 +117,8 @@ object StreamingGate {
   private def runToMemory(spark: SparkSession, dir: String,
                           transform: DataFrame => DataFrame,
                           copies: Int = 1,
-                          filesPerTrigger: Option[Int] = None): DataFrame = {
+                          filesPerTrigger: Option[Int] = None,
+                          sinkMode: String = "append"): DataFrame = {
     val staged = stageWithSentinel(spark, dir, copies)
     val name = s"graft_stream_gate_${runCounter.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
@@ -134,7 +135,7 @@ object StreamingGate {
       val q = transform(stream(spark, staged, filesPerTrigger)).writeStream
         .format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(sinkMode)
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
@@ -251,13 +252,80 @@ object StreamingGate {
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** transformWithState needs the RocksDB state store provider (the
+    * HDFS-backed default doesn't implement the v2 column families);
+    * scoped to the one query, restored after — provider class is read
+    * at stream START, so per-run scoping is safe. */
+  private def withRocksDb[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** q76: ARBITRARY STATE V2 (transformWithState) through the
+    * micro-batch engine, two-copy staged replay — the q65 proof applied
+    * to the new API: the per-user MaxCount ValueState emits n after
+    * batch A and 2n after batch B, and 2n is only reachable by reading
+    * batch A's state out of the checkpointed RocksDB store. Update-mode
+    * sink keeps every emission; the final state per user is the
+    * lexicographic max over (n_events, max_value) — n strictly
+    * increases whenever a user appears, so the max is unambiguous. */
+  def q76StreamMaxState(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      runToMemory(spark, dir,
+        events => EventsStreaming.userMaxValue(events).toDF()
+          .filter(col("user_id") >= 0),
+        copies = 2, filesPerTrigger = Some(1), sinkMode = "update")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("max_value"))).as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          round(col("m.max_value") * 100).cast("long").as("max_value_cents"))
+        .orderBy("user_id")
+    }
+
+  /** Two copies -> 2x the per-user count; max unchanged by duplication. */
+  val q76Sql: String =
+    """SELECT user_id, 2 * COUNT(*) AS n_events,
+      |  CAST(round(MAX(value) * 100) AS BIGINT) AS max_value_cents
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q78: EVENT-TIME TIMERS through transformWithState. Each user's
+    * processor re-arms a timer at (max event time + 5 min); nothing is
+    * emitted from handleInputRows at all — every sink row exists
+    * because the WATERMARK passed a registered timer and the expiry
+    * callback fired with the state intact (then cleared it). The
+    * far-future sentinel advances the watermark past every real user's
+    * timer; the sentinel's own timer stays inside its horizon and never
+    * fires, so the sink holds exactly one close record per real user. */
+  def q78StreamSessionClose(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      runToMemory(spark, dir,
+        events => EventsStreaming.userSessionClose(events).toDF()
+          .filter(col("user_id") >= 0))
+        .orderBy("user_id")
+    }
+
+  /** One close per user: total count + (max ts + 5 min), batch SQL. */
+  val q78Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  epoch_us(MAX(ts)) + 300000000 AS close_us
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_stream_sliding" -> (q75StreamSliding _),
     "q40_stream_tumbling" -> (q40StreamTumbling _),
     "q41_stream_sessions" -> (q41StreamSessions _),
     "q43_stream_interval_join" -> (q43StreamIntervalJoin _),
     "q58_stream_dedup" -> (q58StreamDedup _),
-    "q65_stream_running_counts" -> (q65StreamRunningCounts _))
+    "q65_stream_running_counts" -> (q65StreamRunningCounts _),
+    "q76_stream_max_state" -> (q76StreamMaxState _),
+    "q78_stream_session_close" -> (q78StreamSessionClose _))
 
   /** Same oracles as the batch twins: the streaming engine must land on
     * the identical relation. */
@@ -267,5 +335,7 @@ object StreamingGate {
     "q41_stream_sessions" -> graft.queries.Relational.q12Sql,
     "q43_stream_interval_join" -> graft.queries.Relational.q26Sql,
     "q58_stream_dedup" -> q58Sql,
-    "q65_stream_running_counts" -> q65Sql)
+    "q65_stream_running_counts" -> q65Sql,
+    "q76_stream_max_state" -> q76Sql,
+    "q78_stream_session_close" -> q78Sql)
 }

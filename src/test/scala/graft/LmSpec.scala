@@ -221,6 +221,83 @@ class LmSpec extends SparkSpec {
     assert(r("srcA") == 2500L * 2500 * 2)
   }
 
+  test("q77 sampled collocations: mod=1 degenerates to the exact path bit-for-bit") {
+    val exact = Lm.collocations(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val sampled = Lm.collocationsSampled(docs, sampleMod = 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(sampled.toSeq == exact.toSeq,
+      "sampleMod=1 must reproduce the exact lift report (c12_est = c12)")
+  }
+
+  test("q77: answers where the exact path's BIGINT bound trips; guard still floors") {
+    // force the exact bound down to the fixture's scale: exact raises,
+    // the sampled path (same bound, 1/4 the counts) still answers
+    val n = Lm.bigramLmScores(docs).agg(sum(col("n_bigrams"))).head.getLong(0)
+    val tight = n - 1
+    val ex = intercept[Exception] {
+      Lm.collocations(docs, maxN = tight).collect()
+    }
+    assert(ex.getMessage.contains("exact-lift"), s"wrong failure: ${ex.getMessage}")
+    val sampled = Lm.collocationsSampled(docs, sampleMod = 4, maxN = tight)
+    assert(sampled.count() > 0, "sampled lift must answer under the tight bound")
+    // and the sampled guard itself fires when even the sample overflows
+    val ex2 = intercept[Exception] {
+      Lm.collocationsSampled(docs, sampleMod = 4, maxN = 10).collect()
+    }
+    assert(ex2.getMessage.contains("raise sampleMod"), s"${ex2.getMessage}")
+  }
+
+  test("q77: sampled head estimates track the exact lift report on the fixture") {
+    // head-statistic sanity: among pairs the sample can see (c12_est
+    // floor), the sampled top-K must recover a solid share of the exact
+    // top-K pair set — this is the estimator-quality contract, spec'd
+    // rather than assumed
+    val exactTop = Lm.collocations(docs).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val sampledTop = Lm.collocationsSampled(docs, sampleMod = 4).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val overlap = (exactTop & sampledTop).size.toDouble / exactTop.size
+    assert(overlap >= 0.3,
+      f"sampled top-K recovered only $overlap%.2f of the exact head")
+  }
+
+  test("q71: split shape equals the full |sources|x|vocab| grid on the fixture") {
+    // the observed/hot-absent decomposition must be EXACT, not a trim:
+    // re-derive the drift with the naive full-grid formula and compare.
+    // AQE off so the mid-plan hot-vocab Observation survives (the
+    // round-3 rehearsal lesson).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val obs = new org.apache.spark.sql.Observation()
+      val got = Lm.sourceDrift(docs, hotObs = Some(obs)).collect()
+        .map(r => r.getString(0) ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("drift_l2e8"))).toMap
+      val toks = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val bySrc = toks.groupBy("source", "token").agg(count(lit(1)).as("o"))
+      val srcMass = bySrc.groupBy("source").agg(sum(col("o")).as("s_mass"))
+      val corpus = bySrc.groupBy("token").agg(sum(col("o")).as("c"))
+      val tMass = corpus.agg(sum(col("c")).as("t_mass"))
+      val want = srcMass.crossJoin(corpus.crossJoin(tMass))
+        .join(bySrc, Seq("source", "token"), "left")
+        .select(col("source"), col("s_mass"),
+          (expr("(10000 * coalesce(o, 0)) div s_mass") -
+            expr("(10000 * c) div t_mass")).as("d"))
+        .groupBy("source")
+        .agg(min(col("s_mass")).as("n_tokens"),
+             sum(col("d") * col("d")).as("drift_l2e8"))
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("drift_l2e8"))).toMap
+      assert(got == want, "split drift must equal the grid drift exactly")
+      // the broadcast side is bounded by arithmetic: <= 1e4 hot tokens
+      val hot = obs.get("hot_vocab").asInstanceOf[Long]
+      assert(hot > 0 && hot <= 10000L, s"hot vocabulary out of bound: $hot")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("rolling_hashes: equals per-window poly_hash composition, incl. non-ASCII") {
     import spark.implicits._
     graft.functions.PolyHash.register(spark)

@@ -143,6 +143,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q76 gate: transformWithState two-copy replay proves v2 state crosses batches") {
+    // count reaches 2n only by reading batch A's RocksDB state in batch B
+    val got = graft.streaming.StreamingGate.q76StreamMaxState(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val want = Tables.events(spark, sf).groupBy("user_id")
+      .agg((count(lit(1)) * 2).as("n_events"),
+        round(max(col("value")) * 100).cast("long").as("max_value_cents"))
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(got == want, "v2 ValueState must accumulate across the batch boundary")
+  }
+
+  test("q78 gate: event-time timers fire on watermark passage and clear state") {
+    val got = graft.streaming.StreamingGate.q78StreamSessionClose(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val want = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) + 300000000L).as("close_us"))
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(got == want,
+      "each user must emit exactly one timer-driven close with full state")
+  }
+
   test("foreachBatch sink lands incremental parquet (production sink pattern)") {
     val out = java.nio.file.Files.createTempDirectory("graft-fb").toString
     val stream = EventsStreaming.eventsStream(spark, sf)
