@@ -48,6 +48,7 @@ object Similarity {
   val QueryMod = 25          // queries = vec_id % 25 == 0
   val CentroidMod = 50       // IVF centroids = vec_id % 50 == 0
   val IvfTopK = 3
+  val IvfNProbe = 2          // cells searched per query (the recall knob)
 
   /** vec_id + embedding + its squared norm (one codegen projection). */
   private def withNorm2(emb: DataFrame): DataFrame = {
@@ -120,23 +121,33 @@ object Similarity {
 
   // ------------------------------------------------------------------ IVF
   /** IVF-style ANN: assign every vector to its nearest centroid (squared
-    * L2, deterministic tie-break on centroid id), then answer queries
-    * inside their own cell only. Centroids here are a deterministic
-    * subset (vec_id % CentroidMod == 0) standing in for k-means means —
-    * the plumbing (assignment join, cell-local search) is the real thing.
+    * L2, deterministic tie-break on centroid id), then answer queries by
+    * searching the `nprobe` NEAREST CELLS of each query vector —
+    * nprobe is THE recall knob every production IVF index exposes
+    * (nprobe = |cells| degenerates to exact search; 1 is the fastest,
+    * lowest-recall probe). Recall@k vs the exact q17 ranking is
+    * MEASURED by SimilaritySpec, monotone in nprobe, with a pinned
+    * floor — not assumed. Centroids here are a deterministic subset
+    * (vec_id % CentroidMod == 0) standing in for k-means means — the
+    * plumbing (assignment join, multi-cell probe, merged ranking) is
+    * the real thing.
     *
     * Assignment = broadcast join against the centroid table + argmin as
     * `min(struct(d2, cent_id))` under a hash aggregate. The struct-min is
     * associative/commutative, so Spark combines it map-side: the
     * |V|·|centroids| scored relation is reduced WITHIN each scan task and
     * never shuffled (contrast a row_number window, which would sort the
-    * full cross product). The declarative form is exactly the oracle's
-    * `ROW_NUMBER() OVER (ORDER BY d2, cent_id) = 1`.
+    * full cross product). The probe list is the same idea one step
+    * wider: the P nearest centroids per query via the bounded-heap
+    * [[graft.functions.TopKByScore]] aggregator on -d2 (map-side
+    * combined, |Q|·P rows out, no window). Each candidate lives in
+    * exactly ONE cell, so the multi-cell union has no duplicates and
+    * the final top-k ranks over the union directly.
     *
     * At 100 TB the centroid table comes from a periodic k-means job and
     * `cell` becomes a partition/bucket column of the stored corpus, so a
-    * query's cell probe is partition pruning, not a join. */
-  def ivfTopK(emb: DataFrame): DataFrame = {
+    * query's nprobe cells are partition pruning, not a join. */
+  def ivfTopK(emb: DataFrame, nprobe: Int = IvfNProbe): DataFrame = {
     val v = withNorm2(emb)
     val cents = v.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
@@ -149,19 +160,30 @@ object Similarity {
            first(col("norm2")).as("norm2"))
       .select(col("vec_id"), col("embedding"), col("norm2"),
               col("m.cent_id").as("cell"))
-    val q = assigned.filter(col("vec_id") % QueryMod === 0).select(
-      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      col("norm2").as("q_norm2"), col("cell"))
+    // P nearest cells per query: bounded heap on -d2 (exact negation —
+    // float-deterministic), tie-break on cent_id inside the aggregator
+    val topP = graft.functions.BoundedTopK.topK(nprobe)
+    val q = v.filter(col("vec_id") % QueryMod === 0)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm2").as("q_norm2"), col("cent_id"),
+        expr("vec_dist2(embedding, cent_emb)").as("d2"))
+      .groupBy(col("q_id"))
+      .agg(topP(-col("d2"), col("cent_id")).as("probes"),
+           first(col("q_emb")).as("q_emb"),
+           first(col("q_norm2")).as("q_norm2"))
+      .select(col("q_id"), col("q_emb"), col("q_norm2"),
+        explode(col("probes.id")).as("cell"))
     val topk = graft.functions.BoundedTopK.topK(IvfTopK)
     assigned.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("cell"), col("vec_id").as("cand_id"),
+      .select(col("q_id"), col("vec_id").as("cand_id"),
         (expr("vec_dot(q_emb, embedding)") /
           (sqrt(col("q_norm2")) * sqrt(col("norm2")))).as("cos_raw"))
-      .groupBy(col("q_id"), col("cell"))
+      .groupBy(col("q_id"))
       .agg(topk(col("cos_raw"), col("cand_id")).as("top"))
-      .select(col("q_id"), col("cell"), posexplode(col("top")))
-      .select(col("q_id"), col("cell"), (col("pos") + 1).cast("int").as("rank"),
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
               col("col.id").as("cand_id"),
               round(col("col.cos"), 6).as("cos_sim"))
       .orderBy("q_id", "rank")
@@ -184,16 +206,24 @@ object Similarity {
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
        |        ORDER BY ${duckDist2("v.embedding", "c.cent_emb")}, c.cent_id) AS arn
        |    FROM v CROSS JOIN cents c) WHERE arn = 1),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT v.vec_id AS q_id, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${duckDist2("v.embedding", "c.cent_emb")}, c.cent_id) AS prn
+       |    FROM v CROSS JOIN cents c WHERE v.vec_id % $QueryMod = 0)
+       |  WHERE prn <= $IvfNProbe),
        |scored AS (
-       |  SELECT q.vec_id AS q_id, q.cell AS cell, c.vec_id AS cand_id,
+       |  SELECT p.q_id, c.vec_id AS cand_id,
        |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.norm2) * sqrt(c.norm2)) AS cos_raw
-       |  FROM assigned q JOIN assigned c
-       |    ON q.cell = c.cell AND q.vec_id % $QueryMod = 0 AND q.vec_id <> c.vec_id),
+       |  FROM probes p
+       |  JOIN v q ON q.vec_id = p.q_id
+       |  JOIN assigned c ON c.cell = p.cell AND c.vec_id <> p.q_id),
        |ranked AS (
-       |  SELECT q_id, cell, cand_id, cos_raw,
+       |  SELECT q_id, cand_id, cos_raw,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, cand_id) AS rank
        |  FROM scored)
-       |SELECT q_id, cell, rank, cand_id, round(cos_raw, 6) AS cos_sim
+       |SELECT q_id, rank, cand_id, round(cos_raw, 6) AS cos_sim
        |FROM ranked WHERE rank <= $IvfTopK
        |ORDER BY q_id, rank""".stripMargin
   }

@@ -196,12 +196,29 @@ class ExtSpec extends SparkSpec {
     }
   }
 
-  test("q18 ivf: every result pair shares the query's cell; subset of brute-force space") {
-    val r = Similarity.ivfTopK(emb).collect()
-    assert(r.nonEmpty)
-    r.groupBy(_.getAs[Long]("q_id")).values.foreach { rows =>
-      assert(rows.map(_.getAs[Long]("cell")).distinct.length == 1)
+  test("q18 ivf: recall@3 vs exact is measured, monotone in nprobe, and pinned") {
+    // ground truth: the exact q17 ranking truncated to IVF's k
+    val exact3 = Similarity.cosineTopK(emb).collect()
+      .filter(_.getAs[Int]("rank") <= Similarity.IvfTopK)
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+    def recallAt3(nprobe: Int): Double = {
+      val ivf = Similarity.ivfTopK(emb, nprobe).collect()
+        .groupBy(_.getAs[Long]("q_id"))
+        .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+      val per = exact3.map { case (q, ex) =>
+        (ivf.getOrElse(q, Set.empty[Long]) & ex).size.toDouble / ex.size }
+      per.sum / per.size
     }
+    val nCells = emb.filter(col("vec_id") % Similarity.CentroidMod === 0).count().toInt
+    val r1 = recallAt3(1)
+    val r2 = recallAt3(Similarity.IvfNProbe)
+    info(f"recall@3: nprobe=1 $r1%.3f, nprobe=${Similarity.IvfNProbe} $r2%.3f, cells=$nCells")
+    assert(r2 >= r1, "widening the probe must never lose recall")
+    assert(r2 >= 0.60, f"recall@3 at the gated nprobe fell to $r2%.3f")
+    // probing every cell degenerates to exact search — recall exactly 1
+    assert(recallAt3(nCells) == 1.0,
+      "nprobe = |cells| must reproduce the exact ranking")
   }
 
   test("q19 lang id: predictions drawn from marker langs + und") {
