@@ -93,33 +93,50 @@ object Tsv {
   def sortLinesDesc(lines: DataFrame): DataFrame =
     lines.orderBy(col("line").desc)
 
-  /** Single-file TSV export with utf-8-sig BOM and optional header.
-    * The distributed write lands part files; the BOM + concat assembly is
-    * a driver-side stream copy at the presentation edge (same role as the
-    * reference's header-file + concatenate choreography).
+  /** Single-file TSV export with utf-8-sig BOM and optional header,
+    * assembled entirely through the Hadoop FileSystem API — `outFile`
+    * may live on ANY configured store (`file:`, `hdfs:`, `s3a:`,
+    * `abfs:`, ...): the distributed write lands its part files in a
+    * hidden temp dir NEXT TO the destination (so parts and output share
+    * a filesystem — never the driver's local disk), then the BOM +
+    * header + parts are streamed through one `fs.create` output stream
+    * (on an object store that is a multipart upload managed by the
+    * connector) and the temp dir is deleted. The driver streams bytes
+    * but never requires a local filesystem path.
     *
-    * Deployment note: `outFile` must be a filesystem path the DRIVER can
-    * open (local disk, NFS) — on an object-store deployment (s3a/abfs)
-    * point the part-file write at the store and run the concat as a
-    * store-native multipart copy instead; the TSV db is a
-    * reference-parity presentation artifact, not the engine's at-rest
-    * format (that's parquet). */
+    * The TSV db is a reference-parity presentation artifact, not the
+    * engine's at-rest format (that's parquet) — single-file assembly is
+    * inherently a one-writer step; stores with a native server-side
+    * concat (HDFS `concat`, S3 multipart-copy) could skip the driver
+    * byte stream, at the cost of per-store code paths. */
   def writeSingleFile(lines: DataFrame, outFile: String,
                       withHeader: Boolean = false, withBom: Boolean = true): Unit = {
-    import java.io._
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val tmp = Files.createTempDirectory("graft-tsv-export")
-    val tmpOut = tmp.resolve("parts").toString
-    lines.coalesce(1).write.mode("overwrite").text(tmpOut)
-    val parts = Files.list(Paths.get(tmpOut)).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
-    val out = new BufferedOutputStream(new FileOutputStream(outFile))
+    import org.apache.hadoop.fs.Path
+    val conf = lines.sparkSession.sparkContext.hadoopConfiguration
+    val out = new Path(outFile)
+    val fs = out.getFileSystem(conf)
+    // no .crc sidecar next to the artifact: the checksum shadow file is
+    // a LocalFileSystem quirk (object-store FSes checksum server-side),
+    // and a stale sidecar would fail later reads of the re-exported db
+    fs.setWriteChecksum(false)
+    val parent = Option(out.getParent).getOrElse(new Path("."))
+    val tmp = new Path(parent, s".${out.getName}.__graft_tmp__")
+    fs.delete(tmp, true)
     try {
-      if (withBom) out.write(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
-      if (withHeader) out.write((headerLine + "\n").getBytes("UTF-8"))
-      parts.foreach { p => Files.copy(p, out); out.flush() }
-    } finally out.close()
+      lines.coalesce(1).write.mode("overwrite").text(tmp.toString)
+      val parts = fs.listStatus(tmp).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val os = fs.create(out, true)
+      try {
+        if (withBom) os.write(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+        if (withHeader) os.write((headerLine + "\n").getBytes("UTF-8"))
+        parts.foreach { p =>
+          val is = fs.open(p)
+          try org.apache.hadoop.io.IOUtils.copyBytes(is, os, 65536, false)
+          finally is.close()
+        }
+      } finally os.close()
+    } finally fs.delete(tmp, true)
   }
 
   /** S6: read a reference-format TSV back to typed columns. Tolerates the

@@ -46,6 +46,28 @@ class TsvGoldenSpec extends SparkSpec {
     assert(java.util.Arrays.equals(got, want))
   }
 
+  test("export assembles through the Hadoop FS API on an explicit store URI") {
+    // a `file:` URI stands in for an object-store root: the path is
+    // resolved by scheme through Path.getFileSystem, the parts land on
+    // THAT store, and the byte output matches the golden exactly —
+    // nothing in the assembly may assume a driver-local path
+    val (listing, srtDf) = fixture()
+    val built = VideoPipeline.build(listing, srtDf, new StubProber)
+    val lines = Tsv.sortLinesDesc(Tsv.renderLines(built))
+    val storeRoot = Files.createTempDirectory("graft-store-root")
+    val uri = s"file:$storeRoot/export/db.tsv"
+    Tsv.writeSingleFile(lines, uri)
+    val got = Files.readAllBytes(Paths.get(s"$storeRoot/export/db.tsv"))
+    val want = Files.readAllBytes(Paths.get("src/test/resources/golden_build.tsv"))
+    assert(java.util.Arrays.equals(got, want),
+      "store-URI export must byte-match the golden")
+    // the hidden part-file staging dir is cleaned up
+    val leftover = Files.list(Paths.get(s"$storeRoot/export")).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (leftover.hasNext) names += leftover.next().getFileName.toString
+    assert(names.toSeq == Seq("db.tsv"), s"staging leaked: $names")
+  }
+
   test("readReferenceTsv round-trips ragged rows") {
     val df = Tsv.readReferenceTsv(spark, "src/test/resources/golden_build.tsv")
     assert(df.count() == ids.length)
