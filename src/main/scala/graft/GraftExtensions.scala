@@ -17,6 +17,9 @@ import graft.functions.{PolyHash, RollingHashes, SignLshSig, VecDist2, VecDot, V
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // strategy-selection rewrite for the declarative near-dup marker
+    // (exact kernel vs banded-LSH, by index-column presence)
+    ext.injectOptimizerRule(session => graft.plans.RewriteCosineNearDups(session))
     ext.injectFunction((
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),

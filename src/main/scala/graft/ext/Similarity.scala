@@ -280,6 +280,104 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Unordered exact all-pairs plan (the rule-spliceable form of q24:
+    * [[RewriteCosineNearDups]] splices this under the caller's plan, so
+    * it must not carry a global sort of its own). */
+  private[graft] def exactNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val v = withNorm2(emb)
+    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("norm2").as("norm2_a"))
+    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("norm2").as("norm2_b"))
+    spread(a).join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (expr("vec_dot(emb_a, emb_b)") /
+          (sqrt(col("norm2_a")) * sqrt(col("norm2_b")))).as("cos_raw"))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
+  /** Attach the precomputed signature-index column
+    * ([[graft.plans.CosineNearDups.LshBandsCol]]): one packed key per
+    * band — (band << bandBits) | bandKey, so keys can never collide
+    * across bands — from a single fused sign_lsh_sig evaluation. At
+    * 100 TB this runs at INGEST and the column is stored with the
+    * vectors (that is what "an index table exists" means); here it's
+    * the API that arms [[nearDupsAuto]]'s sub-quadratic path. */
+  def withLshBands(emb: DataFrame, bands: Int = LshBands,
+                   bandBits: Int = LshBits): DataFrame = {
+    VectorOps.register(emb.sparkSession)
+    val totalBits = bands * bandBits
+    require(totalBits <= 63, s"bands*bandBits must fit a BIGINT, got $totalBits")
+    val mask = (1L << bandBits) - 1
+    emb.withColumn("__sig", expr(s"sign_lsh_sig(embedding, $totalBits)"))
+      .withColumn(graft.plans.CosineNearDups.LshBandsCol, expr(
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> shiftleft(CAST(b AS BIGINT), $bandBits) | " +
+          s"(shiftright(__sig, CAST(b AS INT) * $bandBits) & $mask))"))
+      .drop("__sig")
+  }
+
+  /** Unordered banded-LSH candidate join + exact verify over a
+    * precomputed `lsh_bands` index column — the sub-quadratic plan
+    * [[RewriteCosineNearDups]] swaps in when the index exists. Each
+    * pair is emitted by its FIRST matching band only (zip_with over the
+    * band-key prefixes — q42's no-distinct emission without needing to
+    * know the band bit-width), then verified with the exact codegen
+    * cosine at the same threshold. */
+  private[graft] def bandedNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    VectorOps.register(emb.sparkSession)
+    val bandsCol = graft.plans.CosineNearDups.LshBandsCol
+    val v = emb.select(col("vec_id"), col("embedding"), col(bandsCol).as("bands"))
+      .withColumn("norm2", expr("vec_dot(embedding, embedding)"))
+    val e = v.select(col("vec_id"), col("embedding"), col("norm2"), col("bands"),
+      posexplode(col("bands")).as(Seq("band", "bkey")))
+    val a = e.select(col("band"), col("bkey"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("norm2").as("norm2_a"),
+      col("bands").as("bands_a"))
+    val b = e.select(col("band"), col("bkey"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("norm2").as("norm2_b"),
+      col("bands").as("bands_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      // first-match: no EARLIER band key agrees (prefix compare over the
+      // carried arrays; slice length 0 at band 0 -> vacuously first)
+      .filter(expr(
+        "NOT exists(zip_with(slice(bands_a, 1, band), slice(bands_b, 1, band), " +
+          "(x, y) -> x = y), p -> p)"))
+      .select(col("id_a"), col("id_b"),
+        (expr("vec_dot(emb_a, emb_b)") /
+          (sqrt(col("norm2_a")) * sqrt(col("norm2_b")))).as("cos_raw"))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
+  /** DECLARATIVE near-dup search: states "pairs with cosine >=
+    * threshold" as a [[graft.plans.CosineNearDups]] logical marker and
+    * lets the optimizer rule pick the physical strategy — the exact
+    * broadcast kernel, or the banded-LSH plan when the input carries a
+    * [[withLshBands]] index column (SURVEY §4's rewrite-rule stretch).
+    * The rule is injected by GraftExtensions for `spark.sql.extensions`
+    * sessions AND registered here through the public
+    * `spark.experimental.extraOptimizations` hook, so the API works on
+    * any session. */
+  def nearDupsAuto(emb: DataFrame, threshold: Double = NearDupThreshold): DataFrame = {
+    val spark = emb.sparkSession
+    VectorOps.register(spark)
+    ensureRewriteRule(spark)
+    org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+      graft.plans.CosineNearDups(
+        org.apache.spark.sql.GraftPlanBridge.analyzed(emb), threshold))
+      .orderBy("id_a", "id_b")
+  }
+
+  private def ensureRewriteRule(spark: SparkSession): Unit = this.synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[graft.plans.RewriteCosineNearDups]))
+      spark.experimental.extraOptimizations =
+        cur :+ graft.plans.RewriteCosineNearDups(spark)
+  }
+
   val embeddingNearDupsSql: String =
     s"""WITH v AS (
        |  SELECT vec_id, embedding, ${duckNorm2("embedding")} AS norm2

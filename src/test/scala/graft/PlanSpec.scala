@@ -376,6 +376,33 @@ class PlanSpec extends SparkSpec {
       "exactly-once is the first-match predicate, not a dedup aggregate")
   }
 
+  test("nearDupsAuto: the rewrite rule lowers the marker by index presence") {
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    // no index column -> the exact broadcast all-pairs kernel
+    val exact = Similarity.nearDupsAuto(emb)
+    val pe = plan(exact)
+    assert(!pe.contains("CosineNearDups"), "marker must be rewritten away")
+    assert(pe.contains("BroadcastNestedLoopJoin"),
+      "exact strategy is the broadcast kernel")
+    // lsh_bands index present -> banded candidate equi-join, never a
+    // broadcast NL join or cartesian over the corpus
+    val banded = Similarity.nearDupsAuto(
+      Similarity.withLshBands(emb, bands = 12, bandBits = 1))
+    val pb = plan(banded)
+    assert(!pb.contains("CosineNearDups"), "marker must be rewritten away")
+    assert(!pb.contains("BroadcastNestedLoopJoin") && !pb.contains("CartesianProduct"),
+      "indexed strategy must candidate-join on the band keys")
+    assert(pb.contains("vec_dot"), "survivors run the exact verify kernel")
+    // same declared semantics, same result: at 12 one-bit bands every
+    // fixture pair collides in some band, so the banded rewrite must
+    // reproduce the exact kernel's relation row for row
+    val got = banded.collect().map(_.toSeq).toSeq
+    val want = Similarity.embeddingNearDups(emb).collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty && got == want,
+      s"banded rewrite diverged: ${got.size} vs ${want.size} rows")
+  }
+
   test("GraftExtensions injects poly_hash + vector functions for SQL-only sessions") {
     // the injection list accepts our builder (a bad signature would throw)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
