@@ -287,7 +287,16 @@ object Multimodal {
   /** Oracle: the banding is pigeonhole-COMPLETE for Hamming <= 2, so the
     * oracle is simply every pair within the Hamming bound — no band
     * mirroring needed (contrast q31's probabilistic recall). dHash bits
-    * from the same byte-index arithmetic as q23's thumbnail. */
+    * from the same byte-index arithmetic as q23's thumbnail.
+    *
+    * ASCII-fixture contract (q23's): the engine hashes the raw payload
+    * BYTES while this SQL indexes CHARACTERS with byte offsets (n =
+    * octet_length) and reads code points via ord() — the two coincide
+    * exactly when the fixture text is ASCII, which the documents tables
+    * are. Non-ASCII payloads keep the ENGINE correct (bytes are bytes;
+    * PropertySpec exercises unicode payloads Spark-side) but would
+    * desync THIS oracle — if the fixture ever grows non-ASCII text,
+    * move the oracle to a BLOB-indexed signature or rows-only. */
   val q74Sql: String = {
     val h = PhashMaxHamming
     // bit k (0-based) = point_k < point_{k+1}, points at (k*n)//33

@@ -446,6 +446,13 @@ object TextAnalysis {
   // ---------------------------------------------------- tf-idf top terms
   val TfIdfTopK = 3
 
+  /** Largest score_e6 the Double-keyed term heap ranks EXACTLY: integers
+    * above 2^53 lose bits in the Double cast and the ranking could
+    * diverge from the oracle's BIGINT order — enforced loudly (the
+    * packGuard discipline). tf·(1e6·n_docs div df) crosses this only
+    * past ~9e15, i.e. tf·n_docs ≈ 9 billion for a df-1 term. */
+  val TfIdfMaxScore = 1L << 53
+
   /** Per-document top-K terms by integer tf-idf — the keyword-extraction
     * step behind doc routing / topic bucketing in a curation pipeline:
     *
@@ -481,7 +488,13 @@ object TextAnalysis {
     tf.withColumn("df", count(lit(1)).over(byToken))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("token"),
-        expr("tf * ((1000000 * n_docs) div df)").as("score_e6"))
+        expr("tf * ((1000000 * n_docs) div df)").as("score_raw"))
+      .select(col("doc_id"), col("token"),
+        when(col("score_raw") > TfIdfMaxScore,
+          raise_error(concat(
+            lit(s"tfIdfTopTerms: score_e6 exceeds the exact-Double bound $TfIdfMaxScore: "),
+            col("score_raw").cast("string"))))
+          .otherwise(col("score_raw")).as("score_e6"))
       .groupBy("doc_id")
       .agg(topTerms(col("score_e6").cast("double"), col("token")).as("top"))
       .select(col("doc_id"), posexplode(col("top")))
@@ -534,6 +547,17 @@ object TextAnalysis {
     * counts. Scrub order (email, ipv4, phone, then blocklist terms in
     * declaration order) is part of the contract — replacements compose,
     * so order changes bytes.
+    *
+    * Count semantics — PRE-COMPOSITION, by contract: every category is
+    * counted against the ORIGINAL text, then the replacements apply
+    * sequentially. Where categories overlap the counts can exceed what
+    * the scrubbed payload shows (a blocklist term inside an email is
+    * counted once as blocklist but consumed by the email redaction;
+    * adjacent occurrences sharing a delimiter half-scrub under the
+    * non-overlapping literal replace). Both engines implement the same
+    * convention, the md5 gate pins the actual bytes, and a count that
+    * OVERSTATES redactions errs on the audit-safe side — a
+    * post-composition recount would under-report what was matched.
     *
     * Pure projection over the corpus: scan-speed, no shuffle but the
     * presentation sort — the canonical "one more map stage" cost at
