@@ -55,14 +55,25 @@ object ScaleRehearsal {
     "q60_frame_sample", "q61_novelty", "q62_source_overlap",
     "q63_domain_mix", "q64_doc_stitches", "q66_bigram_lm",
     "q67_collocations", "q68_tfidf_terms", "q70_pii_scrub",
-    "q71_source_drift", "q72_substring_dups", "q74_phash_neardup")
+    "q71_source_drift", "q72_substring_dups", "q74_phash_neardup",
+    "q77_colloc_sampled")
 
   /** q17/q24/q69 are declared-O(n²) kernels; q18/q73 assign against a
     * centroid set that GROWS with the fixture (vec_id % mod stand-in),
-    * so their 10x cost is a fixture artifact — production k is fixed. */
+    * so their 10x cost is a fixture artifact — production k is fixed.
+    * They stay OUT of the headline ratio, but their documented
+    * mitigations are MEASURED at 10x in the `mitigated_quadratic`
+    * section below: the "use this at scale" guidance as numbers. */
   val ExcludedQuadratic: Seq[String] =
     Seq("q17_cosine_topk", "q18_ivf_topk", "q24_embedding_neardup",
       "q69_quantized_topk", "q73_kmeans_step")
+
+  /** Centroid stride that reproduces the BASE fixture's centroid SET on
+    * the synthesized 10x ids (new_id = old_id * IdStride + rep): ids
+    * divisible by CentroidMod*IdStride are exactly the rep-0 copies of
+    * the base centroids — fixed k under 10x data, the production
+    * shape. */
+  val FixedKCentroidMod: Long = graft.ext.Similarity.CentroidMod.toLong * IdStride
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     val fs = java.nio.file.Paths.get(outDir)
@@ -178,6 +189,47 @@ object ScaleRehearsal {
       "q42_bits+3" -> timed(graft.ext.Similarity.signLshMultiBand(
         emb10, bandBits = graft.ext.Similarity.LshBits + 3)))
 
+    // Mitigated-quadratic rehearsal: each excluded kernel's DOCUMENTED
+    // scale path, measured on the 10x fixture (base-scale twin alongside
+    // for the growth ratio). q17/q18 -> IVF with nprobe and a FIXED
+    // centroid set; q24 -> the index-column rewrite rule's banded plan;
+    // q73 -> the same fixed-k assignment. q69's scale path IS the
+    // banded/LSH family (sign-LSH over the quantized space) — covered
+    // by the q42 row above, not re-measured separately.
+    val embBase = Tables.embeddings(spark, baseDir)
+    val sim = graft.ext.Similarity
+    val mitigated = Map(
+      "q17_ivf_nprobe2_base" -> timed(sim.ivfTopK(embBase, nprobe = 2)),
+      "q17_ivf_nprobe2_x10_fixedk" -> timed(
+        sim.ivfTopK(emb10, nprobe = 2, centroidMod = FixedKCentroidMod)),
+      "q24_lsh_rewrite_base" -> timed(
+        sim.nearDupsAuto(sim.withLshBands(embBase, bands = 4, bandBits = 6))),
+      "q24_lsh_rewrite_x10" -> timed(
+        sim.nearDupsAuto(sim.withLshBands(emb10, bands = 4, bandBits = 9))),
+      "q73_kmeans_base" -> timed(sim.kmeansStep(embBase)),
+      "q73_kmeans_x10_fixedk" -> timed(
+        sim.kmeansStep(emb10, centroidMod = FixedKCentroidMod)))
+
+    // Collocation-bound demo: at a bound the 10x corpus EXCEEDS, the
+    // exact path must refuse loudly and the sampled path must answer —
+    // the q67 -> q77 scale handoff, demonstrated rather than narrated.
+    val collocBound = 2000000L
+    val docs10 = Tables.documents(spark, outDir)
+    val exactTripped =
+      try {
+        graft.ext.Lm.collocations(docs10, maxN = collocBound)
+          .write.format("noop").mode("overwrite").save()
+        false
+      } catch {
+        case e: Throwable if String.valueOf(e.getMessage).contains("exact-lift") ||
+          Option(e.getCause).exists(c => String.valueOf(c.getMessage).contains("exact-lift")) =>
+          true
+      }
+    require(exactTripped,
+      s"10x corpus stayed under the $collocBound demo bound — regenerate the fixture")
+    val sampledSec = timed(graft.ext.Lm.collocationsSampled(
+      docs10, sampleMod = 16, maxN = collocBound))
+
     def jmap(m: Map[String, Double]) = m.toSeq.sorted
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val line =
@@ -187,6 +239,9 @@ object ScaleRehearsal {
       drops.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",") + "," +
       s""""excluded_quadratic":${ExcludedQuadratic.mkString("[\"", "\",\"", "\"]")},""" +
       s""""x10_scaled_bits":${jmap(scaledBits)},""" +
+      s""""mitigated_quadratic":${jmap(mitigated)},""" +
+      s""""colloc_bound_demo":{"bound":$collocBound,"exact_raised":$exactTripped,""" +
+      s""""sampled_mod16_sec":${f"$sampledSec%.3f"}},""" +
       s""""base_queries":${jmap(baseTimes)},"x10_queries":${jmap(bigTimes)}}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_rehearsal.json"),

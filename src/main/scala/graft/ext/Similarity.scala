@@ -147,9 +147,10 @@ object Similarity {
     * At 100 TB the centroid table comes from a periodic k-means job and
     * `cell` becomes a partition/bucket column of the stored corpus, so a
     * query's nprobe cells are partition pruning, not a join. */
-  def ivfTopK(emb: DataFrame, nprobe: Int = IvfNProbe): DataFrame = {
+  def ivfTopK(emb: DataFrame, nprobe: Int = IvfNProbe,
+              centroidMod: Long = CentroidMod): DataFrame = {
     val v = withNorm2(emb)
-    val cents = v.filter(col("vec_id") % CentroidMod === 0)
+    val cents = v.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     val assigned = v.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("norm2"), col("cent_id"),
@@ -671,7 +672,7 @@ object Similarity {
     * consumes anyway. At 100 TB this is the canonical mergeable-
     * aggregate shape: one corpus scan, one (cells × dims)-wide
     * exchange, no sort anywhere. */
-  def kmeansStep(emb: DataFrame): DataFrame = {
+  def kmeansStep(emb: DataFrame, centroidMod: Long = CentroidMod): DataFrame = {
     VectorOps.register(emb.sparkSession)
     val r = QuantRange
     val mx = emb.select(max(expr(
@@ -683,7 +684,7 @@ object Similarity {
           s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30d)) + 0.5d))) AS INT))")
         .as("qemb"))
       .withColumn("self", expr("vec_dot_int(qemb, qemb)"))
-    val cents = v.filter(col("vec_id") % CentroidMod === 0)
+    val cents = v.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("cent_id"), col("qemb").as("cent_q"),
               col("self").as("cent_self"))
     val assigned = v.crossJoin(broadcast(cents))
