@@ -648,6 +648,110 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------- quantized IVF
+  /** Quantized IVF top-k — the production ANN composite: q69's int8
+    * quantization (one global symmetric scale, 4x narrower vectors),
+    * q73's exact-integer centroid assignment (d² = a·a − 2a·c + c·c via
+    * three `vec_dot_int` kernels, struct-min argmin — map-side
+    * combined), q18's nprobe multi-cell probing (bounded heap on −d²),
+    * and ranking by the exact BIGINT inner product. Every score is
+    * integer arithmetic, so the whole search is hash-exact under ANY
+    * partitioning — the float fold-order care q17 needs simply doesn't
+    * exist here. This is the shape a 100 TB vector corpus actually
+    * serves: int8 cells as partition pruning, integer SIMD dot as the
+    * inner loop, nprobe as the recall knob. */
+  def quantizedIvfTopK(emb: DataFrame, nprobe: Int = IvfNProbe,
+                       centroidMod: Long = CentroidMod): DataFrame = {
+    VectorOps.register(emb.sparkSession)
+    val r = QuantRange
+    val mx = emb.select(max(expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+        "(acc, e) -> greatest(acc, abs(CAST(e AS DOUBLE))))")).as("mx"))
+    val v = emb.crossJoin(broadcast(mx))
+      .select(col("vec_id"), expr(
+        s"transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+          s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30d)) + 0.5d))) AS INT))")
+        .as("qemb"))
+      .withColumn("self", expr("vec_dot_int(qemb, qemb)"))
+    val cents = v.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cent_id"), col("qemb").as("cent_q"),
+              col("self").as("cent_self"))
+    val scoredCents = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qemb"), col("self"), col("cent_id"),
+        (col("self") - expr("2 * vec_dot_int(qemb, cent_q)") +
+          col("cent_self")).as("d2"))
+    val assigned = scoredCents
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cent_id"))).as("m"),
+           first(col("qemb")).as("qemb"))
+      .select(col("vec_id"), col("qemb"), col("m.cent_id").as("cell"))
+    // nprobe nearest cells per query: integer d² is exact in the heap's
+    // Double key (bounded by dims·(2r)² ≪ 2^53)
+    val topP = graft.functions.BoundedTopK.topK(nprobe)
+    val q = scoredCents.filter(col("vec_id") % QueryMod === 0)
+      .groupBy(col("vec_id").as("q_id"))
+      .agg(topP(-col("d2").cast("double"), col("cent_id")).as("probes"),
+           first(col("qemb")).as("q_qemb"))
+      .select(col("q_id"), col("q_qemb"), explode(col("probes.id")).as("cell"))
+    val topk = graft.functions.BoundedTopK.topK(TopK)
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        expr("vec_dot_int(q_qemb, qemb)").as("qdot"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("qdot").cast("double"), col("cand_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+              col("col.id").as("cand_id"), col("col.cos").cast("long").as("qdot"))
+      .orderBy("q_id", "rank")
+  }
+
+  val quantizedIvfTopKSql: String = {
+    val r = QuantRange
+    val quant = s"list_transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+      s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30)) + 0.5))) AS INT))"
+    def intDot(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, len($a)), " +
+        s"i -> CAST($a[i] AS BIGINT) * CAST($b[i] AS BIGINT))), (x, y) -> x + y)"
+    s"""WITH m AS (
+       |  SELECT MAX(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))),
+       |    (x, y) -> greatest(x, y))) AS mx
+       |  FROM embeddings),
+       |v0 AS (SELECT vec_id, $quant AS qemb FROM embeddings CROSS JOIN m),
+       |v AS (SELECT vec_id, qemb, ${intDot("qemb", "qemb")} AS self FROM v0),
+       |cents AS (SELECT vec_id AS cent_id, qemb AS cent_q, self AS cent_self
+       |          FROM v WHERE vec_id % $CentroidMod = 0),
+       |sc AS (
+       |  SELECT v.vec_id, v.qemb, c.cent_id,
+       |    v.self - 2 * ${intDot("v.qemb", "c.cent_q")} + c.cent_self AS d2
+       |  FROM v CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, qemb, cell FROM (
+       |    SELECT vec_id, qemb, cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS arn
+       |    FROM sc) WHERE arn = 1),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT vec_id AS q_id, cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS prn
+       |    FROM sc WHERE vec_id % $QueryMod = 0)
+       |  WHERE prn <= $IvfNProbe),
+       |scored AS (
+       |  SELECT p.q_id, c.vec_id AS cand_id, ${intDot("q.qemb", "c.qemb")} AS qdot
+       |  FROM probes p
+       |  JOIN v q ON q.vec_id = p.q_id
+       |  JOIN assigned c ON c.cell = p.cell AND c.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, cand_id, qdot,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qdot DESC, cand_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, CAST(rank AS INT) AS rank, cand_id, CAST(qdot AS BIGINT) AS qdot
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------- quantized k-means step
   /** One k-means/IVF TRAINING iteration over the int8-quantized corpus —
     * the job that periodically refreshes q18's centroid table. Runs
@@ -749,7 +853,8 @@ object Similarity {
     "q31_signlsh_neardup" -> ((s, d) => signLshNearDups(Tables.embeddings(s, d))),
     "q42_signlsh_multiband" -> ((s, d) => signLshMultiBand(Tables.embeddings(s, d))),
     "q69_quantized_topk" -> ((s, d) => quantizedTopK(Tables.embeddings(s, d))),
-    "q73_kmeans_step" -> ((s, d) => kmeansStep(Tables.embeddings(s, d))))
+    "q73_kmeans_step" -> ((s, d) => kmeansStep(Tables.embeddings(s, d))),
+    "q80_quantized_ivf" -> ((s, d) => quantizedIvfTopK(Tables.embeddings(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q17_cosine_topk" -> cosineTopKSql,
@@ -758,5 +863,6 @@ object Similarity {
     "q31_signlsh_neardup" -> signLshNearDupsSql,
     "q42_signlsh_multiband" -> signLshMultiBandSql,
     "q69_quantized_topk" -> quantizedTopKSql,
-    "q73_kmeans_step" -> kmeansStepSql)
+    "q73_kmeans_step" -> kmeansStepSql,
+    "q80_quantized_ivf" -> quantizedIvfTopKSql)
 }

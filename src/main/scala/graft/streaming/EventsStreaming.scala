@@ -13,6 +13,8 @@ case class UserValueMax(user_id: Long, n_events: Long, max_value: Double)
 case class MaxCount(n: Long, mx: Double)
 /** Persisted state for [[SessionCloseProcessor]]: count + max event µs. */
 case class SessState(n: Long, maxUs: Long)
+/** One row of the batch-computed snapshot seeding [[SeededMaxProcessor]]. */
+case class UserSnapshot(user_id: Long, n: Long, mx: Double)
 /** Timer-emitted session close record ([[SessionCloseProcessor]]). */
 case class SessionClose(user_id: Long, n_events: Long, close_us: Long)
 
@@ -130,6 +132,27 @@ object EventsStreaming {
         OutputMode.Update())
   }
 
+  /** transformWithState with INITIAL STATE: the production "resume from
+    * a snapshot" pattern — a BATCH job computed per-user aggregates;
+    * the streaming job seeds its v2 state from that table and continues
+    * accumulating on top (handleInitialState fires once per seeded key
+    * before its first input). The q79 gate streams the SAME fixture the
+    * snapshot was built from, so the final count per user is exactly 2n
+    * — n seeded + n streamed — reachable only if the seed actually
+    * landed in the store AND the stream read it back. */
+  def userMaxValueSeeded(events: DataFrame,
+                         snapshot: Dataset[UserSnapshot]): Dataset[UserValueMax] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val init = snapshot.groupByKey(_.user_id)
+      .mapValues(s => MaxCount(s.n, s.mx))
+    events.select(col("user_id"), col("value")).as[EventVal]
+      .groupByKey(_.user_id)
+      .transformWithState(new SeededMaxProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(), init)
+  }
+
   /** transformWithState with EVENT-TIME TIMERS: per-user "session
     * close" — each batch re-arms a timer at (user's max event time +
     * 5 minutes); when the watermark passes it, the expiry callback
@@ -190,6 +213,32 @@ class MaxValueProcessor extends org.apache.spark.sql.streaming.StatefulProcessor
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     maxState = getHandle.getValueState[MaxCount]("maxv",
       Encoders.product[MaxCount], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[EventVal],
+      timers: TimerValues): Iterator[UserValueMax] = {
+    val prev = if (maxState.exists()) maxState.get() else MaxCount(0L, Double.MinValue)
+    val upd = rows.foldLeft(prev)((a, e) => MaxCount(a.n + 1, math.max(a.mx, e.value)))
+    maxState.update(upd)
+    Iterator.single(UserValueMax(key, upd.n, upd.mx))
+  }
+}
+
+/** [[MaxValueProcessor]] + the v2 initial-state hook: the snapshot row
+  * seeds the ValueState before the key's first input batch. */
+class SeededMaxProcessor extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+    Long, EventVal, UserValueMax, MaxCount] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var maxState: ValueState[MaxCount] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    maxState = getHandle.getValueState[MaxCount]("maxv",
+      Encoders.product[MaxCount], TTLConfig.NONE)
+
+  override def handleInitialState(key: Long, initial: MaxCount,
+      timers: TimerValues): Unit =
+    maxState.update(initial)
 
   override def handleInputRows(key: Long, rows: Iterator[EventVal],
       timers: TimerValues): Iterator[UserValueMax] = {

@@ -295,6 +295,33 @@ object StreamingGate {
       |  CAST(round(MAX(value) * 100) AS BIGINT) AS max_value_cents
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q79: INITIAL STATE through transformWithState — resume-from-
+    * snapshot: the per-user (count, max) snapshot is computed BATCH-side
+    * from the fixture, seeds the v2 state store, and the stream replays
+    * the same fixture ON TOP. Final count = 2n per user (n seeded + n
+    * streamed) — the hash matches only if handleInitialState landed the
+    * seed AND the input batch read it back out of RocksDB; an unseeded
+    * run emits n and fails. Same oracle as q76 (two-copy replay and
+    * snapshot+replay assert the same relation by different machinery —
+    * which is the point: two state-loading paths, one contract). */
+  def q79StreamInitialState(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      import spark.implicits._
+      val snapshot = graft.Tables.events(spark, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
+        .as[UserSnapshot]
+      runToMemory(spark, dir,
+        events => EventsStreaming.userMaxValueSeeded(events, snapshot).toDF()
+          .filter(col("user_id") >= 0),
+        sinkMode = "update")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("max_value"))).as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          round(col("m.max_value") * 100).cast("long").as("max_value_cents"))
+        .orderBy("user_id")
+    }
+
   /** q78: EVENT-TIME TIMERS through transformWithState. Each user's
     * processor re-arms a timer at (max event time + 5 min); nothing is
     * emitted from handleInputRows at all — every sink row exists
@@ -325,7 +352,8 @@ object StreamingGate {
     "q58_stream_dedup" -> (q58StreamDedup _),
     "q65_stream_running_counts" -> (q65StreamRunningCounts _),
     "q76_stream_max_state" -> (q76StreamMaxState _),
-    "q78_stream_session_close" -> (q78StreamSessionClose _))
+    "q78_stream_session_close" -> (q78StreamSessionClose _),
+    "q79_stream_initial_state" -> (q79StreamInitialState _))
 
   /** Same oracles as the batch twins: the streaming engine must land on
     * the identical relation. */
@@ -337,5 +365,6 @@ object StreamingGate {
     "q58_stream_dedup" -> q58Sql,
     "q65_stream_running_counts" -> q65Sql,
     "q76_stream_max_state" -> q76Sql,
-    "q78_stream_session_close" -> q78Sql)
+    "q78_stream_session_close" -> q78Sql,
+    "q79_stream_initial_state" -> q76Sql)
 }

@@ -221,6 +221,24 @@ class ExtSpec extends SparkSpec {
       "nprobe = |cells| must reproduce the exact ranking")
   }
 
+  test("q80 quantized IVF: recall vs the exact quantized ranking is measured") {
+    val exact = Similarity.quantizedTopK(emb).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+    val ivf = Similarity.quantizedIvfTopK(emb).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+    val per = exact.map { case (q, ex) =>
+      (ivf.getOrElse(q, Set.empty[Long]) & ex).size.toDouble / ex.size }
+    val recall = per.sum / per.size
+    info(f"q80 recall@5 vs q69 exact: $recall%.3f")
+    assert(recall >= 0.5, f"quantized-IVF recall fell to $recall%.3f")
+    // every emitted score must be an exact integer dot of int8 vectors
+    Similarity.quantizedIvfTopK(emb).collect().foreach { r =>
+      assert(math.abs(r.getAs[Long]("qdot")) <= 127L * 127 * 4096)
+    }
+  }
+
   test("q19 lang id: predictions drawn from marker langs + und") {
     val valid = TextAnalysis.markers.map(_._1).toSet + "und"
     TextAnalysis.langId(docs).collect()

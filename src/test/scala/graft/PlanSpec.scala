@@ -358,6 +358,16 @@ class PlanSpec extends SparkSpec {
       "rolling_hashes must implement doGenCode")
   }
 
+  test("q80: quantized IVF keeps the no-window shape end to end") {
+    val p = plan(SparkEntry.queries("q80_quantized_ivf")(spark, sf))
+    assert(!p.contains("Window"),
+      "assignment, probes and top-k must all be aggregates, never window sorts")
+    assert(p.contains("vec_dot_int"),
+      "distances and ranking must run the native integer-dot kernel")
+    assert(p.contains("min(struct(d2"),
+      "argmin must stay the partial-combinable struct-min")
+  }
+
   test("q73: assignment aggregates against broadcast centroids; update has no window") {
     val p = plan(SparkEntry.queries("q73_kmeans_step")(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin"),

@@ -154,6 +154,17 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "v2 ValueState must accumulate across the batch boundary")
   }
 
+  test("q79 gate: batch snapshot seeds v2 state; stream accumulates on top") {
+    val got = graft.streaming.StreamingGate.q79StreamInitialState(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // n seeded + n streamed = 2n, same relation as q76 by different machinery
+    val want = Tables.events(spark, sf).groupBy("user_id")
+      .agg((count(lit(1)) * 2).as("n_events"),
+        round(max(col("value")) * 100).cast("long").as("max_value_cents"))
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(got == want, "handleInitialState must seed the store before input")
+  }
+
   test("q78 gate: event-time timers fire on watermark passage and clear state") {
     val got = graft.streaming.StreamingGate.q78StreamSessionClose(spark, sf)
       .collect().map(_.toSeq).toSeq
