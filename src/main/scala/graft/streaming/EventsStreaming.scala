@@ -223,6 +223,36 @@ class MaxValueProcessor extends org.apache.spark.sql.streaming.StatefulProcessor
   }
 }
 
+/** [[MaxValueProcessor]] with a caller-supplied TTL on its ValueState —
+  * the third leg of the v2 state lifecycle (state, timers, TTL). With
+  * TTLConfig.NONE it behaves exactly like MaxValueProcessor; with a
+  * short processing-time TTL, state written in one micro-batch is
+  * EXPIRED by the next, so a two-copy replay re-counts from zero each
+  * batch — the StreamingSpec TTL probe pins that contrast. TTL is
+  * wall-clock, hence spec-gated rather than oracle-hash-gated. */
+class TtlMaxProcessor(ttlMs: Long) extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, EventVal, UserValueMax] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var maxState: ValueState[MaxCount] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    val ttl = if (ttlMs <= 0) TTLConfig.NONE
+      else TTLConfig(java.time.Duration.ofMillis(ttlMs))
+    maxState = getHandle.getValueState[MaxCount]("maxv",
+      Encoders.product[MaxCount], ttl)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[EventVal],
+      timers: TimerValues): Iterator[UserValueMax] = {
+    val prev = if (maxState.exists()) maxState.get() else MaxCount(0L, Double.MinValue)
+    val upd = rows.foldLeft(prev)((a, e) => MaxCount(a.n + 1, math.max(a.mx, e.value)))
+    maxState.update(upd)
+    Iterator.single(UserValueMax(key, upd.n, upd.mx))
+  }
+}
+
 /** [[MaxValueProcessor]] + the v2 initial-state hook: the snapshot row
   * seeds the ValueState before the key's first input batch. */
 class SeededMaxProcessor extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[

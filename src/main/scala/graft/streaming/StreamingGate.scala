@@ -322,6 +322,66 @@ object StreamingGate {
         .orderBy("user_id")
     }
 
+  /** Spec probe (deliberately NOT an oracle query — TTL is wall-clock):
+    * per-user MAX emitted count when the fixture is delivered TWICE with
+    * a sleep ≫ the 1 ms state TTL between deliveries. The second batch
+    * must see the first batch's value EXPIRED and re-count from zero:
+    * the max stays n, where the TTL-less q76 replay reaches 2n.
+    *
+    * Runs a CONTINUOUS query (default trigger, two processAllAvailable
+    * rounds around the second file drop) rather than the AvailableNow
+    * staging the hash gates use: AvailableNow's multi-batch executor
+    * spins on processing-time TTL eviction batches and never reaches
+    * its end-offset latch — measured, not theorized. */
+  def ttlProbeMaxCount(spark: SparkSession, dir: String): Map[Long, Long] =
+    withRocksDb(spark) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val staged = Files.createTempDirectory("graft-ttl-probe")
+      staged.toFile.deleteOnExit()
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        staged.resolve("00-events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val s = spark
+      import s.implicits._
+      val events = spark.readStream.schema(EventsStreaming.rawSchema)
+        .parquet(staged.toString)
+        .withColumnRenamed("ts", "ts_ns")
+      val out = events.select(col("user_id"), col("value")).as[EventVal]
+        .groupByKey(_.user_id)
+        .transformWithState(new TtlMaxProcessor(1L),
+          org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF()
+      val name = s"graft_ttl_probe_${runCounter.incrementAndGet()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      // processAllAvailable never latches under processing-time TTL (the
+      // engine keeps scheduling eviction batches), so progress is
+      // observed at the SINK: one emission per (user, delivery)
+      def sinkRows(): Long = spark.table(name).count()
+      def awaitRows(target: Long): Unit = {
+        val deadline = System.currentTimeMillis + 120000
+        while (sinkRows() < target && System.currentTimeMillis < deadline)
+          Thread.sleep(100)
+        require(sinkRows() >= target,
+          s"TTL probe: sink stuck at ${sinkRows()} rows awaiting $target")
+      }
+      try {
+        val users = spark.read.schema(EventsStreaming.rawSchema)
+          .parquet(staged.resolve("00-events.parquet").toString)
+          .select("user_id").distinct().count()
+        awaitRows(users)
+        Thread.sleep(200) // ≫ the 1 ms TTL: first delivery's state expires
+        val second = staged.resolve("01-events.parquet")
+        Files.copy(Paths.get(s"$dir/events.parquet"), second,
+          StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(second,
+          FileTime.fromMillis(System.currentTimeMillis()))
+        awaitRows(2 * users)
+      } finally q.stop()
+      spark.table(name).groupBy("user_id").agg(max(col("n_events")).as("n"))
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("n"))).toMap
+    }
+
   /** q78: EVENT-TIME TIMERS through transformWithState. Each user's
     * processor re-arms a timer at (max event time + 5 min); nothing is
     * emitted from handleInputRows at all — every sink row exists

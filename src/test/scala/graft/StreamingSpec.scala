@@ -165,6 +165,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "handleInitialState must seed the store before input")
   }
 
+  test("v2 state TTL: expired values vanish between micro-batches") {
+    // TTL is processing-time so it can't be hash-gated like q76/q78/q79;
+    // what IS provable: with a 1 ms TTL and the two-copy staged replay
+    // (batches are >> 1 ms apart), batch B must observe EXPIRED state —
+    // every user's count re-starts at n instead of reaching 2n. The
+    // contrast with q76 (TTL.NONE, same staging, reaches 2n) pins the
+    // expiry machinery itself.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val got = graft.streaming.StreamingGate.ttlProbeMaxCount(spark, sf)
+      val want = Tables.events(spark, sf).groupBy("user_id").count().collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+      assert(got == want,
+        "a 1 ms TTL must expire state across the batch gap (n, never 2n)")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("q78 gate: event-time timers fire on watermark passage and clear state") {
     val got = graft.streaming.StreamingGate.q78StreamSessionClose(spark, sf)
       .collect().map(_.toSeq).toSeq
