@@ -29,6 +29,12 @@ case class CosineNearDups(
   // the output is MINTED here, not derived from the child — declare it
   // produced or CheckAnalysis reports the attributes missing-from-input
   override def producedAttributes: AttributeSet = AttributeSet(output)
+  // and the node CONSUMES the child's entire row (vec_id + embedding +
+  // optional index column), even though no expression says so — without
+  // this, ColumnPruning sees zero references and strips the child to an
+  // empty projection under plans that don't need the marker's columns
+  // (e.g. a bare count()), leaving the rewrite rule nothing to build on
+  override def references: AttributeSet = child.outputSet
   override protected def withNewChildInternal(newChild: LogicalPlan): CosineNearDups =
     copy(child = newChild)
 }

@@ -411,6 +411,12 @@ class PlanSpec extends SparkSpec {
     val want = Similarity.embeddingNearDups(emb).collect().map(_.toSeq).toSeq
     assert(want.nonEmpty && got == want,
       s"banded rewrite diverged: ${got.size} vs ${want.size} rows")
+    // pruning regression: a consumer needing NONE of the marker's columns
+    // (bare count) must not let ColumnPruning strip the child before the
+    // rule fires — the marker declares references = child.outputSet
+    assert(Similarity.nearDupsAuto(
+      Similarity.withLshBands(emb, bands = 12, bandBits = 1)).count() == want.size)
+    assert(Similarity.nearDupsAuto(emb).count() == want.size)
   }
 
   test("GraftExtensions injects poly_hash + vector functions for SQL-only sessions") {
