@@ -24,6 +24,7 @@ object SparkEntry {
     graft.ext.Lm.queries ++
     graft.ext.Curation.queries ++
     graft.ext.Multimodal.queries ++
+    graft.sources.Jsonl.queries ++
     graft.streaming.StreamingGate.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +38,6 @@ object SparkEntry {
     graft.ext.Lm.oracles ++
     graft.ext.Curation.oracles ++
     graft.ext.Multimodal.oracles ++
+    graft.sources.Jsonl.oracles ++
     graft.streaming.StreamingGate.oracles
 }

@@ -358,6 +358,15 @@ class PlanSpec extends SparkSpec {
       "rolling_hashes must implement doGenCode")
   }
 
+  test("q77: sampled collocations keep q67's shape — sample filter at the scan, top-K cut") {
+    val p = plan(SparkEntry.queries("q77_colloc_sampled")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-K must stay a bounded cut, not a global sort")
+    assert(p.toLowerCase.contains("pushedfilters") || p.contains("pmod"),
+      "the doc_id % mod sample must filter before the bigram explode")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q80: quantized IVF keeps the no-window shape end to end") {
     val p = plan(SparkEntry.queries("q80_quantized_ivf")(spark, sf))
     assert(!p.contains("Window"),
