@@ -382,6 +382,60 @@ object StreamingGate {
         .collect().map(r => (r.getLong(0), r.getAs[Long]("n"))).toMap
     }
 
+  /** q82: RESTART RECOVERY — the fault-tolerance contract every other
+    * gate assumes but none proves: offsets AND state survive a QUERY
+    * RESTART (a brand-new StreamingQuery object on the same
+    * checkpoint — the crash/upgrade scenario), not just a micro-batch
+    * boundary inside one run.
+    *
+    * Run 1 processes the fixture through watermarked dedup into an
+    * exactly-once FILE sink (files persist across restarts, unlike the
+    * memory sink) and stops. The fixture is then copied into the source
+    * dir AGAIN and run 2 starts fresh from the same checkpoint: every
+    * copy-B row is either older than the RECOVERED watermark (late
+    * filter) or hits the RECOVERED dedup state — so run 2 adds NOTHING,
+    * and the sink equals exactly one fixture copy. Lose the offsets and
+    * copy A double-writes; lose the state/watermark and copy B leaks;
+    * either way the identity oracle's hash fails. */
+  def q82StreamRestart(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = Files.createTempDirectory("graft-restart-src")
+    val sink = Files.createTempDirectory("graft-restart-sink").resolve("out")
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt")
+    Seq(src, ckpt).foreach(_.toFile.deleteOnExit())
+    def deliver(name: String): Unit = {
+      val f = src.resolve(name)
+      Files.copy(Paths.get(s"$dir/events.parquet"), f,
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(f, FileTime.fromMillis(System.currentTimeMillis()))
+    }
+    def runOnce(): Unit = {
+      val q = EventsStreaming.dedupEvents(stream(spark, src, None))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+        .writeStream
+        .format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    deliver("00-events.parquet")
+    runOnce() // run 1: fixture lands in the sink, state+offsets checkpoint
+    deliver("01-events.parquet")
+    runOnce() // run 2: NEW query, SAME checkpoint — must add nothing
+    spark.read.parquet(sink.toString).orderBy("event_id")
+  }
+
+  /** Restarted replay must equal exactly ONE copy of the relation. */
+  val q82Sql: String =
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+      |  CAST(round(value * 100) AS BIGINT) AS value_cents
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** q78: EVENT-TIME TIMERS through transformWithState. Each user's
     * processor re-arms a timer at (max event time + 5 min); nothing is
     * emitted from handleInputRows at all — every sink row exists
@@ -413,7 +467,8 @@ object StreamingGate {
     "q65_stream_running_counts" -> (q65StreamRunningCounts _),
     "q76_stream_max_state" -> (q76StreamMaxState _),
     "q78_stream_session_close" -> (q78StreamSessionClose _),
-    "q79_stream_initial_state" -> (q79StreamInitialState _))
+    "q79_stream_initial_state" -> (q79StreamInitialState _),
+    "q82_stream_restart" -> (q82StreamRestart _))
 
   /** Same oracles as the batch twins: the streaming engine must land on
     * the identical relation. */
@@ -426,5 +481,6 @@ object StreamingGate {
     "q65_stream_running_counts" -> q65Sql,
     "q76_stream_max_state" -> q76Sql,
     "q78_stream_session_close" -> q78Sql,
-    "q79_stream_initial_state" -> q76Sql)
+    "q79_stream_initial_state" -> q76Sql,
+    "q82_stream_restart" -> q82Sql)
 }

@@ -165,6 +165,18 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "handleInitialState must seed the store before input")
   }
 
+  test("q82 gate: a restarted query recovers offsets + state from the checkpoint") {
+    val got = graft.streaming.StreamingGate.q82StreamRestart(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val want = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(got == want,
+      "run 2 on the same checkpoint must add nothing: no offset re-read, no state loss")
+  }
+
   test("v2 state TTL: expired values vanish between micro-batches") {
     // TTL is processing-time so it can't be hash-gated like q76/q78/q79;
     // what IS provable: with a 1 ms TTL and the two-copy staged replay
