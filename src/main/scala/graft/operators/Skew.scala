@@ -36,4 +36,17 @@ object Skew {
       .agg(sum(value).as("partial_s"))
       .groupBy(col("key"))
       .agg(sum(col("partial_s")).as("s"))
+
+  /** Salted count + sum in ONE two-phase pass (one shuffle of
+    * key x saltBuckets partials, one tiny merge) — the shape q88 gates
+    * against the plain group-by oracle. Value must be an exact
+    * (integer) column: the merge re-sums partials, which is only
+    * order-independent for associative-exact arithmetic. */
+  def saltedStats(df: DataFrame, key: Column, value: Column, saltBuckets: Int): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets)))
+      .groupBy(key.as("key"), col("__salt"))
+      .agg(count(lit(1)).as("partial_n"), sum(value).as("partial_s"))
+      .groupBy(col("key"))
+      .agg(sum(col("partial_n")).as("n"), sum(col("partial_s")).as("s"))
 }

@@ -432,6 +432,147 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY priority""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** TPC-H Q17 shape: a CORRELATED SCALAR SUBQUERY ("below 20% of this
+    * part's average order quantity"), written in SQL on purpose and run
+    * through `spark.sql` so Catalyst's subquery decorrelation does the
+    * rewrite — the optimizer turns the per-row subquery into one
+    * aggregate over lineitem plus an equi-join (visible in the plan as a
+    * single extra hash aggregate, never a per-row re-scan). That rewrite
+    * IS the 100 TB story: the naive semantics re-read lineitem once per
+    * row; the decorrelated plan reads it exactly twice.
+    *
+    * Exactness: `l_quantity` is integral in this schema (TPC-H spec,
+    * asserted by the fixture), so SUM over doubles is exact below 2^53
+    * regardless of partitioning; AVG = one division of exact terms and
+    * `0.2 * avg` one multiply — bit-identical in both engines. Money is
+    * summed as exact cent BIGINTs per the file's hash-parity rules. */
+  def q86ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("q86_lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("q86_part")
+    s.sql("""
+      SELECT p.p_brand AS brand,
+        SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) DIV 7 AS avg_weekly_cents,
+        COUNT(*) AS n_items
+      FROM q86_lineitem l JOIN q86_part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity)
+        FROM q86_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      GROUP BY p.p_brand
+      ORDER BY brand""")
+  }
+
+  val q86Sql: String =
+    """SELECT p.p_brand AS brand,
+      |  CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) // 7 AS BIGINT) AS avg_weekly_cents,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE l.l_quantity < (
+      |  SELECT 0.2 * avg(l2.l_quantity)
+      |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      |GROUP BY p.p_brand
+      |ORDER BY brand""".stripMargin
+
+  // ---------------------------------------------------------------- q87
+  /** TPC-H Q4 shape: EXISTS correlated subquery ("orders with at least
+    * one lineitem shipped >90 days after the order date"), again through
+    * `spark.sql` so the optimizer plans it — EXISTS lowers to a LEFT SEMI
+    * join on the order key, which at scale is one shuffle on l_orderkey
+    * and no duplicate-row blowup however many late items an order has. */
+  def q87ExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("q87_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("q87_lineitem")
+    s.sql("""
+      SELECT o.o_orderpriority AS priority, COUNT(*) AS n_late_orders
+      FROM q87_orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM q87_lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      GROUP BY o.o_orderpriority
+      ORDER BY priority""")
+  }
+
+  val q87Sql: String =
+    """SELECT o.o_orderpriority AS priority, COUNT(*) AS n_late_orders
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o.o_orderpriority
+      |ORDER BY priority""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+  /** Salted two-phase aggregation, oracle-gated: count + exact-cents sum
+    * per event_type through [[graft.operators.Skew.saltedStats]]. The
+    * fixture has FIVE event types over 10k+ rows — exactly the hot-key
+    * shape where a plain groupBy funnels each key into one reduce task;
+    * the salt spreads each key over `SaltBuckets` partial groups and a
+    * second (tiny) merge re-combines. The oracle is the PLAIN group-by:
+    * green means salting is semantically invisible, which is the whole
+    * contract of the utility. */
+  val SaltBuckets = 8
+  def q88SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Skew.saltedStats(
+        Tables.events(s, dir), $"event_type", cents($"value"), SaltBuckets)
+      .select($"key".as("event_type"), $"n", $"s".as("sum_cents"))
+      .orderBy($"event_type")
+  }
+
+  val q88Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q89
+  /** Conversion funnel over the events stream: per user, the first
+    * 'view' and the first 'purchase' that follows it within one hour.
+    * Two small per-user aggregates and one equi-join on user_id — the
+    * purchase side never fans out (min-when folds it back map-side), so
+    * the shape is two shuffles on user_id however many events a hot user
+    * has. Timestamps flow as exact epoch-micro longs (ns div 1000 —
+    * never through a double). */
+  val FunnelWindowUs: Long = 3600L * 1000000L
+  def q89Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", expr("ts_ns div 1000").as("us"))
+    val firstView = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("first_view_us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"us")
+    firstView.join(purchases, Seq("user_id"), "left")
+      .groupBy($"user_id", $"first_view_us")
+      .agg(min(when($"us" > $"first_view_us" &&
+                    $"us" <= $"first_view_us" + lit(FunnelWindowUs), $"us"))
+        .as("first_purchase_us"))
+      .select($"user_id", $"first_view_us", $"first_purchase_us",
+        when($"first_purchase_us".isNotNull, 1).otherwise(0).as("converted"))
+      .orderBy($"user_id")
+  }
+
+  val q89Sql: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       |v AS (SELECT user_id, MIN(us) AS first_view_us FROM e
+       |      WHERE event_type = 'view' GROUP BY user_id),
+       |p AS (SELECT user_id, us FROM e WHERE event_type = 'purchase')
+       |SELECT v.user_id, v.first_view_us,
+       |  MIN(CASE WHEN p.us > v.first_view_us
+       |            AND p.us <= v.first_view_us + $FunnelWindowUs
+       |           THEN p.us END) AS first_purchase_us,
+       |  CASE WHEN MIN(CASE WHEN p.us > v.first_view_us
+       |                      AND p.us <= v.first_view_us + $FunnelWindowUs
+       |                     THEN p.us END) IS NOT NULL THEN 1 ELSE 0 END AS converted
+       |FROM v LEFT JOIN p ON p.user_id = v.user_id
+       |GROUP BY v.user_id, v.first_view_us
+       |ORDER BY v.user_id""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_pricing"     -> (q05Pricing _),
@@ -447,7 +588,11 @@ object Relational {
     "q26_interval_join" -> (q26IntervalJoin _),
     "q27_cube_stats"    -> (q27CubeStats _),
     "q28_json_extract"  -> (q28JsonExtract _),
-    "q39_pivot"         -> (q39Pivot _))
+    "q39_pivot"         -> (q39Pivot _),
+    "q86_scalar_subquery" -> (q86ScalarSubquery _),
+    "q87_exists_subquery" -> (q87ExistsSubquery _),
+    "q88_salted_agg"      -> (q88SaltedAgg _),
+    "q89_funnel"          -> (q89Funnel _))
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
@@ -463,5 +608,9 @@ object Relational {
     "q09_except"      -> q09ExceptSql,
     "q10_rollup"      -> q10Sql,
     "q11_event_windows" -> q11Sql,
-    "q12_sessionize"  -> q12Sql)
+    "q12_sessionize"  -> q12Sql,
+    "q86_scalar_subquery" -> q86Sql,
+    "q87_exists_subquery" -> q87Sql,
+    "q88_salted_agg"      -> q88Sql,
+    "q89_funnel"          -> q89Sql)
 }
