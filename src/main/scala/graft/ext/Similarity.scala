@@ -752,6 +752,125 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------- semantic dedup
+  /** Within-cell quantized cosine threshold for q83. Fixture similarity
+    * tops out ~0.48 (random-ish synthetic vectors), so 0.44 marks the
+    * genuinely-closest pairs as semantic duplicates; production corpora
+    * run 0.9+. */
+  val SemDedupThreshold = 0.44
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023 shape): embedding-space
+    * near-duplicate removal made sub-quadratic by CLUSTER-SCOPING the
+    * pairwise search — quantize (q69's one global int8 scale), assign
+    * every vector to its nearest centroid cell (q73's exact-integer
+    * struct-argmin, map-side combined), then compare pairs ONLY within a
+    * cell via one co-partitioned equi-join on `cell`. The O(n²) kernel
+    * becomes Σ|cell|² — with k cells of even size that is n²/k, and the
+    * cell count is the scale knob exactly as in IVF search. No cartesian
+    * anywhere: the pair generator is a hash join on the cell key.
+    *
+    * Similarity is the quantized cosine — exact BIGINT dot over int8
+    * codes divided by the exact integer norms' product: every input to
+    * the one float expression is exact, so both engines compute the
+    * SAME double and the θ-comparison can never disagree. Keeper policy
+    * is greedy-by-id (drop b iff some same-cell a<b has cos ≥ θ): the
+    * min-id member of every duplicate set survives, one pass, no
+    * iteration. Output is a full-corpus verdict: cell, keep flag, dup
+    * count, and the best evidence partner (highest cos, ties to the
+    * smaller id via the bounded-heap total order). */
+  def semanticDedup(emb: DataFrame, centroidMod: Long = CentroidMod): DataFrame = {
+    VectorOps.register(emb.sparkSession)
+    val r = QuantRange
+    val mx = emb.select(max(expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+        "(acc, e) -> greatest(acc, abs(CAST(e AS DOUBLE))))")).as("mx"))
+    val v = emb.crossJoin(broadcast(mx))
+      .select(col("vec_id"), expr(
+        s"transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+          s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30d)) + 0.5d))) AS INT))")
+        .as("qemb"))
+      .withColumn("self", expr("vec_dot_int(qemb, qemb)"))
+    val cents = v.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cent_id"), col("qemb").as("cent_q"),
+              col("self").as("cent_self"))
+    val assigned = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qemb"), col("self"),
+        (col("self") - expr("2 * vec_dot_int(qemb, cent_q)") +
+          col("cent_self")).as("d2"), col("cent_id"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cent_id"))).as("m"),
+           first(col("qemb")).as("qemb"), first(col("self")).as("self"))
+      .select(col("vec_id"), col("qemb"), col("self"), col("m.cent_id").as("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("qemb").as("qa"), col("self").as("sa"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("qemb").as("qb"), col("self").as("sb"))
+    val hits = a.join(b, "cell").filter(col("id_a") < col("id_b"))
+      .select(col("id_b"), col("id_a"),
+        (expr("vec_dot_int(qa, qb)") / (sqrt(col("sa")) * sqrt(col("sb"))))
+          .as("cos_q"))
+      .filter(col("cos_q") >= SemDedupThreshold)
+    val top1 = graft.functions.BoundedTopK.topK(1)
+    val dups = hits.groupBy(col("id_b"))
+      .agg(count(lit(1)).as("n_dups"), top1(col("cos_q"), col("id_a")).as("best"))
+      .select(col("id_b").as("vec_id"), col("n_dups"),
+        col("best")(0).getField("id").as("dup_of"),
+        round(col("best")(0).getField("cos"), 6).as("dup_cos"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        when(col("dup_of").isNull, 1).otherwise(0).as("keep"),
+        col("dup_of"), col("dup_cos"))
+      .orderBy("vec_id")
+  }
+
+  val semanticDedupSql: String = {
+    val r = QuantRange
+    val quant = s"list_transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+      s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30)) + 0.5))) AS INT))"
+    def intDot(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, len($a)), " +
+        s"i -> CAST($a[i] AS BIGINT) * CAST($b[i] AS BIGINT))), (x, y) -> x + y)"
+    s"""WITH m AS (
+       |  SELECT MAX(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))),
+       |    (x, y) -> greatest(x, y))) AS mx
+       |  FROM embeddings),
+       |v0 AS (SELECT vec_id, $quant AS qemb FROM embeddings CROSS JOIN m),
+       |v AS (SELECT vec_id, qemb, ${intDot("qemb", "qemb")} AS self FROM v0),
+       |cents AS (SELECT vec_id AS cent_id, qemb AS cent_q, self AS cent_self
+       |          FROM v WHERE vec_id % $CentroidMod = 0),
+       |assigned AS (
+       |  SELECT vec_id, qemb, self, cell FROM (
+       |    SELECT v.vec_id, v.qemb, v.self, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY v.self - 2 * ${intDot("v.qemb", "c.cent_q")} + c.cent_self,
+       |                 c.cent_id) AS arn
+       |    FROM v CROSS JOIN cents c) WHERE arn = 1),
+       |hits AS (
+       |  SELECT * FROM (
+       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |      ${intDot("a.qemb", "b.qemb")} / (sqrt(a.self) * sqrt(b.self)) AS cos_q
+       |    FROM assigned a JOIN assigned b
+       |      ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |  WHERE cos_q >= $SemDedupThreshold),
+       |dups AS (SELECT id_b AS vec_id, COUNT(*) AS n_dups FROM hits GROUP BY id_b),
+       |best AS (
+       |  SELECT id_b AS vec_id, id_a AS dup_of, round(cos_q, 6) AS dup_cos FROM (
+       |    SELECT id_b, id_a, cos_q,
+       |      ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY cos_q DESC, id_a) AS rn
+       |    FROM hits) WHERE rn = 1)
+       |SELECT s.vec_id, s.cell, coalesce(d.n_dups, 0) AS n_dups,
+       |  CASE WHEN b.dup_of IS NULL THEN 1 ELSE 0 END AS keep,
+       |  b.dup_of, b.dup_cos
+       |FROM assigned s
+       |LEFT JOIN dups d ON d.vec_id = s.vec_id
+       |LEFT JOIN best b ON b.vec_id = s.vec_id
+       |ORDER BY s.vec_id""".stripMargin
+  }
+
   // ---------------------------------------------- quantized k-means step
   /** One k-means/IVF TRAINING iteration over the int8-quantized corpus —
     * the job that periodically refreshes q18's centroid table. Runs
@@ -854,7 +973,8 @@ object Similarity {
     "q42_signlsh_multiband" -> ((s, d) => signLshMultiBand(Tables.embeddings(s, d))),
     "q69_quantized_topk" -> ((s, d) => quantizedTopK(Tables.embeddings(s, d))),
     "q73_kmeans_step" -> ((s, d) => kmeansStep(Tables.embeddings(s, d))),
-    "q80_quantized_ivf" -> ((s, d) => quantizedIvfTopK(Tables.embeddings(s, d))))
+    "q80_quantized_ivf" -> ((s, d) => quantizedIvfTopK(Tables.embeddings(s, d))),
+    "q83_semantic_dedup" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q17_cosine_topk" -> cosineTopKSql,
@@ -864,5 +984,6 @@ object Similarity {
     "q42_signlsh_multiband" -> signLshMultiBandSql,
     "q69_quantized_topk" -> quantizedTopKSql,
     "q73_kmeans_step" -> kmeansStepSql,
-    "q80_quantized_ivf" -> quantizedIvfTopKSql)
+    "q80_quantized_ivf" -> quantizedIvfTopKSql,
+    "q83_semantic_dedup" -> semanticDedupSql)
 }

@@ -596,6 +596,111 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- q84 quality gate
+  /** Percentile rank (in quarters) for the per-source quality floor. */
+  val GateQuartile = 1 // drop below the 25th percentile
+
+  /** Per-source ADAPTIVE quality floor: keep a doc iff its token count
+    * clears its OWN source's 25th percentile — the per-domain analogue
+    * of a fixed quality cutoff (web sources differ too much for one
+    * global threshold; CCNet/RefinedWeb gate per domain for exactly
+    * this reason).
+    *
+    * The exact discrete quantile is computed WITHOUT sorting the corpus:
+    * aggregate to a (source, score) histogram (mergeable counts — one
+    * corpus-sized shuffle of tiny rows), run the cumulative walk over
+    * that histogram (sources × distinct-scores rows, thousands not
+    * billions — the window sort is over the AGGREGATE, the q37 trick),
+    * then broadcast the per-source threshold row back over the corpus.
+    * Threshold = smallest score with cumulative count ≥ ceil(n/4):
+    * at least 25% of the source's docs sit at or below it, and a doc is
+    * kept iff score ≥ threshold. */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"),
+      expr("size(split(text, ' '))").cast("long").as("n_tokens"))
+    val hist = scored.groupBy("source", "n_tokens")
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("n_tokens")
+    val thresholds = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .filter(col("cum") * 4 >= col("n") * GateQuartile)
+      .groupBy("source")
+      .agg(min(col("n_tokens")).as("p25"))
+    scored.join(broadcast(thresholds), "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("p25"),
+        when(col("n_tokens") >= col("p25"), 1).otherwise(0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val qualityGateSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |hist AS (
+       |  SELECT source, n_tokens, COUNT(*) AS c
+       |  FROM scored GROUP BY source, n_tokens),
+       |cum AS (
+       |  SELECT source, n_tokens,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY n_tokens) AS cum,
+       |    SUM(c) OVER (PARTITION BY source) AS n
+       |  FROM hist),
+       |thresholds AS (
+       |  SELECT source, MIN(n_tokens) AS p25
+       |  FROM cum WHERE cum * 4 >= n * $GateQuartile GROUP BY source)
+       |SELECT s.doc_id, s.source, s.n_tokens, t.p25,
+       |  CASE WHEN s.n_tokens >= t.p25 THEN 1 ELSE 0 END AS keep
+       |FROM scored s JOIN thresholds t ON t.source = s.source
+       |ORDER BY s.doc_id""".stripMargin
+
+  // ------------------------------------- q85 contamination overlap
+  /** Eval split modulus — mirrors [[Dedup.EvalMod]]: doc_id % 10 == 0
+    * plays the held-out benchmark. */
+  val OverlapEvalMod = 10
+
+  /** N-gram contamination SCORE — the graded refinement of q45's binary
+    * prefix-membership check: for every training doc, the fraction of
+    * its distinct 3-grams that appear anywhere in the eval split
+    * (the standard n-gram-overlap decontamination metric; production
+    * uses 8–13-grams, the fixture's short docs use 3). Eval-side grams
+    * aggregate to a distinct set FIRST (an eval set is small by
+    * definition — this is the side a 100 TB pipeline broadcasts, or
+    * Bloom-filters as q45 does); the corpus side is one scan, one
+    * equi-join on the gram key, one per-doc count aggregate. Reported
+    * in exact basis points. */
+  def contaminationOverlap(docs: DataFrame): DataFrame = {
+    val g = trigrams(docs)
+    val trainGrams = g.filter(col("doc_id") % OverlapEvalMod =!= 0).distinct()
+    val evalGrams = g.filter(col("doc_id") % OverlapEvalMod === 0)
+      .select("gram").distinct()
+      .withColumn("hit", lit(1L))
+    trainGrams.join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        expr("(10000 * n_hit) div n_grams").as("overlap_bp"))
+      .orderBy("doc_id")
+  }
+
+  val contaminationOverlapSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+       |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+       |  FROM t WHERE len(toks) >= 3)),
+       |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % $OverlapEvalMod = 0)
+       |SELECT g.doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST((10000 * SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END))
+       |       // COUNT(*) AS BIGINT) AS overlap_bp
+       |FROM g LEFT JOIN ev ON ev.gram = g.gram
+       |WHERE g.doc_id % $OverlapEvalMod <> 0
+       |GROUP BY g.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
@@ -610,7 +715,9 @@ object TextAnalysis {
     "q57_heavy_hitters" -> ((s, d) => heavyHitterGrams(Tables.documents(s, d))),
     "q61_novelty" -> ((s, d) => noveltyScores(Tables.documents(s, d))),
     "q68_tfidf_terms" -> ((s, d) => tfIdfTopTerms(Tables.documents(s, d))),
-    "q70_pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d))))
+    "q70_pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d))),
+    "q84_quality_gate" -> ((s, d) => qualityGate(Tables.documents(s, d))),
+    "q85_contamination_overlap" -> ((s, d) => contaminationOverlap(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q19_lang_id"     -> langIdSql,
@@ -625,5 +732,7 @@ object TextAnalysis {
     "q57_heavy_hitters" -> heavyHitterGramsSql,
     "q61_novelty" -> noveltyScoresSql,
     "q68_tfidf_terms" -> tfIdfTopTermsSql,
-    "q70_pii_scrub" -> piiScrubSql)
+    "q70_pii_scrub" -> piiScrubSql,
+    "q84_quality_gate" -> qualityGateSql,
+    "q85_contamination_overlap" -> contaminationOverlapSql)
 }

@@ -717,4 +717,52 @@ class ExtSpec extends SparkSpec {
     val total = docs.select(expr("sum(size(split(text, ' ')))")).head().getLong(0)
     assert(kept <= total && kept > 0)
   }
+
+  test("q83 semantic dedup: full-corpus verdict, dropped rows cite a smaller-id partner") {
+    val emb = Tables.embeddings(spark, sf)
+    val r = graft.ext.Similarity.semanticDedup(emb).collect()
+    assert(r.length == emb.count(), "one verdict row per vector")
+    r.foreach { row =>
+      val (keep, nDups) = (row.getAs[Int]("keep"), row.getAs[Long]("n_dups"))
+      if (keep == 0) {
+        assert(nDups > 0)
+        assert(row.getAs[Long]("dup_of") < row.getAs[Long]("vec_id"),
+          "keeper policy is greedy-by-id: evidence partner must be smaller")
+        assert(row.getAs[Double]("dup_cos") >= graft.ext.Similarity.SemDedupThreshold - 5e-7)
+      } else assert(nDups == 0 && row.isNullAt(row.fieldIndex("dup_of")))
+    }
+    // the min-id member of every cell can never be dropped
+    val minPerCell = r.groupBy(_.getAs[Long]("cell")).values
+      .map(_.minBy(_.getAs[Long]("vec_id")))
+    minPerCell.foreach(row => assert(row.getAs[Int]("keep") == 1))
+  }
+
+  test("q84 quality gate: per-source floor keeps at least 75% of each source") {
+    val r = graft.ext.TextAnalysis.qualityGate(Tables.documents(spark, sf)).collect()
+    r.groupBy(_.getAs[String]("source")).values.foreach { docs =>
+      val kept = docs.count(_.getAs[Int]("keep") == 1)
+      assert(kept * 4 >= docs.length * 3,
+        s"p25 floor must keep >=75%: kept $kept of ${docs.length}")
+      // the threshold is the source's actual discrete p25: at least 25%
+      // of docs sit at or below it
+      val p25 = docs.head.getAs[Long]("p25")
+      val atOrBelow = docs.count(_.getAs[Long]("n_tokens") <= p25)
+      assert(atOrBelow * 4 >= docs.length)
+      docs.foreach(d => assert((d.getAs[Long]("n_tokens") >= p25) ==
+        (d.getAs[Int]("keep") == 1)))
+    }
+  }
+
+  test("q85 contamination overlap: eval docs excluded; a doc cloned from eval scores 10000") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "alpha beta gamma delta", "s"),   // eval (id % 10 == 0)
+      (11L, "alpha beta gamma delta", "s"),   // clone of eval -> 10000 bp
+      (12L, "zeta eta theta iota kappa", "s") // disjoint -> 0 bp
+    ).toDF("doc_id", "text", "source")
+    val r = graft.ext.TextAnalysis.contaminationOverlap(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("overlap_bp")).toMap
+    assert(!r.contains(10L), "eval split must not be scored")
+    assert(r(11L) == 10000L && r(12L) == 0L)
+  }
 }

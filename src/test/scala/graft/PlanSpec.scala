@@ -450,4 +450,36 @@ class PlanSpec extends SparkSpec {
       spark.sql("SELECT sign_lsh_sig(array(1.0F, 2.0F)) AS s")
     }
   }
+
+  test("q83 semantic dedup: pair generation is a hash join on cell, no cartesian") {
+    val p = plan(graft.ext.Similarity.semanticDedup(Tables.embeddings(spark, sf)))
+    assert(!p.contains("CartesianProduct"))
+    // the in-cell pair join is an equi-join on the cell key (hash or SMJ),
+    // not a nested loop over the corpus
+    val joinLines = p.linesIterator.filter(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+       l.contains("BroadcastHashJoin")) && l.contains("cell")).toSeq
+    assert(joinLines.nonEmpty, s"no equi-join on cell found:\n$p")
+  }
+
+  test("q84/q85: tiny side broadcasts (thresholds, eval grams)") {
+    val p84 = plan(graft.ext.TextAnalysis.qualityGate(Tables.documents(spark, sf)))
+    assert(p84.contains("BroadcastHashJoin"), "per-source thresholds must broadcast")
+    val p85 = plan(graft.ext.TextAnalysis.contaminationOverlap(Tables.documents(spark, sf)))
+    assert(p85.contains("BroadcastHashJoin"), "eval gram set must broadcast")
+    assert(!p85.contains("CartesianProduct"))
+  }
+
+  test("q86: decorrelated plan scans lineitem exactly twice, no per-row re-scan") {
+    val p = plan(graft.queries.Relational.q86ScalarSubquery(spark, sf))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans == 2, s"expected main + aggregate scans, got $scans:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q87: EXISTS lowers to a left-semi join") {
+    val p = plan(graft.queries.Relational.q87ExistsSubquery(spark, sf))
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as semi join:\n$p")
+  }
 }

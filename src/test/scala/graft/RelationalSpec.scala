@@ -120,4 +120,66 @@ class RelationalSpec extends SparkSpec {
          r.getAs[Long]("mn"), r.getAs[Long]("mx"))).toMap
     assert(got == want, "one-pass expansion drifted from the native CUBE")
   }
+
+  test("q86 scalar subquery equals the hand-decorrelated join form") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Relational.q86ScalarSubquery(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val li = Tables.lineitem(spark, sf)
+    val avg5 = li.groupBy(col("l_partkey").as("pk"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("fifth"))
+    val want = li.join(avg5, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("fifth"))
+      .join(Tables.part(spark, sf), col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(expr("sum(cast(round(l_extendedprice*100) as bigint)) div 7").as("a"),
+           count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, "Catalyst decorrelation drifted from the manual join")
+  }
+
+  test("q87 exists subquery: counted orders each have a >90-day-late lineitem") {
+    import org.apache.spark.sql.functions._
+    val total = graft.queries.Relational.q87ExistsSubquery(spark, sf).collect()
+      .map(_.getAs[Long]("n_late_orders")).sum
+    val manual = Tables.orders(spark, sf).as("o")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, sf).as("l"),
+        col("l.l_orderkey") === col("o.o_orderkey") &&
+        col("l.l_shipdate") > col("o.o_orderdate") + expr("interval 90 days"),
+        "left_semi")
+      .count()
+    assert(total == manual)
+  }
+
+  test("q88 salted stats equal the plain group-by") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Relational.q88SaltedAgg(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(round(col("value") * 100).cast("long")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
+  test("q89 funnel: conversions are inside the window, first_view is the true min") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Relational.q89Funnel(spark, sf).collect()
+    val views = Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(expr("ts_ns div 1000")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == views.size, "one row per user with a view")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("first_view_us") == views(r.getAs[Long]("user_id")))
+      if (r.getAs[Int]("converted") == 1) {
+        val p = r.getAs[Long]("first_purchase_us")
+        val v = r.getAs[Long]("first_view_us")
+        assert(p > v && p <= v + graft.queries.Relational.FunnelWindowUs)
+      } else assert(r.isNullAt(r.fieldIndex("first_purchase_us")))
+    }
+  }
 }
