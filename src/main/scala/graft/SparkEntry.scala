@@ -25,6 +25,7 @@ object SparkEntry {
     graft.ext.Curation.queries ++
     graft.ext.Multimodal.queries ++
     graft.sources.Jsonl.queries ++
+    graft.sources.Partitioned.queries ++
     graft.streaming.StreamingGate.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +40,6 @@ object SparkEntry {
     graft.ext.Curation.oracles ++
     graft.ext.Multimodal.oracles ++
     graft.sources.Jsonl.oracles ++
+    graft.sources.Partitioned.oracles ++
     graft.streaming.StreamingGate.oracles
 }

@@ -573,6 +573,83 @@ object Relational {
        |GROUP BY v.user_id, v.first_view_us
        |ORDER BY v.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** Incremental aggregate maintenance: the q05-shape pricing summary
+    * kept up to date under batch append WITHOUT rescanning history. The
+    * persisted state is the PARTIAL aggregate (per-group exact sums +
+    * counts — every measure here is algebraic, so partials merge by
+    * re-summing); a new batch aggregates alone and the merge is a
+    * group-by over state ∪ delta-partials: O(groups + delta), never
+    * O(corpus). The oracle recomputes from scratch over everything —
+    * green means the merge is exact, which is the entire contract of
+    * incremental view maintenance. At 100 TB this is the difference
+    * between a nightly full scan and a per-batch touch-up (the q50
+    * story, for aggregates). */
+  val IncrCutoff = "1997-01-01"
+  def q90IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity").cast("long").as("sum_qty"),
+             sum(cents($"l_extendedprice")).as("sum_base_cents"),
+             count(lit(1)).as("count_order"))
+    val cut = lit(IncrCutoff).cast("timestamp")
+    val li = Tables.lineitem(s, dir)
+    val state = partial(li.filter($"l_shipdate" < cut))  // "persisted" partials
+    val delta = partial(li.filter($"l_shipdate" >= cut)) // the appended batch
+    state.unionByName(delta)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(sum($"sum_qty").as("sum_qty"),
+           sum($"sum_base_cents").as("sum_base_cents"),
+           sum($"count_order").as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q90Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q91
+  /** RANGE-frame window: per order, the customer's trailing-90-day order
+    * count and spend. RANGE (value-defined, peers included) is a
+    * different runtime path from q08's ROWS frame — the frame boundary
+    * binary-searches the sorted partition by VALUE, and same-day peers
+    * must all join the frame for the result to be deterministic under
+    * ties. Partitioned per customer: the sort is per-key inside one
+    * shuffle, never a global order. */
+  val TrailingDays = 89 // 90-day window: today + 89 preceding
+  def q91RangeWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey",
+      datediff($"o_orderdate", lit("1970-01-01").cast("timestamp")).as("day"),
+      cents($"o_totalprice").as("cents_v"))
+    val w = Window.partitionBy($"o_custkey").orderBy($"day")
+      .rangeBetween(-TrailingDays, 0)
+    o.select($"o_orderkey", $"o_custkey", $"day",
+        count(lit(1)).over(w).as("n_trailing"),
+        sum($"cents_v").over(w).as("cents_trailing"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q91Sql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    date_diff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) AS day,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents_v
+       |  FROM orders)
+       |SELECT o_orderkey, o_custkey, day,
+       |  COUNT(*) OVER w AS n_trailing,
+       |  CAST(SUM(cents_v) OVER w AS BIGINT) AS cents_trailing
+       |FROM o
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+       |             RANGE BETWEEN $TrailingDays PRECEDING AND CURRENT ROW)
+       |ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_pricing"     -> (q05Pricing _),
@@ -592,7 +669,9 @@ object Relational {
     "q86_scalar_subquery" -> (q86ScalarSubquery _),
     "q87_exists_subquery" -> (q87ExistsSubquery _),
     "q88_salted_agg"      -> (q88SaltedAgg _),
-    "q89_funnel"          -> (q89Funnel _))
+    "q89_funnel"          -> (q89Funnel _),
+    "q90_incremental_agg" -> (q90IncrementalAgg _),
+    "q91_range_window"    -> (q91RangeWindow _))
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
@@ -612,5 +691,7 @@ object Relational {
     "q86_scalar_subquery" -> q86Sql,
     "q87_exists_subquery" -> q87Sql,
     "q88_salted_agg"      -> q88Sql,
-    "q89_funnel"          -> q89Sql)
+    "q89_funnel"          -> q89Sql,
+    "q90_incremental_agg" -> q90Sql,
+    "q91_range_window"    -> q91Sql)
 }

@@ -458,7 +458,34 @@ object StreamingGate {
       |  epoch_us(MAX(ts)) + 300000000 AS close_us
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q93: STREAM-STATIC join through the micro-batch engine — every
+    * event enriched with the customer dimension's market segment. What
+    * this gates that no other streaming row covers: the static side is
+    * a plain batch relation re-planned into EVERY micro-batch (the
+    * canonical enrichment shape — at scale the dim broadcasts per
+    * batch, and a dim update is picked up at the next trigger). The
+    * join is STATELESS — no watermark, no state store — so append mode
+    * emits each event exactly once as it arrives; the sentinel row
+    * (user_id = -1) matches no customer and the inner join drops it,
+    * keeping the harness inert. Oracle: the identical batch join. */
+  def q93StreamStaticJoin(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, dir, events => {
+      val dim = graft.Tables.customer(spark, dir)
+        .select(col("c_custkey").as("user_id"),
+                col("c_mktsegment").as("segment"))
+      events.join(broadcast(dim), Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("segment"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+    }).orderBy("event_id")
+
+  val q93Sql: String =
+    """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+      |  CAST(round(e.value * 100) AS BIGINT) AS value_cents
+      |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_stream_static_join" -> (q93StreamStaticJoin _),
     "q75_stream_sliding" -> (q75StreamSliding _),
     "q40_stream_tumbling" -> (q40StreamTumbling _),
     "q41_stream_sessions" -> (q41StreamSessions _),
@@ -473,6 +500,7 @@ object StreamingGate {
   /** Same oracles as the batch twins: the streaming engine must land on
     * the identical relation. */
   val oracles: Map[String, String] = Map(
+    "q93_stream_static_join" -> q93Sql,
     "q75_stream_sliding" -> q75Sql,
     "q40_stream_tumbling" -> graft.queries.Relational.q11Sql,
     "q41_stream_sessions" -> graft.queries.Relational.q12Sql,

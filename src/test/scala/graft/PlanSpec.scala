@@ -482,4 +482,26 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.queries.Relational.q87ExistsSubquery(spark, sf))
     assert(p.contains("LeftSemi"), s"EXISTS must plan as semi join:\n$p")
   }
+
+  test("q92: the source filter prunes partitions at listing time") {
+    val df = graft.sources.Partitioned.prunedScan(spark, sf)
+    val p = plan(df)
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("source"),
+      s"filter must resolve as PartitionFilters on the scan:\n$p")
+    // the physical proof: the executed scan reads exactly the kept
+    // partitions' files (inputFiles would show the PRE-pruning listing)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df2 = graft.sources.Partitioned.prunedScan(spark, sf)
+      df2.collect()
+      val scans = df2.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      val nFiles = scans.head.metrics("numFiles").value
+      assert(nFiles == graft.sources.Partitioned.KeepSources.length,
+        s"expected ${graft.sources.Partitioned.KeepSources.length} files read, got $nFiles")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

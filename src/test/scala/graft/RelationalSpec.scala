@@ -182,4 +182,40 @@ class RelationalSpec extends SparkSpec {
       } else assert(r.isNullAt(r.fieldIndex("first_purchase_us")))
     }
   }
+
+  test("q90 incremental merge equals the from-scratch aggregate") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Relational.q90IncrementalAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val want = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).cast("long").as("q"),
+           sum(round(col("l_extendedprice") * 100).cast("long")).as("c"),
+           count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want, "state + delta merge must equal full recompute")
+  }
+
+  test("q91 range frame: trailing window matches a brute-force recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Relational.q91RangeWindow(spark, sf).collect()
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    // brute-force per customer: count/sum of orders within 89 days before
+    val cents = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byCust.values.foreach { os =>
+      os.foreach { r =>
+        val d = r.getAs[Int]("day")
+        val peers = os.filter(x => x.getAs[Int]("day") <= d &&
+                                   x.getAs[Int]("day") >= d - 89)
+        assert(r.getAs[Long]("n_trailing") == peers.length)
+        assert(r.getAs[Long]("cents_trailing") ==
+          peers.map(x => cents(x.getAs[Long]("o_orderkey"))).sum)
+      }
+    }
+  }
 }
