@@ -56,7 +56,7 @@ object ScaleRehearsal {
     "q63_domain_mix", "q64_doc_stitches", "q66_bigram_lm",
     "q67_collocations", "q68_tfidf_terms", "q70_pii_scrub",
     "q71_source_drift", "q72_substring_dups", "q74_phash_neardup",
-    "q77_colloc_sampled")
+    "q77_colloc_sampled", "q84_quality_gate", "q85_contamination_overlap")
 
   /** q17/q24/q69 are declared-O(n²) kernels; q18/q73 assign against a
     * centroid set that GROWS with the fixture (vec_id % mod stand-in),
@@ -66,7 +66,7 @@ object ScaleRehearsal {
     * section below: the "use this at scale" guidance as numbers. */
   val ExcludedQuadratic: Seq[String] =
     Seq("q17_cosine_topk", "q18_ivf_topk", "q24_embedding_neardup",
-      "q69_quantized_topk", "q73_kmeans_step")
+      "q69_quantized_topk", "q73_kmeans_step", "q83_semantic_dedup")
 
   /** Centroid stride that reproduces the BASE fixture's centroid SET on
     * the synthesized 10x ids (new_id = old_id * IdStride + rep): ids
@@ -208,7 +208,14 @@ object ScaleRehearsal {
         sim.nearDupsAuto(sim.withLshBands(emb10, bands = 4, bandBits = 9))),
       "q73_kmeans_base" -> timed(sim.kmeansStep(embBase)),
       "q73_kmeans_x10_fixedk" -> timed(
-        sim.kmeansStep(emb10, centroidMod = FixedKCentroidMod)))
+        sim.kmeansStep(emb10, centroidMod = FixedKCentroidMod)),
+      // q83's documented scale path: cells grow ~sqrt(n) so assignment
+      // (n*k) and in-cell pairs (n*cellsize) BOTH scale as n^1.5 —
+      // sqrt(10) ~ 3.16, so stride/3 triples the cell count at 10x
+      "q83_semdedup_base" -> timed(sim.semanticDedup(embBase)),
+      "q83_semdedup_x10_sqrtk" -> timed(
+        sim.semanticDedup(emb10,
+          centroidMod = FixedKCentroidMod / 3)))
 
     // Collocation-bound demo: at a bound the 10x corpus EXCEEDS, the
     // exact path must refuse loudly and the sampled path must answer —

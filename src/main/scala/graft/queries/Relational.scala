@@ -650,6 +650,44 @@ object Relational {
        |             RANGE BETWEEN $TrailingDays PRECEDING AND CURRENT ROW)
        |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  /** Bucketed-table co-located join, oracle-gated. Both fact tables are
+    * written bucketed (and sorted) on the join key; the join then plans
+    * WITHOUT an Exchange on either side — at 100 TB, pre-bucketing the
+    * tables that join daily converts every run's two corpus-sized
+    * shuffles into zero (the write pays the shuffle once). PlanSpec
+    * asserts the no-exchange property; this gate proves the bucketed
+    * round trip + join computes exactly the plain join's answer. Tables
+    * are registered with EXPLICIT temp paths (external tables,
+    * in-memory catalog) so no warehouse directory is created. */
+  def q94BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val (ot, lt) = (s"orders_b_$tag", s"lineitem_b_$tag")
+    if (!s.catalog.tableExists(ot)) {
+      val base = java.nio.file.Files.createTempDirectory("graft-bucketed")
+      base.toFile.deleteOnExit()
+      Tables.orders(s, dir).write.mode("overwrite")
+        .option("path", s"$base/$ot")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      Tables.lineitem(s, dir).write.mode("overwrite")
+        .option("path", s"$base/$lt")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+    }
+    s.table(lt).join(s.table(ot), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus", $"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+           sum(cents($"l_extendedprice")).as("sum_base_cents"))
+      .orderBy($"o_orderstatus", $"l_returnflag")
+  }
+
+  val q94Sql: String =
+    """SELECT o.o_orderstatus, l.l_returnflag, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o.o_orderstatus, l.l_returnflag
+      |ORDER BY o.o_orderstatus, l.l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_pricing"     -> (q05Pricing _),
@@ -671,7 +709,8 @@ object Relational {
     "q88_salted_agg"      -> (q88SaltedAgg _),
     "q89_funnel"          -> (q89Funnel _),
     "q90_incremental_agg" -> (q90IncrementalAgg _),
-    "q91_range_window"    -> (q91RangeWindow _))
+    "q91_range_window"    -> (q91RangeWindow _),
+    "q94_bucketed_join"   -> (q94BucketedJoin _))
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
@@ -693,5 +732,6 @@ object Relational {
     "q88_salted_agg"      -> q88Sql,
     "q89_funnel"          -> q89Sql,
     "q90_incremental_agg" -> q90Sql,
-    "q91_range_window"    -> q91Sql)
+    "q91_range_window"    -> q91Sql,
+    "q94_bucketed_join"   -> q94Sql)
 }

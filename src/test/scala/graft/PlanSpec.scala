@@ -504,4 +504,12 @@ class PlanSpec extends SparkSpec {
         s"expected ${graft.sources.Partitioned.KeepSources.length} files read, got $nFiles")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("q94: the gated bucketed join plans without an exchange on the keys") {
+    val p = plan(graft.queries.Relational.q94BucketedJoin(spark, sf))
+    val joinSection = p.substring(p.indexOf("Join"))
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
+           !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join must not reshuffle join keys:\n${p.take(1500)}")
+  }
 }
