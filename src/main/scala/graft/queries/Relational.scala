@@ -688,6 +688,94 @@ object Relational {
       |GROUP BY o.o_orderstatus, l.l_returnflag
       |ORDER BY o.o_orderstatus, l.l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  /** MERGE / upsert batch application — the table-maintenance verb
+    * (Delta's MERGE INTO, SQL's MERGE) as a plain Spark plan: a change
+    * batch of upserts and deletes applied to a snapshot in ONE full
+    * outer join on the key — matched+delete drops the row,
+    * matched+upsert takes the new image, unmatched-right inserts,
+    * unmatched-left keeps the old row. O(snapshot + changes) with a
+    * single co-partitioned shuffle; at 100 TB the same plan runs
+    * per-partition when the snapshot is bucketed/partitioned by key
+    * (q94's layout makes it exchange-free).
+    *
+    * The change batch is derived deterministically from the fixture so
+    * both engines see identical input: every orderkey % 100 == 0 gets
+    * its totalprice re-priced (+10%) and priority rewritten; every
+    * orderkey % 97 == 0 is deleted; and a synthetic new order is
+    * inserted per nation-sized stride past the max key. */
+  def q95MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir).select(
+      $"o_orderkey", $"o_custkey", $"o_orderstatus",
+      cents($"o_totalprice").as("price_cents"), $"o_orderpriority")
+    // change batch: re-price %100 keys, delete %97 keys (delete wins on
+    // overlap — MERGE clause order), insert fresh keys past the max
+    val upserts = base.filter($"o_orderkey" % 100 === 0)
+      .select($"o_orderkey".as("k"),
+        $"o_custkey".as("new_custkey"),
+        lit("P").as("new_status"),
+        ($"price_cents" + expr("price_cents div 10")).as("new_price_cents"),
+        lit("1-URGENT").as("new_priority"),
+        lit("upsert").as("op"))
+    val deletes = base.filter($"o_orderkey" % 97 === 0)
+      .select($"o_orderkey".as("k"), lit(null).cast("long").as("new_custkey"),
+        lit(null).cast("string").as("new_status"),
+        lit(null).cast("long").as("new_price_cents"),
+        lit(null).cast("string").as("new_priority"), lit("delete").as("op"))
+    val mx = base.agg(max($"o_orderkey").as("mxk"))
+    val inserts = Tables.nation(s, dir).crossJoin(broadcast(mx))
+      .select(($"mxk" + $"n_nationkey" + 1).as("k"),
+        ($"n_nationkey" + 1).as("new_custkey"), lit("O").as("new_status"),
+        lit(123456L).as("new_price_cents"), lit("5-LOW").as("new_priority"),
+        lit("upsert").as("op"))
+    // delete beats upsert on the same key: apply deletes last in the map
+    val changes = upserts.unionByName(deletes).unionByName(inserts)
+      .groupBy($"k")
+      .agg(max(struct((($"op" === "delete").cast("int")).as("d"),
+        $"new_custkey", $"new_status", $"new_price_cents", $"new_priority"))
+        .as("c"))
+      .select($"k", ($"c.d" === 1).as("is_delete"), $"c.new_custkey",
+        $"c.new_status", $"c.new_price_cents", $"c.new_priority")
+    base.join(changes, $"o_orderkey" === $"k", "full_outer")
+      .filter(!coalesce($"is_delete", lit(false)))
+      .select(
+        coalesce($"o_orderkey", $"k").as("o_orderkey"),
+        coalesce($"new_custkey", $"o_custkey").as("o_custkey"),
+        coalesce($"new_status", $"o_orderstatus").as("o_orderstatus"),
+        coalesce($"new_price_cents", $"price_cents").as("price_cents"),
+        coalesce($"new_priority", $"o_orderpriority").as("o_orderpriority"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q95Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+      |    o_orderpriority
+      |  FROM orders),
+      |mx AS (SELECT MAX(o_orderkey) AS mxk FROM base),
+      |changes AS (
+      |  SELECT o_orderkey AS k, FALSE AS is_delete, o_custkey AS new_custkey,
+      |    'P' AS new_status, price_cents + price_cents // 10 AS new_price_cents,
+      |    '1-URGENT' AS new_priority
+      |  FROM base WHERE o_orderkey % 100 = 0 AND o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey AS k, TRUE AS is_delete, NULL, NULL, NULL, NULL
+      |  FROM base WHERE o_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT mxk + n_nationkey + 1 AS k, FALSE, n_nationkey + 1, 'O',
+      |    123456, '5-LOW'
+      |  FROM nation CROSS JOIN mx)
+      |SELECT coalesce(b.o_orderkey, c.k) AS o_orderkey,
+      |  coalesce(c.new_custkey, b.o_custkey) AS o_custkey,
+      |  coalesce(c.new_status, b.o_orderstatus) AS o_orderstatus,
+      |  coalesce(c.new_price_cents, b.price_cents) AS price_cents,
+      |  coalesce(c.new_priority, b.o_orderpriority) AS o_orderpriority
+      |FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.k
+      |WHERE NOT coalesce(c.is_delete, FALSE)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_pricing"     -> (q05Pricing _),
@@ -710,7 +798,8 @@ object Relational {
     "q89_funnel"          -> (q89Funnel _),
     "q90_incremental_agg" -> (q90IncrementalAgg _),
     "q91_range_window"    -> (q91RangeWindow _),
-    "q94_bucketed_join"   -> (q94BucketedJoin _))
+    "q94_bucketed_join"   -> (q94BucketedJoin _),
+    "q95_merge_upsert"    -> (q95MergeUpsert _))
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
@@ -733,5 +822,6 @@ object Relational {
     "q89_funnel"          -> q89Sql,
     "q90_incremental_agg" -> q90Sql,
     "q91_range_window"    -> q91Sql,
-    "q94_bucketed_join"   -> q94Sql)
+    "q94_bucketed_join"   -> q94Sql,
+    "q95_merge_upsert"    -> q95Sql)
 }

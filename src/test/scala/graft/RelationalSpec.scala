@@ -198,6 +198,31 @@ class RelationalSpec extends SparkSpec {
     assert(got == want, "state + delta merge must equal full recompute")
   }
 
+  test("q95 merge upsert: row accounting and clause semantics") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.orders(spark, sf)
+    val n = base.count()
+    val mxk = base.agg(max(col("o_orderkey"))).head().getLong(0)
+    val nDel = base.filter(col("o_orderkey") % 97 === 0).count()
+    val nIns = Tables.nation(spark, sf).count()
+    val out = graft.queries.Relational.q95MergeUpsert(spark, sf).collect()
+    assert(out.length == n - nDel + nIns, "rows = base - deletes + inserts")
+    val byKey = out.map(r => r.getAs[Long]("o_orderkey") -> r).toMap
+    // deleted keys gone; delete beats upsert on the lcm keys
+    base.filter(col("o_orderkey") % 97 === 0).collect()
+      .foreach(r => assert(!byKey.contains(r.getAs[Long]("o_orderkey"))))
+    // re-priced keys carry the new image
+    base.filter(col("o_orderkey") % 100 === 0 && col("o_orderkey") % 97 =!= 0)
+      .collect().foreach { r =>
+        val k = r.getAs[Long]("o_orderkey")
+        assert(byKey(k).getAs[String]("o_orderpriority") == "1-URGENT")
+        val old = math.round(r.getAs[Double]("o_totalprice") * 100)
+        assert(byKey(k).getAs[Long]("price_cents") == old + old / 10)
+      }
+    // inserts present with fresh keys
+    (1L to nIns).foreach(i => assert(byKey(mxk + i).getAs[String]("o_orderstatus") == "O"))
+  }
+
   test("q91 range frame: trailing window matches a brute-force recompute") {
     import org.apache.spark.sql.functions._
     val rows = graft.queries.Relational.q91RangeWindow(spark, sf).collect()
