@@ -776,6 +776,75 @@ object Relational {
       |WHERE NOT coalesce(c.is_delete, FALSE)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+  /** Churn analysis: EXISTS + NOT EXISTS over the same table in one
+    * query ("active before the cutoff, silent after") — Catalyst plans
+    * the pair as one LEFT SEMI and one LEFT ANTI join against the same
+    * orders relation. The anti join is the subquery shape q04's update
+    * verb uses imperatively; here it's gated through the SQL layer. */
+  val ChurnCutoff = "2000-01-01"
+  def q96ChurnedCustomers(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("q96_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("q96_orders")
+    s.sql(s"""
+      SELECT c.c_mktsegment AS segment, COUNT(*) AS n_churned
+      FROM q96_customer c
+      WHERE EXISTS (SELECT 1 FROM q96_orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate < TIMESTAMP '$ChurnCutoff 00:00:00')
+        AND NOT EXISTS (SELECT 1 FROM q96_orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '$ChurnCutoff 00:00:00')
+      GROUP BY c.c_mktsegment
+      ORDER BY segment""")
+  }
+
+  val q96Sql: String =
+    s"""SELECT c.c_mktsegment AS segment, COUNT(*) AS n_churned
+       |FROM customer c
+       |WHERE EXISTS (SELECT 1 FROM orders o
+       |              WHERE o.o_custkey = c.c_custkey
+       |                AND o.o_orderdate < TIMESTAMP '$ChurnCutoff 00:00:00')
+       |  AND NOT EXISTS (SELECT 1 FROM orders o
+       |                  WHERE o.o_custkey = c.c_custkey
+       |                    AND o.o_orderdate >= TIMESTAMP '$ChurnCutoff 00:00:00')
+       |GROUP BY c.c_mktsegment
+       |ORDER BY segment""".stripMargin
+
+  // ---------------------------------------------------------------- q97
+  /** TPC-H Q18 shape: IN-subquery whose inner query is an AGGREGATE with
+    * HAVING ("orders whose total quantity tops 250") — the decorrelated
+    * plan is one lineitem aggregate + a semi join, and the outer join to
+    * customer broadcasts. Quantities are integral so the HAVING sum is
+    * exact under any partitioning. */
+  val LargeOrderQty = 250
+  def q97LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("q97_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("q97_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("q97_lineitem")
+    s.sql(s"""
+      SELECT c.c_custkey, o.o_orderkey,
+        CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+        (SELECT CAST(SUM(l2.l_quantity) AS BIGINT) FROM q97_lineitem l2
+         WHERE l2.l_orderkey = o.o_orderkey) AS sum_qty
+      FROM q97_orders o JOIN q97_customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM q97_lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > $LargeOrderQty)
+      ORDER BY o.o_orderkey""")
+  }
+
+  val q97Sql: String =
+    s"""SELECT c.c_custkey, o.o_orderkey,
+       |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+       |  (SELECT CAST(SUM(l2.l_quantity) AS BIGINT) FROM lineitem l2
+       |   WHERE l2.l_orderkey = o.o_orderkey) AS sum_qty
+       |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+       |WHERE o.o_orderkey IN (
+       |  SELECT l_orderkey FROM lineitem
+       |  GROUP BY l_orderkey HAVING SUM(l_quantity) > $LargeOrderQty)
+       |ORDER BY o.o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_pricing"     -> (q05Pricing _),
@@ -799,7 +868,9 @@ object Relational {
     "q90_incremental_agg" -> (q90IncrementalAgg _),
     "q91_range_window"    -> (q91RangeWindow _),
     "q94_bucketed_join"   -> (q94BucketedJoin _),
-    "q95_merge_upsert"    -> (q95MergeUpsert _))
+    "q95_merge_upsert"    -> (q95MergeUpsert _),
+    "q96_churned_customers" -> (q96ChurnedCustomers _),
+    "q97_large_orders"      -> (q97LargeOrders _))
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
@@ -823,5 +894,7 @@ object Relational {
     "q90_incremental_agg" -> q90Sql,
     "q91_range_window"    -> q91Sql,
     "q94_bucketed_join"   -> q94Sql,
-    "q95_merge_upsert"    -> q95Sql)
+    "q95_merge_upsert"    -> q95Sql,
+    "q96_churned_customers" -> q96Sql,
+    "q97_large_orders"      -> q97Sql)
 }

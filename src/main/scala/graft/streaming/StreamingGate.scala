@@ -458,6 +458,68 @@ object StreamingGate {
       |  epoch_us(MAX(ts)) + 300000000 AS close_us
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q98: foreachBatch INCREMENTAL-SNAPSHOT maintenance — the streaming
+    * sink pattern that owns its own storage: each micro-batch is folded
+    * into a "latest event per user" parquet snapshot by an
+    * argmax-merge (q95's upsert verb, driven per batch). The merge key
+    * is max(struct(ts_ns, event_id)) — ASSOCIATIVE, so the final
+    * snapshot is independent of how the replay was batched: however the
+    * engine splits the files (three batches here: two fixture copies
+    * under maxFilesPerTrigger=1, then the sentinel), the result must
+    * equal the batch argmax over the plain fixture, which is exactly
+    * what the oracle computes. Snapshots are versioned v0,v1,… (write
+    * NEW dir, then read; never overwrite what a later batch reads) —
+    * the same copy-on-write discipline a table format uses. The
+    * duplicate second copy also proves idempotence: replaying identical
+    * data may not change the snapshot. */
+  def q98StreamUpsertSink(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageWithSentinel(spark, dir, copies = 2)
+    val root = Files.createTempDirectory("graft-upsert-snap")
+    val ckpt = Files.createTempDirectory("graft-upsert-ckpt")
+    Seq(root, ckpt).foreach(_.toFile.deleteOnExit())
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    @volatile var lastSnap: Option[String] = None
+    def argmaxMerge(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(max(struct(col("last_us"), col("last_event_id"), col("last_type")))
+          .as("m"))
+        .select(col("user_id"), col("m.last_us").as("last_us"),
+          col("m.last_event_id").as("last_event_id"),
+          col("m.last_type").as("last_type"))
+    try {
+      val q = stream(spark, staged, Some(1))
+        .filter(col("event_id") >= 0) // sentinel stays out of the snapshot
+        .select(col("user_id"), expr("ts_ns div 1000").as("last_us"),
+          col("event_id").as("last_event_id"), col("event_type").as("last_type"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+          val s = batch.sparkSession
+          val bAgg = argmaxMerge(batch.toDF())
+          val merged = lastSnap match {
+            case Some(p) => argmaxMerge(s.read.parquet(p).unionByName(bAgg))
+            case None => bAgg
+          }
+          val cur = root.resolve(s"v$id").toString
+          merged.write.mode("overwrite").parquet(cur)
+          lastSnap = Some(cur)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.read.parquet(lastSnap.get).orderBy("user_id")
+  }
+
+  val q98Sql: String =
+    """SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id,
+      |  event_type AS last_type
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   /** q93: STREAM-STATIC join through the micro-batch engine — every
     * event enriched with the customer dimension's market segment. What
     * this gates that no other streaming row covers: the static side is
@@ -485,6 +547,7 @@ object StreamingGate {
       |ORDER BY e.event_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_stream_upsert_sink" -> (q98StreamUpsertSink _),
     "q93_stream_static_join" -> (q93StreamStaticJoin _),
     "q75_stream_sliding" -> (q75StreamSliding _),
     "q40_stream_tumbling" -> (q40StreamTumbling _),
@@ -500,6 +563,7 @@ object StreamingGate {
   /** Same oracles as the batch twins: the streaming engine must land on
     * the identical relation. */
   val oracles: Map[String, String] = Map(
+    "q98_stream_upsert_sink" -> q98Sql,
     "q93_stream_static_join" -> q93Sql,
     "q75_stream_sliding" -> q75Sql,
     "q40_stream_tumbling" -> graft.queries.Relational.q11Sql,

@@ -505,6 +505,15 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q96/q97: EXISTS pair plans as semi+anti; IN-subquery as semi") {
+    val p96 = plan(graft.queries.Relational.q96ChurnedCustomers(spark, sf))
+    assert(p96.contains("LeftSemi") && p96.contains("LeftAnti"),
+      s"EXISTS/NOT EXISTS must plan as semi + anti joins:\n$p96")
+    val p97 = plan(graft.queries.Relational.q97LargeOrders(spark, sf))
+    assert(p97.contains("LeftSemi"), s"IN-subquery must plan as semi join:\n$p97")
+    assert(!p97.contains("CartesianProduct"))
+  }
+
   test("q94: the gated bucketed join plans without an exchange on the keys") {
     val p = plan(graft.queries.Relational.q94BucketedJoin(spark, sf))
     val joinSection = p.substring(p.indexOf("Join"))
