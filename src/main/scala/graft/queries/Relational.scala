@@ -845,6 +845,98 @@ object Relational {
        |  GROUP BY l_orderkey HAVING SUM(l_quantity) > $LargeOrderQty)
        |ORDER BY o.o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** ASYMMETRIC grouping sets — ((priority,status),(priority),(status)),
+    * a set list neither ROLLUP (q10) nor CUBE (q27) can express (no
+    * grand total, but both one-dimension margins). One scan, one
+    * expand+aggregate; null group keys are labeled 'ALL' so the output
+    * is unambiguous without GROUPING_ID. */
+  def q99GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("q99_orders")
+    s.sql("""
+      SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+             coalesce(o_orderstatus, 'ALL') AS status,
+             COUNT(*) AS n_orders,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+      FROM q99_orders
+      GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                              (o_orderpriority), (o_orderstatus))
+      ORDER BY priority, status""")
+  }
+
+  val q99Sql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |       coalesce(o_orderstatus, 'ALL') AS status,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+      |                        (o_orderpriority), (o_orderstatus))
+      |ORDER BY priority, status""".stripMargin
+
+  // --------------------------------------------------------------- q100
+  /** BAG-semantics set ops: the multiset of ordering customers in 1996
+    * EXCEPT ALL the 1997 multiset (each order = one occurrence, so a
+    * customer with 5 orders in '96 and 2 in '97 survives with
+    * multiplicity 3 — DISTINCT set ops, q09, can't see that), plus the
+    * INTERSECT ALL multiset. Output re-aggregated per key so the
+    * compare is order-stable. */
+  def q100BagSetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def custs(year: Int) = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit(s"$year-01-01").cast("timestamp") &&
+              $"o_orderdate" < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    val ex = custs(1996).exceptAll(custs(1997))
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      .select($"o_custkey", $"n", lit("except_all").as("op"))
+    val in = custs(1996).intersectAll(custs(1997))
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      .select($"o_custkey", $"n", lit("intersect_all").as("op"))
+    ex.unionByName(in).orderBy($"op", $"o_custkey")
+  }
+
+  val q100Sql: String =
+    """WITH c96 AS (SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'),
+      |c97 AS (SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'),
+      |ex AS (SELECT o_custkey FROM c96 EXCEPT ALL SELECT o_custkey FROM c97),
+      |ia AS (SELECT o_custkey FROM c96 INTERSECT ALL SELECT o_custkey FROM c97)
+      |SELECT o_custkey, COUNT(*) AS n, 'except_all' AS op FROM ex GROUP BY o_custkey
+      |UNION ALL
+      |SELECT o_custkey, COUNT(*) AS n, 'intersect_all' AS op FROM ia GROUP BY o_custkey
+      |ORDER BY op, o_custkey""".stripMargin
+
+  // --------------------------------------------------------------- q101
+  /** Exact COUNT(DISTINCT) at scale — the TWO-STAGE rewrite: dedup on
+    * (event_type, user_id) first (mergeable hash aggregate, map-side
+    * combined), then count per type. The direct one-shot
+    * COUNT(DISTINCT x) alongside other aggregates makes Catalyst plan
+    * an Expand (row multiplication) — this shape never does, and at
+    * 100 TB "distinct users per key" is THE query that melts naive
+    * plans. PlanSpec pins the no-Expand property; the oracle is the
+    * direct COUNT(DISTINCT). */
+  def q101TwoStageDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val perUser = ev.groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("n_events_user"))
+    perUser.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_users"),
+           sum($"n_events_user").as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  val q101Sql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_pricing"     -> (q05Pricing _),
@@ -870,7 +962,10 @@ object Relational {
     "q94_bucketed_join"   -> (q94BucketedJoin _),
     "q95_merge_upsert"    -> (q95MergeUpsert _),
     "q96_churned_customers" -> (q96ChurnedCustomers _),
-    "q97_large_orders"      -> (q97LargeOrders _))
+    "q97_large_orders"      -> (q97LargeOrders _),
+    "q99_grouping_sets"     -> (q99GroupingSets _),
+    "q100_bag_set_ops"      -> (q100BagSetOps _),
+    "q101_two_stage_distinct" -> (q101TwoStageDistinct _))
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
@@ -896,5 +991,8 @@ object Relational {
     "q94_bucketed_join"   -> q94Sql,
     "q95_merge_upsert"    -> q95Sql,
     "q96_churned_customers" -> q96Sql,
-    "q97_large_orders"      -> q97Sql)
+    "q97_large_orders"      -> q97Sql,
+    "q99_grouping_sets"     -> q99Sql,
+    "q100_bag_set_ops"      -> q100Sql,
+    "q101_two_stage_distinct" -> q101Sql)
 }

@@ -514,6 +514,17 @@ class PlanSpec extends SparkSpec {
     assert(!p97.contains("CartesianProduct"))
   }
 
+  test("q101: two-stage distinct plans with no Expand (the count-distinct scale rewrite)") {
+    val p = plan(graft.queries.Relational.q101TwoStageDistinct(spark, sf))
+    assert(!p.contains("Expand"), s"two-stage rewrite must avoid Expand:\n$p")
+    // contrast: MULTIPLE distinct aggregates force Catalyst's Expand
+    // (row-multiplication) plan — the shape the two-stage rewrite
+    // avoids by construction however many distinct measures stack
+    val direct = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")), countDistinct(col("event_id")))
+    assert(plan(direct).contains("Expand"))
+  }
+
   test("q94: the gated bucketed join plans without an exchange on the keys") {
     val p = plan(graft.queries.Relational.q94BucketedJoin(spark, sf))
     val joinSection = p.substring(p.indexOf("Join"))
