@@ -693,6 +693,10 @@ class ExtSpec extends SparkSpec {
     assert(Curation.docStitches(empty).count() == 0)
     assert(Multimodal.sampleFrames(
       Multimodal.attachPayload(empty), new StubDecoder).count() == 0)
+    assert(TextAnalysis.qualityGate(empty).count() == 0)
+    assert(TextAnalysis.contaminationOverlap(empty).count() == 0)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.ext.Similarity.semanticDedup(noVecs).count() == 0)
   }
 
   test("q59 block dedup: keeper/duplicate accounting on a crafted corpus") {

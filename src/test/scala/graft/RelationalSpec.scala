@@ -223,6 +223,29 @@ class RelationalSpec extends SparkSpec {
     (1L to nIns).foreach(i => assert(byKey(mxk + i).getAs[String]("o_orderstatus") == "O"))
   }
 
+  test("q100 bag ops equal per-key multiplicity arithmetic") {
+    import org.apache.spark.sql.functions._
+    def counts(year: Int) = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (n96, n97) = (counts(1996), counts(1997))
+    val rows = graft.queries.Relational.q100BagSetOps(spark, sf).collect()
+    val ex = rows.filter(_.getString(2) == "except_all")
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ia = rows.filter(_.getString(2) == "intersect_all")
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keys = n96.keySet ++ n97.keySet
+    keys.foreach { k =>
+      val (a, b) = (n96.getOrElse(k, 0L), n97.getOrElse(k, 0L))
+      assert(ex.getOrElse(k, 0L) == math.max(0L, a - b),
+        s"EXCEPT ALL multiplicity wrong for $k")
+      assert(ia.getOrElse(k, 0L) == math.min(a, b),
+        s"INTERSECT ALL multiplicity wrong for $k")
+    }
+  }
+
   test("q91 range frame: trailing window matches a brute-force recompute") {
     import org.apache.spark.sql.functions._
     val rows = graft.queries.Relational.q91RangeWindow(spark, sf).collect()
