@@ -26,6 +26,7 @@ object SparkEntry {
     graft.ext.Multimodal.queries ++
     graft.sources.Jsonl.queries ++
     graft.sources.Partitioned.queries ++
+    graft.sources.Robustness.queries ++
     graft.streaming.StreamingGate.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
     graft.ext.Multimodal.oracles ++
     graft.sources.Jsonl.oracles ++
     graft.sources.Partitioned.oracles ++
+    graft.sources.Robustness.oracles ++
     graft.streaming.StreamingGate.oracles
 }

@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, StandardOpenOption}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.Tables
+
+/** Ingest-robustness gates: the two storage realities a 100 TB corpus
+  * forces that clean fixtures never show —
+  *
+  *  - **schema drift** (q102): a corpus written over months has early
+  *    shards missing columns that later shards carry. `mergeSchema`
+  *    reconciles at read time: old rows surface the new columns as
+  *    nulls, and aggregates must account for exactly which rows carry
+  *    which fields. The gate writes the documents fixture as two
+  *    batches with different schemas and checks the merged read's
+  *    per-source accounting against the original table.
+  *
+  *  - **corrupt records** (q103): crawl-scale JSONL always contains
+  *    malformed lines. PERMISSIVE parsing must (a) never fail the job,
+  *    (b) surface every bad line in `_corrupt_record`, (c) parse every
+  *    good line exactly. The gate salts a JSONL export with a known
+  *    number of malformed lines and checks the per-source accounting —
+  *    good rows land in their source, bad rows land in the CORRUPT
+  *    bucket, nothing is silently dropped.
+  */
+object Robustness {
+
+  // ---------------------------------------------------------- q102
+  private val evolvedCache = new ConcurrentHashMap[String, Path]()
+
+  /** Two-batch layout: batch 1 (even doc_ids) lacks lang/n_chars —
+    * the "old writer"; batch 2 (odd doc_ids) has the full schema. */
+  def evolvedLayout(spark: SparkSession, dir: String): Path =
+    evolvedCache.computeIfAbsent(dir, { _ =>
+      val out = Files.createTempDirectory("graft-evolved")
+      out.toFile.deleteOnExit()
+      val docs = Tables.documents(spark, dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(out.resolve("b1").toString)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text", "source", "lang", "n_chars")
+        .write.mode("overwrite").parquet(out.resolve("b2").toString)
+      out
+    })
+
+  /** Merged-schema read + per-source accounting. Rows from the old
+    * batch carry null lang/n_chars; counts and sums must reflect that
+    * exactly (count ignores nulls, sum skips them). */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = evolvedLayout(spark, dir)
+    spark.read.option("mergeSchema", "true")
+      .parquet(out.resolve("b1").toString, out.resolve("b2").toString)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           count(col("lang")).as("n_with_lang"),
+           sum(col("n_chars")).as("sum_chars_new"),
+           sum(length(col("text"))).as("sum_chars_all"))
+      .orderBy("source")
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_lang,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars_new,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars_all
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------- q103
+  val CorruptLines = 7
+
+  private val saltedCache = new ConcurrentHashMap[String, Path]()
+
+  /** JSONL export of documents plus a shard of deterministic malformed
+    * lines (unterminated objects, bare text, truncated escapes). */
+  def saltedJsonl(spark: SparkSession, dir: String): Path =
+    saltedCache.computeIfAbsent(dir, { _ =>
+      val src = Jsonl.export(spark, dir).resolve("documents")
+      val out = Files.createTempDirectory("graft-jsonl-salted")
+      out.toFile.deleteOnExit()
+      val dst = out.resolve("data")
+      Files.createDirectories(dst)
+      import scala.jdk.CollectionConverters._
+      Files.list(src).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.copy(f, dst.resolve(f"part-$i%05d.json")) }
+      val bad = (0 until CorruptLines).map(i =>
+        s"""{"doc_id": $i, "text": "unterminated-line-$i""")
+      Files.write(dst.resolve("part-zz-corrupt.json"),
+        bad.mkString("", "\n", "\n").getBytes("UTF-8"),
+        StandardOpenOption.CREATE)
+      out
+    })
+
+  /** PERMISSIVE read of the salted export: good rows bucket by source,
+    * malformed lines bucket as CORRUPT via `_corrupt_record`. Nothing
+    * may vanish and nothing may fail the job. */
+  def corruptTolerantRead(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val out = saltedJsonl(spark, dir)
+    val schema = StructType(docs.schema.fields :+
+      StructField("_corrupt_record", StringType, nullable = true))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out.resolve("data").toString)
+      .select(when(col("_corrupt_record").isNotNull, lit("CORRUPT"))
+        .otherwise(col("source")).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  val corruptTolerantReadSql: String =
+    s"""SELECT source AS bucket, COUNT(*) AS n FROM documents GROUP BY source
+       |UNION ALL
+       |SELECT 'CORRUPT' AS bucket, $CorruptLines AS n
+       |ORDER BY bucket""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_schema_evolution" -> (schemaEvolution _),
+    "q103_corrupt_tolerant" -> (corruptTolerantRead _))
+
+  val oracles: Map[String, String] = Map(
+    "q102_schema_evolution" -> schemaEvolutionSql,
+    "q103_corrupt_tolerant" -> corruptTolerantReadSql)
+}

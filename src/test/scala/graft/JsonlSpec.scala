@@ -36,4 +36,27 @@ class JsonlSpec extends SparkSpec {
     val lines = spark.read.text(out.toString).count()
     assert(lines == rows.size.toLong, "one JSON object per line, always")
   }
+
+  test("q103: the salted corruption is real — FAILFAST refuses what PERMISSIVE absorbs") {
+    import org.apache.spark.sql.types._
+    val dir = TestSpark.sf
+    val salted = graft.sources.Robustness.saltedJsonl(spark, dir)
+    val docs = graft.Tables.documents(spark, dir)
+    // PERMISSIVE (the q102/q103 path) accounts for every line
+    val buckets = graft.sources.Robustness.corruptTolerantRead(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(buckets("CORRUPT") == graft.sources.Robustness.CorruptLines.toLong)
+    assert(buckets.filterKeys(_ != "CORRUPT").values.sum == docs.count())
+    // FAILFAST on the identical input must throw — proving the gate
+    // exercises genuine corruption, not a parser quirk
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(docs.schema)
+        .option("mode", "FAILFAST")
+        .json(salted.resolve("data").toString)
+        .count()
+    }
+    assert(e.getMessage.contains("FAILFAST") ||
+      String.valueOf(e.getCause).contains("Malformed") ||
+      String.valueOf(e.getCause).contains("FAILFAST"))
+  }
 }
