@@ -56,7 +56,8 @@ object ScaleRehearsal {
     "q63_domain_mix", "q64_doc_stitches", "q66_bigram_lm",
     "q67_collocations", "q68_tfidf_terms", "q70_pii_scrub",
     "q71_source_drift", "q72_substring_dups", "q74_phash_neardup",
-    "q77_colloc_sampled", "q84_quality_gate", "q85_contamination_overlap")
+    "q77_colloc_sampled", "q84_quality_gate", "q85_contamination_overlap",
+    "q104_embedding_outliers")
 
   /** q17/q24/q69 are declared-O(n²) kernels; q18/q73 assign against a
     * centroid set that GROWS with the fixture (vec_id % mod stand-in),

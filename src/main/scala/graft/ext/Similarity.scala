@@ -871,6 +871,126 @@ object Similarity {
        |ORDER BY s.vec_id""".stripMargin
   }
 
+  // ------------------------------------------- embedding outlier pruning
+  /** q104: embedding-space OUTLIER pruning — flag documents whose
+    * embedding sits far from their own source's centroid (the
+    * CLIP-score/DataComp-style curation filter: mislabeled, off-topic,
+    * or junk examples are distance outliers in embedding space). The
+    * whole score path is exact integer arithmetic so both engines agree
+    * bit for bit:
+    *
+    *  1. quantize with the q69 global int8 scale;
+    *  2. per-source centroid DIMENSION-PARALLEL (q73's mergeable shape:
+    *     posexplode → sum per (source, dim) → `c_d = sum div n`), then
+    *     assemble each source's centroid array with an ORDER-PINNED
+    *     collect (`sort_array(collect_list(struct(dim, c_d)))`) — a
+    *     |sources|-row table, broadcast back;
+    *  3. score = exact BIGINT dot of the doc's int8 codes against its
+    *     centroid, normalized by the exact integer norms — ONE float
+    *     expression over exact inputs, floored to an e6 integer;
+    *  4. the outlier floor is each source's own discrete p10 over the
+    *     score histogram (the q84 aggregate-walk — the window sorts
+    *     sources × distinct-scores rows, never the corpus).
+    *
+    * Scale: one corpus scan for sums, one corpus-sized exchange of
+    * (source, dim, val) partials, one broadcast join, one histogram.
+    * Nothing pairwise anywhere — this is the linear-cost sibling of
+    * q83's pairwise dedup. */
+  def embeddingOutliers(emb: DataFrame, docs: DataFrame): DataFrame = {
+    VectorOps.register(emb.sparkSession)
+    val r = QuantRange
+    val mx = emb.select(max(expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+        "(acc, e) -> greatest(acc, abs(CAST(e AS DOUBLE))))")).as("mx"))
+    val v = emb.crossJoin(broadcast(mx))
+      .select(col("vec_id").as("doc_id"), expr(
+        s"transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+          s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30d)) + 0.5d))) AS INT))")
+        .as("qemb"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val cents = v
+      .select(col("source"), posexplode(col("qemb")).as(Seq("dim", "qv")))
+      .groupBy("source", "dim")
+      .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+      .select(col("source"), col("dim"), expr("s div n").as("cd"))
+      .groupBy("source")
+      .agg(sort_array(collect_list(struct(col("dim"), col("cd")))).as("pairs"))
+      .select(col("source"),
+        expr("transform(pairs, p -> CAST(p.cd AS INT))").as("cent"))
+      .withColumn("cent_self", expr("vec_dot_int(cent, cent)"))
+    val scored = v.join(broadcast(cents), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        floor(expr("vec_dot_int(qemb, cent)") /
+          (sqrt(expr("vec_dot_int(qemb, qemb)")) *
+           sqrt(greatest(col("cent_self"), lit(1L)))) * 1e6d)
+          .cast("long").as("cos_e6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("cos_e6")
+    val thresholds = scored.groupBy("source", "cos_e6")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .filter(col("cum") * 10 >= col("n"))
+      .groupBy("source")
+      .agg(min(col("cos_e6")).as("p10_e6"))
+    scored.join(broadcast(thresholds), Seq("source"))
+      .select(col("doc_id"), col("source"), col("cos_e6"), col("p10_e6"),
+        when(col("cos_e6") < col("p10_e6"), 1).otherwise(0).as("outlier"))
+      .orderBy("doc_id")
+  }
+
+  val embeddingOutliersSql: String = {
+    val r = QuantRange
+    val quant = s"list_transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+      s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30)) + 0.5))) AS INT))"
+    def intDot(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, len($a)), " +
+        s"i -> CAST($a[i] AS BIGINT) * CAST($b[i] AS BIGINT))), (x, y) -> x + y)"
+    s"""WITH m AS (
+       |  SELECT MAX(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))),
+       |    (x, y) -> greatest(x, y))) AS mx
+       |  FROM embeddings),
+       |v AS (
+       |  SELECT d.doc_id, d.source, $quant AS qemb
+       |  FROM embeddings e CROSS JOIN m
+       |  JOIN documents d ON d.doc_id = e.vec_id),
+       |flat AS (
+       |  SELECT source, CAST(i - 1 AS INT) AS dim, qemb[i] AS qv FROM (
+       |    SELECT source, qemb, unnest(generate_series(1, len(qemb))) AS i
+       |    FROM v)),
+       |cd AS (
+       |  SELECT source, dim, CAST(SUM(qv) // COUNT(*) AS BIGINT) AS cd
+       |  FROM flat GROUP BY source, dim),
+       |cents AS (
+       |  SELECT source, list(CAST(cd AS INT) ORDER BY dim) AS cent
+       |  FROM cd GROUP BY source),
+       |cself AS (
+       |  SELECT source, cent, ${intDot("cent", "cent")} AS cent_self FROM cents),
+       |scored AS (
+       |  SELECT v.doc_id, v.source,
+       |    CAST(floor(${intDot("v.qemb", "c.cent")} /
+       |      (sqrt(${intDot("v.qemb", "v.qemb")}) *
+       |       sqrt(greatest(c.cent_self, 1))) * 1e6) AS BIGINT) AS cos_e6
+       |  FROM v JOIN cself c ON c.source = v.source),
+       |hist AS (
+       |  SELECT source, cos_e6, COUNT(*) AS c FROM scored GROUP BY source, cos_e6),
+       |cum AS (
+       |  SELECT source, cos_e6,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY cos_e6) AS cum,
+       |    SUM(c) OVER (PARTITION BY source) AS n
+       |  FROM hist),
+       |thresholds AS (
+       |  SELECT source, MIN(cos_e6) AS p10_e6 FROM cum
+       |  WHERE cum * 10 >= n GROUP BY source)
+       |SELECT s.doc_id, s.source, s.cos_e6, t.p10_e6,
+       |  CASE WHEN s.cos_e6 < t.p10_e6 THEN 1 ELSE 0 END AS outlier
+       |FROM scored s JOIN thresholds t ON t.source = s.source
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------- quantized k-means step
   /** One k-means/IVF TRAINING iteration over the int8-quantized corpus —
     * the job that periodically refreshes q18's centroid table. Runs
@@ -974,7 +1094,9 @@ object Similarity {
     "q69_quantized_topk" -> ((s, d) => quantizedTopK(Tables.embeddings(s, d))),
     "q73_kmeans_step" -> ((s, d) => kmeansStep(Tables.embeddings(s, d))),
     "q80_quantized_ivf" -> ((s, d) => quantizedIvfTopK(Tables.embeddings(s, d))),
-    "q83_semantic_dedup" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))))
+    "q83_semantic_dedup" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
+    "q104_embedding_outliers" -> ((s, d) =>
+      embeddingOutliers(Tables.embeddings(s, d), Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q17_cosine_topk" -> cosineTopKSql,
@@ -985,5 +1107,6 @@ object Similarity {
     "q69_quantized_topk" -> quantizedTopKSql,
     "q73_kmeans_step" -> kmeansStepSql,
     "q80_quantized_ivf" -> quantizedIvfTopKSql,
-    "q83_semantic_dedup" -> semanticDedupSql)
+    "q83_semantic_dedup" -> semanticDedupSql,
+    "q104_embedding_outliers" -> embeddingOutliersSql)
 }

@@ -741,6 +741,24 @@ class ExtSpec extends SparkSpec {
     minPerCell.foreach(row => assert(row.getAs[Int]("keep") == 1))
   }
 
+  test("q104 embedding outliers: p10 floor flags under 10% per source, verdicts consistent") {
+    val r = graft.ext.Similarity.embeddingOutliers(
+      Tables.embeddings(spark, sf), Tables.documents(spark, sf)).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[String]("source")).values.foreach { docs =>
+      val out = docs.count(_.getAs[Int]("outlier") == 1)
+      assert(out * 10 < docs.length || docs.length < 10,
+        s"strictly-below-p10 flags must stay under 10%: $out of ${docs.length}")
+      val p10 = docs.head.getAs[Long]("p10_e6")
+      docs.foreach(d => assert((d.getAs[Long]("cos_e6") < p10) ==
+        (d.getAs[Int]("outlier") == 1)))
+      // the discrete p10 really is the 10th-percentile floor: at least
+      // 10% of the source's docs sit at or below it
+      val atOrBelow = docs.count(_.getAs[Long]("cos_e6") <= p10)
+      assert(atOrBelow * 10 >= docs.length)
+    }
+  }
+
   test("q84 quality gate: per-source floor keeps at least 75% of each source") {
     val r = graft.ext.TextAnalysis.qualityGate(Tables.documents(spark, sf)).collect()
     r.groupBy(_.getAs[String]("source")).values.foreach { docs =>
