@@ -576,6 +576,119 @@ object Curation {
        |ORDER BY a_doc, b_doc""".stripMargin
   }
 
+  // ------------------------------------------- end-to-end pipeline
+  /** q105: the curation CHAIN composed end to end and verified as a
+    * composition — per-op oracles (q84/q13/q45) prove each stage alone;
+    * this gate proves the stages agree about each other. One query runs
+    *
+    *   input → per-source p25 quality floor (q84 semantics)
+    *         → exact dedup, min-id keeper on the normalized-text hash
+    *           (q13 semantics), applied to the quality SURVIVORS
+    *         → decontamination: drop the eval split itself and every
+    *           train doc whose 8-word prefix fingerprint hits the eval
+    *           set (q45 semantics — eval fingerprints come from the
+    *           ORIGINAL corpus: benchmark membership is not subject to
+    *           the quality gate)
+    *
+    * and reports the per-source funnel (n_input → n_quality → n_dedup →
+    * n_final). Stage order matters (dedup-before-decontam keeps a
+    * contaminated canonical from resurrecting a clean duplicate) and
+    * the oracle pins exactly this order. Scale shape: every stage is a
+    * shape already proven at its own gate — histogram walk + broadcast
+    * thresholds, hash-groupBy keeper join, broadcast anti-join. */
+  def curationPipeline(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"), col("text"),
+      expr("size(split(text, ' '))").cast("long").as("n_tokens"))
+    // stage 1: per-source discrete-p25 floor
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("n_tokens")
+    val thresholds = scored.groupBy("source", "n_tokens")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .filter(col("cum") * 4 >= col("n"))
+      .groupBy("source").agg(min(col("n_tokens")).as("p25"))
+    val quality = scored.join(broadcast(thresholds), "source")
+      .filter(col("n_tokens") >= col("p25"))
+    // stage 2: exact dedup among survivors (min-id keeper)
+    val hashed = quality.withColumn("text_hash",
+      md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")))
+    val keepers = hashed.groupBy("text_hash")
+      .agg(min(col("doc_id")).as("keep_id"))
+    val deduped = hashed.join(keepers, "text_hash")
+      .filter(col("doc_id") === col("keep_id"))
+    // stage 3: decontamination (eval fps from the ORIGINAL corpus)
+    val withFp = deduped.withColumn("fp", expr(Dedup.prefixFpSpark))
+    val evalFps = docs.filter(col("doc_id") % Dedup.EvalMod === 0)
+      .select(expr(Dedup.prefixFpSpark).as("fp")).distinct()
+    val fin = withFp.filter(col("doc_id") % Dedup.EvalMod =!= 0)
+      .join(broadcast(evalFps), Seq("fp"), "left_anti")
+    // funnel accounting per source
+    def cnt(df: DataFrame, name: String) =
+      df.groupBy("source").agg(count(lit(1)).as(name))
+    cnt(scored.toDF(), "n_input")
+      .join(cnt(quality, "n_quality"), Seq("source"), "left")
+      .join(cnt(deduped, "n_dedup"), Seq("source"), "left")
+      .join(cnt(fin, "n_final"), Seq("source"), "left")
+      .select(col("source"),
+        col("n_input"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"))
+      .orderBy("source")
+  }
+
+  val curationPipelineSql: String = {
+    val fp = s"md5(array_to_string(list_slice(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), 1, ${Dedup.PrefixWords}), ' '))"
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |hist AS (
+       |  SELECT source, n_tokens, COUNT(*) AS c FROM scored GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT source, n_tokens,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY n_tokens) AS cum,
+       |    SUM(c) OVER (PARTITION BY source) AS n
+       |  FROM hist),
+       |thresholds AS (
+       |  SELECT source, MIN(n_tokens) AS p25 FROM cum
+       |  WHERE cum * 4 >= n GROUP BY source),
+       |quality AS (
+       |  SELECT s.* FROM scored s JOIN thresholds t ON t.source = s.source
+       |  WHERE s.n_tokens >= t.p25),
+       |hashed AS (
+       |  SELECT *, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_hash
+       |  FROM quality),
+       |keepers AS (
+       |  SELECT text_hash, MIN(doc_id) AS keep_id FROM hashed GROUP BY 1),
+       |deduped AS (
+       |  SELECT h.* FROM hashed h JOIN keepers k
+       |  ON k.text_hash = h.text_hash AND h.doc_id = k.keep_id),
+       |evalfp AS (
+       |  SELECT DISTINCT $fp AS fp FROM documents
+       |  WHERE doc_id % ${Dedup.EvalMod} = 0),
+       |fin AS (
+       |  SELECT d.* FROM deduped d
+       |  WHERE d.doc_id % ${Dedup.EvalMod} <> 0
+       |    AND NOT EXISTS (SELECT 1 FROM evalfp e WHERE e.fp = $fp))
+       |SELECT s.source,
+       |  COUNT(*) AS n_input,
+       |  CAST(coalesce(q.nq, 0) AS BIGINT) AS n_quality,
+       |  CAST(coalesce(dd.nd, 0) AS BIGINT) AS n_dedup,
+       |  CAST(coalesce(f.nf, 0) AS BIGINT) AS n_final
+       |FROM scored s
+       |LEFT JOIN (SELECT source, COUNT(*) AS nq FROM quality GROUP BY 1) q
+       |  ON q.source = s.source
+       |LEFT JOIN (SELECT source, COUNT(*) AS nd FROM deduped GROUP BY 1) dd
+       |  ON dd.source = s.source
+       |LEFT JOIN (SELECT source, COUNT(*) AS nf FROM fin GROUP BY 1) f
+       |  ON f.source = s.source
+       |GROUP BY s.source, q.nq, dd.nd, f.nf
+       |ORDER BY s.source""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_filter_verdicts" -> ((s, d) => filterVerdicts(Tables.documents(s, d))),
@@ -589,7 +702,8 @@ object Curation {
       alignmentAudit(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q56_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "q63_domain_mix" -> ((s, d) => domainMix(Tables.documents(s, d))),
-    "q64_doc_stitches" -> ((s, d) => docStitches(Tables.documents(s, d))))
+    "q64_doc_stitches" -> ((s, d) => docStitches(Tables.documents(s, d))),
+    "q105_curation_pipeline" -> ((s, d) => curationPipeline(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q48_filter_verdicts" -> filterVerdictsSql,
@@ -602,5 +716,6 @@ object Curation {
     "q55_alignment_audit" -> alignmentAuditSql,
     "q56_stratified_sample" -> stratifiedSampleSql,
     "q63_domain_mix" -> domainMixSql,
-    "q64_doc_stitches" -> docStitchesSql)
+    "q64_doc_stitches" -> docStitchesSql,
+    "q105_curation_pipeline" -> curationPipelineSql)
 }

@@ -521,7 +521,7 @@ object Dedup {
     * normalized prefix catches what whole-document equality misses. */
   val PrefixWords = 8
 
-  private val prefixFpSpark =
+  private[ext] val prefixFpSpark =
     s"md5(cast(array_join(slice(split(regexp_replace(lower(text), '\\\\s+', ' '), ' '), 1, $PrefixWords), ' ') as binary))"
 
   /** Benchmark-contamination check: training docs whose normalized

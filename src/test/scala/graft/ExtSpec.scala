@@ -759,6 +759,36 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("q105 pipeline: every stage cuts on a crafted corpus, funnel arithmetic exact") {
+    import spark.implicits._
+    // distinct first word per doc so prefix fingerprints never collide
+    // by accident; 20 tokens so the long docs clear the quality floor
+    def long(head: String) = (Seq(head) ++ (2 to 20).map(i => s"t$i")).mkString(" ")
+    val docs = Seq(
+      (1L, long("w1"), "A"), (2L, long("w2"), "A"),
+      (3L, long("w3"), "A"), (4L, long("w4"), "A"),
+      // 2 of 9 docs are 1-token (<25%): the p25 floor lands at 20 tokens
+      // and drops exactly these two
+      (5L, "s5", "A"), (6L, "s6", "A"),
+      // exact duplicate of doc 1 -> the dedup stage drops it
+      (11L, long("w1"), "A"),
+      // eval doc (id % 10 == 0), plus a train doc with the SAME first-8
+      // words but a different tail: not an exact dup, caught ONLY by
+      // the decontamination stage
+      (10L, long("e1"), "A"),
+      (13L, (Seq("e1") ++ (2 to 8).map(i => s"t$i") ++
+             (9 to 20).map(i => s"x$i")).mkString(" "), "A")
+    ).toDF("doc_id", "text", "source")
+    val r = graft.ext.Curation.curationPipeline(docs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_input") == 9)
+    assert(row.getAs[Long]("n_quality") == 7, "p25 floor drops the 2 short docs")
+    assert(row.getAs[Long]("n_dedup") == 6, "exactly doc 11 (dup of 1) dropped")
+    assert(row.getAs[Long]("n_final") == 4,
+      "eval doc 10 and prefix-contaminated doc 13 dropped")
+  }
+
   test("q84 quality gate: per-source floor keeps at least 75% of each source") {
     val r = graft.ext.TextAnalysis.qualityGate(Tables.documents(spark, sf)).collect()
     r.groupBy(_.getAs[String]("source")).values.foreach { docs =>
