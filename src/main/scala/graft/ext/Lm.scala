@@ -66,30 +66,38 @@ object Lm {
     * ever reaches the compare, and the per-doc sum is order-independent
     * (a log-prob double sum would not be).
     *
-    * Plan: the bigram stream joins the bigram-count aggregate on `gram`
-    * (the key it was just shuffled on — co-partitioned, no extra
-    * exchange) and the unigram-count aggregate on `w1`; V rides in as a
-    * broadcast 1-row cross join. The model relations are |vocab|-sized;
-    * at production scale the trimmed model broadcasts and the whole
-    * score is a map-side projection over the corpus. */
+    * Plan: the occurrence stream is FIRST pre-aggregated to
+    * `(doc_id, gram, n_occ)` — occurrences repeat within documents, so
+    * both downstream joins then carry one row per distinct (doc, gram)
+    * instead of one per occurrence; the per-occurrence sum is recovered
+    * exactly as `n_occ * p_ppm` (p_ppm is one integer per gram, so the
+    * weighted form is bit-identical to summing it n_occ times). The
+    * compacted stream joins the bigram-count aggregate on `gram` and the
+    * unigram-count aggregate on `w1`; V rides in as a broadcast 1-row
+    * cross join. The model relations are |vocab|-sized; at production
+    * scale the trimmed model broadcasts and the whole score is a
+    * map-side projection over the corpus. */
   def bigramLmScores(docs: DataFrame): DataFrame = {
-    val grams = bigramStream(docs)
-    val bigramCounts = grams.groupBy("gram").agg(count(lit(1)).as("c12"))
+    val docGrams = bigramStream(docs)
+      .groupBy("doc_id", "w1", "gram")
+      .agg(count(lit(1)).as("n_occ"))
+    val bigramCounts = docGrams.groupBy("gram")
+      .agg(sum(col("n_occ")).as("c12"))
     val unigramCounts = docs
       .select(explode(split(col("text"), " ")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocabSize = docs
       .select(explode(split(col("text"), " ")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    grams
+    docGrams
       .join(bigramCounts, "gram")
       .join(unigramCounts, "w1")
       .crossJoin(broadcast(vocabSize))
-      .select(col("doc_id"),
-        expr(s"(1000000 * (c12 + $SmoothAdd)) div (c1 + v)").as("p_ppm"))
+      .select(col("doc_id"), col("n_occ"),
+        expr(s"n_occ * ((1000000 * (c12 + $SmoothAdd)) div (c1 + v))").as("p_sum"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-           expr("sum(p_ppm) div count(1)").as("lm_ppm"))
+      .agg(sum(col("n_occ")).as("n_bigrams"),
+           expr("sum(p_sum) div sum(n_occ)").as("lm_ppm"))
       .orderBy("doc_id")
   }
 
