@@ -805,9 +805,13 @@ object Similarity {
       col("qemb").as("qa"), col("self").as("sa"))
     val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
       col("qemb").as("qb"), col("self").as("sb"))
+    // greatest(self, 1): an all-zero quantization (every |e| < mx/254)
+    // would otherwise divide by zero — NaN ordering differs across
+    // engines, so the guard must exist HERE and in the oracle.
     val hits = a.join(b, "cell").filter(col("id_a") < col("id_b"))
       .select(col("id_b"), col("id_a"),
-        (expr("vec_dot_int(qa, qb)") / (sqrt(col("sa")) * sqrt(col("sb"))))
+        (expr("vec_dot_int(qa, qb)") /
+          (sqrt(greatest(col("sa"), lit(1L))) * sqrt(greatest(col("sb"), lit(1L)))))
           .as("cos_q"))
       .filter(col("cos_q") >= SemDedupThreshold)
     val top1 = graft.functions.BoundedTopK.topK(1)
@@ -852,7 +856,8 @@ object Similarity {
        |hits AS (
        |  SELECT * FROM (
        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |      ${intDot("a.qemb", "b.qemb")} / (sqrt(a.self) * sqrt(b.self)) AS cos_q
+       |      ${intDot("a.qemb", "b.qemb")} /
+        (sqrt(greatest(a.self, 1)) * sqrt(greatest(b.self, 1))) AS cos_q
        |    FROM assigned a JOIN assigned b
        |      ON a.cell = b.cell AND a.vec_id < b.vec_id)
        |  WHERE cos_q >= $SemDedupThreshold),
@@ -921,7 +926,7 @@ object Similarity {
     val scored = v.join(broadcast(cents), Seq("source"))
       .select(col("doc_id"), col("source"),
         floor(expr("vec_dot_int(qemb, cent)") /
-          (sqrt(expr("vec_dot_int(qemb, qemb)")) *
+          (sqrt(greatest(expr("vec_dot_int(qemb, qemb)"), lit(1L))) *
            sqrt(greatest(col("cent_self"), lit(1L)))) * 1e6d)
           .cast("long").as("cos_e6"))
     val w = org.apache.spark.sql.expressions.Window
@@ -972,7 +977,7 @@ object Similarity {
        |scored AS (
        |  SELECT v.doc_id, v.source,
        |    CAST(floor(${intDot("v.qemb", "c.cent")} /
-       |      (sqrt(${intDot("v.qemb", "v.qemb")}) *
+       |      (sqrt(greatest(${intDot("v.qemb", "v.qemb")}, 1)) *
        |       sqrt(greatest(c.cent_self, 1))) * 1e6) AS BIGINT) AS cos_e6
        |  FROM v JOIN cself c ON c.source = v.source),
        |hist AS (

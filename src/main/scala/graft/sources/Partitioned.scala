@@ -35,7 +35,12 @@ object Partitioned {
     layoutCache.computeIfAbsent(dir, { _ =>
       val out = Files.createTempDirectory("graft-docs-by-source")
       out.toFile.deleteOnExit()
+      // repartition on the partition column first: one shuffle partition
+      // per source → exactly one file per partition directory, whatever
+      // the input split count (also the at-scale idiom — partitionBy on
+      // an unshuffled input writes #input-splits × #sources small files)
       Tables.documents(spark, dir)
+        .repartition(col("source"))
         .write.mode("overwrite")
         .partitionBy("source")
         .parquet(out.toString)

@@ -66,7 +66,7 @@ object Robustness {
 
   val schemaEvolutionSql: String =
     """SELECT source, COUNT(*) AS n_docs,
-      |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_lang,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 1 AND lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_lang,
       |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars_new,
       |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars_all
       |FROM documents
@@ -88,10 +88,12 @@ object Robustness {
       val dst = out.resolve("data")
       Files.createDirectories(dst)
       import scala.jdk.CollectionConverters._
-      Files.list(src).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".json"))
-        .zipWithIndex.foreach { case (f, i) =>
-          Files.copy(f, dst.resolve(f"part-$i%05d.json")) }
+      scala.util.Using.resource(Files.list(src)) { listing =>
+        listing.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".json"))
+          .zipWithIndex.foreach { case (f, i) =>
+            Files.copy(f, dst.resolve(f"part-$i%05d.json")) }
+      }
       val bad = (0 until CorruptLines).map(i =>
         s"""{"doc_id": $i, "text": "unterminated-line-$i""")
       Files.write(dst.resolve("part-zz-corrupt.json"),

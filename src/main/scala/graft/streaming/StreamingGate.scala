@@ -470,8 +470,14 @@ object StreamingGate {
     * what the oracle computes. Snapshots are versioned v0,v1,… (write
     * NEW dir, then read; never overwrite what a later batch reads) —
     * the same copy-on-write discipline a table format uses. The
-    * duplicate second copy also proves idempotence: replaying identical
-    * data may not change the snapshot. */
+    * previous snapshot is DERIVED FROM THE BATCH ID (largest vK with
+    * K < id on disk), never from driver state: a batch that retries
+    * after its v$id write but before checkpoint commit then re-reads
+    * its true predecessor and idempotently re-overwrites v$id, instead
+    * of reading the very directory mode("overwrite") is deleting (the
+    * failure a mutable lastSnap var had). The duplicate second copy
+    * also proves idempotence: replaying identical data may not change
+    * the snapshot. */
   def q98StreamUpsertSink(spark: SparkSession, dir: String): DataFrame = {
     val staged = stageWithSentinel(spark, dir, copies = 2)
     val root = Files.createTempDirectory("graft-upsert-snap")
@@ -479,7 +485,12 @@ object StreamingGate {
     Seq(root, ckpt).foreach(_.toFile.deleteOnExit())
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    @volatile var lastSnap: Option[String] = None
+    def snapBefore(id: Long): Option[String] = {
+      val vs = Option(root.toFile.listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+        .filter(_ < id)
+      if (vs.isEmpty) None else Some(root.resolve(s"v${vs.max}").toString)
+    }
     def argmaxMerge(df: DataFrame): DataFrame =
       df.groupBy(col("user_id"))
         .agg(max(struct(col("last_us"), col("last_event_id"), col("last_type")))
@@ -496,20 +507,19 @@ object StreamingGate {
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
           val s = batch.sparkSession
           val bAgg = argmaxMerge(batch.toDF())
-          val merged = lastSnap match {
+          val merged = snapBefore(id) match {
             case Some(p) => argmaxMerge(s.read.parquet(p).unionByName(bAgg))
             case None => bAgg
           }
-          val cur = root.resolve(s"v$id").toString
-          merged.write.mode("overwrite").parquet(cur)
-          lastSnap = Some(cur)
+          merged.write.mode("overwrite")
+            .parquet(root.resolve(s"v$id").toString)
         }
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.read.parquet(lastSnap.get).orderBy("user_id")
+    spark.read.parquet(snapBefore(Long.MaxValue).get).orderBy("user_id")
   }
 
   val q98Sql: String =
