@@ -84,6 +84,13 @@ object RollingHashes {
   def fromExprs(exprs: Seq[Expression]): RollingHashes = {
     require(exprs.length == 4,
       s"rolling_hashes(text, window, base, modulus) requires 4 arguments, got ${exprs.length}")
+    // the parameters are eval()'d at plan time, which is only sound for
+    // foldable expressions — reject a column reference here with a clear
+    // message instead of an opaque unresolved-attribute eval crash
+    exprs.drop(1).zip(Seq("window", "base", "modulus")).foreach { case (e, n) =>
+      require(e.foldable,
+        s"rolling_hashes $n must be a constant (foldable) expression, got: ${e.sql}")
+    }
     RollingHashes(exprs.head,
       exprs(1).eval().asInstanceOf[Number].intValue(),
       exprs(2).eval().asInstanceOf[Number].longValue(),

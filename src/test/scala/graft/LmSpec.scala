@@ -326,6 +326,19 @@ class LmSpec extends SparkSpec {
       assert(r.getSeq[Long](0).length == r.getSeq[Long](1).length + 2))
   }
 
+  test("rolling_hashes: non-foldable parameter rejected with a clear message") {
+    import spark.implicits._
+    graft.functions.RollingHashes.register(spark)
+    val df = Seq(("abcdef", 3)).toDF("text", "w")
+    val e = intercept[Exception] {
+      df.selectExpr("rolling_hashes(text, w, 31, 1000000007)").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("must be a constant (foldable)")),
+      s"expected the foldability message, got: $e")
+  }
+
   test("q72 substring dups: shared passage found, run length exact, clones saturate") {
     import spark.implicits._
     val w = ext.Dedup.SubstrWindow
