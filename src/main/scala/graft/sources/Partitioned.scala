@@ -72,9 +72,66 @@ object Partitioned {
        |ORDER BY source, lang""".stripMargin
   }
 
+  // --------------------------------------------------------------- q107
+  /** Dim-side group kept by the q107 filter (sources with N % 3 == 1 —
+    * 7 of the fixture's 20). */
+  val DppGroup = 1
+
+  private val dimCache = new ConcurrentHashMap[String, String]()
+
+  /** Tiny source-dimension table (source, grp), written as its OWN
+    * parquet relation: the q107 fact prune can then only come from the
+    * join — Catalyst cannot fold the dim filter into a static
+    * partition predicate the way q92's literal IN-list folds. */
+  def dimLayout(spark: SparkSession, dir: String): String =
+    dimCache.computeIfAbsent(dir, { _ =>
+      val out = Files.createTempDirectory("graft-source-dim")
+      out.toFile.deleteOnExit()
+      Tables.documents(spark, dir).select("source").distinct()
+        .withColumn("grp", expr("CAST(substring(source, 4) AS INT) % 3"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(out.toString)
+      out.toString
+    })
+
+  /** q107: JOIN-DRIVEN dynamic partition pruning — the 100 TB fact-table
+    * pattern. q92 proves the static case (a literal predicate on the
+    * partition column prunes at listing time); this gate proves the
+    * runtime case: the predicate lives on a DIMENSION (`grp = 1`), the
+    * fact is only joined on the partition column, and Spark's DPP rule
+    * turns the broadcast dim's key set into a `dynamicpruning#`
+    * PartitionFilter on the fact scan — 13 of 20 directories are never
+    * opened even though no literal source predicate exists anywhere in
+    * the query. The PlanSpec twin asserts both the plan shape (a
+    * DynamicPruningExpression in the scan's partition filters) and the
+    * physical effect (numFiles = matching sources, not all 20). */
+  def dppScan(spark: SparkSession, dir: String): DataFrame = {
+    val fact = spark.read.parquet(partitionedLayout(spark, dir))
+    val dim = spark.read.parquet(dimLayout(spark, dir))
+      .filter(col("grp") === DppGroup)
+    fact.join(broadcast(dim), Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+  }
+
+  val dppScanSql: String =
+    s"""WITH dim AS (
+       |  SELECT source, CAST(substring(source, 4) AS INT) % 3 AS grp
+       |  FROM (SELECT DISTINCT source FROM documents))
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+       |FROM documents d JOIN dim ON dim.source = d.source
+       |WHERE dim.grp = $DppGroup
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q92_partition_pruning" -> ((s, d) => prunedScan(s, d)))
+    "q92_partition_pruning" -> ((s, d) => prunedScan(s, d)),
+    "q107_dynamic_pruning" -> ((s, d) => dppScan(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "q92_partition_pruning" -> prunedScanSql)
+    "q92_partition_pruning" -> prunedScanSql,
+    "q107_dynamic_pruning" -> dppScanSql)
 }

@@ -116,6 +116,49 @@ object EventsStreaming {
         unix_micros(col("purchase_ts")).as("purchase_us"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: q43's [[purchaseClickCorrelation]]
+    * shape, but clicks with NO purchase within the interval must still
+    * emit — with null purchase columns — once the watermark proves no
+    * future match is possible (watermark > click_ts + 10 min). This is
+    * the attribution-pipeline shape: "every click, matched or not".
+    *
+    * The sentinel (event_id < 0) is let THROUGH both side-filters here,
+    * unlike the inner join's: outer null emission is watermark-DRIVEN,
+    * and each side's watermark only advances on rows that side actually
+    * sees — a filtered-out sentinel would leave the global watermark at
+    * real-max − 20 min and the last half hour of unmatched clicks
+    * sitting in state forever, silently missing from the sink. The
+    * sentinel click instantly matches the sentinel purchase (same
+    * user_id/ts), so it never null-emits; the GATE removes that one
+    * sentinel row from the sink table AFTER the query stops.
+    *
+    * Deliberately NO `click_id >= 0` filter inside this plan: a
+    * left-side filter above a left-outer join is pushed below the join
+    * and merged into the click-side scan filter — which silently drops
+    * the sentinel BEFORE the click watermark node, pins the global
+    * (min-policy) watermark at real-max − 20 min, and loses the final
+    * 20 minutes of null emissions (debugged via per-node
+    * EventTimeStats: click-side count was 0 in the sentinel batch). */
+  def purchaseClickOuter(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click" || col("event_id") < 0)
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "20 minutes")
+    val purchases = events
+      .filter(col("event_type") === "purchase" || col("event_id") < 0)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "20 minutes")
+    clicks.join(purchases,
+      expr("""user_id = p_user AND
+              purchase_ts >= click_ts AND
+              purchase_ts <= click_ts + interval 10 minutes"""),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+  }
+
   /** transformWithState (the arbitrary-state v2 API): per-user running
     * event count + running max of `value` in one ValueState, emitted on
     * every batch the user appears in. The count is what makes the

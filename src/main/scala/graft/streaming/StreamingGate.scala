@@ -168,6 +168,41 @@ object StreamingGate {
     runToMemory(spark, dir, EventsStreaming.purchaseClickCorrelation)
       .orderBy(col("click_id"), col("purchase_id"))
 
+  /** q106: the stream-stream LEFT OUTER interval join — the 13th gate,
+    * and the only one whose proof rows are NULL-padded: unmatched
+    * clicks appear in the sink *because* the watermark passed
+    * click_ts + 10 min and the join evicted + null-emitted them (the
+    * no-data finalization batch after the sentinel advances the
+    * watermark does the flush). `maxFilesPerTrigger = 1` stages the
+    * fixture and the sentinel as separate micro-batches, so inner
+    * matches land in batch 0's output while every null row can only
+    * come from the watermark movement batch 1 causes — the
+    * StreamingSpec twin runs a sentinel-free replay and asserts the
+    * null rows are then ABSENT, pinning emission to the watermark
+    * rather than to end-of-input. Oracle: the q26 batch join in LEFT
+    * form. */
+  def q106StreamOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, dir, EventsStreaming.purchaseClickOuter,
+      filesPerTrigger = Some(1))
+      // sentinel removal happens HERE, on the sink table — inside the
+      // streaming plan this filter would push below the outer join and
+      // starve the click-side watermark node of the sentinel (see
+      // purchaseClickOuter's doc)
+      .filter(col("click_id") >= 0)
+      .orderBy(col("click_id"), col("purchase_id"))
+
+  val q106Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+      |c AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |       c.us AS click_us, p.us AS purchase_us
+      |FROM c LEFT JOIN p
+      |  ON c.user_id = p.user_id
+      | AND p.us >= c.us AND p.us <= c.us + 600000000
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   /** q58: watermark-scoped streaming dedup through the micro-batch
     * engine. The staging makes the test real: the fixture is staged
     * TWICE and `maxFilesPerTrigger = 1` forces three micro-batches
@@ -563,6 +598,7 @@ object StreamingGate {
     "q40_stream_tumbling" -> (q40StreamTumbling _),
     "q41_stream_sessions" -> (q41StreamSessions _),
     "q43_stream_interval_join" -> (q43StreamIntervalJoin _),
+    "q106_stream_outer_join" -> (q106StreamOuterJoin _),
     "q58_stream_dedup" -> (q58StreamDedup _),
     "q65_stream_running_counts" -> (q65StreamRunningCounts _),
     "q76_stream_max_state" -> (q76StreamMaxState _),
@@ -579,6 +615,7 @@ object StreamingGate {
     "q40_stream_tumbling" -> graft.queries.Relational.q11Sql,
     "q41_stream_sessions" -> graft.queries.Relational.q12Sql,
     "q43_stream_interval_join" -> graft.queries.Relational.q26Sql,
+    "q106_stream_outer_join" -> q106Sql,
     "q58_stream_dedup" -> q58Sql,
     "q65_stream_running_counts" -> q65Sql,
     "q76_stream_max_state" -> q76Sql,

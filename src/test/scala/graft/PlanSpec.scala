@@ -505,6 +505,35 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q107: join-driven dynamic partition pruning reaches the fact scan") {
+    // AQE off so the executed plan exposes FileSourceScanExec directly
+    // (same discipline as the q92 metric check)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.sources.Partitioned.dppScan(spark, sf)
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val fact = scans.find(_.partitionFilters.nonEmpty)
+        .getOrElse(fail(s"no partitioned fact scan in:\n${df.queryExecution.executedPlan}"))
+      // plan shape: the partition filter is a runtime DPP subquery, not a
+      // static literal (no source predicate exists anywhere in the query)
+      assert(fact.partitionFilters.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])),
+        s"fact scan must carry a dynamicpruning PartitionFilter:\n$fact")
+      // physical effect: only the dim-matching partitions' files are read
+      // (the layout writes exactly one file per source directory)
+      val kept = spark.read.parquet(graft.sources.Partitioned.dimLayout(spark, sf))
+        .filter(col("grp") === graft.sources.Partitioned.DppGroup).count()
+      val all = spark.read.parquet(graft.sources.Partitioned.dimLayout(spark, sf)).count()
+      val nFiles = fact.metrics("numFiles").value
+      assert(kept < all, "fixture must have prunable partitions")
+      assert(nFiles == kept,
+        s"expected $kept of $all partition files read, got $nFiles")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q96/q97: EXISTS pair plans as semi+anti; IN-subquery as semi") {
     val p96 = plan(graft.queries.Relational.q96ChurnedCustomers(spark, sf))
     assert(p96.contains("LeftSemi") && p96.contains("LeftAnti"),

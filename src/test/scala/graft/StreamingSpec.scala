@@ -69,6 +69,93 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "symmetric-hash stream join must reproduce the batch relation")
   }
 
+  test("q106 gate: stream-stream LEFT OUTER interval join equals the batch left join") {
+    val got = graft.streaming.StreamingGate.q106StreamOuterJoin(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val events = Tables.events(spark, sf)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"))
+    val want = clicks.join(purchases,
+        expr("""user_id = p_user AND purchase_ts >= click_ts AND
+                purchase_ts <= click_ts + interval 10 minutes"""), "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+      .orderBy(col("click_id"), col("purchase_id"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == want,
+      "outer stream join must reproduce the batch left join, nulls included")
+    assert(want.exists(_(2) == null), "fixture must exercise the null path")
+  }
+
+  test("q106: null emission is watermark-driven — sentinel-free replay holds back tail clicks") {
+    // Replay the fixture WITHOUT the far-future sentinel: the watermark
+    // plateaus at real-max − 20 min, so an unmatched click inside the
+    // final 30 minutes (20 min delay + 10 min join interval) can never
+    // be proven matchless — its null row must NOT appear. Everything
+    // older must. This pins null emission to watermark passage; an
+    // engine that flushed state at end-of-input would emit ALL nulls
+    // and fail the held-back assertion.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = java.nio.file.Files.createTempDirectory("q106-nosent")
+    staged.toFile.deleteOnExit()
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      staged.resolve("00-events.parquet"))
+    val src = spark.readStream
+      .schema(graft.streaming.EventsStreaming.rawSchema)
+      .parquet(staged.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val ckpt = java.nio.file.Files.createTempDirectory("q106-nosent-ckpt")
+    ckpt.toFile.deleteOnExit()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = graft.streaming.EventsStreaming.purchaseClickOuter(src)
+        .writeStream.format("memory").queryName("q106_nosent").outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val sinkNulls = spark.table("q106_nosent")
+      .filter(col("purchase_id").isNull)
+      .select("click_id").collect().map(_.getLong(0)).toSet
+
+    val events = Tables.events(spark, sf)
+    // the plateau watermark is the MIN over the two watermark NODES,
+    // each of which only sees its own filtered side — not the overall
+    // event max
+    val maxClickUs = events.filter(col("event_type") === "click")
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val maxPurchUs = events.filter(col("event_type") === "purchase")
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val plateauUs = math.min(maxClickUs, maxPurchUs) - 1200L * 1000000L
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), unix_micros(col("ts")).as("click_us"))
+    val matched = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"))
+      .join(events.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            unix_micros(col("ts")).as("click_us")),
+        expr("user_id = p_user AND p_us >= click_us AND p_us <= click_us + 600000000"))
+      .select("click_id").distinct()
+    val batchNulls = clicks.join(matched, Seq("click_id"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // a click is provably matchless once plateau > click_us + 10 min
+    val mustEmit = batchNulls.filter(t => t._2 + 600L * 1000000L < plateauUs).map(_._1).toSet
+    val mustHold = batchNulls.filter(t => t._2 + 600L * 1000000L >= plateauUs).map(_._1).toSet
+    assert(mustHold.nonEmpty, "fixture must have an unmatched click in the tail horizon")
+    assert(sinkNulls.subsetOf(mustEmit ++ mustHold), "no spurious null rows")
+    assert(mustEmit.subsetOf(sinkNulls),
+      s"nulls older than the plateau horizon must emit; missing ${mustEmit -- sinkNulls}")
+    assert((mustHold & sinkNulls).isEmpty,
+      s"tail-horizon clicks must be HELD without the sentinel; leaked ${mustHold & sinkNulls}")
+  }
+
   test("q58 gate: two-copy replay dedups to the original relation across batches") {
     // the staging plants a FULL duplicate of the fixture in a later
     // micro-batch; only state-store suppression (or the late-event
