@@ -126,6 +126,37 @@ final class StubDecoder extends MediaDecoder {
 
 object Multimodal {
 
+  /** Non-ASCII probe row unioned into every multimodal gate (both
+    * engines): multi-byte code points (2-, 3-, and 4-byte utf-8) make
+    * byte-vs-character confusion IMPOSSIBLE to pass — the oracles index
+    * raw payload bytes via hex(), so the compared output always carries
+    * one row whose octet length differs from its character length. The
+    * id is far outside every fixture's doc_id range and positive so the
+    * % metadata arithmetic agrees across engines. */
+  val ProbeDocId = 90000001L
+  val ProbeText = "été café über — 高清 🎬 naïve façade"
+
+  /** (doc_id, text) with the probe row appended — the input relation
+    * every multimodal gate runs over. */
+  def withProbe(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.sparkSession.range(1)
+        .select(lit(ProbeDocId).as("doc_id"), lit(ProbeText).as("text")))
+
+  /** The same relation on the oracle side. */
+  private val docsWithProbe =
+    s"(SELECT doc_id, text FROM documents UNION ALL SELECT $ProbeDocId, '$ProbeText')"
+
+  /** Byte k (1-based) of the payload, read from `h` = hex(encode(text))
+    * — DuckDB 1.0 has no direct BLOB byte indexing, so each byte is
+    * reassembled from its two uppercase hex nibbles with integer
+    * arithmetic (A-F sit 7 code points past 9). */
+  private def hexNib(pos: String): String =
+    s"(CASE WHEN ord(substr(h, $pos, 1)) >= 65 " +
+      s"THEN ord(substr(h, $pos, 1)) - 55 ELSE ord(substr(h, $pos, 1)) - 48 END)"
+  private def byteAt(i: String): String =
+    s"(${hexNib(s"2*($i) - 1")} * 16 + ${hexNib(s"2*($i)")})"
+
   /** Attach a binary payload + metadata to each document. The payload is
     * the utf-8 text bytes standing in for media bytes; metadata is
     * derived deterministically. */
@@ -149,47 +180,50 @@ object Multimodal {
   }
 
   /** q23: the full multimodal pipeline — attach, decode (stub), emit
-    * integer features. Joinable back to metadata relationally. */
+    * integer features. Joinable back to metadata relationally. Runs
+    * over the probe-extended corpus so the compared output always
+    * carries a multi-byte-utf-8 row. */
   def q23(s: SparkSession, dir: String): DataFrame = {
-    val media = attachPayload(Tables.documents(s, dir))
+    val media = attachPayload(withProbe(Tables.documents(s, dir)))
     val feats = decodeFeatures(media, new StubDecoder)
     feats.toDF()
       .join(media.select("doc_id", "media_format", "media_width"), "doc_id")
       .orderBy("doc_id")
   }
 
-  /** Oracle: byte stats of utf-8 text. documents are ASCII so
-    * octet/char lengths coincide and ord() equals the byte — computed
-    * with integer arithmetic in both engines. (If the fixture ever grows
-    * non-ASCII text this oracle must move to rows-only.) */
+  /** Oracle: BYTE-EXACT stats of the utf-8 payload — every index walks
+    * hex(encode(text)), so multi-byte code points hash identically to
+    * the engine's raw-byte loop (no ASCII assumption; the probe row
+    * proves it on every run). */
   val q23Sql: String =
-    """WITH b AS (
-      |  SELECT doc_id, encode(text) AS bytes, octet_length(encode(text)) AS n_bytes,
-      |    text FROM documents),
-      |stats AS (
-      |  SELECT doc_id, n_bytes,
-      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
-      |      generate_series(1, length(text)), i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
-      |      (x, y) -> x + y) AS byte_sum,
-      |    list_max(list_transform(generate_series(1, length(text)),
-      |      i -> ord(substr(text, i, 1)))) AS max_byte,
-      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
-      |      generate_series(1, length(text), 256), i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
-      |      (x, y) -> x + y) AS frame_sample_sum,
-      |    len(generate_series(1, length(text), 256)) AS n_frames
-      |  FROM b)
-      |SELECT s.doc_id, s.n_bytes,
-      |  CASE WHEN s.n_bytes = 0 THEN 0 ELSE s.byte_sum * 100 // s.n_bytes END AS mean_byte_x100,
-      |  s.max_byte, s.n_frames, s.frame_sample_sum,
-      |  CASE WHEN s.n_bytes = 0 THEN 0 ELSE
-      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
-      |      generate_series(0, 15),
-      |      i -> CAST(ord(substr(d.text, CAST((i * s.n_bytes) // 16 AS INT) + 1, 1)) AS BIGINT))),
-      |      (a, c) -> (a * 31 + c) % 1000000007) END AS thumb_hash,
-      |  (['jpeg','png','webm'])[CAST(d.doc_id % 3 AS INT) + 1] AS media_format,
-      |  CAST(320 * ((d.doc_id % 4) + 1) AS INT) AS media_width
-      |FROM stats s JOIN documents d ON s.doc_id = d.doc_id
-      |ORDER BY s.doc_id""".stripMargin
+    s"""WITH b AS (
+       |  SELECT doc_id, hex(encode(text)) AS h,
+       |    octet_length(encode(text)) AS n_bytes FROM $docsWithProbe),
+       |stats AS (
+       |  SELECT doc_id, n_bytes,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+       |      generate_series(1, n_bytes), i -> CAST(${byteAt("i")} AS BIGINT))),
+       |      (x, y) -> x + y) AS byte_sum,
+       |    CASE WHEN n_bytes = 0 THEN 0 ELSE
+       |      list_max(list_transform(generate_series(1, n_bytes),
+       |        i -> ${byteAt("i")})) END AS max_byte,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+       |      generate_series(1, n_bytes, 256), i -> CAST(${byteAt("i")} AS BIGINT))),
+       |      (x, y) -> x + y) AS frame_sample_sum,
+       |    len(generate_series(1, n_bytes, 256)) AS n_frames
+       |  FROM b)
+       |SELECT s.doc_id, s.n_bytes,
+       |  CASE WHEN s.n_bytes = 0 THEN 0 ELSE s.byte_sum * 100 // s.n_bytes END AS mean_byte_x100,
+       |  s.max_byte, s.n_frames, s.frame_sample_sum,
+       |  CASE WHEN s.n_bytes = 0 THEN 0 ELSE
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+       |      generate_series(0, 15),
+       |      i -> CAST(${byteAt("CAST((i * s.n_bytes) // 16 AS INT) + 1")} AS BIGINT))),
+       |      (a, c) -> (a * 31 + c) % 1000000007) END AS thumb_hash,
+       |  (['jpeg','png','webm'])[CAST(s.doc_id % 3 AS INT) + 1] AS media_format,
+       |  CAST(320 * ((s.doc_id % 4) + 1) AS INT) AS media_width
+       |FROM stats s JOIN b ON b.doc_id = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
 
   /** The explode-shaped decode stage: each record fans out into its
     * sampled frames via flatMap — same one-decoder-per-partition,
@@ -204,25 +238,26 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions(_.flatMap(decoder.frames))
   }
 
-  /** q60: frame-sample table over the corpus payloads. */
+  /** q60: frame-sample table over the probe-extended corpus payloads. */
   def q60(s: SparkSession, dir: String): DataFrame =
-    sampleFrames(attachPayload(Tables.documents(s, dir)), new StubDecoder)
+    sampleFrames(attachPayload(withProbe(Tables.documents(s, dir))), new StubDecoder)
       .toDF().orderBy("doc_id", "frame_idx")
 
-  /** Oracle: same stride/window arithmetic over the utf-8 text (ASCII
-    * fixture: ord == byte, see q23's note). */
+  /** Oracle: the same stride/window arithmetic BYTE-EXACT over
+    * hex(encode(text)) — see q23. */
   val q60Sql: String =
-    """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
-      |f AS (SELECT doc_id, text, n, unnest(generate_series(1, n, 256)) AS off1
-      |      FROM b WHERE n > 0)
-      |SELECT doc_id, CAST((off1 - 1) // 256 AS INT) AS frame_idx,
-      |  CAST(off1 - 1 AS BIGINT) AS frame_off,
-      |  ord(substr(text, off1, 1)) AS frame_byte,
-      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
-      |    generate_series(off1, least(off1 + 15, n)),
-      |    i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
-      |    (a, c) -> (a * 31 + c) % 1000000007) AS window_hash
-      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+    s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+       |            octet_length(encode(text)) AS n FROM $docsWithProbe),
+       |f AS (SELECT doc_id, h, n, unnest(generate_series(1, n, 256)) AS off1
+       |      FROM b WHERE n > 0)
+       |SELECT doc_id, CAST((off1 - 1) // 256 AS INT) AS frame_idx,
+       |  CAST(off1 - 1 AS BIGINT) AS frame_off,
+       |  ${byteAt("off1")} AS frame_byte,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+       |    generate_series(off1, least(off1 + 15, n)),
+       |    i -> CAST(${byteAt("i")} AS BIGINT))),
+       |    (a, c) -> (a * 31 + c) % 1000000007) AS window_hash
+       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
   // ------------------------------------------------ perceptual near-dup
   /** Max Hamming distance for a perceptual match and the band layout:
@@ -282,34 +317,28 @@ object Multimodal {
   }
 
   def q74(s: SparkSession, dir: String): DataFrame =
-    phashNearDups(attachPayload(Tables.documents(s, dir)), new StubDecoder)
+    phashNearDups(attachPayload(withProbe(Tables.documents(s, dir))), new StubDecoder)
 
   /** Oracle: the banding is pigeonhole-COMPLETE for Hamming <= 2, so the
     * oracle is simply every pair within the Hamming bound — no band
     * mirroring needed (contrast q31's probabilistic recall). dHash bits
-    * from the same byte-index arithmetic as q23's thumbnail.
-    *
-    * ASCII-fixture contract (q23's): the engine hashes the raw payload
-    * BYTES while this SQL indexes CHARACTERS with byte offsets (n =
-    * octet_length) and reads code points via ord() — the two coincide
-    * exactly when the fixture text is ASCII, which the documents tables
-    * are. Non-ASCII payloads keep the ENGINE correct (bytes are bytes;
-    * PropertySpec exercises unicode payloads Spark-side) but would
-    * desync THIS oracle — if the fixture ever grows non-ASCII text,
-    * move the oracle to a BLOB-indexed signature or rows-only. */
+    * from the same BYTE-index arithmetic as q23's thumbnail, read
+    * byte-exactly off hex(encode(text)) — the probe row keeps a
+    * multi-byte payload in the compared input on every run. */
   val q74Sql: String = {
     val h = PhashMaxHamming
     // bit k (0-based) = point_k < point_{k+1}, points at (k*n)//33
     val sig =
-      """list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
-        |      generate_series(1, 32), k -> CASE WHEN
-        |        ord(substr(text, CAST(((k - 1) * n) // 33 AS INT) + 1, 1)) <
-        |        ord(substr(text, CAST((k * n) // 33 AS INT) + 1, 1))
-        |      THEN CAST(1 AS BIGINT) << (k - 1) ELSE 0 END)),
-        |      (x, y) -> x + y)""".stripMargin
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+         |      generate_series(1, 32), k -> CASE WHEN
+         |        ${byteAt("CAST((((k - 1) * n) // 33) AS INT) + 1")} <
+         |        ${byteAt("CAST(((k * n) // 33) AS INT) + 1")}
+         |      THEN CAST(1 AS BIGINT) << (k - 1) ELSE 0 END)),
+         |      (x, y) -> x + y)""".stripMargin
     s"""WITH b AS (
        |  SELECT doc_id, CASE WHEN n = 0 THEN 0 ELSE $sig END AS sig FROM
-       |    (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)),
+       |    (SELECT doc_id, hex(encode(text)) AS h,
+       |       octet_length(encode(text)) AS n FROM $docsWithProbe)),
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
        |    bit_count(xor(a.sig, b2.sig)) AS hamming
