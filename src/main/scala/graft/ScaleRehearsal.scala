@@ -123,11 +123,26 @@ object ScaleRehearsal {
       val o14 = Observation("rehearsal_q14")
       graft.ext.Dedup.minhashPairs(docs, dropObs = Some(o14))
         .write.format("noop").mode("overwrite").save()
+      // q24's banded rewrite under a cap TIGHTER than the fixture's hot
+      // clone-family buckets (avg bucket at bands=4/bits=9 on the 10x
+      // corpus is ~100 postings): the pathological-bucket path must
+      // DROP observably instead of expanding m² pairs. The uncapped
+      // rewrite timing stays in mitigated_quadratic — this run only
+      // proves the degradation is bounded and visible.
+      val o24 = Observation("rehearsal_q24")
+      graft.ext.Similarity.bandedNearDupPairs(
+        graft.ext.Similarity.withLshBands(
+          Tables.embeddings(spark, dir), bands = 4, bandBits = 9),
+        graft.ext.Similarity.NearDupThreshold,
+        maxBucket = 64, dropObs = Some(o24))
+        .write.format("noop").mode("overwrite").save()
       val drops = Map(
         "q16_dropped_shingles" -> o16.get("dropped_shingles").asInstanceOf[Long],
         "q16_dropped_postings" -> o16.get("dropped_postings").asInstanceOf[Long],
         "q14_dropped_buckets" -> o14.get("dropped_buckets").asInstanceOf[Long],
-        "q14_dropped_docs" -> o14.get("dropped_docs").asInstanceOf[Long])
+        "q14_dropped_docs" -> o14.get("dropped_docs").asInstanceOf[Long],
+        "q24_dropped_buckets" -> o24.get("dropped_buckets").asInstanceOf[Long],
+        "q24_dropped_pairs" -> o24.get("dropped_pairs").asInstanceOf[Long])
       // the property this harness exists to prove: under the injected
       // hot key, the caps ENGAGE (observable truncation) instead of the
       // buckets going quadratic — fail loudly if they never fired

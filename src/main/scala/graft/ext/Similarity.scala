@@ -319,24 +319,56 @@ object Similarity {
       .drop("__sig")
   }
 
+  /** Hot-bucket cap for the banded rewrite's candidate join —
+    * [[graft.ext.Dedup.MaxLshBucket]]'s discipline at q24's layer. A
+    * degenerate bucket (dup-mass corpus, too-narrow band width) holds
+    * m postings and contributes m²/2 candidate pairs; with the cap the
+    * adversarial bound is n_buckets · cap² instead of n². Sized far
+    * above any healthy bucket (production sizing keeps buckets in the
+    * tens-to-hundreds: bits ≈ log2(n / target_bucket)), so it only
+    * fires when the layout has already gone pathological. */
+  val BandedBucketCap = 4096
+
   /** Unordered banded-LSH candidate join + exact verify over a
     * precomputed `lsh_bands` index column — the sub-quadratic plan
     * [[RewriteCosineNearDups]] swaps in when the index exists. Each
     * pair is emitted by its FIRST matching band only (zip_with over the
     * band-key prefixes — q42's no-distinct emission without needing to
     * know the band bit-width), then verified with the exact codegen
-    * cosine at the same threshold. */
-  private[graft] def bandedNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    * cosine at the same threshold.
+    *
+    * Buckets over `maxBucket` are dropped from candidate expansion
+    * BEFORE the self-join, and the truncation is OBSERVABLE through
+    * `dropObs` (`dropped_buckets` / `dropped_pairs` ride the bucket-size
+    * aggregate as free CollectMetrics — q14's discipline; read with AQE
+    * off). Recall contract under an engaged cap: a pair whose FIRST
+    * agreeing band landed in a dropped bucket is lost even if a later
+    * band also agrees (the first-match predicate sees raw keys) —
+    * exactly the m² work the cap exists to refuse; byte-identical
+    * payloads are still caught by exact dedup (q13). The bucket-size
+    * join adds no exchange: postings are already hash-partitioned on
+    * (band, bkey) for the self-join, and the aggregate reuses it. */
+  private[graft] def bandedNearDupPairs(
+      emb: DataFrame, threshold: Double,
+      maxBucket: Int = BandedBucketCap,
+      dropObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     VectorOps.register(emb.sparkSession)
     val bandsCol = graft.plans.CosineNearDups.LshBandsCol
     val v = emb.select(col("vec_id"), col("embedding"), col(bandsCol).as("bands"))
       .withColumn("norm2", expr("vec_dot(embedding, embedding)"))
     val e = v.select(col("vec_id"), col("embedding"), col("norm2"), col("bands"),
       posexplode(col("bands")).as(Seq("band", "bkey")))
-    val a = e.select(col("band"), col("bkey"), col("vec_id").as("id_a"),
+    val sizes = e.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
+    val watched = dropObs.fold(sizes)(o => sizes.observe(o,
+      sum(when(col("bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+      sum(when(col("bsz") > maxBucket, col("bsz") * (col("bsz") - 1) / 2)
+        .otherwise(0L)).as("dropped_pairs")))
+    val kept = watched.filter(col("bsz") <= maxBucket).select("band", "bkey")
+    val ek = e.join(kept, Seq("band", "bkey"))
+    val a = ek.select(col("band"), col("bkey"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("norm2").as("norm2_a"),
       col("bands").as("bands_a"))
-    val b = e.select(col("band"), col("bkey"), col("vec_id").as("id_b"),
+    val b = ek.select(col("band"), col("bkey"), col("vec_id").as("id_b"),
       col("embedding").as("emb_b"), col("norm2").as("norm2_b"),
       col("bands").as("bands_b"))
     a.join(b, Seq("band", "bkey"))

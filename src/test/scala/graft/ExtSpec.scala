@@ -312,6 +312,31 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.minhashPairs(small, maxLshBucket = 5).count() == 0)
   }
 
+  test("q24 banded rewrite: hot-bucket cap drops observably, default cap is inert") {
+    import spark.implicits._
+    // 300 identical embeddings: every band bucket holds the whole set —
+    // uncapped that is ~45k pairs per band; under a tight cap the
+    // degenerate buckets drop outright and the metrics say how much
+    val emb = (1 to 300).map(i => (i.toLong, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val indexed = Similarity.withLshBands(emb, bands = 4, bandBits = 6)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val obs = org.apache.spark.sql.Observation("q24_drops")
+      val capped = Similarity.bandedNearDupPairs(indexed,
+        Similarity.NearDupThreshold, maxBucket = 64, dropObs = Some(obs))
+      assert(capped.count() == 0, "over-cap buckets must not expand pairs")
+      // identical vectors share every band signature: 4 hot buckets,
+      // each holding all 300 postings -> 300*299/2 pairs refused apiece
+      assert(obs.get("dropped_buckets") == 4L)
+      assert(obs.get("dropped_pairs") == 4L * (300L * 299L / 2))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the DEFAULT cap is sized to never touch a healthy layout: the
+    // same corpus under it still yields every pair exactly once
+    assert(Similarity.bandedNearDupPairs(indexed, Similarity.NearDupThreshold)
+      .count() == 300L * 299 / 2)
+  }
+
   test("q30 banding: skewed single-brand fixture matches a naive quadratic check") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
