@@ -8,6 +8,12 @@ For each <outDir>/<name> parquet dir with an entry in oracle_sql.json:
 run the SQL in DuckDB with views over <sfDir>/*.parquet, then compare
 column names (sorted), row count, and values (hash-style exact compare
 on a canonical string rendering, like the driver's value hash).
+
+Ratio artifact:
+  python3 tools/verify_local.py --ratio <bench_result.json> <anchor.json> [out.md]
+writes a per-query engine-vs-oracle table (default BENCH_RATIO.md) so
+individual 2x outliers are visible at a glance instead of only suite
+totals.
 """
 import json, sys, glob, os
 import duckdb
@@ -63,5 +69,43 @@ def main(sf_dir, out_dir):
     print(f"\n{n_pass} passed, {n_fail} failed")
     return 1 if n_fail else 0
 
+def ratio(bench_path, anchor_path, out_path="BENCH_RATIO.md"):
+    bench = json.load(open(bench_path))["queries"]
+    anchor = json.load(open(anchor_path))
+    rows = []
+    for q in sorted(bench):
+        e = bench[q]
+        o = anchor.get(q)
+        rows.append((q, e, o, (e / o) if o else None))
+    et = sum(b for _, b, _, _ in rows)
+    ot = sum(o for _, _, o, _ in rows if o is not None)
+    lines = [
+        "# BENCH_RATIO — per-query engine vs DuckDB anchor (sf0.1)",
+        "",
+        f"Engine suite total {et:.1f} s vs anchor total {ot:.1f} s = "
+        f"**{et / ot:.2f}x**. Ratios > 2x are flagged; sub-second",
+        "relational queries pay Spark's ~0.3-0.5 s per-job floor, which",
+        "amortizes at scale (see BASELINE.md).",
+        "",
+        "| query | engine s | oracle s | ratio | |",
+        "|---|---|---|---|---|",
+    ]
+    for q, e, o, r in rows:
+        if o is None:
+            lines.append(f"| {q} | {e:.3f} | — | — | no-anchor |")
+            continue
+        flag = "**> 2x**" if r > 2 else ""
+        lines.append(f"| {q} | {e:.3f} | {o:.3f} | {r:.2f} | {flag} |")
+    over = [q for q, _, o, r in rows if o and r > 2]
+    lines += ["", f"{len(over)} of {len(rows)} queries over 2x individually: "
+              + (", ".join(over) if over else "none") + "."]
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out_path}: {et:.1f}s vs {ot:.1f}s = {et/ot:.2f}x, "
+          f"{len(over)} queries over 2x")
+    return 0
+
 if __name__ == "__main__":
+    if sys.argv[1] == "--ratio":
+        sys.exit(ratio(*sys.argv[2:]))
     sys.exit(main(sys.argv[1], sys.argv[2]))
