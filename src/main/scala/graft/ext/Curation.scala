@@ -254,6 +254,76 @@ object Curation {
        |    // $ShardTokens AS shard
        |FROM documents ORDER BY source, doc_id""".stripMargin
 
+  // ------------------------------------------- sequence packing (q108)
+  /** Fixed training-sequence length for [[packedSpans]]. Small enough
+    * that fixture docs straddle sequence boundaries routinely — the
+    * path this operator exists to get right. */
+  val SeqTokens = 256L
+
+  /** q108: SEQUENCE PACKING — the concat-and-chunk step that turns a
+    * curated corpus into fixed-length training sequences, emitted as
+    * TOKEN SPANS: within each source, documents concatenate in doc_id
+    * order and the stream is cut every [[SeqTokens]] tokens; a document
+    * crossing a cut contributes one span per overlapped sequence
+    * (doc-relative `tok_start`/`tok_len`, sequence-relative `seq_off`).
+    * This is q51's planner taken to the token level: q51 decides which
+    * FILE a doc lands in (budget overshoot allowed), this decides which
+    * tokens land in which fixed-size SEQUENCE (no overshoot — training
+    * rows must be exactly L long, so straddling docs split).
+    *
+    * All integer arithmetic over one exclusive prefix sum:
+    *   spans(doc) = { bin k in [before div L, (before+n-1) div L]:
+    *     span = [max(before, kL), min(before+n, (k+1)L)) }
+    * so Σ tok_len = n per doc (nothing lost at cuts) and every sequence
+    * except each source's last holds exactly L tokens — both properties
+    * spec-pinned.
+    *
+    * Shape: the q51 window (hash partition by source, in-partition
+    * sort) + a generator explode whose fan-out is n/L + 1 spans per doc
+    * — linear in the corpus, no shuffle after the window. Same
+    * per-source parallelism contract as q51: production runs this per
+    * curated shard, which bounds window partitions and scales the stage
+    * with shard count rather than source count. */
+  def packedSpans(docs: DataFrame, seqTokens: Long = SeqTokens): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("source"), col("doc_id"),
+        expr("size(split(text, ' '))").cast("long").as("n_tokens"))
+      .withColumn("before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("before"),
+        explode(expr(
+          s"sequence(before div $seqTokens, (before + n_tokens - 1) div $seqTokens)"))
+          .as("seq"))
+      .select(col("source"), col("seq"), col("doc_id"),
+        (greatest(col("before"), col("seq") * seqTokens) - col("before"))
+          .as("tok_start"),
+        (least(col("before") + col("n_tokens"), (col("seq") + 1) * seqTokens) -
+          greatest(col("before"), col("seq") * seqTokens)).as("tok_len"),
+        (greatest(col("before"), col("seq") * seqTokens) - col("seq") * seqTokens)
+          .as("seq_off"))
+      .orderBy("source", "seq", "seq_off")
+  }
+
+  val packedSpansSql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+       |      OVER (PARTITION BY source ORDER BY doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS before FROM documents),
+       |s AS (
+       |  SELECT source, doc_id, n_tokens, before,
+       |    unnest(generate_series(before // $SeqTokens,
+       |                           (before + n_tokens - 1) // $SeqTokens)) AS seq
+       |  FROM t)
+       |SELECT source, seq, doc_id,
+       |  greatest(before, seq * $SeqTokens) - before AS tok_start,
+       |  least(before + n_tokens, (seq + 1) * $SeqTokens)
+       |    - greatest(before, seq * $SeqTokens) AS tok_len,
+       |  greatest(before, seq * $SeqTokens) - seq * $SeqTokens AS seq_off
+       |FROM s ORDER BY source, seq, seq_off""".stripMargin
+
   // ----------------------------------------------- canonical selection
   /** Canonical-doc selection: the dedup pipeline's LAST step — per
     * near-dup cluster (q33's MinHash-LSH connected components), keep the
@@ -695,6 +765,7 @@ object Curation {
     "q49_token_rarity" -> ((s, d) => tokenRarity(Tables.documents(s, d))),
     "q50_incremental_dedup" -> ((s, d) => incrementalDedup(Tables.documents(s, d))),
     "q51_shard_plan" -> ((s, d) => shardPlan(Tables.documents(s, d))),
+    "q108_packed_spans" -> ((s, d) => packedSpans(Tables.documents(s, d))),
     "q52_canonical_docs" -> ((s, d) => canonicalDocs(Tables.documents(s, d))),
     "q53_bpe_pairs" -> ((s, d) => bpePairs(Tables.documents(s, d))),
     "q54_prefix_contained" -> ((s, d) => prefixContained(Tables.documents(s, d))),
@@ -710,6 +781,7 @@ object Curation {
     "q49_token_rarity" -> tokenRaritySql,
     "q50_incremental_dedup" -> incrementalDedupSql,
     "q51_shard_plan" -> shardPlanSql,
+    "q108_packed_spans" -> packedSpansSql,
     "q52_canonical_docs" -> canonicalDocsSql,
     "q53_bpe_pairs" -> bpePairsSql,
     "q54_prefix_contained" -> prefixContainedSql,

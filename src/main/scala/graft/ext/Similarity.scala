@@ -361,7 +361,7 @@ object Similarity {
     val sizes = e.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
     val watched = dropObs.fold(sizes)(o => sizes.observe(o,
       sum(when(col("bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
-      sum(when(col("bsz") > maxBucket, col("bsz") * (col("bsz") - 1) / 2)
+      sum(when(col("bsz") > maxBucket, expr("bsz * (bsz - 1) div 2"))
         .otherwise(0L)).as("dropped_pairs")))
     val kept = watched.filter(col("bsz") <= maxBucket).select("band", "bkey")
     val ek = e.join(kept, Seq("band", "bkey"))

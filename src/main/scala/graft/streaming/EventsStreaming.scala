@@ -139,10 +139,20 @@ object EventsStreaming {
     * (min-policy) watermark at real-max − 20 min, and loses the final
     * 20 minutes of null emissions (debugged via per-node
     * EventTimeStats: click-side count was 0 in the sentinel batch). */
-  def purchaseClickOuter(events: DataFrame): DataFrame = {
+  def purchaseClickOuter(events: DataFrame): DataFrame =
+    purchaseClickOuterJoin(events, "left_outer")
+
+  /** Shared body for the outer-join gates — q106 (left) and q109
+    * (full). Full outer adds the right side's null emissions: an
+    * unmatched purchase emits with null click columns once the
+    * watermark passes purchase_ts (no click in [ts − 10 min, ts] can
+    * still arrive). `user_id` coalesces across sides so the full form
+    * never loses the key on right-only rows. */
+  def purchaseClickOuterJoin(events: DataFrame, joinType: String): DataFrame = {
     val clicks = events
       .filter(col("event_type") === "click" || col("event_id") < 0)
-      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
       .withWatermark("click_ts", "20 minutes")
     val purchases = events
       .filter(col("event_type") === "purchase" || col("event_id") < 0)
@@ -150,11 +160,12 @@ object EventsStreaming {
               col("event_id").as("purchase_id"))
       .withWatermark("purchase_ts", "20 minutes")
     clicks.join(purchases,
-      expr("""user_id = p_user AND
+      expr("""c_user = p_user AND
               purchase_ts >= click_ts AND
               purchase_ts <= click_ts + interval 10 minutes"""),
-      "left_outer")
-      .select(col("user_id"), col("click_id"), col("purchase_id"),
+      joinType)
+      .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+        col("click_id"), col("purchase_id"),
         unix_micros(col("click_ts")).as("click_us"),
         unix_micros(col("purchase_ts")).as("purchase_us"))
   }

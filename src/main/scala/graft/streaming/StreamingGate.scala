@@ -203,6 +203,35 @@ object StreamingGate {
       | AND p.us >= c.us AND p.us <= c.us + 600000000
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** q109: the FULL OUTER stream-stream interval join — q106 plus the
+    * right side's watermark-driven null emissions (every purchase no
+    * click preceded within 10 minutes, as null-click rows). The 14th
+    * gate; same sentinel-through-both-filters discipline, and the
+    * sentinel pair (it matches itself) is removed on the sink table.
+    * Null ordering is pinned explicitly on BOTH engines (Spark default
+    * is nulls-first ASC; DuckDB's is nulls-last) — the full join is the
+    * first gate whose sort key contains nulls on the leading column. */
+  def q109StreamFullOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, dir,
+      EventsStreaming.purchaseClickOuterJoin(_, "full_outer"),
+      filesPerTrigger = Some(1))
+      .filter(coalesce(col("click_id"), lit(0L)) >= 0 &&
+              coalesce(col("purchase_id"), lit(0L)) >= 0)
+      .orderBy(col("click_id").asc_nulls_first, col("purchase_id").asc_nulls_first)
+
+  val q109Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+      |c AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase')
+      |SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+      |       c.event_id AS click_id, p.event_id AS purchase_id,
+      |       c.us AS click_us, p.us AS purchase_us
+      |FROM c FULL JOIN p
+      |  ON c.user_id = p.user_id
+      | AND p.us >= c.us AND p.us <= c.us + 600000000
+      |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin
+
   /** q58: watermark-scoped streaming dedup through the micro-batch
     * engine. The staging makes the test real: the fixture is staged
     * TWICE and `maxFilesPerTrigger = 1` forces three micro-batches
@@ -599,6 +628,7 @@ object StreamingGate {
     "q41_stream_sessions" -> (q41StreamSessions _),
     "q43_stream_interval_join" -> (q43StreamIntervalJoin _),
     "q106_stream_outer_join" -> (q106StreamOuterJoin _),
+    "q109_stream_full_outer" -> (q109StreamFullOuterJoin _),
     "q58_stream_dedup" -> (q58StreamDedup _),
     "q65_stream_running_counts" -> (q65StreamRunningCounts _),
     "q76_stream_max_state" -> (q76StreamMaxState _),
@@ -616,6 +646,7 @@ object StreamingGate {
     "q41_stream_sessions" -> graft.queries.Relational.q12Sql,
     "q43_stream_interval_join" -> graft.queries.Relational.q26Sql,
     "q106_stream_outer_join" -> q106Sql,
+    "q109_stream_full_outer" -> q109Sql,
     "q58_stream_dedup" -> q58Sql,
     "q65_stream_running_counts" -> q65Sql,
     "q76_stream_max_state" -> q76Sql,

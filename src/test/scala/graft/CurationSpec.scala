@@ -70,6 +70,46 @@ class CurationSpec extends SparkSpec {
       ("s1", 4L, 1L), ("s1", 5L, 1L), ("s2", 10L, 0L)))
   }
 
+  test("q108 packed spans: straddles split exactly, hand-checked; fixture invariants") {
+    // budget 256: d1 400 tokens -> spans [0,256) in seq 0 + [256,400) in
+    // seq 1; d2 starts at offset 400 in seq 1 (seq_off 144) and spills
+    // 44 tokens into seq 2; s2 restarts at seq 0
+    val text400 = Seq.fill(400)("w").mkString(" ")
+    val docs = Seq(("s1", 1L, text400), ("s1", 2L, text400),
+      ("s2", 10L, text400)).toDF("source", "doc_id", "text")
+    val got = Curation.packedSpans(docs).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("seq"), r.getLong(2),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("tok_len"),
+        r.getAs[Long]("seq_off")))
+    assert(got.toSeq == Seq(
+      ("s1", 0L, 1L, 0L, 256L, 0L),
+      ("s1", 1L, 1L, 256L, 144L, 0L),
+      ("s1", 1L, 2L, 0L, 112L, 144L),
+      ("s1", 2L, 2L, 112L, 256L, 0L),
+      ("s1", 3L, 2L, 368L, 32L, 0L),
+      ("s2", 0L, 10L, 0L, 256L, 0L),
+      ("s2", 1L, 10L, 256L, 144L, 0L)))
+    // fixture invariants: spans tile every doc exactly (nothing lost at
+    // cuts), every non-last sequence per source is exactly L, and the
+    // fixture actually exercises the straddle path
+    val fx = Tables.documents(spark, sf)
+    val spans = Curation.packedSpans(fx)
+    val perDoc = spans.groupBy("source", "doc_id")
+      .agg(sum("tok_len").as("got"), count(lit(1)).as("n_spans"))
+    val want = fx.select(col("source"), col("doc_id"),
+      expr("CAST(size(split(text, ' ')) AS LONG)").as("n_tokens"))
+    assert(perDoc.join(want, Seq("source", "doc_id"))
+      .filter(col("got") =!= col("n_tokens")).count() == 0,
+      "span lengths must sum to the doc's token count")
+    assert(perDoc.filter(col("n_spans") >= 2).count() > 0,
+      "fixture must contain boundary-straddling docs")
+    val perSeq = spans.groupBy("source", "seq").agg(sum("tok_len").as("filled"))
+    val lastSeq = perSeq.groupBy("source").agg(max("seq").as("last"))
+    assert(perSeq.join(lastSeq, "source").filter(col("seq") < col("last"))
+      .filter(col("filled") =!= Curation.SeqTokens).count() == 0,
+      "every non-last sequence must hold exactly L tokens")
+  }
+
   test("q53 bigram stats: exact adjacent-pair counts, short docs excluded") {
     val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"))
       .toDF("doc_id", "text")

@@ -91,6 +91,31 @@ class StreamingSpec extends SparkSpec {
     assert(want.exists(_(2) == null), "fixture must exercise the null path")
   }
 
+  test("q109 gate: full-outer stream join equals the batch full join, nulls on both sides") {
+    val got = graft.streaming.StreamingGate.q109StreamFullOuterJoin(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val events = Tables.events(spark, sf)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"))
+    val want = clicks.join(purchases,
+        expr("""c_user = p_user AND purchase_ts >= click_ts AND
+                purchase_ts <= click_ts + interval 10 minutes"""), "full_outer")
+      .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+        col("click_id"), col("purchase_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+      .orderBy(col("click_id").asc_nulls_first, col("purchase_id").asc_nulls_first)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want,
+      "full-outer stream join must reproduce the batch full join")
+    assert(want.exists(_(2) == null), "unmatched clicks must null-emit")
+    assert(want.exists(_(1) == null), "unmatched purchases must null-emit")
+  }
+
   test("q106: null emission is watermark-driven — sentinel-free replay holds back tail clicks") {
     // Replay the fixture WITHOUT the far-future sentinel: the watermark
     // plateaus at real-max − 20 min, so an unmatched click inside the
