@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities for hot-key aggregations (builder brief:
@@ -49,4 +49,83 @@ object Skew {
       .agg(count(lit(1)).as("partial_n"), sum(value).as("partial_s"))
       .groupBy(col("key"))
       .agg(sum(col("partial_n")).as("n"), sum(col("partial_s")).as("s"))
+
+  // --------------------------------------------------------------- q110
+  /** The q110 skewed join, LAZY (caller owns the AQE confs): 90% of
+    * events funneled onto ONE join key (the manufactured hot user), then
+    * a plain shuffle join to the customer dimension + per-key stats.
+    * Semantically just a join — the skew is the physical story. */
+  private[graft] def skewedJoinFrame(spark: SparkSession, dir: String): DataFrame = {
+    // repartition(16): AQE splits a skewed reduce partition at MAPPER
+    // granularity, and the fixture's single-row-group parquet collapses
+    // the scan to ONE effective mapper (nothing to split however low
+    // the thresholds go). A 100 TB scan has thousands of mappers
+    // naturally; this restores that shape at fixture scale.
+    val ev = graft.Tables.events(spark, dir).select(
+        when(col("user_id") % 10 =!= 0, lit(1L)).otherwise(col("user_id")).as("k"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .repartition(16)
+    val cust = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"))
+    ev.join(cust, "k")
+      .groupBy("k", "segment")
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+  }
+
+  /** q110: AQE SKEW-JOIN handling, oracle-gated — the builder brief's
+    * "skewed keys → salting or AQE skew-join", second half (q88 gates
+    * the salting half). The join runs as a sort-merge join (broadcast
+    * disabled) with the skew thresholds lowered to fixture scale, so
+    * AQE's OptimizeSkewedJoin must SPLIT the hot key's oversized
+    * shuffle partition into parallel sub-partitions at runtime — the
+    * plan-level proof lives in PlanSpec (`skew=true` on the executed
+    * join); THIS gate proves the split is semantically invisible (the
+    * result equals the plain-join oracle bit for bit).
+    *
+    * The frame is materialized INSIDE the conf window (a lazily
+    * returned frame would execute after the finally-restore, under the
+    * session's normal confs) and read back ordered. At 100 TB these
+    * thresholds are the defaults — 256 MB partitions — and the same
+    * mechanism absorbs the hot-key partition without a manual salt. */
+  def skewJoinStats(spark: SparkSession, dir: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // many map tasks: AQE splits a skewed reduce partition at MAPPER
+      // granularity, so a single-split fixture scan leaves nothing to
+      // split — force small input splits to emulate the thousands of
+      // mappers a 100 TB scan has naturally
+      "spark.sql.files.maxPartitionBytes" -> "32768",
+      "spark.sql.files.openCostInBytes" -> "0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2048",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024",
+      // the downstream aggregate could reuse the join's partitioning, so
+      // splitting the skewed partition costs an extra exchange — force
+      // the trade (at scale one straggler task dominates that cost)
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val out = java.nio.file.Files.createTempDirectory("graft-skewjoin")
+    out.toFile.deleteOnExit()
+    try {
+      skewedJoinFrame(spark, dir)
+        .write.mode("overwrite").parquet(out.toString)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    spark.read.parquet(out.toString).orderBy("k", "segment")
+  }
+
+  val skewJoinStatsSql: String =
+    """WITH ev AS (
+      |  SELECT CASE WHEN user_id % 10 != 0 THEN 1 ELSE user_id END AS k,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |c AS (SELECT c_custkey AS k, c_mktsegment AS segment FROM customer)
+      |SELECT ev.k, c.segment, COUNT(*) AS n_events,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM ev JOIN c ON ev.k = c.k
+      |GROUP BY ev.k, c.segment
+      |ORDER BY ev.k, c.segment""".stripMargin
 }

@@ -956,6 +956,7 @@ object Relational {
     "q86_scalar_subquery" -> (q86ScalarSubquery _),
     "q87_exists_subquery" -> (q87ExistsSubquery _),
     "q88_salted_agg"      -> (q88SaltedAgg _),
+    "q110_skew_join"      -> ((s, d) => graft.operators.Skew.skewJoinStats(s, d)),
     "q89_funnel"          -> (q89Funnel _),
     "q90_incremental_agg" -> (q90IncrementalAgg _),
     "q91_range_window"    -> (q91RangeWindow _),
@@ -985,6 +986,7 @@ object Relational {
     "q86_scalar_subquery" -> q86Sql,
     "q87_exists_subquery" -> q87Sql,
     "q88_salted_agg"      -> q88Sql,
+    "q110_skew_join"      -> graft.operators.Skew.skewJoinStatsSql,
     "q89_funnel"          -> q89Sql,
     "q90_incremental_agg" -> q90Sql,
     "q91_range_window"    -> q91Sql,

@@ -534,6 +534,55 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q110: AQE splits the hot key's shuffle partition (skew=true on the executed join)") {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // many map tasks: AQE splits a skewed reduce partition at MAPPER
+      // granularity, so a single-split fixture scan leaves nothing to
+      // split — force small input splits to emulate the thousands of
+      // mappers a 100 TB scan has naturally
+      "spark.sql.files.maxPartitionBytes" -> "32768",
+      "spark.sql.files.openCostInBytes" -> "0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2048",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024",
+      // the downstream aggregate could reuse the join's partitioning, so
+      // splitting the skewed partition costs an extra exchange — force
+      // the trade (at scale one straggler task dominates that cost)
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // sf0.01 (the correctness-gate scale): the hot key carries ~18k
+      // rows — comfortably past the lowered skew threshold, where
+      // sf0.001's 2k rows all fit under it and only coalesce
+      val df = graft.operators.Skew.skewedJoinFrame(spark, "/root/testdata/sf0.01")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must mark the hot-key join partition skewed and split it:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("q108: the window's hash exchange is the only data shuffle; explode adds none") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // drop the presentation orderBy (a range exchange) to expose the
+      // computation's own shuffle structure
+      val spans = graft.ext.Curation.packedSpans(Tables.documents(spark, sf))
+        .groupBy("source", "seq").count() // consumer re-using the window partitioning
+      val p = plan(spans)
+      val hashExchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).length
+      assert(p.contains("Window") && p.contains("Generate"),
+        s"expected window + generator explode:\n$p")
+      assert(hashExchanges == 1,
+        s"span packing must shuffle once (the window's source partition):\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q96/q97: EXISTS pair plans as semi+anti; IN-subquery as semi") {
     val p96 = plan(graft.queries.Relational.q96ChurnedCustomers(spark, sf))
     assert(p96.contains("LeftSemi") && p96.contains("LeftAnti"),
