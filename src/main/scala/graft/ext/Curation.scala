@@ -324,6 +324,47 @@ object Curation {
        |  greatest(before, seq * $SeqTokens) - seq * $SeqTokens AS seq_off
        |FROM s ORDER BY source, seq, seq_off""".stripMargin
 
+  // ------------------------------------------ deterministic shuffle (q111)
+  /** Shard count for [[corpusShuffle]] — production sizes this to the
+    * training job's reader parallelism. */
+  val ShuffleShards = 16L
+  /** LCG mixing constants (same family as the sign-LSH planes): small
+    * enough that `a * doc_id + seed` stays in BIGINT for any fixture
+    * doc_id under ANSI overflow checking. */
+  val ShuffleMulA = 1103515245L
+  val ShuffleMod = 1000000007L
+
+  /** q111: DETERMINISTIC CORPUS SHUFFLE — the seeded, reproducible
+    * reordering that fixes a training run's data order: every doc gets
+    * an LCG-mixed key, lands in shard `key mod S`, and takes its
+    * position from the key order within the shard (doc_id breaks ties).
+    * Rerunning with the same seed reproduces the order bit for bit on
+    * any cluster size (pure integer arithmetic, no RNG state, no
+    * partition-order dependence); changing the seed is a new epoch's
+    * permutation. This is the op behind "global shuffle then shard"
+    * that training loaders assume — done relationally so it scales as
+    * one hash partition per shard + an in-shard sort, never a global
+    * single-node sort. */
+  def corpusShuffle(docs: DataFrame, seed: Long = 12345L): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    docs.select(col("doc_id"),
+        expr(s"($ShuffleMulA * doc_id + $seed) % $ShuffleMod").as("key"))
+      .withColumn("shard", col("key") % ShuffleShards)
+      .select(col("shard"), row_number().over(w).cast("long").as("pos"),
+        col("doc_id"), col("key"))
+      .orderBy("shard", "pos")
+  }
+
+  val corpusShuffleSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, ($ShuffleMulA * doc_id + 12345) % $ShuffleMod AS key
+       |  FROM documents)
+       |SELECT key % $ShuffleShards AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY key % $ShuffleShards
+       |    ORDER BY key, doc_id) AS BIGINT) AS pos,
+       |  doc_id, key
+       |FROM k ORDER BY shard, pos""".stripMargin
+
   // ----------------------------------------------- canonical selection
   /** Canonical-doc selection: the dedup pipeline's LAST step — per
     * near-dup cluster (q33's MinHash-LSH connected components), keep the
@@ -766,6 +807,7 @@ object Curation {
     "q50_incremental_dedup" -> ((s, d) => incrementalDedup(Tables.documents(s, d))),
     "q51_shard_plan" -> ((s, d) => shardPlan(Tables.documents(s, d))),
     "q108_packed_spans" -> ((s, d) => packedSpans(Tables.documents(s, d))),
+    "q111_corpus_shuffle" -> ((s, d) => corpusShuffle(Tables.documents(s, d))),
     "q52_canonical_docs" -> ((s, d) => canonicalDocs(Tables.documents(s, d))),
     "q53_bpe_pairs" -> ((s, d) => bpePairs(Tables.documents(s, d))),
     "q54_prefix_contained" -> ((s, d) => prefixContained(Tables.documents(s, d))),
@@ -782,6 +824,7 @@ object Curation {
     "q50_incremental_dedup" -> incrementalDedupSql,
     "q51_shard_plan" -> shardPlanSql,
     "q108_packed_spans" -> packedSpansSql,
+    "q111_corpus_shuffle" -> corpusShuffleSql,
     "q52_canonical_docs" -> canonicalDocsSql,
     "q53_bpe_pairs" -> bpePairsSql,
     "q54_prefix_contained" -> prefixContainedSql,

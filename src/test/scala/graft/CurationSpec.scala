@@ -110,6 +110,26 @@ class CurationSpec extends SparkSpec {
       "every non-last sequence must hold exactly L tokens")
   }
 
+  test("q111 corpus shuffle: complete seeded permutation, partition-invariant, seed-sensitive") {
+    val docs = Tables.documents(spark, sf)
+    def run(df: org.apache.spark.sql.DataFrame, seed: Long = 12345L) =
+      Curation.corpusShuffle(df, seed).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = run(docs)
+    // complete: every doc appears exactly once
+    assert(a.map(_._3).sorted.toSeq ==
+      docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // reproducible: identical under a different input partitioning
+    assert(run(docs.repartition(7)).toSeq == a.toSeq)
+    // a different seed is a different permutation
+    assert(run(docs, seed = 424242L).map(_._3).toSeq != a.map(_._3).toSeq)
+    // in-shard positions are contiguous 1..n
+    a.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions must be 1..n")
+    }
+  }
+
   test("q53 bigram stats: exact adjacent-pair counts, short docs excluded") {
     val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"))
       .toDF("doc_id", "text")
