@@ -365,6 +365,52 @@ object Curation {
        |  doc_id, key
        |FROM k ORDER BY shard, pos""".stripMargin
 
+  // --------------------------------------------- train/val/test (q112)
+  /** Per-mille split boundaries: hash bucket < 980 → train, < 990 →
+    * val, else test. */
+  val SplitTrainPm = 980L
+  val SplitValPm = 990L
+
+  /** q112: SEEDED TRAIN/VAL/TEST SPLIT — every doc deterministically
+    * labeled by its hash bucket (0–999 ‰), so the split is (a) complete
+    * and disjoint by construction, (b) reproducible on any cluster from
+    * just the seed, (c) stable under corpus growth: a doc's label never
+    * changes when OTHER docs arrive, because the label depends only on
+    * its own id — the property a random-number split lacks and the
+    * reason eval contamination stays fixed across corpus versions.
+    * Mixing reuses [[ShuffleMulA]]'s LCG over a distinct seed so the
+    * split is independent of q111's shuffle order (same doc_id, two
+    * uncorrelated streams). Output: per (source, split) accounting the
+    * downstream loader consumes as a manifest. */
+  /** The per-doc labeling [[trainValTestSplit]] aggregates — exposed so
+    * specs can pin the growth-stability property at the row level. */
+  def splitLabels(docs: DataFrame, seed: Long = 777L): DataFrame =
+    docs.select(col("source"), col("doc_id"),
+        expr(s"(($ShuffleMulA * doc_id + $seed) % $ShuffleMod) % 1000").as("pm"))
+      .withColumn("split",
+        when(col("pm") < SplitTrainPm, "train")
+          .when(col("pm") < SplitValPm, "val")
+          .otherwise("test"))
+
+  def trainValTestSplit(docs: DataFrame, seed: Long = 777L): DataFrame =
+    splitLabels(docs, seed)
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("source", "split")
+
+  val trainValTestSplitSql: String =
+    s"""WITH lab AS (
+       |  SELECT source, doc_id,
+       |    CASE WHEN (($ShuffleMulA * doc_id + 777) % $ShuffleMod) % 1000 < $SplitTrainPm THEN 'train'
+       |         WHEN (($ShuffleMulA * doc_id + 777) % $ShuffleMod) % 1000 < $SplitValPm THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT source, split, COUNT(*) AS n_docs,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM lab GROUP BY source, split
+       |ORDER BY source, split""".stripMargin
+
   // ----------------------------------------------- canonical selection
   /** Canonical-doc selection: the dedup pipeline's LAST step — per
     * near-dup cluster (q33's MinHash-LSH connected components), keep the
@@ -808,6 +854,7 @@ object Curation {
     "q51_shard_plan" -> ((s, d) => shardPlan(Tables.documents(s, d))),
     "q108_packed_spans" -> ((s, d) => packedSpans(Tables.documents(s, d))),
     "q111_corpus_shuffle" -> ((s, d) => corpusShuffle(Tables.documents(s, d))),
+    "q112_split_manifest" -> ((s, d) => trainValTestSplit(Tables.documents(s, d))),
     "q52_canonical_docs" -> ((s, d) => canonicalDocs(Tables.documents(s, d))),
     "q53_bpe_pairs" -> ((s, d) => bpePairs(Tables.documents(s, d))),
     "q54_prefix_contained" -> ((s, d) => prefixContained(Tables.documents(s, d))),
@@ -825,6 +872,7 @@ object Curation {
     "q51_shard_plan" -> shardPlanSql,
     "q108_packed_spans" -> packedSpansSql,
     "q111_corpus_shuffle" -> corpusShuffleSql,
+    "q112_split_manifest" -> trainValTestSplitSql,
     "q52_canonical_docs" -> canonicalDocsSql,
     "q53_bpe_pairs" -> bpePairsSql,
     "q54_prefix_contained" -> prefixContainedSql,

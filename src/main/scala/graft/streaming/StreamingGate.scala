@@ -542,6 +542,17 @@ object StreamingGate {
     * failure a mutable lastSnap var had). The duplicate second copy
     * also proves idempotence: replaying identical data may not change
     * the snapshot. */
+  /** q98's predecessor lookup: the largest on-disk `vK` with K < id —
+    * derived from the BATCH ID so a retried batch re-reads its true
+    * predecessor instead of the directory it is about to overwrite
+    * (spec-pinned; ids need not be dense after a restart). */
+  private[graft] def latestSnapshotBefore(root: Path, id: Long): Option[String] = {
+    val vs = Option(root.toFile.listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+      .filter(_ < id)
+    if (vs.isEmpty) None else Some(root.resolve(s"v${vs.max}").toString)
+  }
+
   def q98StreamUpsertSink(spark: SparkSession, dir: String): DataFrame = {
     val staged = stageWithSentinel(spark, dir, copies = 2)
     val root = Files.createTempDirectory("graft-upsert-snap")
@@ -549,12 +560,7 @@ object StreamingGate {
     Seq(root, ckpt).foreach(_.toFile.deleteOnExit())
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    def snapBefore(id: Long): Option[String] = {
-      val vs = Option(root.toFile.listFiles()).toSeq.flatten
-        .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong)
-        .filter(_ < id)
-      if (vs.isEmpty) None else Some(root.resolve(s"v${vs.max}").toString)
-    }
+    def snapBefore(id: Long): Option[String] = latestSnapshotBefore(root, id)
     def argmaxMerge(df: DataFrame): DataFrame =
       df.groupBy(col("user_id"))
         .agg(max(struct(col("last_us"), col("last_event_id"), col("last_type")))

@@ -130,6 +130,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q112 split: complete + disjoint, growth-stable labels, proportions sane") {
+    val docs = Tables.documents(spark, sf)
+    val labels = Curation.splitLabels(docs).collect()
+      .map(r => r.getLong(1) -> r.getString(3)).toMap
+    // complete + disjoint by construction: one label per doc
+    assert(labels.size == docs.count())
+    // growth-stable: the same docs in a HALF corpus keep their labels —
+    // the property a random() split lacks
+    val half = Curation.splitLabels(docs.filter(col("doc_id") % 2 === 0))
+      .collect().map(r => r.getLong(1) -> r.getString(3)).toMap
+    assert(half.forall { case (id, s) => labels(id) == s },
+      "a doc's split label must not depend on what else is in the corpus")
+    // all three splits present and train dominates (98/1/1 target)
+    val byS = labels.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(byS.keySet == Set("train", "val", "test"), s"got $byS")
+    assert(byS("train") > 9 * (byS("val") + byS("test")), s"got $byS")
+  }
+
   test("q53 bigram stats: exact adjacent-pair counts, short docs excluded") {
     val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"))
       .toDF("doc_id", "text")

@@ -181,6 +181,24 @@ class StreamingSpec extends SparkSpec {
       s"tail-horizon clicks must be HELD without the sentinel; leaked ${mustHold & sinkNulls}")
   }
 
+  test("q98: predecessor snapshot derives from the batch id — retry-safe, gap-tolerant") {
+    val root = java.nio.file.Files.createTempDirectory("q98-snap-test")
+    root.toFile.deleteOnExit()
+    import graft.streaming.StreamingGate.latestSnapshotBefore
+    assert(latestSnapshotBefore(root, 0L).isEmpty, "empty root -> no predecessor")
+    java.nio.file.Files.createDirectory(root.resolve("v0"))
+    java.nio.file.Files.createDirectory(root.resolve("v1"))
+    java.nio.file.Files.createDirectory(root.resolve("v3")) // ids not dense after restart
+    assert(latestSnapshotBefore(root, 0L).isEmpty)
+    assert(latestSnapshotBefore(root, 1L).get.endsWith("v0"))
+    // THE retry case: batch 3 already wrote v3, then retries before its
+    // checkpoint commit — it must read v1 (its true predecessor), never
+    // the v3 its own overwrite is about to delete
+    assert(latestSnapshotBefore(root, 3L).get.endsWith("v1"))
+    assert(latestSnapshotBefore(root, 4L).get.endsWith("v3"))
+    assert(latestSnapshotBefore(root, Long.MaxValue).get.endsWith("v3"))
+  }
+
   test("q58 gate: two-copy replay dedups to the original relation across batches") {
     // the staging plants a FULL duplicate of the fixture in a later
     // micro-batch; only state-store suppression (or the late-event
