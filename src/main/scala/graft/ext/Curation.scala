@@ -371,6 +371,16 @@ object Curation {
   val SplitTrainPm = 980L
   val SplitValPm = 990L
 
+  /** The per-doc labeling [[trainValTestSplit]] aggregates — exposed so
+    * specs can pin the growth-stability property at the row level. */
+  def splitLabels(docs: DataFrame, seed: Long = 777L): DataFrame =
+    docs.select(col("source"), col("doc_id"),
+        expr(s"(($ShuffleMulA * doc_id + $seed) % $ShuffleMod) % 1000").as("pm"))
+      .withColumn("split",
+        when(col("pm") < SplitTrainPm, "train")
+          .when(col("pm") < SplitValPm, "val")
+          .otherwise("test"))
+
   /** q112: SEEDED TRAIN/VAL/TEST SPLIT — every doc deterministically
     * labeled by its hash bucket (0–999 ‰), so the split is (a) complete
     * and disjoint by construction, (b) reproducible on any cluster from
@@ -382,16 +392,6 @@ object Curation {
     * split is independent of q111's shuffle order (same doc_id, two
     * uncorrelated streams). Output: per (source, split) accounting the
     * downstream loader consumes as a manifest. */
-  /** The per-doc labeling [[trainValTestSplit]] aggregates — exposed so
-    * specs can pin the growth-stability property at the row level. */
-  def splitLabels(docs: DataFrame, seed: Long = 777L): DataFrame =
-    docs.select(col("source"), col("doc_id"),
-        expr(s"(($ShuffleMulA * doc_id + $seed) % $ShuffleMod) % 1000").as("pm"))
-      .withColumn("split",
-        when(col("pm") < SplitTrainPm, "train")
-          .when(col("pm") < SplitValPm, "val")
-          .otherwise("test"))
-
   def trainValTestSplit(docs: DataFrame, seed: Long = 777L): DataFrame =
     splitLabels(docs, seed)
       .groupBy("source", "split")

@@ -87,34 +87,56 @@ object Skew {
     * session's normal confs) and read back ordered. At 100 TB these
     * thresholds are the defaults — 256 MB partitions — and the same
     * mechanism absorbs the hot-key partition without a manual salt. */
-  def skewJoinStats(spark: SparkSession, dir: String): DataFrame = {
-    val confs = Seq(
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      // many map tasks: AQE splits a skewed reduce partition at MAPPER
-      // granularity, so a single-split fixture scan leaves nothing to
-      // split — force small input splits to emulate the thousands of
-      // mappers a 100 TB scan has naturally
-      "spark.sql.files.maxPartitionBytes" -> "32768",
-      "spark.sql.files.openCostInBytes" -> "0",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2048",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024",
-      // the downstream aggregate could reuse the join's partitioning, so
-      // splitting the skewed partition costs an extra exchange — force
-      // the trade (at scale one straggler task dominates that cost)
-      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    val out = java.nio.file.Files.createTempDirectory("graft-skewjoin")
-    out.toFile.deleteOnExit()
-    try {
-      skewedJoinFrame(spark, dir)
-        .write.mode("overwrite").parquet(out.toString)
-    } finally prev.foreach {
+  /** The fixture-scale AQE tuning the q110 gate AND its PlanSpec twin
+    * share (ONE definition — a drifted copy would let the plan test
+    * assert skew=true under a configuration the gate no longer runs):
+    * broadcast off (force the SMJ), small input splits (AQE splits a
+    * skewed reduce partition at MAPPER granularity, and a single-split
+    * fixture scan leaves nothing to split — emulate the thousands of
+    * mappers a 100 TB scan has naturally), skew thresholds at fixture
+    * bytes, and forceOptimizeSkewedJoin because the downstream
+    * aggregate could reuse the join's partitioning, so the split costs
+    * an extra exchange — at scale one straggler task dominates that
+    * cost. */
+  val SkewDemoConfs: Seq[(String, String)] = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.files.maxPartitionBytes" -> "32768",
+    "spark.sql.files.openCostInBytes" -> "0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2048",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+
+  /** Run `body` with [[SkewDemoConfs]] applied, restoring prior values. */
+  private[graft] def withSkewConfs[T](spark: SparkSession)(body: => T): T = {
+    val prev = SkewDemoConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    SkewDemoConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
-    spark.read.parquet(out.toString).orderBy("k", "segment")
+  }
+
+  /** Result dirs cached per fixture (the Partitioned.layoutCache
+    * discipline) — a fresh uncached dir per call would accumulate full
+    * join output in /tmp across bench warmup + repetitions, and
+    * deleteOnExit cannot remove non-empty directories. */
+  private val skewOutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def skewJoinStats(spark: SparkSession, dir: String): DataFrame = {
+    val out = skewOutCache.computeIfAbsent(dir, { _ =>
+      val o = java.nio.file.Files.createTempDirectory("graft-skewjoin")
+      // the frame is materialized INSIDE the conf window — a lazily
+      // returned frame would execute after the restore, under the
+      // session's normal confs
+      withSkewConfs(spark) {
+        skewedJoinFrame(spark, dir).write.mode("overwrite").parquet(o.toString)
+      }
+      o.toString
+    })
+    spark.read.parquet(out).orderBy("k", "segment")
   }
 
   val skewJoinStatsSql: String =

@@ -535,24 +535,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q110: AQE splits the hot key's shuffle partition (skew=true on the executed join)") {
-    val confs = Seq(
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      // many map tasks: AQE splits a skewed reduce partition at MAPPER
-      // granularity, so a single-split fixture scan leaves nothing to
-      // split — force small input splits to emulate the thousands of
-      // mappers a 100 TB scan has naturally
-      "spark.sql.files.maxPartitionBytes" -> "32768",
-      "spark.sql.files.openCostInBytes" -> "0",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2048",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024",
-      // the downstream aggregate could reuse the join's partitioning, so
-      // splitting the skewed partition costs an extra exchange — force
-      // the trade (at scale one straggler task dominates that cost)
-      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+    // the SAME conf set the gate runs under (shared definition — a
+    // drifted copy would assert skew=true under a configuration the
+    // gate no longer uses)
+    graft.operators.Skew.withSkewConfs(spark) {
       // sf0.01 (the correctness-gate scale): the hot key carries ~18k
       // rows — comfortably past the lowered skew threshold, where
       // sf0.001's 2k rows all fit under it and only coalesce
@@ -561,9 +547,6 @@ class PlanSpec extends SparkSpec {
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("skew=true"),
         s"AQE must mark the hot-key join partition skewed and split it:\n$p")
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 

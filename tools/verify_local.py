@@ -76,16 +76,27 @@ def ratio(bench_path, anchor_path, out_path="BENCH_RATIO.md"):
     for q in sorted(bench):
         e = bench[q]
         o = anchor.get(q)
-        rows.append((q, e, o, (e / o) if o else None))
-    et = sum(b for _, b, _, _ in rows)
-    ot = sum(o for _, _, o, _ in rows if o is not None)
+        # `is not None`, not truthiness: a 0.0 anchor is a real (infinite-
+        # ratio) measurement, not a missing one
+        rows.append((q, e, o, (e / o) if o not in (None, 0.0) else None))
+    # totals over the ANCHORED intersection only — summing unanchored
+    # engine seconds against a smaller anchor total would bias the
+    # headline ratio upward while the table shows 'no-anchor'
+    anchored = [(q, e, o, r) for q, e, o, r in rows if o is not None]
+    et = sum(e for _, e, _, _ in anchored)
+    ot = sum(o for _, _, o, _ in anchored)
+    missing = len(rows) - len(anchored)
+    headline = (f"Engine suite total {et:.1f} s vs anchor total {ot:.1f} s = "
+                f"**{et / ot:.2f}x** over the {len(anchored)} anchored queries"
+                if ot > 0 else "No anchored queries — regenerate the anchor json")
     lines = [
         "# BENCH_RATIO — per-query engine vs DuckDB anchor (sf0.1)",
         "",
-        f"Engine suite total {et:.1f} s vs anchor total {ot:.1f} s = "
-        f"**{et / ot:.2f}x**. Ratios > 2x are flagged; sub-second",
-        "relational queries pay Spark's ~0.3-0.5 s per-job floor, which",
-        "amortizes at scale (see BASELINE.md).",
+        headline + (f" ({missing} unanchored rows excluded from totals)."
+                    if missing else "."),
+        "Ratios > 2x are flagged; sub-second relational queries pay",
+        "Spark's ~0.3-0.5 s per-job floor, which amortizes at scale",
+        "(see BASELINE.md).",
         "",
         "| query | engine s | oracle s | ratio | |",
         "|---|---|---|---|---|",
@@ -93,16 +104,19 @@ def ratio(bench_path, anchor_path, out_path="BENCH_RATIO.md"):
     for q, e, o, r in rows:
         if o is None:
             lines.append(f"| {q} | {e:.3f} | — | — | no-anchor |")
-            continue
-        flag = "**> 2x**" if r > 2 else ""
-        lines.append(f"| {q} | {e:.3f} | {o:.3f} | {r:.2f} | {flag} |")
-    over = [q for q, _, o, r in rows if o and r > 2]
+        elif r is None:
+            lines.append(f"| {q} | {e:.3f} | {o:.3f} | inf | **> 2x** |")
+        else:
+            flag = "**> 2x**" if r > 2 else ""
+            lines.append(f"| {q} | {e:.3f} | {o:.3f} | {r:.2f} | {flag} |")
+    over = [q for q, _, o, r in rows if o is not None and (r is None or r > 2)]
     lines += ["", f"{len(over)} of {len(rows)} queries over 2x individually: "
               + (", ".join(over) if over else "none") + "."]
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"wrote {out_path}: {et:.1f}s vs {ot:.1f}s = {et/ot:.2f}x, "
-          f"{len(over)} queries over 2x")
+    print(f"wrote {out_path}: {et:.1f}s vs {ot:.1f}s"
+          + (f" = {et/ot:.2f}x" if ot > 0 else "")
+          + f", {len(over)} queries over 2x, {missing} unanchored")
     return 0
 
 if __name__ == "__main__":
