@@ -341,10 +341,13 @@ object Similarity {
     * BEFORE the self-join, and the truncation is OBSERVABLE through
     * `dropObs` (`dropped_buckets` / `dropped_pairs` ride the bucket-size
     * aggregate as free CollectMetrics — q14's discipline; read with AQE
-    * off). Recall contract under an engaged cap: a pair whose FIRST
-    * agreeing band landed in a dropped bucket is lost even if a later
-    * band also agrees (the first-match predicate sees raw keys) —
-    * exactly the m² work the cap exists to refuse; byte-identical
+    * off). Recall contract under an engaged cap: only pairs ALL of
+    * whose agreeing bands landed in dropped buckets are lost — exactly
+    * the m² work the cap exists to refuse. A pair with ANY surviving
+    * agreeing band is still emitted exactly once: the first-match
+    * predicate is evaluated against KEPT buckets (dropped band keys
+    * don't count as matches), so a healthy later band rescues a pair
+    * whose first agreement fell in a capped bucket. Byte-identical
     * payloads are still caught by exact dedup (q13). The bucket-size
     * join adds no exchange: postings are already hash-partitioned on
     * (band, bkey) for the self-join, and the aggregate reuses it. */
@@ -371,13 +374,24 @@ object Similarity {
     val b = ek.select(col("band"), col("bkey"), col("vec_id").as("id_b"),
       col("embedding").as("emb_b"), col("norm2").as("norm2_b"),
       col("bands").as("bands_b"))
+    // dropped band keys as ONE broadcast array scalar (packed keys are
+    // globally unique across bands; the set is small by definition —
+    // the cap only fires on already-pathological buckets), so the
+    // first-match test can see which prefix agreements actually
+    // survived candidate expansion; empty array (cap never engaged)
+    // reduces to the plain prefix compare
+    val droppedKeys = sizes.filter(col("bsz") > maxBucket)
+      .agg(collect_set(col("bkey")).as("dropped_keys"))
     a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
-      // first-match: no EARLIER band key agrees (prefix compare over the
-      // carried arrays; slice length 0 at band 0 -> vacuously first)
+      .crossJoin(broadcast(droppedKeys))
+      // first-match: no EARLIER band key agrees IN A KEPT BUCKET
+      // (prefix compare over the carried arrays; slice length 0 at
+      // band 0 -> vacuously first; a dropped bucket never emitted the
+      // pair, so it must not suppress the first surviving band either)
       .filter(expr(
         "NOT exists(zip_with(slice(bands_a, 1, band), slice(bands_b, 1, band), " +
-          "(x, y) -> x = y), p -> p)"))
+          "(x, y) -> x = y AND NOT array_contains(dropped_keys, x)), p -> p)"))
       .select(col("id_a"), col("id_b"),
         (expr("vec_dot(emb_a, emb_b)") /
           (sqrt(col("norm2_a")) * sqrt(col("norm2_b")))).as("cos_raw"))

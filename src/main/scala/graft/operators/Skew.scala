@@ -118,24 +118,23 @@ object Skew {
     }
   }
 
-  /** Result dirs cached per fixture (the Partitioned.layoutCache
-    * discipline) — a fresh uncached dir per call would accumulate full
-    * join output in /tmp across bench warmup + repetitions, and
-    * deleteOnExit cannot remove non-empty directories. */
+  /** Output DIRS cached per fixture (one tree in /tmp per fixture,
+    * registered for exit cleanup) — but the join itself re-executes on
+    * EVERY call, overwriting that dir. Caching the result instead would
+    * make bench repetitions time a tiny parquet read-back while
+    * reporting it as the runtime AQE skew split. */
   private val skewOutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def skewJoinStats(spark: SparkSession, dir: String): DataFrame = {
-    val out = skewOutCache.computeIfAbsent(dir, { _ =>
-      val o = java.nio.file.Files.createTempDirectory("graft-skewjoin")
-      // the frame is materialized INSIDE the conf window — a lazily
-      // returned frame would execute after the restore, under the
-      // session's normal confs
-      withSkewConfs(spark) {
-        skewedJoinFrame(spark, dir).write.mode("overwrite").parquet(o.toString)
-      }
-      o.toString
-    })
+    val out = skewOutCache.computeIfAbsent(dir,
+      _ => graft.TempDirs.create("graft-skewjoin").toString)
+    // the frame is materialized INSIDE the conf window — a lazily
+    // returned frame would execute after the restore, under the
+    // session's normal confs
+    withSkewConfs(spark) {
+      skewedJoinFrame(spark, dir).write.mode("overwrite").parquet(out)
+    }
     spark.read.parquet(out).orderBy("k", "segment")
   }
 

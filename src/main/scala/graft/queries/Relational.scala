@@ -665,8 +665,7 @@ object Relational {
     val tag = java.lang.Integer.toHexString(dir.hashCode)
     val (ot, lt) = (s"orders_b_$tag", s"lineitem_b_$tag")
     if (!s.catalog.tableExists(ot)) {
-      val base = java.nio.file.Files.createTempDirectory("graft-bucketed")
-      base.toFile.deleteOnExit()
+      val base = graft.TempDirs.create("graft-bucketed")
       Tables.orders(s, dir).write.mode("overwrite")
         .option("path", s"$base/$ot")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)

@@ -38,8 +38,7 @@ object Jsonl {
   /** Write `documents` as JSONL into a temp dir, return the dir. */
   def export(spark: SparkSession, dir: String): Path =
     staged.computeIfAbsent(dir, { _ =>
-      val out = Files.createTempDirectory("graft-jsonl-export")
-      out.toFile.deleteOnExit()
+      val out = graft.TempDirs.create("graft-jsonl-export")
       Tables.documents(spark, dir)
         .write.mode("overwrite").json(out.resolve("documents").toString)
       out

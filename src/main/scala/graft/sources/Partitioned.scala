@@ -33,8 +33,7 @@ object Partitioned {
   /** Write documents partitioned by source; idempotent per fixture dir. */
   def partitionedLayout(spark: SparkSession, dir: String): String =
     layoutCache.computeIfAbsent(dir, { _ =>
-      val out = Files.createTempDirectory("graft-docs-by-source")
-      out.toFile.deleteOnExit()
+      val out = graft.TempDirs.create("graft-docs-by-source")
       // repartition on the partition column first: one shuffle partition
       // per source → exactly one file per partition directory, whatever
       // the input split count (also the at-scale idiom — partitionBy on
@@ -85,8 +84,7 @@ object Partitioned {
     * partition predicate the way q92's literal IN-list folds. */
   def dimLayout(spark: SparkSession, dir: String): String =
     dimCache.computeIfAbsent(dir, { _ =>
-      val out = Files.createTempDirectory("graft-source-dim")
-      out.toFile.deleteOnExit()
+      val out = graft.TempDirs.create("graft-source-dim")
       Tables.documents(spark, dir).select("source").distinct()
         .withColumn("grp", expr("CAST(substring(source, 4) AS INT) % 3"))
         .coalesce(1)

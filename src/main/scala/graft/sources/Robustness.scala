@@ -37,8 +37,7 @@ object Robustness {
     * the "old writer"; batch 2 (odd doc_ids) has the full schema. */
   def evolvedLayout(spark: SparkSession, dir: String): Path =
     evolvedCache.computeIfAbsent(dir, { _ =>
-      val out = Files.createTempDirectory("graft-evolved")
-      out.toFile.deleteOnExit()
+      val out = graft.TempDirs.create("graft-evolved")
       val docs = Tables.documents(spark, dir)
       docs.filter(col("doc_id") % 2 === 0)
         .select("doc_id", "text", "source")
@@ -83,8 +82,7 @@ object Robustness {
   def saltedJsonl(spark: SparkSession, dir: String): Path =
     saltedCache.computeIfAbsent(dir, { _ =>
       val src = Jsonl.export(spark, dir).resolve("documents")
-      val out = Files.createTempDirectory("graft-jsonl-salted")
-      out.toFile.deleteOnExit()
+      val out = graft.TempDirs.create("graft-jsonl-salted")
       val dst = out.resolve("data")
       Files.createDirectories(dst)
       import scala.jdk.CollectionConverters._

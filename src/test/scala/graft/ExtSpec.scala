@@ -337,6 +337,25 @@ class ExtSpec extends SparkSpec {
       .count() == 300L * 299 / 2)
   }
 
+  test("q24 banded rewrite: a healthy later band rescues a pair whose first agreement was capped") {
+    import spark.implicits._
+    val bandsCol = graft.plans.CosineNearDups.LshBandsCol
+    val v = Array(1.0f, 2.0f, 3.0f, 4.0f)
+    // vecs 1,2 agree in band 0 (key 5 — about to go hot) AND band 1
+    // (key 71 — healthy, only these two postings)
+    val pair = Seq(1L, 2L).map(id => (id, v, Seq(5L, 71L)))
+    // 100 fillers crowd band 0's bucket past the cap; unique band-1 keys
+    val fillers = (10L until 110L).map(id => (id, v, Seq(5L, 1000L + id)))
+    val emb = (pair ++ fillers).toDF("vec_id", "embedding", bandsCol)
+    val out = Similarity.bandedNearDupPairs(emb, 0.9, maxBucket = 50).collect()
+    // band 0's bucket (102 postings) drops, so the pair's FIRST
+    // agreement is gone — but band 1 still holds both postings, and a
+    // dropped bucket must not suppress the first surviving band:
+    // exactly one emission, from band 1
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)),
+      s"pair must be rescued by its surviving band, got ${out.mkString(",")}")
+  }
+
   test("q30 banding: skewed single-brand fixture matches a naive quadratic check") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

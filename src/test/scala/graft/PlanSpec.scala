@@ -542,7 +542,7 @@ class PlanSpec extends SparkSpec {
       // sf0.01 (the correctness-gate scale): the hot key carries ~18k
       // rows — comfortably past the lowered skew threshold, where
       // sf0.001's 2k rows all fit under it and only coalesce
-      val df = graft.operators.Skew.skewedJoinFrame(spark, "/root/testdata/sf0.01")
+      val df = graft.operators.Skew.skewedJoinFrame(spark, TestSpark.sf01)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("skew=true"),

@@ -19,7 +19,13 @@ object TestSpark {
     s.sparkContext.setLogLevel("WARN")
     s
   }
-  val sf: String = "/root/testdata/sf0.001"
+  /** Fixture root — overridable so the suite runs on hosts with a
+    * different testdata layout. */
+  val root: String = sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata")
+  val sf: String = s"$root/sf0.001"
+  /** The correctness-gate scale, for tests whose physical effect only
+    * manifests past sf0.001 (e.g. the q110 AQE skew split). */
+  val sf01: String = s"$root/sf0.01"
 }
 
 abstract class SparkSpec extends AnyFunSuite {
