@@ -284,11 +284,20 @@ object Curation {
     * per-source parallelism contract as q51: production runs this per
     * curated shard, which bounds window partitions and scales the stage
     * with shard count rather than source count. */
-  def packedSpans(docs: DataFrame, seqTokens: Long = SeqTokens): DataFrame = {
+  def packedSpans(docs: DataFrame, seqTokens: Long = SeqTokens): DataFrame =
+    packedSpansFromCounts(
+      docs.select(col("source"), col("doc_id"),
+        expr("size(split(text, ' '))").cast("long").as("n_tokens")),
+      seqTokens)
+
+  /** The packing core over any (source, doc_id, n_tokens) relation —
+    * q108 feeds whitespace counts, q114 feeds q113's real tokenizer
+    * counts. */
+  private[graft] def packedSpansFromCounts(counts: DataFrame,
+                                           seqTokens: Long): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col("source"), col("doc_id"),
-        expr("size(split(text, ' '))").cast("long").as("n_tokens"))
+    counts
       .withColumn("before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("source"), col("doc_id"), col("n_tokens"), col("before"),
         explode(expr(
@@ -492,6 +501,204 @@ object Curation {
        |  FROM t WHERE len(toks) >= 2)
        |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
        |ORDER BY n DESC, pair LIMIT $BpeTopK""".stripMargin
+
+  // ------------------------------------- tokenizer application (q113)
+  /** q113: BPE-STYLE TOKENIZER APPLICATION — the missing link between
+    * q53 (mines merge-candidate statistics) and q108 (packs token
+    * spans): apply a PINNED merge table to encode every document into
+    * token ids. The merge table is exactly q53's statistics — the top
+    * [[BpeTopK]] adjacent-token pairs (both sides non-empty), ranked by
+    * frequency with ties on pair text — and application is Sennrich
+    * apply-BPE semantics at the word level: merges applied in rank
+    * order, each replacing its occurrences leftmost-first,
+    * non-overlapping. Because mined pairs are over BASE symbols only, a
+    * merged symbol (spelled "x y", and base symbols never contain a
+    * space) can never be a merge operand, so one pass per rank is the
+    * complete fixpoint — the same non-chaining argument the DuckDB
+    * oracle's 50-round recursive CTE relies on.
+    *
+    * Output: (doc_id, n_tokens, ids_hash) — the post-merge token count
+    * and the md5 of the comma-joined token-id sequence, with ids dense
+    * in vocabulary (symbol-sorted) order.
+    *
+    * Scale shape, stage by stage: (1) the merge table is LIMIT-topK
+    * rows BY CONSTRUCTION, so the driver collect + broadcast is the
+    * justified small-side pattern (the corpus side is never collected —
+    * Dedup's eval-Bloom argument); (2) the encode kernel is a typed
+    * mapPartitions over (doc_id, tokens) — O(ranks · n) per doc with
+    * mutable buffers, embarrassingly parallel, no shuffle (the
+    * iterative per-doc dependency is exactly the shape the builder
+    * brief routes to mapPartitions as last resort: 50 chained
+    * array-fold expressions would defeat codegen and turn quadratic on
+    * long docs); (3) the vocabulary is Zipf-bounded (q49's argument),
+    * so its dense-id window is a |vocab|-row relation — never the
+    * corpus — and the id lookup joins back BROADCAST; (4) one shuffle
+    * by doc_id re-assembles ordered id sequences. */
+  def bpeEncode(docs: DataFrame, topK: Int = BpeTopK): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges: Array[(String, String)] =
+      docs.select(split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+            .stripMargin)).as("pair"))
+        .filter(!col("pair").startsWith(" ") && !col("pair").endsWith(" "))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(topK)
+        .collect()
+        .map { r =>
+          val p = r.getString(0); val i = p.indexOf(' ')
+          (p.substring(0, i), p.substring(i + 1))
+        }
+    val bc = spark.sparkContext.broadcast(merges)
+    val encoded = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.map { case (id, toks) => (id, applyMerges(toks, ms)) }
+      }
+      .toDF("doc_id", "syms")
+    // dense ids in symbol order: the window is UNPARTITIONED by design —
+    // it runs over the distinct-symbol relation (Zipf-bounded, q49),
+    // never the corpus, the same |small-relation| window as q63's quotas
+    val vocab = encoded.select(explode(col("syms")).as("symbol")).distinct()
+      .withColumn("tok_id",
+        row_number().over(Window.orderBy("symbol")).cast("long"))
+    encoded.select(col("doc_id"), posexplode(col("syms")).as(Seq("pos", "symbol")))
+      .join(broadcast(vocab), "symbol")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok_id")))).as("ps"))
+      .select(col("doc_id"),
+        size(col("ps")).cast("long").as("n_tokens"),
+        md5(expr(
+          "cast(array_join(transform(ps, p -> cast(p.tok_id as string)), ',') as binary)"))
+          .as("ids_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Leftmost-first, non-overlapping application of the merge table in
+    * rank order (Sennrich apply-BPE over word-level symbols). Each rank
+    * is one scan; ranks whose left symbol never appears skip the
+    * rebuild. O(ranks · n) per doc, mutable buffers only. */
+  private[graft] def applyMerges(toks: Seq[String],
+                                 merges: Array[(String, String)]): Seq[String] = {
+    var cur: Array[String] = toks.toArray
+    var r = 0
+    while (r < merges.length) {
+      val (x, y) = merges(r)
+      var j = 0; var found = false
+      while (j < cur.length - 1 && !found) {
+        if (cur(j) == x && cur(j + 1) == y) found = true
+        j += 1
+      }
+      if (found) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](cur.length)
+        var i = 0
+        while (i < cur.length) {
+          if (i + 1 < cur.length && cur(i) == x && cur(i + 1) == y) {
+            out += x + " " + y; i += 2
+          } else { out += cur(i); i += 1 }
+        }
+        cur = out.toArray
+      }
+      r += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(cur)
+  }
+
+  /** The q113 merge-apply chain as DuckDB CTE definitions (embedded in
+    * a `WITH RECURSIVE` by both the q113 and q114 oracles): mine the
+    * merge table, then fold it over every doc's symbol stream one rank
+    * per recursion round. The accumulator packs the symbol list as a
+    * chr(31)-joined string (fixture text is control-char-free, pinned
+    * by the merge-table mining itself); merging appends with ' '
+    * instead of chr(31), which reproduces leftmost-non-overlapping
+    * exactly: a just-merged symbol ends "… y", never "… x", so it can
+    * not re-merge in the same pass. */
+  private def bpeChainSql: String =
+    s"""tk AS (SELECT string_split(text, ' ') AS toks FROM documents),
+       |pr AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS pair
+       |  FROM tk WHERE len(toks) >= 2),
+       |merges AS (
+       |  SELECT substr(pair, 1, strpos(pair, ' ') - 1) AS x,
+       |         substr(pair, strpos(pair, ' ') + 1) AS y,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+       |  FROM (SELECT pair, COUNT(*) AS n FROM pr
+       |        WHERE pair NOT LIKE ' %' AND pair NOT LIKE '% '
+       |        GROUP BY pair ORDER BY n DESC, pair LIMIT $BpeTopK)),
+       |enc AS (
+       |  SELECT 0 AS r, doc_id,
+       |    array_to_string(string_split(text, ' '), chr(31)) AS s
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT e.r + 1, e.doc_id,
+       |    list_reduce(string_split(e.s, chr(31)),
+       |      (acc, t) -> CASE
+       |        WHEN (acc = m.x OR suffix(acc, chr(31) || m.x)) AND t = m.y
+       |        THEN acc || ' ' || t
+       |        ELSE acc || chr(31) || t END)
+       |  FROM enc e JOIN merges m ON m.rank = e.r + 1
+       |  WHERE e.r < $BpeTopK),
+       |fin AS (
+       |  SELECT doc_id, string_split(s, chr(31)) AS syms FROM enc
+       |  WHERE r = (SELECT MAX(rank) FROM merges))""".stripMargin
+
+  val bpeEncodeSql: String =
+    s"""WITH RECURSIVE
+       |$bpeChainSql,
+       |vocab AS (
+       |  SELECT symbol, CAST(ROW_NUMBER() OVER (ORDER BY symbol) AS BIGINT) AS tok_id
+       |  FROM (SELECT DISTINCT unnest(syms) AS symbol FROM fin)),
+       |posx AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(syms)),
+       |    i -> struct_pack(pos := i, symbol := syms[i]))) AS u
+       |  FROM fin),
+       |p2 AS (SELECT doc_id, u.pos AS pos, u.symbol AS symbol FROM posx)
+       |SELECT p2.doc_id, COUNT(*) AS n_tokens,
+       |  md5(string_agg(CAST(v.tok_id AS VARCHAR), ',' ORDER BY p2.pos)) AS ids_hash
+       |FROM p2 JOIN vocab v USING (symbol)
+       |GROUP BY p2.doc_id ORDER BY doc_id""".stripMargin
+
+  /** q114: q108's sequence packing recomputed over the REAL token
+    * counts q113 produces — the packing-span arithmetic calibrated to
+    * tokenizer output instead of whitespace splits (the gap the round-7
+    * verdict named: without this, span lengths are wrong by exactly the
+    * merge compression). Same window + generator shape as q108; only
+    * the count column changes provenance. */
+  def packedSpansBpe(docs: DataFrame, seqTokens: Long = SeqTokens): DataFrame =
+    packedSpansFromCounts(
+      docs.select(col("source"), col("doc_id"))
+        .join(bpeEncode(docs).select(col("doc_id"), col("n_tokens")), "doc_id"),
+      seqTokens)
+
+  val packedSpansBpeSql: String =
+    s"""WITH RECURSIVE
+       |$bpeChainSql,
+       |counts AS (
+       |  SELECT d.source, f.doc_id, CAST(len(f.syms) AS BIGINT) AS n_tokens
+       |  FROM fin f JOIN documents d USING (doc_id)),
+       |t AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens)
+       |      OVER (PARTITION BY source ORDER BY doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS before FROM counts),
+       |s AS (
+       |  SELECT source, doc_id, n_tokens, before,
+       |    unnest(generate_series(before // $SeqTokens,
+       |                           (before + n_tokens - 1) // $SeqTokens)) AS seq
+       |  FROM t)
+       |SELECT source, seq, doc_id,
+       |  greatest(before, seq * $SeqTokens) - before AS tok_start,
+       |  least(before + n_tokens, (seq + 1) * $SeqTokens)
+       |    - greatest(before, seq * $SeqTokens) AS tok_len,
+       |  greatest(before, seq * $SeqTokens) - seq * $SeqTokens AS seq_off
+       |FROM s ORDER BY source, seq, seq_off""".stripMargin
 
   // ------------------------------------------------ prefix containment
   /** Minimum leading tokens for containment to count (and the blocking
@@ -857,6 +1064,8 @@ object Curation {
     "q112_split_manifest" -> ((s, d) => trainValTestSplit(Tables.documents(s, d))),
     "q52_canonical_docs" -> ((s, d) => canonicalDocs(Tables.documents(s, d))),
     "q53_bpe_pairs" -> ((s, d) => bpePairs(Tables.documents(s, d))),
+    "q113_bpe_encode" -> ((s, d) => bpeEncode(Tables.documents(s, d))),
+    "q114_packed_bpe" -> ((s, d) => packedSpansBpe(Tables.documents(s, d))),
     "q54_prefix_contained" -> ((s, d) => prefixContained(Tables.documents(s, d))),
     "q55_alignment_audit" -> ((s, d) =>
       alignmentAudit(Tables.documents(s, d), Tables.embeddings(s, d))),
@@ -875,6 +1084,8 @@ object Curation {
     "q112_split_manifest" -> trainValTestSplitSql,
     "q52_canonical_docs" -> canonicalDocsSql,
     "q53_bpe_pairs" -> bpePairsSql,
+    "q113_bpe_encode" -> bpeEncodeSql,
+    "q114_packed_bpe" -> packedSpansBpeSql,
     "q54_prefix_contained" -> prefixContainedSql,
     "q55_alignment_audit" -> alignmentAuditSql,
     "q56_stratified_sample" -> stratifiedSampleSql,

@@ -110,6 +110,49 @@ class CurationSpec extends SparkSpec {
       "every non-last sequence must hold exactly L tokens")
   }
 
+  test("q113 merge application: rank order, leftmost non-overlap, non-chaining") {
+    def am(toks: Seq[String], ms: (String, String)*) =
+      Curation.applyMerges(toks, ms.toArray)
+    // leftmost-first, non-overlapping within a pass
+    assert(am(Seq("a", "a", "a"), ("a", "a")) == Seq("a a", "a"))
+    assert(am(Seq("a", "a", "a", "a"), ("a", "a")) == Seq("a a", "a a"))
+    // rank order decides who consumes the shared token
+    assert(am(Seq("a", "b", "c"), ("a", "b"), ("b", "c")) == Seq("a b", "c"))
+    assert(am(Seq("a", "b", "c"), ("b", "c"), ("a", "b")) == Seq("a", "b c"))
+    // non-chaining: a merged symbol ("a b") is never a merge operand,
+    // so the rank-2 pair can't touch the already-merged prefix
+    assert(am(Seq("a", "b", "b", "c"), ("a", "b"), ("b", "c")) ==
+      Seq("a b", "b c"))
+    // later ranks still fire on what earlier ranks left behind
+    assert(am(Seq("x", "a", "b", "c", "c"), ("a", "b"), ("c", "c")) ==
+      Seq("x", "a b", "c c"))
+    // absent pairs are no-ops
+    assert(am(Seq("p", "q"), ("z", "z")) == Seq("p", "q"))
+  }
+
+  test("q113/q114: fixture invariants — compression, partition-invariance, span conservation") {
+    val docs = Tables.documents(spark, sf)
+    val enc = Curation.bpeEncode(docs)
+    val ws = docs.select(col("doc_id"),
+      expr("CAST(size(split(text, ' ')) AS LONG)").as("ws"))
+    val j = enc.join(ws, "doc_id")
+    assert(j.filter(col("n_tokens") > col("ws")).count() == 0,
+      "merging can only shrink the token stream")
+    assert(j.filter(col("n_tokens") < col("ws")).count() > 0,
+      "the mined merge table must actually fire on the fixture")
+    // deterministic under a different input partitioning (vocab ids and
+    // id-sequence hashes must not depend on physical layout)
+    assert(Curation.bpeEncode(docs.repartition(7)).collect().toSeq ==
+      enc.collect().toSeq)
+    // q114 spans tile the REAL token counts exactly (q108's Σ tok_len
+    // invariant, now against tokenizer output)
+    val perDoc = Curation.packedSpansBpe(docs)
+      .groupBy("doc_id").agg(sum("tok_len").as("got"))
+    assert(perDoc.join(enc, "doc_id")
+      .filter(col("got") =!= col("n_tokens")).count() == 0,
+      "q114 span lengths must sum to q113's token count per doc")
+  }
+
   test("q111 corpus shuffle: complete seeded permutation, partition-invariant, seed-sensitive") {
     val docs = Tables.documents(spark, sf)
     def run(df: org.apache.spark.sql.DataFrame, seed: Long = 12345L) =
