@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet}
+import org.apache.spark.sql.catalyst.optimizer.EliminateResolvedHint
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, UnaryNode}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -76,7 +77,13 @@ case class RewriteCosineNearDups(spark: SparkSession) extends Rule[LogicalPlan] 
       val rewritten: DataFrame =
         if (hasIndex) graft.ext.Similarity.bandedNearDupPairs(childDf, threshold)
         else graft.ext.Similarity.exactNearDupPairs(childDf, threshold)
-      val rep = GraftPlanBridge.analyzed(rewritten)
+      // the spliced subtree is only ANALYZED, but this rule runs in the
+      // post-optimization extraOptimizations batch — EliminateResolvedHint
+      // has already fired on the outer plan and will not run again, so any
+      // broadcast() hint inside the kernel would reach the planner as a
+      // bare ResolvedHint and fail planning with INTERNAL_ERROR. Fold the
+      // hints into Join.hint here, exactly as the optimizer would have.
+      val rep = EliminateResolvedHint(GraftPlanBridge.analyzed(rewritten))
       Project(out.zip(rep.output).map { case (o, n) =>
         Alias(n, o.name)(exprId = o.exprId) }, rep)
   }
