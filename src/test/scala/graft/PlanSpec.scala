@@ -405,13 +405,19 @@ class PlanSpec extends SparkSpec {
     assert(pe.contains("BroadcastNestedLoopJoin"),
       "exact strategy is the broadcast kernel")
     // lsh_bands index present -> banded candidate equi-join, never a
-    // broadcast NL join or cartesian over the corpus
+    // cartesian or NL join over the CORPUS. The only NL join allowed is
+    // the one-row dropped_keys scalar broadcast (n x 1, the kept-bucket
+    // first-match side input) — its presence also proves the rewrite rule
+    // folded the kernel's broadcast() hint into Join.hint instead of
+    // leaking a bare ResolvedHint past the optimizer into the planner.
     val banded = Similarity.nearDupsAuto(
       Similarity.withLshBands(emb, bands = 12, bandBits = 1))
     val pb = plan(banded)
     assert(!pb.contains("CosineNearDups"), "marker must be rewritten away")
-    assert(!pb.contains("BroadcastNestedLoopJoin") && !pb.contains("CartesianProduct"),
-      "indexed strategy must candidate-join on the band keys")
+    assert(!pb.contains("CartesianProduct"), "no cartesian over the corpus")
+    val nlJoins = pb.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlJoins == 1 && pb.contains("dropped_keys"),
+      s"the only NL join must be the dropped_keys scalar broadcast, saw $nlJoins")
     assert(pb.contains("vec_dot"), "survivors run the exact verify kernel")
     // same declared semantics, same result: at 12 one-bit bands every
     // fixture pair collides in some band, so the banded rewrite must
@@ -532,6 +538,47 @@ class PlanSpec extends SparkSpec {
       assert(nFiles == kept,
         s"expected $kept of $all partition files read, got $nFiles")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q115: compaction hits the per-dir file target, leaves the prior version untouched, flips the resolver") {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val root = graft.sources.Compaction.fragmentedRoot(spark, sf)
+    val v0 = root.resolve("v0")
+    def parquetFiles(v: Path): Map[String, List[String]] =
+      Files.list(v).iterator().asScala.filter(p =>
+        Files.isDirectory(p) && p.getFileName.toString.startsWith("source="))
+        .map(d => d.getFileName.toString ->
+          Files.list(d).iterator().asScala.map(_.getFileName.toString)
+            .filter(_.endsWith(".parquet")).toList.sorted)
+        .toMap
+    val pre = parquetFiles(v0)
+    assert(pre.values.map(_.size).sum > pre.size,
+      "v0 must actually be fragmented (more files than partition dirs)")
+    val next = graft.sources.Compaction.compact(spark, root)
+    val post = parquetFiles(next)
+    // per-dir file count = ceil(rows / target), exactly
+    val target = graft.sources.Compaction.TargetRecords
+    spark.read.parquet(v0.toString).groupBy("source").count().collect()
+      .foreach { r =>
+        val want = ((r.getLong(1) + target - 1) / target).toInt
+        val got = post(s"source=${r.getString(0)}").size
+        assert(got == want,
+          s"${r.getString(0)}: expected $want files at target=$target, got $got")
+      }
+    assert(post.values.map(_.size).sum < pre.values.map(_.size).sum,
+      "compaction must shrink the total file count")
+    // copy-on-write: the prior version's listing is byte-for-byte intact
+    assert(parquetFiles(v0) == pre, "v0 must not be touched by compaction")
+    // last-write-wins resolution picks the newly published version
+    assert(graft.sources.Compaction.latestVersion(root) == next)
+    // content identity, row for row
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val a = spark.read.parquet(v0.toString)
+      .select(cols.map(col): _*).orderBy("doc_id").collect().toSeq
+    val b = spark.read.parquet(next.toString)
+      .select(cols.map(col): _*).orderBy("doc_id").collect().toSeq
+    assert(a == b, "compacted content must equal the original")
   }
 
   test("q110: AQE splits the hot key's shuffle partition (skew=true on the executed join)") {
