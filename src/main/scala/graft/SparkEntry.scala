@@ -26,6 +26,7 @@ object SparkEntry {
     graft.ext.Multimodal.queries ++
     graft.sources.Jsonl.queries ++
     graft.sources.Partitioned.queries ++
+    graft.sources.Compaction.queries ++
     graft.sources.Robustness.queries ++
     graft.streaming.StreamingGate.queries
 
@@ -42,6 +43,7 @@ object SparkEntry {
     graft.ext.Multimodal.oracles ++
     graft.sources.Jsonl.oracles ++
     graft.sources.Partitioned.oracles ++
+    graft.sources.Compaction.oracles ++
     graft.sources.Robustness.oracles ++
     graft.streaming.StreamingGate.oracles
 }

@@ -1,0 +1,110 @@
+package graft.sources
+
+import java.nio.file.Path
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** q115: SNAPSHOT COMPACTION — the small-files maintenance op every
+  * long-running 100 TB table needs. A streaming ingest (q98) or
+  * unshuffled partitioned write accumulates one small file per
+  * (task × partition); left alone, scan cost becomes dominated by file
+  * OPENS (footer reads, listing RPCs) rather than bytes. Compaction
+  * rewrites the accumulated table into right-sized files and publishes
+  * the rewrite ATOMICALLY: write a NEW version directory next to the
+  * old one (v0, v1, … — q98's copy-on-write versioned-dir discipline,
+  * [[graft.streaming.StreamingGate.latestSnapshotBefore]]), never
+  * mutate what a concurrent reader may hold open; readers resolve
+  * last-write-wins (highest version). A production publish would gate
+  * the flip on the writer's commit marker; the fixture keeps q98's
+  * exact discipline — a version exists once its directory write
+  * completed.
+  *
+  * Sizing uses Spark's own rolling-writer mechanism: one shuffle
+  * partition per table partition (`repartition($"source")`) and
+  * `maxRecordsPerFile`, so the per-directory file count is EXACTLY
+  * ceil(rows / target) — records standing in for the production byte
+  * target at the fixture's fixed-ish row width. The rewrite also sorts
+  * within partitions by (source, doc_id): compaction is the natural
+  * moment to restore clustering, so post-compaction files hold
+  * contiguous id ranges and range predicates prune at the row-group
+  * level.
+  *
+  * The correctness gate proves pre/post CONTENT IDENTITY (the
+  * compacted read-back equals the original table row for row against
+  * the DuckDB oracle); the PlanSpec twin proves the physical effect
+  * (per-dir file counts hit the target, the prior version's files are
+  * untouched, the resolver flips to the new version).
+  */
+object Compaction {
+
+  /** Fixture-scale stand-in for the production byte target (256 MB–1 GB
+    * per file); records proxy bytes at fixed row width. */
+  val TargetRecords = 10L
+
+  /** Input splits used to fragment v0 — an unshuffled partitionBy
+    * writes ≤ #splits files per partition directory, the accumulation
+    * shape this operator exists to repair. */
+  val FragmentSplits = 8
+
+  private val rootCache = new ConcurrentHashMap[String, Path]()
+
+  /** Versioned table root whose v0 is deliberately FRAGMENTED (many
+    * small files per `source=` dir); idempotent per fixture. */
+  def fragmentedRoot(spark: SparkSession, dir: String): Path =
+    rootCache.computeIfAbsent(dir, { _ =>
+      val root = graft.TempDirs.create("graft-compact")
+      Tables.documents(spark, dir)
+        .repartition(FragmentSplits)
+        .write.mode("overwrite").partitionBy("source")
+        .parquet(root.resolve("v0").toString)
+      root
+    })
+
+  /** Last-write-wins version resolution — q98's lookup at id = ∞. */
+  def latestVersion(root: Path): Path = Path.of(
+    graft.streaming.StreamingGate.latestSnapshotBefore(root, Long.MaxValue)
+      .getOrElse(sys.error(s"no published version under $root")))
+
+  /** Compact the latest version into the NEXT version directory and
+    * return it. The source version is only read, never touched; the
+    * new version is complete before any resolver can pick it. */
+  def compact(spark: SparkSession, root: Path,
+              targetRecords: Long = TargetRecords): Path = {
+    val cur = latestVersion(root)
+    val next = root.resolve(s"v${cur.getFileName.toString.drop(1).toLong + 1}")
+    spark.read.parquet(cur.toString)
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "doc_id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecords)
+      .partitionBy("source")
+      .parquet(next.toString)
+    next
+  }
+
+  /** The q115 gate: run a REAL compaction (every call — a cached
+    * read-back would let bench repetitions time a parquet read, the
+    * q110 lesson), then read the newly published version back in full.
+    * Content identity with the original table is exactly what the
+    * oracle checks. */
+  def compactedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val root = fragmentedRoot(spark, dir)
+    compact(spark, root)
+    spark.read.parquet(latestVersion(root).toString)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val compactedDocsSql: String =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_compaction" -> ((s, d) => compactedDocs(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "q115_compaction" -> compactedDocsSql)
+}
