@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+/** ANN recall artifact (round-8 VERDICT item 2): the approximate kernels
+  * are oracle-gated as EXACT because their parameters are pinned, but
+  * what a user asks of an ANN index is measured recall@k against the
+  * brute-force truth. This main MEASURES it — recall is an empirical
+  * property of (data, parameters), never an assumption — sweeping each
+  * operator's declared recall knob:
+  *
+  *   - q18 IVF top-k: `nprobe` (cells searched per query). Truth = the
+  *     exact q17 cosine ranking truncated to IVF's k. nprobe = |cells|
+  *     must degenerate to recall 1.0 exactly (the self-check that the
+  *     probe machinery loses nothing but cell pruning).
+  *   - q80 quantized IVF: `nprobe`, against the exact int8 ranking
+  *     (q69) — isolates the IVF loss from the quantization loss, which
+  *     the q69-vs-q17 relation already pins elsewhere.
+  *   - q31 single-band sign-LSH: `bits` (bucket width). Pair recall vs
+  *     the exact all-pairs near-dup relation at the gated threshold.
+  *     Theory says per-pair capture = prod over planes of (1 - θ/π);
+  *     fewer bits = bigger buckets = higher recall, and the sweep must
+  *     be monotone non-increasing in bits.
+  *   - q42 multi-band sign-LSH: `bandBits` at LshBands fixed bands;
+  *     banding buys recall back (1 - (1 - p^r)^b), and at bandBits =
+  *     LshBits the q42 pair set is a structural superset of q31's.
+  *
+  * Precision is 1.0 by construction for the pair operators (survivors
+  * re-verify with the exact cosine kernel at the same threshold) and is
+  * therefore not swept.
+  *
+  * Writes `ann_recall.json` + `ANN_RECALL.md` into the cwd and exits
+  * nonzero if any GATED configuration misses its floor — the floors the
+  * test suite pins at fixture scale (ExtSpec), re-checked here at the
+  * artifact's scale so the committed table can't silently drift from
+  * the gated claims.
+  */
+object AnnRecall {
+
+  /** Recall floors for the GATED parameter points (the configurations
+    * the oracle queries actually run). ExtSpec pins q18/q80 at sf0.001;
+    * the LSH floors are set by this artifact's first measured run and
+    * exist to catch regressions, not to restate theory. */
+  val IvfFloor = 0.60
+  val QIvfFloor = 0.50
+  val SingleBandFloor = 0.25
+  val MultiBandFloor = 0.60
+
+  private def topkSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.collect().groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+
+  private def meanRecall(truth: Map[Long, Set[Long]],
+                         got: Map[Long, Set[Long]]): Double = {
+    val per = truth.map { case (q, t) =>
+      (got.getOrElse(q, Set.empty[Long]) & t).size.toDouble / t.size }
+    per.sum / per.size
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-ann-recall")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val nCells = emb.filter(col("vec_id") % Similarity.CentroidMod === 0)
+      .count().toInt
+
+    // ---- truth relations (brute force, computed once each) ----
+    val (ivfTruth, tExactTopk) = timed(topkSets(
+      Similarity.cosineTopK(emb)
+        .filter(col("rank") <= Similarity.IvfTopK)))
+    val (qTruth, tExactQTopk) = timed(topkSets(Similarity.quantizedTopK(emb)))
+    val (pairTruth, tExactPairs) = timed(pairSet(Similarity.embeddingNearDups(emb)))
+    require(ivfTruth.nonEmpty && pairTruth.nonEmpty,
+      s"degenerate truth at $sfDir: ${ivfTruth.size} queries, ${pairTruth.size} pairs")
+
+    case class Row(op: String, knob: String, value: Int, recall: Double,
+                   sec: Double, gated: Boolean)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+
+    for (np <- Seq(1, 2, 4, 8, nCells).distinct.sorted) {
+      val (got, sec) = timed(topkSets(Similarity.ivfTopK(emb, np)))
+      rows += Row("q18_ivf_topk", "nprobe", np, meanRecall(ivfTruth, got),
+        sec, np == Similarity.IvfNProbe)
+    }
+    for (np <- Seq(1, 2, 4, 8)) {
+      val (got, sec) = timed(topkSets(Similarity.quantizedIvfTopK(emb, np)))
+      rows += Row("q80_quantized_ivf", "nprobe", np, meanRecall(qTruth, got),
+        sec, np == Similarity.IvfNProbe)
+    }
+    for (bits <- Seq(2, 3, 4, 6)) {
+      val (got, sec) = timed(pairSet(Similarity.signLshNearDups(emb, bits)))
+      rows += Row("q31_signlsh", "bits", bits,
+        (got & pairTruth).size.toDouble / pairTruth.size, sec,
+        bits == Similarity.LshBits)
+    }
+    for (bb <- Seq(1, 2, 3)) {
+      val (got, sec) = timed(pairSet(Similarity.signLshMultiBand(emb, bb)))
+      rows += Row("q42_signlsh_multiband", "band_bits", bb,
+        (got & pairTruth).size.toDouble / pairTruth.size, sec,
+        bb == Similarity.LshBits)
+    }
+
+    // ---- invariants the sweep itself must satisfy ----
+    def series(op: String): Seq[Row] = rows.filter(_.op == op).toSeq
+    val ivf = series("q18_ivf_topk")
+    require(ivf.sliding(2).forall(w => w(1).recall >= w(0).recall - 1e-9),
+      "IVF recall must be monotone non-decreasing in nprobe")
+    require(math.abs(ivf.last.recall - 1.0) < 1e-9,
+      s"nprobe = |cells| must reproduce the exact ranking, got ${ivf.last.recall}")
+    val sb = series("q31_signlsh")
+    require(sb.sliding(2).forall(w => w(1).recall <= w(0).recall + 1e-9),
+      "single-band recall must be monotone non-increasing in bits")
+    val floors = Map(
+      "q18_ivf_topk" -> IvfFloor, "q80_quantized_ivf" -> QIvfFloor,
+      "q31_signlsh" -> SingleBandFloor, "q42_signlsh_multiband" -> MultiBandFloor)
+    val gatedMisses = rows.filter(r => r.gated && r.recall < floors(r.op))
+
+    // ---- artifacts ----
+    val json = rows.map { r =>
+      s"""{"op":"${r.op}","${r.knob}":${r.value},"recall":${f"${r.recall}%.4f"},""" +
+      s""""sec":${f"${r.sec}%.2f"},"gated":${r.gated}}"""
+    }.mkString(
+      s"""{"sf":"$sfDir","n_vectors":$n,"n_cells":$nCells,""" +
+      s""""n_queries":${ivfTruth.size},"n_true_pairs":${pairTruth.size},""" +
+      s""""truth_sec":{"topk":${f"$tExactTopk%.2f"},"quantized":${f"$tExactQTopk%.2f"},""" +
+      s""""pairs":${f"$tExactPairs%.2f"}},"rows":[""", ",", "]}\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get("ann_recall.json"),
+      json.getBytes("UTF-8"))
+
+    val md = new StringBuilder
+    md ++= s"# ANN recall vs brute-force truth\n\n"
+    md ++= s"Fixture: `$sfDir` — $n vectors, ${ivfTruth.size} queries, "
+    md ++= s"$nCells IVF cells, ${pairTruth.size} exact near-dup pairs "
+    md ++= f"(threshold ${Similarity.NearDupThreshold}).%n"
+    md ++= f"Brute-force truth cost: top-k $tExactTopk%.1f s, "
+    md ++= f"quantized top-k $tExactQTopk%.1f s, all-pairs $tExactPairs%.1f s.%n%n"
+    md ++= "Recall@k for the top-k operators is mean per-query overlap with the\n"
+    md ++= "exact ranking at the same k; pair recall is the captured fraction of\n"
+    md ++= "the exact near-dup relation. Pair precision is 1.0 by construction\n"
+    md ++= "(survivors re-verify with the exact cosine kernel). **Gated** marks\n"
+    md ++= "the parameter point the oracle queries run at; its floor is enforced\n"
+    md ++= "by `graft.AnnRecall` (exit 1 on miss) and at fixture scale by ExtSpec.\n\n"
+    md ++= "| operator | knob | value | recall | sec | gated | floor |\n"
+    md ++= "|---|---|---|---|---|---|---|\n"
+    rows.foreach { r =>
+      val floor = if (r.gated) f">= ${floors(r.op)}%.2f" else ""
+      md ++= f"| ${r.op} | ${r.knob} | ${r.value} | ${r.recall}%.4f "
+      md ++= f"| ${r.sec}%.2f | ${if (r.gated) "yes" else ""} | $floor |%n"
+    }
+    md ++= "\nReading the sweeps: IVF recall is monotone in nprobe and hits 1.0\n"
+    md ++= "at nprobe = |cells| (pure cell pruning, no other loss). Single-band\n"
+    md ++= "LSH recall falls as bits grow (buckets shrink — the cost knob); the\n"
+    md ++= s"multi-band variant at the same per-band width (${Similarity.LshBands} bands) buys it\n"
+    md ++= "back, q42's pair set being a structural superset of q31's at\n"
+    md ++= s"band_bits = ${Similarity.LshBits}. At 100 TB the knobs move the same way; only the\n"
+    md ++= "bucket-occupancy curve shifts (size bits ~ log2(n / target bucket)).\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get("ANN_RECALL.md"),
+      md.toString.getBytes("UTF-8"))
+    println(json)
+
+    spark.stop()
+    if (gatedMisses.nonEmpty) {
+      gatedMisses.foreach(r => System.err.println(
+        f"[ann-recall] GATED MISS ${r.op} ${r.knob}=${r.value}: " +
+        f"${r.recall}%.4f < ${floors(r.op)}%.2f"))
+      sys.exit(1)
+    }
+  }
+}
