@@ -112,9 +112,22 @@ object StreamingGate {
 
   private val runCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Per-batch progress of the most recent [[runToMemory]] run — the
+    * observability surface a production operator watches on a 100 TB
+    * stateful stream (state rows after eviction, rows dropped by the
+    * watermark, per-operator memory). Captured from the terminated
+    * query's `recentProgress`; StreamingSpec asserts the state-cleanup
+    * metrics on it so eviction is PROVEN from the engine's own
+    * telemetry, not inferred from sink contents. Gates run sequentially
+    * (each awaits termination inside runToMemory), so last-write-wins
+    * is exact for the spec's call-then-read pattern. */
+  private[graft] val lastRunProgress =
+    new java.util.concurrent.atomic.AtomicReference[
+      Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]](Nil)
+
   /** Run `transform` through the real micro-batch engine with
     * Trigger.AvailableNow into a memory sink; return the sink table. */
-  private def runToMemory(spark: SparkSession, dir: String,
+  private[graft] def runToMemory(spark: SparkSession, dir: String,
                           transform: DataFrame => DataFrame,
                           copies: Int = 1,
                           filesPerTrigger: Option[Int] = None,
@@ -140,6 +153,7 @@ object StreamingGate {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      lastRunProgress.set(q.recentProgress.toSeq)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }

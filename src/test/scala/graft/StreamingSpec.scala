@@ -214,6 +214,110 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "duplicated arrivals must be suppressed exactly once")
   }
 
+  test("state observability: q58/q106 evict state on watermark advance, in engine telemetry") {
+    // What a 100 TB operator actually watches on a stateful stream is
+    // the engine's own per-batch StreamingQueryProgress — state rows
+    // after eviction, per-operator memory, watermark movement — not the
+    // sink. These assertions prove cleanup from that telemetry: an
+    // engine that never evicted (unbounded state, the OOM-at-scale
+    // failure mode) would pass every sink-content gate and fail here.
+    import graft.streaming.StreamingGate
+    def series(name: String) = StreamingGate.lastRunProgress.get()
+      .flatMap(p => p.stateOperators.filter(_.operatorName == name))
+    def watermarks = StreamingGate.lastRunProgress.get()
+      .flatMap(p => Option(p.eventTime).flatMap(et => Option(et.get("watermark"))))
+      .map(java.time.Instant.parse)
+
+    StreamingGate.q58StreamDedup(spark, sf).count()
+    val dd = series("dedupe")
+    assert(dd.nonEmpty, "dedup gate must report its state operator")
+    val n = Tables.events(spark, sf).count()
+    assert(dd.map(_.numRowsTotal).max >= n,
+      "peak dedup state must hold every distinct key (pre-eviction)")
+    assert(dd.map(_.numRowsRemoved).sum >= dd.map(_.numRowsTotal).max - 2,
+      "watermark advance must evict expired entries, counted in numRowsRemoved")
+    assert(dd.last.numRowsTotal <= 2,
+      s"state after final eviction must be ~empty, got ${dd.last.numRowsTotal}")
+    assert(dd.forall(_.memoryUsedBytes > 0), "state memory must be reported")
+    val dwm = watermarks
+    assert(dwm.last.isAfter(dwm.head), "the watermark must advance over the run")
+
+    StreamingGate.q106StreamOuterJoin(spark, sf).count()
+    val sj = series("symmetricHashJoin")
+    assert(sj.nonEmpty, "outer-join gate must report the symmetric hash join")
+    assert(sj.map(_.numRowsRemoved).sum > 0,
+      "watermark passage must evict buffered join rows (the null-emission flush)")
+    assert(sj.last.numRowsTotal <= 4 &&
+           sj.last.numRowsTotal < sj.map(_.numRowsTotal).max,
+      s"join state must shrink to the sentinel residue, got ${sj.last.numRowsTotal}")
+    assert(sj.forall(_.memoryUsedBytes > 0), "join state memory must be reported")
+  }
+
+  test("state observability: stale arrivals after watermark passage drop as numRowsDroppedByWatermark") {
+    // The one metric the gates' orderly replays never exercise: rows
+    // arriving AFTER the watermark passed them and their state was
+    // evicted. Stage fixture -> sentinel -> fixture-again (newest
+    // mtime): batch 2's replayed rows are below the sentinel-advanced
+    // watermark with no surviving state to dedup against, so the
+    // operator itself must drop them and COUNT them — the late-data
+    // loss a production pipeline alarms on.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = Files.createTempDirectory("graft-stale-replay")
+    staged.toFile.deleteOnExit()
+    val now = System.currentTimeMillis()
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      staged.resolve("00-events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(staged.resolve("00-events.parquet"),
+      FileTime.fromMillis(now - 120000))
+    val maxNs = spark.read.schema(EventsStreaming.rawSchema)
+      .parquet(staged.resolve("00-events.parquet").toString)
+      .agg(max(col("ts"))).head().getLong(0)
+    val sentinel = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        -1L, maxNs + 86400L * 1000000000L, -1L, "sentinel", 0.0, null)),
+      EventsStreaming.rawSchema)
+    val tmp = Files.createTempDirectory("graft-stale-sent")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    Files.move(part, staged.resolve("50-sentinel.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(staged.resolve("50-sentinel.parquet"),
+      FileTime.fromMillis(now - 60000))
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      staged.resolve("zz-events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(staged.resolve("zz-events.parquet"),
+      FileTime.fromMillis(now))
+
+    val src = spark.readStream.schema(EventsStreaming.rawSchema)
+      .option("latestFirst", false).option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val ckpt = Files.createTempDirectory("graft-stale-ckpt")
+    ckpt.toFile.deleteOnExit()
+    val q = EventsStreaming.dedupEvents(src)
+      .writeStream.format("memory").queryName("stale_replay")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val n = Tables.events(spark, sf).count()
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators.filter(_.operatorName == "dedupe"))
+      .map(_.numRowsDroppedByWatermark).sum
+    assert(dropped >= n - 2,
+      s"stale replay of $n rows must be dropped BY THE OPERATOR and counted, got $dropped")
+    // and none of them leaked into the sink: original relation + sentinel
+    assert(spark.table("stale_replay").count() == n + 1,
+      "late drops must not re-emit previously deduped rows")
+  }
+
   test("q65 gate: custom state survives the batch boundary (2n after two copies)") {
     val got = graft.streaming.StreamingGate.q65StreamRunningCounts(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
