@@ -48,8 +48,69 @@ trait MediaDecoder extends Serializable {
     * thumbnail's sampling rule), so the stub stays codec-free while the
     * signature semantics — and the downstream Hamming machinery — are
     * the production ones. Empty payloads hash to 0. */
-  def dhash(rec: MediaRecord): Long = {
-    val bytes = rec.payload
+  def dhash(rec: MediaRecord): Long = ContentOps.dhash(rec.payload)
+}
+
+/** One sampled "frame": its index, byte offset, lead byte, and a short
+  * window hash standing in for the decoded frame signature. */
+case class FrameSample(
+    doc_id: Long,
+    frame_idx: Int,
+    frame_off: Long,
+    frame_byte: Int,
+    window_hash: Long)
+
+/** The decoder-independent feature arithmetic, over whatever byte
+  * stream a decoder declares as the record's CONTENT (raw payload for
+  * [[StubDecoder]], the decoded pixel grid for [[PgmDecoder]]). Shared
+  * so the two decoders differ ONLY in what they decode — the loops the
+  * oracles mirror byte-for-byte live here exactly once. */
+private[graft] object ContentOps {
+  def features(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+    val n = bytes.length.toLong
+    var sum = 0L
+    var mx = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sum += b
+      if (b > mx) mx = b
+      i += 1
+    }
+    // "frame sampling": one sample every 256 content bytes
+    var fs = 0L
+    var f = 0
+    var j = 0
+    while (j < bytes.length) { fs += (bytes(j) & 0xff); f += 1; j += 256 }
+    // "resize": a 16-point thumbnail — content sampled at even stride,
+    // folded into one polynomial hash (stands in for a resized image
+    // signature; a full decoder would emit the resized pixel block here)
+    var th = 0L
+    if (n > 0) {
+      var k = 0
+      while (k < 16) {
+        val idx = ((k.toLong * n) / 16).toInt
+        th = (th * 31 + (bytes(idx) & 0xff)) % 1000000007L
+        k += 1
+      }
+    }
+    MediaFeatures(docId, n, if (n == 0) 0 else sum * 100 / n, mx, f, fs, th)
+  }
+
+  /** One "frame" every 256 content bytes: lead byte + polynomial hash
+    * of the 16-byte window at the offset (clipped at end-of-content). */
+  def frames(docId: Long, bytes: Array[Byte]): Iterator[FrameSample] =
+    Iterator.range(0, bytes.length, 256).map { off =>
+      var h = 0L
+      var i = off
+      val end = math.min(off + 16, bytes.length)
+      while (i < end) { h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+      FrameSample(docId, off / 256, off.toLong, bytes(off) & 0xff, h)
+    }
+
+  /** The dHash sampling loop over a content stream — 33 evenly-spaced
+    * points, bit k = point_k < point_{k+1} (see [[MediaDecoder.dhash]]). */
+  def dhash(bytes: Array[Byte]): Long = {
     val n = bytes.length.toLong
     if (n == 0) return 0L
     var sig = 0L
@@ -65,63 +126,77 @@ trait MediaDecoder extends Serializable {
   }
 }
 
-/** One sampled "frame": its index, byte offset, lead byte, and a short
-  * window hash standing in for the decoded frame signature. */
-case class FrameSample(
-    doc_id: Long,
-    frame_idx: Int,
-    frame_off: Long,
-    frame_byte: Int,
-    window_hash: Long)
-
-/** Deterministic fake decode: byte statistics + stride-sampled "frames".
-  * A real decoder is intentionally NOT implementable here (no codec libs
-  * in the container) — swap this class, keep the pipeline. */
+/** Deterministic fake decode: byte statistics + stride-sampled "frames"
+  * over the RAW payload bytes. A full codec is intentionally NOT
+  * implementable here (no image/audio libs in the container) — swap
+  * this class, keep the pipeline. The CI default for every gate. */
 final class StubDecoder extends MediaDecoder {
-  override def decode(rec: MediaRecord): MediaFeatures = {
-    val bytes = rec.payload
-    val n = bytes.length.toLong
-    var sum = 0L
-    var mx = 0
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      sum += b
-      if (b > mx) mx = b
-      i += 1
-    }
-    // "frame sampling": one sample every 256 bytes
-    var fs = 0L
-    var f = 0
-    var j = 0
-    while (j < bytes.length) { fs += (bytes(j) & 0xff); f += 1; j += 256 }
-    // "resize": a 16-point thumbnail — bytes sampled at even stride,
-    // folded into one polynomial hash (stands in for a resized image
-    // signature; a real decoder would emit the resized pixel block here)
-    var th = 0L
-    if (n > 0) {
-      var k = 0
-      while (k < 16) {
-        val idx = ((k.toLong * n) / 16).toInt
-        th = (th * 31 + (bytes(idx) & 0xff)) % 1000000007L
-        k += 1
+  override def decode(rec: MediaRecord): MediaFeatures =
+    ContentOps.features(rec.doc_id, rec.payload)
+  override def frames(rec: MediaRecord): Iterator[FrameSample] =
+    ContentOps.frames(rec.doc_id, rec.payload)
+}
+
+/** A REAL decoder behind the same trait: binary PGM ("P5" — the
+  * netpbm grayscale format, public spec, trivially parseable with zero
+  * codec dependencies). Payloads that parse as P5 are decoded to their
+  * PIXEL GRID and every feature runs over pixels — so two encodings of
+  * the same image (e.g. differing header whitespace or comments, which
+  * the format permits) produce IDENTICAL features and dHash where the
+  * byte-level [[StubDecoder]] would diverge; that is precisely the
+  * property that makes a perceptual hash perceptual. Payloads that do
+  * NOT sniff as P5 fall back to raw-byte content — production format
+  * sniffing, and what keeps every oracle query (text payloads)
+  * bit-identical under either decoder (ExtSpec asserts it).
+  *
+  * Parser: magic "P5", then whitespace/comment-separated width,
+  * height, maxval tokens ('#' starts a comment through end-of-line),
+  * one whitespace byte, then width*height raw pixel bytes (maxval <
+  * 256 — the 1-byte-per-pixel variant; 2-byte maxvals are rejected to
+  * the fallback rather than half-parsed). Truncated pixel data rejects
+  * likewise: a decoder that silently zero-pads manufactures content. */
+final class PgmDecoder extends MediaDecoder {
+  private[graft] def pixels(payload: Array[Byte]): Option[Array[Byte]] = {
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '5')
+      return None
+    var i = 2
+    def skipSeparators(): Unit = {
+      var more = true
+      while (more && i < payload.length) {
+        val c = payload(i)
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+        else if (c == '#') { while (i < payload.length && payload(i) != '\n') i += 1 }
+        else more = false
       }
     }
-    MediaFeatures(rec.doc_id, n, if (n == 0) 0 else sum * 100 / n, mx, f, fs, th)
+    def token(): Option[Int] = {
+      skipSeparators()
+      var v = -1
+      while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+        v = (if (v < 0) 0 else v) * 10 + (payload(i) - '0')
+        i += 1
+      }
+      Option.when(v >= 0)(v)
+    }
+    for {
+      w <- token()
+      h <- token()
+      maxval <- token()
+      if maxval > 0 && maxval < 256 && w > 0 && h > 0
+      // exactly ONE separator byte after maxval, then raw pixels
+      if i < payload.length && { i += 1; payload.length - i >= w.toLong * h }
+    } yield java.util.Arrays.copyOfRange(payload, i, i + w * h)
   }
 
-  /** One "frame" every 256 bytes: lead byte + polynomial hash of the
-    * 16-byte window at the offset (clipped at end-of-payload). */
-  override def frames(rec: MediaRecord): Iterator[FrameSample] = {
-    val bytes = rec.payload
-    Iterator.range(0, bytes.length, 256).map { off =>
-      var h = 0L
-      var i = off
-      val end = math.min(off + 16, bytes.length)
-      while (i < end) { h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
-      FrameSample(rec.doc_id, off / 256, off.toLong, bytes(off) & 0xff, h)
-    }
-  }
+  private def content(rec: MediaRecord): Array[Byte] =
+    pixels(rec.payload).getOrElse(rec.payload)
+
+  override def decode(rec: MediaRecord): MediaFeatures =
+    ContentOps.features(rec.doc_id, content(rec))
+  override def frames(rec: MediaRecord): Iterator[FrameSample] =
+    ContentOps.frames(rec.doc_id, content(rec))
+  override def dhash(rec: MediaRecord): Long =
+    ContentOps.dhash(content(rec))
 }
 
 object Multimodal {

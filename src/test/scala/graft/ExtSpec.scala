@@ -636,6 +636,90 @@ class ExtSpec extends SparkSpec {
     assert(row.getAs[Int]("n_frames") == (bytes.length + 255) / 256)
   }
 
+  test("PgmDecoder: parses real P5 bytes to pixels; features/dhash are content-based") {
+    // a real public image format through the SAME trait boundary the
+    // stub uses — the decode is pixels, not payload bytes
+    def pgm(pix: Array[Byte], w: Int, h: Int,
+            header: String = ""): Array[Byte] = {
+      val head = s"P5$header\n$w $h\n255\n".getBytes("US-ASCII")
+      head ++ pix
+    }
+    val w = 16; val h = 8
+    val pix = Array.tabulate(w * h)(i => ((i * 7) % 200).toByte)
+    val rec = MediaRecord(1L, pgm(pix, w, h), "pgm", w, h)
+    val dec = new PgmDecoder
+    // decoded content IS the pixel grid
+    assert(dec.pixels(rec.payload).get.toSeq == pix.toSeq)
+    assert(dec.decode(rec) == ContentOps.features(1L, pix))
+    assert(dec.frames(rec).toSeq == ContentOps.frames(1L, pix).toSeq)
+    assert(dec.dhash(rec) == ContentOps.dhash(pix))
+    // re-encoding the SAME image (comment + whitespace differences the
+    // format permits) changes the bytes but not the content: the real
+    // decoder's features are invariant, the byte-level stub's are not
+    val reenc = MediaRecord(1L, pgm(pix, w, h, "\n# re-encoded copy\n#x"), "pgm", w, h)
+    assert(dec.decode(reenc) == dec.decode(rec), "pixel features must survive re-encoding")
+    assert(dec.dhash(reenc) == dec.dhash(rec), "perceptual hash must survive re-encoding")
+    val stub = new StubDecoder
+    assert(stub.decode(reenc) != stub.decode(rec),
+      "byte-level features must see the different encodings (the contrast)")
+    // uniform brightness shift: dHash compares neighboring samples, so
+    // +40 on every pixel (unclamped range) leaves the signature fixed
+    val brighter = MediaRecord(1L,
+      pgm(pix.map(b => (b + 40).toByte), w, h), "pgm", w, h)
+    assert(dec.dhash(brighter) == dec.dhash(rec),
+      "dHash must be invariant under uniform brightness shift")
+    // malformed payloads reject to the raw-byte fallback, never half-parse
+    val truncated = pgm(pix, w, h).dropRight(5)
+    assert(dec.pixels(truncated).isEmpty, "truncated pixel data must not parse")
+    assert(dec.pixels("P5 garbage".getBytes("US-ASCII")).isEmpty)
+    assert(dec.pixels(Array.empty[Byte]).isEmpty)
+  }
+
+  test("phash near-dup over real PGM images finds re-encoded copies (PgmDecoder)") {
+    import spark.implicits._
+    def pgm(pix: Array[Byte], w: Int, h: Int, header: String = ""): Array[Byte] =
+      s"P5$header\n$w $h\n255\n".getBytes("US-ASCII") ++ pix
+    val w = 33; val h = 3
+    val img = Array.tabulate(w * h)(i => ((i * 13 + 7) % 200).toByte)
+    val other = Array.tabulate(w * h)(i => (199 - (i * 13 + 7) % 200).toByte)
+    val media = Seq(
+      (10L, pgm(img, w, h)),                             // original
+      (20L, pgm(img, w, h, "\n# same image, new file")), // re-encoded copy
+      (30L, pgm(other, w, h)))                           // different image
+      .toDF("doc_id", "payload")
+      .withColumn("media_format", lit("pgm"))
+      .withColumn("media_width", lit(w))
+      .withColumn("media_height", lit(h))
+    val pairs = Multimodal.phashNearDups(media, new PgmDecoder)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((10L, 20L, 0L)),
+      s"re-encoded copy must pair at Hamming 0, nothing else; got ${pairs.toSeq}")
+    // the byte-level stub CANNOT see through the re-encoding at Hamming
+    // <= 2 on these payloads — the trait swap is what buys the match
+    val stubPairs = Multimodal.phashNearDups(media, new StubDecoder)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!stubPairs.contains((10L, 20L)),
+      "stub (byte) hash must diverge on the re-encoded header bytes")
+  }
+
+  test("oracle gates are decoder-agnostic on non-image payloads (sniff fallback)") {
+    // fixture payloads are utf-8 text — they must not sniff as P5, so
+    // every gated multimodal query is bit-identical under either
+    // decoder (StubDecoder stays the CI default; swapping in the real
+    // one cannot move an oracle)
+    val media = Multimodal.attachPayload(Multimodal.withProbe(docs))
+    val a = Multimodal.decodeFeatures(media, new StubDecoder)
+      .collect().sortBy(_.doc_id).toSeq
+    val b = Multimodal.decodeFeatures(media, new PgmDecoder)
+      .collect().sortBy(_.doc_id).toSeq
+    assert(a == b, "q23 features must be identical under either decoder")
+    val pa = Multimodal.phashNearDups(media, new StubDecoder)
+      .collect().map(_.toSeq).toSeq
+    val pb = Multimodal.phashNearDups(media, new PgmDecoder)
+      .collect().map(_.toSeq).toSeq
+    assert(pa == pb, "q74 pairs must be identical under either decoder")
+  }
+
   test("q60 frame sample: per-doc frame count equals q23's n_frames; hand check") {
     val frames = Multimodal.q60(spark, sf)
     val perDoc = frames.groupBy("doc_id").count()
