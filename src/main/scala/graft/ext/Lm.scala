@@ -66,35 +66,47 @@ object Lm {
     * ever reaches the compare, and the per-doc sum is order-independent
     * (a log-prob double sum would not be).
     *
-    * Plan: the occurrence stream is FIRST pre-aggregated to
-    * `(doc_id, gram, n_occ)` — occurrences repeat within documents, so
-    * both downstream joins then carry one row per distinct (doc, gram)
-    * instead of one per occurrence; the per-occurrence sum is recovered
-    * exactly as `n_occ * p_ppm` (p_ppm is one integer per gram, so the
-    * weighted form is bit-identical to summing it n_occ times). The
-    * compacted stream joins the bigram-count aggregate on `gram` and the
-    * unigram-count aggregate on `w1`; V rides in as a broadcast 1-row
-    * cross join. The model relations are |vocab|-sized; at production
-    * scale the trimmed model broadcasts and the whole score is a
-    * map-side projection over the corpus. */
+    * Plan (the round-8 one-corpus-shuffle shape): the occurrence stream
+    * is pre-aggregated to `(doc_id, gram, n_occ)` — occurrences repeat
+    * within documents, and the per-occurrence sum is recovered exactly
+    * as `n_occ * p_ppm` (one integer per gram, so the weighted form is
+    * bit-identical to summing it n_occ times). The stream is
+    * explicitly hash-partitioned on `doc_id` FIRST: that single
+    * exchange satisfies the (doc_id, gram) pre-aggregation (clustering
+    * on a key subset co-locates every group) AND the final per-doc
+    * aggregate, so the corpus-sized relation shuffles exactly once in
+    * the whole query. Everything model-sized happens on the other side:
+    * per-gram counts fold with the w1-marginal counts (w1 is recovered
+    * from the gram key — tokens cannot contain the separator) and the
+    * broadcast 1-row vocab count into a `(gram, p_ppm)` MODEL relation,
+    * |distinct grams| rows, which joins back as a broadcast at fixture
+    * scale (AQE) — and at production scale as the trimmed broadcast
+    * model — leaving the doc side's partitioning untouched. V comes
+    * from the unigram aggregate itself (count of its rows), so the
+    * corpus is scanned twice total (bigram explode + unigram explode),
+    * not three times, and the old two-stage countDistinct is gone. */
   def bigramLmScores(docs: DataFrame): DataFrame = {
     val docGrams = bigramStream(docs)
-      .groupBy("doc_id", "w1", "gram")
+      .select(col("doc_id"), col("gram"))
+      .repartition(col("doc_id"))
+      .groupBy("doc_id", "gram")
       .agg(count(lit(1)).as("n_occ"))
-    val bigramCounts = docGrams.groupBy("gram")
+    val gramCounts = docGrams.groupBy("gram")
       .agg(sum(col("n_occ")).as("c12"))
     val unigramCounts = docs
       .select(explode(split(col("text"), " ")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
-    val vocabSize = docs
-      .select(explode(split(col("text"), " ")).as("t"))
-      .agg(countDistinct(col("t")).as("v"))
-    docGrams
-      .join(bigramCounts, "gram")
+    val vocabSize = unigramCounts.agg(count(lit(1)).as("v"))
+    val model = gramCounts
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
       .join(unigramCounts, "w1")
       .crossJoin(broadcast(vocabSize))
+      .select(col("gram"),
+        expr(s"(1000000 * (c12 + $SmoothAdd)) div (c1 + v)").as("p_ppm"))
+    docGrams
+      .join(broadcast(model), "gram")
       .select(col("doc_id"), col("n_occ"),
-        expr(s"n_occ * ((1000000 * (c12 + $SmoothAdd)) div (c1 + v))").as("p_sum"))
+        (col("n_occ") * col("p_ppm")).as("p_sum"))
       .groupBy("doc_id")
       .agg(sum(col("n_occ")).as("n_bigrams"),
            expr("sum(p_sum) div sum(n_occ)").as("lm_ppm"))
