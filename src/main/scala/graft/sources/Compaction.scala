@@ -89,10 +89,17 @@ object Compaction {
     * read-back would let bench repetitions time a parquet read, the
     * q110 lesson), then read the newly published version back in full.
     * Content identity with the original table is exactly what the
-    * oracle checks. */
+    * oracle checks.
+    *
+    * The record target is sized TO THE DATA (~100 right-sized files
+    * corpus-wide, floored at [[TargetRecords]]), the way a production
+    * compactor sizes to a byte target — a fixed fixture constant would
+    * mis-size at any other scale (at 10x the fixture, 10-records-a-file
+    * would FRAGMENT the table it is meant to repair). */
   def compactedDocs(spark: SparkSession, dir: String): DataFrame = {
     val root = fragmentedRoot(spark, dir)
-    compact(spark, root)
+    val rows = spark.read.parquet(latestVersion(root).toString).count()
+    compact(spark, root, math.max(TargetRecords, rows / 100))
     spark.read.parquet(latestVersion(root).toString)
       .select("doc_id", "text", "lang", "source", "n_chars")
       .orderBy("doc_id")
