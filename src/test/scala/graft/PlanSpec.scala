@@ -540,6 +540,24 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q66: one corpus shuffle — doc_id repartition feeds both aggregates, model joins broadcast") {
+    // The round-8 shape: the occurrence stream exchanges ONCE (explicit
+    // doc_id hash), the (doc_id, gram) pre-aggregation and the final
+    // per-doc aggregate both reuse it (clustering on a key subset), and
+    // the gram model arrives by broadcast. Losing any leg shows up here:
+    // a composite-key or gram-side exchange of the doc relation, or the
+    // model join degrading to sort-merge.
+    val p = plan(graft.ext.Lm.bigramLmScores(Tables.documents(spark, sf)))
+    assert("hashpartitioning\\(doc_id#\\d+L?, gram".r.findFirstIn(p).isEmpty,
+      "the (doc_id, gram) aggregate must reuse the doc_id repartition, not add its own exchange")
+    assert("BroadcastHashJoin \\[gram".r.findFirstIn(p).isDefined,
+      "the (gram, p_ppm) model must join as a broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no leg of q66 may fall back to a sort-merge join")
+    assert(p.contains("REPARTITION_BY_COL"),
+      "the single corpus exchange is the explicit doc_id repartition")
+  }
+
   test("q115: compaction hits the per-dir file target, leaves the prior version untouched, flips the resolver") {
     import java.nio.file.{Files, Path}
     import scala.jdk.CollectionConverters._
