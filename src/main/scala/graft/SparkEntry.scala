@@ -24,6 +24,7 @@ object SparkEntry {
     graft.ext.Lm.queries ++
     graft.ext.Curation.queries ++
     graft.ext.Multimodal.queries ++
+    graft.ext.Mixture.queries ++
     graft.sources.Jsonl.queries ++
     graft.sources.Partitioned.queries ++
     graft.sources.Compaction.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
     graft.ext.Lm.oracles ++
     graft.ext.Curation.oracles ++
     graft.ext.Multimodal.oracles ++
+    graft.ext.Mixture.oracles ++
     graft.sources.Jsonl.oracles ++
     graft.sources.Partitioned.oracles ++
     graft.sources.Compaction.oracles ++

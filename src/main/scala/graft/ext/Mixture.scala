@@ -1,0 +1,143 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Source-mixture planning — the step between corpus curation and the
+  * training loader that decides HOW MUCH of each source a run samples.
+  * Multi-source pretraining recipes flatten the raw size distribution
+  * with a temperature: sampling weight ∝ mass^(1/T), T > 1 upweighting
+  * small sources so a dominant crawl cannot drown out books/code/wiki.
+  *
+  * Everything here is integer-exact so the DuckDB oracle hash-matches
+  * bit for bit (the repo's standing exactness contract): T = 2 is
+  * expressed as an EXPLICIT integer square root — float sqrt, floored,
+  * then corrected by one comparison either side, which is exact for
+  * any mass below 2^52 in both engines regardless of their float→int
+  * cast rounding. A production α = 1/1.3-style temperature runs the
+  * same plan with float weights; the arithmetic is the only thing that
+  * changes, and it changes in one projection.
+  *
+  * Scale shape: one corpus scan → per-source aggregate (|sources|
+  * rows) → broadcast 1-row total → projection. The epoch manifest adds
+  * one window sort partitioned by source on the q111 LCG key — the
+  * same cost class as q111's in-shard sort, one sort per source,
+  * never a global single-node sort.
+  */
+object Mixture {
+
+  /** Document budget the quotas divide (stand-in for a token budget at
+    * the fixture's near-uniform doc lengths; a token budget is the
+    * same arithmetic against packed-span counts). */
+  val DocBudget = 1000L
+
+  /** Exact integer sqrt as a SQL fragment: floor(sqrt(m)) landed within
+    * ±1 by float error, then pinned by one comparison on each side.
+    * Exact for 0 <= m < 2^52 in any engine. */
+  private def isqrt(m: String): String =
+    s"(CAST(floor(sqrt(CAST($m AS DOUBLE))) AS BIGINT)" +
+      s" - (CASE WHEN CAST(floor(sqrt(CAST($m AS DOUBLE))) AS BIGINT)" +
+      s"          * CAST(floor(sqrt(CAST($m AS DOUBLE))) AS BIGINT) > $m THEN 1 ELSE 0 END)" +
+      s" + (CASE WHEN (CAST(floor(sqrt(CAST($m AS DOUBLE))) AS BIGINT) + 1)" +
+      s"          * (CAST(floor(sqrt(CAST($m AS DOUBLE))) AS BIGINT) + 1) <= $m THEN 1 ELSE 0 END))"
+
+  /** q116: the per-source mixture plan at temperature T = 2 —
+    * (source, n_docs, token_mass, sqrt_mass, weight_ppm, quota_docs)
+    * with weight ∝ isqrt(token_mass), normalized in ppm, and the doc
+    * budget divided by the same ratio (floor division; the ≤ |sources|
+    * remainder docs are the caller's largest-remainder choice). */
+  def mixturePlan(docs: DataFrame): DataFrame = {
+    val bySrc = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("token_mass"))
+      .withColumn("sqrt_mass", expr(isqrt("token_mass")))
+    val total = bySrc.agg(sum(col("sqrt_mass")).as("sqrt_total"))
+    bySrc.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("token_mass"), col("sqrt_mass"),
+        expr("(1000000 * sqrt_mass) div sqrt_total").as("weight_ppm"),
+        expr(s"($DocBudget * sqrt_mass) div sqrt_total").as("quota_docs"))
+      .orderBy("source")
+  }
+
+  val mixturePlanSql: String =
+    s"""WITH m AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    SUM(len(string_split(text, ' '))) AS token_mass
+       |  FROM documents GROUP BY source),
+       |s AS (SELECT source, n_docs, token_mass,
+       |        ${isqrt("token_mass")} AS sqrt_mass FROM m),
+       |t AS (SELECT SUM(sqrt_mass) AS sqrt_total FROM s)
+       |SELECT source, n_docs, CAST(token_mass AS BIGINT) AS token_mass,
+       |  CAST(sqrt_mass AS BIGINT) AS sqrt_mass,
+       |  CAST((1000000 * sqrt_mass) // sqrt_total AS BIGINT) AS weight_ppm,
+       |  CAST(($DocBudget * sqrt_mass) // sqrt_total AS BIGINT) AS quota_docs
+       |FROM s CROSS JOIN t ORDER BY source""".stripMargin
+
+  /** q117: the epoch manifest the mixture plan implies — per document,
+    * how many times this epoch samples it. quota_s spread over the
+    * source's docs as base = quota div n (every doc) plus one extra
+    * for the first (quota mod n) docs in LCG-key order (rank within
+    * SOURCE by (key, doc_id) — seeded, cluster-size independent, a
+    * different epoch seed is a different extra-set). The seed sits
+    * INSIDE the multiply — q111's additive form shifts every key by a
+    * constant, which preserves order under the modulus except at the
+    * wrap and so would leave the extra-set fixed across epochs; the
+    * multiplicative form genuinely re-permutes. Sources with quota <
+    * n_docs get base 0 and the manifest DOWNSAMPLES them to exactly
+    * quota docs — up- and down-sampling fall out of the same
+    * arithmetic. Rows with zero repeats are omitted; Σ n_repeats per
+    * source = quota exactly (spec-pinned). */
+  def epochManifest(docs: DataFrame, seed: Long = 12345L): DataFrame = {
+    val plan = mixturePlan(docs).select("source", "n_docs", "quota_docs")
+    val w = Window.partitionBy("source").orderBy("key", "doc_id")
+    docs.select(col("source"), col("doc_id"),
+        expr(s"(${Curation.ShuffleMulA} * (doc_id + $seed)) % ${Curation.ShuffleMod}")
+          .as("key"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(plan), "source")
+      .select(col("source"), col("doc_id"),
+        (expr("quota_docs div n_docs") +
+          when(col("rk") <= expr("quota_docs % n_docs"), 1L).otherwise(0L))
+          .as("n_repeats"))
+      .filter(col("n_repeats") > 0)
+      .orderBy("source", "doc_id")
+  }
+
+  def epochManifestSql(seed: Long = 12345L): String =
+    s"""WITH m AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    SUM(len(string_split(text, ' '))) AS token_mass
+       |  FROM documents GROUP BY source),
+       |s AS (SELECT source, n_docs, token_mass,
+       |        ${isqrt("token_mass")} AS sqrt_mass FROM m),
+       |t AS (SELECT SUM(sqrt_mass) AS sqrt_total FROM s),
+       |plan AS (
+       |  SELECT source, n_docs,
+       |    ($DocBudget * sqrt_mass) // sqrt_total AS quota_docs
+       |  FROM s CROSS JOIN t),
+       |ranked AS (
+       |  SELECT source, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+       |      (${Curation.ShuffleMulA} * (doc_id + $seed)) % ${Curation.ShuffleMod},
+       |      doc_id) AS rk
+       |  FROM documents)
+       |SELECT r.source, r.doc_id,
+       |  CAST(p.quota_docs // p.n_docs
+       |    + (CASE WHEN r.rk <= p.quota_docs % p.n_docs THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_repeats
+       |FROM ranked r JOIN plan p ON r.source = p.source
+       |WHERE p.quota_docs // p.n_docs
+       |    + (CASE WHEN r.rk <= p.quota_docs % p.n_docs THEN 1 ELSE 0 END) > 0
+       |ORDER BY r.source, r.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_mixture_plan" -> ((s, d) => mixturePlan(Tables.documents(s, d))),
+    "q117_epoch_manifest" -> ((s, d) => epochManifest(Tables.documents(s, d))))
+
+  val oracles: Map[String, String] = Map(
+    "q116_mixture_plan" -> mixturePlanSql,
+    "q117_epoch_manifest" -> epochManifestSql())
+}

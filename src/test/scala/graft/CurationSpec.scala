@@ -289,4 +289,64 @@ class CurationSpec extends SparkSpec {
         r.getAs[Long]("keep_doc_id"), r.getAs[Long]("keep_chars")))
     assert(got.toSeq == Seq((1L, 3L, 2L, 150L), (5L, 2L, 5L, 80L)))
   }
+
+  test("q116 mixture plan: exact isqrt, T=2 flattening, budget conservation") {
+    val docs = Tables.documents(spark, sf)
+    val plan = Mixture.mixturePlan(docs).collect()
+    // isqrt is EXACT: sqrt_mass is the unique integer root
+    plan.foreach { r =>
+      val m = r.getAs[Long]("token_mass"); val s = r.getAs[Long]("sqrt_mass")
+      assert(s * s <= m && (s + 1) * (s + 1) > m, s"isqrt($m) != $s")
+    }
+    // floor-divided quotas lose at most one doc per source
+    val quotas = plan.map(_.getAs[Long]("quota_docs")).sum
+    assert(quotas <= Mixture.DocBudget && quotas > Mixture.DocBudget - plan.length,
+      s"quota sum $quotas out of band for budget ${Mixture.DocBudget}")
+    // temperature flattening: vs the untempered mass share, the
+    // smallest source gains weight, the largest loses (strict when
+    // masses actually differ)
+    val totalMass = plan.map(_.getAs[Long]("token_mass")).sum
+    def massPpm(r: org.apache.spark.sql.Row) =
+      1000000L * r.getAs[Long]("token_mass") / totalMass
+    val smallest = plan.minBy(_.getAs[Long]("token_mass"))
+    val largest = plan.maxBy(_.getAs[Long]("token_mass"))
+    assert(smallest.getAs[Long]("token_mass") < largest.getAs[Long]("token_mass"),
+      "fixture must have unequal sources for the flattening check")
+    assert(smallest.getAs[Long]("weight_ppm") > massPpm(smallest),
+      "T=2 must upweight the smallest source")
+    assert(largest.getAs[Long]("weight_ppm") < massPpm(largest),
+      "T=2 must downweight the largest source")
+  }
+
+  test("q117 epoch manifest: per-source repeat sums hit the quota; seeded extra-set") {
+    val docs = Tables.documents(spark, sf)
+    val quota = Mixture.mixturePlan(docs).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("quota_docs")).toMap
+    val man = Mixture.epochManifest(docs).collect()
+    val bySrc = man.groupBy(_.getAs[String]("source"))
+    // conservation: repeats sum to the quota EXACTLY, per source
+    quota.foreach { case (src, q) =>
+      val got = bySrc.get(src).map(_.map(_.getAs[Long]("n_repeats")).sum).getOrElse(0L)
+      assert(got == q, s"$src: repeats sum $got != quota $q")
+    }
+    // within a source, repeat counts differ by at most one (base / base+1)
+    bySrc.values.foreach { rows =>
+      val reps = rows.map(_.getAs[Long]("n_repeats"))
+      assert(reps.max - reps.min <= 1, "repeat spread must be base/base+1")
+    }
+    // a different seed keeps every per-source total but moves the
+    // extra-set (the seeded epoch permutation at work)
+    val man2 = Mixture.epochManifest(docs, seed = 999L).collect()
+    val tot2 = man2.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("n_repeats")).sum).toMap
+    quota.foreach { case (src, q) => assert(tot2.getOrElse(src, 0L) == q) }
+    def repMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("n_repeats")).toMap
+    assert(repMap(man) != repMap(man2),
+      "changing the seed must change which docs carry the extra repeat")
+    // partition invariance: the manifest is a pure function of the data
+    val man3 = Mixture.epochManifest(docs.repartition(7)).collect()
+    assert(repMap(man3) == repMap(man), "manifest must not depend on partitioning")
+  }
 }
