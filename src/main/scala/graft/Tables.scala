@@ -24,18 +24,33 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame  = s.read.parquet(p(dir, "documents"))
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))
 
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and expose BOTH:
+  /** The fixtures have shipped `events.ts` under two encodings: parquet
+    * INT64 TIMESTAMP(NANOS) — which Spark's vectorized reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]) unless read as raw long nanos via
+    * `spark.sql.legacy.parquet.nanosAsLong` — and plain µs timestamps
+    * (no timezone, so Spark infers TIMESTAMP_NTZ). Both normalize to the
+    * same pair, dtype-dispatched at plan time:
     *   - `ts_ns`  : long, epoch nanoseconds (exact — never goes through a
     *                double, 1.7e18 > 2^53 would lose precision)
     *   - `ts`     : TimestampType, truncated to microseconds (Spark's native
     *                resolution), for window()/session_window()/watermarks.
+    * Under the repo-wide UTC session timezone the NTZ→instant cast is the
+    * identity DuckDB's `epoch_us(ts)` applies, so oracle arithmetic is
+    * unchanged across encodings.
     */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val tsNs = df.schema("ts").dataType match {
+      case LongType => col("ts")
+      case _        => expr("unix_micros(cast(ts as timestamp)) * 1000")
+    }
+    df.select(col("event_id"), tsNs.as("ts_ns"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(p(dir, "events"))
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    normalizeEventsTs(s.read.parquet(p(dir, "events")))
   }
 }

@@ -44,12 +44,12 @@ object EventsStreaming {
     * stage a temp dir with a symlink (fixture plumbing only; a production
     * deployment points this at a landing directory or swaps in Kafka). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Files
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staged = Files.createTempDirectory("graft-events-stream")
     staged.toFile.deleteOnExit()
     Files.createSymbolicLink(staged.resolve("events.parquet"),
-      Paths.get(s"$dir/events.parquet"))
+      StreamingGate.canonicalEventsFile(spark, dir))
     spark.readStream
       .schema(rawSchema)
       .parquet(staged.toString)

@@ -47,6 +47,34 @@ object StreamingGate {
     stagedCache.computeIfAbsent(s"$dir#$copies",
       _ => buildStagedDir(spark, dir, copies))
 
+  private val canonicalCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  /** The events fixture as ONE parquet file in the long-ns raw encoding
+    * ([[EventsStreaming.rawSchema]]) every staging site copies from. The
+    * fixture has shipped `ts` both as INT64 nanos (usable verbatim) and
+    * as µs timestamps; rewriting the latter ONCE per JVM keeps every
+    * sentinel write, `rawSchema` readback and replay mtime game
+    * encoding-independent. Cached per source dir; the rewrite is one
+    * coalesce(1) job over a fixture-sized file. */
+  private[graft] def canonicalEventsFile(spark: SparkSession, dir: String): Path =
+    canonicalCache.computeIfAbsent(dir, { _ =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        Paths.get(s"$dir/events.parquet")
+      else {
+        val canon = graft.Tables.normalizeEventsTs(raw)
+          .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+        val tmp = graft.TempDirs.create("graft-events-canon")
+        canon.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst.get
+        part
+      }
+    })
+
   /** Copy the events fixture (`copies` identical files — the dedup gate
     * stages it twice to manufacture a duplicated arrival) + write the
     * sentinel row into a fresh temp dir, mtimes ordered (fixture copies
@@ -61,7 +89,7 @@ object StreamingGate {
     val fixture = staged.resolve("00-events.parquet")
     for (c <- 0 until copies) {
       val f = staged.resolve(f"$c%02d-events.parquet")
-      Files.copy(Paths.get(s"$dir/events.parquet"), f,
+      Files.copy(canonicalEventsFile(spark, dir), f,
         StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(f, FileTime.fromMillis(
         System.currentTimeMillis() - 60000L * (copies - c)))
@@ -416,7 +444,7 @@ object StreamingGate {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val staged = Files.createTempDirectory("graft-ttl-probe")
       staged.toFile.deleteOnExit()
-      Files.copy(Paths.get(s"$dir/events.parquet"),
+      Files.copy(canonicalEventsFile(spark, dir),
         staged.resolve("00-events.parquet"), StandardCopyOption.REPLACE_EXISTING)
       val s = spark
       import s.implicits._
@@ -450,7 +478,7 @@ object StreamingGate {
         awaitRows(users)
         Thread.sleep(200) // ≫ the 1 ms TTL: first delivery's state expires
         val second = staged.resolve("01-events.parquet")
-        Files.copy(Paths.get(s"$dir/events.parquet"), second,
+        Files.copy(canonicalEventsFile(spark, dir), second,
           StandardCopyOption.REPLACE_EXISTING)
         Files.setLastModifiedTime(second,
           FileTime.fromMillis(System.currentTimeMillis()))
@@ -483,7 +511,7 @@ object StreamingGate {
     Seq(src, ckpt).foreach(_.toFile.deleteOnExit())
     def deliver(name: String): Unit = {
       val f = src.resolve(name)
-      Files.copy(Paths.get(s"$dir/events.parquet"), f,
+      Files.copy(canonicalEventsFile(spark, dir), f,
         StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(f, FileTime.fromMillis(System.currentTimeMillis()))
     }

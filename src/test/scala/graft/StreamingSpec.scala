@@ -127,7 +127,8 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staged = java.nio.file.Files.createTempDirectory("q106-nosent")
     staged.toFile.deleteOnExit()
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+    java.nio.file.Files.copy(
+      graft.streaming.StreamingGate.canonicalEventsFile(spark, sf),
       staged.resolve("00-events.parquet"))
     val src = spark.readStream
       .schema(graft.streaming.EventsStreaming.rawSchema)
@@ -268,7 +269,7 @@ class StreamingSpec extends SparkSpec {
     val staged = Files.createTempDirectory("graft-stale-replay")
     staged.toFile.deleteOnExit()
     val now = System.currentTimeMillis()
-    Files.copy(Paths.get(s"$sf/events.parquet"),
+    Files.copy(graft.streaming.StreamingGate.canonicalEventsFile(spark, sf),
       staged.resolve("00-events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     Files.setLastModifiedTime(staged.resolve("00-events.parquet"),
       FileTime.fromMillis(now - 120000))
@@ -287,7 +288,7 @@ class StreamingSpec extends SparkSpec {
       StandardCopyOption.REPLACE_EXISTING)
     Files.setLastModifiedTime(staged.resolve("50-sentinel.parquet"),
       FileTime.fromMillis(now - 60000))
-    Files.copy(Paths.get(s"$sf/events.parquet"),
+    Files.copy(graft.streaming.StreamingGate.canonicalEventsFile(spark, sf),
       staged.resolve("zz-events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     Files.setLastModifiedTime(staged.resolve("zz-events.parquet"),
       FileTime.fromMillis(now))
