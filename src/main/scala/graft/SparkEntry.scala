@@ -25,6 +25,7 @@ object SparkEntry {
     graft.ext.Curation.queries ++
     graft.ext.Multimodal.queries ++
     graft.ext.Mixture.queries ++
+    graft.ext.Sketches.queries ++
     graft.sources.Jsonl.queries ++
     graft.sources.Partitioned.queries ++
     graft.sources.Compaction.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
     graft.ext.Curation.oracles ++
     graft.ext.Multimodal.oracles ++
     graft.ext.Mixture.oracles ++
+    graft.ext.Sketches.oracles ++
     graft.sources.Jsonl.oracles ++
     graft.sources.Partitioned.oracles ++
     graft.sources.Compaction.oracles ++

@@ -1,0 +1,173 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Mergeable distinct-count sketching (HyperLogLog) — the cardinality
+  * primitive a 100 TB corpus survey leans on when exact COUNT(DISTINCT)
+  * (a full shuffle of every distinct value) stops being affordable:
+  * per-partition register vectors merge by element-wise max, so the
+  * whole estimate is one map-side-combinable aggregate of m integers
+  * per group regardless of data volume.
+  *
+  * Everything is integer-exact so the DuckDB oracle hash-matches (the
+  * repo's standing exactness contract — Spark's own
+  * `approx_count_distinct` is HLL++ too but its hash is engine-private,
+  * so it could only ever get a rows-only gate):
+  *   - hash: md5 (bit-identical builtin in both engines), register index
+  *     and rho bits taken from two DISJOINT 24-bit digest chunks. A
+  *     polynomial hash is NOT usable here: it is linear in the last
+  *     character, so sequential token suffixes produce arithmetic
+  *     progressions whose trailing-zero ranks are perfectly correlated
+  *     across registers and the estimate collapses (measured: est 590
+  *     for 4,000 true distinct). HLL requires avalanche mixing;
+  *   - rho:  trailing-zero rank of the rho chunk via `(v & -v)` +
+  *     `round(log2)` — exact for powers of two in both engines;
+  *   - estimate: the alpha_m * m^2 / Z harmonic mean evaluated in fixed
+  *     point — Z scaled by 2^25 stays integral (rho <= 25), alpha_64 =
+  *     0.709 carried as 709/1000, one integer division at the end.
+  *
+  * The `exact_tokens` column is the fixture-scale quality witness (the
+  * whole point of a sketch is to NOT compute it at 100 TB); a
+  * production run drops that column and keeps the register aggregate.
+  */
+object Sketches {
+
+  /** Register count m = 64 (p = 6 index bits). */
+  val Registers = 64
+  /** rho chunk is 6 hex digits ⇒ v < 2^24 ⇒ rho <= 25; keeps the
+    * fixed-point arithmetic (2^25 scale) comfortably inside i64. */
+  val RhoCap = 25
+  /** alpha_64 = 0.709 (Flajolet et al.), carried in permille. */
+  val AlphaPermille = 709L
+
+  /** Small-range (linear counting) correction, applied when the raw
+    * estimate <= 5m/2 and empty registers remain: est = m * ln(m / V)
+    * with V = empty-register count. ln is the one non-integer in HLL;
+    * pinning round(ln(m/V) * 2^20) for the 64 possible V values in a
+    * lookup table generated HERE — and inlined into both engines' SQL —
+    * keeps the estimate bit-identical without trusting two libm's to
+    * agree on ulps. */
+  val LnScale = 20
+  val LnTable: IndexedSeq[Long] =
+    (1 to Registers).map(v =>
+      math.round(math.log(Registers.toDouble / v) * (1L << LnScale)))
+
+  /** (source, w) -> (source, reg, rho): distinct tokens hashed into a
+    * register index + trailing-zero rank. Distinct-first keeps the
+    * explode's duplicate mass out of the shuffle; the register table
+    * after this is at most m rows per source. */
+  private def registerTable(tok: DataFrame): DataFrame =
+    tok
+      .withColumn("hx", md5(col("w")))
+      .withColumn("reg",
+        expr(s"cast(conv(substr(hx, 1, 6), 16, 10) as bigint) % $Registers"))
+      .withColumn("v", expr("cast(conv(substr(hx, 7, 6), 16, 10) as bigint)"))
+      .withColumn("rho", expr(
+        s"CASE WHEN v = 0 THEN $RhoCap " +
+        s"ELSE CAST(round(log2(v & -v)) AS INT) + 1 END"))
+      .groupBy(col("source"), col("reg"))
+      .agg(max(col("rho")).as("m"))
+
+  /** Registers -> (source, regs_hit, est_tokens): the fixed-point
+    * harmonic-mean estimate. Empty registers contribute 2^RhoCap each
+    * (rho = 0 term). */
+  private def estimate(regs: DataFrame): DataFrame = {
+    val lut = LnTable.mkString("array(", "L, ", "L)")
+    regs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("regs_hit"),
+           sum(expr(s"shiftleft(1L, $RhoCap - m)")).as("z_present"))
+      .withColumn("raw_est",
+        expr(s"(($AlphaPermille * $Registers * $Registers) * shiftleft(1L, $RhoCap))" +
+             s" div (1000 * (z_present + ($Registers - regs_hit) * shiftleft(1L, $RhoCap)))"))
+      .select(col("source"), col("regs_hit"),
+        expr(s"CASE WHEN raw_est <= 5 * $Registers div 2 AND regs_hit < $Registers" +
+             s" THEN ($Registers * element_at($lut, cast($Registers - regs_hit as int)))" +
+             s"      div shiftleft(1L, $LnScale)" +
+             s" ELSE raw_est END").as("est_tokens"))
+  }
+
+  /** q118: per-source distinct-token cardinality by HLL sketch, plus
+    * the '__all__' row computed by MERGING the per-source register
+    * tables (element-wise max) — the merge path IS the query, proving
+    * the sketch composes the way a 100 TB per-shard rollup needs.
+    * Columns: (source, regs_hit, est_tokens, exact_tokens, err_pct). */
+  def hllTokenSketch(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+    val perSrcRegs = registerTable(tok)
+    val mergedRegs = perSrcRegs
+      .groupBy(col("reg")).agg(max(col("m")).as("m"))
+      .withColumn("source", lit("__all__"))
+    val ests = estimate(perSrcRegs.unionByName(mergedRegs))
+    val exact = tok.groupBy(col("source"))
+      .agg(countDistinct(col("w")).as("exact_tokens"))
+      .unionByName(tok.select(lit("__all__").as("source"),
+        col("w")).distinct().groupBy("source")
+        .agg(count(lit(1)).as("exact_tokens")))
+    ests.join(exact, Seq("source"))
+      .select(col("source"), col("regs_hit"), col("est_tokens"),
+        col("exact_tokens"),
+        expr("abs(est_tokens - exact_tokens) * 100 div exact_tokens")
+          .as("err_pct"))
+      .orderBy("source")
+  }
+
+  val hllTokenSketchSql: String =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT source, w
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)
+       |  WHERE length(w) > 0),
+       |hashed AS (
+       |  SELECT source, md5(w) AS hx FROM tok),
+       |rho AS (
+       |  SELECT source,
+       |    ('0x' || substr(hx, 1, 6))::BIGINT % $Registers AS reg,
+       |    ('0x' || substr(hx, 7, 6))::BIGINT AS v
+       |  FROM hashed),
+       |regs AS (
+       |  SELECT source, reg,
+       |    MAX(CASE WHEN v = 0 THEN $RhoCap
+       |        ELSE CAST(round(log2(v & -v)) AS INT) + 1 END) AS m
+       |  FROM rho GROUP BY source, reg),
+       |allregs AS (
+       |  SELECT * FROM regs
+       |  UNION ALL
+       |  SELECT '__all__' AS source, reg, MAX(m) AS m FROM regs GROUP BY reg),
+       |raw AS (
+       |  SELECT source, COUNT(*) AS regs_hit,
+       |    (($AlphaPermille * $Registers * $Registers) * (CAST(1 AS BIGINT) << $RhoCap))
+       |      // (1000 * (SUM(CAST(1 AS BIGINT) << ($RhoCap - m))
+       |                  + ($Registers - COUNT(*)) * (CAST(1 AS BIGINT) << $RhoCap)))
+       |      AS raw_est
+       |  FROM allregs GROUP BY source),
+       |ests AS (
+       |  SELECT source, regs_hit,
+       |    CASE WHEN raw_est <= 5 * $Registers // 2 AND regs_hit < $Registers
+       |      THEN ($Registers * list_extract(${LnTable.mkString("[", ", ", "]")},
+       |                                      $Registers - regs_hit))
+       |           // (CAST(1 AS BIGINT) << $LnScale)
+       |      ELSE raw_est END AS est_tokens
+       |  FROM raw),
+       |exact AS (
+       |  SELECT source, COUNT(DISTINCT w) AS exact_tokens FROM tok GROUP BY source
+       |  UNION ALL
+       |  SELECT '__all__', COUNT(DISTINCT w) FROM tok)
+       |SELECT e.source, CAST(regs_hit AS BIGINT) AS regs_hit,
+       |  CAST(est_tokens AS BIGINT) AS est_tokens,
+       |  CAST(exact_tokens AS BIGINT) AS exact_tokens,
+       |  CAST(abs(est_tokens - exact_tokens) * 100 // exact_tokens AS BIGINT) AS err_pct
+       |FROM ests e JOIN exact x ON e.source = x.source
+       |ORDER BY e.source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_hll_tokens" -> ((s, d) => hllTokenSketch(Tables.documents(s, d))))
+
+  val oracles: Map[String, String] = Map(
+    "q118_hll_tokens" -> hllTokenSketchSql)
+}

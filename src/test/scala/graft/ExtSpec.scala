@@ -945,4 +945,33 @@ class ExtSpec extends SparkSpec {
     assert(!r.contains(10L), "eval split must not be scored")
     assert(r(11L) == 10000L && r(12L) == 0L)
   }
+
+  test("q118 HLL: raw-regime accuracy within 3 sigma and per-source merge = direct global") {
+    import spark.implicits._
+    // 4000 distinct synthetic tokens across 4 sources — far above the
+    // 5m/2 linear-counting cutoff, so the harmonic-mean path itself is
+    // what's being measured (the fixture's ~31-word vocab only ever
+    // exercises the small-range branch)
+    val docs = spark.range(4000)
+      .select(col("id").as("doc_id"),
+        concat(lit("tok"), col("id")).as("text"),
+        concat(lit("s"), (col("id") % 4)).as("source"))
+    val r = Sketches.hllTokenSketch(docs).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("est_tokens"), x.getAs[Long]("exact_tokens"))).toMap
+    val (estAll, exactAll) = r("__all__")
+    assert(exactAll == 4000L)
+    // HLL relative std error = 1.04/sqrt(64) ~= 13%; 3 sigma = 39%
+    assert(math.abs(estAll - 4000L) <= 4000L * 39 / 100,
+      s"global estimate $estAll outside 3-sigma of 4000")
+    assert(r("s0")._2 == 1000L && math.abs(r("s0")._1 - 1000L) <= 390,
+      s"per-source estimate ${r("s0")._1} outside 3-sigma of 1000")
+    // merge correctness: the '__all__' row is built by max-merging the
+    // per-source register tables; recomputing the sketch over the same
+    // corpus with ONE source label must give the identical estimate
+    val direct = Sketches.hllTokenSketch(docs.withColumn("source", lit("x")))
+      .filter(col("source") === "x").head()
+    assert(direct.getAs[Long]("est_tokens") == estAll,
+      "max-merged registers must equal the directly-built global sketch")
+  }
 }
