@@ -701,6 +701,74 @@ object TextAnalysis {
        |GROUP BY g.doc_id
        |ORDER BY g.doc_id""".stripMargin
 
+  // ------------------------------------- q120 hashed linear classifier
+  /** Feature-hash space for the linear quality model (2^12 buckets). */
+  val ClassifierBuckets = 4096
+  /** Weight range half-width: weights live in [-1000, 1000] permille. */
+  val WeightRange = 1000
+
+  /** Model-based quality filtering — the fastText-style linear
+    * classifier tier every production curation pipeline runs after the
+    * q20/q84 heuristic tiers (the CCNet/LLaMA "quality classifier"
+    * stage): score = Σ_tokens count · w(bucket(token)), keep iff
+    * score ≥ 0. Vocabulary-free by feature hashing: token → md5 bucket
+    * in [0, [[ClassifierBuckets]]), so the MODEL is a fixed 4k-row
+    * (bucket, weight) relation — broadcast-sized at any corpus scale,
+    * which is the entire point of the hashing trick. The weights here
+    * are derived deterministically from the bucket id (a pinned
+    * stand-in for trained parameters — what's under test is the scoring
+    * plumbing, which is identical under any weight vector; a real
+    * deployment swaps in a parquet of trained weights).
+    *
+    * Shape (the q66 one-corpus-shuffle discipline): the token stream
+    * pre-partitions on doc_id ONCE; the (doc_id, bucket) count
+    * aggregate and the final per-doc score aggregate both reuse that
+    * exchange (clustering on a key subset), and the weight table joins
+    * as an explicit broadcast. Integer-exact throughout. */
+  def classifierScores(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val weights = broadcast(spark.range(ClassifierBuckets.toLong)
+      .select(col("id").as("bucket"),
+        (expr("cast(conv(substr(md5(concat('w', cast(id as string))), 1, 6), 16, 10) as bigint)")
+          % (2 * WeightRange + 1) - WeightRange).as("weight")))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .repartition(col("doc_id"))
+    toks
+      .withColumn("bucket",
+        expr(s"cast(conv(substr(md5(w), 1, 6), 16, 10) as bigint) % $ClassifierBuckets"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .join(weights, "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * col("weight")).as("score"))
+      .select(col("doc_id"), col("score"),
+        when(col("score") >= 0, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val classifierScoresSql: String =
+    s"""WITH weights AS (
+       |  SELECT bucket,
+       |    ('0x' || substr(md5('w' || CAST(bucket AS VARCHAR)), 1, 6))::BIGINT
+       |      % ${2 * WeightRange + 1} - $WeightRange AS weight
+       |  FROM (SELECT unnest(generate_series(0, ${ClassifierBuckets - 1})) AS bucket)),
+       |toks AS (
+       |  SELECT doc_id, w
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0),
+       |counts AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(w), 1, 6))::BIGINT % $ClassifierBuckets AS bucket,
+       |    COUNT(*) AS cnt
+       |  FROM toks GROUP BY doc_id, bucket)
+       |SELECT c.doc_id, CAST(SUM(c.cnt * wt.weight) AS BIGINT) AS score,
+       |  CAST(CASE WHEN SUM(c.cnt * wt.weight) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM counts c JOIN weights wt ON wt.bucket = c.bucket
+       |GROUP BY c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
@@ -717,6 +785,7 @@ object TextAnalysis {
     "q68_tfidf_terms" -> ((s, d) => tfIdfTopTerms(Tables.documents(s, d))),
     "q70_pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d))),
     "q84_quality_gate" -> ((s, d) => qualityGate(Tables.documents(s, d))),
+    "q120_classifier_gate" -> ((s, d) => classifierScores(Tables.documents(s, d))),
     "q85_contamination_overlap" -> ((s, d) => contaminationOverlap(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
@@ -734,5 +803,6 @@ object TextAnalysis {
     "q68_tfidf_terms" -> tfIdfTopTermsSql,
     "q70_pii_scrub" -> piiScrubSql,
     "q84_quality_gate" -> qualityGateSql,
+    "q120_classifier_gate" -> classifierScoresSql,
     "q85_contamination_overlap" -> contaminationOverlapSql)
 }

@@ -956,6 +956,7 @@ object Relational {
     "q87_exists_subquery" -> (q87ExistsSubquery _),
     "q88_salted_agg"      -> (q88SaltedAgg _),
     "q110_skew_join"      -> ((s, d) => graft.operators.Skew.skewJoinStats(s, d)),
+    "q119_bloom_join"     -> ((s, d) => graft.operators.RuntimeFilter.bloomJoinStats(s, d)),
     "q89_funnel"          -> (q89Funnel _),
     "q90_incremental_agg" -> (q90IncrementalAgg _),
     "q91_range_window"    -> (q91RangeWindow _),
@@ -986,6 +987,7 @@ object Relational {
     "q87_exists_subquery" -> q87Sql,
     "q88_salted_agg"      -> q88Sql,
     "q110_skew_join"      -> graft.operators.Skew.skewJoinStatsSql,
+    "q119_bloom_join"     -> graft.operators.RuntimeFilter.bloomJoinStatsSql,
     "q89_funnel"          -> q89Sql,
     "q90_incremental_agg" -> q90Sql,
     "q91_range_window"    -> q91Sql,

@@ -615,6 +615,47 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q119: runtime Bloom filter prunes the fact side before its shuffle") {
+    // the SAME conf set the gate runs under (shared definition — the
+    // q110 discipline)
+    graft.operators.RuntimeFilter.withBloomConfs(spark) {
+      val df = graft.operators.RuntimeFilter.bloomJoinFrame(spark, TestSpark.sf01)
+      // optimizedPlan: InjectRuntimeFilter is a logical rule; asserting
+      // there keeps the test independent of AQE's physical re-planning
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"fact side must carry a bloom might_contain predicate:\n$opt")
+      assert(opt.contains("bloom_filter_agg"),
+        s"creation side must build the bloom via bloom_filter_agg:\n$opt")
+      // the predicate must sit on the LINEITEM (application) side, below
+      // the join — i.e. the filter prunes before the fact shuffle
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("might_contain"),
+        s"bloom predicate must survive into the physical plan:\n$phys")
+    }
+    // under session defaults the fixture is below the 10 GB application
+    // threshold: no injection — the conf window scales thresholds, it
+    // does not force behavior the optimizer wouldn't do at real scale
+    val plain = graft.operators.RuntimeFilter.bloomJoinFrame(spark, TestSpark.sf01)
+    assert(!plain.queryExecution.optimizedPlan.toString.contains("might_contain"),
+      "bloom filter must NOT inject under default thresholds at fixture scale")
+  }
+
+  test("q120: one doc_id exchange feeds both aggregates; weight table joins broadcast") {
+    // same discipline as q66's guard: the token stream exchanges ONCE
+    // (explicit doc_id hash), the (doc_id, bucket) count and the final
+    // per-doc score both reuse it, and the 4k-row model is a broadcast
+    val p = plan(graft.ext.TextAnalysis.classifierScores(Tables.documents(spark, sf)))
+    assert("hashpartitioning\\(doc_id#\\d+L?, bucket".r.findFirstIn(p).isEmpty,
+      "the (doc_id, bucket) count must reuse the doc_id repartition, not add its own exchange")
+    assert("BroadcastHashJoin \\[bucket".r.findFirstIn(p).isDefined,
+      "the (bucket, weight) model must join as a broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no leg of q120 may fall back to a sort-merge join")
+    assert(p.contains("REPARTITION_BY_COL"),
+      "the single corpus exchange is the explicit doc_id repartition")
+  }
+
   test("q108: the window's hash exchange is the only data shuffle; explode adds none") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
