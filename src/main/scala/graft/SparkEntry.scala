@@ -29,6 +29,7 @@ object SparkEntry {
     graft.sources.Jsonl.queries ++
     graft.sources.Partitioned.queries ++
     graft.sources.Compaction.queries ++
+    graft.sources.ZOrder.queries ++
     graft.sources.Robustness.queries ++
     graft.streaming.StreamingGate.queries
 
@@ -48,6 +49,7 @@ object SparkEntry {
     graft.sources.Jsonl.oracles ++
     graft.sources.Partitioned.oracles ++
     graft.sources.Compaction.oracles ++
+    graft.sources.ZOrder.oracles ++
     graft.sources.Robustness.oracles ++
     graft.streaming.StreamingGate.oracles
 }

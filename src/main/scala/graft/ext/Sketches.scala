@@ -70,23 +70,25 @@ object Sketches {
       .groupBy(col("source"), col("reg"))
       .agg(max(col("rho")).as("m"))
 
-  /** Registers -> (source, regs_hit, est_tokens): the fixed-point
-    * harmonic-mean estimate. Empty registers contribute 2^RhoCap each
-    * (rho = 0 term). */
-  private def estimate(regs: DataFrame): DataFrame = {
+  /** Registers -> (keys..., regs_hit, estName): the fixed-point
+    * harmonic-mean estimate, grouped by any key set (q118 groups by
+    * source; q122 groups streaming sink registers by day). Empty
+    * registers contribute 2^RhoCap each (rho = 0 term). */
+  private[graft] def estimateBy(regs: DataFrame, keys: Seq[String],
+                                estName: String = "est_tokens"): DataFrame = {
     val lut = LnTable.mkString("array(", "L, ", "L)")
     regs
-      .groupBy(col("source"))
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("regs_hit"),
            sum(expr(s"shiftleft(1L, $RhoCap - m)")).as("z_present"))
       .withColumn("raw_est",
         expr(s"(($AlphaPermille * $Registers * $Registers) * shiftleft(1L, $RhoCap))" +
              s" div (1000 * (z_present + ($Registers - regs_hit) * shiftleft(1L, $RhoCap)))"))
-      .select(col("source"), col("regs_hit"),
+      .select(keys.map(col) ++ Seq(col("regs_hit"),
         expr(s"CASE WHEN raw_est <= 5 * $Registers div 2 AND regs_hit < $Registers" +
              s" THEN ($Registers * element_at($lut, cast($Registers - regs_hit as int)))" +
              s"      div shiftleft(1L, $LnScale)" +
-             s" ELSE raw_est END").as("est_tokens"))
+             s" ELSE raw_est END").as(estName)): _*)
   }
 
   /** q118: per-source distinct-token cardinality by HLL sketch, plus
@@ -103,7 +105,7 @@ object Sketches {
     val mergedRegs = perSrcRegs
       .groupBy(col("reg")).agg(max(col("m")).as("m"))
       .withColumn("source", lit("__all__"))
-    val ests = estimate(perSrcRegs.unionByName(mergedRegs))
+    val ests = estimateBy(perSrcRegs.unionByName(mergedRegs), Seq("source"))
     val exact = tok.groupBy(col("source"))
       .agg(countDistinct(col("w")).as("exact_tokens"))
       .unionByName(tok.select(lit("__all__").as("source"),

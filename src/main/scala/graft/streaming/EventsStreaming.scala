@@ -87,6 +87,34 @@ object EventsStreaming {
       .select(col("user_id"), unix_micros(col("session_window.start")).as("session_start_us"),
               col("last_us"), col("n_events"))
 
+  /** Per-day HyperLogLog registers for distinct users — the SKETCH AS
+    * STREAMING STATE pattern (q122): the aggregate keeps at most
+    * [[graft.ext.Sketches.Registers]] (window × register, max-rho) rows
+    * per day regardless of event volume, because max() is the HLL merge
+    * — the state is the mergeable register vector itself. The sink
+    * therefore stores REGISTERS, not estimates; the estimate is a cheap
+    * read-time fold over ≤64 rows per day (how sketch-backed stores
+    * serve HLL: merge registers at query time). Exactly-one-day
+    * windows in append mode: a day's registers emit once the watermark
+    * passes its end. Same md5-chunk hash as the batch sketch, so the
+    * q118 arithmetic applies verbatim at read time. */
+  def dailyHllRegisters(events: DataFrame): DataFrame = {
+    import graft.ext.Sketches.{Registers, RhoCap}
+    events
+      .withWatermark("ts", "30 minutes")
+      .withColumn("hx", md5(col("user_id").cast("string")))
+      .withColumn("reg",
+        expr(s"cast(conv(substr(hx, 1, 6), 16, 10) as bigint) % $Registers"))
+      .withColumn("v", expr("cast(conv(substr(hx, 7, 6), 16, 10) as bigint)"))
+      .withColumn("rho", expr(
+        s"CASE WHEN v = 0 THEN $RhoCap " +
+        s"ELSE CAST(round(log2(v & -v)) AS INT) + 1 END"))
+      .groupBy(window(col("ts"), "1 day"), col("reg"))
+      .agg(max(col("rho")).as("m"))
+      .select(unix_micros(col("window.start")).as("day_us"),
+        col("reg"), col("m"))
+  }
+
   /** Watermark-scoped exactly-once dedup on event_id: duplicates arriving
     * within the watermark horizon are dropped; state expires with the
     * watermark instead of growing unboundedly (the streaming analogue of

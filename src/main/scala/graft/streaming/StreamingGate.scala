@@ -198,6 +198,57 @@ object StreamingGate {
     runToMemory(spark, dir, EventsStreaming.sessionCounts)
       .orderBy(col("user_id"), col("session_start_us"))
 
+  /** q122: per-day distinct-user HLL through the micro-batch engine —
+    * the 15th gate, proving the q118 sketch composes with streaming
+    * state: the windowed aggregate's state IS the register vector
+    * (max-rho per (day, register) — max() is the HLL merge, so state
+    * stays ≤64 rows per day at any event volume), and the append-mode
+    * sink stores registers, not estimates. The estimate is the q118
+    * read-time fold over the sink. The oracle replays the identical
+    * fixed-point arithmetic in batch SQL, so a single drifted register
+    * (wrong eviction, lost max, double-merge) moves some day's
+    * estimate and fails the hash. The sentinel's own day never emits
+    * (still within its horizon) — the sink holds exactly the real
+    * days. */
+  def q122StreamHll(spark: SparkSession, dir: String): DataFrame = {
+    val regs = runToMemory(spark, dir, EventsStreaming.dailyHllRegisters)
+    graft.ext.Sketches.estimateBy(regs, Seq("day_us"), estName = "est_users")
+      .orderBy("day_us")
+  }
+
+  val q122Sql: String = {
+    import graft.ext.Sketches.{Registers, RhoCap, AlphaPermille, LnScale, LnTable}
+    s"""WITH e AS (
+       |  SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+       |         md5(CAST(user_id AS VARCHAR)) AS hx
+       |  FROM events),
+       |rho AS (
+       |  SELECT day_us,
+       |    ('0x' || substr(hx, 1, 6))::BIGINT % $Registers AS reg,
+       |    ('0x' || substr(hx, 7, 6))::BIGINT AS v
+       |  FROM e),
+       |regs AS (
+       |  SELECT day_us, reg,
+       |    MAX(CASE WHEN v = 0 THEN $RhoCap
+       |        ELSE CAST(round(log2(v & -v)) AS INT) + 1 END) AS m
+       |  FROM rho GROUP BY day_us, reg),
+       |raw AS (
+       |  SELECT day_us, COUNT(*) AS regs_hit,
+       |    (($AlphaPermille * $Registers * $Registers) * (CAST(1 AS BIGINT) << $RhoCap))
+       |      // (1000 * (SUM(CAST(1 AS BIGINT) << ($RhoCap - m))
+       |                  + ($Registers - COUNT(*)) * (CAST(1 AS BIGINT) << $RhoCap)))
+       |      AS raw_est
+       |  FROM regs GROUP BY day_us)
+       |SELECT day_us, CAST(regs_hit AS BIGINT) AS regs_hit,
+       |  CAST(CASE WHEN raw_est <= 5 * $Registers // 2 AND regs_hit < $Registers
+       |    THEN ($Registers * list_extract(${LnTable.mkString("[", ", ", "]")},
+       |                                    $Registers - regs_hit))
+       |         // (CAST(1 AS BIGINT) << $LnScale)
+       |    ELSE raw_est END AS BIGINT) AS est_users
+       |FROM raw
+       |ORDER BY day_us""".stripMargin
+  }
+
   /** q43: the stream-STREAM interval join (clicks ⋈ purchases within 10
     * minutes) through the micro-batch engine. Inner joins emit matches
     * as soon as both sides arrive — the watermarks bound join STATE, not
@@ -682,7 +733,8 @@ object StreamingGate {
     "q76_stream_max_state" -> (q76StreamMaxState _),
     "q78_stream_session_close" -> (q78StreamSessionClose _),
     "q79_stream_initial_state" -> (q79StreamInitialState _),
-    "q82_stream_restart" -> (q82StreamRestart _))
+    "q82_stream_restart" -> (q82StreamRestart _),
+    "q122_stream_hll" -> (q122StreamHll _))
 
   /** Same oracles as the batch twins: the streaming engine must land on
     * the identical relation. */
@@ -697,6 +749,7 @@ object StreamingGate {
     "q109_stream_full_outer" -> q109Sql,
     "q58_stream_dedup" -> q58Sql,
     "q65_stream_running_counts" -> q65Sql,
+    "q122_stream_hll" -> q122Sql,
     "q76_stream_max_state" -> q76Sql,
     "q78_stream_session_close" -> q78Sql,
     "q79_stream_initial_state" -> q76Sql,

@@ -656,6 +656,34 @@ class PlanSpec extends SparkSpec {
       "the single corpus exchange is the explicit doc_id repartition")
   }
 
+  test("q121: z-order layout prunes more files than linear; executed scan reads only the keep-set") {
+    import graft.sources.ZOrder
+    val (zPath, linPath) = ZOrder.layouts(spark, TestSpark.sf01)
+    val keptZ = ZOrder.keptFiles(spark, zPath)
+    val keptLin = ZOrder.keptFiles(spark, linPath)
+    val total = spark.read.parquet(zPath).select(input_file_name()).distinct().count()
+    assert(total == ZOrder.NFiles, s"layout must produce ${ZOrder.NFiles} files, got $total")
+    // the point of the curve: the day-narrow box prunes the z layout
+    // but NOT the user-linear one (day min/max spans ~everything in
+    // every user-range file)
+    assert(keptZ.size < keptLin.size,
+      s"z-order must touch fewer files (${keptZ.size}) than linear (${keptLin.size})")
+    assert(keptZ.size <= ZOrder.NFiles / 2,
+      s"demo box should keep at most half the z files, kept ${keptZ.size}")
+    // the executed scan reads exactly the planned keep-set
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = ZOrder.prunedBoxQuery(spark, TestSpark.sf01)
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      assert(scans.head.metrics("numFiles").value == keptZ.size,
+        s"scan must read exactly the ${keptZ.size} kept files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q108: the window's hash exchange is the only data shuffle; explode adds none") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
