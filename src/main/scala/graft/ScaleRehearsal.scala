@@ -57,7 +57,11 @@ object ScaleRehearsal {
     "q67_collocations", "q68_tfidf_terms", "q70_pii_scrub",
     "q71_source_drift", "q72_substring_dups", "q74_phash_neardup",
     "q77_colloc_sampled", "q84_quality_gate", "q85_contamination_overlap",
-    "q104_embedding_outliers")
+    "q104_embedding_outliers",
+    // round-8 corpus-linear additions: tokenizer apply + true-token
+    // packing, mixture planning, HLL sketch, hashed classifier
+    "q113_bpe_encode", "q114_packed_bpe", "q116_mixture_plan",
+    "q117_epoch_manifest", "q118_hll_tokens", "q120_classifier_gate")
 
   /** q17/q24/q69 are declared-O(n²) kernels; q18/q73 assign against a
     * centroid set that GROWS with the fixture (vec_id % mod stand-in),

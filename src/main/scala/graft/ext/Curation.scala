@@ -420,6 +420,69 @@ object Curation {
        |FROM lab GROUP BY source, split
        |ORDER BY source, split""".stripMargin
 
+  // ------------------------------------- cluster-aware split (q124)
+  /** q124: CLUSTER-AWARE TRAIN/VAL/TEST SPLIT — q112's hash split with
+    * the leakage hole closed. Splitting by a doc's OWN id puts
+    * near-duplicates of an eval doc into train (the benchmark then
+    * scores memorization, not generalization — the failure n-gram
+    * decontamination papers document). Here the split key is the doc's
+    * q33 near-dup CLUSTER id, so an entire connected component lands on
+    * one side by construction: the LCG can only separate docs whose
+    * cluster ids differ. Keeps q112's properties (deterministic from
+    * the seed, disjoint+complete, growth-stable for docs whose cluster
+    * doesn't change) at the cost every real pipeline pays: the split
+    * now depends on the dedup pass that precedes it.
+    *
+    * Scale: rides the q33 label-propagation pass (induced subgraph
+    * only) + one aggregate; the LCG is per-row arithmetic. Output: per
+    * (split) doc and cluster accounting; the ExtSpec twin proves the
+    * CONTRAST — own-id labeling straddles >0 candidate pairs on this
+    * fixture, cluster-id labeling straddles none. */
+  def clusterAwareSplit(docs: DataFrame, seed: Long = 777L): DataFrame =
+    clusterSplitLabels(docs, seed)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("cluster_id")).as("n_clusters"),
+           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("split")
+
+  /** The per-doc labeling [[clusterAwareSplit]] aggregates (spec hook). */
+  private[graft] def clusterSplitLabels(docs: DataFrame, seed: Long = 777L): DataFrame =
+    Dedup.dedupClusters(docs, Dedup.minhashPairs(docs))
+      .select(col("doc_id"), col("cluster_id"),
+        expr(s"(($ShuffleMulA * cluster_id + $seed) % $ShuffleMod) % 1000").as("pm"))
+      .withColumn("split",
+        when(col("pm") < SplitTrainPm, "train")
+          .when(col("pm") < SplitValPm, "val")
+          .otherwise("test"))
+
+  val clusterAwareSplitSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT * FROM (${Dedup.minhashPairsSql})),
+       |edges(a, b) AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |clusters AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN min(r.dst) IS NULL OR d.doc_id < min(r.dst)
+       |         THEN d.doc_id ELSE min(r.dst) END AS cluster_id
+       |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+       |  GROUP BY d.doc_id),
+       |lab AS (
+       |  SELECT doc_id, cluster_id,
+       |    CASE WHEN (($ShuffleMulA * cluster_id + 777) % $ShuffleMod) % 1000 < $SplitTrainPm THEN 'train'
+       |         WHEN (($ShuffleMulA * cluster_id + 777) % $ShuffleMod) % 1000 < $SplitValPm THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM clusters)
+       |SELECT split, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT cluster_id) AS n_clusters,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM lab GROUP BY split
+       |ORDER BY split""".stripMargin
+
   // ----------------------------------------------- canonical selection
   /** Canonical-doc selection: the dedup pipeline's LAST step — per
     * near-dup cluster (q33's MinHash-LSH connected components), keep the
@@ -1062,6 +1125,7 @@ object Curation {
     "q108_packed_spans" -> ((s, d) => packedSpans(Tables.documents(s, d))),
     "q111_corpus_shuffle" -> ((s, d) => corpusShuffle(Tables.documents(s, d))),
     "q112_split_manifest" -> ((s, d) => trainValTestSplit(Tables.documents(s, d))),
+    "q124_cluster_split" -> ((s, d) => clusterAwareSplit(Tables.documents(s, d))),
     "q52_canonical_docs" -> ((s, d) => canonicalDocs(Tables.documents(s, d))),
     "q53_bpe_pairs" -> ((s, d) => bpePairs(Tables.documents(s, d))),
     "q113_bpe_encode" -> ((s, d) => bpeEncode(Tables.documents(s, d))),
@@ -1082,6 +1146,7 @@ object Curation {
     "q108_packed_spans" -> packedSpansSql,
     "q111_corpus_shuffle" -> corpusShuffleSql,
     "q112_split_manifest" -> trainValTestSplitSql,
+    "q124_cluster_split" -> clusterAwareSplitSql,
     "q52_canonical_docs" -> canonicalDocsSql,
     "q53_bpe_pairs" -> bpePairsSql,
     "q113_bpe_encode" -> bpeEncodeSql,

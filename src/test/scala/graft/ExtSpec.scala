@@ -946,6 +946,23 @@ class ExtSpec extends SparkSpec {
     assert(r(11L) == 10000L && r(12L) == 0L)
   }
 
+  test("q124 cluster split: no near-dup pair straddles splits; own-id labeling would") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.minhashPairs(docs).select("doc_a", "doc_b")
+    def straddles(lab: org.apache.spark.sql.DataFrame): Long = pairs
+      .join(lab.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(lab.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    // the leakage q124 closes, shown by contrast on the same pair set:
+    // q112's own-id labeling separates 11 of the fixture's 92 candidate
+    // pairs; labeling by the q33 cluster id separates none (an entire
+    // connected component shares one LCG input by construction)
+    assert(straddles(Curation.clusterSplitLabels(docs)) == 0,
+      "cluster-aware labels must never separate a candidate pair")
+    assert(straddles(Curation.splitLabels(docs)) > 0,
+      "fixture must exhibit the own-id leakage the operator closes")
+  }
+
   test("q118 HLL: raw-regime accuracy within 3 sigma and per-source merge = direct global") {
     import spark.implicits._
     // 4000 distinct synthetic tokens across 4 sources — far above the

@@ -684,6 +684,36 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q123: dynamic overwrite replaces only the backfilled partition; siblings untouched") {
+    import graft.sources.DynamicOverwrite
+    // building the table also runs the backfill; stamps were recorded
+    // between the two writes
+    val df = DynamicOverwrite.backfilledStats(spark, TestSpark.sf01)
+    val rows = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (before, after) = DynamicOverwrite.siblingStamps(spark, TestSpark.sf01)
+    // physical non-interference: every sibling partition file survived
+    // the overwrite as the SAME file (path + mtime), none added/removed
+    assert(before.nonEmpty)
+    assert(after == before,
+      s"sibling partition files must be untouched by the dynamic overwrite; " +
+      s"changed: ${(before.toSet diff after.toSet) ++ (after.toSet diff before.toSet)}")
+    // the backfilled partition really was replaced (evens only), and a
+    // sibling kept its full row count
+    val full = Tables.documents(spark, TestSpark.sf01)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Tables.documents(spark, TestSpark.sf01)
+      .filter(col("source") === DynamicOverwrite.BackfillSource &&
+        expr("(doc_id div 20) % 2 = 0")).count()
+    assert(kept > 0 && kept < full(DynamicOverwrite.BackfillSource),
+      "fixture must make the rerun a nonempty strict subset")
+    assert(rows(DynamicOverwrite.BackfillSource) == kept,
+      "backfilled partition must hold exactly the rerun's rows")
+    val sibling = full.keys.find(_ != DynamicOverwrite.BackfillSource).get
+    assert(rows(sibling) == full(sibling),
+      "sibling partitions must keep their full row counts")
+  }
+
   test("q108: the window's hash exchange is the only data shuffle; explode adds none") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
