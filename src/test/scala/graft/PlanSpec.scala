@@ -632,6 +632,28 @@ class PlanSpec extends SparkSpec {
       val phys = df.queryExecution.executedPlan.toString
       assert(phys.contains("might_contain"),
         s"bloom predicate must survive into the physical plan:\n$phys")
+      // physical effect, not just plan shape: the bloom filter drops
+      // most fact rows BEFORE the shuffle (creation side keeps ~4% of
+      // orders; bloom false positives add a few percent back)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df2 = graft.operators.RuntimeFilter.bloomJoinFrame(spark, TestSpark.sf01)
+        df2.collect()
+        val scans = df2.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.schema.fieldNames.contains("l_orderkey") => f
+        }
+        assert(scans.nonEmpty, "lineitem scan not found")
+        val filters = df2.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.toString.contains("might_contain") => f
+        }
+        assert(filters.nonEmpty, "bloom FilterExec not found")
+        val scanned = scans.head.metrics("numOutputRows").value
+        val kept = filters.head.metrics("numOutputRows").value
+        assert(kept < scanned / 2,
+          s"bloom must prune most fact rows pre-shuffle: kept $kept of $scanned")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
     // under session defaults the fixture is below the 10 GB application
     // threshold: no injection — the conf window scales thresholds, it
