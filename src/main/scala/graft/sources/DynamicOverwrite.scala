@@ -92,6 +92,26 @@ object DynamicOverwrite {
     (stampCache.get(dir), listStamps(root))
   }
 
+  /** Spec hook: run the IDENTICAL backfill job a second time against
+    * the already-backfilled table — the retry/idempotence case this
+    * operator exists for (a failed 100 TB backfill is simply run
+    * again). Dynamic mode makes the rerun converge: same output rows →
+    * same partition replaced with the same content, siblings untouched
+    * again. */
+  private[graft] def rerunBackfill(spark: SparkSession, dir: String): Unit = {
+    val root = tableRoot(spark, dir)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try Tables.documents(spark, dir)
+      .filter(col("source") === BackfillSource && expr("(doc_id div 20) % 2 = 0"))
+      .write.partitionBy("source").mode("overwrite")
+      .parquet(root.toString)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** q123: per-source rollup of the post-backfill table — sibling
     * sources must be complete, the backfilled source must hold exactly
     * its even doc_ids. */

@@ -734,6 +734,18 @@ class PlanSpec extends SparkSpec {
     val sibling = full.keys.find(_ != DynamicOverwrite.BackfillSource).get
     assert(rows(sibling) == full(sibling),
       "sibling partitions must keep their full row counts")
+    // idempotence — the property the operator exists for: the IDENTICAL
+    // backfill job run again (the retry case) leaves the table's
+    // content unchanged and siblings physically untouched again
+    val statsBefore = df.collect().map(_.toSeq).toSeq
+    DynamicOverwrite.rerunBackfill(spark, TestSpark.sf01)
+    val statsAfter = DynamicOverwrite.backfilledStats(spark, TestSpark.sf01)
+      .collect().map(_.toSeq).toSeq
+    assert(statsAfter == statsBefore,
+      "re-running the identical backfill must not change table content")
+    val (orig, afterRerun) = DynamicOverwrite.siblingStamps(spark, TestSpark.sf01)
+    assert(afterRerun == orig,
+      "sibling partition files must also survive the rerun untouched")
   }
 
   test("q108: the window's hash exchange is the only data shuffle; explode adds none") {
