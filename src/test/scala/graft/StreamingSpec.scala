@@ -254,6 +254,27 @@ class StreamingSpec extends SparkSpec {
     assert(sj.forall(_.memoryUsedBytes > 0), "join state memory must be reported")
   }
 
+  test("state observability: q122's HLL register state is bounded by 64 rows per day") {
+    // The sketch-as-state claim, proven from engine telemetry: however
+    // many events a day carries, the windowed aggregate's state holds
+    // at most Registers rows per open day window (max() merges in
+    // place), and the watermark evicts emitted days. An implementation
+    // that keyed state by user instead of register would pass the
+    // sink-content oracle at fixture scale and fail this bound.
+    import graft.streaming.StreamingGate
+    StreamingGate.q122StreamHll(spark, sf).count()
+    val agg = StreamingGate.lastRunProgress.get()
+      .flatMap(p => p.stateOperators.filter(_.operatorName == "stateStoreSave"))
+    assert(agg.nonEmpty, "q122 must report its aggregation state operator")
+    val days = Tables.events(spark, sf)
+      .select(to_date(col("ts"))).distinct().count()
+    val bound = graft.ext.Sketches.Registers * (days + 1) // +1: sentinel day
+    assert(agg.map(_.numRowsTotal).max <= bound,
+      s"register state must stay <= $bound rows, got ${agg.map(_.numRowsTotal).max}")
+    assert(agg.map(_.numRowsRemoved).sum > 0,
+      "watermark advance must evict emitted days' registers")
+  }
+
   test("state observability: stale arrivals after watermark passage drop as numRowsDroppedByWatermark") {
     // The one metric the gates' orderly replays never exercise: rows
     // arriving AFTER the watermark passed them and their state was
