@@ -78,24 +78,37 @@ object ZOrder {
 
   /** Write the two layouts once per fixture: z-clustered and
     * user-linear (the comparison baseline). The min/max range scan is
-    * the tiny pre-pass every OPTIMIZE job runs to size its buckets. */
+    * the tiny pre-pass every OPTIMIZE job runs to size its buckets.
+    *
+    * Files are FIXED-WIDTH curve cells (`cell = z div 16`, i.e. 16
+    * consecutive z values per file), written one file per cell via
+    * repartition-on-cell + partitionBy — NOT `repartitionByRange`:
+    * the range partitioner picks boundaries by sampling with a seed
+    * derived from the RDD id, so the same build in a different session
+    * history splits ties differently and the file count a pruning test
+    * asserts on drifts (observed: 8 vs 9 kept files across otherwise
+    * identical runs). Static cells make the layout — and the pruning
+    * numbers — a pure function of the data. */
   def layouts(spark: SparkSession, dir: String): (String, String) =
     layoutCache.computeIfAbsent(dir, { _ =>
       val ev = dims(spark, dir)
       val mm = ev.agg(min("user_id"), max("user_id"), min("day"), max("day")).head()
       val (ulo, uhi, dlo, dhi) =
         (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+      val cellWidth = Buckets * Buckets / NFiles
       val bucketed = ev
         .withColumn("ub", expr(s"((user_id - $ulo) * $Buckets) div ${uhi - ulo + 1}"))
         .withColumn("db", expr(s"((day - $dlo) * $Buckets) div ${dhi - dlo + 1}"))
-        .withColumn("z", expr(zExpr))
+        .withColumn("cell", expr(s"($zExpr) div $cellWidth"))
       val zPath = graft.TempDirs.create("graft-zorder").toString
-      bucketed.repartitionByRange(NFiles, col("z"))
-        .drop("ub", "db", "z")
-        .write.mode("overwrite").parquet(zPath)
+      bucketed.drop("ub", "db")
+        .repartition(NFiles, col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(zPath)
       val linPath = graft.TempDirs.create("graft-zorder-lin").toString
-      ev.repartitionByRange(NFiles, col("user_id"))
-        .write.mode("overwrite").parquet(linPath)
+      ev.withColumn("cell",
+          expr(s"((user_id - $ulo) * $Buckets) div ${uhi - ulo + 1}"))
+        .repartition(NFiles, col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(linPath)
       (zPath, linPath)
     })
 
