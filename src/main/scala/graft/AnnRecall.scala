@@ -48,6 +48,7 @@ object AnnRecall {
   val QIvfFloor = 0.50
   val SingleBandFloor = 0.25
   val MultiBandFloor = 0.60
+  val PqFloor = 0.35
 
   private def topkSets(df: DataFrame): Map[Long, Set[Long]] =
     df.collect().groupBy(_.getAs[Long]("q_id"))
@@ -124,6 +125,13 @@ object AnnRecall {
         (got & pairTruth).size.toDouble / pairTruth.size, sec,
         bb == Similarity.LshBits)
     }
+    // q125 PQ: recall is bought by re-rank depth; truth is the exact
+    // int8 ranking (q69) — same isolation argument as q80's sweep
+    for (c <- (Seq(8, 16, 32, 64) :+ n.toInt).distinct.sorted) {
+      val (got, sec) = timed(topkSets(Similarity.pqTopK(emb, c)))
+      rows += Row("q125_pq_topk", "rerank", c, meanRecall(qTruth, got),
+        sec, c == Similarity.PqRerank)
+    }
 
     // ---- invariants the sweep itself must satisfy ----
     def series(op: String): Seq[Row] = rows.filter(_.op == op).toSeq
@@ -135,9 +143,15 @@ object AnnRecall {
     val sb = series("q31_signlsh")
     require(sb.sliding(2).forall(w => w(1).recall <= w(0).recall + 1e-9),
       "single-band recall must be monotone non-increasing in bits")
+    val pq = series("q125_pq_topk")
+    require(pq.sliding(2).forall(w => w(1).recall >= w(0).recall - 1e-9),
+      "PQ recall must be monotone non-decreasing in re-rank depth")
+    require(math.abs(pq.last.recall - 1.0) < 1e-9,
+      s"rerank = |corpus| must reproduce the exact ranking, got ${pq.last.recall}")
     val floors = Map(
       "q18_ivf_topk" -> IvfFloor, "q80_quantized_ivf" -> QIvfFloor,
-      "q31_signlsh" -> SingleBandFloor, "q42_signlsh_multiband" -> MultiBandFloor)
+      "q31_signlsh" -> SingleBandFloor, "q42_signlsh_multiband" -> MultiBandFloor,
+      "q125_pq_topk" -> PqFloor)
     val gatedMisses = rows.filter(r => r.gated && r.recall < floors(r.op))
 
     // ---- artifacts ----

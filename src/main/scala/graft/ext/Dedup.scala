@@ -61,7 +61,7 @@ object Dedup {
   val HashMod = 268435399L
   private def sparkH(sExpr: String): String =
     s"poly_hash($sExpr, $HashBase, $HashMod)"
-  private[ext] def duckH(sExpr: String): String =
+  private[graft] def duckH(sExpr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(generate_series(1, length($sExpr)), " +
       s"i -> CAST(ord(substr($sExpr, i, 1)) AS BIGINT))), " +
@@ -70,7 +70,7 @@ object Dedup {
   /** 3-word shingles of the whitespace-tokenized text (oracle side; the
     * Spark side computes the hashed form directly via the fused
     * ShingleHashes expression — equivalence is spec-tested). */
-  private[ext] val duckShingles =
+  private[graft] val duckShingles =
     "list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))," +
       " i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))"
 

@@ -798,6 +798,263 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------- product quantization
+  /** PQ geometry: the 64-dim fixture vectors split into [[PqSub]]
+    * subspaces of [[PqSubDim]] dims each; codewords per subspace are the
+    * subvectors of the deterministic centroid subset
+    * (vec_id % CentroidMod == 0), standing in for per-subspace k-means
+    * exactly as the IVF centroid table does. */
+  val PqSub = 8
+  val PqSubDim = 8
+  /** ADC candidates re-ranked exactly per query — PQ's recall knob. */
+  val PqRerank = 32
+
+  /** q125: product-quantization ANN with asymmetric-distance candidate
+    * generation and exact re-rank — the memory-bound billion-vector scale
+    * path (IVF prunes WHICH vectors are scored; PQ shrinks WHAT a score
+    * costs). Each int8 vector (q69's one global scale) is encoded as
+    * [[PqSub]] one-byte codes — the argmin codeword per subspace, a
+    * broadcast join + struct-min exactly like the IVF assignment, run
+    * once at ingest in production. A query never touches the encoded
+    * corpus's raw floats: its per-subspace distance table (|codebook|
+    * entries × [[PqSub]] subspaces, the ADC lookup table every PQ engine
+    * precomputes) is broadcast, and the approximate distance of a
+    * candidate is the SUM of [[PqSub]] table lookups — O(M) integer adds
+    * per candidate instead of O(D) multiplies, over codes 8x narrower
+    * than the int8 vectors (64x vs float32). The top [[PqRerank]]
+    * candidates per query then re-rank with the exact integer dot on the
+    * full vectors — the standard two-stage shape (recall is bought back
+    * by re-rank depth, measured in ANN_RECALL.md, not assumed). Every
+    * score is integer arithmetic: encode, ADC and re-rank are hash-exact
+    * under any partitioning. */
+  def pqTopK(emb: DataFrame, rerank: Int = PqRerank,
+             centroidMod: Long = CentroidMod): DataFrame = {
+    VectorOps.register(emb.sparkSession)
+    val r = QuantRange
+    val mx = emb.select(max(expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+        "(acc, e) -> greatest(acc, abs(CAST(e AS DOUBLE))))")).as("mx"))
+    val v = emb.crossJoin(broadcast(mx))
+      .select(col("vec_id"), expr(
+        s"transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+          s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30d)) + 0.5d))) AS INT))")
+        .as("qemb"))
+    // one pass explodes each vector into its PqSub subvectors
+    val subStructs = (0 until PqSub).map { m =>
+      struct(lit(m).as("m"),
+        slice(col("qemb"), m * PqSubDim + 1, PqSubDim).as("sub"))
+    }
+    val subs = v
+      .select(col("vec_id"), explode(array(subStructs: _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+      .withColumn("sub_self", expr("vec_dot_int(sub, sub)"))
+    val cb = subs.filter(col("vec_id") % centroidMod === 0)
+      .select(col("m").as("cb_m"), col("vec_id").as("cw_id"),
+              col("sub").as("cw"), col("sub_self").as("cw_self"))
+    // d² of every (subvector, codeword) pair in the same subspace — the
+    // shared relation both the encoder and the query LUTs slice from
+    val scored = subs.join(broadcast(cb), col("m") === col("cb_m"))
+      .select(col("vec_id"), col("m"), col("cw_id"),
+        (col("sub_self") - expr("2 * vec_dot_int(sub, cw)") +
+          col("cw_self")).as("d2"))
+    // encode: argmin codeword per (vector, subspace) — map-side combined
+    val codes = scored.groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("cw_id"))).as("a"))
+      .select(col("vec_id"), col("m"), col("a.cw_id").as("code"))
+    // per-query ADC lookup tables (|Q|·M·|codebook| rows, broadcast)
+    val lut = scored.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("m").as("l_m"),
+              col("cw_id"), col("d2").as("d2q"))
+    val adc = codes.join(broadcast(lut),
+        col("m") === col("l_m") && col("code") === col("cw_id") &&
+          col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("cand_id"))
+      .agg(sum(col("d2q")).as("adc_d2"))
+    // top-`rerank` ADC candidates per query: bounded heap on -d² (exact
+    // in the Double key — bounded by dims·(2r)² ≪ 2^53), ties to the
+    // smaller candidate id inside the aggregator's total order
+    val topC = graft.functions.BoundedTopK.topK(rerank)
+    val cands = adc.groupBy("q_id")
+      .agg(topC(-col("adc_d2").cast("double"), col("cand_id")).as("cs"))
+      .select(col("q_id"), explode(col("cs.id")).as("cand_id"))
+    val q = v.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("qemb").as("q_qemb"))
+    val topk = graft.functions.BoundedTopK.topK(TopK)
+    v.join(broadcast(cands), col("vec_id") === col("cand_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        expr("vec_dot_int(q_qemb, qemb)").as("qdot"))
+      .groupBy("q_id")
+      .agg(topk(col("qdot").cast("double"), col("cand_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+              col("col.id").as("cand_id"), col("col.cos").cast("long").as("qdot"))
+      .orderBy("q_id", "rank")
+  }
+
+  val pqTopKSql: String = {
+    val r = QuantRange
+    val quant = s"list_transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+      s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30)) + 0.5))) AS INT))"
+    def intDot(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, len($a)), " +
+        s"i -> CAST($a[i] AS BIGINT) * CAST($b[i] AS BIGINT))), (x, y) -> x + y)"
+    s"""WITH m AS (
+       |  SELECT MAX(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))),
+       |    (x, y) -> greatest(x, y))) AS mx
+       |  FROM embeddings),
+       |v AS (SELECT vec_id, $quant AS qemb FROM embeddings CROSS JOIN m),
+       |subs AS (
+       |  SELECT vec_id, g.m AS m,
+       |    qemb[g.m * $PqSubDim + 1 : g.m * $PqSubDim + $PqSubDim] AS sub
+       |  FROM v, generate_series(0, ${PqSub - 1}) g(m)),
+       |subs2 AS (SELECT vec_id, m, sub, ${intDot("sub", "sub")} AS sub_self
+       |          FROM subs),
+       |cb AS (SELECT m, vec_id AS cw_id, sub AS cw, sub_self AS cw_self
+       |       FROM subs2 WHERE vec_id % $CentroidMod = 0),
+       |sc AS (
+       |  SELECT s.vec_id, s.m, c.cw_id,
+       |    s.sub_self - 2 * ${intDot("s.sub", "c.cw")} + c.cw_self AS d2
+       |  FROM subs2 s JOIN cb c ON c.m = s.m),
+       |codes AS (
+       |  SELECT vec_id, m, cw_id AS code FROM (
+       |    SELECT vec_id, m, cw_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cw_id) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |lut AS (SELECT vec_id AS q_id, m, cw_id, d2 AS d2q
+       |        FROM sc WHERE vec_id % $QueryMod = 0),
+       |adc AS (
+       |  SELECT l.q_id, c.vec_id AS cand_id, SUM(l.d2q) AS adc_d2
+       |  FROM codes c JOIN lut l
+       |    ON l.m = c.m AND l.cw_id = c.code AND c.vec_id <> l.q_id
+       |  GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT q_id, cand_id FROM (
+       |    SELECT q_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, cand_id) AS rn
+       |    FROM adc) WHERE rn <= $PqRerank),
+       |rr AS (
+       |  SELECT ca.q_id, ca.cand_id, ${intDot("q.qemb", "c.qemb")} AS qdot
+       |  FROM cands ca
+       |  JOIN v q ON q.vec_id = ca.q_id
+       |  JOIN v c ON c.vec_id = ca.cand_id),
+       |ranked AS (
+       |  SELECT q_id, cand_id, qdot,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qdot DESC, cand_id) AS rank
+       |  FROM rr)
+       |SELECT q_id, CAST(rank AS INT) AS rank, cand_id, CAST(qdot AS BIGINT) AS qdot
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ------------------------------------------------- hard negatives
+  /** q127: hard-negative mining for contrastive training — for each
+    * query document, the top-k most-similar candidates BY EMBEDDING
+    * excluding its TEXTUAL near-duplicates (any doc sharing a MinHash
+    * LSH band with the query, [[graft.ext.Dedup.minhashBands]]). This is
+    * the standard retrieval-training recipe: negatives must be hard
+    * (embedding-close, else the gradient is uninformative) but must not
+    * be false negatives (paraphrases/mirrors of the anchor, which the
+    * band relation catches by construction — same signal q14 dedups on).
+    *
+    * Shape at 100 TB: one corpus scan computes bands, one scan scores
+    * embeddings — the exclusion relation is (query bands ⋈ corpus bands),
+    * small because the query set is small, and is applied as a BROADCAST
+    * anti-join inside the scoring scan, so nothing new shuffles: the
+    * plan is exactly q17's plus one codegen-friendly hash lookup per
+    * scored pair. Cross-modal by construction (text decides what's
+    * banned, embeddings decide what's hard) — the doc_id = vec_id
+    * alignment is the audited q55 contract.
+    *
+    * `n_banned` carries each query's excluded-candidate count into the
+    * oracle hash: the fixture's band collisions rarely intersect a
+    * top-5 (random text vs random embeddings), so without it a broken
+    * exclusion join would pass on ranking alone; with it the band
+    * relation is pinned row by row. ExtSpec additionally manufactures
+    * an embedding-closest textual near-dup and proves it excluded. */
+  def hardNegatives(emb: DataFrame, docs: DataFrame): DataFrame = {
+    val v = withNorm2(emb)
+    val q = v.filter(col("vec_id") % QueryMod === 0).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("norm2").as("q_norm2"))
+    val bands = graft.ext.Dedup.minhashBands(docs)
+    val qb = bands.filter(col("doc_id") % QueryMod === 0)
+      .select(col("doc_id").as("qb_id"), col("band").as("qb_band"),
+              col("band_key").as("qb_key"))
+    val banned = bands.join(broadcast(qb),
+        col("band") === col("qb_band") && col("band_key") === col("qb_key") &&
+          col("doc_id") =!= col("qb_id"))
+      .select(col("qb_id").as("b_q"), col("doc_id").as("b_cand"))
+      .distinct()
+    val bannedCounts = banned.groupBy(col("b_q").as("bc_q"))
+      .agg(count(lit(1)).as("bc_n"))
+    val topk = graft.functions.BoundedTopK.topK(TopK)
+    spread(v).join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .join(broadcast(banned),
+        col("q_id") === col("b_q") && col("vec_id") === col("b_cand"),
+        "left_anti")
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        (expr("vec_dot(q_emb, embedding)") /
+          (sqrt(col("q_norm2")) * sqrt(col("norm2")))).as("cos_raw"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos_raw"), col("cand_id")).as("top"))
+      .join(broadcast(bannedCounts), col("q_id") === col("bc_q"), "left")
+      .select(col("q_id"), coalesce(col("bc_n"), lit(0L)).as("n_banned"),
+              posexplode(col("top")))
+      .select(col("q_id"), col("n_banned"),
+              (col("pos") + 1).cast("int").as("rank"),
+              col("col.id").as("cand_id"),
+              round(col("col.cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  val hardNegativesSql: String = {
+    import graft.ext.Dedup.{NumHashes, NumBands, BandRows, coefA, coefB, P,
+      duckShingles, duckH}
+    val sigCols = (0 until NumHashes).map { i =>
+      s"list_min(list_transform(hs, h -> " +
+        s"(${coefA(i)} * h + ${coefB(i)}) % $P)) AS h$i"
+    }
+    val bandSelects = (0 until NumBands).map { b =>
+      val key = (0 until BandRows).map(r => s"CAST(h${b * BandRows + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+    }
+    s"""WITH hashed AS (
+       |  SELECT doc_id, list_transform($duckShingles, s -> ${duckH("s")}) AS hs
+       |  FROM documents),
+       |sig AS (SELECT doc_id, ${sigCols.mkString(", ")} FROM hashed),
+       |bands AS (${bandSelects.mkString(" UNION ALL ")}),
+       |banned AS (
+       |  SELECT q.doc_id AS b_q, c.doc_id AS b_cand
+       |  FROM bands q JOIN bands c
+       |    ON q.band = c.band AND q.band_key = c.band_key
+       |   AND q.doc_id % $QueryMod = 0 AND c.doc_id <> q.doc_id
+       |  GROUP BY 1, 2),
+       |banned_counts AS (
+       |  SELECT b_q, COUNT(*) AS bc_n FROM banned GROUP BY 1),
+       |v AS (
+       |  SELECT vec_id, embedding, ${duckNorm2("embedding")} AS norm2
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.norm2) * sqrt(c.norm2)) AS cos_raw
+       |  FROM v q JOIN v c ON q.vec_id % $QueryMod = 0 AND q.vec_id <> c.vec_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM banned bn
+       |                    WHERE bn.b_q = q.vec_id AND bn.b_cand = c.vec_id)),
+       |ranked AS (
+       |  SELECT q_id, cand_id, cos_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, cand_id) AS rank
+       |  FROM scored)
+       |SELECT r.q_id, COALESCE(bc.bc_n, 0) AS n_banned, r.rank, r.cand_id,
+       |  round(r.cos_raw, 6) AS cos_sim
+       |FROM ranked r LEFT JOIN banned_counts bc ON bc.b_q = r.q_id
+       |WHERE r.rank <= $TopK
+       |ORDER BY r.q_id, r.rank""".stripMargin
+  }
+
   // ------------------------------------------------- semantic dedup
   /** Within-cell quantized cosine threshold for q83. Fixture similarity
     * tops out ~0.48 (random-ish synthetic vectors), so 0.44 marks the
@@ -1147,7 +1404,10 @@ object Similarity {
     "q80_quantized_ivf" -> ((s, d) => quantizedIvfTopK(Tables.embeddings(s, d))),
     "q83_semantic_dedup" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
     "q104_embedding_outliers" -> ((s, d) =>
-      embeddingOutliers(Tables.embeddings(s, d), Tables.documents(s, d))))
+      embeddingOutliers(Tables.embeddings(s, d), Tables.documents(s, d))),
+    "q125_pq_topk" -> ((s, d) => pqTopK(Tables.embeddings(s, d))),
+    "q127_hard_negatives" -> ((s, d) =>
+      hardNegatives(Tables.embeddings(s, d), Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q17_cosine_topk" -> cosineTopKSql,
@@ -1159,5 +1419,7 @@ object Similarity {
     "q73_kmeans_step" -> kmeansStepSql,
     "q80_quantized_ivf" -> quantizedIvfTopKSql,
     "q83_semantic_dedup" -> semanticDedupSql,
-    "q104_embedding_outliers" -> embeddingOutliersSql)
+    "q104_embedding_outliers" -> embeddingOutliersSql,
+    "q125_pq_topk" -> pqTopKSql,
+    "q127_hard_negatives" -> hardNegativesSql)
 }

@@ -350,6 +350,78 @@ object TextAnalysis {
        |FROM cum GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ------------------------------------------------- exact quantiles
+  /** q128's percentile set, in permille (p50/p90/p99). */
+  val ExactQuantilePermille = Seq(500, 900, 990)
+  /** Bucket width for the first selection pass (n_chars units). */
+  val ExactQuantileBucket = 64
+
+  /** q128: EXACT corpus quantiles by two-pass distributed selection —
+    * the exact counterpart of q44's mergeable histogram (which trades
+    * resolution for a single pass). A global exact percentile naively
+    * needs a total sort of the corpus; selection does it with two
+    * bounded passes instead:
+    *
+    *  pass 1 — bucket counts: one scan aggregates `n_chars div W`
+    *    counts (associative, map-side combined), a cumulative window
+    *    over the TINY bucket relation locates, for each target rank
+    *    k = ceil(p·n), the bucket containing it and the LOCAL rank
+    *    within that bucket;
+    *  pass 2 — a second scan reads back ONLY the selected buckets
+    *    (a broadcast semi-join the scan's filter prunes on) and
+    *    rank-selects within each — the sorted set is bounded by the
+    *    bucket occupancy, never the corpus.
+    *
+    * At 100 TB: pass 1 shuffles |buckets| rows, pass 2 sorts at most
+    * max-bucket-occupancy rows per percentile — selection cost is set
+    * by the bucket width knob, independent of corpus size. Rank
+    * definition is type-1 (k-th smallest, k = ceil(p·n), ties broken
+    * by doc_id) — integer-exact in both engines. */
+  def exactQuantiles(docs: DataFrame): DataFrame = {
+    val w = ExactQuantileBucket
+    val vals = docs.select(col("doc_id"), col("n_chars").as("v"),
+      expr(s"n_chars div $w").as("bucket"))
+    val counts = vals.groupBy("bucket").agg(count(lit(1)).as("c"))
+    // cumulative over the bucket relation: |buckets| rows, single window
+    val cumW = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = counts
+      .withColumn("below", coalesce(sum(col("c")).over(cumW), lit(0L)))
+    val total = vals.agg(count(lit(1)).as("n"))
+    val pcts = ExactQuantilePermille
+      .map(p => s"($p)").mkString("VALUES ", ", ", "")
+    val targets = docs.sparkSession.sql(s"SELECT col1 AS p_permille FROM ($pcts)")
+      .crossJoin(broadcast(total))
+      .withColumn("k", expr("(p_permille * n + 999) div 1000"))
+    // the bucket holding rank k, and k's local rank inside it
+    val located = targets.join(broadcast(cum),
+        col("below") < col("k") && col("k") <= col("below") + col("c"))
+      .select(col("p_permille"), col("bucket").as("t_bucket"),
+              (col("k") - col("below")).as("local_rank"))
+    // pass 2: only rows in a selected bucket are sorted, per percentile
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_permille").orderBy("v", "doc_id")
+    vals.join(broadcast(located), col("bucket") === col("t_bucket"))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") === col("local_rank"))
+      .select(col("p_permille").cast("int").as("p_permille"),
+              col("v").as("value"))
+      .orderBy("p_permille")
+  }
+
+  val exactQuantilesSql: String = {
+    val pcts = ExactQuantilePermille.map(p => s"($p)").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+       |  FROM documents),
+       |n AS (SELECT COUNT(*) AS c FROM documents),
+       |p(p_permille) AS (VALUES $pcts)
+       |SELECT CAST(p.p_permille AS INT) AS p_permille, t.n_chars AS value
+       |FROM p, n
+       |JOIN t ON t.rn = (p.p_permille * n.c + 999) // 1000
+       |ORDER BY p_permille""".stripMargin
+  }
+
   // ------------------------------------------- CMS heavy-hitter n-grams
   val HhDepth = 4
   val HhWidth = 8192
@@ -786,7 +858,8 @@ object TextAnalysis {
     "q70_pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d))),
     "q84_quality_gate" -> ((s, d) => qualityGate(Tables.documents(s, d))),
     "q120_classifier_gate" -> ((s, d) => classifierScores(Tables.documents(s, d))),
-    "q85_contamination_overlap" -> ((s, d) => contaminationOverlap(Tables.documents(s, d))))
+    "q85_contamination_overlap" -> ((s, d) => contaminationOverlap(Tables.documents(s, d))),
+    "q128_exact_quantiles" -> ((s, d) => exactQuantiles(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q19_lang_id"     -> langIdSql,
@@ -804,5 +877,6 @@ object TextAnalysis {
     "q70_pii_scrub" -> piiScrubSql,
     "q84_quality_gate" -> qualityGateSql,
     "q120_classifier_gate" -> classifierScoresSql,
-    "q85_contamination_overlap" -> contaminationOverlapSql)
+    "q85_contamination_overlap" -> contaminationOverlapSql,
+    "q128_exact_quantiles" -> exactQuantilesSql)
 }

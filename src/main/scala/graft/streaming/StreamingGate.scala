@@ -5,7 +5,12 @@ import java.nio.file.attribute.FileTime
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+
+/** One LSH band observation of a streamed document (q126). */
+case class BandObs(doc_id: Long, band: Int, band_key: String)
+/** q126 emission: the earliest prior doc sharing this band, if any. */
+case class BandLink(doc_id: Long, band: Int, partner: Option[Long])
 
 /** Oracle gate for the STREAMING engine (q40/q41): the q11/q12 window
   * semantics executed through `readStream` → watermark → append-mode
@@ -693,6 +698,140 @@ object StreamingGate {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------ q126 streaming dedup
+  /** The documents fixture staged as TWO parquet files split at the
+    * median doc_id, mtimes ordered low-half first — under
+    * `maxFilesPerTrigger = 1` the corpus arrives in doc_id order across
+    * two micro-batches, so "earlier in the stream" coincides with
+    * "smaller doc_id" and the batch oracle can express arrival order
+    * relationally. Immutable once built; cached per source dir. */
+  private val docsStagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  private def stageDocuments(spark: SparkSession, dir: String): Path =
+    docsStagedCache.computeIfAbsent(dir, { _ =>
+      val docs = graft.Tables.documents(spark, dir)
+      val half = docs.count() / 2
+      val staged = Files.createTempDirectory("graft-docs-stage")
+      staged.toFile.deleteOnExit()
+      Seq(("00-docs.parquet", col("doc_id") < half, 120000L),
+          ("01-docs.parquet", col("doc_id") >= half, 60000L))
+        .foreach { case (name, pred, ageMs) =>
+          val tmp = Files.createTempDirectory("graft-docs-half")
+          docs.filter(pred).coalesce(1).write.mode("overwrite")
+            .parquet(tmp.toString)
+          val part = Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst.get
+          val dst = staged.resolve(name)
+          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dst,
+            FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+        }
+      staged
+    })
+
+  /** q126: STREAMING NEAR-DUP DETECTION — the 16th gate, and the one
+    * that composes the LSH dedup family with the state store: a crawl
+    * pipeline dedups each arriving document against EVERYTHING ALREADY
+    * INGESTED, which no batch query can stand in for. Every document
+    * explodes into its MinHash LSH bands (q14's signature machinery,
+    * unchanged — the expressions are stateless and stream as-is); the
+    * stream then groups by band key, and per-key flatMapGroupsWithState
+    * keeps ONE long of state — the minimum doc_id ever seen in the
+    * bucket — emitting for each arrival the earliest prior bucket-mate
+    * (its evidence partner). State is O(1) per DISTINCT band key, the
+    * only footprint that survives an unbounded crawl: a doc-list state
+    * would grow with the corpus, the min-id register doesn't.
+    *
+    * The two-batch staging makes the proof real: a second-half doc
+    * whose only band-mate arrived in the first half links across the
+    * batch boundary, so its row exists only because the bucket register
+    * was read back from the state store (StreamingSpec pins a count of
+    * such cross-batch links). The read-off aggregates per doc over its
+    * bands: first_partner = min partner across bands = the earliest
+    * prior doc sharing ANY band — exactly the oracle's relational form
+    * under id-ordered arrival. */
+  def q126StreamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageDocuments(spark, dir)
+    val schema = graft.Tables.documents(spark, dir).schema
+    val name = s"graft_stream_gate_${runCounter.incrementAndGet()}"
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    ckpt.toFile.deleteOnExit()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      import spark.implicits._
+      val docs = spark.readStream.schema(schema)
+        .option("latestFirst", false)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged.toString)
+      val links = graft.ext.Dedup.minhashBands(docs)
+        .as[BandObs]
+        .groupByKey(o => s"${o.band}:${o.band_key}")
+        .flatMapGroupsWithState[Long, BandLink](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (_: String, rows: Iterator[BandObs], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+            // bucket register: the min doc_id seen in any prior batch;
+            // in-batch arrivals process in id order (ids ARE arrival
+            // order here), so one forward pass assigns each doc the
+            // min of everything before it
+            var mn = state.getOption.getOrElse(Long.MaxValue)
+            val out = rows.toSeq.sortBy(_.doc_id).map { o =>
+              val partner = if (mn < o.doc_id) Some(mn) else None
+              if (o.doc_id < mn) mn = o.doc_id
+              BandLink(o.doc_id, o.band, partner)
+            }
+            state.update(mn)
+            out.iterator
+        }
+      val q = links.toDF().writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastRunProgress.set(q.recentProgress.toSeq)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
+      .groupBy("doc_id")
+      .agg(min(col("partner")).as("first_partner"))
+      .select(col("doc_id"), col("first_partner").isNotNull.as("is_dup"),
+              col("first_partner"))
+      .orderBy("doc_id")
+  }
+
+  /** Arrival order = id order, so "earliest prior bucket-mate" is pure
+    * batch SQL: the min smaller doc_id sharing any LSH band. */
+  val q126Sql: String = {
+    import graft.ext.Dedup.{NumHashes, NumBands, BandRows, coefA, coefB, P}
+    val sigCols = (0 until NumHashes).map { i =>
+      s"list_min(list_transform(hs, h -> " +
+        s"(${coefA(i)} * h + ${coefB(i)}) % $P)) AS h$i"
+    }
+    val bandSelects = (0 until NumBands).map { b =>
+      val key = (0 until BandRows).map(r => s"CAST(h${b * BandRows + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+    }
+    s"""WITH hashed AS (
+       |  SELECT doc_id, list_transform(${graft.ext.Dedup.duckShingles},
+       |    s -> ${graft.ext.Dedup.duckH("s")}) AS hs
+       |  FROM documents),
+       |sig AS (SELECT doc_id, ${sigCols.mkString(", ")} FROM hashed),
+       |bands AS (${bandSelects.mkString(" UNION ALL ")}),
+       |earlier AS (
+       |  SELECT a.doc_id, MIN(b.doc_id) AS first_partner
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |   AND b.doc_id < a.doc_id
+       |  GROUP BY 1)
+       |SELECT d.doc_id, e.first_partner IS NOT NULL AS is_dup, e.first_partner
+       |FROM documents d LEFT JOIN earlier e ON e.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** q93: STREAM-STATIC join through the micro-batch engine — every
     * event enriched with the customer dimension's market segment. What
     * this gates that no other streaming row covers: the static side is
@@ -734,7 +873,8 @@ object StreamingGate {
     "q78_stream_session_close" -> (q78StreamSessionClose _),
     "q79_stream_initial_state" -> (q79StreamInitialState _),
     "q82_stream_restart" -> (q82StreamRestart _),
-    "q122_stream_hll" -> (q122StreamHll _))
+    "q122_stream_hll" -> (q122StreamHll _),
+    "q126_stream_neardup" -> (q126StreamNearDup _))
 
   /** Same oracles as the batch twins: the streaming engine must land on
     * the identical relation. */
@@ -753,5 +893,6 @@ object StreamingGate {
     "q76_stream_max_state" -> q76Sql,
     "q78_stream_session_close" -> q78Sql,
     "q79_stream_initial_state" -> q76Sql,
-    "q82_stream_restart" -> q82Sql)
+    "q82_stream_restart" -> q82Sql,
+    "q126_stream_neardup" -> q126Sql)
 }

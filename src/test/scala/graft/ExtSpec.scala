@@ -991,4 +991,74 @@ class ExtSpec extends SparkSpec {
     assert(direct.getAs[Long]("est_tokens") == estAll,
       "max-merged registers must equal the directly-built global sketch")
   }
+
+  test("q125 pq: recall vs exact quantized ranking; full re-rank degenerates to exact") {
+    val exact = Similarity.quantizedTopK(emb).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+    val pq = Similarity.pqTopK(emb).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+    val per = exact.map { case (q, ex) =>
+      (pq.getOrElse(q, Set.empty[Long]) & ex).size.toDouble / ex.size }
+    val recall = per.sum / per.size
+    info(f"q125 recall@5 vs q69 exact at rerank=${Similarity.PqRerank}: $recall%.3f")
+    assert(recall >= 0.30, f"PQ recall fell to $recall%.3f")
+    // re-ranking EVERY candidate exactly must reproduce the exact
+    // quantized ranking row for row (ADC then only orders the re-rank
+    // input, which covers the whole corpus) — the self-check that the
+    // two-stage machinery loses nothing but candidate pruning
+    val n = emb.count().toInt
+    val full = Similarity.pqTopK(emb, rerank = n).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cand_id"), r.getAs[Long]("qdot"))).toSet
+    val truth = Similarity.quantizedTopK(emb).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cand_id"), r.getAs[Long]("qdot"))).toSet
+    assert(full == truth, "rerank = |corpus| must equal the exact ranking")
+  }
+
+  test("q127 hard negatives: an embedding-closest textual near-dup is excluded") {
+    import spark.implicits._
+    // doc 0 is a query (0 % QueryMod == 0); doc 7 repeats its text
+    // verbatim (identical shingles -> identical bands) and carries the
+    // IDENTICAL embedding, making it the embedding-closest candidate —
+    // exactly the false negative the band exclusion must remove
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val texts = Seq((0L, shared), (7L, shared)) ++
+      (1L to 6L).map(i => (i, s"unrelated corpus words number $i " +
+        s"padding lexicon entry ${i * 11} trailing tail ${i * 7}"))
+    val sdocs = texts.toDF("doc_id", "text")
+    val e0 = Array.tabulate(8)(i => (i + 1).toFloat)
+    val semb = texts.map { case (id, _) =>
+      val e = if (id == 0L || id == 7L) e0
+      else Array.tabulate(8)(i => ((id * 31 + i * 17) % 13 - 6).toFloat)
+      (id, e)
+    }.toDF("vec_id", "embedding")
+    val bf = Similarity.cosineTopK(semb).collect()
+      .filter(r => r.getAs[Long]("q_id") == 0L && r.getAs[Int]("rank") == 1)
+    assert(bf.head.getAs[Long]("cand_id") == 7L,
+      "fixture must make the near-dup the brute-force nearest neighbor")
+    val hn = Similarity.hardNegatives(semb, sdocs).collect()
+      .filter(_.getAs[Long]("q_id") == 0L)
+    assert(hn.nonEmpty && hn.forall(_.getAs[Long]("cand_id") != 7L),
+      s"textual near-dup must be excluded, got ${hn.mkString(",")}")
+    assert(hn.head.getAs[Long]("n_banned") >= 1L,
+      "the exclusion must be visible in n_banned")
+  }
+
+  test("q128 exact quantiles: matches the sorted-corpus type-1 rank definition") {
+    val r = TextAnalysis.exactQuantiles(docs).collect()
+    val vals = docs.select(col("n_chars"), col("doc_id")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted
+    val n = vals.length
+    assert(r.map(_.getAs[Int]("p_permille")).toSeq ==
+      TextAnalysis.ExactQuantilePermille)
+    r.foreach { row =>
+      val p = row.getAs[Int]("p_permille")
+      val k = (p.toLong * n + 999) / 1000
+      assert(row.getAs[Long]("value") == vals(k.toInt - 1)._1,
+        s"p=$p selected ${row.getAs[Long]("value")}, want ${vals(k.toInt - 1)._1}")
+    }
+  }
 }

@@ -488,4 +488,26 @@ class StreamingSpec extends SparkSpec {
     val total = got.agg(sum("n_events")).collect().head.getLong(0)
     assert(total == 2 * Tables.events(spark, sf).count())
   }
+
+  test("q126 gate: LSH bucket state links near-dups across the batch boundary") {
+    val out = graft.streaming.StreamingGate.q126StreamNearDup(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(out.length == n, "one verdict row per document")
+    // batch twin of the oracle: min smaller doc_id sharing any band
+    val bands = graft.ext.Dedup.minhashBands(Tables.documents(spark, sf))
+    val want = bands.as("x").join(bands.as("y"),
+        expr("x.band = y.band AND x.band_key = y.band_key AND y.doc_id < x.doc_id"))
+      .groupBy(col("x.doc_id"))
+      .agg(min(col("y.doc_id")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = out.filter(!_.isNullAt(2))
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want, "streamed links must equal the batch band relation")
+    // the rows that PROVE state crossed the micro-batch boundary: a
+    // second-half doc whose evidence partner arrived in batch 0
+    val half = n / 2
+    val cross = got.count { case (d, p) => d >= half && p < half }
+    info(s"cross-batch links: $cross of ${got.size} (fixture n=$n)")
+    assert(cross > 0, "staging must produce at least one cross-batch link")
+  }
 }
