@@ -54,20 +54,21 @@ object Sketches {
     (1 to Registers).map(v =>
       math.round(math.log(Registers.toDouble / v) * (1L << LnScale)))
 
-  /** (source, w) -> (source, reg, rho): distinct tokens hashed into a
+  /** (key, value) -> (key, reg, rho): distinct values hashed into a
     * register index + trailing-zero rank. Distinct-first keeps the
-    * explode's duplicate mass out of the shuffle; the register table
-    * after this is at most m rows per source. */
-  private def registerTable(tok: DataFrame): DataFrame =
+    * caller's duplicate mass out of the shuffle; the register table
+    * after this is at most m rows per key. */
+  private def registerTable(tok: DataFrame, key: String = "source",
+                            value: String = "w"): DataFrame =
     tok
-      .withColumn("hx", md5(col("w")))
+      .withColumn("hx", md5(col(value)))
       .withColumn("reg",
         expr(s"cast(conv(substr(hx, 1, 6), 16, 10) as bigint) % $Registers"))
       .withColumn("v", expr("cast(conv(substr(hx, 7, 6), 16, 10) as bigint)"))
       .withColumn("rho", expr(
         s"CASE WHEN v = 0 THEN $RhoCap " +
         s"ELSE CAST(round(log2(v & -v)) AS INT) + 1 END"))
-      .groupBy(col("source"), col("reg"))
+      .groupBy(col(key), col("reg"))
       .agg(max(col("rho")).as("m"))
 
   /** Registers -> (keys..., regs_hit, estName): the fixed-point
@@ -167,9 +168,120 @@ object Sketches {
        |FROM ests e JOIN exact x ON e.source = x.source
        |ORDER BY e.source""".stripMargin
 
+  // ------------------------------------------------- q129 table stats
+  /** The stats columns: every one rendered as BIGINT with the repo's
+    * standard exact encodings (cents for money, epoch micros for
+    * timestamps, floor for integral doubles) so min/max/NDV hashing is
+    * engine-independent. (name, spark expr, duckdb expr). */
+  val StatsCols: Seq[(String, String, String)] = Seq(
+    ("l_extendedprice_cents",
+      "cast(round(l_extendedprice * 100) as bigint)",
+      "CAST(round(l_extendedprice * 100) AS BIGINT)"),
+    ("l_linenumber", "cast(l_linenumber as bigint)",
+      "CAST(l_linenumber AS BIGINT)"),
+    ("l_orderkey", "l_orderkey", "l_orderkey"),
+    ("l_partkey", "l_partkey", "l_partkey"),
+    ("l_quantity", "cast(floor(l_quantity) as bigint)",
+      "CAST(floor(l_quantity) AS BIGINT)"),
+    // NTZ fixture timestamp: the cast is a no-op re-tag under the
+    // session's pinned UTC, making unix_micros == DuckDB's epoch_us
+    ("l_shipdate_us", "unix_micros(cast(l_shipdate as timestamp))",
+      "epoch_us(l_shipdate)"),
+    ("l_suppkey", "l_suppkey", "l_suppkey"))
+
+  /** q129: ANALYZE-style per-column table statistics — the maintenance
+    * job every table format runs so its optimizer can plan (CBO join
+    * ordering, broadcast decisions) and its scans can skip (min/max
+    * zone maps): row count, null count, min/max, and distinct-value
+    * estimate per column, in ONE scan of the fact table.
+    *
+    * Shape: the scan unpivots each row into (col_name, value) pairs —
+    * a generator projection, no shuffle — and everything downstream
+    * aggregates: count/nulls/min/max partial-aggregate map-side per
+    * column; NDV rides the q118 HLL register table (distinct-first,
+    * then at most [[Registers]] rows per column through the shuffle).
+    * Every statistic is associative, which is the production property:
+    * per-FILE stats rows (this same query over one file's rows) merge
+    * into table stats by sum/sum/min/max/register-max — how a 100 TB
+    * table keeps stats current without rescanning history (q90's
+    * incremental-maintenance argument applied to metadata).
+    * `ndv_exact` is the fixture-scale quality witness, same contract
+    * as q118's exact_tokens: a production run drops it. */
+  def tableStats(li: DataFrame): DataFrame = {
+    val stacked = li
+      .select(explode(array(StatsCols.map { case (n, e, _) =>
+        struct(lit(n).as("col_name"), expr(e).as("v")) }: _*)).as("s"))
+      .select(col("s.col_name").as("col_name"), col("s.v").as("v"))
+    val base = stacked.groupBy("col_name").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+      min(col("v")).as("min_val"), max(col("v")).as("max_val"))
+    val tok = stacked.filter(col("v").isNotNull)
+      .withColumn("w", col("v").cast("string"))
+      .select("col_name", "w").distinct()
+    val ests = estimateBy(registerTable(tok, key = "col_name"),
+      Seq("col_name"), estName = "ndv_est")
+    val exact = stacked.filter(col("v").isNotNull)
+      .groupBy("col_name").agg(countDistinct(col("v")).as("ndv_exact"))
+    base.join(ests, Seq("col_name")).join(exact, Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("min_val"), col("max_val"), col("ndv_est"), col("ndv_exact"))
+      .orderBy("col_name")
+  }
+
+  val tableStatsSql: String = {
+    val stacked = StatsCols.map { case (n, _, e) =>
+      s"SELECT '$n' AS col_name, $e AS v FROM lineitem"
+    }.mkString(" UNION ALL ")
+    s"""WITH stacked AS ($stacked),
+       |base AS (
+       |  SELECT col_name, COUNT(*) AS n_rows,
+       |    CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       |    MIN(v) AS min_val, MAX(v) AS max_val
+       |  FROM stacked GROUP BY 1),
+       |tok AS (SELECT DISTINCT col_name, CAST(v AS VARCHAR) AS w
+       |        FROM stacked WHERE v IS NOT NULL),
+       |hashed AS (SELECT col_name, md5(w) AS hx FROM tok),
+       |rho AS (
+       |  SELECT col_name,
+       |    ('0x' || substr(hx, 1, 6))::BIGINT % $Registers AS reg,
+       |    ('0x' || substr(hx, 7, 6))::BIGINT AS v
+       |  FROM hashed),
+       |regs AS (
+       |  SELECT col_name, reg,
+       |    MAX(CASE WHEN v = 0 THEN $RhoCap
+       |        ELSE CAST(round(log2(v & -v)) AS INT) + 1 END) AS m
+       |  FROM rho GROUP BY col_name, reg),
+       |raw AS (
+       |  SELECT col_name, COUNT(*) AS regs_hit,
+       |    (($AlphaPermille * $Registers * $Registers) * (CAST(1 AS BIGINT) << $RhoCap))
+       |      // (1000 * (SUM(CAST(1 AS BIGINT) << ($RhoCap - m))
+       |                  + ($Registers - COUNT(*)) * (CAST(1 AS BIGINT) << $RhoCap)))
+       |      AS raw_est
+       |  FROM regs GROUP BY col_name),
+       |ests AS (
+       |  SELECT col_name,
+       |    CASE WHEN raw_est <= 5 * $Registers // 2 AND regs_hit < $Registers
+       |      THEN ($Registers * list_extract(${LnTable.mkString("[", ", ", "]")},
+       |                                      $Registers - regs_hit))
+       |           // (CAST(1 AS BIGINT) << $LnScale)
+       |      ELSE raw_est END AS ndv_est
+       |  FROM raw),
+       |exact AS (
+       |  SELECT col_name, COUNT(DISTINCT v) AS ndv_exact
+       |  FROM stacked WHERE v IS NOT NULL GROUP BY 1)
+       |SELECT b.col_name, b.n_rows, b.n_nulls, b.min_val, b.max_val,
+       |  CAST(e.ndv_est AS BIGINT) AS ndv_est, x.ndv_exact
+       |FROM base b JOIN ests e ON e.col_name = b.col_name
+       |JOIN exact x ON x.col_name = b.col_name
+       |ORDER BY b.col_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q118_hll_tokens" -> ((s, d) => hllTokenSketch(Tables.documents(s, d))))
+    "q118_hll_tokens" -> ((s, d) => hllTokenSketch(Tables.documents(s, d))),
+    "q129_table_stats" -> ((s, d) => tableStats(Tables.lineitem(s, d))))
 
   val oracles: Map[String, String] = Map(
-    "q118_hll_tokens" -> hllTokenSketchSql)
+    "q118_hll_tokens" -> hllTokenSketchSql,
+    "q129_table_stats" -> tableStatsSql)
 }

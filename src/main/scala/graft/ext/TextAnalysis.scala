@@ -367,14 +367,17 @@ object TextAnalysis {
     *    over the TINY bucket relation locates, for each target rank
     *    k = ceil(p·n), the bucket containing it and the LOCAL rank
     *    within that bucket;
-    *  pass 2 — a second scan reads back ONLY the selected buckets
-    *    (a broadcast semi-join the scan's filter prunes on) and
-    *    rank-selects within each — the sorted set is bounded by the
-    *    bucket occupancy, never the corpus.
+    *  pass 2 — a second scan joins against the broadcast target-bucket
+    *    table (rows outside a selected bucket drop at the join, BEFORE
+    *    any shuffle) and rank-selects within each — the sorted set is
+    *    bounded by bucket occupancy, never the corpus. The scan itself
+    *    re-reads the column (two-pass selection's defining cost); only
+    *    the SORT is pruned, which is the part that doesn't scale.
     *
-    * At 100 TB: pass 1 shuffles |buckets| rows, pass 2 sorts at most
-    * max-bucket-occupancy rows per percentile — selection cost is set
-    * by the bucket width knob, independent of corpus size. Rank
+    * At 100 TB: pass 1 shuffles |buckets| rows, pass 2 shuffles and
+    * sorts at most max-bucket-occupancy rows per percentile — selection
+    * cost is set by the bucket width knob, independent of corpus size
+    * beyond the two linear scans. Rank
     * definition is type-1 (k-th smallest, k = ceil(p·n), ties broken
     * by doc_id) — integer-exact in both engines. */
   def exactQuantiles(docs: DataFrame): DataFrame = {
@@ -841,6 +844,69 @@ object TextAnalysis {
        |GROUP BY c.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
+  // ------------------------------------- q130 quality-weighted sampling
+  /** Keep-probability shaping: p_bp = clamp(5000 + score/8, 0, 10000). */
+  val SampleBaseBp = 5000
+  val SampleScoreShift = 3 // score div 8
+
+  /** q130: quality-WEIGHTED Bernoulli sampling — the CCNet-style
+    * softening of q120's hard keep/drop: instead of a threshold, each
+    * document survives with probability proportional to its classifier
+    * score (clamped to [0, 10000] basis points around a 50% base rate).
+    * A hard threshold discards the mid-quality mass entirely; the
+    * weighted coin keeps a calibrated fraction of it, which is how
+    * production corpora trade volume against quality without a cliff.
+    *
+    * The coin is a HASH, not a RNG: u = md5('smp' ‖ doc_id) mod 10000,
+    * so (a) the sample is reproducible run to run, (b) membership is
+    * decidable LOCALLY per row — any shard, any partitioning, no
+    * coordination, the property a 100 TB sampling pass must have (same
+    * contract as q111's seeded shuffle and q46's content-hash sample),
+    * and (c) the draw is independent of the score (disjoint hash
+    * domains: 'smp'-salted id vs token buckets). Integer-exact end to
+    * end; one corpus pass (the q120 scoring plan) plus a stateless
+    * filter. */
+  def weightedSample(docs: DataFrame): DataFrame =
+    classifierScores(docs)
+      .withColumn("p_bp",
+        greatest(lit(0L), least(lit(10000L),
+          lit(SampleBaseBp.toLong) + expr(s"score div ${1 << SampleScoreShift}"))))
+      .withColumn("u_bp", expr(
+        "cast(conv(substr(md5(concat('smp', cast(doc_id as string))), 1, 6), 16, 10) as bigint) % 10000"))
+      .filter(col("u_bp") < col("p_bp"))
+      .select(col("doc_id"), col("score"), col("p_bp"), col("u_bp"))
+      .orderBy("doc_id")
+
+  val weightedSampleSql: String =
+    s"""WITH weights AS (
+       |  SELECT bucket,
+       |    ('0x' || substr(md5('w' || CAST(bucket AS VARCHAR)), 1, 6))::BIGINT
+       |      % ${2 * WeightRange + 1} - $WeightRange AS weight
+       |  FROM (SELECT unnest(generate_series(0, ${ClassifierBuckets - 1})) AS bucket)),
+       |toks AS (
+       |  SELECT doc_id, w
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0),
+       |counts AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(w), 1, 6))::BIGINT % $ClassifierBuckets AS bucket,
+       |    COUNT(*) AS cnt
+       |  FROM toks GROUP BY doc_id, bucket),
+       |scored AS (
+       |  SELECT c.doc_id, CAST(SUM(c.cnt * wt.weight) AS BIGINT) AS score
+       |  FROM counts c JOIN weights wt ON wt.bucket = c.bucket
+       |  GROUP BY c.doc_id),
+       |coin AS (
+       |  SELECT doc_id, score,
+       |    greatest(0, least(10000,
+       |      $SampleBaseBp + score // ${1 << SampleScoreShift})) AS p_bp,
+       |    ('0x' || substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+       |      % 10000 AS u_bp
+       |  FROM scored)
+       |SELECT doc_id, score, CAST(p_bp AS BIGINT) AS p_bp, u_bp
+       |FROM coin WHERE u_bp < p_bp
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
@@ -859,7 +925,8 @@ object TextAnalysis {
     "q84_quality_gate" -> ((s, d) => qualityGate(Tables.documents(s, d))),
     "q120_classifier_gate" -> ((s, d) => classifierScores(Tables.documents(s, d))),
     "q85_contamination_overlap" -> ((s, d) => contaminationOverlap(Tables.documents(s, d))),
-    "q128_exact_quantiles" -> ((s, d) => exactQuantiles(Tables.documents(s, d))))
+    "q128_exact_quantiles" -> ((s, d) => exactQuantiles(Tables.documents(s, d))),
+    "q130_weighted_sample" -> ((s, d) => weightedSample(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q19_lang_id"     -> langIdSql,
@@ -878,5 +945,6 @@ object TextAnalysis {
     "q84_quality_gate" -> qualityGateSql,
     "q120_classifier_gate" -> classifierScoresSql,
     "q85_contamination_overlap" -> contaminationOverlapSql,
-    "q128_exact_quantiles" -> exactQuantilesSql)
+    "q128_exact_quantiles" -> exactQuantilesSql,
+    "q130_weighted_sample" -> weightedSampleSql)
 }

@@ -992,6 +992,43 @@ class ExtSpec extends SparkSpec {
       "max-merged registers must equal the directly-built global sketch")
   }
 
+  test("q129 table stats: partitioning-invariant (mergeable) and NDV within HLL error") {
+    val li = Tables.lineitem(spark, sf)
+    val whole = Sketches.tableStats(li).collect().map(_.toSeq).toSeq
+    // every statistic is an associative aggregate, so ANY partitioning
+    // must land on identical output — the property that lets per-file
+    // stats rows merge into table stats without a rescan
+    val reparted = Sketches.tableStats(li.repartition(13)).collect().map(_.toSeq).toSeq
+    assert(whole == reparted, "stats must not depend on physical partitioning")
+    whole.foreach { r =>
+      val est = r(5).asInstanceOf[Long]
+      val exact = r(6).asInstanceOf[Long]
+      // HLL relative std error = 1.04/sqrt(64) ~= 13%; 3 sigma = 39%
+      // (+3 absolute cushion for the tiny-cardinality columns)
+      assert(math.abs(est - exact) <= exact * 39 / 100 + 3,
+        s"${r.head}: est $est too far from exact $exact")
+    }
+  }
+
+  test("q130 weighted sample: reproducible, locally decidable, rate tracks Σp") {
+    val ids1 = TextAnalysis.weightedSample(docs).collect().map(_.getLong(0)).toSeq
+    // hash-coin membership is a per-row decision: any partitioning, same sample
+    val ids2 = TextAnalysis.weightedSample(docs.repartition(11))
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids1 == ids2, "sample must be reproducible under repartitioning")
+    // kept count is a sum of independent Bernoulli(p_i): check 4-sigma
+    val ps = TextAnalysis.classifierScores(docs).collect().map { r =>
+      val p = math.max(0L, math.min(10000L,
+        TextAnalysis.SampleBaseBp + r.getAs[Long]("score") /
+          (1L << TextAnalysis.SampleScoreShift)))
+      p.toDouble / 10000
+    }
+    val expected = ps.sum
+    val sigma = math.sqrt(ps.map(p => p * (1 - p)).sum)
+    assert(math.abs(ids1.size - expected) <= 4 * sigma + 1,
+      f"kept ${ids1.size} vs expected $expected%.1f (sigma $sigma%.1f)")
+  }
+
   test("q125 pq: recall vs exact quantized ranking; full re-rank degenerates to exact") {
     val exact = Similarity.quantizedTopK(emb).collect()
       .groupBy(_.getAs[Long]("q_id"))

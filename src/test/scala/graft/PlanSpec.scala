@@ -791,4 +791,37 @@ class PlanSpec extends SparkSpec {
            !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
       s"bucketed join must not reshuffle join keys:\n${p.take(1500)}")
   }
+
+  test("q125: PQ search is broadcast-only — no sort-merge join, heaps not windows") {
+    val p = plan(graft.ext.Similarity.pqTopK(Tables.embeddings(spark, sf)))
+    assert(!p.contains("SortMergeJoin"),
+      "codebook/LUT/candidate joins must all broadcast — a shuffled join " +
+      "on the encoded corpus breaks the ADC scale shape")
+    assert(!p.contains("Window"), "rankings must be bounded heaps, not window sorts")
+    assert(p.contains("partial_topkbyscore"),
+      "candidate + re-rank heaps must combine map-side")
+  }
+
+  test("q127: the near-dup exclusion is a broadcast anti-join inside the scoring scan") {
+    val p = plan(graft.ext.Similarity.hardNegatives(
+      Tables.embeddings(spark, sf), Tables.documents(spark, sf)))
+    assert(p.contains("LeftAnti"), "exclusion must plan as an anti-join")
+    val anti = p.substring(p.indexOf("LeftAnti") - 200, p.indexOf("LeftAnti"))
+    assert(anti.contains("BroadcastHashJoin"),
+      s"anti-join must broadcast the banned-pair side, got:\n${anti}")
+  }
+
+  test("q128: only selected-bucket rows reach the selection window") {
+    val df = graft.ext.TextAnalysis.exactQuantiles(Tables.documents(spark, sf))
+    val p = plan(df)
+    // the corpus-side scan reads exactly the two columns selection needs
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      "pass-2 scan must prune to (doc_id, n_chars)")
+    // the window's input is the bucket join's output, not the corpus:
+    // the target-bucket side broadcasts and the join sits below the
+    // p_permille exchange feeding the row_number window
+    val win = p.indexOf("Window")
+    assert(win >= 0 && p.indexOf("BroadcastHashJoin", win) > 0,
+      "bucket pruning must happen before the selection window")
+  }
 }
