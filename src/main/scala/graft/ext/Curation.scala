@@ -1116,6 +1116,76 @@ object Curation {
        |ORDER BY s.source""".stripMargin
   }
 
+  // ------------------------------------------ q131 global row numbers
+  /** Target bucket count for the distributed global numbering. */
+  val RowNumBuckets = 32
+
+  /** q131: GLOBAL DENSE ROW NUMBERING without a single-partition sort —
+    * the scale rewrite of `ROW_NUMBER() OVER (ORDER BY source, doc_id)`.
+    * Spark plans an unpartitioned window as Exchange(SinglePartition) +
+    * sort: every row of the corpus funnels through ONE task, the
+    * canonical 100 TB plan-killer (WindowExec even logs a warning). The
+    * rewrite assigns identical numbers with nothing global but two
+    * TINY relations:
+    *
+    *  1. per-source stats (count, min/max doc_id) — one |sources|-row
+    *     aggregate; each source gets a bucket budget proportional to
+    *     its row count and a deterministic doc_id-range sub-bucketing
+    *     (pure value arithmetic — unlike repartitionByRange's sampled
+    *     boundaries, a row's bucket never depends on which run computed
+    *     it, so the two passes below agree without a persist);
+    *  2. per-bucket counts → exclusive prefix sums — a window over the
+    *     ≤[[RowNumBuckets]]-row bucket relation;
+    *  3. the corpus shuffles ONCE on its bucket id, sorts WITHIN each
+    *     bucket (row_number partitioned by bucket — parallel), and adds
+    *     the broadcast offset: rn = offset(bucket) + local rank.
+    *
+    * Bucket ids increase with (source, doc_id) by construction, so the
+    * composite numbering equals the global sort's. Balance follows the
+    * id distribution (ids dense per source ⇒ even buckets); correctness
+    * never depends on it. The oracle IS the single-sort window — green
+    * means the distributed numbering is indistinguishable. */
+  def globalRowNumbers(docs: DataFrame): DataFrame = {
+    val p = RowNumBuckets
+    val base = docs.select(col("doc_id"), col("source"))
+    val total = base.agg(count(lit(1)).as("n_total"))
+    // tiny per-source relation: bucket budget + doc_id range
+    val srcW = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val srcStats = base.groupBy("source")
+      .agg(count(lit(1)).as("n_s"),
+           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .crossJoin(broadcast(total))
+      .withColumn("p_s", greatest(lit(1L), expr(s"(n_s * $p) div n_total")))
+      .withColumn("bucket_base", coalesce(sum(col("p_s")).over(srcW), lit(0L)))
+      .select(col("source"), col("p_s"), col("bucket_base"),
+              col("min_id"), col("max_id"))
+    // value-deterministic bucket id, monotone in (source, doc_id)
+    val bucketed = base.join(broadcast(srcStats), "source")
+      .withColumn("gbucket", col("bucket_base") +
+        least(col("p_s") - 1,
+          expr("((doc_id - min_id) * p_s) div (max_id - min_id + 1)")))
+      .select(col("doc_id"), col("source"), col("gbucket"))
+    // exclusive prefix sum over the tiny bucket relation
+    val bktW = Window.orderBy("gbucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("gbucket").agg(count(lit(1)).as("c"))
+      .withColumn("below", coalesce(sum(col("c")).over(bktW), lit(0L)))
+      .select(col("gbucket"), col("below"))
+    // one corpus shuffle on gbucket; per-bucket sorts run in parallel
+    val rankW = Window.partitionBy("gbucket").orderBy("source", "doc_id")
+    bucketed.join(broadcast(offsets), "gbucket")
+      .withColumn("rn", col("below") + row_number().over(rankW))
+      .select(col("doc_id"), col("source"), col("rn"))
+      .orderBy("doc_id")
+  }
+
+  val globalRowNumbersSql: String =
+    """SELECT doc_id, source,
+      |  ROW_NUMBER() OVER (ORDER BY source, doc_id) AS rn
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_filter_verdicts" -> ((s, d) => filterVerdicts(Tables.documents(s, d))),
@@ -1136,7 +1206,8 @@ object Curation {
     "q56_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "q63_domain_mix" -> ((s, d) => domainMix(Tables.documents(s, d))),
     "q64_doc_stitches" -> ((s, d) => docStitches(Tables.documents(s, d))),
-    "q105_curation_pipeline" -> ((s, d) => curationPipeline(Tables.documents(s, d))))
+    "q105_curation_pipeline" -> ((s, d) => curationPipeline(Tables.documents(s, d))),
+    "q131_global_rownum" -> ((s, d) => globalRowNumbers(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q48_filter_verdicts" -> filterVerdictsSql,
@@ -1156,5 +1227,6 @@ object Curation {
     "q56_stratified_sample" -> stratifiedSampleSql,
     "q63_domain_mix" -> domainMixSql,
     "q64_doc_stitches" -> docStitchesSql,
-    "q105_curation_pipeline" -> curationPipelineSql)
+    "q105_curation_pipeline" -> curationPipelineSql,
+    "q131_global_rownum" -> globalRowNumbersSql)
 }

@@ -907,6 +907,114 @@ object TextAnalysis {
        |FROM coin WHERE u_bp < p_bp
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- q133 curriculum buckets
+  /** Quartile boundaries for the curriculum stages, in permille. */
+  val CurriculumPermille = Seq(250, 500, 750)
+  /** Score-bucket width (log2) for the threshold selection pass. */
+  val CurriculumBucketShift = 6
+
+  /** q133: CURRICULUM SCHEDULE — documents binned into 4 difficulty
+    * stages by exact quartiles of the q120 classifier score, reported
+    * as the per-(stage, source) manifest a curriculum-learning loader
+    * consumes (easy→hard staging by data quality). The naive plan is
+    * NTILE over the score order — a single-partition global sort, the
+    * same scale-killer q131 rewrites for numbering. Here the quartile
+    * THRESHOLDS come from the q128 two-pass selection machinery run on
+    * the score distribution (bucket histogram → locate rank → select
+    * within one bucket; `shiftright` keeps the bucketing floor-correct
+    * on negative scores, which n_chars never hit), the 3-row threshold
+    * relation broadcasts, and stage assignment is a stateless per-row
+    * compare — no global sort anywhere. Ties sitting exactly on a
+    * threshold go to the lower stage (strict >), so membership is
+    * value-deterministic under any partitioning. Costs three linear
+    * passes over the scored relation (histogram, in-bucket select,
+    * stage assignment — the total piggybacks on the histogram, never a
+    * fourth pass); a 100 TB run persists the scored relation once and
+    * the selection passes touch only the tiny bucket relations. */
+  def curriculumBuckets(docs: DataFrame): DataFrame = {
+    val scored = classifierScores(docs).select(col("doc_id"), col("score"))
+    val vals = scored.select(col("doc_id"), col("score").as("v"),
+      shiftright(col("score"), CurriculumBucketShift).as("bucket"))
+    // the histogram relation carries BOTH the exclusive prefix sums and
+    // the grand total (two windows over the same tiny sorted relation) —
+    // unlike q128's separate count, the corpus is never rescanned for n
+    val counts = vals.groupBy("bucket").agg(count(lit(1)).as("c"))
+    val winBase = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+    val cumW = winBase.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val allW = winBase.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val cum = counts
+      .withColumn("below", coalesce(sum(col("c")).over(cumW), lit(0L)))
+      .withColumn("n_total", sum(col("c")).over(allW))
+    val pcts = CurriculumPermille.map(p => s"($p)").mkString("VALUES ", ", ", "")
+    val pctDf = docs.sparkSession.sql(s"SELECT col1 AS p_permille FROM ($pcts)")
+    val k = expr("(p_permille * n_total + 999) div 1000")
+    val located = cum.join(broadcast(pctDf),
+        col("below") < k && k <= col("below") + col("c"))
+      .select(col("p_permille"), col("bucket").as("t_bucket"),
+              (k - col("below")).as("local_rank"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_permille").orderBy("v", "doc_id")
+    val thresholds = vals.join(broadcast(located), col("bucket") === col("t_bucket"))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") === col("local_rank"))
+      .groupBy()
+      .agg(max(when(col("p_permille") === 250, col("v"))).as("t25"),
+           max(when(col("p_permille") === 500, col("v"))).as("t50"),
+           max(when(col("p_permille") === 750, col("v"))).as("t75"))
+    scored.join(docs.select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+      .crossJoin(broadcast(thresholds))
+      .withColumn("stage", lit(1L) +
+        (col("score") > col("t25")).cast("long") +
+        (col("score") > col("t50")).cast("long") +
+        (col("score") > col("t75")).cast("long"))
+      .groupBy("stage", "source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_chars").as("sum_chars"),
+           min("score").as("min_score"),
+           max("score").as("max_score"))
+      .orderBy("stage", "source")
+  }
+
+  val curriculumBucketsSql: String =
+    s"""WITH weights AS (
+       |  SELECT bucket,
+       |    ('0x' || substr(md5('w' || CAST(bucket AS VARCHAR)), 1, 6))::BIGINT
+       |      % ${2 * WeightRange + 1} - $WeightRange AS weight
+       |  FROM (SELECT unnest(generate_series(0, ${ClassifierBuckets - 1})) AS bucket)),
+       |toks AS (
+       |  SELECT doc_id, w
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0),
+       |counts AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(w), 1, 6))::BIGINT % $ClassifierBuckets AS bucket,
+       |    COUNT(*) AS cnt
+       |  FROM toks GROUP BY doc_id, bucket),
+       |scored AS (
+       |  SELECT c.doc_id, CAST(SUM(c.cnt * wt.weight) AS BIGINT) AS score
+       |  FROM counts c JOIN weights wt ON wt.bucket = c.bucket
+       |  GROUP BY c.doc_id),
+       |n AS (SELECT COUNT(*) AS c FROM scored),
+       |ranked AS (
+       |  SELECT score, ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rn
+       |  FROM scored),
+       |t AS (SELECT
+       |  (SELECT r.score FROM ranked r, n WHERE r.rn = (250*n.c+999)//1000) AS t25,
+       |  (SELECT r.score FROM ranked r, n WHERE r.rn = (500*n.c+999)//1000) AS t50,
+       |  (SELECT r.score FROM ranked r, n WHERE r.rn = (750*n.c+999)//1000) AS t75)
+       |SELECT CAST(1 + CASE WHEN s.score > t.t25 THEN 1 ELSE 0 END
+       |              + CASE WHEN s.score > t.t50 THEN 1 ELSE 0 END
+       |              + CASE WHEN s.score > t.t75 THEN 1 ELSE 0 END AS BIGINT) AS stage,
+       |  d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+       |  MIN(s.score) AS min_score, MAX(s.score) AS max_score
+       |FROM scored s JOIN documents d ON d.doc_id = s.doc_id CROSS JOIN t
+       |GROUP BY stage, d.source
+       |ORDER BY stage, d.source""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
@@ -926,7 +1034,8 @@ object TextAnalysis {
     "q120_classifier_gate" -> ((s, d) => classifierScores(Tables.documents(s, d))),
     "q85_contamination_overlap" -> ((s, d) => contaminationOverlap(Tables.documents(s, d))),
     "q128_exact_quantiles" -> ((s, d) => exactQuantiles(Tables.documents(s, d))),
-    "q130_weighted_sample" -> ((s, d) => weightedSample(Tables.documents(s, d))))
+    "q130_weighted_sample" -> ((s, d) => weightedSample(Tables.documents(s, d))),
+    "q133_curriculum" -> ((s, d) => curriculumBuckets(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q19_lang_id"     -> langIdSql,
@@ -946,5 +1055,6 @@ object TextAnalysis {
     "q120_classifier_gate" -> classifierScoresSql,
     "q85_contamination_overlap" -> contaminationOverlapSql,
     "q128_exact_quantiles" -> exactQuantilesSql,
-    "q130_weighted_sample" -> weightedSampleSql)
+    "q130_weighted_sample" -> weightedSampleSql,
+    "q133_curriculum" -> curriculumBucketsSql)
 }

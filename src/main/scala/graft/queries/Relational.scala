@@ -936,6 +936,188 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q132
+  /** SCD TYPE-2 DIMENSION BUILD from a change log — the warehouse verb
+    * that turns an event stream into effective-dated history rows:
+    * consecutive same-state events per user collapse into one validity
+    * interval [valid_from, valid_to), open-ended (NULL) for the current
+    * state. The classic gaps-and-islands shape: a LAG detects state
+    * changes, a running sum of change flags numbers the runs (all
+    * windows PARTITIONED per user — per-key sorts inside one shuffle,
+    * never a global order), runs aggregate to intervals, and a LEAD
+    * closes each interval with its successor's start. At 100 TB this is
+    * one shuffle on user_id reused by every window and the aggregate
+    * (same clustering key), then a |runs|-row pass. Timestamps flow as
+    * exact epoch-micro longs; ties break on event_id. */
+  /** Gaps-and-islands core shared by q132 (full build) and q136
+    * (incremental merge): rows (user_id, event_id, event_type, ts_us, w)
+    * → per-user runs with LOCAL run ids 1..k. `w` is an occurrence
+    * weight — 1 for a real event, n_events for q136's open-interval
+    * seed rows, so a resumed run re-counts exactly. */
+  private def scdRuns(ev: DataFrame): DataFrame = {
+    val ordW = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    ev.withColumn("prev_type", lag(col("event_type"), 1).over(ordW))
+      .withColumn("chg",
+        when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(max(col("event_type")).as("event_type"), // constant within a run
+           min(col("ts_us")).as("valid_from_us"),
+           sum(col("w")).as("n_events"))
+  }
+
+  /** Close each run with its successor's start (LEAD per user); the last
+    * run per user stays open (NULL valid_to, is_current). */
+  private def closeRuns(runs: DataFrame): DataFrame = {
+    val runW = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    runs.withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(runW))
+      .select(col("user_id"), col("run_id"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"),
+        col("valid_to_us").isNull.cast("long").as("is_current"))
+  }
+
+  private def scdEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      expr("ts_ns div 1000").as("ts_us"), lit(1L).as("w"))
+
+  def q132Scd2Intervals(s: SparkSession, dir: String): DataFrame =
+    closeRuns(scdRuns(scdEvents(s, dir)))
+      .orderBy(col("user_id"), col("valid_from_us"))
+
+  val q132Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events),
+      |m AS (
+      |  SELECT *, LAG(event_type) OVER
+      |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+      |  FROM ev),
+      |r AS (
+      |  SELECT *, SUM(CASE WHEN prev_type IS NULL
+      |                       OR prev_type <> event_type THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM m),
+      |runs AS (
+      |  SELECT user_id, run_id, MAX(event_type) AS event_type,
+      |    MIN(ts_us) AS valid_from_us, COUNT(*) AS n_events
+      |  FROM r GROUP BY user_id, run_id)
+      |SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+      |  valid_from_us,
+      |  LEAD(valid_from_us) OVER
+      |    (PARTITION BY user_id ORDER BY run_id) AS valid_to_us,
+      |  n_events,
+      |  CAST(CASE WHEN LEAD(valid_from_us) OVER
+      |    (PARTITION BY user_id ORDER BY run_id) IS NULL
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM runs
+      |ORDER BY user_id, valid_from_us""".stripMargin
+
+  // --------------------------------------------------------------- q136
+  /** History/delta split for the q136 incremental SCD2 merge. */
+  val ScdCutoff = "2024-01-20"
+
+  /** INCREMENTAL SCD2 MAINTENANCE — q90's IVM discipline applied to the
+    * q132 dimension build: a persisted SCD2 snapshot (history < cutoff)
+    * is brought up to date with a new event batch WITHOUT rescanning
+    * history. Closed intervals are immutable facts — they pass through
+    * untouched. Only each delta user's OPEN interval can change: it is
+    * re-expressed as a weighted pseudo-event (its type, its start, w =
+    * its event count) seeding the gaps-and-islands recompute over seed ∪
+    * delta; the weight makes a resumed run re-count exactly, and run_id
+    * continuity comes from offsetting the local tail numbering by the
+    * open run's position. Cost: O(snapshot + delta + affected tail) —
+    * at 100 TB the difference between touching last night's partition
+    * and re-sorting a year of events. The oracle recomputes EVERYTHING
+    * from scratch (q132's SQL) — green means the merge is
+    * indistinguishable from the full rebuild, the entire IVM contract. */
+  def q136IncrementalScd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutUs = unix_micros(lit(ScdCutoff).cast("timestamp"))
+    val ev = scdEvents(s, dir)
+    val hist = ev.filter($"ts_us" < cutUs)
+    val delta = ev.filter($"ts_us" >= cutUs)
+    val snapshot = closeRuns(scdRuns(hist)) // the "persisted" dimension
+    val deltaUsers = delta.select($"user_id").distinct()
+    val seeds = snapshot.filter($"is_current" === 1)
+      .join(deltaUsers, Seq("user_id"), "left_semi")
+      .select($"user_id", lit(-1L).as("event_id"), $"event_type",
+        $"valid_from_us".as("ts_us"), $"n_events".as("w"),
+        ($"run_id" - 1).as("base_run"))
+    val tailIn = seeds.select($"user_id", $"event_id", $"event_type", $"ts_us", $"w")
+      .unionByName(delta)
+    val tail = closeRuns(scdRuns(tailIn))
+      .join(seeds.select($"user_id", $"base_run"), Seq("user_id"), "left")
+      .withColumn("run_id", $"run_id" + coalesce($"base_run", lit(0L)))
+      .drop("base_run")
+      .select($"user_id", $"run_id", $"event_type", $"valid_from_us",
+        $"valid_to_us", $"n_events", $"is_current")
+    val untouched = snapshot.join(deltaUsers, Seq("user_id"), "left_anti")
+    val keptClosed = snapshot.filter($"is_current" === 0)
+      .join(deltaUsers, Seq("user_id"), "left_semi")
+    untouched.unionByName(keptClosed).unionByName(tail)
+      .orderBy($"user_id", $"valid_from_us")
+  }
+
+  // --------------------------------------------------------------- q134
+  /** TABLE-VERSION DIFF (data reconciliation): given two versions of a
+    * keyed table, report exactly which keys were added, removed, or
+    * changed — the audit every table-maintenance op (q95 MERGE, q115
+    * compaction, q123 backfill) wants after the fact. Each side reduces
+    * to (key, fingerprint) — md5 over a canonical rendering of the
+    * non-key columns — so the full-outer join on the key shuffles two
+    * narrow relations however wide the table is; unchanged keys (the
+    * overwhelming mass in practice) drop before the ORDER BY. The "new"
+    * version here is q95's merged snapshot, which makes the diff
+    * self-validating: green means diff(base, merge(base, changes))
+    * reproduces the change batch exactly — inserts as 'added', deletes
+    * as 'removed', re-priced keys as 'changed'. */
+  def q134TableDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def fp(custkey: Column, status: Column, cents: Column, prio: Column) =
+      md5(concat_ws("|", custkey, status, cents, prio))
+    val base = Tables.orders(s, dir).select(
+      $"o_orderkey".as("b_key"),
+      fp($"o_custkey", $"o_orderstatus", cents($"o_totalprice"),
+         $"o_orderpriority").as("b_fp"))
+    val next = q95MergeUpsert(s, dir).select(
+      $"o_orderkey".as("a_key"),
+      fp($"o_custkey", $"o_orderstatus", $"price_cents",
+         $"o_orderpriority").as("a_fp"))
+    base.join(next, $"b_key" === $"a_key", "full_outer")
+      .withColumn("status",
+        when($"b_key".isNull, "added")
+          .when($"a_key".isNull, "removed")
+          .when($"b_fp" =!= $"a_fp", "changed"))
+      .filter($"status".isNotNull)
+      .select(coalesce($"b_key", $"a_key").as("o_orderkey"), $"status")
+      .orderBy($"status", $"o_orderkey")
+  }
+
+  val q134Sql: String =
+    s"""WITH applied AS (SELECT * FROM (${q95Sql.replace("ORDER BY o_orderkey", "")}) q),
+       |b AS (
+       |  SELECT o_orderkey AS b_key,
+       |    md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+       |      CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR),
+       |      o_orderpriority)) AS b_fp
+       |  FROM orders),
+       |a AS (
+       |  SELECT o_orderkey AS a_key,
+       |    md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+       |      CAST(price_cents AS VARCHAR), o_orderpriority)) AS a_fp
+       |  FROM applied)
+       |SELECT coalesce(b_key, a_key) AS o_orderkey,
+       |  CASE WHEN b_key IS NULL THEN 'added'
+       |       WHEN a_key IS NULL THEN 'removed'
+       |       ELSE 'changed' END AS status
+       |FROM b FULL OUTER JOIN a ON b_key = a_key
+       |WHERE b_key IS NULL OR a_key IS NULL OR b_fp <> a_fp
+       |ORDER BY status, o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_pricing"     -> (q05Pricing _),
@@ -966,7 +1148,10 @@ object Relational {
     "q97_large_orders"      -> (q97LargeOrders _),
     "q99_grouping_sets"     -> (q99GroupingSets _),
     "q100_bag_set_ops"      -> (q100BagSetOps _),
-    "q101_two_stage_distinct" -> (q101TwoStageDistinct _))
+    "q101_two_stage_distinct" -> (q101TwoStageDistinct _),
+    "q132_scd2_intervals"   -> (q132Scd2Intervals _),
+    "q136_incremental_scd2" -> (q136IncrementalScd2 _),
+    "q134_table_diff"       -> (q134TableDiff _))
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
@@ -997,5 +1182,8 @@ object Relational {
     "q97_large_orders"      -> q97Sql,
     "q99_grouping_sets"     -> q99Sql,
     "q100_bag_set_ops"      -> q100Sql,
-    "q101_two_stage_distinct" -> q101Sql)
+    "q101_two_stage_distinct" -> q101Sql,
+    "q132_scd2_intervals"   -> q132Sql,
+    "q136_incremental_scd2" -> q132Sql, // oracle = the from-scratch rebuild
+    "q134_table_diff"       -> q134Sql)
 }

@@ -17,6 +17,14 @@ case class SessState(n: Long, maxUs: Long)
 case class UserSnapshot(user_id: Long, n: Long, mx: Double)
 /** Timer-emitted session close record ([[SessionCloseProcessor]]). */
 case class SessionClose(user_id: Long, n_events: Long, close_us: Long)
+/** Typed event feeding [[EventsStreaming.scdIntervals]] (q135). */
+case class ScdEvent(user_id: Long, event_id: Long, event_type: String, tsUs: Long)
+/** Open-run state for [[EventsStreaming.scdIntervals]]: the one validity
+  * interval per user that is still accumulating. */
+case class ScdRunState(run_id: Long, event_type: String, validFromUs: Long, n: Long)
+/** q135 emission — one SCD2 validity interval (open ⇒ valid_to_us None). */
+case class ScdInterval(user_id: Long, run_id: Long, event_type: String,
+  valid_from_us: Long, valid_to_us: Option[Long], n_events: Long, is_current: Long)
 
 /** Structured Streaming surface over the `events` fixture (SURVEY.md
   * §2.7): the reference is strictly batch, so these are the engine's
@@ -255,6 +263,71 @@ object EventsStreaming {
       .transformWithState(new SessionCloseProcessor,
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
+  }
+
+  /** q135: STREAMING SCD2 — the q132 dimension build as a live state
+    * machine: each user's open validity interval lives in keyed state; a
+    * state CHANGE emits the closed interval immediately (valid_to = the
+    * new run's first event time, exactly q132's LEAD), and the open
+    * interval flushes with `is_current = 1` only when the WATERMARK
+    * proves no further event can extend it (event-time timeout — the
+    * third state-lifecycle mechanism the gates exercise, after q126's
+    * NoTimeout registers and q78's explicit timers). State is O(1) per
+    * user regardless of history length — the closed intervals left the
+    * store the moment they were emitted, which is what lets a CDC
+    * consumer maintain a 100 TB dimension without ever holding it.
+    * In-batch arrivals sort by (ts, event_id) before folding; cross-batch
+    * ordering is the source's time-ordered staging (StreamingGate stages
+    * two time-halves so the suspend/resume path is provably exercised). */
+  def scdIntervals(events: DataFrame): Dataset[ScdInterval] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      // ts stays in the projection: dropping the watermarked column would
+      // detach the watermark the event-time timeout check looks for
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsUs"), col("ts"))
+      .as[ScdEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdRunState, ScdInterval](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[ScdEvent], state: GroupState[ScdRunState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end-of-stream: flush the open interval
+            val s = state.get
+            state.remove()
+            Iterator.single(ScdInterval(uid, s.run_id, s.event_type,
+              s.validFromUs, None, s.n, 1L))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.tsUs, e.event_id))
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              var open = state.getOption
+              val out = scala.collection.mutable.ArrayBuffer[ScdInterval]()
+              sorted.foreach { e =>
+                open match {
+                  case Some(s) if s.event_type == e.event_type =>
+                    open = Some(s.copy(n = s.n + 1))
+                  case Some(s) =>
+                    out += ScdInterval(uid, s.run_id, s.event_type,
+                      s.validFromUs, Some(e.tsUs), s.n, 0L)
+                    open = Some(ScdRunState(s.run_id + 1, e.event_type, e.tsUs, 1L))
+                  case None =>
+                    open = Some(ScdRunState(1L, e.event_type, e.tsUs, 1L))
+                }
+              }
+              state.update(open.get)
+              // arm the flush just past this key's latest event; clamped
+              // above the current watermark (setTimeoutTimestamp rejects
+              // timestamps at or behind it)
+              state.setTimeoutTimestamp(math.max(
+                sorted.last.tsUs / 1000L + 60000L,
+                state.getCurrentWatermarkMs() + 60000L))
+              out.iterator
+            }
+          }
+      }
   }
 
   /** Custom keyed state: per-user running event count + last event type,

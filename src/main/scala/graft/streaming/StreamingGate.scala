@@ -698,6 +698,91 @@ object StreamingGate {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------ q135 streaming SCD2
+  private val eventsTimeSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  /** The events fixture staged as TWO parquet halves split at the mid
+    * timestamp, older half first by mtime, plus the +1-day sentinel:
+    * under `maxFilesPerTrigger = 1` every user's interval state machine
+    * genuinely SUSPENDS at the batch boundary and resumes from the state
+    * store (a run straddling the time split must re-read its open run),
+    * and the sentinel's watermark advance fires the event-time timeouts
+    * that flush open intervals. Immutable once built; cached per dir. */
+  private def stageEventsTimeSplit(spark: SparkSession, dir: String): Path =
+    eventsTimeSplitCache.computeIfAbsent(dir, { _ =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.schema(EventsStreaming.rawSchema)
+        .parquet(canonicalEventsFile(spark, dir).toString)
+      val mm = raw.agg(min(col("ts")), max(col("ts"))).head()
+      val (mnNs, mxNs) =
+        if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
+      val midNs = mnNs + (mxNs - mnNs) / 2
+      val staged = Files.createTempDirectory("graft-events-timesplit")
+      staged.toFile.deleteOnExit()
+      Seq(("00-events.parquet", col("ts") <= midNs, 120000L),
+          ("01-events.parquet", col("ts") > midNs, 60000L))
+        .foreach { case (name, pred, ageMs) =>
+          val tmp = Files.createTempDirectory("graft-events-half")
+          raw.filter(pred).coalesce(1).write.mode("overwrite")
+            .parquet(tmp.toString)
+          val part = Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst.get
+          val dst = staged.resolve(name)
+          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dst,
+            FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+        }
+      val sentinel = spark.createDataFrame(
+        java.util.Arrays.asList(
+          Row(-1L, mxNs + 86400L * 1000000000L, -1L, "sentinel", 0.0, null)),
+        EventsStreaming.rawSchema)
+      val outTmp = Files.createTempDirectory("graft-stream-sentinel")
+      sentinel.coalesce(1).write.mode("overwrite").parquet(outTmp.toString)
+      val part = Files.list(outTmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst.get
+      val dst = staged.resolve("99-sentinel.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        FileTime.fromMillis(System.currentTimeMillis()))
+      staged
+    })
+
+  /** q135: STREAMING SCD2 DIMENSION MAINTENANCE — the 17th gate: q132's
+    * gaps-and-islands build run as a live CDC consumer through
+    * [[EventsStreaming.scdIntervals]]. Three micro-batches (two
+    * time-ordered event halves + the sentinel): closed intervals emit
+    * the moment their successor run opens — including runs that RESUME
+    * from the state store across the half boundary — and open intervals
+    * emit only when the sentinel-advanced watermark fires their
+    * event-time timeout. The oracle is q132's batch SQL: green means
+    * the incremental state machine is indistinguishable from the
+    * full-history window build, per interval, per count, per flag. */
+  def q135StreamScd2(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageEventsTimeSplit(spark, dir)
+    val name = s"graft_stream_gate_${runCounter.incrementAndGet()}"
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    ckpt.toFile.deleteOnExit()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = EventsStreaming.scdIntervals(
+          stream(spark, staged, filesPerTrigger = Some(1)))
+        .toDF()
+        .filter(col("user_id") >= 0) // sentinel's own group is inert
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastRunProgress.set(q.recentProgress.toSeq)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name).orderBy("user_id", "valid_from_us")
+  }
+
   // ------------------------------------------------ q126 streaming dedup
   /** The documents fixture staged as TWO parquet files split at the
     * median doc_id, mtimes ordered low-half first — under
@@ -874,7 +959,8 @@ object StreamingGate {
     "q79_stream_initial_state" -> (q79StreamInitialState _),
     "q82_stream_restart" -> (q82StreamRestart _),
     "q122_stream_hll" -> (q122StreamHll _),
-    "q126_stream_neardup" -> (q126StreamNearDup _))
+    "q126_stream_neardup" -> (q126StreamNearDup _),
+    "q135_stream_scd2" -> (q135StreamScd2 _))
 
   /** Same oracles as the batch twins: the streaming engine must land on
     * the identical relation. */
@@ -894,5 +980,7 @@ object StreamingGate {
     "q78_stream_session_close" -> q78Sql,
     "q79_stream_initial_state" -> q76Sql,
     "q82_stream_restart" -> q82Sql,
-    "q126_stream_neardup" -> q126Sql)
+    "q126_stream_neardup" -> q126Sql,
+    // oracle = q132's batch build: stream/batch parity for the SCD2 verb
+    "q135_stream_scd2" -> graft.queries.Relational.q132Sql)
 }

@@ -1084,6 +1084,43 @@ class ExtSpec extends SparkSpec {
       "the exclusion must be visible in n_banned")
   }
 
+  test("q131 global row numbers: distributed numbering equals the single-sort window") {
+    val r = Curation.globalRowNumbers(docs).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("source"), x.getAs[Long]("rn")))
+    val expected = r.map(t => (t._2, t._1)).sorted.zipWithIndex
+      .map { case ((s, id), i) => (id, s) -> (i + 1L) }.toMap
+    assert(r.length == docs.count())
+    r.foreach { case (id, s, rn) =>
+      assert(rn == expected((id, s)), s"doc $id: rn=$rn want ${expected((id, s))}")
+    }
+  }
+
+  test("q133 curriculum: stages are exact score quartiles; manifest accounts for every doc") {
+    val scores = TextAnalysis.classifierScores(docs).collect()
+      .map(x => (x.getAs[Long]("score"), x.getAs[Long]("doc_id")))
+    val sorted = scores.sorted
+    val n = sorted.length
+    def th(p: Int) = sorted((((p.toLong * n + 999) / 1000) - 1).toInt)._1
+    val (t25, t50, t75) = (th(250), th(500), th(750))
+    val docMeta = docs.select("doc_id", "source", "n_chars").collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    val expected = scores
+      .map { case (sc, id) =>
+        val stage = 1L + (if (sc > t25) 1 else 0) +
+          (if (sc > t50) 1 else 0) + (if (sc > t75) 1 else 0)
+        ((stage, docMeta(id)._1), docMeta(id)._2)
+      }
+      .groupBy(_._1).map { case (k, v) => k -> (v.length.toLong, v.map(_._2).sum) }
+    val r = TextAnalysis.curriculumBuckets(docs).collect()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == n)
+    r.foreach { row =>
+      val k = (row.getAs[Long]("stage"), row.getAs[String]("source"))
+      val (nd, sc) = expected(k)
+      assert(row.getAs[Long]("n_docs") == nd && row.getAs[Long]("sum_chars") == sc,
+        s"stage/source $k: got (${row.getAs[Long]("n_docs")}, ${row.getAs[Long]("sum_chars")}), want ($nd, $sc)")
+    }
+  }
+
   test("q128 exact quantiles: matches the sorted-corpus type-1 rank definition") {
     val r = TextAnalysis.exactQuantiles(docs).collect()
     val vals = docs.select(col("n_chars"), col("doc_id")).collect()

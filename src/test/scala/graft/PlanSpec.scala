@@ -811,6 +811,25 @@ class PlanSpec extends SparkSpec {
       s"anti-join must broadcast the banned-pair side, got:\n${anti}")
   }
 
+  test("q131: the numbering window is partitioned — never a corpus-wide single-partition sort") {
+    val p = plan(graft.ext.Curation.globalRowNumbers(Tables.documents(spark, sf)))
+    val i = p.indexOf("row_number()")
+    assert(i >= 0 &&
+      p.substring(i, math.min(p.length, i + 120)).contains("windowspecdefinition(gbucket"),
+      s"rn must be computed per bucket, not over a global order:\n${p.substring(math.max(0, i - 50), math.min(p.length, i + 200))}")
+    // the tiny offset/stat relations broadcast back to the corpus side
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets must join as broadcasts, not shuffles")
+  }
+
+  test("q133: threshold relation broadcasts; stage assignment is stateless per row") {
+    val p = plan(graft.ext.TextAnalysis.curriculumBuckets(Tables.documents(spark, sf)))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row threshold table must cross-join as a broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "no cartesian product anywhere in the curriculum plan")
+  }
+
   test("q128: only selected-bucket rows reach the selection window") {
     val df = graft.ext.TextAnalysis.exactQuantiles(Tables.documents(spark, sf))
     val p = plan(df)

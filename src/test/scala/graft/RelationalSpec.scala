@@ -266,4 +266,59 @@ class RelationalSpec extends SparkSpec {
       }
     }
   }
+
+  test("q132 SCD2: intervals tile each user's history; one open interval per user") {
+    val r = q132Scd2Intervals(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, sf).count(),
+      "every event must land in exactly one interval")
+    r.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("valid_from_us"))
+      assert(sorted.count(_.getAs[Long]("is_current") == 1L) == 1,
+        s"user $u: exactly one open interval")
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to_us")),
+        s"user $u: the open interval is the latest one")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_us") == b.getAs[Long]("valid_from_us"),
+            s"user $u: intervals must be contiguous")
+          assert(a.getAs[String]("event_type") != b.getAs[String]("event_type"),
+            s"user $u: adjacent runs must differ (else they'd be one run)")
+        case _ =>
+      }
+    }
+  }
+
+  test("q136 incremental SCD2 merge is indistinguishable from the full rebuild") {
+    val got = q136IncrementalScd2(spark, sf).collect()
+    val want = q132Scd2Intervals(spark, sf).collect()
+    assert(got.length == want.length, s"${got.length} vs ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.toSeq == w.toSeq, s"merge/rebuild divergence: $g vs $w") }
+    // the merge path is only proven if users actually straddle the cutoff
+    val cutUs = java.time.Instant.parse(s"${ScdCutoff}T00:00:00Z")
+      .toEpochMilli * 1000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts_ns div 1000").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val straddlers = ev.groupBy(_._1).values
+      .count(rows => rows.exists(_._2 < cutUs) && rows.exists(_._2 >= cutUs))
+    info(s"users with history AND delta events: $straddlers")
+    assert(straddlers > 0, "cutoff must split at least one user's history")
+  }
+
+  test("q134 table diff reproduces the q95 change batch exactly") {
+    val r = q134TableDiff(spark, sf).collect()
+      .map(x => (x.getAs[Long]("o_orderkey"), x.getAs[String]("status")))
+    val keys = Tables.orders(spark, sf).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    val mx = keys.max
+    val nNations = Tables.nation(spark, sf).count()
+    val expAdded = (0L until nNations).map(mx + _ + 1).toSet
+    val expRemoved = keys.filter(_ % 97 == 0).toSet
+    val expChanged = keys.filter(k => k % 100 == 0 && k % 97 != 0).toSet
+    def got(st: String) = r.filter(_._2 == st).map(_._1).toSet
+    assert(got("added") == expAdded, "added = the synthetic inserts")
+    assert(got("removed") == expRemoved, "removed = the %97 deletes")
+    assert(got("changed") == expChanged, "changed = the re-priced %100 keys")
+  }
 }

@@ -510,4 +510,40 @@ class StreamingSpec extends SparkSpec {
     info(s"cross-batch links: $cross of ${got.size} (fixture n=$n)")
     assert(cross > 0, "staging must produce at least one cross-batch link")
   }
+
+  test("q135 gate: interval state suspends/resumes across the time-split batch boundary") {
+    val got = graft.streaming.StreamingGate.q135StreamScd2(spark, sf).collect()
+    val want = graft.queries.Relational.q132Scd2Intervals(spark, sf).collect()
+    assert(got.length == want.length, s"${got.length} vs batch ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.toSeq == w.toSeq, s"stream/batch divergence: $g vs $w") }
+    // exactly one open interval per user, flushed by the watermark timeout
+    val byUser = got.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, rows) =>
+      assert(rows.count(_.getAs[Long]("is_current") == 1L) == 1, s"user $u") }
+    // the rows that PROVE state crossed the boundary: runs with events in
+    // BOTH time halves had to resume from the store in batch 2
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_ns"), col("event_type"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val midNs = {
+      val ts = ev.map(_._2); ts.min + (ts.max - ts.min) / 2
+    }
+    var straddling = 0
+    ev.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._4))
+      var runTs = List.empty[Long]
+      var prev: String = null
+      sorted.foreach { case (_, ts, tpe, _) =>
+        if (prev != null && tpe != prev) {
+          if (runTs.exists(_ <= midNs) && runTs.exists(_ > midNs)) straddling += 1
+          runTs = Nil
+        }
+        runTs ::= ts; prev = tpe
+      }
+      if (runTs.exists(_ <= midNs) && runTs.exists(_ > midNs)) straddling += 1
+    }
+    info(s"runs straddling the batch boundary: $straddling")
+    assert(straddling > 0, "staging must make at least one run resume from state")
+  }
 }
