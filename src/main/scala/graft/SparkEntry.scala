@@ -30,6 +30,7 @@ object SparkEntry {
     graft.sources.Partitioned.queries ++
     graft.sources.Compaction.queries ++
     graft.sources.ZOrder.queries ++
+    graft.sources.TokenIndex.queries ++
     graft.sources.DynamicOverwrite.queries ++
     graft.sources.Robustness.queries ++
     graft.streaming.StreamingGate.queries
@@ -51,6 +52,7 @@ object SparkEntry {
     graft.sources.Partitioned.oracles ++
     graft.sources.Compaction.oracles ++
     graft.sources.ZOrder.oracles ++
+    graft.sources.TokenIndex.oracles ++
     graft.sources.DynamicOverwrite.oracles ++
     graft.sources.Robustness.oracles ++
     graft.streaming.StreamingGate.oracles

@@ -277,11 +277,138 @@ object Sketches {
        |ORDER BY b.col_name""".stripMargin
   }
 
+  // ---------------------------------------------- q138 join estimates
+  /** The audited equi-joins: (name, left keys SQL, right keys SQL) —
+    * shared by the Spark plan and the oracle so both see one spec. */
+  private val JoinPairsSql: Seq[(String, String, String)] = Seq(
+    ("customer_orders", "SELECT c_custkey AS k FROM customer",
+                        "SELECT o_custkey AS k FROM orders"),
+    ("orders_lineitem", "SELECT o_orderkey AS k FROM orders",
+                        "SELECT l_orderkey AS k FROM lineitem"),
+    ("supplier_lineitem", "SELECT s_suppkey AS k FROM supplier",
+                          "SELECT l_suppkey AS k FROM lineitem"))
+
+  private def joinPairs(s: SparkSession, dir: String): Seq[(String, DataFrame, DataFrame)] = Seq(
+    ("customer_orders", Tables.customer(s, dir).select(col("c_custkey").as("k")),
+                        Tables.orders(s, dir).select(col("o_custkey").as("k"))),
+    ("orders_lineitem", Tables.orders(s, dir).select(col("o_orderkey").as("k")),
+                        Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))),
+    ("supplier_lineitem", Tables.supplier(s, dir).select(col("s_suppkey").as("k")),
+                          Tables.lineitem(s, dir).select(col("l_suppkey").as("k"))))
+
+  /** q138: JOIN-CARDINALITY ESTIMATION AUDIT — the q129 statistics put
+    * to their actual use: what a cost-based planner predicts for
+    * |A ⋈ B| from per-side row counts and HLL NDVs (the textbook
+    * containment estimate n_l · n_r / max(ndv_l, ndv_r) — exact under
+    * FK containment + uniformity, which TPC-H keys satisfy), laid next
+    * to the TRUE output cardinality. The truth is computed WITHOUT
+    * materializing the join: per-side key-count relations join and sum
+    * cnt_l · cnt_r — |distinct keys| rows through the shuffle, never
+    * n_l · n_r (the q101 discipline applied to join sizing). Everything
+    * is the pinned q118 register arithmetic, so estimate AND error are
+    * bit-identical in both engines and the err_bp column hash-gates how
+    * good the statistics actually are — an estimator that drifts fails
+    * the gate, which is precisely what you want from planner stats.
+    * At 100 TB the estimate side reads only stats tables (q129's
+    * mergeable per-file rollup); the audit side is run on samples or
+    * after the fact. n_l · n_r stays in i64 at fixture scale; a
+    * production estimator carries this in floating point. */
+  def joinEstimates(s: SparkSession, dir: String): DataFrame = {
+    val sides = joinPairs(s, dir).map { case (n, l, r) =>
+      l.select(lit(n).as("join_name"), lit("L").as("side"), col("k"))
+        .unionByName(r.select(lit(n).as("join_name"), lit("R").as("side"), col("k")))
+    }.reduce(_ unionByName _)
+    val keyed = sides.select(col("join_name"), col("side"),
+      concat_ws("|", col("join_name"), col("side")).as("jk"),
+      col("k").cast("string").as("w"))
+    val ns = keyed.groupBy("join_name", "side").agg(count(lit(1)).as("n"))
+    val ndv = estimateBy(
+        registerTable(keyed.select("jk", "w").distinct(), key = "jk", value = "w"),
+        Seq("jk"), "ndv")
+      .select(expr("split(jk, '\\\\|')[0]").as("join_name"),
+              expr("split(jk, '\\\\|')[1]").as("side"), col("ndv"))
+    val wide = ns.join(ndv, Seq("join_name", "side"))
+      .groupBy("join_name").agg(
+        max(when(col("side") === "L", col("n"))).as("n_left"),
+        max(when(col("side") === "R", col("n"))).as("n_right"),
+        max(when(col("side") === "L", col("ndv"))).as("ndv_left"),
+        max(when(col("side") === "R", col("ndv"))).as("ndv_right"))
+      .withColumn("est_rows",
+        expr("(n_left * n_right) div greatest(ndv_left, ndv_right)"))
+    val actual = joinPairs(s, dir).map { case (n, l, r) =>
+      l.groupBy("k").agg(count(lit(1)).as("ca"))
+        .join(r.groupBy("k").agg(count(lit(1)).as("cb")), "k")
+        .agg(sum(col("ca") * col("cb")).as("actual_rows"))
+        .select(lit(n).as("join_name"), col("actual_rows"))
+    }.reduce(_ unionByName _)
+    wide.join(actual, "join_name")
+      .withColumn("err_bp",
+        expr("abs(est_rows - actual_rows) * 10000 div actual_rows"))
+      .orderBy("join_name")
+  }
+
+  val joinEstimatesSql: String = {
+    val sideUnion = JoinPairsSql.flatMap { case (n, l, r) => Seq(
+      s"SELECT '$n' AS join_name, 'L' AS side, k FROM ($l)",
+      s"SELECT '$n' AS join_name, 'R' AS side, k FROM ($r)") }
+      .mkString("\n  UNION ALL ")
+    val actualUnion = JoinPairsSql.map { case (n, l, r) =>
+      s"""SELECT '$n' AS join_name, CAST(SUM(ca * cb) AS BIGINT) AS actual_rows
+         |  FROM (SELECT k, COUNT(*) AS ca FROM ($l) GROUP BY k) a
+         |  JOIN (SELECT k, COUNT(*) AS cb FROM ($r) GROUP BY k) b USING (k)""" }
+      .mkString("\n  UNION ALL ").stripMargin
+    s"""WITH sides AS ($sideUnion),
+       |keyed AS (SELECT join_name, side, CAST(k AS VARCHAR) AS w FROM sides),
+       |ns AS (SELECT join_name, side, COUNT(*) AS n FROM keyed GROUP BY 1, 2),
+       |hashed AS (SELECT DISTINCT join_name, side, md5(w) AS hx FROM keyed),
+       |rho AS (SELECT join_name, side,
+       |    ('0x' || substr(hx, 1, 6))::BIGINT % $Registers AS reg,
+       |    ('0x' || substr(hx, 7, 6))::BIGINT AS v
+       |  FROM hashed),
+       |regs AS (SELECT join_name, side, reg,
+       |    MAX(CASE WHEN v = 0 THEN $RhoCap
+       |        ELSE CAST(round(log2(v & -v)) AS INT) + 1 END) AS m
+       |  FROM rho GROUP BY 1, 2, 3),
+       |raw AS (SELECT join_name, side, COUNT(*) AS regs_hit,
+       |    (($AlphaPermille * $Registers * $Registers) * (CAST(1 AS BIGINT) << $RhoCap))
+       |      // (1000 * (SUM(CAST(1 AS BIGINT) << ($RhoCap - m))
+       |                  + ($Registers - COUNT(*)) * (CAST(1 AS BIGINT) << $RhoCap)))
+       |      AS raw_est
+       |  FROM regs GROUP BY 1, 2),
+       |ests AS (SELECT join_name, side,
+       |    CASE WHEN raw_est <= 5 * $Registers // 2 AND regs_hit < $Registers
+       |      THEN ($Registers * list_extract(${LnTable.mkString("[", ", ", "]")},
+       |                                      $Registers - regs_hit))
+       |           // (CAST(1 AS BIGINT) << $LnScale)
+       |      ELSE raw_est END AS ndv
+       |  FROM raw),
+       |per AS (SELECT n.join_name, n.side, n.n, e.ndv
+       |  FROM ns n JOIN ests e ON n.join_name = e.join_name AND n.side = e.side),
+       |wide AS (SELECT join_name,
+       |    MAX(CASE WHEN side = 'L' THEN n END) AS n_left,
+       |    MAX(CASE WHEN side = 'R' THEN n END) AS n_right,
+       |    MAX(CASE WHEN side = 'L' THEN ndv END) AS ndv_left,
+       |    MAX(CASE WHEN side = 'R' THEN ndv END) AS ndv_right
+       |  FROM per GROUP BY join_name),
+       |act AS ($actualUnion)
+       |SELECT w.join_name, w.n_left, w.n_right,
+       |  CAST(w.ndv_left AS BIGINT) AS ndv_left,
+       |  CAST(w.ndv_right AS BIGINT) AS ndv_right,
+       |  CAST((w.n_left * w.n_right) // greatest(w.ndv_left, w.ndv_right) AS BIGINT) AS est_rows,
+       |  a.actual_rows,
+       |  CAST(abs((w.n_left * w.n_right) // greatest(w.ndv_left, w.ndv_right)
+       |           - a.actual_rows) * 10000 // a.actual_rows AS BIGINT) AS err_bp
+       |FROM wide w JOIN act a ON a.join_name = w.join_name
+       |ORDER BY w.join_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_hll_tokens" -> ((s, d) => hllTokenSketch(Tables.documents(s, d))),
-    "q129_table_stats" -> ((s, d) => tableStats(Tables.lineitem(s, d))))
+    "q129_table_stats" -> ((s, d) => tableStats(Tables.lineitem(s, d))),
+    "q138_join_estimate" -> ((s, d) => joinEstimates(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q118_hll_tokens" -> hllTokenSketchSql,
-    "q129_table_stats" -> tableStatsSql)
+    "q129_table_stats" -> tableStatsSql,
+    "q138_join_estimate" -> joinEstimatesSql)
 }

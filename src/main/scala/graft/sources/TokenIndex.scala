@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** q137: INVERTED-INDEX DATA SKIPPING — content-derived partition
+  * pruning for set-membership predicates, the lookup min/max stats can
+  * never answer. q121's zone maps prune range predicates ("day between
+  * a and b"); a phrase lookup ("which documents contain this exact
+  * trigram") intersects EVERY file's min/max interval, so a stats-only
+  * planner reads the whole table. The lakehouse answer is a per-file
+  * content index (Delta's bloom filter index, Hudi's record index):
+  * here each shard file publishes the md5-bucket set of its trigrams —
+  * ≤ [[IdxBuckets]] bits per file however big the file is, the
+  * fixed-size-summary property that makes the index plannable at 100 TB
+  * (a billion-file table's index is still only #files × 4 KB of bits).
+  *
+  * Lookup: probe grams → their buckets → the shards whose bucket set
+  * hits — a driver-side walk of the tiny index, exactly like q121's
+  * txn-log pruning — then ONLY those shard directories are listed and
+  * read, with the exact gram filter re-applied on the survivors.
+  * Bucket collisions cause false KEEPS (extra shards read, correctness
+  * untouched); false drops are impossible because every gram of a shard
+  * is indexed — the bloom-index soundness contract.
+  *
+  * The probe set is fixture-derived but value-deterministic in both
+  * engines: the [[NProbes]] lexicographically-smallest trigrams unique
+  * to one document (a production run gets its probes from the user;
+  * discovery here stands in so the oracle is closed-form SQL). */
+object TokenIndex {
+
+  /** Shard files in the layout (doc_id fixed-width cells — static, like
+    * q121's curve cells, so the pruning numbers are a pure function of
+    * the data). */
+  val NShards = 16
+  /** md5 bucket space of the per-shard gram index. */
+  val IdxBuckets = 4096
+  /** Probe grams per lookup. */
+  val NProbes = 5
+
+  /** Distinct (doc_id, gram) word-trigram pairs — q57's gram stream. */
+  private def grams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))")).as("gram"))
+      .distinct()
+
+  private def bucketExpr(c: String) =
+    expr(s"cast(conv(substr(md5($c), 1, 6), 16, 10) as bigint) % $IdxBuckets")
+
+  private val layoutCache =
+    new ConcurrentHashMap[String, (String, Set[(Long, Long)])]()
+
+  /** Write the sharded layout once per fixture and build its gram
+    * index: the (shard, bucket) presence set — the "txn log" side.
+    * Index build is ingest-time work in production (one pass over each
+    * file as it lands), amortized over every future lookup. */
+  def layoutAndIndex(spark: SparkSession, dir: String): (String, Set[(Long, Long)]) =
+    layoutCache.computeIfAbsent(dir, { _ =>
+      val docs = Tables.documents(spark, dir)
+      val mm = docs.agg(min("doc_id"), max("doc_id")).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val sharded = docs.withColumn("shard",
+        expr(s"((doc_id - $lo) * $NShards) div ${hi - lo + 1}"))
+      val path = graft.TempDirs.create("graft-gramindex").toString
+      sharded.repartition(NShards, col("shard"))
+        .write.partitionBy("shard").mode("overwrite").parquet(path)
+      val back = spark.read.parquet(path) // shard partition column restored
+      val idx = grams(back.select(col("doc_id"), col("text")))
+        .join(back.select(col("doc_id"), col("shard").cast("long").as("shard")), "doc_id")
+        .select(col("shard"), bucketExpr("gram").as("bucket"))
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (path, idx)
+    })
+
+  /** The lexicographically-first [[NProbes]] single-document trigrams —
+    * deterministic probe discovery mirrored by the oracle's CTE. */
+  private def probeGrams(spark: SparkSession, dir: String): Seq[String] =
+    grams(Tables.documents(spark, dir))
+      .groupBy("gram").agg(count(lit(1)).as("df")) // pairs are distinct
+      .filter(col("df") === 1)
+      .orderBy("gram").limit(NProbes)
+      .collect().map(_.getString(0)).toSeq
+
+  /** q137: the phrase lookup through the index-pruned read. */
+  def probedLookup(spark: SparkSession, dir: String): DataFrame = {
+    val (path, idx) = layoutAndIndex(spark, dir)
+    val ps = probeGrams(spark, dir)
+    // probe buckets via the same Spark expression that built the index
+    // (no second md5 implementation to disagree with)
+    import spark.implicits._
+    val wantedBuckets = ps.toDF("gram").select(bucketExpr("gram"))
+      .collect().map(_.getLong(0)).toSet
+    val kept = (0L until NShards.toLong)
+      .filter(sh => wantedBuckets.exists(b => idx.contains((sh, b))))
+    val pruned = spark.read.parquet(path)
+      .filter(col("shard").isin(kept: _*)) // listing-time pruning
+    grams(pruned.select(col("doc_id"), col("text")))
+      .filter(col("gram").isin(ps: _*))
+      .join(pruned.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("gram"), col("doc_id"), col("source"))
+      .orderBy("gram", "doc_id")
+  }
+
+  /** How many shard dirs the current fixture's lookup actually reads —
+    * PlanSpec asserts this is a strict subset of the layout. */
+  def keptShardCount(spark: SparkSession, dir: String): Int = {
+    val (_, idx) = layoutAndIndex(spark, dir)
+    val ps = probeGrams(spark, dir)
+    import spark.implicits._
+    val wb = ps.toDF("gram").select(bucketExpr("gram"))
+      .collect().map(_.getLong(0)).toSet
+    (0L until NShards.toLong).count(sh => wb.exists(b => idx.contains((sh, b))))
+  }
+
+  val probedLookupSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT DISTINCT doc_id,
+       |        unnest(list_transform(generate_series(1, len(toks) - 2),
+       |          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+       |      FROM t WHERE len(toks) >= 3),
+       |rare AS (
+       |  SELECT gram FROM (
+       |    SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+       |  WHERE df = 1 ORDER BY gram LIMIT $NProbes)
+       |SELECT g.gram, g.doc_id, d.source
+       |FROM rare r
+       |JOIN g ON g.gram = r.gram
+       |JOIN documents d ON d.doc_id = g.doc_id
+       |ORDER BY g.gram, g.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_gram_index_skipping" -> ((s, d) => probedLookup(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "q137_gram_index_skipping" -> probedLookupSql)
+}

@@ -1084,6 +1084,24 @@ class ExtSpec extends SparkSpec {
       "the exclusion must be visible in n_banned")
   }
 
+  test("q138 join estimates: sketch-driven sizing tracks true cardinality within 20%") {
+    val r = Sketches.joinEstimates(spark, sf).collect()
+    assert(r.length == 3)
+    r.foreach { row =>
+      val name = row.getAs[String]("join_name")
+      assert(row.getAs[Long]("err_bp") <= 2000L,
+        s"$name: estimate off by ${row.getAs[Long]("err_bp")} bp")
+      assert(row.getAs[Long]("est_rows") > 0)
+    }
+    // the audit column itself must be the true join size (never the join)
+    val co = r.find(_.getAs[String]("join_name") == "customer_orders").get
+    val actual = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("c_custkey") === col("o_custkey")).count()
+    assert(co.getAs[Long]("actual_rows") == actual,
+      s"audited actual ${co.getAs[Long]("actual_rows")} vs join count $actual")
+  }
+
   test("q131 global row numbers: distributed numbering equals the single-sort window") {
     val r = Curation.globalRowNumbers(docs).collect()
       .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("source"), x.getAs[Long]("rn")))

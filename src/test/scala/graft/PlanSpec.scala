@@ -811,6 +811,39 @@ class PlanSpec extends SparkSpec {
       s"anti-join must broadcast the banned-pair side, got:\n${anti}")
   }
 
+  test("q137: the gram index prunes shards; pruning is semantically invisible") {
+    import graft.sources.TokenIndex
+    val (path, idx) = TokenIndex.layoutAndIndex(spark, sf)
+    val total = spark.read.parquet(path)
+      .select(col("shard")).distinct().count()
+    assert(total == TokenIndex.NShards,
+      s"layout must produce ${TokenIndex.NShards} shards, got $total")
+    val kept = TokenIndex.keptShardCount(spark, sf)
+    assert(kept > 0 && kept < TokenIndex.NShards,
+      s"index must prune some shards: kept $kept of ${TokenIndex.NShards}")
+    assert(idx.size < TokenIndex.NShards * TokenIndex.IdxBuckets,
+      "the index is a sparse presence set, not a dense cross product")
+    // soundness: the pruned lookup equals the same lookup over ALL shards
+    val got = TokenIndex.probedLookup(spark, sf).collect().map(_.toSeq)
+    val full = {
+      val docs = Tables.documents(spark, sf)
+      val grams = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 3), " +
+            "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))")).as("gram"))
+        .distinct()
+      val rare = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") === 1).orderBy("gram").limit(TokenIndex.NProbes)
+        .select("gram")
+      grams.join(rare, "gram")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("gram"), col("doc_id"), col("source"))
+        .orderBy("gram", "doc_id").collect().map(_.toSeq)
+    }
+    assert(got.toSeq == full.toSeq, "pruned lookup must equal the full-scan lookup")
+  }
+
   test("q131: the numbering window is partitioned — never a corpus-wide single-partition sort") {
     val p = plan(graft.ext.Curation.globalRowNumbers(Tables.documents(spark, sf)))
     val i = p.indexOf("row_number()")
