@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // strategy-selection rewrite for the declarative near-dup marker
     // (exact kernel vs banded-LSH, by index-column presence)
     ext.injectOptimizerRule(session => graft.plans.RewriteCosineNearDups(session))
+    // custom physical operator: as-of join (logical node -> merge exec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),

@@ -61,7 +61,10 @@ object ScaleRehearsal {
     // round-8 corpus-linear additions: tokenizer apply + true-token
     // packing, mixture planning, HLL sketch, hashed classifier
     "q113_bpe_encode", "q114_packed_bpe", "q116_mixture_plan",
-    "q117_epoch_manifest", "q118_hll_tokens", "q120_classifier_gate")
+    "q117_epoch_manifest", "q118_hll_tokens", "q120_classifier_gate",
+    // round-8 second wave: global numbering (one corpus shuffle + tiny
+    // relations) and quartile curriculum (three linear classifier passes)
+    "q131_global_rownum", "q133_curriculum")
 
   /** q17/q24/q69 are declared-O(n²) kernels; q18/q73 assign against a
     * centroid set that GROWS with the fixture (vec_id % mod stand-in),

@@ -290,6 +290,26 @@ object Relational {
       |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
       |ORDER BY e.event_id""".stripMargin
 
+  // --------------------------------------------------------------- q139
+  /** q25's as-of join through the CUSTOM PHYSICAL OPERATOR
+    * (`plans/AsOfJoinPlan`: logical node → planner strategy → streaming
+    * merge exec) instead of the union-window composition — both gated
+    * against DuckDB's native ASOF LEFT JOIN, so the two implementations
+    * are mutually hash-pinned. */
+  def q139AsofExec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros($"ts"))
+    val left = ev.select("event_id", "user_id", "event_type", "ts_us")
+    val right = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_us", $"event_id".as("purchase_id"),
+              $"ts_us".as("purchase_ts_us"))
+    graft.plans.AsOfJoinNode.asof(left, right, "user_id", "ts_us", "ts_us")
+      .select($"event_id", $"user_id", $"event_type",
+        $"r_purchase_id".as("purchase_id"),
+        $"r_purchase_ts_us".as("purchase_ts_us"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------- q26
   /** Interval (range) join, batch form of the streaming
     * purchaseClickCorrelation: clicks joined to purchases of the same
@@ -1130,6 +1150,7 @@ object Relational {
     "q11_event_windows" -> (q11EventWindows _),
     "q12_sessionize"  -> (q12Sessionize _),
     "q25_asof_purchase" -> (q25AsofPurchase _),
+    "q139_asof_exec"    -> (q139AsofExec _),
     "q26_interval_join" -> (q26IntervalJoin _),
     "q27_cube_stats"    -> (q27CubeStats _),
     "q28_json_extract"  -> (q28JsonExtract _),
@@ -1155,6 +1176,8 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
+    "q139_asof_exec"    -> q25Sql, // same oracle: DuckDB native ASOF
+
     "q26_interval_join" -> q26Sql,
     "q27_cube_stats"    -> q27Sql,
     "q28_json_extract"  -> q28Sql,

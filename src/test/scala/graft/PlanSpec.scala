@@ -811,6 +811,25 @@ class PlanSpec extends SparkSpec {
       s"anti-join must broadcast the banned-pair side, got:\n${anti}")
   }
 
+  test("q139: the as-of join plans through the custom exec with declared exchange+sort") {
+    val df = graft.queries.Relational.q139AsofExec(spark, sf)
+    df.collect() // materialize so AQE settles the final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"custom exec missing from plan:\n$p")
+    val execIdx = p.indexOf("AsOfJoin")
+    val below = p.substring(execIdx)
+    // EnsureRequirements must have inserted the declared sorts + shuffles
+    assert(below.contains("Sort ["), "children must arrive (key, time)-sorted")
+    assert(below.contains("hashpartitioning(user_id"),
+      "children must co-partition on the key")
+    // the exec's result is identical to the union-window composition
+    val viaExec = df.collect().map(_.toSeq)
+    val viaWindow = graft.queries.Relational.q25AsofPurchase(spark, sf)
+      .collect().map(_.toSeq)
+    assert(viaExec.toSeq == viaWindow.toSeq,
+      "custom exec and window composition must agree row-for-row")
+  }
+
   test("q137: the gram index prunes shards; pruning is semantically invisible") {
     import graft.sources.TokenIndex
     val (path, idx) = TokenIndex.layoutAndIndex(spark, sf)
