@@ -130,6 +130,18 @@ object EventsStreaming {
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes").dropDuplicates("event_id", "ts")
 
+  /** Watermark-HORIZON dedup through the dedicated API
+    * (`dropDuplicatesWithinWatermark`, q140): unlike q58's composite
+    * (event_id, ts) key — which keeps the key's state only because ts
+    * participates in the key — this drops a key's state as soon as the
+    * watermark passes its event time + delay, the contract built for
+    * at-least-once ingest where redelivery happens within a bounded
+    * horizon. Rows behind the watermark are dropped as late instead of
+    * probed, which is what bounds the state on an unbounded stream. */
+  def dedupEventsWithin(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream interval join: each click joined to purchases of the
     * same user landing within 10 minutes AFTER the click. Both sides are
     * watermarked so the join state is bounded — Spark retains only the

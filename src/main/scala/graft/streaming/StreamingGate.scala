@@ -361,6 +361,34 @@ object StreamingGate {
       |  CAST(round(value * 100) AS BIGINT) AS value_cents
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** q140: the q58 replay through `dropDuplicatesWithinWatermark` — the
+    * 18th gate, closing the dedup-API matrix: same two-copy staging,
+    * same oracle (the distinct relation), but the duplicate copy is
+    * suppressed by the watermark-horizon mechanism (late-drop + bounded
+    * per-key state) rather than a ts-keyed state entry. */
+  def q140StreamDedupWithin(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, dir,
+      events => EventsStreaming.dedupEventsWithin(events)
+        .filter(col("event_id") >= 0)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents")),
+      copies = 2, filesPerTrigger = Some(1))
+      .orderBy("event_id")
+
+  /** q141: the q40 tumbling aggregate in COMPLETE output mode — the
+    * 19th gate, closing the sink-mode matrix (append: q40+, update:
+    * q65/q76/q122, complete: here). Complete re-emits the WHOLE result
+    * per trigger, so unlike append the sentinel's own window reaches
+    * the sink and is removed there (it cannot be filtered before the
+    * watermark node — the q106 lesson); the oracle is q11's batch SQL
+    * unchanged. */
+  def q141StreamComplete(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, dir, EventsStreaming.tumblingCounts,
+        sinkMode = "complete")
+      .filter(col("event_type") =!= "sentinel")
+      .orderBy("window_start", "event_type")
+
   /** q65: CUSTOM KEYED STATE (flatMapGroupsWithState) through the
     * micro-batch engine. Same two-copy staging as q58, but here the
     * duplicates are the PROOF rather than the noise: the per-user
@@ -960,7 +988,9 @@ object StreamingGate {
     "q82_stream_restart" -> (q82StreamRestart _),
     "q122_stream_hll" -> (q122StreamHll _),
     "q126_stream_neardup" -> (q126StreamNearDup _),
-    "q135_stream_scd2" -> (q135StreamScd2 _))
+    "q135_stream_scd2" -> (q135StreamScd2 _),
+    "q140_stream_dedup_within" -> (q140StreamDedupWithin _),
+    "q141_stream_complete" -> (q141StreamComplete _))
 
   /** Same oracles as the batch twins: the streaming engine must land on
     * the identical relation. */
@@ -982,5 +1012,7 @@ object StreamingGate {
     "q82_stream_restart" -> q82Sql,
     "q126_stream_neardup" -> q126Sql,
     // oracle = q132's batch build: stream/batch parity for the SCD2 verb
-    "q135_stream_scd2" -> graft.queries.Relational.q132Sql)
+    "q135_stream_scd2" -> graft.queries.Relational.q132Sql,
+    "q140_stream_dedup_within" -> q58Sql, // same oracle: the distinct relation
+    "q141_stream_complete" -> graft.queries.Relational.q11Sql)
 }

@@ -340,6 +340,31 @@ class StreamingSpec extends SparkSpec {
       "late drops must not re-emit previously deduped rows")
   }
 
+  test("q140 gate: watermark-horizon dedup suppresses the duplicate copy, telemetry-accounted") {
+    val got = graft.streaming.StreamingGate.q140StreamDedupWithin(spark, sf).collect()
+    val ev = Tables.events(spark, sf).select(col("ts_ns")).collect().map(_.getLong(0))
+    assert(got.length == ev.length, "sink must hold exactly the distinct relation")
+    // THE point of the WithinWatermark API: per-key state is EVICTED
+    // once the watermark passes its event time — prove it from the
+    // engine's telemetry. After batch 1 the watermark sits 10 minutes
+    // behind the fixture max, so every older key's register is removed
+    // and the surviving state is bounded by the horizon, not the corpus
+    // (late copy-2 rows are filtered before the operator, so the
+    // suppression shows up as eviction + a tiny state, not late-drops).
+    val wmNs = ev.max - 600L * 1000000000L
+    val lateCandidates = ev.count(_ < wmNs)
+    val progress = graft.streaming.StreamingGate.lastRunProgress.get()
+    val ops = progress.flatMap(_.stateOperators)
+      .filter(_.operatorName == "dedupeWithinWatermark")
+    assert(ops.nonEmpty, "the dedicated operator must appear in progress")
+    val removed = ops.map(_.numRowsRemoved).sum
+    assert(removed >= lateCandidates - 5, // ms-rounded watermark slack
+      s"expected >= ${lateCandidates - 5} evictions, telemetry says $removed")
+    val finalState = progress.last.stateOperators.map(_.numRowsTotal).sum
+    assert(finalState <= (ev.length - lateCandidates) + 2,
+      s"state must be horizon-bounded, found $finalState rows")
+  }
+
   test("q65 gate: custom state survives the batch boundary (2n after two copies)") {
     val got = graft.streaming.StreamingGate.q65StreamRunningCounts(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
