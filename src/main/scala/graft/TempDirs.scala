@@ -24,6 +24,10 @@ object TempDirs {
   def create(prefix: String): Path =
     register(Files.createTempDirectory(prefix))
 
+  /** Immediate recursive delete (the q142 vacuum path) — same
+    * best-effort semantics as the exit hook. */
+  def deleteTree(p: Path): Unit = deleteRecursively(p)
+
   private def deleteRecursively(p: Path): Unit = {
     try {
       if (Files.isDirectory(p)) {

@@ -109,9 +109,73 @@ object Compaction {
     """SELECT doc_id, text, lang, source, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ q142 vacuum
+  /** Versions kept by the q142 retention pass (current + one rollback
+    * target — the production "retention window" in version units). */
+  val RetainVersions = 2
+
+  /** All published version dirs under `root`, oldest first. */
+  def versions(root: Path): Seq[Path] = {
+    val s = java.nio.file.Files.list(root)
+    try s.toArray.toSeq.map(_.asInstanceOf[Path])
+      .filter(p => p.getFileName.toString.matches("v\\d+"))
+      .sortBy(_.getFileName.toString.drop(1).toLong)
+    finally s.close()
+  }
+
+  /** VACUUM: delete every published version older than the newest
+    * [[RetainVersions]] — the retention op that keeps a copy-on-write
+    * table's storage bounded (without it, q115's discipline leaks one
+    * full table copy per compaction forever). Deletes only WHOLE
+    * versions strictly older than the retention window, so no resolver
+    * can observe a half-deleted version: the newest version is always
+    * retained (guarded), and q98's last-write-wins lookup never returns
+    * a vacuumed dir. Returns the deleted version dirs. */
+  def vacuum(root: Path, retain: Int = RetainVersions): Seq[Path] = {
+    require(retain >= 1, "vacuum must retain at least the current version")
+    val vs = versions(root)
+    val doomed = vs.dropRight(retain)
+    doomed.foreach(graft.TempDirs.deleteTree)
+    doomed
+  }
+
+  private val vacuumRootCache = new ConcurrentHashMap[String, Path]()
+
+  /** q142's own versioned tree — DELIBERATELY not [[fragmentedRoot]]:
+    * vacuum destroys old versions, and q115's gate/spec assert v0 stays
+    * byte-untouched on ITS tree; a shared root would make the two
+    * maintenance ops' results depend on execution order. */
+  def vacuumRoot(spark: SparkSession, dir: String): Path =
+    vacuumRootCache.computeIfAbsent(dir, { _ =>
+      val root = graft.TempDirs.create("graft-vacuum")
+      Tables.documents(spark, dir)
+        .repartition(FragmentSplits)
+        .write.mode("overwrite").partitionBy("source")
+        .parquet(root.resolve("v0").toString)
+      root
+    })
+
+  /** The q142 gate: compact (so at least two versions exist and, from
+    * the second call on, the pass has something to reclaim), vacuum to
+    * the retention window, then read the table THROUGH the resolver —
+    * content identity with the original relation proves retention never
+    * touched live data. The spec pins the physical side: old dirs gone,
+    * retained dirs' files byte-identical, resolver unchanged. */
+  def vacuumedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val root = vacuumRoot(spark, dir)
+    val rows = spark.read.parquet(latestVersion(root).toString).count()
+    compact(spark, root, math.max(TargetRecords, rows / 100))
+    vacuum(root)
+    spark.read.parquet(latestVersion(root).toString)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q115_compaction" -> ((s, d) => compactedDocs(s, d)))
+    "q115_compaction" -> ((s, d) => compactedDocs(s, d)),
+    "q142_vacuum" -> ((s, d) => vacuumedDocs(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "q115_compaction" -> compactedDocsSql)
+    "q115_compaction" -> compactedDocsSql,
+    "q142_vacuum" -> compactedDocsSql) // same bar: the original relation
 }

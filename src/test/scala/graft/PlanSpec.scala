@@ -811,6 +811,35 @@ class PlanSpec extends SparkSpec {
       s"anti-join must broadcast the banned-pair side, got:\n${anti}")
   }
 
+  test("q142: vacuum deletes only expired versions; retained files untouched, resolver stable") {
+    import graft.sources.Compaction
+    val root = Compaction.vacuumRoot(spark, sf) // q142's own tree, never q115's
+    Compaction.compact(spark, root)
+    Compaction.compact(spark, root) // >= 3 versions now exist
+    val before = Compaction.versions(root)
+    assert(before.size >= 3, s"need versions to reclaim, have ${before.size}")
+    val keep = before.takeRight(Compaction.RetainVersions)
+    def snap(v: java.nio.file.Path): Seq[(String, Long, java.nio.file.attribute.FileTime)] = {
+      val s = java.nio.file.Files.walk(v)
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => (v.relativize(f).toString, java.nio.file.Files.size(f),
+          java.nio.file.Files.getLastModifiedTime(f)))
+        .sortBy(_._1)
+      finally s.close()
+    }
+    val snaps = keep.map(snap)
+    val deleted = Compaction.vacuum(root)
+    assert(deleted.toSet == before.dropRight(Compaction.RetainVersions).toSet,
+      "exactly the expired versions must be reclaimed")
+    deleted.foreach(d => assert(!java.nio.file.Files.exists(d), s"$d must be gone"))
+    assert(Compaction.versions(root) == keep, "retained set unchanged")
+    assert(keep.map(snap) == snaps, "retained version files must be byte-untouched")
+    assert(Compaction.latestVersion(root) == keep.last, "resolver must be stable")
+    assert(spark.read.parquet(keep.last.toString).count() ==
+      Tables.documents(spark, sf).count(), "live data intact after vacuum")
+  }
+
   test("q139: the as-of join plans through the custom exec with declared exchange+sort") {
     val df = graft.queries.Relational.q139AsofExec(spark, sf)
     df.collect() // materialize so AQE settles the final plan

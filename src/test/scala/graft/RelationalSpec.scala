@@ -306,6 +306,33 @@ class RelationalSpec extends SparkSpec {
     assert(straddlers > 0, "cutoff must split at least one user's history")
   }
 
+  test("as-of exec property: random streams agree with a brute-force reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val left = (0 until 3000).map(i =>
+      (i.toLong, rnd.nextInt(50).toLong, rnd.nextInt(100000).toLong))
+      .toDF("l_id", "k", "t")
+    // right (k, t) pairs unique so the reference winner is well-defined
+    val seen = scala.collection.mutable.Set[(Long, Long)]()
+    val rightRows = (0 until 800).flatMap { i =>
+      val k = rnd.nextInt(50).toLong; val t = rnd.nextInt(100000).toLong
+      if (seen.add((k, t))) Some((10000L + i, k, t, rnd.nextInt(1000).toLong))
+      else None
+    }
+    val right = rightRows.toDF("r_id", "k", "t", "payload")
+    val got = graft.plans.AsOfJoinNode.asof(left, right, "k", "t", "t")
+      .select("l_id", "r_r_id", "r_payload").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))))).toMap
+    val byKey = rightRows.groupBy(_._2)
+    left.collect().foreach { lr =>
+      val (id, k, t) = (lr.getLong(0), lr.getLong(1), lr.getLong(2))
+      val want = byKey.getOrElse(k, Nil).filter(_._3 <= t)
+        .sortBy(_._3).lastOption.map(r => (r._1, r._4))
+      assert(got(id) == want, s"left $id (k=$k, t=$t): got ${got(id)}, want $want")
+    }
+  }
+
   test("q134 table diff reproduces the q95 change batch exactly") {
     val r = q134TableDiff(spark, sf).collect()
       .map(x => (x.getAs[Long]("o_orderkey"), x.getAs[String]("status")))
