@@ -1015,6 +1015,146 @@ object TextAnalysis {
        |GROUP BY stage, d.source
        |ORDER BY stage, d.source""".stripMargin
 
+  /** One row per token occurrence (empty tokens from repeated spaces
+    * dropped — mirrored by the oracle's length filter). */
+  private def toksAll(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+
+  // ------------------------------------------------------- BM25 retrieval
+  /** Query-term count, discovery order: rarest first (df asc, token asc)
+    * — one discriminative term plus the common fill, the realistic query
+    * mix over this fixture's 31-token vocabulary. */
+  val BmQTerms = 5
+  /** Result depth of the ranked list. */
+  val BmTopDocs = 10
+  /** BM25 shape constants as exact rationals: k1 = 12/10, b = 3/4. The
+    * all-integer saturation below is algebra on these, not float
+    * approximations of them: multiplying numerator and denominator of
+    *   tf·(k1+1) / (tf + k1·(1−b + b·len·n_docs/total_len))
+    * through by (k1Den·bDen)·total_len clears every fraction. */
+  val BmK1Num = 12L; val BmK1Den = 10L; val BmBNum = 3L; val BmBDen = 4L
+  /** Coefficient of total_len·tf in the cleared numerator:
+    * (k1+1)·k1Den·bDen / k1Den = (k1Num+k1Den)·bDen = 88. */
+  val BmNumC: Long = (BmK1Num + BmK1Den) * BmBDen
+  /** Coefficient of total_len·tf in the cleared denominator: k1Den·bDen = 40. */
+  val BmTfC: Long = BmK1Den * BmBDen
+  /** Coefficient of total_len: k1·(1−b)·k1Den·bDen = k1Num·(bDen−bNum) = 12. */
+  val BmConstC: Long = BmK1Num * (BmBDen - BmBNum)
+  /** Coefficient of len·n_docs: k1·b·k1Den·bDen = k1Num·bNum = 36. */
+  val BmLenC: Long = BmK1Num * BmBNum
+
+  /** Largest `total_len * tf` product the saturation numerator
+    * (1e6 * 88 * total_len * tf) can carry without Long overflow —
+    * enforced loudly (the packGuard discipline). Crossed only past
+    * ~105 G token-occurrences-times-tf; at that scale the e6 fixed
+    * point must drop to e3, which the guard makes an explicit decision
+    * rather than silent wraparound. */
+  val BmMaxLenTf: Long = Long.MaxValue / (1000000L * BmNumC)
+  /** Largest idf_e6 whose product with the saturation bound (strictly
+    * < 2.2e6, since sat < k1 + 1) stays exact in a Long. */
+  val BmMaxIdf: Long = Long.MaxValue / 2200000L
+
+  /** q143: BM25 ranked retrieval — the search primitive behind
+    * decontamination lookups and quality-example mining over a training
+    * corpus. For the discovered query terms, rank documents by
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·len_d/avglen))
+    *
+    * in EXACT integer arithmetic so both engines agree bit-for-bit:
+    * idf is the fixed-point RATIO (1e6·(n_docs−df+1)) div (df+1) — the
+    * same deliberately-declared log-free variant as q68's tf-idf — and
+    * the saturation term is cleared of ALL fractions by multiplying
+    * through by 40·total_len (k1 = 12/10, b = 3/4, avglen =
+    * total_len/n_docs):
+    *
+    *   sat_e6 = (1e6·88·total_len·tf)
+    *            div (40·total_len·tf + 12·total_len + 36·len_d·n_docs)
+    *
+    * No float reaches the compare; floor-division order is pinned and
+    * mirrored by the oracle.
+    *
+    * Plan shape (what survives 100 TB): term discovery stands in for
+    * the user's query (exactly q137's probe-discovery discipline) and
+    * is the only full-vocabulary aggregate; the SCORING path touches
+    * (a) one per-doc length aggregate — corpus-wide but one shuffle of
+    * (doc_id, count) partials, (b) the tf aggregate of the query-term
+    * slice only (the broadcast isin-filter sits directly on the
+    * generator output, so non-query tokens never reach the shuffle),
+    * and (c) a join of corpus-wide lens against the SMALL tf slice —
+    * broadcast on the tf side, so the corpus relation never
+    * re-shuffles. Global top-[[BmTopDocs]] is orderBy+limit —
+    * TakeOrderedAndProject partial heaps, never a global sort. The
+    * rank column is a window over the ALREADY-LIMITED ≤10-row result
+    * (single-partition is the point there, not a hazard). */
+  def bm25TopDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = toksAll(docs)
+    // Discovery (production: user-supplied terms — this pass wouldn't exist)
+    val qterms: Seq[(String, Long)] = t.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df"), col("token")).limit(BmQTerms)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val qdf = qterms.toDF("token", "df")
+    val lens = t.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val totLen = lens.agg(sum(col("len")).as("total_len"))
+    val tf = t.join(broadcast(qdf.select("token")), "token")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .join(broadcast(qdf), "token")
+    val scored = lens.join(broadcast(tf), "doc_id")
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(totLen))
+      .select(col("doc_id"),
+        expr("(1000000 * (n_docs - df + 1)) div (df + 1)").as("idf_e6"),
+        when(col("total_len") * col("tf") > BmMaxLenTf,
+          raise_error(concat(lit(s"bm25TopDocs: total_len*tf exceeds the exact-Long bound $BmMaxLenTf: "),
+            (col("total_len") * col("tf")).cast("string"))))
+          .otherwise(expr(s"(1000000 * $BmNumC * total_len * tf) div " +
+            s"($BmTfC * total_len * tf + $BmConstC * total_len + $BmLenC * len * n_docs)"))
+          .as("sat_e6"))
+      .select(col("doc_id"),
+        when(col("idf_e6") > BmMaxIdf,
+          raise_error(concat(lit(s"bm25TopDocs: idf_e6 exceeds the exact-Long bound $BmMaxIdf: "),
+            col("idf_e6").cast("string"))))
+          .otherwise(expr("(idf_e6 * sat_e6) div 1000000")).as("contrib_e6"))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib_e6")).as("score_e6"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_e6").desc, col("doc_id")).limit(BmTopDocs)
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_e6").desc, col("doc_id"))).cast("int"))
+      .select(col("rank"), col("doc_id"), col("n_terms"), col("score_e6"))
+      .orderBy("rank")
+  }
+
+  val bm25TopDocsSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |t2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+       |d AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM t2 GROUP BY token),
+       |q AS (SELECT token, df FROM d ORDER BY df, token LIMIT $BmQTerms),
+       |len AS (SELECT doc_id, COUNT(*) AS len FROM t2 GROUP BY doc_id),
+       |n AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       |             (SELECT SUM(len) FROM len) AS total_len),
+       |tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM t2
+       |  WHERE token IN (SELECT token FROM q)
+       |  GROUP BY doc_id, token),
+       |scored AS (
+       |  SELECT doc_id,
+       |    SUM((((1000000 * (n_docs - df + 1)) // (df + 1))
+       |         * ((1000000 * $BmNumC * total_len * tf)
+       |            // ($BmTfC * total_len * tf + $BmConstC * total_len
+       |                + $BmLenC * len * n_docs)))
+       |        // 1000000) AS score_e6,
+       |    COUNT(*) AS n_terms
+       |  FROM tf JOIN q USING (token) JOIN len USING (doc_id) CROSS JOIN n
+       |  GROUP BY doc_id)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS INT) AS rank,
+       |  doc_id, CAST(n_terms AS BIGINT) AS n_terms, CAST(score_e6 AS BIGINT) AS score_e6
+       |FROM scored ORDER BY score_e6 DESC, doc_id LIMIT $BmTopDocs""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
@@ -1035,7 +1175,8 @@ object TextAnalysis {
     "q85_contamination_overlap" -> ((s, d) => contaminationOverlap(Tables.documents(s, d))),
     "q128_exact_quantiles" -> ((s, d) => exactQuantiles(Tables.documents(s, d))),
     "q130_weighted_sample" -> ((s, d) => weightedSample(Tables.documents(s, d))),
-    "q133_curriculum" -> ((s, d) => curriculumBuckets(Tables.documents(s, d))))
+    "q133_curriculum" -> ((s, d) => curriculumBuckets(Tables.documents(s, d))),
+    "q143_bm25" -> ((s, d) => bm25TopDocs(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q19_lang_id"     -> langIdSql,
@@ -1056,5 +1197,6 @@ object TextAnalysis {
     "q85_contamination_overlap" -> contaminationOverlapSql,
     "q128_exact_quantiles" -> exactQuantilesSql,
     "q130_weighted_sample" -> weightedSampleSql,
-    "q133_curriculum" -> curriculumBucketsSql)
+    "q133_curriculum" -> curriculumBucketsSql,
+    "q143_bm25" -> bm25TopDocsSql)
 }

@@ -171,11 +171,93 @@ object Compaction {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------- q144 time travel
+  private val travelRootCache = new ConcurrentHashMap[String, Path]()
+
+  /** Versioned tree with real HISTORY — unlike q115/q142's trees, the
+    * versions here differ in CONTENT: v0 is the full corpus, v1 is a
+    * copy-on-write DELETE of the lexicographically-first source (the
+    * "bad crawl batch retracted" maintenance event; deterministic so
+    * the oracle can mirror it). v0 is only ever read — the delete
+    * writes a new version, never touches history. */
+  def travelRoot(spark: SparkSession, dir: String): Path =
+    travelRootCache.computeIfAbsent(dir, { _ =>
+      val root = graft.TempDirs.create("graft-travel")
+      val docs = Tables.documents(spark, dir)
+      docs.write.mode("overwrite").parquet(root.resolve("v0").toString)
+      val doomed = docs.agg(min(col("source"))).head().getString(0)
+      spark.read.parquet(root.resolve("v0").toString)
+        .filter(col("source") =!= doomed)
+        .write.mode("overwrite").parquet(root.resolve("v1").toString)
+      root
+    })
+
+  /** Read the table AS OF a pinned version — the rollback / audit /
+    * reproduce-last-week's-training-set read. Same resolver family as
+    * [[latestVersion]], with the version pinned instead of maxed. */
+  def readAt(spark: SparkSession, root: Path, version: Long): DataFrame = {
+    val p = root.resolve(s"v$version")
+    require(java.nio.file.Files.isDirectory(p),
+      s"version v$version does not exist under $root (vacuumed, or never published?)")
+    spark.read.parquet(p.toString)
+  }
+
+  /** Per-row 40-bit content fingerprint — small enough that the SUM over
+    * a billion rows stays exact in a Long, wide enough that any changed
+    * row moves the total. */
+  private val fpExpr =
+    "cast(conv(substr(md5(concat_ws(':', cast(doc_id as string), text)), 1, 10), 16, 10) as bigint)"
+
+  /** The q144 gate: summarize EVERY version through the version-pinned
+    * read path — count, source count, char sum, and a content
+    * fingerprint per version. The oracle recomputes both versions'
+    * summaries from the original relation (v1 via the same delete
+    * predicate), so a time-travel read that leaks current rows into a
+    * historical version — or vice versa — moves a fingerprint and
+    * fails the hash. The q134 diff is the row-level complement; this is
+    * the read-path gate. */
+  def timeTravelSummary(spark: SparkSession, dir: String): DataFrame = {
+    val root = travelRoot(spark, dir)
+    versions(root).map { v =>
+      val ver = v.getFileName.toString.drop(1).toLong
+      readAt(spark, root, ver).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(expr(fpExpr)).as("fp"))
+        .select(lit(ver).cast("int").as("version"), col("n_docs"),
+          col("n_sources"), col("sum_chars"), col("fp"))
+    }.reduce(_ union _).orderBy("version")
+  }
+
+  val timeTravelSummarySql: String =
+    """WITH f AS (
+      |  SELECT source, n_chars,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 10))::BIGINT AS fp
+      |  FROM documents),
+      |v0 AS (
+      |  SELECT 0 AS version, COUNT(*) AS n_docs,
+      |    COUNT(DISTINCT source) AS n_sources,
+      |    SUM(n_chars) AS sum_chars, SUM(fp) AS fp
+      |  FROM f),
+      |v1 AS (
+      |  SELECT 1 AS version, COUNT(*) AS n_docs,
+      |    COUNT(DISTINCT source) AS n_sources,
+      |    SUM(n_chars) AS sum_chars, SUM(fp) AS fp
+      |  FROM f WHERE source <> (SELECT MIN(source) FROM documents))
+      |SELECT CAST(version AS INT) AS version, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_sources AS BIGINT) AS n_sources,
+      |  CAST(sum_chars AS BIGINT) AS sum_chars, CAST(fp AS BIGINT) AS fp
+      |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_compaction" -> ((s, d) => compactedDocs(s, d)),
-    "q142_vacuum" -> ((s, d) => vacuumedDocs(s, d)))
+    "q142_vacuum" -> ((s, d) => vacuumedDocs(s, d)),
+    "q144_time_travel" -> ((s, d) => timeTravelSummary(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q115_compaction" -> compactedDocsSql,
-    "q142_vacuum" -> compactedDocsSql) // same bar: the original relation
+    "q142_vacuum" -> compactedDocsSql, // same bar: the original relation
+    "q144_time_travel" -> timeTravelSummarySql)
 }

@@ -123,6 +123,36 @@ object EventsStreaming {
         col("reg"), col("m"))
   }
 
+  /** q145 sketch dimensions: depth x width counters = the ENTIRE state
+    * footprint (256 rows), however many events or distinct users the
+    * stream ever carries. */
+  val CmsDepth = 4
+  val CmsWidth = 64
+
+  /** q145: count-min sketch AS STREAMING STATE — the frequency
+    * complement of q122's distinct-count registers, completing the
+    * streaming side of the sketch matrix (q57 batch CMS / here, q118
+    * batch HLL / q122). A per-key streaming count (`groupBy(user)`)
+    * keeps one state row per DISTINCT KEY — unbounded on an open key
+    * domain; the CMS keeps [[CmsDepth]]·[[CmsWidth]] counter rows
+    * TOTAL: each event folds into one bucket per row (md5-chunked,
+    * q118's decorrelation discipline), and `sum` is the CMS merge
+    * exactly as `max` is the HLL merge. No watermark, no eviction —
+    * boundedness comes from the sketch algebra, not from time; update
+    * mode emits changed counters each trigger and counters only grow,
+    * so the sink's last-write-wins read-off is max(n) per cell. The
+    * estimate (min over a key's [[CmsDepth]] cells) never under-counts;
+    * StreamingSpec asserts the ≤ depth·width state bound from the
+    * engine's own telemetry. */
+  def cmsRegisters(events: DataFrame): DataFrame =
+    events.filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("r"))
+      .withColumn("c", expr(
+        s"cast(conv(substr(md5(concat(cast(r as string), ':', " +
+          s"cast(user_id as string))), 1, 6), 16, 10) as bigint) % $CmsWidth"))
+      .groupBy("r", "c").agg(count(lit(1)).as("n"))
+
   /** Watermark-scoped exactly-once dedup on event_id: duplicates arriving
     * within the watermark horizon are dropped; state expires with the
     * watermark instead of growing unboundedly (the streaming analogue of

@@ -254,6 +254,59 @@ object StreamingGate {
        |ORDER BY day_us""".stripMargin
   }
 
+  /** q145: streaming count-min sketch (20th gate) — frequency estimates
+    * served from [[EventsStreaming.cmsRegisters]]' bounded counter
+    * state. The two-copy, one-file-per-trigger staging makes the
+    * cross-batch state proof: a cell's final count is 2x its per-copy
+    * count, reachable only by incrementing ON TOP of the first batch's
+    * checkpointed counters (q65's argument, applied to sketch cells).
+    * Read-off folds the update-mode sink last-write-wins (counters are
+    * monotone, so max(n) IS the final value), then serves every
+    * distinct user's estimate as the min over its
+    * [[EventsStreaming.CmsDepth]] cells — registers broadcast
+    * (≤ depth·width rows by construction), so serving cost is a
+    * broadcast probe however large the key relation. The oracle
+    * replays the identical md5 bucket arithmetic on the doubled batch
+    * relation: one lost increment, a double-applied batch, or a
+    * drifted bucket hash moves some cell's min and fails the hash. */
+  def q145StreamCms(spark: SparkSession, dir: String): DataFrame = {
+    import EventsStreaming.{CmsDepth, CmsWidth}
+    val regs = runToMemory(spark, dir, EventsStreaming.cmsRegisters,
+        copies = 2, filesPerTrigger = Some(1), sinkMode = "update")
+      .groupBy("r", "c").agg(max(col("n")).as("n"))
+    val probes = graft.Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .select(col("user_id"),
+        explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("r"))
+      .withColumn("c", expr(
+        s"cast(conv(substr(md5(concat(cast(r as string), ':', " +
+          s"cast(user_id as string))), 1, 6), 16, 10) as bigint) % $CmsWidth"))
+    probes.join(broadcast(regs), Seq("r", "c"))
+      .groupBy("user_id").agg(min(col("n")).as("est_n"))
+      .orderBy("user_id")
+  }
+
+  val q145Sql: String = {
+    import EventsStreaming.{CmsDepth, CmsWidth}
+    s"""WITH rows_r AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS r),
+       |cells AS (
+       |  SELECT r,
+       |    ('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+       |       || CAST(user_id AS VARCHAR)), 1, 6))::BIGINT % $CmsWidth AS c,
+       |    2 * COUNT(*) AS n
+       |  FROM events CROSS JOIN rows_r
+       |  GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT DISTINCT user_id, r,
+       |    ('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+       |       || CAST(user_id AS VARCHAR)), 1, 6))::BIGINT % $CmsWidth AS c
+       |  FROM events CROSS JOIN rows_r)
+       |SELECT user_id, CAST(MIN(n) AS BIGINT) AS est_n
+       |FROM probes JOIN cells USING (r, c)
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
+
   /** q43: the stream-STREAM interval join (clicks ⋈ purchases within 10
     * minutes) through the micro-batch engine. Inner joins emit matches
     * as soon as both sides arrive — the watermarks bound join STATE, not
@@ -990,7 +1043,8 @@ object StreamingGate {
     "q126_stream_neardup" -> (q126StreamNearDup _),
     "q135_stream_scd2" -> (q135StreamScd2 _),
     "q140_stream_dedup_within" -> (q140StreamDedupWithin _),
-    "q141_stream_complete" -> (q141StreamComplete _))
+    "q141_stream_complete" -> (q141StreamComplete _),
+    "q145_stream_cms" -> (q145StreamCms _))
 
   /** Same oracles as the batch twins: the streaming engine must land on
     * the identical relation. */
@@ -1014,5 +1068,6 @@ object StreamingGate {
     // oracle = q132's batch build: stream/batch parity for the SCD2 verb
     "q135_stream_scd2" -> graft.queries.Relational.q132Sql,
     "q140_stream_dedup_within" -> q58Sql, // same oracle: the distinct relation
-    "q141_stream_complete" -> graft.queries.Relational.q11Sql)
+    "q141_stream_complete" -> graft.queries.Relational.q11Sql,
+    "q145_stream_cms" -> q145Sql)
 }

@@ -1153,4 +1153,30 @@ class ExtSpec extends SparkSpec {
         s"p=$p selected ${row.getAs[Long]("value")}, want ${vals(k.toInt - 1)._1}")
     }
   }
+
+  test("q143 bm25: ranked list well-formed; rarest term's docs dominate the top") {
+    val r = TextAnalysis.bm25TopDocs(docs).collect()
+    assert(r.length == TextAnalysis.BmTopDocs, "full result depth at fixture scale")
+    assert(r.map(_.getAs[Int]("rank")).toSeq == (1 to r.length),
+      "ranks are dense from 1")
+    val scores = r.map(_.getAs[Long]("score_e6")).toSeq
+    assert(scores == scores.sorted.reverse, "scores non-increasing down the list")
+    assert(scores.forall(_ > 0), "every ranked doc matched at least one term")
+    assert(r.forall(x => x.getAs[Long]("n_terms") >= 1 &&
+      x.getAs[Long]("n_terms") <= TextAnalysis.BmQTerms))
+    // discovery picks rarest-first, so the top of the ranking should be
+    // dominated by docs carrying the most discriminative (min-df) term
+    val rarest = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0).distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df"), col("token")).limit(1)
+      .head().getString(0)
+    val topIds = r.take(3).map(_.getAs[Long]("doc_id")).toSet
+    val carriers = docs
+      .filter(array_contains(split(col("text"), " "), rarest))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(topIds.subsetOf(carriers),
+      s"top-3 docs must carry the rarest query term '$rarest'")
+  }
 }

@@ -840,6 +840,28 @@ class PlanSpec extends SparkSpec {
       Tables.documents(spark, sf).count(), "live data intact after vacuum")
   }
 
+  test("q144: time travel reads the pinned version; history untouched by the delete") {
+    import graft.sources.Compaction
+    val root = Compaction.travelRoot(spark, sf)
+    assert(Compaction.versions(root).map(_.getFileName.toString) == Seq("v0", "v1"),
+      "exactly the two published versions")
+    val docs = Tables.documents(spark, sf)
+    val doomed = docs.agg(min(col("source"))).head().getString(0)
+    // current read: the delete is visible through the latest-version resolver
+    val cur = spark.read.parquet(Compaction.latestVersion(root).toString)
+    assert(cur.filter(col("source") === doomed).count() == 0,
+      "latest version must not contain the retracted source")
+    // pinned read: v0 still serves the FULL corpus after the delete
+    val v0 = Compaction.readAt(spark, root, 0)
+    assert(v0.count() == docs.count(), "v0 must still be the full corpus")
+    assert(v0.filter(col("source") === doomed).count() ==
+      docs.filter(col("source") === doomed).count(),
+      "the retracted source is fully readable at its historical version")
+    // a version that never existed (or was vacuumed) fails loudly
+    val ex = intercept[IllegalArgumentException](Compaction.readAt(spark, root, 7))
+    assert(ex.getMessage.contains("v7"), "missing version must name itself")
+  }
+
   test("q139: the as-of join plans through the custom exec with declared exchange+sort") {
     val df = graft.queries.Relational.q139AsofExec(spark, sf)
     df.collect() // materialize so AQE settles the final plan

@@ -275,6 +275,34 @@ class StreamingSpec extends SparkSpec {
       "watermark advance must evict emitted days' registers")
   }
 
+  test("state observability: q145's CMS counter state is bounded by depth x width") {
+    // The frequency-sketch twin of the q122 bound: the streaming CMS
+    // keys state by (row, bucket) — never by user — so total state is
+    // capped at depth*width rows for ANY event volume or key
+    // cardinality. An implementation that kept per-user counts would
+    // pass the sink-content oracle at fixture scale (estimates fold to
+    // the same mins) and fail this bound the moment users outnumber
+    // cells. No watermark here: boundedness comes from the sketch
+    // algebra, so nothing is ever evicted either — both directions
+    // asserted.
+    import graft.streaming.{EventsStreaming, StreamingGate}
+    val est = StreamingGate.q145StreamCms(spark, sf)
+    // sanity on the estimates themselves: CMS never under-counts
+    val trueCounts = Tables.events(spark, sf)
+      .groupBy("user_id").agg((count(lit(1)) * 2).as("true_n"))
+    val under = est.join(trueCounts, "user_id")
+      .filter(col("est_n") < col("true_n")).count()
+    assert(under == 0, "a CMS estimate must never under-count")
+    val agg = StreamingGate.lastRunProgress.get()
+      .flatMap(p => p.stateOperators.filter(_.operatorName == "stateStoreSave"))
+    assert(agg.nonEmpty, "q145 must report its aggregation state operator")
+    val bound = EventsStreaming.CmsDepth.toLong * EventsStreaming.CmsWidth
+    assert(agg.map(_.numRowsTotal).max <= bound,
+      s"CMS state must stay <= $bound rows, got ${agg.map(_.numRowsTotal).max}")
+    assert(agg.map(_.numRowsRemoved).sum == 0,
+      "no watermark, no eviction: CMS cells live forever by design")
+  }
+
   test("state observability: stale arrivals after watermark passage drop as numRowsDroppedByWatermark") {
     // The one metric the gates' orderly replays never exercise: rows
     // arriving AFTER the watermark passed them and their state was
