@@ -694,6 +694,99 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ------------------------------------------- covariance matrix (q147)
+  /** Exact-integer bound for the covariance numerator: |n·gram − s_i·s_j|
+    * ≤ n²·QuantRange², Long-exact to n ≈ 23.9 M vectors — enforced
+    * loudly (the packGuard discipline). Past it, covariance drops to the
+    * documented double path as an explicit decision, never a silent
+    * wraparound. */
+  val CovMaxN: Long =
+    math.sqrt(Long.MaxValue.toDouble /
+      (QuantRange.toLong * QuantRange)).toLong - 1
+
+  /** q147: EMBEDDING COVARIANCE / GRAM MATRIX — the statistic behind
+    * PCA-whitening, decorrelated PQ codebooks, and embedding-drift
+    * audits. Over q69's int8 quantization (one global symmetric scale),
+    * every accumulation is integer — associative, order-independent,
+    * hash-exact by construction — and the covariance numerator
+    * cov_num(i,j) = n·gram(i,j) − s_i·s_j (gram = Σ q_i·q_j, s = Σ q)
+    * is exact in a Long to [[CovMaxN]] rows.
+    *
+    * Shape (the 100 TB argument): each row explodes into its d(d+1)/2
+    * upper-triangle products IN ONE GENERATOR PASS, and the groupBy's
+    * map-side partial aggregation collapses every partition to ≤ 2,080
+    * (i,j) partial rows BEFORE the exchange — the shuffle carries
+    * d²/2 rows per partition regardless of corpus size, the same
+    * partial-Gram trick distributed PCA uses. Per-dim sums ride a
+    * posexplode aggregate (d rows out), n a count — all three
+    * statistics then meet in broadcast joins over the d²-row relation.
+    * Nothing pairwise ever shuffles row-level data: cost is the
+    * n·d² multiply-adds the Gram matrix IS, at scan locality. */
+  def covarianceMatrix(emb: DataFrame): DataFrame = {
+    val r = QuantRange
+    val mx = emb.select(max(expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+        "(acc, e) -> greatest(acc, abs(CAST(e AS DOUBLE))))")).as("mx"))
+    val v = emb.crossJoin(broadcast(mx))
+      .select(col("vec_id"), expr(
+        s"transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+          s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30d)) + 0.5d))) AS INT))")
+        .as("qemb"))
+    val nRows = v.agg(count(lit(1)).as("n"))
+    val sums = v.select(posexplode(col("qemb")).as(Seq("i", "q")))
+      .groupBy("i").agg(sum(col("q").cast("long")).as("s"))
+    val gram = v.select(explode(expr(
+        "flatten(transform(sequence(0, size(qemb) - 1), i -> " +
+          "transform(sequence(i, size(qemb) - 1), j -> " +
+          "named_struct('i', i, 'j', j, " +
+          "'p', cast(element_at(qemb, i + 1) as bigint) * element_at(qemb, j + 1)))))"))
+        .as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+      .groupBy("i", "j").agg(sum(col("p")).as("gram"))
+    gram
+      .join(broadcast(sums.select(col("i").as("si_i"), col("s").as("s_i"))),
+        col("i") === col("si_i"))
+      .join(broadcast(sums.select(col("i").as("sj_j"), col("s").as("s_j"))),
+        col("j") === col("sj_j"))
+      .crossJoin(broadcast(nRows))
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        col("gram"),
+        when(col("n") > CovMaxN,
+          raise_error(concat(
+            lit(s"covarianceMatrix: n exceeds the exact-Long bound $CovMaxN: "),
+            col("n").cast("string"))))
+          .otherwise(col("n") * col("gram") - col("s_i") * col("s_j"))
+          .as("cov_num"))
+      .orderBy("i", "j")
+  }
+
+  val covarianceMatrixSql: String = {
+    val r = QuantRange
+    val quant = s"list_transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+      s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30)) + 0.5))) AS INT))"
+    s"""WITH m AS (
+       |  SELECT MAX(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))),
+       |    (x, y) -> greatest(x, y))) AS mx
+       |  FROM embeddings),
+       |v AS (SELECT vec_id, $quant AS qemb FROM embeddings CROSS JOIN m),
+       |nn AS (SELECT COUNT(*) AS n FROM v),
+       |qd AS (
+       |  SELECT vec_id, unnest(generate_series(1, len(qemb))) AS ix,
+       |    unnest(qemb) AS q
+       |  FROM v),
+       |s AS (SELECT ix, SUM(q) AS s FROM qd GROUP BY ix),
+       |g AS (
+       |  SELECT a.ix AS i1, b.ix AS j1, SUM(CAST(a.q AS BIGINT) * b.q) AS gram
+       |  FROM qd a JOIN qd b ON a.vec_id = b.vec_id AND a.ix <= b.ix
+       |  GROUP BY 1, 2)
+       |SELECT CAST(g.i1 - 1 AS INT) AS i, CAST(g.j1 - 1 AS INT) AS j,
+       |  CAST(g.gram AS BIGINT) AS gram,
+       |  CAST(nn.n * g.gram - si.s * sj.s AS BIGINT) AS cov_num
+       |FROM g JOIN s si ON si.ix = g.i1 JOIN s sj ON sj.ix = g.j1 CROSS JOIN nn
+       |ORDER BY i, j""".stripMargin
+  }
+
   // ------------------------------------------------- quantized IVF
   /** Quantized IVF top-k — the production ANN composite: q69's int8
     * quantization (one global symmetric scale, 4x narrower vectors),
@@ -1407,7 +1500,8 @@ object Similarity {
       embeddingOutliers(Tables.embeddings(s, d), Tables.documents(s, d))),
     "q125_pq_topk" -> ((s, d) => pqTopK(Tables.embeddings(s, d))),
     "q127_hard_negatives" -> ((s, d) =>
-      hardNegatives(Tables.embeddings(s, d), Tables.documents(s, d))))
+      hardNegatives(Tables.embeddings(s, d), Tables.documents(s, d))),
+    "q147_covariance" -> ((s, d) => covarianceMatrix(Tables.embeddings(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q17_cosine_topk" -> cosineTopKSql,
@@ -1421,5 +1515,6 @@ object Similarity {
     "q83_semantic_dedup" -> semanticDedupSql,
     "q104_embedding_outliers" -> embeddingOutliersSql,
     "q125_pq_topk" -> pqTopKSql,
-    "q127_hard_negatives" -> hardNegativesSql)
+    "q127_hard_negatives" -> hardNegativesSql,
+    "q147_covariance" -> covarianceMatrixSql)
 }

@@ -1138,6 +1138,106 @@ object Relational {
        |WHERE b_key IS NULL OR a_key IS NULL OR b_fp <> a_fp
        |ORDER BY status, o_orderkey""".stripMargin
 
+  // ------------------------------------------------ binned range join (q146)
+  /** Interval count for the q146 fixture (deterministic promo periods
+    * derived from the orders date span). */
+  val RjPeriods = 12
+  /** Bin count the date span is carved into for the equi-join rewrite —
+    * each interval covers ~2-3 bins at these proportions. */
+  val RjBins = 48
+
+  /** q146: BINNED RANGE JOIN — the point-in-interval join with NO equi
+    * key (IP-range geolocation, price-validity windows, promo periods),
+    * which Spark plans as a NESTED-LOOP join: every fact row evaluates
+    * every interval's predicate, O(n·m) — broadcastable at 12 intervals,
+    * catastrophic at the million-interval tables the 100 TB shape
+    * carries. The rewrite manufactures the missing equi key: carve the
+    * domain into fixed-width bins, explode each interval to the bins it
+    * covers (bounded fan-out: ~span/binW rows), map each fact to its ONE
+    * bin, hash-join on bin, then re-apply the exact range predicate to
+    * the survivors. A fact meets an interval in at most one (its own)
+    * bin, so no dedup is needed; false bin-mates are removed by the
+    * residual filter — soundness is the predicate's, the bins only
+    * prune. At fixture scale the bin relation broadcasts; at a million
+    * intervals the same plan shuffles both sides on bin — either way a
+    * HASH join, never nested loops. PlanSpec pins the contrast: this
+    * plan has a BroadcastHashJoin and no nested loop; the naive
+    * formulation ([[naiveRangeJoin]]) plans BroadcastNestedLoopJoin.
+    *
+    * The periods are derived relationally from the orders span (min/max
+    * broadcast back — no driver collect): period p covers
+    * [mind + p·span div 12, +span div 24), half-open, gaps between —
+    * so unmatched facts and the non-degenerate residual filter are both
+    * exercised. p_start/p_end ride into the output to pin the interval
+    * derivation itself in the hash. */
+  def q146RangeJoin(s: SparkSession, dir: String): DataFrame =
+    rangeJoinAgg(s, dir, binned = true)
+
+  /** The naive inequality-join formulation — same result, nested-loop
+    * plan; exists for PlanSpec's contrast, never wired as a query. */
+  private[graft] def naiveRangeJoin(s: SparkSession, dir: String): DataFrame =
+    rangeJoinAgg(s, dir, binned = false)
+
+  private def rangeJoinAgg(s: SparkSession, dir: String,
+                           binned: Boolean): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("d"),
+      cents(col("o_totalprice")).as("price_cents"))
+    val mm = o.agg(min(col("d")).as("mind"), max(col("d")).as("maxd"))
+      .selectExpr("mind", "maxd - mind + 1 as span")
+      .selectExpr("mind", "span", s"greatest(1L, span div $RjBins) as binw")
+    val periods = broadcast(mm)
+      .select(col("mind"), col("span"), col("binw"),
+        explode(expr(s"sequence(0, ${RjPeriods - 1})")).as("p"))
+      .selectExpr("p", "binw",
+        s"mind + (p * span) div $RjPeriods as p_start",
+        s"mind + (p * span) div $RjPeriods + greatest(1L, span div ${2 * RjPeriods}) as p_end")
+    if (binned) {
+      val binnedPeriods = periods
+        .withColumn("bin", explode(expr(
+          "sequence(p_start div binw, (p_end - 1) div binw)")))
+        .drop("binw")
+      val facts = o.crossJoin(broadcast(mm.select(col("binw"))))
+        .selectExpr("d div binw as bin", "d", "price_cents")
+      facts.join(broadcast(binnedPeriods), "bin")
+        .filter(col("d") >= col("p_start") && col("d") < col("p_end"))
+        .groupBy(col("p"), col("p_start"), col("p_end"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price_cents")).as("sum_cents"))
+        .select(col("p").cast("int").as("period"), col("p_start"), col("p_end"),
+          col("n_orders"), col("sum_cents"))
+        .orderBy("period")
+    } else {
+      o.join(broadcast(periods.drop("binw")),
+          col("d") >= col("p_start") && col("d") < col("p_end"))
+        .groupBy(col("p"), col("p_start"), col("p_end"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price_cents")).as("sum_cents"))
+        .select(col("p").cast("int").as("period"), col("p_start"), col("p_end"),
+          col("n_orders"), col("sum_cents"))
+        .orderBy("period")
+    }
+  }
+
+  val q146Sql: String =
+    s"""WITH o AS (
+       |  SELECT date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS d,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+       |  FROM orders),
+       |mm AS (SELECT MIN(d) AS mind, MAX(d) - MIN(d) + 1 AS span FROM o),
+       |p AS (
+       |  SELECT p,
+       |    mind + (p * span) // $RjPeriods AS p_start,
+       |    mind + (p * span) // $RjPeriods
+       |      + greatest(1, span // ${2 * RjPeriods}) AS p_end
+       |  FROM mm CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${RjPeriods - 1})) AS p))
+       |SELECT CAST(p AS INT) AS period, CAST(p_start AS BIGINT) AS p_start,
+       |  CAST(p_end AS BIGINT) AS p_end, COUNT(*) AS n_orders,
+       |  CAST(SUM(price_cents) AS BIGINT) AS sum_cents
+       |FROM o JOIN p ON o.d >= p.p_start AND o.d < p.p_end
+       |GROUP BY 1, 2, 3
+       |ORDER BY period""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_pricing"     -> (q05Pricing _),
@@ -1172,7 +1272,8 @@ object Relational {
     "q101_two_stage_distinct" -> (q101TwoStageDistinct _),
     "q132_scd2_intervals"   -> (q132Scd2Intervals _),
     "q136_incremental_scd2" -> (q136IncrementalScd2 _),
-    "q134_table_diff"       -> (q134TableDiff _))
+    "q134_table_diff"       -> (q134TableDiff _),
+    "q146_range_join"       -> (q146RangeJoin _))
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
@@ -1208,5 +1309,6 @@ object Relational {
     "q101_two_stage_distinct" -> q101Sql,
     "q132_scd2_intervals"   -> q132Sql,
     "q136_incremental_scd2" -> q132Sql, // oracle = the from-scratch rebuild
-    "q134_table_diff"       -> q134Sql)
+    "q134_table_diff"       -> q134Sql,
+    "q146_range_join"       -> q146Sql)
 }

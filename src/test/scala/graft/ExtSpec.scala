@@ -1179,4 +1179,29 @@ class ExtSpec extends SparkSpec {
     assert(topIds.subsetOf(carriers),
       s"top-3 docs must carry the rarest query term '$rarest'")
   }
+
+  test("q147 covariance: distributed partial-gram equals the direct driver computation") {
+    val got = Similarity.covarianceMatrix(emb).collect()
+      .map(r => ((r.getAs[Int]("i"), r.getAs[Int]("j")),
+        (r.getAs[Long]("gram"), r.getAs[Long]("cov_num")))).toMap
+    // quantize driver-side with the identical arithmetic, then compute
+    // the full gram/cov reference directly
+    val vecs = emb.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val mx = vecs.flatMap(_.map(x => math.abs(x.toDouble))).max
+    val q = vecs.map(_.map(e => math.max(-127.0, math.min(127.0,
+      math.floor(e.toDouble * (127.0 / math.max(mx, 1e-30)) + 0.5))).toLong))
+    val d = q.head.length
+    assert(got.size == d * (d + 1) / 2, "upper triangle incl. diagonal")
+    val n = q.length.toLong
+    val s = Array.tabulate(d)(i => q.map(_(i)).sum)
+    for (i <- 0 until d; j <- i until d) {
+      val gram = q.map(v => v(i) * v(j)).sum
+      val want = (gram, n * gram - s(i) * s(j))
+      assert(got((i, j)) == want, s"cell ($i,$j): got ${got((i, j))}, want $want")
+    }
+    // diagonal covariance numerators are n²·variance — never negative
+    for (i <- 0 until d)
+      assert(got((i, i))._2 >= 0, s"negative variance at dim $i")
+  }
 }

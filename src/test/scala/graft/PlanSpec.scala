@@ -862,6 +862,30 @@ class PlanSpec extends SparkSpec {
     assert(ex.getMessage.contains("v7"), "missing version must name itself")
   }
 
+  test("q146: the binned range join plans as a hash join; the naive form nested-loops") {
+    val binned = graft.queries.Relational.q146RangeJoin(spark, sf)
+    val got = binned.collect().map(_.toSeq).toSeq
+    // the RANGE-PREDICATE join is what must change shape: binned, the
+    // p_start/p_end comparison rides a BroadcastHashJoin on bin as its
+    // residual; naive, it IS a nested loop's condition. (The 1-row binw
+    // scalar attach is a broadcast cross join either way — the accepted
+    // scalar pattern, not the join under test.)
+    def lines(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString.linesIterator.toSeq
+    val pl = lines(binned)
+    assert(pl.exists(l => l.contains("BroadcastHashJoin") && l.contains("p_start")),
+      s"binned: range predicate must be the hash join's residual:\n${pl.mkString("\n")}")
+    assert(!pl.exists(l => l.contains("NestedLoopJoin") && l.contains("p_start")),
+      s"binned: no nested loop may evaluate the range predicate:\n${pl.mkString("\n")}")
+    // identical semantics: the naive inequality join is the witness
+    val naive = graft.queries.Relational.naiveRangeJoin(spark, sf)
+    val nl = lines(naive)
+    assert(nl.exists(l => l.contains("NestedLoopJoin") && l.contains("p_start")),
+      s"without the bin key Spark can only nested-loop a range predicate:\n${nl.mkString("\n")}")
+    assert(naive.collect().map(_.toSeq).toSeq == got,
+      "bin rewrite must not change the join's result")
+  }
+
   test("q139: the as-of join plans through the custom exec with declared exchange+sort") {
     val df = graft.queries.Relational.q139AsofExec(spark, sf)
     df.collect() // materialize so AQE settles the final plan
