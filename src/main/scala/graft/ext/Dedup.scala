@@ -1175,6 +1175,87 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------- pagerank (q149)
+  /** Power-iteration rounds — pinned (and mirrored by the oracle's
+    * unrolled CTEs), unlike q33's run-to-convergence: PageRank is a
+    * fixed-budget scoring pass, not a closure computation. */
+  val PrIters = 3
+  /** Damping in percent (the classic 0.85). */
+  val PrDampingPct = 85L
+  /** Rank seed / teleport mass, ppm scale. */
+  val PrSeedPpm = 1000000L
+
+  /** q149: INTEGER PAGERANK over the near-dup graph — link-analysis
+    * centrality as a CURATION signal: within a duplicate family (q33's
+    * components), the highest-centrality member is the best canonical
+    * choice (q52 picks by quality score; this is the structural
+    * complement), and across a crawl, host-graph centrality is a
+    * standard pretraining quality feature. All arithmetic is ppm
+    * fixed-point with floor division —
+    *
+    *   r₀ = 1e6;  r' = 150000 + (85 · Σ_in (r div deg)) div 100
+    *
+    * — deterministic under any execution order (integer sums), mirrored
+    * exactly by the oracle's unrolled iterations; total mass drifts by
+    * the flooring (a declared property, not renormalized). Induced
+    * subgraph only (nodes on ≥1 near-dup edge — q33's discipline), and
+    * the undirected edge relation means no dangling nodes: every node
+    * has deg ≥ 1 and receives mass.
+    *
+    * Scale shape: each round is one join of the edge relation against
+    * the ≤node-sized rank relation plus a dst-keyed aggregate — the
+    * standard Pregel-style iteration, with `localCheckpoint` cutting
+    * lineage the way q33 does (at production scale, a checkpoint to
+    * storage every ~10 rounds). Cost per round is O(|E|) shuffled
+    * bytes; the fixed [[PrIters]] budget makes total cost 3·|E| —
+    * never a convergence gamble on a pathological graph. */
+  def nearDupPageRank(docs: DataFrame): DataFrame = {
+    val pairs = minhashPairs(docs).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var r = deg.select(col("src").as("id"), lit(PrSeedPpm).as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(deg, "src")
+        .join(r.select(col("id").as("src"), col("r")), "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("m"))
+      r = contrib.select(col("dst").as("id"),
+        (lit(PrSeedPpm * 15 / 100) +
+          expr(s"($PrDampingPct * m) div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    r.join(deg.select(col("src").as("id"), col("deg")), "id")
+      .select(col("id").as("doc_id"), col("deg"), col("r").as("rank_ppm"))
+      .orderBy("doc_id")
+  }
+
+  def nearDupPageRankSql: String = {
+    val seed = PrSeedPpm; val tele = PrSeedPpm * 15 / 100; val d = PrDampingPct
+    def round(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT e.dst AS id, $tele + ($d * SUM(p.r // dg.deg)) // 100 AS r
+         |  FROM edges e JOIN deg dg ON dg.src = e.src
+         |    JOIN $prev p ON p.id = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    s"""WITH pairs AS (SELECT * FROM ($minhashPairsSql)),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT src AS id, $seed AS r FROM deg),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT r3.id AS doc_id, CAST(deg.deg AS BIGINT) AS deg,
+       |  CAST(r3.r AS BIGINT) AS rank_ppm
+       |FROM r3 JOIN deg ON deg.src = r3.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_dedup_exact" -> ((s, d) => exactDedup(Tables.documents(s, d))),
@@ -1188,6 +1269,7 @@ object Dedup {
     "q30_edit_distance" -> ((s, d) => editDistancePairs(Tables.part(s, d))),
     "q33_dedup_clusters" -> ((s, d) => minhashClusters(Tables.documents(s, d))),
     "q38_cross_source" -> ((s, d) => crossSourceClusters(Tables.documents(s, d))),
+    "q149_pagerank" -> ((s, d) => nearDupPageRank(Tables.documents(s, d))),
     "q45_eval_contamination" -> ((s, d) => evalContamination(Tables.documents(s, d))),
     "q47_repetition" -> ((s, d) => repetitionScore(Tables.documents(s, d))),
     "q59_block_dedup" -> ((s, d) => blockDedup(Tables.documents(s, d))),
@@ -1206,6 +1288,7 @@ object Dedup {
     "q30_edit_distance" -> editDistancePairsSql,
     "q33_dedup_clusters" -> minhashClustersSql,
     "q38_cross_source" -> crossSourceClustersSql,
+    "q149_pagerank" -> nearDupPageRankSql,
     "q45_eval_contamination" -> evalContaminationSql,
     "q47_repetition" -> repetitionScoreSql,
     "q59_block_dedup" -> blockDedupSql,

@@ -1238,6 +1238,62 @@ object Relational {
        |GROUP BY 1, 2, 3
        |ORDER BY period""".stripMargin
 
+  // ------------------------------------------------ cohort retention (q148)
+  /** q148: COHORT RETENTION MATRIX — the classic product-analytics
+    * rollup (and the engagement complement of q89's conversion funnel):
+    * users cohorted by first-activity day, each later active day
+    * counted at its day offset, retention as basis points of the
+    * cohort's size. Integer day arithmetic end to end (epoch-µs div
+    * day), so the matrix is hash-exact.
+    *
+    * Shape: ONE row-level shuffle. The per-user day SET is a single
+    * user-keyed aggregate (collect_set with map-side partials — its
+    * size is bounded by the retention horizon in DAYS, not by event
+    * volume, so a million-event user still carries ≤ horizon entries),
+    * and cohort day + offsets derive from that set statelessly
+    * (array_min, explode) — no join back, no second pass over events.
+    * Everything after is aggregation over the tiny (cohort, offset)
+    * matrix, with the cohort-size base row re-attached broadcast. */
+  def q148CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val m = e.groupBy("user_id").agg(collect_set(col("day")).as("days"))
+      .select(explode(expr(
+        "transform(days, d -> named_struct(" +
+          "'cohort_day', array_min(days), 'day_offset', d - array_min(days)))"))
+        .as("x"))
+      .select(col("x.cohort_day").as("cohort_day"),
+        col("x.day_offset").as("day_offset"))
+      .groupBy("cohort_day", "day_offset").agg(count(lit(1)).as("n_active"))
+    // cohort size = the offset-0 cell, attached as a window over the
+    // matrix itself (a self-join would recompute the whole events
+    // aggregate on the second branch — exchange reuse is not free)
+    m.withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("n_active")))
+          .over(Window.partitionBy("cohort_day")))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        expr("(10000 * n_active) div cohort_size").as("retention_bp"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val q148Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+      |m AS (
+      |  SELECT cohort_day, day - cohort_day AS day_offset,
+      |    COUNT(*) AS n_active
+      |  FROM (SELECT DISTINCT e.user_id, c.cohort_day, e.day
+      |        FROM e JOIN c USING (user_id))
+      |  GROUP BY 1, 2),
+      |b AS (SELECT cohort_day, n_active AS cohort_size FROM m
+      |      WHERE day_offset = 0)
+      |SELECT m.cohort_day, m.day_offset, m.n_active, b.cohort_size,
+      |  (10000 * m.n_active) // b.cohort_size AS retention_bp
+      |FROM m JOIN b USING (cohort_day)
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_pricing"     -> (q05Pricing _),
@@ -1273,7 +1329,8 @@ object Relational {
     "q132_scd2_intervals"   -> (q132Scd2Intervals _),
     "q136_incremental_scd2" -> (q136IncrementalScd2 _),
     "q134_table_diff"       -> (q134TableDiff _),
-    "q146_range_join"       -> (q146RangeJoin _))
+    "q146_range_join"       -> (q146RangeJoin _),
+    "q148_cohort_retention" -> (q148CohortRetention _))
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
@@ -1310,5 +1367,6 @@ object Relational {
     "q132_scd2_intervals"   -> q132Sql,
     "q136_incremental_scd2" -> q132Sql, // oracle = the from-scratch rebuild
     "q134_table_diff"       -> q134Sql,
-    "q146_range_join"       -> q146Sql)
+    "q146_range_join"       -> q146Sql,
+    "q148_cohort_retention" -> q148Sql)
 }

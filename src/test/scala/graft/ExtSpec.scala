@@ -1204,4 +1204,30 @@ class ExtSpec extends SparkSpec {
     for (i <- 0 until d)
       assert(got((i, i))._2 >= 0, s"negative variance at dim $i")
   }
+
+  test("q149 pagerank: distributed power iteration equals the driver recompute") {
+    val got = Dedup.nearDupPageRank(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("rank_ppm"))).toMap
+    // replicate the integer iterations from the same pair relation
+    val pairs = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    var rank: Map[Long, Long] = deg.map { case (k, _) => k -> Dedup.PrSeedPpm }.toMap
+    for (_ <- 1 to Dedup.PrIters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / deg(src) }.sum
+      }
+      rank = in.map { case (id, m) =>
+        id -> (Dedup.PrSeedPpm * 15 / 100 + Dedup.PrDampingPct * m / 100)
+      }.toMap
+    }
+    assert(got.keySet == rank.keySet, "induced-subgraph node set")
+    for ((id, r) <- rank) {
+      assert(got(id) == ((deg(id), r)),
+        s"node $id: got ${got(id)}, want (${deg(id)}, $r)")
+      assert(r >= Dedup.PrSeedPpm * 15 / 100, "teleport mass is a floor")
+    }
+  }
 }
