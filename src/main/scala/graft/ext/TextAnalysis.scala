@@ -1155,6 +1155,49 @@ object TextAnalysis {
        |  doc_id, CAST(n_terms AS BIGINT) AS n_terms, CAST(score_e6 AS BIGINT) AS score_e6
        |FROM scored ORDER BY score_e6 DESC, doc_id LIMIT $BmTopDocs""".stripMargin
 
+  // ------------------------------------------- score calibration (q151)
+  /** q151: PER-SOURCE QUANTILE CALIBRATION of the q120 classifier
+    * scores — cross-source score comparability, the fix for the
+    * classic curation failure where one source's score distribution
+    * sits higher than another's and a single global threshold silently
+    * empties the low-scoring source (the problem q84's per-source
+    * floor patches at the keep/drop level; this repairs the SCORE
+    * itself). calib_bp is the integer percent-rank within the doc's
+    * source — (10000·(rank−1)) div (n_src−1) — so thresholding
+    * calib_bp at any cut keeps the SAME fraction of every source by
+    * construction (spec-pinned).
+    *
+    * Shape: the scored relation joins its source column, then ONE
+    * source-keyed exchange carries both windows (ordered row_number
+    * and unbounded count share the partitioning — Spark plans them
+    * without a second shuffle). Per-source sorts run in parallel;
+    * nothing global orders the corpus. */
+  def calibratedScores(docs: DataFrame): DataFrame = {
+    val scored = classifierScores(docs).select("doc_id", "score")
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    scored
+      .withColumn("rk", row_number().over(bySrc.orderBy(col("score"), col("doc_id"))))
+      .withColumn("n_src", count(lit(1)).over(bySrc))
+      .select(col("doc_id"), col("source"), col("score"),
+        expr("case when n_src = 1 then 0L " +
+          "else (10000 * (rk - 1)) div (n_src - 1) end").as("calib_bp"))
+      .orderBy("doc_id")
+  }
+
+  val calibratedScoresSql: String =
+    s"""WITH cs AS (SELECT * FROM ($classifierScoresSql)),
+       |j AS (SELECT cs.doc_id, d.source, cs.score
+       |      FROM cs JOIN documents d USING (doc_id)),
+       |r AS (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY score, doc_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY source) AS n_src
+       |  FROM j)
+       |SELECT doc_id, source, CAST(score AS BIGINT) AS score,
+       |  CAST(CASE WHEN n_src = 1 THEN 0
+       |       ELSE (10000 * (rk - 1)) // (n_src - 1) END AS BIGINT) AS calib_bp
+       |FROM r ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
@@ -1176,7 +1219,8 @@ object TextAnalysis {
     "q128_exact_quantiles" -> ((s, d) => exactQuantiles(Tables.documents(s, d))),
     "q130_weighted_sample" -> ((s, d) => weightedSample(Tables.documents(s, d))),
     "q133_curriculum" -> ((s, d) => curriculumBuckets(Tables.documents(s, d))),
-    "q143_bm25" -> ((s, d) => bm25TopDocs(Tables.documents(s, d))))
+    "q143_bm25" -> ((s, d) => bm25TopDocs(Tables.documents(s, d))),
+    "q151_score_calibration" -> ((s, d) => calibratedScores(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q19_lang_id"     -> langIdSql,
@@ -1198,5 +1242,6 @@ object TextAnalysis {
     "q128_exact_quantiles" -> exactQuantilesSql,
     "q130_weighted_sample" -> weightedSampleSql,
     "q133_curriculum" -> curriculumBucketsSql,
-    "q143_bm25" -> bm25TopDocsSql)
+    "q143_bm25" -> bm25TopDocsSql,
+    "q151_score_calibration" -> calibratedScoresSql)
 }

@@ -1294,6 +1294,45 @@ object Relational {
       |FROM m JOIN b USING (cohort_day)
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  // --------------------------------------------- markov transitions (q150)
+  /** q150: EVENT-FLOW TRANSITION MATRIX — first-order Markov statistics
+    * over each user's event sequence (the "session flow" analytics
+    * behind funnel design, and the event-stream twin of q66's bigram
+    * LM). Consecutive-pair extraction is a LAG over the user partition
+    * ordered by (ts, event_id) — per-key sorts inside ONE user-keyed
+    * exchange, never a global order (q132's window discipline); what
+    * leaves that exchange is only the |types|² count matrix, and the
+    * row-normalized ppm probabilities ride a second window over THAT
+    * tiny relation. Integer ppm with floor division, hash-exact. */
+  def q150MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      expr("unix_micros(ts)").as("us"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val m = e.withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    m.withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(1000000 * n) div row_total").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val q150Sql: String =
+    """WITH t AS (
+      |  SELECT event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |m AS (
+      |  SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+      |  FROM t WHERE prev IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+      |  CAST((1000000 * n) // rt AS BIGINT) AS p_ppm
+      |FROM (SELECT *, SUM(n) OVER (PARTITION BY from_type) AS rt FROM m)
+      |ORDER BY from_type, to_type""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_pricing"     -> (q05Pricing _),
@@ -1330,7 +1369,8 @@ object Relational {
     "q136_incremental_scd2" -> (q136IncrementalScd2 _),
     "q134_table_diff"       -> (q134TableDiff _),
     "q146_range_join"       -> (q146RangeJoin _),
-    "q148_cohort_retention" -> (q148CohortRetention _))
+    "q148_cohort_retention" -> (q148CohortRetention _),
+    "q150_markov_transitions" -> (q150MarkovTransitions _))
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
@@ -1368,5 +1408,6 @@ object Relational {
     "q136_incremental_scd2" -> q132Sql, // oracle = the from-scratch rebuild
     "q134_table_diff"       -> q134Sql,
     "q146_range_join"       -> q146Sql,
-    "q148_cohort_retention" -> q148Sql)
+    "q148_cohort_retention" -> q148Sql,
+    "q150_markov_transitions" -> q150Sql)
 }

@@ -125,11 +125,95 @@ object Robustness {
        |SELECT 'CORRUPT' AS bucket, $CorruptLines AS n
        |ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------- q152
+  /** q152: DATA-QUALITY EXPECTATION SUITE — the nightly constraint
+    * audit every production table runs (uniqueness, referential
+    * integrity, value ranges, non-emptiness): each expectation is one
+    * aggregate or one co-keyed join over its table, reported as
+    * (check_name, n_checked, n_violations, pass) so the suite's output
+    * is a tiny fixed relation however large the tables are. The
+    * n_chars bound is a deliberate CANARY that fails on the fixture —
+    * a suite whose every row passes can't distinguish detection from
+    * vacuous truth; the oracle pins the exact violation counts, not
+    * just the pass bits. FK checks count via left-join null probes
+    * (one pass, no separate anti-join job); at 100 TB the dim side
+    * broadcasts or co-shuffles exactly like any other join. */
+  val ExpectationNCharsBound = 400L
+
+  def dataExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    def report(name: String, checked: org.apache.spark.sql.Column,
+               violations: org.apache.spark.sql.Column, df: DataFrame) =
+      df.agg(checked.as("n_checked"), violations.as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_checked"),
+          col("n_violations"),
+          when(col("n_violations") === 0, 1L).otherwise(0L).as("pass"))
+    val unique = report("orders.o_orderkey unique",
+      count(lit(1)), count(lit(1)) - countDistinct(col("o_orderkey")), orders)
+    val fkOrders = report("lineitem.l_orderkey references orders",
+      count(lit(1)), sum(when(col("ok").isNull, 1L).otherwise(0L)),
+      lineitem.join(orders.select(col("o_orderkey").as("ok")),
+        col("l_orderkey") === col("ok"), "left"))
+    val fkNation = report("customer.c_nationkey references nation",
+      count(lit(1)), sum(when(col("nk").isNull, 1L).otherwise(0L)),
+      customer.join(broadcast(nation.select(col("n_nationkey").as("nk"))),
+        col("c_nationkey") === col("nk"), "left"))
+    val range = report("lineitem.l_quantity in [1, 50]",
+      count(lit(1)),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)),
+      lineitem)
+    val canary = report(s"documents.n_chars <= $ExpectationNCharsBound (canary)",
+      count(lit(1)),
+      sum(when(col("n_chars") > ExpectationNCharsBound, 1L).otherwise(0L)), docs)
+    unique.union(fkOrders).union(fkNation).union(range).union(canary)
+      .orderBy("check_name")
+  }
+
+  val dataExpectationsSql: String =
+    s"""SELECT * FROM (
+       |  SELECT 'orders.o_orderkey unique' AS check_name,
+       |    COUNT(*) AS n_checked,
+       |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations,
+       |    CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT o_orderkey)
+       |         THEN 1 ELSE 0 END AS BIGINT) AS pass
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT 'lineitem.l_orderkey references orders', COUNT(*),
+       |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(CASE WHEN SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+       |         THEN 1 ELSE 0 END AS BIGINT)
+       |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  UNION ALL
+       |  SELECT 'customer.c_nationkey references nation', COUNT(*),
+       |    CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(CASE WHEN SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) = 0
+       |         THEN 1 ELSE 0 END AS BIGINT)
+       |  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  UNION ALL
+       |  SELECT 'lineitem.l_quantity in [1, 50]', COUNT(*),
+       |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(CASE WHEN SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+       |              THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT)
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'documents.n_chars <= $ExpectationNCharsBound (canary)', COUNT(*),
+       |    CAST(SUM(CASE WHEN n_chars > $ExpectationNCharsBound THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(CASE WHEN SUM(CASE WHEN n_chars > $ExpectationNCharsBound
+       |              THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT)
+       |  FROM documents)
+       |ORDER BY check_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_schema_evolution" -> (schemaEvolution _),
-    "q103_corrupt_tolerant" -> (corruptTolerantRead _))
+    "q103_corrupt_tolerant" -> (corruptTolerantRead _),
+    "q152_data_expectations" -> (dataExpectations _))
 
   val oracles: Map[String, String] = Map(
     "q102_schema_evolution" -> schemaEvolutionSql,
-    "q103_corrupt_tolerant" -> corruptTolerantReadSql)
+    "q103_corrupt_tolerant" -> corruptTolerantReadSql,
+    "q152_data_expectations" -> dataExpectationsSql)
 }

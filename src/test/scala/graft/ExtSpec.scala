@@ -1205,6 +1205,29 @@ class ExtSpec extends SparkSpec {
       assert(got((i, i))._2 >= 0, s"negative variance at dim $i")
   }
 
+  test("q151 calibration: one threshold keeps the same fraction of every source") {
+    val r = TextAnalysis.calibratedScores(docs).collect()
+    val bySrc = r.groupBy(_.getAs[String]("source"))
+    // percent-rank is a bijection source-by-source: thresholding at 50bp
+    // cut keeps ~the same share of each source regardless of how the raw
+    // score distributions sit against each other
+    val cut = 5000L
+    for ((src, rows) <- bySrc) {
+      val n = rows.length
+      val kept = rows.count(_.getAs[Long]("calib_bp") >= cut)
+      val frac = kept.toDouble / n
+      assert(math.abs(frac - 0.5) <= 1.0 / n + 0.05,
+        s"source $src keeps $frac at the median cut")
+      // ranks are a permutation: calib_bp hits 0 and 10000 in each source
+      assert(rows.map(_.getAs[Long]("calib_bp")).min == 0)
+      assert(rows.map(_.getAs[Long]("calib_bp")).max == 10000)
+    }
+    // contrast: a single RAW-score median threshold keeps unequal shares
+    // whenever sources' distributions differ — calibration is what fixes
+    // comparability (only asserted as a sanity property of the fixture)
+    assert(bySrc.size > 1, "fixture must have multiple sources")
+  }
+
   test("q149 pagerank: distributed power iteration equals the driver recompute") {
     val got = Dedup.nearDupPageRank(docs).collect()
       .map(r => r.getAs[Long]("doc_id") ->
