@@ -64,7 +64,12 @@ object ScaleRehearsal {
     "q117_epoch_manifest", "q118_hll_tokens", "q120_classifier_gate",
     // round-8 second wave: global numbering (one corpus shuffle + tiny
     // relations) and quartile curriculum (three linear classifier passes)
-    "q131_global_rownum", "q133_curriculum")
+    "q131_global_rownum", "q133_curriculum",
+    // round-8 continuation: BM25 scoring (query-term slice + one length
+    // aggregate), integer Gram matrix (n·d² at scan locality), PageRank
+    // over the capped near-dup graph, per-source score calibration
+    "q143_bm25", "q147_covariance", "q149_pagerank",
+    "q151_score_calibration")
 
   /** q17/q24/q69 are declared-O(n²) kernels; q18/q73 assign against a
     * centroid set that GROWS with the fixture (vec_id % mod stand-in),

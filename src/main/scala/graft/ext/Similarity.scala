@@ -787,6 +787,108 @@ object Similarity {
        |ORDER BY i, j""".stripMargin
   }
 
+  // --------------------------------------------- PCA projection (q153)
+  /** Power-iteration rounds for the dominant eigenvector (pinned, like
+    * q149's budget — mirrored by the oracle's unrolled CTEs). */
+  val PcaIters = 3
+  /** Eigenvector fixed-point scale (e6). */
+  val PcaVecScale = 1000000L
+
+  /** q153: PCA PROJECTION — each embedding's coordinate along the
+    * corpus's dominant variance direction, the first step of
+    * whitening / dimensionality reduction / drift visualization, and
+    * the consumer of q147's covariance matrix. The dominant
+    * eigenvector comes from [[PcaIters]] integer power-iteration
+    * rounds over the d×d covariance relation:
+    *
+    *   A(i,j)  = cov_num(i,j) div n          (symmetric expand of q147)
+    *   v₀      = 1e6 (all dims);  m = A·v;   v' = (1e6·m) div max|m|
+    *
+    * — matrix-vector products are join+aggregate over the ≤d² relation,
+    * the renormalization divides by the max-|component| (a 1-row
+    * broadcast) so every value stays Long-exact; floor division is
+    * pinned and the oracle replays the identical rounds, so the
+    * eigenvector is bit-identical (sign and all) in both engines.
+    * The corpus-side step — the part that is actually 100 TB-sized —
+    * is a single broadcast-join projection p = Σ q_i·v_i per row: the
+    * d-row eigenvector broadcasts, the corpus is scanned once, nothing
+    * shuffles. Scale bounds: |A| ≤ n·127², so |m| ≤ d·n·127²·1e6
+    * (Long-safe to ~2 B rows at d=64); |p| ≤ d·127·1e6. */
+  def pcaProjection(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val cov = covarianceMatrix(emb) // (i, j, gram, cov_num), i <= j
+    val nRows = emb.agg(count(lit(1)).as("n"))
+    val a = cov.crossJoin(broadcast(nRows))
+      .select(col("i"), col("j"), expr("cov_num div n").as("a"))
+    val aFull = a.unionByName(
+      a.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("a")))
+      .localCheckpoint(true)
+    var v = aFull.select(col("i").as("vi")).distinct()
+      .select(col("vi"), lit(PcaVecScale).as("v"))
+    for (_ <- 1 to PcaIters) {
+      val m = aFull.join(v.select(col("vi").as("j"), col("v")), "j")
+        .groupBy("i").agg(sum(expr("a * v")).as("m"))
+      val mx = m.agg(max(abs(col("m"))).as("mx"))
+      v = m.crossJoin(broadcast(mx))
+        .select(col("i").as("vi"),
+          expr(s"($PcaVecScale * m) div greatest(mx, cast(1 as bigint))").as("v"))
+        .localCheckpoint(true)
+    }
+    val r = QuantRange
+    val mxe = emb.select(max(expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+        "(acc, e) -> greatest(acc, abs(CAST(e AS DOUBLE))))")).as("mx"))
+    val q = emb.crossJoin(broadcast(mxe))
+      .select(col("vec_id"), expr(
+        s"transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+          s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30d)) + 0.5d))) AS INT))")
+        .as("qemb"))
+    val vArr = broadcast(v.groupBy().agg(
+      expr("transform(array_sort(collect_list(struct(vi, v))), s -> s.v)").as("vs")))
+    q.crossJoin(vArr)
+      .select(col("vec_id"), expr(
+        "aggregate(zip_with(qemb, vs, (a, b) -> cast(a as bigint) * b), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("proj"))
+      .orderBy("vec_id")
+  }
+
+  val pcaProjectionSql: String = {
+    val r = QuantRange
+    def round(prev: String, curM: String, cur: String) =
+      s"""$curM AS (
+         |  SELECT af.i, SUM(af.a * p.v) AS m
+         |  FROM af JOIN $prev p ON p.vi = af.j GROUP BY af.i),
+         |$cur AS (
+         |  SELECT m.i AS vi, ($PcaVecScale * m.m)
+         |    // greatest((SELECT MAX(abs(m)) FROM $curM), 1) AS v
+         |  FROM $curM m)""".stripMargin
+    s"""WITH cov AS (SELECT * FROM ($covarianceMatrixSql)),
+       |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |a0 AS (SELECT i, j, cov_num // nn.n AS a FROM cov CROSS JOIN nn),
+       |af AS (SELECT i, j, a FROM a0
+       |       UNION ALL SELECT j, i, a FROM a0 WHERE i <> j),
+       |v0 AS (SELECT DISTINCT i AS vi, $PcaVecScale AS v FROM af),
+       |${round("v0", "m1", "v1")},
+       |${round("v1", "m2", "v2")},
+       |${round("v2", "m3", "v3")},
+       |m AS (SELECT MAX(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))),
+       |    (x, y) -> greatest(x, y))) AS mx
+       |  FROM embeddings),
+       |q AS (SELECT vec_id,
+       |    list_transform(embedding, e -> CAST(greatest(-$r, least($r,
+       |      floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30)) + 0.5))) AS INT)) AS qemb
+       |  FROM embeddings CROSS JOIN m),
+       |qd AS (SELECT vec_id, unnest(generate_series(1, len(qemb))) AS ix,
+       |    unnest(qemb) AS qv FROM q)
+       |SELECT qd.vec_id,
+       |  CAST(SUM(CAST(qd.qv AS BIGINT) * v3.v) AS BIGINT) AS proj
+       |FROM qd JOIN v3 ON v3.vi = qd.ix - 1
+       |GROUP BY qd.vec_id
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ------------------------------------------------- quantized IVF
   /** Quantized IVF top-k — the production ANN composite: q69's int8
     * quantization (one global symmetric scale, 4x narrower vectors),
@@ -1501,7 +1603,8 @@ object Similarity {
     "q125_pq_topk" -> ((s, d) => pqTopK(Tables.embeddings(s, d))),
     "q127_hard_negatives" -> ((s, d) =>
       hardNegatives(Tables.embeddings(s, d), Tables.documents(s, d))),
-    "q147_covariance" -> ((s, d) => covarianceMatrix(Tables.embeddings(s, d))))
+    "q147_covariance" -> ((s, d) => covarianceMatrix(Tables.embeddings(s, d))),
+    "q153_pca_projection" -> ((s, d) => pcaProjection(Tables.embeddings(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q17_cosine_topk" -> cosineTopKSql,
@@ -1516,5 +1619,6 @@ object Similarity {
     "q104_embedding_outliers" -> embeddingOutliersSql,
     "q125_pq_topk" -> pqTopKSql,
     "q127_hard_negatives" -> hardNegativesSql,
-    "q147_covariance" -> covarianceMatrixSql)
+    "q147_covariance" -> covarianceMatrixSql,
+    "q153_pca_projection" -> pcaProjectionSql)
 }

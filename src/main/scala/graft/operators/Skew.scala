@@ -149,4 +149,73 @@ object Skew {
       |FROM ev JOIN c ON ev.k = c.k
       |GROUP BY ev.k, c.segment
       |ORDER BY ev.k, c.segment""".stripMargin
+
+  // --------------------------------------------------------------- q154
+  /** q154: NULL-SKEW JOIN SPLIT — the THIRD skew mechanism next to
+    * q88's salting and q110's AQE split, and the one neither of those
+    * covers: an OUTER join whose probe side is mostly NULL keys. Inner
+    * joins drop null keys at the scan (Catalyst's inferred isnotnull),
+    * but a LEFT join must KEEP them — and every null-key row hashes to
+    * the same shuffle partition, so at 100 TB the "80% of events have
+    * no attribution key" join puts 80 TB through one reducer. AQE's
+    * skew split subdivides that partition but still shuffles the
+    * bytes; the static fix is cheaper: null keys can never match, so
+    * they bypass the join entirely — only the non-null slice (with the
+    * inferred isnotnull now valid) is shuffled, and the null slice
+    * unions back with null-extended dimension columns, exchange-free.
+    *
+    * Fixture: purchase events attribute to their user; every other
+    * event carries a null attribution key (~80%). The dimension is the
+    * per-user first-seen-day relation. The GATED query runs the SPLIT
+    * path; the oracle is the naive LEFT JOIN in SQL — semantic
+    * invisibility is the hash gate, the plan contrast is PlanSpec's. */
+  private def attributionSides(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val ev = graft.Tables.events(spark, dir).select(
+      expr("CASE WHEN event_type = 'purchase' THEN user_id END").as("attr_key"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val dim = graft.Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(expr("min(unix_micros(ts) div 86400000000)").as("first_day"))
+    (ev, dim)
+  }
+
+  /** The naive formulation — nulls flood the join — for PlanSpec. */
+  private[graft] def naiveNullJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (ev, dim) = attributionSides(spark, dir)
+    nullJoinAgg(ev.join(dim, ev("attr_key") === dim("user_id"), "left"))
+  }
+
+  /** The split formulation — the gated q154 path. */
+  def nullSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (ev, dim) = attributionSides(spark, dir)
+    val matched = ev.filter(col("attr_key").isNotNull)
+      .join(dim, ev("attr_key") === dim("user_id"), "left")
+    val bypassed = ev.filter(col("attr_key").isNull)
+      .withColumn("user_id", lit(null).cast("long"))
+      .withColumn("first_day", lit(null).cast("long"))
+    nullJoinAgg(matched.unionByName(bypassed))
+  }
+
+  private def nullJoinAgg(joined: DataFrame): DataFrame =
+    joined
+      .groupBy(coalesce(col("attr_key"), lit(-1L)).as("attr_user"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"),
+        max(col("first_day")).as("first_day"))
+      .orderBy("attr_user")
+
+  val nullSkewJoinSql: String =
+    """WITH ev AS (
+      |  SELECT CASE WHEN event_type = 'purchase' THEN user_id END AS attr_key,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |dim AS (
+      |  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS first_day
+      |  FROM events GROUP BY user_id)
+      |SELECT coalesce(ev.attr_key, -1) AS attr_user,
+      |  COUNT(*) AS n_events, CAST(SUM(ev.cents) AS BIGINT) AS sum_cents,
+      |  CAST(MAX(dim.first_day) AS BIGINT) AS first_day
+      |FROM ev LEFT JOIN dim ON ev.attr_key = dim.user_id
+      |GROUP BY 1
+      |ORDER BY attr_user""".stripMargin
 }

@@ -1370,7 +1370,8 @@ object Relational {
     "q134_table_diff"       -> (q134TableDiff _),
     "q146_range_join"       -> (q146RangeJoin _),
     "q148_cohort_retention" -> (q148CohortRetention _),
-    "q150_markov_transitions" -> (q150MarkovTransitions _))
+    "q150_markov_transitions" -> (q150MarkovTransitions _),
+    "q154_null_skew_join" -> ((s, d) => graft.operators.Skew.nullSkewJoin(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
@@ -1409,5 +1410,6 @@ object Relational {
     "q134_table_diff"       -> q134Sql,
     "q146_range_join"       -> q146Sql,
     "q148_cohort_retention" -> q148Sql,
-    "q150_markov_transitions" -> q150Sql)
+    "q150_markov_transitions" -> q150Sql,
+    "q154_null_skew_join" -> graft.operators.Skew.nullSkewJoinSql)
 }

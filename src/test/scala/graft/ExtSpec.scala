@@ -1228,6 +1228,37 @@ class ExtSpec extends SparkSpec {
     assert(bySrc.size > 1, "fixture must have multiple sources")
   }
 
+  test("q153 pca projection: distributed power iteration equals the driver recompute") {
+    val got = Similarity.pcaProjection(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("proj")).toMap
+    // replicate: quantize, covariance-over-n matrix, 3 integer power
+    // rounds with max-|component| renormalization, then project
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val mx = vecs.flatMap(_._2.map(x => math.abs(x.toDouble))).max
+    val q = vecs.map { case (id, v) => id -> v.map(e =>
+      math.max(-127.0, math.min(127.0,
+        math.floor(e.toDouble * (127.0 / math.max(mx, 1e-30)) + 0.5))).toLong) }
+    val d = q.head._2.length
+    val n = q.length.toLong
+    val s = Array.tabulate(d)(i => q.map(_._2(i)).sum)
+    val a = Array.tabulate(d, d) { (i, j) =>
+      val gram = q.map { case (_, v) => v(i) * v(j) }.sum
+      (n * gram - s(i) * s(j)) / n
+    }
+    var v = Array.fill(d)(1000000L)
+    for (_ <- 1 to Similarity.PcaIters) {
+      val m = Array.tabulate(d)(i => (0 until d).map(j => a(i)(j) * v(j)).sum)
+      val mmax = math.max(m.map(math.abs).max, 1L)
+      v = m.map(x => 1000000L * x / mmax)
+    }
+    assert(v.exists(_ != 0L), "eigenvector must be non-degenerate")
+    for ((id, qv) <- q) {
+      val want = (0 until d).map(i => qv(i) * v(i)).sum
+      assert(got(id) == want, s"vec $id: got ${got(id)}, want $want")
+    }
+  }
+
   test("q149 pagerank: distributed power iteration equals the driver recompute") {
     val got = Dedup.nearDupPageRank(docs).collect()
       .map(r => r.getAs[Long]("doc_id") ->

@@ -886,6 +886,29 @@ class PlanSpec extends SparkSpec {
       "bin rewrite must not change the join's result")
   }
 
+  test("q154: null-key probe rows bypass the join; split equals the naive left join") {
+    val split = graft.operators.Skew.nullSkewJoin(spark, sf)
+    val naive = graft.operators.Skew.naiveNullJoin(spark, sf)
+    assert(split.collect().map(_.toSeq).toSeq ==
+      naive.collect().map(_.toSeq).toSeq,
+      "the split must be semantically invisible")
+    // split: the join's probe side is isnotnull-filtered AT THE SCAN —
+    // null rows take the union branch and never reach the join at all
+    // (Catalyst pushes the filter through the CASE key derivation, so
+    // it appears as "CASE WHEN … THEN isnotnull(user_id) ELSE false")
+    def hasProbeNullFilter(plan: String) =
+      plan.contains("isnotnull(attr_key") ||
+        plan.contains("THEN isnotnull(user_id")
+    val p = split.queryExecution.executedPlan.toString
+    assert(hasProbeNullFilter(p),
+      s"split plan must filter null keys off the join's probe side:\n$p")
+    // naive: a LEFT join must keep null probe keys, so no isnotnull may
+    // be inferred on the probe side — every null rides the join
+    val np = naive.queryExecution.executedPlan.toString
+    assert(!hasProbeNullFilter(np),
+      s"naive left join must not filter the probe side:\n$np")
+  }
+
   test("q139: the as-of join plans through the custom exec with declared exchange+sort") {
     val df = graft.queries.Relational.q139AsofExec(spark, sf)
     df.collect() // materialize so AQE settles the final plan
