@@ -229,6 +229,185 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------- incremental IVF index (q155)
+  /** Split: three quarters of vec_ids are the indexed BASE, the last
+    * quarter is the arriving DELTA batch. */
+  val IvfDeltaMod = 4L
+
+  private[graft] val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Assign every vector of `part` to its nearest FIXED centroid — the
+    * shared per-row kernel of index build and index maintenance. */
+  private def assignCells(part: DataFrame, cents: DataFrame): DataFrame =
+    part.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        expr("vec_dist2(embedding, cent_emb)").as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("m.cent_id").as("cell"))
+
+  /** q155: INCREMENTAL IVF INDEX MAINTENANCE — the production ANN
+    * ingest path (the index-maintenance family's vector member, next to
+    * q50's incremental exact dedup, q90's IVM, and q136's incremental
+    * SCD2): centroids are FIXED at index-build time (re-clustering is a
+    * periodic maintenance op, not an ingest op), the base assignment is
+    * a STORED index read back from parquet, and the only per-ingest
+    * work is assigning the delta batch against the broadcast centroid
+    * table — cost ∝ |delta|·|C|, never a base rescan. Because
+    * assignment is per-row against fixed centroids, incremental
+    * maintenance is EXACTLY equivalent to a full rebuild — which is
+    * what the oracle (and the spec, against an in-memory full
+    * recompute) pins, along with the per-cell base/delta accounting a
+    * capacity planner watches. The stored index is built once per
+    * fixture and cached on disk; every query call re-runs the real
+    * delta assignment (bench honesty — the q110 lesson). */
+  def incrementalIvf(emb: DataFrame): DataFrame = {
+    VectorOps.register(emb.sparkSession)
+    val spark = emb.sparkSession
+    val base = emb.filter(col("vec_id") % IvfDeltaMod =!= (IvfDeltaMod - 1))
+    val delta = emb.filter(col("vec_id") % IvfDeltaMod === (IvfDeltaMod - 1))
+    val cents = base.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    // key includes the fixture dir via the DataFrame's first file path
+    val key = emb.inputFiles.headOption.getOrElse("mem")
+    val indexPath = ivfIndexCache.computeIfAbsent(key, { _ =>
+      val p = graft.TempDirs.create("graft-ivfindex").toString
+      assignCells(base, cents).write.mode("overwrite").parquet(p)
+      p
+    })
+    val stored = spark.read.parquet(indexPath)
+      .select(col("vec_id"), col("cell"), lit(1L).as("is_base"))
+    val fresh = assignCells(delta, cents)
+      .select(col("vec_id"), col("cell"), lit(0L).as("is_base"))
+    stored.unionByName(fresh)
+      .groupBy(col("cell"))
+      .agg(sum(col("is_base")).as("n_base"),
+        (count(lit(1)) - sum(col("is_base"))).as("n_delta"),
+        count(lit(1)).as("n_total"),
+        sum(col("vec_id")).as("sum_ids"))
+      .orderBy("cell")
+  }
+
+  val incrementalIvfSql: String = {
+    def duckDist2(a: String, b: String): String =
+      s"list_reduce(list_transform(generate_series(1, len($a)), " +
+        s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+        s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
+       |  WHERE vec_id % $IvfDeltaMod <> ${IvfDeltaMod - 1}
+       |    AND vec_id % $CentroidMod = 0),
+       |assigned AS (
+       |  SELECT vec_id, cell,
+       |    CASE WHEN vec_id % $IvfDeltaMod <> ${IvfDeltaMod - 1}
+       |         THEN 1 ELSE 0 END AS is_base
+       |  FROM (
+       |    SELECT v.vec_id, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${duckDist2("v.embedding", "c.cent_emb")}, c.cent_id) AS arn
+       |    FROM embeddings v CROSS JOIN cents c) WHERE arn = 1)
+       |SELECT cell, CAST(SUM(is_base) AS BIGINT) AS n_base,
+       |  CAST(COUNT(*) - SUM(is_base) AS BIGINT) AS n_delta,
+       |  COUNT(*) AS n_total, CAST(SUM(vec_id) AS BIGINT) AS sum_ids
+       |FROM assigned
+       |GROUP BY cell
+       |ORDER BY cell""".stripMargin
+  }
+
+  // ------------------------------------- prototype classifier (q156)
+  /** Prototype fixed-point scale (e3 — chosen so the 64-dim squared
+    * distance (2·127·1e3)²·64 ≈ 4e12 stays far inside a Long). */
+  val ProtoScale = 1000L
+
+  /** q156: NEAREST-CLASS-MEAN CLASSIFIER + CONFUSION MATRIX — the
+    * cheapest embedding-quality probe a training pipeline runs (are the
+    * label clusters linearly separated enough that class MEANS classify
+    * well?), and the evaluation consumer of the label column the
+    * fixture carries. All-integer: vectors quantize on q69's one global
+    * int8 scale, each label's prototype is the floor-scaled mean
+    * cent_e3 = (1e3·Σq) div n_label (a declared fixed-point variant,
+    * mirrored exactly), and classification is argmin over
+    * Σ(1e3·q − cent_e3)² — integer arithmetic, deterministic under any
+    * order, ties to the smaller label.
+    *
+    * Shape: ONE posexplode aggregate builds all prototypes (|labels|·d
+    * rows), which re-pack into per-label arrays and BROADCAST; scoring
+    * is then a per-row zip_with fold against 10 broadcast rows — the
+    * corpus is scanned once, nothing shuffles but the |labels|² matrix.
+    * At 100 TB this is the same plan: prototypes are a tiny aggregate,
+    * classification rides the scan. */
+  def prototypeConfusion(emb: DataFrame): DataFrame = {
+    val r = QuantRange
+    val mx = emb.select(max(expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+        "(acc, e) -> greatest(acc, abs(CAST(e AS DOUBLE))))")).as("mx"))
+    val q = emb.crossJoin(broadcast(mx))
+      .select(col("vec_id"), col("label"), expr(
+        s"transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+          s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30d)) + 0.5d))) AS INT))")
+        .as("qemb"))
+    val protos = q.select(col("label"), posexplode(col("qemb")).as(Seq("i", "v")))
+      .groupBy("label", "i")
+      .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("n"))
+      .select(col("label").as("proto_label"), col("i"),
+        expr(s"($ProtoScale * s) div n").as("cent"))
+      .groupBy("proto_label")
+      .agg(expr("transform(array_sort(collect_list(struct(i, cent))), x -> x.cent)")
+        .as("cents"))
+    q.crossJoin(broadcast(protos))
+      .select(col("vec_id"), col("label"), col("proto_label"), expr(
+        s"aggregate(zip_with(qemb, cents, (a, b) -> " +
+          s"($ProtoScale * cast(a as bigint) - b) * ($ProtoScale * a - b)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("d2"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("d2"), col("proto_label"))).as("m"))
+      .select(col("label").as("true_label"), col("m.proto_label").as("pred_label"))
+      .groupBy("true_label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
+
+  // lazy: this section precedes QuantRange's declaration in the file,
+  // and an eager val would interpolate the still-uninitialized 0 into
+  // the SQL at object-init time (silent in Scala — caught by the
+  // sf0.01 gate as an every-row-predicts-0 oracle)
+  lazy val prototypeConfusionSql: String = {
+    val r = QuantRange
+    val quant = s"list_transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+      s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30)) + 0.5))) AS INT))"
+    s"""WITH m AS (
+       |  SELECT MAX(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))),
+       |    (x, y) -> greatest(x, y))) AS mx
+       |  FROM embeddings),
+       |q AS (SELECT vec_id, label, $quant AS qemb
+       |      FROM embeddings CROSS JOIN m),
+       |qd AS (SELECT vec_id, label,
+       |    unnest(generate_series(1, len(qemb))) AS ix, unnest(qemb) AS v
+       |  FROM q),
+       |proto AS (
+       |  SELECT label AS proto_label, ix,
+       |    ($ProtoScale * SUM(CAST(v AS BIGINT))) // COUNT(*) AS cent
+       |  FROM qd GROUP BY label, ix),
+       |scored AS (
+       |  SELECT qd.vec_id, qd.label, p.proto_label,
+       |    SUM(($ProtoScale * CAST(qd.v AS BIGINT) - p.cent)
+       |        * ($ProtoScale * qd.v - p.cent)) AS d2
+       |  FROM qd JOIN proto p ON p.ix = qd.ix
+       |  GROUP BY qd.vec_id, qd.label, p.proto_label),
+       |pred AS (
+       |  SELECT vec_id, label AS true_label, proto_label AS pred_label,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY d2, proto_label) AS rn
+       |  FROM scored)
+       |SELECT CAST(true_label AS INT) AS true_label,
+       |  CAST(pred_label AS INT) AS pred_label, COUNT(*) AS n
+       |FROM pred WHERE rn = 1
+       |GROUP BY 1, 2
+       |ORDER BY true_label, pred_label""".stripMargin
+  }
+
   // ------------------------------------------------- embedding near-dup
   val NearDupThreshold = 0.45
 
@@ -1604,7 +1783,9 @@ object Similarity {
     "q127_hard_negatives" -> ((s, d) =>
       hardNegatives(Tables.embeddings(s, d), Tables.documents(s, d))),
     "q147_covariance" -> ((s, d) => covarianceMatrix(Tables.embeddings(s, d))),
-    "q153_pca_projection" -> ((s, d) => pcaProjection(Tables.embeddings(s, d))))
+    "q153_pca_projection" -> ((s, d) => pcaProjection(Tables.embeddings(s, d))),
+    "q155_incremental_ivf" -> ((s, d) => incrementalIvf(Tables.embeddings(s, d))),
+    "q156_prototype_confusion" -> ((s, d) => prototypeConfusion(Tables.embeddings(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q17_cosine_topk" -> cosineTopKSql,
@@ -1620,5 +1801,7 @@ object Similarity {
     "q125_pq_topk" -> pqTopKSql,
     "q127_hard_negatives" -> hardNegativesSql,
     "q147_covariance" -> covarianceMatrixSql,
-    "q153_pca_projection" -> pcaProjectionSql)
+    "q153_pca_projection" -> pcaProjectionSql,
+    "q155_incremental_ivf" -> incrementalIvfSql,
+    "q156_prototype_confusion" -> prototypeConfusionSql)
 }

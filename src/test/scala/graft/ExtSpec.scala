@@ -1259,6 +1259,30 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("q155 incremental ivf: delta assignment only; stored base index byte-untouched") {
+    val first = Similarity.incrementalIvf(emb).collect().map(_.toSeq).toSeq
+    // the stored index must exist on disk now; snapshot its files
+    val idx = Similarity.ivfIndexCache.values().iterator().next()
+    def snap = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => (f.toString, java.nio.file.Files.size(f),
+          java.nio.file.Files.getLastModifiedTime(f))).sortBy(_._1)
+      finally s.close()
+    }
+    val before = snap
+    val second = Similarity.incrementalIvf(emb).collect().map(_.toSeq).toSeq
+    assert(first == second, "maintenance is idempotent per batch")
+    assert(snap == before, "a second ingest must not rewrite the base index")
+    // accounting: every vector lands in exactly one cell, delta share ~ 1/4
+    val nTotal = first.map(_(3).asInstanceOf[Long]).sum
+    assert(nTotal == emb.count(), "every vector assigned exactly once")
+    val nDelta = first.map(_(2).asInstanceOf[Long]).sum
+    assert(nDelta == emb.filter(col("vec_id") % Similarity.IvfDeltaMod ===
+      (Similarity.IvfDeltaMod - 1)).count(), "delta batch fully indexed")
+  }
+
   test("q149 pagerank: distributed power iteration equals the driver recompute") {
     val got = Dedup.nearDupPageRank(docs).collect()
       .map(r => r.getAs[Long]("doc_id") ->
