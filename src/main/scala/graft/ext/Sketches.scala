@@ -408,13 +408,87 @@ object Sketches {
        |ORDER BY w.join_name""".stripMargin
   }
 
+  // --------------------------------------- sliding distinct (q157)
+  /** Trailing-window span in days. */
+  val SlidingDays = 7
+
+  /** q157: SLIDING-WINDOW DISTINCT USERS — the query shape that makes
+    * mergeable sketches NON-OPTIONAL: distinct-count is not algebraic,
+    * so exact trailing-7-day uniques either rescans 7 days of raw data
+    * per day (7x read amplification) or keeps per-day distinct SETS
+    * (unbounded). With HLL registers the per-day state is 64 rows, and
+    * a trailing window is a register-wise max-MERGE over ≤7·64 rows per
+    * anchor day — the one corpus pass builds the daily registers
+    * (q118/q122's exact arithmetic), and ALL window algebra happens on
+    * the tiny register relation: each day's registers explode to the
+    * [[SlidingDays]] windows they serve, merge by max, and fold through
+    * the shared fixed-point estimator. Windows anchor only on days that
+    * exist in the data (broadcast semi-join) — no phantom trailing
+    * anchors past the last day. */
+  def slidingDistinctUsers(events: DataFrame): DataFrame = {
+    val e = events.select(
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      col("user_id").cast("string").as("w"))
+    val daily = registerTable(e, key = "day")
+    val days = daily.select("day").distinct()
+    val merged = daily
+      .select(col("day"), col("reg"), col("m"),
+        explode(expr(s"sequence(0, ${SlidingDays - 1})")).as("off"))
+      .select((col("day") + col("off")).as("win_day"), col("reg"), col("m"))
+      .join(broadcast(days.select(col("day").as("win_day"))), "win_day")
+      .groupBy("win_day", "reg").agg(max(col("m")).as("m"))
+    estimateBy(merged, Seq("win_day"), estName = "est_users")
+      .orderBy("win_day")
+  }
+
+  val slidingDistinctUsersSql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |         md5(CAST(user_id AS VARCHAR)) AS hx
+       |  FROM events),
+       |rho AS (
+       |  SELECT day,
+       |    ('0x' || substr(hx, 1, 6))::BIGINT % $Registers AS reg,
+       |    ('0x' || substr(hx, 7, 6))::BIGINT AS v
+       |  FROM e),
+       |daily AS (
+       |  SELECT day, reg,
+       |    MAX(CASE WHEN v = 0 THEN $RhoCap
+       |        ELSE CAST(round(log2(v & -v)) AS INT) + 1 END) AS m
+       |  FROM rho GROUP BY day, reg),
+       |days AS (SELECT DISTINCT day FROM daily),
+       |merged AS (
+       |  SELECT w.win_day, w.reg, MAX(w.m) AS m
+       |  FROM (SELECT d.day + o.off AS win_day, d.reg, d.m
+       |        FROM daily d CROSS JOIN
+       |          (SELECT unnest(generate_series(0, ${SlidingDays - 1})) AS off) o) w
+       |  JOIN days dd ON dd.day = w.win_day
+       |  GROUP BY w.win_day, w.reg),
+       |raw AS (
+       |  SELECT win_day, COUNT(*) AS regs_hit,
+       |    (($AlphaPermille * $Registers * $Registers) * (CAST(1 AS BIGINT) << $RhoCap))
+       |      // (1000 * (SUM(CAST(1 AS BIGINT) << ($RhoCap - m))
+       |                  + ($Registers - COUNT(*)) * (CAST(1 AS BIGINT) << $RhoCap)))
+       |      AS raw_est
+       |  FROM merged GROUP BY win_day)
+       |SELECT win_day, CAST(regs_hit AS BIGINT) AS regs_hit,
+       |  CAST(CASE WHEN raw_est <= 5 * $Registers // 2 AND regs_hit < $Registers
+       |    THEN ($Registers * list_extract(${LnTable.mkString("[", ", ", "]")},
+       |                                    $Registers - regs_hit))
+       |         // (CAST(1 AS BIGINT) << $LnScale)
+       |    ELSE raw_est END AS BIGINT) AS est_users
+       |FROM raw
+       |ORDER BY win_day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_hll_tokens" -> ((s, d) => hllTokenSketch(Tables.documents(s, d))),
     "q129_table_stats" -> ((s, d) => tableStats(Tables.lineitem(s, d))),
-    "q138_join_estimate" -> ((s, d) => joinEstimates(s, d)))
+    "q138_join_estimate" -> ((s, d) => joinEstimates(s, d)),
+    "q157_sliding_distinct" -> ((s, d) => slidingDistinctUsers(Tables.events(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q118_hll_tokens" -> hllTokenSketchSql,
     "q129_table_stats" -> tableStatsSql,
-    "q138_join_estimate" -> joinEstimatesSql)
+    "q138_join_estimate" -> joinEstimatesSql,
+    "q157_sliding_distinct" -> slidingDistinctUsersSql)
 }

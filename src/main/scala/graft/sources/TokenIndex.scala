@@ -135,9 +135,61 @@ object TokenIndex {
        |JOIN documents d ON d.doc_id = g.doc_id
        |ORDER BY g.gram, g.doc_id""".stripMargin
 
+  // ------------------------------------------------ bitmap index (q158)
+  /** Char floor separating the two demo predicates' selectivities. */
+  val BmCharFloor = 200L
+
+  /** q158: BITMAP INDEX ALGEBRA — the OLAP bitmap-join-index layout
+    * (Oracle bitmap indexes, Druid, Pinot, roaring-backed lakehouse
+    * indexes): a predicate's membership compresses to ONE BIT per doc,
+    * word-aligned 64 docs to a Long row, and every boolean combination
+    * of indexed predicates becomes bitwise AND/OR/ANDNOT over the word
+    * relations plus a popcount — no re-scan of the base table per
+    * combination. At a billion docs a predicate's bitmap is ~16 MB of
+    * longs; intersecting two of them touches no raw data at all. Words
+    * key on `doc_id div 64` directly (dense ids; a sparse id space
+    * would route through q131's global numbering first), the same
+    * word relation serves every predicate, and missing words coalesce
+    * to 0 through the full-outer join. The gate computes
+    * p1 = lang 'en', p2 = n_chars > [[BmCharFloor]] and their
+    * AND/OR/ANDNOT counts ENTIRELY from the bitmaps; the oracle counts
+    * the same predicates directly off the rows — bitmap algebra must
+    * equal predicate algebra bit for bit. */
+  def bitmapIndexCounts(docs: DataFrame): DataFrame = {
+    def bitmap(p: org.apache.spark.sql.Column) = docs.filter(p)
+      .select(expr("doc_id div 64").as("word_id"),
+        expr("shiftleft(1L, cast(doc_id % 64 as int))").as("b"))
+      .groupBy("word_id").agg(expr("bit_or(b)").as("bits"))
+    val b1 = bitmap(col("lang") === "en")
+    val b2 = bitmap(col("n_chars") > BmCharFloor)
+    b1.join(b2.withColumnRenamed("bits", "bits2"), Seq("word_id"), "full")
+      .select(coalesce(col("bits"), lit(0L)).as("a"),
+        coalesce(col("bits2"), lit(0L)).as("b"))
+      .agg(sum(expr("bit_count(a)")).cast("long").as("n_p1"),
+        sum(expr("bit_count(b)")).cast("long").as("n_p2"),
+        sum(expr("bit_count(a & b)")).cast("long").as("n_and"),
+        sum(expr("bit_count(a | b)")).cast("long").as("n_or"),
+        sum(expr("bit_count(a & ~b)")).cast("long").as("n_p1_only"))
+  }
+
+  val bitmapIndexCountsSql: String =
+    s"""SELECT
+       |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_p1,
+       |  CAST(SUM(CASE WHEN n_chars > $BmCharFloor THEN 1 ELSE 0 END) AS BIGINT) AS n_p2,
+       |  CAST(SUM(CASE WHEN lang = 'en' AND n_chars > $BmCharFloor
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_and,
+       |  CAST(SUM(CASE WHEN lang = 'en' OR n_chars > $BmCharFloor
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_or,
+       |  CAST(SUM(CASE WHEN lang = 'en' AND NOT (n_chars > $BmCharFloor)
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_p1_only
+       |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q137_gram_index_skipping" -> ((s, d) => probedLookup(s, d)))
+    "q137_gram_index_skipping" -> ((s, d) => probedLookup(s, d)),
+    "q158_bitmap_index" -> ((s, d) =>
+      bitmapIndexCounts(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
-    "q137_gram_index_skipping" -> probedLookupSql)
+    "q137_gram_index_skipping" -> probedLookupSql,
+    "q158_bitmap_index" -> bitmapIndexCountsSql)
 }

@@ -1259,6 +1259,24 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("q157 sliding distinct: estimates track exact trailing-window uniques within HLL error") {
+    val est = Sketches.slidingDistinctUsers(Tables.events(spark, sf)).collect()
+      .map(r => r.getAs[Long]("win_day") -> r.getAs[Long]("est_users")).toMap
+    val pairs = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = pairs.map(_._1).distinct.sorted
+    assert(est.keySet == days.toSet, "one window per real day, no phantom anchors")
+    // m=64 registers: relative standard error 1.04/sqrt(64) = 13%; allow 3 sigma
+    for (d <- days) {
+      val exact = pairs.filter(p => p._1 > d - Sketches.SlidingDays && p._1 <= d)
+        .map(_._2).distinct.length
+      val e = est(d).toDouble
+      assert(math.abs(e - exact) <= 3 * 0.13 * exact + 3,
+        s"window $d: est $e vs exact $exact")
+    }
+  }
+
   test("q155 incremental ivf: delta assignment only; stored base index byte-untouched") {
     val first = Similarity.incrementalIvf(emb).collect().map(_.toSeq).toSeq
     // the stored index must exist on disk now; snapshot its files
