@@ -891,51 +891,56 @@ object Similarity {
     * cov_num(i,j) = n·gram(i,j) − s_i·s_j (gram = Σ q_i·q_j, s = Σ q)
     * is exact in a Long to [[CovMaxN]] rows.
     *
-    * Shape (the 100 TB argument): each row explodes into its d(d+1)/2
-    * upper-triangle products IN ONE GENERATOR PASS, and the groupBy's
-    * map-side partial aggregation collapses every partition to ≤ 2,080
-    * (i,j) partial rows BEFORE the exchange — the shuffle carries
-    * d²/2 rows per partition regardless of corpus size, the same
-    * partial-Gram trick distributed PCA uses. Per-dim sums ride a
-    * posexplode aggregate (d rows out), n a count — all three
-    * statistics then meet in broadcast joins over the d²-row relation.
-    * Nothing pairwise ever shuffles row-level data: cost is the
-    * n·d² multiply-adds the Gram matrix IS, at scan locality. */
+    * Shape (the 100 TB argument): ONE scan through the
+    * [[graft.functions.GramMatrix]] typed aggregator — every partition
+    * folds its vectors' full second-moment contribution (count, d sums,
+    * d(d+1)/2 products) into a single flat long buffer, and the shuffle
+    * carries exactly ONE ~17 KB buffer per map partition, the textbook
+    * distributed-PCA layout. (The first implementation exploded
+    * d(d+1)/2 structs per row through a generator and relied on
+    * map-side partial aggregation; the aggregator halved its wall time
+    * at sf0.1 — measured in BASELINE.md — by never materializing
+    * per-row cells at all.) Cell unpacking is a generator over the
+    * one-row result. Cost is the n·d² multiply-adds the Gram matrix
+    * IS, at scan locality; integer additions commute, so the result is
+    * bit-identical under any partitioning. */
   def covarianceMatrix(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val r = QuantRange
     val mx = emb.select(max(expr(
       "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
         "(acc, e) -> greatest(acc, abs(CAST(e AS DOUBLE))))")).as("mx"))
+    // fixed corpus dimension (schema-level fact; one-row driver read)
+    val d = emb.select(expr("size(embedding)")).head.getInt(0)
     val v = emb.crossJoin(broadcast(mx))
-      .select(col("vec_id"), expr(
+      .select(expr(
         s"transform(embedding, e -> CAST(greatest(-$r, least($r, " +
           s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30d)) + 0.5d))) AS INT))")
         .as("qemb"))
-    val nRows = v.agg(count(lit(1)).as("n"))
-    val sums = v.select(posexplode(col("qemb")).as(Seq("i", "q")))
-      .groupBy("i").agg(sum(col("q").cast("long")).as("s"))
-    val gram = v.select(explode(expr(
-        "flatten(transform(sequence(0, size(qemb) - 1), i -> " +
-          "transform(sequence(i, size(qemb) - 1), j -> " +
-          "named_struct('i', i, 'j', j, " +
-          "'p', cast(element_at(qemb, i + 1) as bigint) * element_at(qemb, j + 1)))))"))
-        .as("c"))
-      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
-      .groupBy("i", "j").agg(sum(col("p")).as("gram"))
-    gram
-      .join(broadcast(sums.select(col("i").as("si_i"), col("s").as("s_i"))),
-        col("i") === col("si_i"))
-      .join(broadcast(sums.select(col("i").as("sj_j"), col("s").as("s_j"))),
-        col("j") === col("sj_j"))
-      .crossJoin(broadcast(nRows))
-      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
-        col("gram"),
-        when(col("n") > CovMaxN,
+    // ONE scan, one buffer per partition through the shuffle — the
+    // [[graft.functions.GramMatrix]] layout (n, sums, upper triangle);
+    // replaced the per-row d²/2-struct generator, measured in BASELINE.md
+    val buf = v.select(col("qemb")).as[Array[Int]]
+      .select(new graft.functions.GramMatrix.Agg(d).toColumn)
+      .toDF("buf")
+    // unpack the single buffer row into the (i, j, gram, cov_num) cells
+    val off = s"cast(2 + $d + i * $d - (i * (i - 1)) div 2 + (j - i) as int)" // 1-based
+    buf.select(
+        when(element_at(col("buf"), 1) > CovMaxN,
           raise_error(concat(
             lit(s"covarianceMatrix: n exceeds the exact-Long bound $CovMaxN: "),
-            col("n").cast("string"))))
-          .otherwise(col("n") * col("gram") - col("s_i") * col("s_j"))
-          .as("cov_num"))
+            element_at(col("buf"), 1).cast("string"))))
+          .otherwise(element_at(col("buf"), 1)).as("n"),
+        col("buf"))
+      .select(col("n"), col("buf"), explode(expr(
+        s"flatten(transform(sequence(0, ${d - 1}), i -> " +
+          s"transform(sequence(i, ${d - 1}), j -> " +
+          s"named_struct('i', i, 'j', j, 'gram', element_at(buf, $off), " +
+          s"'si', element_at(buf, 2 + i), 'sj', element_at(buf, 2 + j)))))")).as("c"))
+      .select(col("c.i").cast("int").as("i"), col("c.j").cast("int").as("j"),
+        col("c.gram").as("gram"),
+        (col("n") * col("c.gram") - col("c.si") * col("c.sj")).as("cov_num"))
       .orderBy("i", "j")
   }
 
