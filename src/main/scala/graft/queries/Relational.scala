@@ -1333,6 +1333,66 @@ object Relational {
       |FROM (SELECT *, SUM(n) OVER (PARTITION BY from_type) AS rt FROM m)
       |ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------- retraction IVM (q159)
+  private val retractSnapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q159: RETRACTION — the negative half of incremental view
+    * maintenance (q90 proves additions fold in; this proves DELETIONS
+    * fold OUT), and the mechanics behind a "right to be forgotten"
+    * request against derived tables: the per-type rollup is a STORED
+    * snapshot (materialized parquet, built once — never recomputed per
+    * request), and erasing one user touches only that user's rows —
+    * their contribution re-aggregates from an id-filtered scan (an
+    * index lookup at 100 TB, not a table pass) and SUBTRACTS from the
+    * snapshot, algebraic aggregates being invertible. Groups whose
+    * count reaches zero drop (the view must not retain a tombstoned
+    * group). The erased user is the deterministic MIN(user_id)
+    * (production gets it from the request); n_removed rides in the
+    * output so the oracle hash pins the delta itself, not just the
+    * post-state — the oracle recomputes everything from scratch with
+    * the user excluded, so subtraction semantics must match full
+    * recompute exactly (including cents arithmetic). */
+  def q159RetractionIvm(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val snapPath = retractSnapCache.computeIfAbsent(dir, { _ =>
+      val p = graft.TempDirs.create("graft-retract-snap").toString
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    val minU = ev.agg(min(col("user_id")).as("mu"))
+    val delta = ev.crossJoin(broadcast(minU))
+      .filter(col("user_id") === col("mu"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_removed"), sum(col("cents")).as("cents_removed"))
+    s.read.parquet(snapPath)
+      .join(broadcast(delta), Seq("event_type"), "left")
+      .select(col("event_type"),
+        (col("n") - coalesce(col("n_removed"), lit(0L))).as("n"),
+        (col("sum_cents") - coalesce(col("cents_removed"), lit(0L))).as("sum_cents"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .filter(col("n") > 0)
+      .orderBy("event_type")
+  }
+
+  val q159Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |mu AS (SELECT MIN(user_id) AS mu FROM ev)
+      |SELECT event_type, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST((SELECT COUNT(*) FROM ev e2, mu
+      |        WHERE e2.user_id = mu.mu
+      |          AND e2.event_type = ev.event_type) AS BIGINT) AS n_removed
+      |FROM ev CROSS JOIN mu
+      |WHERE ev.user_id <> mu.mu
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_pricing"     -> (q05Pricing _),
@@ -1371,7 +1431,8 @@ object Relational {
     "q146_range_join"       -> (q146RangeJoin _),
     "q148_cohort_retention" -> (q148CohortRetention _),
     "q150_markov_transitions" -> (q150MarkovTransitions _),
-    "q154_null_skew_join" -> ((s, d) => graft.operators.Skew.nullSkewJoin(s, d)))
+    "q154_null_skew_join" -> ((s, d) => graft.operators.Skew.nullSkewJoin(s, d)),
+    "q159_retraction_ivm" -> (q159RetractionIvm _))
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
@@ -1411,5 +1472,6 @@ object Relational {
     "q146_range_join"       -> q146Sql,
     "q148_cohort_retention" -> q148Sql,
     "q150_markov_transitions" -> q150Sql,
-    "q154_null_skew_join" -> graft.operators.Skew.nullSkewJoinSql)
+    "q154_null_skew_join" -> graft.operators.Skew.nullSkewJoinSql,
+    "q159_retraction_ivm" -> q159Sql)
 }

@@ -251,13 +251,91 @@ object Compaction {
       |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
       |ORDER BY version""".stripMargin
 
+  // ---------------------------------------------- q160 orphan-file GC
+  private val orphanRootCache = new ConcurrentHashMap[String, Path]()
+
+  /** q160's own versioned tree (two live versions via a real compact). */
+  def orphanRoot(spark: SparkSession, dir: String): Path =
+    orphanRootCache.computeIfAbsent(dir, { _ =>
+      val root = graft.TempDirs.create("graft-orphangc")
+      Tables.documents(spark, dir)
+        .repartition(FragmentSplits)
+        .write.mode("overwrite").partitionBy("source")
+        .parquet(root.resolve("v0").toString)
+      compact(spark, root)
+      root
+    })
+
+  /** Plant the crash debris a long-running table accumulates: a failed
+    * job's `_temporary` attempt tree at the root, a half-published
+    * version directory that never got its `v<N>` name, and task-attempt
+    * debris INSIDE a live version (which parquet readers skip by the
+    * underscore convention — invisible to queries, but storage leaks
+    * forever without GC). Returns the planted roots. */
+  private[graft] def plantDebris(root: Path): Seq[Path] = {
+    val t1 = root.resolve("_temporary").resolve("attempt_000")
+    val t2 = root.resolve("v99.inprogress")
+    val t3 = latestVersion(root).resolve("_temporary")
+    Seq(t1, t2, t3).map { d =>
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve("part-orphan.bin"),
+        "debris".getBytes("UTF-8"))
+      d
+    }
+    Seq(root.resolve("_temporary"), t2, t3)
+  }
+
+  /** ORPHAN GC: delete every top-level entry that is not a published
+    * `v<N>` version, and every `_`-prefixed debris tree inside live
+    * versions. Published data is NEVER touched — the deletion predicate
+    * is structural (name-based), so a concurrent reader holding any
+    * published version open is unaffected. Returns deleted roots. */
+  def orphanGc(root: Path): Seq[Path] = {
+    val live = versions(root).map(_.getFileName.toString).toSet
+    val top = {
+      val s = java.nio.file.Files.list(root)
+      try s.toArray.toSeq.map(_.asInstanceOf[Path])
+      finally s.close()
+    }
+    val topOrphans = top.filterNot(p => live(p.getFileName.toString))
+    // inside live versions only `_temporary` attempt trees are debris —
+    // `_SUCCESS` is the job-commit MARKER and must survive GC (systems
+    // gate downstream reads on it)
+    val innerOrphans = versions(root).flatMap { v =>
+      val s = java.nio.file.Files.list(v)
+      try s.toArray.toSeq.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString == "_temporary")
+      finally s.close()
+    }
+    val doomed = topOrphans ++ innerOrphans
+    doomed.foreach(graft.TempDirs.deleteTree)
+    doomed
+  }
+
+  /** The q160 gate: plant fresh debris EVERY call (bench honesty — the
+    * GC must do real work per repetition), collect it, then read the
+    * table through the resolver. Content identity with the original
+    * relation proves GC never touched published data; the PlanSpec twin
+    * pins the physical side (debris gone, live files byte-untouched,
+    * second pass a no-op). */
+  def orphanGcDocs(spark: SparkSession, dir: String): DataFrame = {
+    val root = orphanRoot(spark, dir)
+    plantDebris(root)
+    orphanGc(root)
+    spark.read.parquet(latestVersion(root).toString)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_compaction" -> ((s, d) => compactedDocs(s, d)),
     "q142_vacuum" -> ((s, d) => vacuumedDocs(s, d)),
-    "q144_time_travel" -> ((s, d) => timeTravelSummary(s, d)))
+    "q144_time_travel" -> ((s, d) => timeTravelSummary(s, d)),
+    "q160_orphan_gc" -> ((s, d) => orphanGcDocs(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q115_compaction" -> compactedDocsSql,
     "q142_vacuum" -> compactedDocsSql, // same bar: the original relation
-    "q144_time_travel" -> timeTravelSummarySql)
+    "q144_time_travel" -> timeTravelSummarySql,
+    "q160_orphan_gc" -> compactedDocsSql) // same bar: the original relation
 }

@@ -909,6 +909,35 @@ class PlanSpec extends SparkSpec {
       s"naive left join must not filter the probe side:\n$np")
   }
 
+  test("q160: orphan GC removes exactly the debris; published files untouched; idempotent") {
+    import graft.sources.Compaction
+    import java.nio.file.Files
+    val root = Compaction.orphanRoot(spark, sf)
+    val debris = Compaction.plantDebris(root)
+    debris.foreach(d => assert(Files.exists(d), s"debris $d must be planted"))
+    def liveSnap: Seq[(String, Long, java.nio.file.attribute.FileTime)] =
+      Compaction.versions(root).flatMap { v =>
+        val s = Files.walk(v)
+        try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(Files.isRegularFile(_))
+          .filterNot(p => v.relativize(p).toString.startsWith("_temporary"))
+          .map(f => (f.toString, Files.size(f), Files.getLastModifiedTime(f)))
+        finally s.close()
+      }.sortBy(_._1)
+    val before = liveSnap
+    val resolverBefore = Compaction.latestVersion(root)
+    val deleted = Compaction.orphanGc(root)
+    assert(deleted.map(_.getFileName.toString).toSet ==
+      Set("_temporary", "v99.inprogress"),
+      s"exactly the debris roots must be reclaimed, got $deleted")
+    debris.foreach(d => assert(!Files.exists(d), s"$d must be gone"))
+    assert(liveSnap == before, "published files must be byte-untouched")
+    assert(Compaction.latestVersion(root) == resolverBefore, "resolver stable")
+    assert(Compaction.orphanGc(root).isEmpty, "second pass must be a no-op")
+    assert(spark.read.parquet(resolverBefore.toString).count() ==
+      Tables.documents(spark, sf).count(), "live data intact after GC")
+  }
+
   test("q139: the as-of join plans through the custom exec with declared exchange+sort") {
     val df = graft.queries.Relational.q139AsofExec(spark, sf)
     df.collect() // materialize so AQE settles the final plan
