@@ -269,8 +269,16 @@ object Similarity {
     val delta = emb.filter(col("vec_id") % IvfDeltaMod === (IvfDeltaMod - 1))
     val cents = base.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    // key includes the fixture dir via the DataFrame's first file path
-    val key = emb.inputFiles.headOption.getOrElse("mem")
+    // key = the FULL sorted input-file set (two differently-filtered
+    // frames over one fixture still collide by design: the base/delta
+    // split is id-derived, so the index is a function of the files);
+    // a file-less in-memory frame gets a per-instance key — rebuilding
+    // is safe, silently SHARING another relation's index is not
+    val key = {
+      val fs = emb.inputFiles
+      if (fs.nonEmpty) fs.sorted.mkString(",")
+      else s"mem:${System.identityHashCode(emb)}"
+    }
     val indexPath = ivfIndexCache.computeIfAbsent(key, { _ =>
       val p = graft.TempDirs.create("graft-ivfindex").toString
       assignCells(base, cents).write.mode("overwrite").parquet(p)
@@ -996,14 +1004,26 @@ object Similarity {
     * The corpus-side step — the part that is actually 100 TB-sized —
     * is a single broadcast-join projection p = Σ q_i·v_i per row: the
     * d-row eigenvector broadcasts, the corpus is scanned once, nothing
-    * shuffles. Scale bounds: |A| ≤ n·127², so |m| ≤ d·n·127²·1e6
-    * (Long-safe to ~2 B rows at d=64); |p| ≤ d·127·1e6. */
+    * shuffles. Scale bounds: |A| ≤ n·127² and |v| ≤ 1e6, so the
+    * matvec |m| ≤ d·n·127²·1e6 — Long-exact only to n ≈ 8.9 M rows at
+    * d = 64, enforced LOUDLY below (the packGuard discipline; past it
+    * the fixed point must drop to e3 as an explicit decision);
+    * |p| ≤ d·127·1e6 is always safe. */
   def pcaProjection(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     val cov = covarianceMatrix(emb) // (i, j, gram, cov_num), i <= j
     val nRows = emb.agg(count(lit(1)).as("n"))
+    // loud bound: d * (n * QuantRange^2) * PcaVecScale must fit a Long
+    val d0 = emb.select(expr("size(embedding)")).head.getInt(0)
+    val pcaMaxN: Long =
+      Long.MaxValue / (d0.toLong * QuantRange * QuantRange * PcaVecScale)
     val a = cov.crossJoin(broadcast(nRows))
-      .select(col("i"), col("j"), expr("cov_num div n").as("a"))
+      .select(col("i"), col("j"),
+        when(col("n") > pcaMaxN,
+          raise_error(concat(
+            lit(s"pcaProjection: n exceeds the exact-Long matvec bound $pcaMaxN: "),
+            col("n").cast("string"))))
+          .otherwise(expr("cov_num div n")).as("a"))
     val aFull = a.unionByName(
       a.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("a")))

@@ -1193,29 +1193,26 @@ object Relational {
       .selectExpr("p", "binw",
         s"mind + (p * span) div $RjPeriods as p_start",
         s"mind + (p * span) div $RjPeriods + greatest(1L, span div ${2 * RjPeriods}) as p_end")
-    if (binned) {
-      val binnedPeriods = periods
-        .withColumn("bin", explode(expr(
-          "sequence(p_start div binw, (p_end - 1) div binw)")))
-        .drop("binw")
-      val facts = o.crossJoin(broadcast(mm.select(col("binw"))))
-        .selectExpr("d div binw as bin", "d", "price_cents")
-      facts.join(broadcast(binnedPeriods), "bin")
-        .filter(col("d") >= col("p_start") && col("d") < col("p_end"))
-        .groupBy(col("p"), col("p_start"), col("p_end"))
-        .agg(count(lit(1)).as("n_orders"), sum(col("price_cents")).as("sum_cents"))
-        .select(col("p").cast("int").as("period"), col("p_start"), col("p_end"),
-          col("n_orders"), col("sum_cents"))
-        .orderBy("period")
-    } else {
-      o.join(broadcast(periods.drop("binw")),
+    val joined =
+      if (binned) {
+        val binnedPeriods = periods
+          .withColumn("bin", explode(expr(
+            "sequence(p_start div binw, (p_end - 1) div binw)")))
+          .drop("binw")
+        val facts = o.crossJoin(broadcast(mm.select(col("binw"))))
+          .selectExpr("d div binw as bin", "d", "price_cents")
+        facts.join(broadcast(binnedPeriods), "bin")
+          .filter(col("d") >= col("p_start") && col("d") < col("p_end"))
+      } else {
+        o.join(broadcast(periods.drop("binw")),
           col("d") >= col("p_start") && col("d") < col("p_end"))
-        .groupBy(col("p"), col("p_start"), col("p_end"))
-        .agg(count(lit(1)).as("n_orders"), sum(col("price_cents")).as("sum_cents"))
-        .select(col("p").cast("int").as("period"), col("p_start"), col("p_end"),
-          col("n_orders"), col("sum_cents"))
-        .orderBy("period")
-    }
+      }
+    joined
+      .groupBy(col("p"), col("p_start"), col("p_end"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price_cents")).as("sum_cents"))
+      .select(col("p").cast("int").as("period"), col("p_start"), col("p_end"),
+        col("n_orders"), col("sum_cents"))
+      .orderBy("period")
   }
 
   val q146Sql: String =

@@ -202,9 +202,13 @@ object Compaction {
     spark.read.parquet(p.toString)
   }
 
-  /** Per-row 40-bit content fingerprint — small enough that the SUM over
-    * a billion rows stays exact in a Long, wide enough that any changed
-    * row moves the total. */
+  /** Per-row 40-bit content fingerprint. The SUM is worst-case exact in
+    * a Long only to 2^23 ≈ 8.4 M rows ([[FpMaxRows]], enforced loudly in
+    * the gate — the packGuard discipline); past that the fingerprint
+    * narrows (or becomes a proper xor-fold) as an explicit decision,
+    * never a silent wrap that DuckDB's HUGEINT promotion would not
+    * mirror. */
+  val FpMaxRows: Long = Long.MaxValue >> 40
   private val fpExpr =
     "cast(conv(substr(md5(concat_ws(':', cast(doc_id as string), text)), 1, 10), 16, 10) as bigint)"
 
@@ -226,7 +230,12 @@ object Compaction {
           sum(col("n_chars")).as("sum_chars"),
           sum(expr(fpExpr)).as("fp"))
         .select(lit(ver).cast("int").as("version"), col("n_docs"),
-          col("n_sources"), col("sum_chars"), col("fp"))
+          col("n_sources"), col("sum_chars"),
+          when(col("n_docs") > FpMaxRows,
+            raise_error(concat(
+              lit(s"timeTravelSummary: n_docs exceeds the exact-Long fp-sum bound $FpMaxRows: "),
+              col("n_docs").cast("string"))))
+            .otherwise(col("fp")).as("fp"))
     }.reduce(_ union _).orderBy("version")
   }
 

@@ -144,13 +144,18 @@ object EventsStreaming {
     * estimate (min over a key's [[CmsDepth]] cells) never under-counts;
     * StreamingSpec asserts the ≤ depth·width state bound from the
     * engine's own telemetry. */
+  /** The ONE bucket-hash definition both the state-building transform
+    * and the serving-side probe use — a drifted copy would make the
+    * read path probe cells the state never wrote. */
+  def cmsBucketExpr: String =
+    s"cast(conv(substr(md5(concat(cast(r as string), ':', " +
+      s"cast(user_id as string))), 1, 6), 16, 10) as bigint) % $CmsWidth"
+
   def cmsRegisters(events: DataFrame): DataFrame =
     events.filter(col("user_id") >= 0)
       .select(col("user_id"),
         explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("r"))
-      .withColumn("c", expr(
-        s"cast(conv(substr(md5(concat(cast(r as string), ':', " +
-          s"cast(user_id as string))), 1, 6), 16, 10) as bigint) % $CmsWidth"))
+      .withColumn("c", expr(cmsBucketExpr))
       .groupBy("r", "c").agg(count(lit(1)).as("n"))
 
   /** Watermark-scoped exactly-once dedup on event_id: duplicates arriving

@@ -270,17 +270,19 @@ object StreamingGate {
     * relation: one lost increment, a double-applied batch, or a
     * drifted bucket hash moves some cell's min and fails the hash. */
   def q145StreamCms(spark: SparkSession, dir: String): DataFrame = {
-    import EventsStreaming.{CmsDepth, CmsWidth}
+    import EventsStreaming.CmsDepth
     val regs = runToMemory(spark, dir, EventsStreaming.cmsRegisters,
         copies = 2, filesPerTrigger = Some(1), sinkMode = "update")
       .groupBy("r", "c").agg(max(col("n")).as("n"))
+    // user_id >= 0 mirrors the transform's sentinel filter — the fixture
+    // carries no negatives, but an asymmetric probe side would count
+    // events the streaming state excluded on any fixture that does
     val probes = graft.Tables.events(spark, dir)
+      .filter(col("user_id") >= 0)
       .select(col("user_id")).distinct()
       .select(col("user_id"),
         explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("r"))
-      .withColumn("c", expr(
-        s"cast(conv(substr(md5(concat(cast(r as string), ':', " +
-          s"cast(user_id as string))), 1, 6), 16, 10) as bigint) % $CmsWidth"))
+      .withColumn("c", expr(EventsStreaming.cmsBucketExpr))
     probes.join(broadcast(regs), Seq("r", "c"))
       .groupBy("user_id").agg(min(col("n")).as("est_n"))
       .orderBy("user_id")
@@ -295,12 +297,14 @@ object StreamingGate {
        |       || CAST(user_id AS VARCHAR)), 1, 6))::BIGINT % $CmsWidth AS c,
        |    2 * COUNT(*) AS n
        |  FROM events CROSS JOIN rows_r
+       |  WHERE user_id >= 0
        |  GROUP BY 1, 2),
        |probes AS (
        |  SELECT DISTINCT user_id, r,
        |    ('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
        |       || CAST(user_id AS VARCHAR)), 1, 6))::BIGINT % $CmsWidth AS c
-       |  FROM events CROSS JOIN rows_r)
+       |  FROM events CROSS JOIN rows_r
+       |  WHERE user_id >= 0)
        |SELECT user_id, CAST(MIN(n) AS BIGINT) AS est_n
        |FROM probes JOIN cells USING (r, c)
        |GROUP BY user_id
