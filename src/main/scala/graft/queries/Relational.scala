@@ -1390,6 +1390,93 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------ trend slopes (q161)
+  /** q161: EXACT LEAST-SQUARES TREND per event type — "is this metric
+    * rising?" as a pair of EXACT INTEGER columns instead of a float:
+    * for daily counts y over day numbers x, the OLS slope is the
+    * rational (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²); emitting numerator
+    * and denominator as BIGINTs keeps the gate hash-exact (Spark's
+    * built-in `regr_slope` is a double — fold-order dependent) and
+    * still totally orders trends (compare num·den' vs num'·den). A
+    * scaled slope_mbp (millionths per day) is floored from the same
+    * rationals for human eyes. Shape: one (type, day) count aggregate,
+    * then the five regression sums over the tiny daily relation —
+    * regression over 100 TB of raw events costs exactly one
+    * aggregation pass because Σx/Σy/Σxy/Σx² are all algebraic. */
+  def q161TrendSlopes(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("x"))
+      .groupBy("event_type", "x").agg(count(lit(1)).as("y"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .select(col("event_type"), col("n_days"), col("slope_num"),
+        col("slope_den"),
+        expr("case when slope_den = 0 then 0L " +
+          "else (1000000 * slope_num) div slope_den end").as("slope_mbp"))
+      .orderBy("event_type")
+  }
+
+  val q161Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+      |    COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |sums AS (
+      |  SELECT event_type, COUNT(*) AS n_days,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM daily GROUP BY event_type)
+      |SELECT event_type, n_days,
+      |  CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+      |  CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
+      |  CAST(CASE WHEN n_days * sxx - sx * sx = 0 THEN 0
+      |       ELSE (1000000 * (n_days * sxy - sx * sy))
+      |            // (n_days * sxx - sx * sx) END AS BIGINT) AS slope_mbp
+      |FROM sums
+      |ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------- inter-arrival hist (q162)
+  /** q162: INTER-ARRIVAL-TIME DISTRIBUTION — per-user event gaps bucketed
+    * into powers of two (the latency-histogram shape monitoring systems
+    * export): gap extraction is a LAG over the user partition (one
+    * user-keyed exchange, q150's discipline), and the bucket is the
+    * EXACT integer floor(log2(gap_µs)) via binary-string length —
+    * `length(bin(n)) - 1` in both engines — because float log2 rounds
+    * up at large power-of-two boundaries (n near 2^50 rounds to 50.0
+    * in a double and lands in the wrong bucket; the string form cannot).
+    * Output: bucket, count, exact min/max gap per bucket. */
+  def q162InterarrivalHist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap") > 0)
+      .select((length(expr("bin(gap)")) - 1).cast("int").as("bucket"),
+        col("gap"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("gap")).as("min_gap_us"),
+        max(col("gap")).as("max_gap_us"))
+      .orderBy("bucket")
+  }
+
+  val q162Sql: String =
+    """WITH g AS (
+      |  SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events)
+      |SELECT CAST(length(bin(gap)) - 1 AS INT) AS bucket,
+      |  COUNT(*) AS n, CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+      |  CAST(MAX(gap) AS BIGINT) AS max_gap_us
+      |FROM g WHERE gap > 0
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_pricing"     -> (q05Pricing _),
@@ -1429,7 +1516,9 @@ object Relational {
     "q148_cohort_retention" -> (q148CohortRetention _),
     "q150_markov_transitions" -> (q150MarkovTransitions _),
     "q154_null_skew_join" -> ((s, d) => graft.operators.Skew.nullSkewJoin(s, d)),
-    "q159_retraction_ivm" -> (q159RetractionIvm _))
+    "q159_retraction_ivm" -> (q159RetractionIvm _),
+    "q161_trend_slopes" -> (q161TrendSlopes _),
+    "q162_interarrival_hist" -> (q162InterarrivalHist _))
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
@@ -1470,5 +1559,7 @@ object Relational {
     "q148_cohort_retention" -> q148Sql,
     "q150_markov_transitions" -> q150Sql,
     "q154_null_skew_join" -> graft.operators.Skew.nullSkewJoinSql,
-    "q159_retraction_ivm" -> q159Sql)
+    "q159_retraction_ivm" -> q159Sql,
+    "q161_trend_slopes" -> q161Sql,
+    "q162_interarrival_hist" -> q162Sql)
 }
