@@ -1198,6 +1198,71 @@ object TextAnalysis {
        |       ELSE (10000 * (rk - 1)) // (n_src - 1) END AS BIGINT) AS calib_bp
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- pareto frontier (q163)
+  /** q163: PARETO FRONTIER over (classifier score ↑, length ↓) — the
+    * multi-objective selection behind "best quality per token budget"
+    * curation: a doc survives iff NO other doc is at least as good on
+    * both axes and strictly better on one. The naive dominance check is
+    * an O(n²) self-join; the 2-D skyline needs ONE SORT: order by
+    * (score DESC, n_chars ASC) and a doc is dominated exactly when some
+    * earlier row (better-or-equal score, ties broken to shorter) has
+    * n_chars ≤ its own — a running-min window over the sorted relation.
+    * An unpartitioned window would run that sort in ONE task, so the
+    * skyline runs TWO-PHASE on the algebra skylines obey — the global
+    * frontier is a subset of the union of per-subset frontiers for ANY
+    * disjoint split: phase 1 computes local frontiers inside
+    * deterministic doc_id-mod buckets (parallel per-bucket sorts in one
+    * exchange), phase 2 re-runs the same filter over the tiny survivor
+    * union, where single-partition is the point, not a hazard. Tie rows
+    * (equal score AND equal length) all survive together — the tracked
+    * running min of (n_chars, −score) makes the dominance test strict. */
+  val ParetoBuckets = 16
+
+  private def frontierFilter(scored: DataFrame,
+                             bucketed: Boolean): DataFrame = {
+    val base = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("n_chars"), col("doc_id"))
+    val w0 = if (bucketed)
+      org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+        .orderBy(col("score").desc, col("n_chars"), col("doc_id"))
+    else base
+    val w = w0.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    scored
+      // running lexicographic min of (n_chars, -score) over STRICTLY
+      // preceding rows: the shortest earlier doc, best score on ties
+      .withColumn("bp", min(struct(col("n_chars"),
+        (-col("score")).as("neg"))).over(w))
+      .filter(col("bp").isNull ||
+        col("n_chars") < col("bp.n_chars") ||
+        (col("n_chars") === col("bp.n_chars") &&
+          col("score") >= -col("bp.neg")))
+      .drop("bp")
+  }
+
+  def paretoFrontier(docs: DataFrame): DataFrame = {
+    val scored = classifierScores(docs).select("doc_id", "score")
+      .join(docs.select("doc_id", "n_chars"), "doc_id")
+      .withColumn("bucket", pmod(col("doc_id"), lit(ParetoBuckets)))
+    val local = frontierFilter(scored, bucketed = true)
+    frontierFilter(local, bucketed = false)
+      .select(col("doc_id"), col("score"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val paretoFrontierSql: String =
+    s"""WITH cs AS (SELECT * FROM ($classifierScoresSql)),
+       |j AS (SELECT cs.doc_id, cs.score, d.n_chars
+       |      FROM cs JOIN documents d USING (doc_id))
+       |SELECT doc_id, CAST(score AS BIGINT) AS score,
+       |  CAST(n_chars AS BIGINT) AS n_chars
+       |FROM j a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM j b
+       |  WHERE b.score >= a.score AND b.n_chars <= a.n_chars
+       |    AND (b.score > a.score OR b.n_chars < a.n_chars))
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
@@ -1220,7 +1285,8 @@ object TextAnalysis {
     "q130_weighted_sample" -> ((s, d) => weightedSample(Tables.documents(s, d))),
     "q133_curriculum" -> ((s, d) => curriculumBuckets(Tables.documents(s, d))),
     "q143_bm25" -> ((s, d) => bm25TopDocs(Tables.documents(s, d))),
-    "q151_score_calibration" -> ((s, d) => calibratedScores(Tables.documents(s, d))))
+    "q151_score_calibration" -> ((s, d) => calibratedScores(Tables.documents(s, d))),
+    "q163_pareto_frontier" -> ((s, d) => paretoFrontier(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q19_lang_id"     -> langIdSql,
@@ -1243,5 +1309,6 @@ object TextAnalysis {
     "q130_weighted_sample" -> weightedSampleSql,
     "q133_curriculum" -> curriculumBucketsSql,
     "q143_bm25" -> bm25TopDocsSql,
-    "q151_score_calibration" -> calibratedScoresSql)
+    "q151_score_calibration" -> calibratedScoresSql,
+    "q163_pareto_frontier" -> paretoFrontierSql)
 }

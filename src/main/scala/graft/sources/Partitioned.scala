@@ -125,11 +125,101 @@ object Partitioned {
        |GROUP BY d.source
        |ORDER BY d.source""".stripMargin
 
+  // ------------------------------------------ consistent hashing (q164)
+  /** Shard counts before/after the reshard. */
+  val ChOldShards = 4
+  val ChNewShards = 5
+  /** Virtual nodes per shard (balance knob). */
+  val ChVnodes = 8
+
+  /** q164: CONSISTENT-HASHING RESHARD — the minimal-movement property
+    * that makes growing a 100 TB sharded store affordable: docs hash to
+    * ring positions, each shard owns [[ChVnodes]] virtual nodes, and a
+    * doc belongs to the successor vnode on the ring (wraparound to the
+    * smallest). Adding a shard moves ONLY the docs whose successor
+    * becomes one of the new shard's vnodes — ~1/(N+1) of the data,
+    * where mod-N sharding would move (N−1)/N ≈ everything. The gate
+    * emits the (old_shard, new_shard) movement matrix, so the property
+    * is VISIBLE in the hash-pinned output: every off-diagonal row has
+    * new_shard = the added shard.
+    *
+    * Shape: each ring is a ≤ N·V-row relation packed into ONE sorted
+    * array and broadcast; per-doc assignment is a scalar
+    * filter/element_at over that array — the corpus is scanned once,
+    * assignment shuffles nothing, and only the tiny matrix aggregates.
+    * Both engines share the md5 ring/doc position arithmetic; the
+    * oracle resolves successors with an ORDER BY (pos < doc_pos), pos
+    * window — identical semantics, different idiom. */
+  def consistentHashingMoves(spark: SparkSession, dir: String): DataFrame = {
+    // shard = id div V, vnode = id % V: growing the ring ADDS the new
+    // shard's vnodes and keeps every existing (shard, vnode) position
+    // bit-identical — the precondition of the minimal-movement property
+    def ringArr(n: Int) = broadcast(
+      spark.range(n.toLong * ChVnodes)
+        .select(expr(s"id div $ChVnodes").as("shard"),
+          expr(s"cast(conv(substr(md5(concat('ring:', " +
+            s"cast(id div $ChVnodes as string), ':', " +
+            s"cast(id % $ChVnodes as string))), 1, 12), 16, 10) as bigint)")
+            .as("pos"))
+        .groupBy()
+        .agg(expr("sort_array(collect_list(struct(pos, shard)))").as("ring")))
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(
+        "cast(conv(substr(md5(concat('doc:', cast(doc_id as string))), 1, 12), 16, 10) as bigint)")
+        .as("dp"))
+    def assign(ringCol: String, outCol: String) =
+      // try_element_at: an empty successor set IS the wraparound case
+      expr(s"coalesce(try_element_at(filter($ringCol, r -> r.pos >= dp), 1), " +
+        s"element_at($ringCol, 1)).shard as $outCol")
+    docs
+      .crossJoin(ringArr(ChOldShards).withColumnRenamed("ring", "ring_old"))
+      .crossJoin(ringArr(ChNewShards).withColumnRenamed("ring", "ring_new"))
+      .select(col("doc_id"),
+        assign("ring_old", "old_shard"), assign("ring_new", "new_shard"))
+      .groupBy(col("old_shard").cast("int").as("old_shard"),
+        col("new_shard").cast("int").as("new_shard"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("old_shard", "new_shard")
+  }
+
+  val consistentHashingMovesSql: String = {
+    // note: no inner line may START with "||" — this string is embedded
+    // in an outer .stripMargin, which would eat one pipe of the operator
+    def ring(n: Int, name: String) =
+      s"""$name AS (
+         |  SELECT i // $ChVnodes AS shard,
+         |    ('0x' || substr(md5('ring:' || CAST(i // $ChVnodes AS VARCHAR) || ':' ||
+         |      CAST(i % $ChVnodes AS VARCHAR)), 1, 12))::BIGINT AS pos
+         |  FROM (SELECT unnest(generate_series(0, ${n * ChVnodes - 1})) AS i))""".stripMargin
+    def assign(ringName: String, outName: String) =
+      s"""$outName AS (
+         |  SELECT doc_id, shard FROM (
+         |    SELECT d.doc_id, r.shard,
+         |      ROW_NUMBER() OVER (PARTITION BY d.doc_id
+         |        ORDER BY (r.pos < d.dp), r.pos) AS rn
+         |    FROM docs d CROSS JOIN $ringName r) WHERE rn = 1)""".stripMargin
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS dp
+       |  FROM documents),
+       |${ring(ChOldShards, "ring_old")},
+       |${ring(ChNewShards, "ring_new")},
+       |${assign("ring_old", "a_old")},
+       |${assign("ring_new", "a_new")}
+       |SELECT CAST(a_old.shard AS INT) AS old_shard,
+       |  CAST(a_new.shard AS INT) AS new_shard, COUNT(*) AS n_docs
+       |FROM a_old JOIN a_new USING (doc_id)
+       |GROUP BY 1, 2
+       |ORDER BY old_shard, new_shard""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_partition_pruning" -> ((s, d) => prunedScan(s, d)),
-    "q107_dynamic_pruning" -> ((s, d) => dppScan(s, d)))
+    "q107_dynamic_pruning" -> ((s, d) => dppScan(s, d)),
+    "q164_consistent_hashing" -> (consistentHashingMoves _))
 
   val oracles: Map[String, String] = Map(
     "q92_partition_pruning" -> prunedScanSql,
-    "q107_dynamic_pruning" -> dppScanSql)
+    "q107_dynamic_pruning" -> dppScanSql,
+    "q164_consistent_hashing" -> consistentHashingMovesSql)
 }

@@ -938,6 +938,23 @@ class PlanSpec extends SparkSpec {
       Tables.documents(spark, sf).count(), "live data intact after GC")
   }
 
+  test("q164: consistent hashing moves docs ONLY to the added shard") {
+    import graft.sources.Partitioned
+    val m = Partitioned.consistentHashingMoves(spark, sf).collect()
+      .map(r => (r.getAs[Int]("old_shard"), r.getAs[Int]("new_shard"),
+        r.getAs[Long]("n_docs")))
+    val added = Partitioned.ChNewShards - 1
+    val movers = m.filter { case (o, n, _) => o != n }
+    assert(movers.nonEmpty, "growing the ring must move some docs")
+    assert(movers.forall(_._2 == added),
+      s"every mover must land on the added shard $added, got ${movers.toSeq}")
+    val stay = m.filter { case (o, n, _) => o == n }.map(_._3).sum
+    val moved = movers.map(_._3).sum
+    assert(stay > moved,
+      s"the majority must stay put (stay=$stay, moved=$moved) — mod-N " +
+        "resharding would move ~everything")
+  }
+
   test("q139: the as-of join plans through the custom exec with declared exchange+sort") {
     val df = graft.queries.Relational.q139AsofExec(spark, sf)
     df.collect() // materialize so AQE settles the final plan
