@@ -683,6 +683,69 @@ object StreamingGate {
       |  CAST(round(value * 100) AS BIGINT) AS value_cents
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** (run-1 rows, run-2 rows, run-2 engine-reported input rows) of the
+    * most recent q165 run — the telemetry StreamingSpec pins the
+    * incremental contract on. */
+  private[graft] val lastIncrementalRun =
+    new java.util.concurrent.atomic.AtomicReference[(Long, Long, Long)]((0L, 0L, 0L))
+
+  /** q165: INCREMENTAL INGEST (21st gate) — the nightly
+    * `Trigger.AvailableNow` batch pattern every production lakehouse
+    * ETL runs: each invocation is a NEW query against the SAME
+    * checkpoint, and the source offsets make it process exactly the
+    * files that arrived since the last run — never a re-read of the
+    * ingested history. q82 proves restart recovery of STATE; this
+    * proves offset-based incrementality of a stateless pipeline: the
+    * fixture lands as two disjoint halves (even/odd event_ids), run 1
+    * ingests half A, run 2 — after half B arrives — must read ONLY B,
+    * which the spec asserts from the engine's own numInputRows (a
+    * re-reading implementation would double A's rows in the sink and
+    * fail the hash too, but the telemetry pins the COST contract, not
+    * just the result). The parquet sink accumulates across runs; the
+    * oracle is one copy of the full projected relation. */
+  def q165IncrementalIngest(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = Files.createTempDirectory("graft-incr-src")
+    val sink = Files.createTempDirectory("graft-incr-sink").resolve("out")
+    val ckpt = Files.createTempDirectory("graft-incr-ckpt")
+    Seq(src, ckpt).foreach(_.toFile.deleteOnExit())
+    val raw = spark.read.schema(EventsStreaming.rawSchema)
+      .parquet(canonicalEventsFile(spark, dir).toString)
+    def deliverHalf(parity: Int, name: String): Long = {
+      val tmp = Files.createTempDirectory("graft-incr-half")
+      val half = raw.filter(col("event_id") % 2 === parity)
+      val n = half.count()
+      half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst.get
+      Files.move(part, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(src.resolve(name),
+        FileTime.fromMillis(System.currentTimeMillis()))
+      n
+    }
+    def runOnce(): Long = {
+      val q = stream(spark, src, None)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+        .writeStream
+        .format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    val nA = deliverHalf(0, "00-even.parquet")
+    runOnce()
+    val nB = deliverHalf(1, "01-odd.parquet")
+    val run2Rows = runOnce()
+    lastIncrementalRun.set((nA, nB, run2Rows))
+    spark.read.parquet(sink.toString).orderBy("event_id")
+  }
+
   /** q78: EVENT-TIME TIMERS through transformWithState. Each user's
     * processor re-arms a timer at (max event time + 5 min); nothing is
     * emitted from handleInputRows at all — every sink row exists
@@ -1048,7 +1111,8 @@ object StreamingGate {
     "q135_stream_scd2" -> (q135StreamScd2 _),
     "q140_stream_dedup_within" -> (q140StreamDedupWithin _),
     "q141_stream_complete" -> (q141StreamComplete _),
-    "q145_stream_cms" -> (q145StreamCms _))
+    "q145_stream_cms" -> (q145StreamCms _),
+    "q165_incremental_ingest" -> (q165IncrementalIngest _))
 
   /** Same oracles as the batch twins: the streaming engine must land on
     * the identical relation. */
@@ -1073,5 +1137,6 @@ object StreamingGate {
     "q135_stream_scd2" -> graft.queries.Relational.q132Sql,
     "q140_stream_dedup_within" -> q58Sql, // same oracle: the distinct relation
     "q141_stream_complete" -> graft.queries.Relational.q11Sql,
-    "q145_stream_cms" -> q145Sql)
+    "q145_stream_cms" -> q145Sql,
+    "q165_incremental_ingest" -> q82Sql) // one copy of the full relation
 }

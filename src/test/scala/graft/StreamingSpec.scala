@@ -275,6 +275,19 @@ class StreamingSpec extends SparkSpec {
       "watermark advance must evict emitted days' registers")
   }
 
+  test("q165: the second AvailableNow run reads only the newly-arrived half") {
+    // the incremental-cost contract from engine telemetry: run 2's
+    // numInputRows must equal the delta file's rows — a pipeline that
+    // re-read history would report nA + nB here (and double the sink)
+    import graft.streaming.StreamingGate
+    val out = StreamingGate.q165IncrementalIngest(spark, sf)
+    val (nA, nB, run2) = StreamingGate.lastIncrementalRun.get()
+    assert(nA > 0 && nB > 0, "both halves must be non-empty")
+    assert(run2 == nB,
+      s"run 2 must process exactly the new half: read $run2, delta $nB")
+    assert(out.count() == nA + nB, "sink accumulates exactly one copy")
+  }
+
   test("state observability: q145's CMS counter state is bounded by depth x width") {
     // The frequency-sketch twin of the q122 bound: the streaming CMS
     // keys state by (row, bucket) — never by user — so total state is
