@@ -1256,6 +1256,90 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------- triangles (q167)
+  /** q167: TRIANGLE COUNTING + local clustering coefficients over the
+    * near-dup graph — the cohesion signal PageRank (q149) can't see:
+    * a doc with high centrality but zero triangles sits between dup
+    * families (a template bridging two boilerplate clusters), while a
+    * high-cc doc sits INSIDE a tight family — exactly the distinction a
+    * curation pass wants when deciding "canonical representative" vs
+    * "crawl artifact stitching families together".
+    *
+    * The naive triangle join (adjacency ⋈ adjacency ⋈ edges, unoriented)
+    * explodes on skew: a hub of degree d contributes d² wedges. The
+    * engine runs the DEGREE-ORDERED ORIENTATION (Chiba–Nishizeki /
+    * "forward" algorithm): every edge points from its lower-(deg, id)
+    * endpoint to the higher, each triangle is enumerated exactly once
+    * from its lowest-rank corner, and per-node out-degree is bounded by
+    * O(√m) on any graph — so the wedge relation is Σ d_out² = O(m^1.5)
+    * worst-case instead of Σ d², and a hub's d² wedges simply never
+    * materialize. The oracle enumerates the same triangle set from the
+    * id-ordered canonical form (orientation changes the join shape, not
+    * the set). Shape: two joins over the edge relation + one explode of
+    * the 3 corners per triangle; cc_bp = 20000·T(v) div (deg·(deg−1))
+    * (= basis-point local clustering coefficient, exact integers). */
+  def nearDupTriangles(docs: DataFrame): DataFrame = {
+    val pairs = minhashPairs(docs).select("doc_a", "doc_b").localCheckpoint(true)
+    val deg = pairs.select(col("doc_a").as("id"))
+      .unionByName(pairs.select(col("doc_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // orient: src = lower (deg, id) endpoint; keep the dst rank for the
+    // wedge ordering below. doc_a < doc_b already, so ties resolve by id.
+    val oriented = pairs
+      .join(deg.select(col("id").as("doc_a"), col("deg").as("da")), "doc_a")
+      .join(deg.select(col("id").as("doc_b"), col("deg").as("db")), "doc_b")
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("doc_a") < col("doc_b")),
+          struct(col("doc_a").as("v"), col("da").as("d")))
+          .otherwise(struct(col("doc_b").as("v"), col("db").as("d"))).as("s"),
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("doc_a") < col("doc_b")),
+          struct(col("doc_b").as("v"), col("db").as("d")))
+          .otherwise(struct(col("doc_a").as("v"), col("da").as("d"))).as("t"))
+      .select(col("s.v").as("src"), col("t.v").as("dst"), col("t.d").as("dst_deg"))
+      .localCheckpoint(true)
+    val e1 = oriented.select(col("src"), col("dst").as("v"), col("dst_deg").as("dv"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"), col("dst_deg").as("dw"))
+    val wedges = e1.join(e2, "src")
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+    val triangles = wedges.join(
+        oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(col("src"), col("v"), col("w"))
+    triangles
+      .select(explode(array(col("src"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+      .join(deg, "id")
+      .select(col("id").as("doc_id"), col("deg"), col("n_tri"),
+        expr("(20000 * n_tri) div (deg * (deg - 1))").as("cc_bp"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: id-ordered canonical enumeration of the same triangle set
+    * (doc_a < doc_b is already canonical in the pair relation). */
+  def nearDupTrianglesSql: String =
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($minhashPairsSql)),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |nodes AS (
+       |  SELECT x AS id FROM tri
+       |  UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri),
+       |deg AS (
+       |  SELECT id, COUNT(*) AS deg FROM (
+       |    SELECT doc_a AS id FROM pairs
+       |    UNION ALL SELECT doc_b FROM pairs) GROUP BY id),
+       |cnt AS (SELECT id, COUNT(*) AS n_tri FROM nodes GROUP BY id)
+       |SELECT c.id AS doc_id, CAST(d.deg AS BIGINT) AS deg,
+       |  CAST(c.n_tri AS BIGINT) AS n_tri,
+       |  CAST((20000 * c.n_tri) // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_bp
+       |FROM cnt c JOIN deg d ON d.id = c.id
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_dedup_exact" -> ((s, d) => exactDedup(Tables.documents(s, d))),
@@ -1270,6 +1354,7 @@ object Dedup {
     "q33_dedup_clusters" -> ((s, d) => minhashClusters(Tables.documents(s, d))),
     "q38_cross_source" -> ((s, d) => crossSourceClusters(Tables.documents(s, d))),
     "q149_pagerank" -> ((s, d) => nearDupPageRank(Tables.documents(s, d))),
+    "q167_triangles" -> ((s, d) => nearDupTriangles(Tables.documents(s, d))),
     "q45_eval_contamination" -> ((s, d) => evalContamination(Tables.documents(s, d))),
     "q47_repetition" -> ((s, d) => repetitionScore(Tables.documents(s, d))),
     "q59_block_dedup" -> ((s, d) => blockDedup(Tables.documents(s, d))),
@@ -1289,6 +1374,7 @@ object Dedup {
     "q33_dedup_clusters" -> minhashClustersSql,
     "q38_cross_source" -> crossSourceClustersSql,
     "q149_pagerank" -> nearDupPageRankSql,
+    "q167_triangles" -> nearDupTrianglesSql,
     "q45_eval_contamination" -> evalContaminationSql,
     "q47_repetition" -> repetitionScoreSql,
     "q59_block_dedup" -> blockDedupSql,

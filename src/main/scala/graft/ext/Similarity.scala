@@ -1792,7 +1792,128 @@ object Similarity {
   }
 
   // ------------------------------------------------------------ wiring
+  // --------------------------------------- JL random projection (q170)
+  /** Input dim the pinned sign matrix covers (loudly enforced on the
+    * data, q147's discipline) and the projected output dim. */
+  val JlInDim = 64
+  val JlOutDim = 16
+
+  /** The ±1 projection matrix, PINNED by derivation rather than stored:
+    * s(j, i) = +1 iff the first md5 nibble of "i|j" is even. Both
+    * engines get the same literal (inlined below / into the oracle), so
+    * there is no random state to ship — the property a 1000-executor
+    * re-run of a projection pass depends on. */
+  def jlSign(j: Int, i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i|$j".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 1) == 0) 1L else -1L
+  }
+  private lazy val jlMatrix: Array[Array[Long]] =
+    Array.tabulate(JlOutDim, JlInDim)((j, i) => jlSign(j, i))
+
+  /** q170: JOHNSON–LINDENSTRAUSS RANDOM PROJECTION + distance-distortion
+    * audit — the DATA-INDEPENDENT dimensionality reduction next to
+    * q153's PCA: no covariance pass, no training, no model state — the
+    * matrix is a pure function of (i, j), so at 100 TB the reduction is
+    * a single stateless map over the corpus (PCA needs the q147 gram
+    * aggregate first, and its axes silently rot as the distribution
+    * drifts; a JL sketch never does). Achlioptas (2003) showed ±1
+    * entries suffice — which over q69's int8 quantization makes the
+    * ENTIRE pipeline integer: proj_j = Σ_i s(j,i)·q_i is an exact fold,
+    * |proj| ≤ 64·127 so i64 never strains, and the audit's squared
+    * distances are exact BIGINTs in both engines (a float JL gate could
+    * never hash-match).
+    *
+    * The output IS the audit — for the q17-style sample pairs, original
+    * 64-dim quantized L2² against projected 16-dim L2² with the E[‖Px‖²]
+    * = k·‖x‖² unbiasedness scaling: ratio_bp = 10000·dist_proj² div
+    * (k·dist_orig²) should concentrate near 10000, and hash-gating the
+    * per-pair ratios pins matrix, projection and distances all at once
+    * (identical quantized vectors → sentinel −1, never a 0-division).
+    * The spec asserts the concentration; the oracle replays the
+    * identical integers. */
+  def jlProjectionAudit(emb: DataFrame): DataFrame = {
+    val r = QuantRange
+    val mx = emb.select(max(expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+        "(acc, e) -> greatest(acc, abs(CAST(e AS DOUBLE))))")).as("mx"))
+    val q = emb.crossJoin(broadcast(mx))
+      .select(col("vec_id"),
+        when(expr(s"size(embedding) != $JlInDim"),
+          raise_error(concat(lit(s"jl projection is pinned to d=$JlInDim, got "),
+            expr("cast(size(embedding) as string)"))))
+          .otherwise(expr(
+            s"transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+              s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30d)) + 0.5d))) AS INT))"))
+          .as("qemb"))
+    val projCols = (0 until JlOutDim).map { j =>
+      val signs = jlMatrix(j).mkString("array(", "L, ", "L)")
+      expr(s"aggregate(zip_with(qemb, $signs, (q, s) -> CAST(q AS BIGINT) * s), " +
+        "0L, (acc, x) -> acc + x)").as(s"p$j")
+    }
+    val p = q.select(col("vec_id") +: col("qemb") +: projCols: _*)
+      .withColumn("pvec", array((0 until JlOutDim).map(j => col(s"p$j")): _*))
+      .select("vec_id", "qemb", "pvec")
+    val a = p.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("vec_a"), col("qemb").as("qa"), col("pvec").as("pa"))
+    val b = p.filter(col("vec_id") % QueryMod === 1)
+      .select(col("vec_id").as("vec_b"), col("qemb").as("qb"), col("pvec").as("pb"))
+    a.join(broadcast(b), col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        expr("aggregate(zip_with(qa, qb, (x, y) -> CAST(x - y AS BIGINT) * (x - y)), " +
+          "0L, (acc, v) -> acc + v)").as("dist_orig2"),
+        expr("aggregate(zip_with(pa, pb, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (acc, v) -> acc + v)").as("dist_proj2"))
+      .withColumn("ratio_bp",
+        expr(s"CASE WHEN dist_orig2 = 0 THEN -1L " +
+          s"ELSE (10000 * dist_proj2) div ($JlOutDim * dist_orig2) END"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val jlProjectionAuditSql: String = {
+    val r = QuantRange
+    val matLit = jlMatrix.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val quant = s"list_transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+      s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30)) + 0.5))) AS INT))"
+    s"""WITH m AS (
+       |  SELECT MAX(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))),
+       |    (x, y) -> greatest(x, y))) AS mx
+       |  FROM embeddings),
+       |sgn AS (SELECT $matLit AS s),
+       |v AS (SELECT vec_id, $quant AS qemb FROM embeddings CROSS JOIN m),
+       |p AS (
+       |  SELECT vec_id, qemb,
+       |    list_transform(generate_series(1, $JlOutDim), j ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(generate_series(1, $JlInDim),
+       |          i -> CAST(qemb[i] AS BIGINT) * sgn.s[j][i])),
+       |        (x, y) -> x + y)) AS pvec
+       |  FROM v CROSS JOIN sgn),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, $JlInDim),
+       |        i -> CAST(a.qemb[i] - b.qemb[i] AS BIGINT)
+       |             * CAST(a.qemb[i] - b.qemb[i] AS BIGINT))),
+       |      (x, y) -> x + y) AS dist_orig2,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, $JlOutDim),
+       |        j -> (a.pvec[j] - b.pvec[j]) * (a.pvec[j] - b.pvec[j]))),
+       |      (x, y) -> x + y) AS dist_proj2
+       |  FROM p a JOIN p b
+       |    ON a.vec_id % $QueryMod = 0 AND b.vec_id % $QueryMod = 1
+       |   AND a.vec_id <> b.vec_id)
+       |SELECT vec_a, vec_b, dist_orig2, dist_proj2,
+       |  CAST(CASE WHEN dist_orig2 = 0 THEN -1
+       |       ELSE (10000 * dist_proj2) // ($JlOutDim * dist_orig2) END AS BIGINT)
+       |    AS ratio_bp
+       |FROM pairs
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_jl_projection" -> ((s, d) => jlProjectionAudit(Tables.embeddings(s, d))),
     "q17_cosine_topk" -> ((s, d) => cosineTopK(Tables.embeddings(s, d))),
     "q18_ivf_topk"    -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "q24_embedding_neardup" -> ((s, d) => embeddingNearDups(Tables.embeddings(s, d))),
@@ -1813,6 +1934,7 @@ object Similarity {
     "q156_prototype_confusion" -> ((s, d) => prototypeConfusion(Tables.embeddings(s, d))))
 
   val oracles: Map[String, String] = Map(
+    "q170_jl_projection" -> jlProjectionAuditSql,
     "q17_cosine_topk" -> cosineTopKSql,
     "q18_ivf_topk"    -> ivfTopKSql,
     "q24_embedding_neardup" -> embeddingNearDupsSql,

@@ -480,15 +480,67 @@ object Sketches {
        |FROM raw
        |ORDER BY win_day""".stripMargin
 
+  // --------------------------------------------- q166 Misra-Gries
+  /** Summary capacity k = 31 ⇒ guaranteed coverage of every token with
+    * frequency above 1/(k+1) = 1/32 of the stream; at most k candidate
+    * entries per partial summary regardless of data volume. */
+  val MgK = 31
+
+  /** q166: DETERMINISTIC HEAVY HITTERS via a mergeable Misra-Gries
+    * summary ([[graft.functions.MisraGries]]) — the frequent-items
+    * counterpart of q57's count-min path with a HARD guarantee instead
+    * of a probabilistic one: the ≤k-entry summary provably contains
+    * every token whose true count exceeds n/(k+1) (no hash collisions,
+    * no failure probability, no width tuning), so the exact recount of
+    * just those ≤k candidates — a broadcast IN-filter over the stream,
+    * never a full token shuffle — returns EXACTLY the true heavy
+    * hitters. The intermediate summary depends on fold order; the gated
+    * output does not, because the final filter is exact (the spec
+    * separately pins the coverage + size invariants of the summary
+    * itself). Scale shape: pass 1 map-side-combines ≤k entries per
+    * partition through one ObjectHashAggregate; pass 2 shuffles only
+    * candidate tokens. The streamed total count rides the same pass
+    * structure (one count aggregate, broadcast back as a scalar). */
+  def misraGriesTokens(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val summary: Map[String, Long] = tok.select("w").as[String]
+      .select(new graft.functions.MisraGries.Agg(MgK).toColumn).head()
+    val cand = summary.keys.toArray.sorted
+    val candFilter = if (cand.isEmpty) lit(false) else col("w").isInCollection(cand)
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tok.filter(candFilter)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * (MgK + 1) > col("n_total"))
+      .select(col("w").as("token"), col("n"), col("n_total"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  /** Oracle: the exact tokens above the 1/(k+1) support threshold — the
+    * guarantee says the sketch path must reproduce them precisely. */
+  val misraGriesTokensSql: String =
+    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |c AS (SELECT w AS token, COUNT(*) AS n FROM t
+       |      WHERE length(w) > 0 GROUP BY w),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c)
+       |SELECT token, n, n_total FROM c, tot
+       |WHERE n * ${MgK + 1} > n_total
+       |ORDER BY n DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_hll_tokens" -> ((s, d) => hllTokenSketch(Tables.documents(s, d))),
     "q129_table_stats" -> ((s, d) => tableStats(Tables.lineitem(s, d))),
     "q138_join_estimate" -> ((s, d) => joinEstimates(s, d)),
-    "q157_sliding_distinct" -> ((s, d) => slidingDistinctUsers(Tables.events(s, d))))
+    "q157_sliding_distinct" -> ((s, d) => slidingDistinctUsers(Tables.events(s, d))),
+    "q166_misra_gries" -> ((s, d) => misraGriesTokens(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q118_hll_tokens" -> hllTokenSketchSql,
     "q129_table_stats" -> tableStatsSql,
     "q138_join_estimate" -> joinEstimatesSql,
-    "q157_sliding_distinct" -> slidingDistinctUsersSql)
+    "q157_sliding_distinct" -> slidingDistinctUsersSql,
+    "q166_misra_gries" -> misraGriesTokensSql)
 }

@@ -1264,6 +1264,58 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ wiring
+  // --------------------------------------------- char diversity (q169)
+  /** Largest doc (code points) the exact div_e6 arithmetic admits:
+    * 1e6·n² must stay in i64 ⇒ n ≤ 3.0e6; enforced loudly (packGuard
+    * discipline), never silent wrap. */
+  val SimpsonMaxCp = 3000000L
+
+  /** q169: CHARACTER-DIVERSITY SCORE per document — the Gini–Simpson
+    * index over the code-point histogram, the exact-integer stand-in
+    * for character entropy (log never hash-matches across engines; the
+    * Simpson collision probability Σc²/n² orders low-diversity docs the
+    * same way): div_e6 = ⌊1e6·(n² − Σc²)/n²⌋. Near-zero means "one
+    * character repeated" (progress bars, ASCII art, padding floods —
+    * the degenerate-text class q20's punctuation ratios and q47's
+    * 3-gram repetition both miss when the junk is SUB-token), high
+    * means a flat histogram. The histogram moments come from ONE pass
+    * of the [[graft.functions.CharSimpson]] codegen expression — the
+    * relational form explodes one row per CHARACTER (a ~500× corpus
+    * blow-up through a generator + shuffle, which is exactly what the
+    * oracle does at fixture scale and what nobody can afford at
+    * 100 TB); here the per-doc fold stays inside whole-stage codegen
+    * and nothing but (doc_id, 2 longs) leaves the scan. */
+  def charDiversity(docs: DataFrame): DataFrame = {
+    graft.functions.CharSimpson.register(docs.sparkSession)
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), expr("char_simpson(text)").as("cs"))
+      .select(col("doc_id"),
+        when(col("cs").getItem(0) > SimpsonMaxCp,
+          raise_error(concat(lit(s"char_simpson exact bound [0, $SimpsonMaxCp] exceeded: "),
+            col("cs").getItem(0).cast("string"))))
+          .otherwise(col("cs").getItem(0)).as("n_cp"),
+        col("cs").getItem(1).as("simpson_num"))
+      .withColumn("div_e6",
+        expr("(1000000 * (n_cp * n_cp - simpson_num)) div (n_cp * n_cp)"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the explode-per-character relational form of the same
+    * moments (fixture-affordable, scale-prohibitive). */
+  val charDiversitySql: String =
+    """WITH c AS (
+      |  SELECT doc_id, COUNT(*) AS cnt FROM (
+      |    SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |    FROM documents WHERE length(text) > 0)
+      |  GROUP BY doc_id, ch),
+      |s AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_cp,
+      |    CAST(SUM(cnt * cnt) AS BIGINT) AS simpson_num
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_cp, simpson_num,
+      |  CAST((1000000 * (n_cp * n_cp - simpson_num)) // (n_cp * n_cp) AS BIGINT) AS div_e6
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
     "q20_quality"     -> ((s, d) => quality(Tables.documents(s, d))),
@@ -1286,7 +1338,8 @@ object TextAnalysis {
     "q133_curriculum" -> ((s, d) => curriculumBuckets(Tables.documents(s, d))),
     "q143_bm25" -> ((s, d) => bm25TopDocs(Tables.documents(s, d))),
     "q151_score_calibration" -> ((s, d) => calibratedScores(Tables.documents(s, d))),
-    "q163_pareto_frontier" -> ((s, d) => paretoFrontier(Tables.documents(s, d))))
+    "q163_pareto_frontier" -> ((s, d) => paretoFrontier(Tables.documents(s, d))),
+    "q169_char_diversity" -> ((s, d) => charDiversity(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q19_lang_id"     -> langIdSql,
@@ -1310,5 +1363,6 @@ object TextAnalysis {
     "q133_curriculum" -> curriculumBucketsSql,
     "q143_bm25" -> bm25TopDocsSql,
     "q151_score_calibration" -> calibratedScoresSql,
-    "q163_pareto_frontier" -> paretoFrontierSql)
+    "q163_pareto_frontier" -> paretoFrontierSql,
+    "q169_char_diversity" -> charDiversitySql)
 }

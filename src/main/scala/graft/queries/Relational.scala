@@ -1477,6 +1477,203 @@ object Relational {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------ point-in-time enrich (q168)
+  /** Feature-collection lag: each probe asks for the state one hour AFTER
+    * its event — deliberately off every interval boundary, so the lookup
+    * exercises genuine between-boundary resolution, not start-equality. */
+  val PitLagUs = 3600000000L
+
+  /** q168: POINT-IN-TIME ENRICHMENT against the SCD2 dimension — the
+    * feature-store correctness join ("what was this user's state when
+    * the sample was collected?") that, done wrong (join on is_current),
+    * silently leaks FUTURE state into training features. Composes two
+    * existing pieces: q132's gaps-and-islands intervals and q139's
+    * custom as-of physical operator — PIT lookup IS an as-of join on
+    * (user, valid_from ≤ probe), because tiled validity intervals make
+    * "latest start at-or-before the probe" and "interval containing the
+    * probe" the same interval. The one non-equivalence is zero-width
+    * runs (two state changes at the same microsecond): [t, t) contains
+    * nothing but ties "latest start" — dropped from the dimension side
+    * (a state that never held can never be the answer), after which
+    * starts are strictly increasing per user and the as-of answer is
+    * unique. The oracle resolves by the DIRECT interval-containment
+    * predicate — a different algorithm entirely — and the hash pins
+    * them row-equal via a 40-bit md5 fingerprint sum; n_in_window
+    * (probe < valid_to or open) must equal n_probes, gating the tiling
+    * argument itself. Scale: the as-of exec co-partitions both sides on
+    * user and streams each partition in one two-pointer pass — no
+    * interval explosion, no range-bin manufacture (q146's fallback for
+    * when there is NO equi key; here user_id is one). */
+  def q168PitEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val intervals = closeRuns(scdRuns(scdEvents(s, dir)))
+      .filter($"valid_to_us".isNull || $"valid_to_us" > $"valid_from_us")
+      .select($"user_id", $"valid_from_us", $"event_type".as("state_type"),
+        $"run_id", $"valid_to_us")
+    val probes = scdEvents(s, dir)
+      .select($"user_id", $"event_id", ($"ts_us" + PitLagUs).as("probe_us"))
+    graft.plans.AsOfJoinNode
+      .asof(probes, intervals, "user_id", "probe_us", "valid_from_us")
+      .select($"user_id", $"probe_us",
+        $"r_state_type".as("state_type"), $"r_run_id".as("run_id"),
+        $"r_valid_to_us".as("valid_to_us"))
+      .groupBy("state_type")
+      .agg(count(lit(1)).as("n_probes"),
+        countDistinct($"user_id").as("n_users"),
+        sum(when($"valid_to_us".isNull || $"probe_us" < $"valid_to_us", 1L)
+          .otherwise(0L)).as("n_in_window"),
+        sum(expr("cast(conv(substr(md5(concat_ws('|', user_id, probe_us, run_id)), 1, 10), 16, 10) as bigint)"))
+          .as("fp_sum"))
+      .orderBy("state_type")
+  }
+
+  /** Oracle: the same intervals resolved by DIRECT interval containment
+    * (valid_from ≤ probe < valid_to, open = NULL) — a different
+    * resolution algorithm than the engine's as-of merge, hash-pinned
+    * equal per row via the 40-bit md5 fingerprint sum. */
+  val q168Sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+       |  FROM events),
+       |m AS (
+       |  SELECT *, LAG(event_type) OVER
+       |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+       |  FROM ev),
+       |r AS (
+       |  SELECT *, SUM(CASE WHEN prev_type IS NULL
+       |                       OR prev_type <> event_type THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |          ROWS UNBOUNDED PRECEDING) AS run_id
+       |  FROM m),
+       |runs AS (
+       |  SELECT user_id, run_id, MAX(event_type) AS state_type,
+       |    MIN(ts_us) AS valid_from_us
+       |  FROM r GROUP BY user_id, run_id),
+       |iv AS (
+       |  SELECT user_id, run_id, state_type, valid_from_us,
+       |    LEAD(valid_from_us) OVER
+       |      (PARTITION BY user_id ORDER BY run_id) AS valid_to_us
+       |  FROM runs),
+       |ivn AS (
+       |  SELECT * FROM iv
+       |  WHERE valid_to_us IS NULL OR valid_to_us > valid_from_us),
+       |p AS (
+       |  SELECT user_id, event_id, ts_us + $PitLagUs AS probe_us FROM ev),
+       |j AS (
+       |  SELECT p.user_id, p.probe_us, i.state_type, i.run_id, i.valid_to_us
+       |  FROM p JOIN ivn i ON i.user_id = p.user_id
+       |    AND i.valid_from_us <= p.probe_us
+       |    AND (i.valid_to_us IS NULL OR p.probe_us < i.valid_to_us))
+       |SELECT state_type, COUNT(*) AS n_probes,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(SUM(CASE WHEN valid_to_us IS NULL OR probe_us < valid_to_us
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_in_window,
+       |  CAST(SUM(('0x' || substr(md5(user_id || '|' || probe_us || '|' || run_id),
+       |            1, 10))::BIGINT) AS BIGINT) AS fp_sum
+       |FROM j
+       |GROUP BY state_type
+       |ORDER BY state_type""".stripMargin
+
+  // ------------------------------------------- merkle replica diff (q171)
+  /** Range width (docs per leaf bucket) and the deterministic divergence
+    * the gate plants: replica drops doc_id % 211 == 5 and appends '!' to
+    * doc_id % 193 == 7 (a dropped doc stays dropped — filter precedes
+    * edit in both engines). */
+  val MerkleBucketWidth = 16L
+  val MerkleDropMod = 211L
+  val MerkleEditMod = 193L
+
+  private def merkleFp(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      expr(s"doc_id div $MerkleBucketWidth").as("bucket"),
+      expr("cast(conv(substr(md5(concat_ws('|', doc_id, text)), 1, 10), 16, 10) as bigint)")
+        .as("fp"))
+
+  private def merkleReplica(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % MerkleDropMod =!= 5)
+      .select(col("doc_id"),
+        when(col("doc_id") % MerkleEditMod === 7, concat(col("text"), lit("!")))
+          .otherwise(col("text")).as("text"))
+
+  /** The range-summary compare (phase 1): buckets whose (fp sum, count)
+    * disagree between primary and replica — public so the spec can pin
+    * the phase-2 cost contract to it. Sums of 40-bit fingerprints stay
+    * Long-exact to 2^23 rows per bucket (the production bucket is sized
+    * far below that); the count column catches the degenerate case of
+    * colliding sums with different membership. */
+  def merkleDiffBuckets(primary: DataFrame, replica: DataFrame): DataFrame = {
+    def summarize(df: DataFrame, fpName: String, nName: String) =
+      merkleFp(df).groupBy("bucket")
+        .agg(sum(col("fp")).as(fpName), count(lit(1)).as(nName))
+    summarize(primary, "fp_sum_p", "n_p")
+      .join(summarize(replica, "fp_sum_r", "n_r"), Seq("bucket"), "full_outer")
+      .filter(coalesce(col("fp_sum_p"), lit(-1L)) =!= coalesce(col("fp_sum_r"), lit(-1L)) ||
+        coalesce(col("n_p"), lit(-1L)) =!= coalesce(col("n_r"), lit(-1L)))
+      .select("bucket")
+  }
+
+  /** q171: MERKLE-RANGE REPLICA RECONCILIATION — anti-entropy repair
+    * (Cassandra/Dynamo's sync discipline) as a relational two-phase:
+    * where q134's table diff full-outer-joins the ENTIRE key space of
+    * both versions, two 100 TB replicas that agree on 99.99% of ranges
+    * should exchange range SUMMARIES first and touch rows only where
+    * the summaries disagree. Phase 1 reduces each replica to one
+    * (fp_sum, count) row per [[MerkleBucketWidth]]-wide doc_id range —
+    * fingerprint sums are commutative, so each side aggregates locally
+    * with no cross-replica shuffle, and the compare joins two
+    * range-count-sized relations. Phase 2 full-outer-joins row-level
+    * fingerprints ONLY inside the differing ranges (a broadcast
+    * semi-join that, over the q92/q107 layouts, becomes partition
+    * pruning — the scan never reads an agreeing range). The oracle
+    * diffs the replicas DIRECTLY (no bucketing), so the gate proves the
+    * hierarchical path loses nothing: summary compare + local repair ==
+    * global row diff, exactly. A false bucket match would need two
+    * ranges differing yet agreeing on both count and 40-bit fp sum —
+    * and any such drift also fails the oracle hash here. */
+  def q171MerkleDiff(s: SparkSession, dir: String): DataFrame = {
+    val primary = Tables.documents(s, dir).select("doc_id", "text")
+    val replica = merkleReplica(Tables.documents(s, dir))
+    val diffB = merkleDiffBuckets(primary, replica)
+    val p2 = merkleFp(primary).join(broadcast(diffB), Seq("bucket"))
+      .select(col("doc_id"), col("fp").as("fp_p"))
+    val r2 = merkleFp(replica).join(broadcast(diffB), Seq("bucket"))
+      .select(col("doc_id"), col("fp").as("fp_r"))
+    p2.join(r2, Seq("doc_id"), "full_outer")
+      .filter(col("fp_p").isNull || col("fp_r").isNull || col("fp_p") =!= col("fp_r"))
+      .select(col("doc_id"),
+        expr(s"doc_id div $MerkleBucketWidth").as("bucket"),
+        when(col("fp_r").isNull, "missing_in_replica")
+          .when(col("fp_p").isNull, "extra_in_replica")
+          .otherwise("changed").as("status"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the direct (unbucketed) replica diff. */
+  val q171Sql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % $MerkleEditMod = 7 THEN text || '!' ELSE text END AS text
+       |  FROM documents WHERE doc_id % $MerkleDropMod <> 5),
+       |pf AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(doc_id || '|' || text), 1, 10))::BIGINT AS fp
+       |  FROM documents),
+       |rf AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(doc_id || '|' || text), 1, 10))::BIGINT AS fp
+       |  FROM r),
+       |j AS (
+       |  SELECT COALESCE(pf.doc_id, rf.doc_id) AS doc_id,
+       |    pf.fp AS fp_p, rf.fp AS fp_r
+       |  FROM pf FULL OUTER JOIN rf ON rf.doc_id = pf.doc_id)
+       |SELECT doc_id, CAST(doc_id // $MerkleBucketWidth AS BIGINT) AS bucket,
+       |  CASE WHEN fp_r IS NULL THEN 'missing_in_replica'
+       |       WHEN fp_p IS NULL THEN 'extra_in_replica'
+       |       ELSE 'changed' END AS status
+       |FROM j
+       |WHERE fp_r IS NULL OR fp_p IS NULL OR fp_p <> fp_r
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_pricing"     -> (q05Pricing _),
@@ -1518,7 +1715,9 @@ object Relational {
     "q154_null_skew_join" -> ((s, d) => graft.operators.Skew.nullSkewJoin(s, d)),
     "q159_retraction_ivm" -> (q159RetractionIvm _),
     "q161_trend_slopes" -> (q161TrendSlopes _),
-    "q162_interarrival_hist" -> (q162InterarrivalHist _))
+    "q162_interarrival_hist" -> (q162InterarrivalHist _),
+    "q168_pit_enrich" -> (q168PitEnrich _),
+    "q171_merkle_diff" -> (q171MerkleDiff _))
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
@@ -1561,5 +1760,7 @@ object Relational {
     "q154_null_skew_join" -> graft.operators.Skew.nullSkewJoinSql,
     "q159_retraction_ivm" -> q159Sql,
     "q161_trend_slopes" -> q161Sql,
-    "q162_interarrival_hist" -> q162Sql)
+    "q162_interarrival_hist" -> q162Sql,
+    "q168_pit_enrich" -> q168Sql,
+    "q171_merkle_diff" -> q171Sql)
 }

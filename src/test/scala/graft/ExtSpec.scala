@@ -1326,4 +1326,131 @@ class ExtSpec extends SparkSpec {
       assert(r >= Dedup.PrSeedPpm * 15 / 100, "teleport mass is a floor")
     }
   }
+
+  test("q166 misra-gries: summary size/coverage invariants + exact heavy-hitter output") {
+    import spark.implicits._
+    val tok = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val summary = tok.select("w").as[String]
+      .select(new graft.functions.MisraGries.Agg(Sketches.MgK).toColumn).head()
+    assert(summary.size <= Sketches.MgK, "summary capacity bound")
+    // the MG guarantee: every token above n/(k+1) support is a candidate,
+    // and stored weights undercount by at most n/(k+1)
+    val exact = tok.groupBy("w").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val thresh = n / (Sketches.MgK + 1)
+    exact.foreach { case (t, c) =>
+      if (c > thresh) assert(summary.contains(t), s"heavy token '$t' ($c > $thresh) missing")
+    }
+    summary.foreach { case (t, w) =>
+      assert(w <= exact(t), s"'$t' weight $w must not exceed true count")
+      assert(exact(t) - w <= thresh, s"'$t' undercount past the n/(k+1) bound")
+    }
+    // gated output = exactly the true heavy hitters, whatever fold order did
+    val got = Sketches.misraGriesTokens(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = exact.filter { case (_, c) => c * (Sketches.MgK + 1) > n }
+    assert(got == want, "exact second pass recovers precisely the heavy hitters")
+    // merge rule: pointwise sum then cut at the (k+1)-th largest — order-insensitive
+    val a = Map("x" -> 5L, "y" -> 3L, "z" -> 1L)
+    val b = Map("y" -> 4L, "w" -> 2L)
+    val m1 = graft.functions.MisraGries.mergeSummaries(a, b, 3)
+    val m2 = graft.functions.MisraGries.mergeSummaries(b, a, 3)
+    assert(m1 == m2 && m1.size <= 3)
+    assert(m1 == Map("x" -> 4L, "y" -> 6L, "w" -> 1L),
+      "cut = 4th largest (1) subtracted from all, non-positives dropped")
+  }
+
+  test("q167 triangles: oriented enumeration equals the brute-force triple scan") {
+    val pairs = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val deg = adj.map { case (k, v) => k -> v.size.toLong }
+    // brute force: every canonical (a < b < c) triple with all three edges
+    val triPerNode = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- pairs; c <- adj(b) if c > b && pairs.contains((a, c))) {
+      Seq(a, b, c).foreach(v => triPerNode(v) += 1)
+    }
+    val got = Dedup.nearDupTriangles(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("n_tri"), r.getAs[Long]("cc_bp"))).toMap
+    assert(got.keySet == triPerNode.keys.toSet, "exactly the triangle-bearing nodes")
+    for ((id, t) <- triPerNode) {
+      val d = deg(id)
+      assert(got(id) == ((d, t, 20000L * t / (d * (d - 1)))), s"node $id")
+      assert(d >= 2, "a triangle corner has degree >= 2")
+    }
+  }
+
+  test("q169 char_simpson: unicode vectors + fixture recompute + score range") {
+    import spark.implicits._
+    graft.functions.CharSimpson.register(spark)
+    // hand-computed vectors, incl. a surrogate-pair code point (counted ONCE)
+    val vecs = Seq(
+      "aaaa" -> (4L, 16L),          // one char: Σc² = n²  -> div 0
+      "abab" -> (4L, 8L),           // two chars 2+2: 4+4
+      "abc"  -> (3L, 3L),           // flat histogram
+      "été"  -> (3L, 5L),           // é twice (2²+1)
+      "😀😀a" -> (3L, 5L)) // emoji = ONE code point, twice
+    val got = vecs.map(_._1).toDF("t")
+      .select(expr("char_simpson(t)").as("cs")).collect()
+      .map(r => { val a = r.getSeq[Long](0); (a(0), a(1)) })
+    vecs.map(_._2).zip(got).zip(vecs.map(_._1)).foreach { case ((want, g), s) =>
+      assert(g == want, s"'$s': got $g want $want")
+    }
+    // fixture recompute driver-side + range sanity
+    val rows = TextAnalysis.charDiversity(docs).collect()
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (id, n, c2, d) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val hist = texts(id).codePoints().toArray
+        .groupBy(identity).map(_._2.length.toLong)
+      assert(n == hist.sum && c2 == hist.map(x => x * x).sum, s"doc $id moments")
+      assert(d == 1000000L * (n * n - c2) / (n * n), s"doc $id score")
+      assert(d >= 0 && d < 1000000L, "Gini-Simpson range")
+    }
+    assert(rows.length == texts.count(_._2.nonEmpty))
+  }
+
+  test("q170 JL projection: pinned matrix, exact fold, distance concentration") {
+    // matrix is a pure function of (i, j) — pinned, balanced-ish
+    val m = Array.tabulate(Similarity.JlOutDim, Similarity.JlInDim)(
+      (j, i) => Similarity.jlSign(j, i))
+    m.flatten.foreach(s => assert(s == 1L || s == -1L))
+    val bal = m.flatten.sum.abs
+    assert(bal < Similarity.JlOutDim * Similarity.JlInDim / 4,
+      s"md5 signs should be near-balanced, net $bal")
+    // audit on the sf0.01 fixture (500 vectors -> 400 sample pairs)
+    val emb01 = Tables.embeddings(spark, TestSpark.sf01)
+    val rows = Similarity.jlProjectionAudit(emb01).collect()
+    assert(rows.length > 100, "sample pair count")
+    val ratios = rows.map(_.getAs[Long]("ratio_bp")).filter(_ >= 0)
+    assert(ratios.length == rows.length, "no degenerate identical-vector pairs expected")
+    val sorted = ratios.sorted
+    val median = sorted(sorted.length / 2)
+    assert(median > 8000 && median < 12000,
+      s"E[dist_proj^2] = k*dist_orig^2 unbiasedness, median $median bp")
+    val inBand = ratios.count(r => r >= 3000 && r <= 25000)
+    assert(inBand * 10 >= ratios.length * 9,
+      s"JL concentration: $inBand/${ratios.length} within [0.3, 2.5]x")
+    // exactness: recompute one pair driver-side through the same integers
+    val emb = emb01.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val mx = emb.values.flatten.map(x => math.abs(x.toDouble)).max
+    def quant(v: Array[Float]): Array[Int] =
+      v.map(x => math.max(-127, math.min(127,
+        math.floor(x.toDouble * (127.0 / math.max(mx, 1e-30)) + 0.5))).toInt)
+    val r0 = rows.head
+    val (qa, qb) = (quant(emb(r0.getLong(0))), quant(emb(r0.getLong(1))))
+    val dOrig = qa.zip(qb).map { case (x, y) => (x - y).toLong * (x - y) }.sum
+    def proj(q: Array[Int]): Array[Long] =
+      m.map(row => row.zip(q).map { case (s, x) => s * x.toLong }.sum)
+    val (pa, pb) = (proj(qa), proj(qb))
+    val dProj = pa.zip(pb).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(r0.getAs[Long]("dist_orig2") == dOrig)
+    assert(r0.getAs[Long]("dist_proj2") == dProj)
+  }
 }

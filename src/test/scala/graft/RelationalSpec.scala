@@ -348,4 +348,72 @@ class RelationalSpec extends SparkSpec {
     assert(got("removed") == expRemoved, "removed = the %97 deletes")
     assert(got("changed") == expChanged, "changed = the re-priced %100 keys")
   }
+
+  test("q168 PIT enrichment: as-of resolution equals the containment join, tiling holds") {
+    val r = q168PitEnrich(spark, sf).collect()
+    // tiling: every probe's as-of interval actually CONTAINS it
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_in_window") == row.getAs[Long]("n_probes"),
+        s"state ${row.getString(0)}: probe outside its as-of interval")
+    }
+    // every event yields exactly one resolved probe
+    val nEvents = Tables.events(spark, sf).count()
+    assert(r.map(_.getAs[Long]("n_probes")).sum == nEvents)
+    // driver recompute: direct interval containment per probe
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"))
+      .collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[String]("event_type"),
+        x.getAs[Long]("ts_us"), x.getAs[Long]("event_id")))
+    val byUser = ev.groupBy(_._1)
+    val stateCounts = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((_, rows) <- byUser) {
+      val ordered = rows.sortBy(e => (e._3, e._4))
+      // runs of equal type -> intervals [start, nextStart)
+      val starts = collection.mutable.ArrayBuffer.empty[(Long, String)]
+      var prev: String = null
+      for ((_, t, ts, _) <- ordered) {
+        if (prev == null || prev != t) { starts += ((ts, t)); prev = t }
+      }
+      val iv = starts.zipWithIndex.map { case ((from, t), i) =>
+        val to = if (i + 1 < starts.length) Some(starts(i + 1)._1) else None
+        (from, to, t)
+      }.filter { case (f, t, _) => t.forall(_ > f) }
+      for ((_, _, ts, _) <- ordered) {
+        val probe = ts + PitLagUs
+        iv.find { case (f, t, _) => f <= probe && t.forall(probe < _) }
+          .foreach { case (_, _, st) => stateCounts(st) += 1 }
+      }
+    }
+    val got = r.map(x => x.getString(0) -> x.getAs[Long]("n_probes")).toMap
+    assert(got == stateCounts.toMap, "per-state probe counts match containment recompute")
+  }
+
+  test("q171 merkle diff: finds exactly the planted divergence, phase 2 touches only differing ranges") {
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    val expMissing = ids.filter(_ % MerkleDropMod == 5).toSet
+    val expChanged = ids.filter(id => id % MerkleEditMod == 7 && id % MerkleDropMod != 5).toSet
+    val r = q171MerkleDiff(spark, sf).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("status")))
+    def got(st: String) = r.filter(_._2 == st).map(_._1).toSet
+    assert(got("missing_in_replica") == expMissing)
+    assert(got("changed") == expChanged)
+    assert(got("extra_in_replica").isEmpty, "replica is a subset by construction")
+    // cost contract: the phase-1 summary flags EXACTLY the ranges holding
+    // divergent docs — phase 2's scan set, nothing more
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val buckets = merkleDiffBuckets(docs,
+      Tables.documents(spark, sf).filter(col("doc_id") % MerkleDropMod =!= 5)
+        .select(col("doc_id"),
+          when(col("doc_id") % MerkleEditMod === 7, concat(col("text"), lit("!")))
+            .otherwise(col("text")).as("text")))
+      .collect().map(_.getLong(0)).toSet
+    val expBuckets = (expMissing ++ expChanged).map(_ / MerkleBucketWidth)
+    assert(buckets == expBuckets, "differing ranges = ranges of divergent docs")
+    val allBuckets = ids.map(_ / MerkleBucketWidth).toSet
+    assert(buckets.size < allBuckets.size / 2,
+      "most ranges agree and are never row-scanned")
+  }
 }
