@@ -1912,8 +1912,181 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // ----------------------------------------- embedding drift (q174)
+  /** q174: EMBEDDING-DRIFT AUDIT between two cohorts — the nightly
+    * check that a re-run of the embedding model (or a new crawl slice)
+    * still lives in the same space: per-dimension mean shift between
+    * the "old" and "new" cohort (vec_id parity — a deterministic stand-
+    * in for last-week/this-week), over q69's int8 quantization so every
+    * number is an exact integer. No division is performed AT ALL: the
+    * per-dim shift is emitted as the exact rational (delta_num, den) =
+    * (1000·(sum_new·n_old − sum_old·n_new), n_old·n_new) — Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors, so a
+    * negative mean shift through either operator would hash-diverge;
+    * rationals sidestep the operator instead of patching it (the q133
+    * shiftright lesson, taken further). Shape: one posexplode of the
+    * quantized corpus into (dim, q, cohort), one d-row conditional
+    * aggregate — a 100 TB corpus costs exactly one scan and shuffles
+    * d rows per partition (map-side partial aggregation). The drifted
+    * dims are then whatever |delta_num| ranks highest; the gate pins
+    * all 64 rationals. */
+  def embeddingDrift(emb: DataFrame): DataFrame = {
+    val r = QuantRange
+    val mx = emb.select(max(expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+        "(acc, e) -> greatest(acc, abs(CAST(e AS DOUBLE))))")).as("mx"))
+    val q = emb.crossJoin(broadcast(mx))
+      .select(col("vec_id"), (col("vec_id") % 2).as("cohort"), expr(
+        s"transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+          s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30d)) + 0.5d))) AS INT))")
+        .as("qemb"))
+    q.select(col("cohort"), posexplode(col("qemb")).as(Seq("dim", "qv")))
+      .groupBy("dim")
+      .agg(
+        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cohort") === 0, col("qv").cast("long")).otherwise(0L)).as("sum_old"),
+        sum(when(col("cohort") === 1, col("qv").cast("long")).otherwise(0L)).as("sum_new"))
+      .select(col("dim").cast("long").as("dim"), col("n_old"), col("n_new"),
+        col("sum_old"), col("sum_new"),
+        (lit(1000L) * (col("sum_new") * col("n_old") - col("sum_old") * col("n_new")))
+          .as("delta_num"),
+        (col("n_old") * col("n_new")).as("den"))
+      .orderBy("dim")
+  }
+
+  val embeddingDriftSql: String = {
+    val r = QuantRange
+    val quant = s"list_transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+      s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30)) + 0.5))) AS INT))"
+    s"""WITH m AS (
+       |  SELECT MAX(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))),
+       |    (x, y) -> greatest(x, y))) AS mx
+       |  FROM embeddings),
+       |v AS (SELECT vec_id, vec_id % 2 AS cohort, $quant AS qemb
+       |      FROM embeddings CROSS JOIN m),
+       |x AS (
+       |  SELECT cohort, i - 1 AS dim, CAST(qemb[i] AS BIGINT) AS qv
+       |  FROM v, UNNEST(generate_series(1, len(qemb))) AS t(i))
+       |SELECT CAST(dim AS BIGINT) AS dim,
+       |  CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+       |  CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |  CAST(SUM(CASE WHEN cohort = 0 THEN qv ELSE 0 END) AS BIGINT) AS sum_old,
+       |  CAST(SUM(CASE WHEN cohort = 1 THEN qv ELSE 0 END) AS BIGINT) AS sum_new,
+       |  CAST(1000 * (SUM(CASE WHEN cohort = 1 THEN qv ELSE 0 END)
+       |         * SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)
+       |       - SUM(CASE WHEN cohort = 0 THEN qv ELSE 0 END)
+       |         * SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)) AS BIGINT) AS delta_num,
+       |  CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)
+       |       * SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS den
+       |FROM x GROUP BY dim
+       |ORDER BY dim""".stripMargin
+  }
+
+  // ------------------------------------------ k-center coreset (q175)
+  /** Number of greedy picks — fixed budget, like q149's PrIters. */
+  val KCenterK = 8
+
+  /** q175: GREEDY k-CENTER CORESET (farthest-point traversal) —
+    * diversity-maximizing subset selection, the embedding-space dual of
+    * q56's stratified sampling: random/stratified samples follow the
+    * density (a coreset for "what's typical"), farthest-point picks
+    * cover the SPACE (a coreset for "what exists" — the seed-selection
+    * step behind k-means++ initialization, active-learning batch picks
+    * and eval-set diversity audits). Gonzalez (1985): the greedy pick
+    * is a 2-approximation of the optimal k-center cover, and the
+    * radius at pick i is monotonically non-increasing — both spec-
+    * pinned. All integer over q69's quantization: d² folds are exact,
+    * ties break to the smallest vec_id, so the picked SEQUENCE is
+    * bit-deterministic and the oracle replays the identical greedy
+    * unrolled (q149's discipline).
+    *
+    * Scale shape per round: ONE corpus scan against a broadcast 1-row
+    * center (running-min distance column update — the classic
+    * fold-the-frontier trick that keeps round r at O(n), not O(n·r))
+    * plus a TakeOrderedAndProject(1) argmax — k rounds total, k·O(n)
+    * work, localCheckpoint cutting the growing lineage each round. */
+  def kcenterCoreset(emb: DataFrame): DataFrame = {
+    val r = QuantRange
+    val mx = emb.select(max(expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+        "(acc, e) -> greatest(acc, abs(CAST(e AS DOUBLE))))")).as("mx"))
+    val q = emb.crossJoin(broadcast(mx))
+      .select(col("vec_id"), expr(
+        s"transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+          s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30d)) + 0.5d))) AS INT))")
+        .as("qemb"))
+      .localCheckpoint(true)
+    val d2 = "aggregate(zip_with(qemb, c_emb, (x, y) -> CAST(x - y AS BIGINT) * (x - y)), " +
+      "0L, (acc, v) -> acc + v)"
+    val first = q.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("c_id"), col("qemb").as("c_emb"))
+    var picks = first.select(col("c_id"), lit(1L).as("pick_order"), lit(0L).as("r2"))
+      .localCheckpoint(true)
+    var dmin = q.crossJoin(broadcast(first))
+      .select(col("vec_id"), col("qemb"), expr(d2).as("d2min"))
+      .localCheckpoint(true)
+    for (i <- 2 to KCenterK) {
+      val next = dmin.orderBy(col("d2min").desc, col("vec_id")).limit(1)
+        .select(col("vec_id").as("c_id"), col("qemb").as("c_emb"),
+          col("d2min").as("r2"))
+        .localCheckpoint(true)
+      picks = picks.unionByName(
+        next.select(col("c_id"), lit(i.toLong).as("pick_order"), col("r2")))
+        .localCheckpoint(true)
+      dmin = dmin.crossJoin(broadcast(next.select(col("c_emb"))))
+        .select(col("vec_id"), col("qemb"),
+          least(col("d2min"), expr(d2)).as("d2min"))
+        .localCheckpoint(true)
+    }
+    picks.select(col("pick_order"), col("c_id").as("center_id"), col("r2"))
+      .orderBy("pick_order")
+  }
+
+  val kcenterCoresetSql: String = {
+    val r = QuantRange
+    val quant = s"list_transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+      s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30)) + 0.5))) AS INT))"
+    def dist(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, len($a)), " +
+        s"i -> CAST($a[i] - $b[i] AS BIGINT) * CAST($a[i] - $b[i] AS BIGINT))), " +
+        "(x, y) -> x + y)"
+    val rounds = (2 to KCenterK).map { i =>
+      s"""c$i AS (
+         |  SELECT vec_id AS c_id, qemb AS c_emb, d2min AS r2
+         |  FROM d${i - 1} ORDER BY d2min DESC, vec_id LIMIT 1),
+         |d$i AS (
+         |  SELECT d.vec_id, d.qemb,
+         |    LEAST(d.d2min, ${dist("d.qemb", "c.c_emb")}) AS d2min
+         |  FROM d${i - 1} d CROSS JOIN c$i c)""".stripMargin
+    }.mkString(",\n")
+    val pickUnion = (2 to KCenterK)
+      .map(i => s"SELECT $i AS pick_order, c_id, r2 FROM c$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH m AS (
+       |  SELECT MAX(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))),
+       |    (x, y) -> greatest(x, y))) AS mx
+       |  FROM embeddings),
+       |v AS (SELECT vec_id, $quant AS qemb FROM embeddings CROSS JOIN m),
+       |c1 AS (SELECT vec_id AS c_id, qemb AS c_emb FROM v ORDER BY vec_id LIMIT 1),
+       |d1 AS (
+       |  SELECT v.vec_id, v.qemb, ${dist("v.qemb", "c.c_emb")} AS d2min
+       |  FROM v CROSS JOIN c1 c),
+       |$rounds
+       |SELECT CAST(pick_order AS BIGINT) AS pick_order,
+       |  c_id AS center_id, CAST(r2 AS BIGINT) AS r2
+       |FROM (SELECT 1 AS pick_order, c_id, 0 AS r2 FROM c1
+       |  UNION ALL $pickUnion)
+       |ORDER BY pick_order""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_jl_projection" -> ((s, d) => jlProjectionAudit(Tables.embeddings(s, d))),
+    "q174_embedding_drift" -> ((s, d) => embeddingDrift(Tables.embeddings(s, d))),
+    "q175_kcenter_coreset" -> ((s, d) => kcenterCoreset(Tables.embeddings(s, d))),
     "q17_cosine_topk" -> ((s, d) => cosineTopK(Tables.embeddings(s, d))),
     "q18_ivf_topk"    -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "q24_embedding_neardup" -> ((s, d) => embeddingNearDups(Tables.embeddings(s, d))),
@@ -1935,6 +2108,8 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q170_jl_projection" -> jlProjectionAuditSql,
+    "q174_embedding_drift" -> embeddingDriftSql,
+    "q175_kcenter_coreset" -> kcenterCoresetSql,
     "q17_cosine_topk" -> cosineTopKSql,
     "q18_ivf_topk"    -> ivfTopKSql,
     "q24_embedding_neardup" -> embeddingNearDupsSql,

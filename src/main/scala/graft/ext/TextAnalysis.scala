@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -1316,6 +1317,160 @@ object TextAnalysis {
       |  CAST((1000000 * (n_cp * n_cp - simpson_num)) // (n_cp * n_cp) AS BIGINT) AS div_e6
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------- MAD outliers (q173)
+  /** Robust-z flag threshold, basis points of MAD (3.5 MAD ≈ the classic
+    * robust-outlier cut). */
+  val MadZThreshBp = 35000L
+
+  /** q173: ROBUST OUTLIER DETECTION per source — median + MAD (median
+    * absolute deviation) over the q120 classifier scores. The mean/σ
+    * z-score is itself corrupted by the outliers it hunts (one crawl
+    * batch of spam drags the mean toward itself — masking); the
+    * median/MAD pair has a 50% breakdown point, which is why data-
+    * quality monitors flag on robust z. Everything stays integer-exact:
+    * BOTH medians are the lower median picked by rank selection
+    * (row_number = (n+1) div 2 — never DuckDB/Spark's averaged even-n
+    * median, which would put a .5 in the hash), z_bp = 10000·|x−med|
+    * div MAD on non-negative integers only (no floor-vs-truncate
+    * divergence), MAD = 0 → sentinel −1 (a source where half the docs
+    * share the median score has no robust scale; flagging there is
+    * meaningless and loudly visible). Shape: q151's one-exchange
+    * discipline twice — rank selection and the deviation re-rank each
+    * ride a source-keyed window (per-source sorts in parallel), medians
+    * broadcast back; per-source output hash-pins the flagged doc SET
+    * via count + doc_id sum. */
+  def madOutliers(docs: DataFrame): DataFrame = {
+    val scores = classifierScores(docs).select(col("doc_id"), col("score"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val nW = Window.partitionBy("source")
+    val rankW = Window.partitionBy("source").orderBy("score", "doc_id")
+    val med = scores.withColumn("rn", row_number().over(rankW))
+      .withColumn("n", count(lit(1)).over(nW))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("source"), col("score").as("med"))
+    val dev = scores.join(broadcast(med), "source")
+      .withColumn("adev", abs(col("score") - col("med")))
+    val devW = Window.partitionBy("source").orderBy("adev", "doc_id")
+    val mad = dev.withColumn("rn", row_number().over(devW))
+      .withColumn("n", count(lit(1)).over(nW))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("source"), col("adev").as("mad"))
+    dev.join(broadcast(mad), "source")
+      .withColumn("z_bp",
+        when(col("mad") === 0, lit(-1L))
+          .otherwise(expr("(10000 * adev) div mad")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("med")).as("median_score"),
+        max(col("mad")).as("mad"),
+        sum(when(col("z_bp") > MadZThreshBp, 1L).otherwise(0L)).as("n_outliers"),
+        sum(when(col("z_bp") > MadZThreshBp, col("doc_id")).otherwise(0L))
+          .as("outlier_id_sum"))
+      .orderBy("source")
+  }
+
+  val madOutliersSql: String =
+    s"""WITH sc AS (SELECT doc_id, score FROM ($classifierScoresSql)),
+       |s AS (
+       |  SELECT d.source, sc.doc_id, sc.score
+       |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+       |med AS (
+       |  SELECT source, score AS med FROM (
+       |    SELECT source, score, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY score, doc_id) AS rn,
+       |      COUNT(*) OVER (PARTITION BY source) AS n
+       |    FROM s)
+       |  WHERE rn = (n + 1) // 2),
+       |dev AS (
+       |  SELECT s.source, s.doc_id, abs(s.score - m.med) AS adev, m.med
+       |  FROM s JOIN med m ON m.source = s.source),
+       |mad AS (
+       |  SELECT source, adev AS mad FROM (
+       |    SELECT source, adev, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY adev, doc_id) AS rn,
+       |      COUNT(*) OVER (PARTITION BY source) AS n
+       |    FROM dev)
+       |  WHERE rn = (n + 1) // 2),
+       |z AS (
+       |  SELECT d.source, d.doc_id, d.med, md.mad,
+       |    CASE WHEN md.mad = 0 THEN -1
+       |         ELSE (10000 * d.adev) // md.mad END AS z_bp
+       |  FROM dev d JOIN mad md ON md.source = d.source)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(MAX(med) AS BIGINT) AS median_score,
+       |  CAST(MAX(mad) AS BIGINT) AS mad,
+       |  CAST(SUM(CASE WHEN z_bp > $MadZThreshBp THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_outliers,
+       |  CAST(SUM(CASE WHEN z_bp > $MadZThreshBp THEN doc_id ELSE 0 END) AS BIGINT)
+       |    AS outlier_id_sum
+       |FROM z GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  // --------------------------------------- co-occurrence lift (q176)
+  /** Document-frequency support floor in basis points: only tokens in
+    * ≥ 70% of docs enter pair generation (the a-priori downward-closure
+    * prune — a pair can't clear a support bar its members miss). */
+  val CooccurSupportBp = 7000L
+
+  /** q176: TOKEN CO-OCCURRENCE LIFT (basket analysis over documents) —
+    * which tokens appear in the SAME DOCUMENTS more than independence
+    * predicts: lift_e6 = 1e6·n·df_xy div (df_x·df_y). The structural
+    * complement of q67's collocations: those score ADJACENT pairs
+    * (syntax); this scores any-distance document co-membership (topic
+    * coupling — the signal behind "these crawl templates always travel
+    * together" and topical-cluster discovery). The naive pair space is
+    * |vocab|² and the per-doc pair explosion is Σ|doc vocab|²; the
+    * a-priori prune makes both tractable — frequent singletons first
+    * (one df aggregate), pair generation restricted to the ≤F frequent
+    * tokens via a broadcast semi-join, so the self-join per doc is
+    * bounded by F²/2 rows per doc with F a support-controlled constant
+    * (30 on the fixture), not vocabulary-sized. All counts distinct-
+    * (doc, token) based, so every number is an exact integer and
+    * lift's rational form hash-matches. */
+  def cooccurrenceLift(docs: DataFrame): DataFrame = {
+    val dt = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+    val total = dt.select(countDistinct(col("doc_id")).as("n_docs"))
+    val df0 = dt.groupBy("w").agg(count(lit(1)).as("df"))
+    val freq = broadcast(df0.crossJoin(broadcast(total))
+      .filter(col("df") * 10000 >= lit(CooccurSupportBp) * col("n_docs"))
+      .select(col("w"), col("df")))
+    val ft = dt.join(freq, "w")
+    val pairs = ft.select(col("doc_id"), col("w").as("x"), col("df").as("df_x"))
+      .join(ft.select(col("doc_id"), col("w").as("y"), col("df").as("df_y")),
+        Seq("doc_id"))
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(max("df_x").as("df_x"), max("df_y").as("df_y"),
+        count(lit(1)).as("df_xy"))
+    pairs.crossJoin(broadcast(total))
+      .select(col("x"), col("y"), col("df_x"), col("df_y"), col("df_xy"),
+        expr("(1000000 * df_xy * n_docs) div (df_x * df_y)").as("lift_e6"))
+      .orderBy("x", "y")
+  }
+
+  val cooccurrenceLiftSql: String =
+    s"""WITH dt AS (
+       |  SELECT DISTINCT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0),
+       |total AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dt),
+       |df0 AS (SELECT w, COUNT(*) AS df FROM dt GROUP BY w),
+       |freq AS (
+       |  SELECT w, df FROM df0, total
+       |  WHERE df * 10000 >= $CooccurSupportBp * n_docs),
+       |ft AS (SELECT dt.doc_id, dt.w, f.df FROM dt JOIN freq f ON f.w = dt.w),
+       |pairs AS (
+       |  SELECT a.w AS x, b.w AS y, MAX(a.df) AS df_x, MAX(b.df) AS df_y,
+       |    COUNT(*) AS df_xy
+       |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.w < b.w
+       |  GROUP BY a.w, b.w)
+       |SELECT x, y, df_x, df_y, df_xy,
+       |  CAST((1000000 * df_xy * n_docs) // (df_x * df_y) AS BIGINT) AS lift_e6
+       |FROM pairs, total
+       |ORDER BY x, y""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
     "q20_quality"     -> ((s, d) => quality(Tables.documents(s, d))),
@@ -1339,7 +1494,9 @@ object TextAnalysis {
     "q143_bm25" -> ((s, d) => bm25TopDocs(Tables.documents(s, d))),
     "q151_score_calibration" -> ((s, d) => calibratedScores(Tables.documents(s, d))),
     "q163_pareto_frontier" -> ((s, d) => paretoFrontier(Tables.documents(s, d))),
-    "q169_char_diversity" -> ((s, d) => charDiversity(Tables.documents(s, d))))
+    "q169_char_diversity" -> ((s, d) => charDiversity(Tables.documents(s, d))),
+    "q173_mad_outliers" -> ((s, d) => madOutliers(Tables.documents(s, d))),
+    "q176_cooccurrence" -> ((s, d) => cooccurrenceLift(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q19_lang_id"     -> langIdSql,
@@ -1364,5 +1521,7 @@ object TextAnalysis {
     "q143_bm25" -> bm25TopDocsSql,
     "q151_score_calibration" -> calibratedScoresSql,
     "q163_pareto_frontier" -> paretoFrontierSql,
-    "q169_char_diversity" -> charDiversitySql)
+    "q169_char_diversity" -> charDiversitySql,
+    "q173_mad_outliers" -> madOutliersSql,
+    "q176_cooccurrence" -> cooccurrenceLiftSql)
 }

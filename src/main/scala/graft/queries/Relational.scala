@@ -1674,6 +1674,79 @@ object Relational {
        |WHERE fp_r IS NULL OR fp_p IS NULL OR fp_p <> fp_r
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------ peak concurrency (q172)
+  /** Session active window extends one gap past the last event — exactly
+    * Spark's session_window end (q12's gate pins the gap semantics). */
+  val SessionGapUs = 1800000000L
+
+  /** q172: PEAK CONCURRENT SESSIONS per day — the capacity-planning
+    * sweep-line (max simultaneous intervals): each session contributes
+    * +1 at start and −1 at end (half-open, so ends sort BEFORE starts
+    * at the same instant via delta order), and peak = max running sum.
+    * The textbook form is one GLOBAL ordered cumulative sum — an
+    * Exchange(SinglePartition) that funnels every delta of a 100 TB
+    * event history through one task. The engine runs the q131 two-phase
+    * prefix-sum rewrite on the WEIGHTED version: per-day running sums
+    * (value-deterministic day buckets, parallel per-day sorts inside
+    * one day-keyed exchange) plus carry-in offsets from an exclusive
+    * prefix over the tiny per-day delta-total relation — the global
+    * running value is carry + local, and only the |days|-row relation
+    * ever sees a single-partition window. Tie groups (equal (ts,
+    * delta)) collapse identically in both engines: SUM OVER ORDER BY
+    * defaults to RANGE, so a tie group's rows all read the group-final
+    * running value — the "process simultaneous events atomically"
+    * semantics a sweep-line wants. Oracle = the single global window. */
+  def q172PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sess = q12Sessionize(s, dir)
+      .select($"session_start_us".as("start_us"),
+        ($"last_us" + SessionGapUs).as("end_us"))
+    val deltas = sess.select($"start_us".as("ts"), lit(1L).as("delta"))
+      .unionByName(sess.select($"end_us".as("ts"), lit(-1L).as("delta")))
+      .withColumn("day", expr("ts div 86400000000"))
+    val dayW = Window.partitionBy("day").orderBy("ts", "delta")
+    val local = deltas.withColumn("run_local", sum($"delta").over(dayW))
+    val carryW = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = deltas.groupBy("day").agg(sum($"delta").as("d_sum"))
+      .withColumn("carry", coalesce(sum($"d_sum").over(carryW), lit(0L)))
+      .select("day", "carry")
+    local.join(broadcast(offsets), "day")
+      .groupBy("day")
+      .agg(max($"carry" + $"run_local").as("peak_concurrency"),
+        sum(when($"delta" === 1, 1L).otherwise(0L)).as("n_starts"))
+      .orderBy("day")
+  }
+
+  val q172Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS us FROM events),
+       |flagged AS (
+       |  SELECT user_id, us,
+       |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+       |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= $SessionGapUs
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM e),
+       |sess AS (
+       |  SELECT user_id, us,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+       |                     ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM flagged),
+       |iv AS (
+       |  SELECT MIN(us) AS start_us, MAX(us) + $SessionGapUs AS end_us
+       |  FROM sess GROUP BY user_id, sid),
+       |d AS (
+       |  SELECT start_us AS ts, 1 AS delta FROM iv
+       |  UNION ALL SELECT end_us, -1 FROM iv),
+       |r AS (
+       |  SELECT ts // 86400000000 AS day, delta,
+       |    SUM(delta) OVER (ORDER BY ts, delta) AS run
+       |  FROM d)
+       |SELECT day, CAST(MAX(run) AS BIGINT) AS peak_concurrency,
+       |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+       |FROM r GROUP BY day
+       |ORDER BY day""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_pricing"     -> (q05Pricing _),
@@ -1717,7 +1790,8 @@ object Relational {
     "q161_trend_slopes" -> (q161TrendSlopes _),
     "q162_interarrival_hist" -> (q162InterarrivalHist _),
     "q168_pit_enrich" -> (q168PitEnrich _),
-    "q171_merkle_diff" -> (q171MerkleDiff _))
+    "q171_merkle_diff" -> (q171MerkleDiff _),
+    "q172_peak_concurrency" -> (q172PeakConcurrency _))
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
@@ -1762,5 +1836,6 @@ object Relational {
     "q161_trend_slopes" -> q161Sql,
     "q162_interarrival_hist" -> q162Sql,
     "q168_pit_enrich" -> q168Sql,
-    "q171_merkle_diff" -> q171Sql)
+    "q171_merkle_diff" -> q171Sql,
+    "q172_peak_concurrency" -> q172Sql)
 }

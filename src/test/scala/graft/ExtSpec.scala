@@ -1453,4 +1453,111 @@ class ExtSpec extends SparkSpec {
     assert(r0.getAs[Long]("dist_orig2") == dOrig)
     assert(r0.getAs[Long]("dist_proj2") == dProj)
   }
+
+  test("q173 MAD outliers: rank-selected medians + flag set match the driver recompute") {
+    val scores = TextAnalysis.classifierScores(docs)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySrc = scores.toSeq.groupBy { case (id, _) => srcOf(id) }
+    def lowerMedian(xs: Seq[(Long, Long)]): Long = { // (tiebreak id, value)
+      val sorted = xs.sortBy { case (id, v) => (v, id) }
+      sorted(((sorted.length + 1) / 2) - 1)._2
+    }
+    val got = TextAnalysis.madOutliers(docs).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("median_score"), r.getAs[Long]("mad"),
+        r.getAs[Long]("n_outliers"), r.getAs[Long]("outlier_id_sum"))).toMap
+    assert(got.keySet == bySrc.keySet)
+    for ((src, members) <- bySrc) {
+      val med = lowerMedian(members.map { case (id, v) => (id, v) })
+      val mad = lowerMedian(members.map { case (id, v) => (id, math.abs(v - med)) })
+      val outliers = members.filter { case (_, v) =>
+        mad != 0 && 10000L * math.abs(v - med) / mad > TextAnalysis.MadZThreshBp
+      }
+      assert(got(src) == ((members.size.toLong, med, mad,
+        outliers.size.toLong, outliers.map(_._1).sum)), s"source $src")
+    }
+    // flags exist somewhere on the fixture, else the gate is vacuous
+    assert(got.values.map(_._4).sum > 0, "fixture produces at least one outlier")
+  }
+
+  test("q174 embedding drift: rational per-dim shifts match the driver recompute") {
+    val rows = Similarity.embeddingDrift(emb).collect()
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val mx = vecs.flatMap(_._2).map(x => math.abs(x.toDouble)).max
+    def q(x: Float): Long = math.max(-127, math.min(127,
+      math.floor(x.toDouble * (127.0 / math.max(mx, 1e-30)) + 0.5))).toLong
+    val d = vecs.head._2.length
+    assert(rows.length == d)
+    val old = vecs.filter(_._1 % 2 == 0); val nw = vecs.filter(_._1 % 2 == 1)
+    rows.foreach { r =>
+      val dim = r.getAs[Long]("dim").toInt
+      val so = old.map(v => q(v._2(dim))).sum
+      val sn = nw.map(v => q(v._2(dim))).sum
+      assert(r.getAs[Long]("n_old") == old.length && r.getAs[Long]("n_new") == nw.length)
+      assert(r.getAs[Long]("sum_old") == so && r.getAs[Long]("sum_new") == sn, s"dim $dim")
+      assert(r.getAs[Long]("delta_num") ==
+        1000L * (sn * old.length - so * nw.length), s"dim $dim rational")
+      assert(r.getAs[Long]("den") == old.length.toLong * nw.length)
+    }
+  }
+
+  test("q175 k-center: greedy farthest-point recompute, monotone radius") {
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val mx = vecs.flatMap(_._2).map(x => math.abs(x.toDouble)).max
+    val q = vecs.map { case (id, v) => id -> v.map(x => math.max(-127,
+      math.min(127, math.floor(x.toDouble * (127.0 / math.max(mx, 1e-30)) + 0.5))).toLong)
+    }.sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var picks = List((q.head._1, 0L))
+    val dmin = collection.mutable.Map(q.map { case (id, v) =>
+      id -> d2(v, q.head._2) }: _*)
+    val byId = q.toMap
+    for (_ <- 2 to Similarity.KCenterK) {
+      val (nid, nd) = dmin.toSeq.maxBy { case (id, d) => (d, -id) }
+      picks = picks :+ ((nid, nd))
+      q.foreach { case (id, v) =>
+        dmin(id) = math.min(dmin(id), d2(v, byId(nid))) }
+    }
+    val got = Similarity.kcenterCoreset(emb).collect()
+      .map(r => (r.getAs[Long]("pick_order"), r.getAs[Long]("center_id"),
+        r.getAs[Long]("r2")))
+    assert(got.map(g => (g._2, g._3)).toList == picks, "greedy sequence")
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => b <= a },
+      "coverage radius is monotone non-increasing (Gonzalez)")
+    assert(got.map(_._2).distinct.length == got.length, "centers distinct")
+  }
+
+  test("q176 co-occurrence: a-priori prune + driver lift recompute") {
+    val docToks = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty).toSet)
+    val n = docToks.length
+    val df = docToks.flatMap(_._2).groupBy(identity).map { case (w, v) => w -> v.length }
+    val freq = df.filter { case (_, c) => c * 10000L >= TextAnalysis.CooccurSupportBp * n }
+    val got = TextAnalysis.cooccurrenceLift(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("df_x"), r.getAs[Long]("df_y"),
+          r.getAs[Long]("df_xy"), r.getAs[Long]("lift_e6"))).toMap
+    // downward closure: every emitted pair has two frequent members
+    got.keys.foreach { case (x, y) =>
+      assert(freq.contains(x) && freq.contains(y) && x < y)
+    }
+    // exact recompute
+    val want = for {
+      x <- freq.keys; y <- freq.keys if x < y
+      both = docToks.count { case (_, t) => t(x) && t(y) } if both > 0
+    } yield (x, y) -> (df(x).toLong, df(y).toLong, both.toLong,
+      1000000L * both * n / (df(x).toLong * df(y)))
+    assert(got == want.toMap)
+    got.values.foreach { case (dx, dy, dxy, _) =>
+      assert(dxy <= math.min(dx, dy), "support bound")
+    }
+  }
 }

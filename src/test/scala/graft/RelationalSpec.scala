@@ -416,4 +416,32 @@ class RelationalSpec extends SparkSpec {
     assert(buckets.size < allBuckets.size / 2,
       "most ranges agree and are never row-scanned")
   }
+
+  test("q172 peak concurrency: two-phase prefix sum equals the global sweep") {
+    val sess = q12Sessionize(spark, sf).collect()
+      .map(r => (r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("last_us") + SessionGapUs))
+    // driver-side global sweep with atomic tie groups
+    val deltas = sess.flatMap { case (s0, e0) => Seq((s0, 1L), (e0, -1L)) }
+      .groupBy(identity).map { case ((ts, d), v) => (ts, d, d * v.length) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    var run = 0L
+    val peaks = collection.mutable.Map.empty[Long, Long]
+    val starts = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    deltas.foreach { case (ts, d, total) =>
+      run += total
+      val day = ts / 86400000000L
+      peaks.update(day, math.max(peaks.getOrElse(day, Long.MinValue), run))
+      if (d == 1) starts(day) += total
+    }
+    val got = q172PeakConcurrency(spark, sf).collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("peak_concurrency"), r.getAs[Long]("n_starts"))).toMap
+    assert(got.keySet == peaks.keySet)
+    peaks.foreach { case (day, p) =>
+      assert(got(day) == ((p, starts(day))), s"day $day")
+    }
+    assert(got.values.map(_._2).sum == sess.length, "every session starts once")
+    assert(run == 0L, "sweep closes every interval")
+  }
 }
