@@ -1340,6 +1340,97 @@ object Dedup {
        |FROM cnt c JOIN deg d ON d.id = c.id
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------ label propagation (q177)
+  /** Voting rounds (fixed budget, q149's discipline) and the labeled
+    * fraction: every 5th doc carries a "human" label. */
+  val LpRounds = 2
+  val LpSeedMod = 5L
+
+  /** q177: SEMI-SUPERVISED LABEL PROPAGATION over the near-dup graph —
+    * stretch a sparse set of trusted quality labels (here: the q120
+    * classifier verdict on every [[LpSeedMod]]-th doc, standing in for
+    * human review) across near-duplicate families: if a reviewed doc is
+    * spam, its near-dups are spam too, and paying a reviewer for each
+    * family MEMBER is exactly what a curation budget can't do. Zhu &
+    * Ghahramani's LP with integer majority votes: unlabeled nodes start
+    * 0, each round every node's new label is sign(Σ neighbor labels)
+    * with ties keeping the previous state, and SEED NODES ARE CLAMPED
+    * (their evidence must not wash out — the defining LP constraint).
+    * Integer votes under undirected edges are order-independent, so
+    * [[LpRounds]] rounds are bit-deterministic and the oracle unrolls
+    * them exactly (q149's discipline). Per round: one edge-vs-label
+    * join + a dst aggregate — O(|E|) shuffled bytes, induced subgraph
+    * only, localCheckpoint lineage cuts. */
+  def labelPropagation(docs: DataFrame): DataFrame = {
+    val pairs = minhashPairs(docs).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    val seeds = graft.ext.TextAnalysis.classifierScores(docs)
+      .filter(col("doc_id") % LpSeedMod === 0)
+      .select(col("doc_id").as("id"),
+        (col("keep") * 2 - 1).as("seed_label"))
+    val nodes = edges.select(col("src").as("id")).distinct()
+      .join(seeds, Seq("id"), "left")
+      .select(col("id"), coalesce(col("seed_label"), lit(0L)).as("seed_label"))
+      .localCheckpoint(true)
+    var state = nodes.select(col("id"), col("seed_label").as("label"))
+    for (_ <- 1 to LpRounds) {
+      val votes = edges
+        .join(state.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst")).agg(sum(col("label")).as("vote"))
+        .select(col("dst").as("id"), col("vote"))
+      state = nodes.join(votes, Seq("id"), "left")
+        .join(state.select(col("id"), col("label").as("old")), "id")
+        .select(col("id"),
+          when(col("seed_label") =!= 0, col("seed_label"))
+            .when(coalesce(col("vote"), lit(0L)) > 0, 1L)
+            .when(coalesce(col("vote"), lit(0L)) < 0, -1L)
+            .otherwise(col("old")).as("label"))
+        .localCheckpoint(true)
+    }
+    nodes.join(state, "id")
+      .select(col("id").as("doc_id"), col("seed_label"), col("label"))
+      .orderBy("doc_id")
+  }
+
+  def labelPropagationSql: String = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT n.id, n.seed_label,
+         |    CASE WHEN n.seed_label <> 0 THEN n.seed_label
+         |         WHEN COALESCE(v.vote, 0) > 0 THEN 1
+         |         WHEN COALESCE(v.vote, 0) < 0 THEN -1
+         |         ELSE p.label END AS label
+         |  FROM nodes n
+         |  JOIN $prev p ON p.id = n.id
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(p2.label) AS vote
+         |    FROM edges e JOIN $prev p2 ON p2.id = e.src
+         |    GROUP BY e.dst) v ON v.id = n.id)""".stripMargin
+    val rounds = (1 to LpRounds)
+      .map(i => round(if (i == 1) "s0" else s"s${i - 1}", s"s$i"))
+      .mkString(",\n")
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($minhashPairsSql)),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |sc AS (SELECT doc_id, keep FROM (${graft.ext.TextAnalysis.classifierScoresSql})),
+       |seeds AS (
+       |  SELECT doc_id AS id, keep * 2 - 1 AS seed_label
+       |  FROM sc WHERE doc_id % $LpSeedMod = 0),
+       |nodes AS (
+       |  SELECT n.id, COALESCE(s.seed_label, 0) AS seed_label
+       |  FROM (SELECT DISTINCT src AS id FROM edges) n
+       |  LEFT JOIN seeds s ON s.id = n.id),
+       |s0 AS (SELECT id, seed_label, seed_label AS label FROM nodes),
+       |$rounds
+       |SELECT id AS doc_id, CAST(seed_label AS BIGINT) AS seed_label,
+       |  CAST(label AS BIGINT) AS label
+       |FROM s$LpRounds
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_dedup_exact" -> ((s, d) => exactDedup(Tables.documents(s, d))),
@@ -1355,6 +1446,7 @@ object Dedup {
     "q38_cross_source" -> ((s, d) => crossSourceClusters(Tables.documents(s, d))),
     "q149_pagerank" -> ((s, d) => nearDupPageRank(Tables.documents(s, d))),
     "q167_triangles" -> ((s, d) => nearDupTriangles(Tables.documents(s, d))),
+    "q177_label_propagation" -> ((s, d) => labelPropagation(Tables.documents(s, d))),
     "q45_eval_contamination" -> ((s, d) => evalContamination(Tables.documents(s, d))),
     "q47_repetition" -> ((s, d) => repetitionScore(Tables.documents(s, d))),
     "q59_block_dedup" -> ((s, d) => blockDedup(Tables.documents(s, d))),
@@ -1375,6 +1467,7 @@ object Dedup {
     "q38_cross_source" -> crossSourceClustersSql,
     "q149_pagerank" -> nearDupPageRankSql,
     "q167_triangles" -> nearDupTrianglesSql,
+    "q177_label_propagation" -> labelPropagationSql,
     "q45_eval_contamination" -> evalContaminationSql,
     "q47_repetition" -> repetitionScoreSql,
     "q59_block_dedup" -> blockDedupSql,

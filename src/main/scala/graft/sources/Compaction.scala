@@ -336,15 +336,153 @@ object Compaction {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------- q178 multi-table transaction
+  private val txnRootCache = new ConcurrentHashMap[String, Path]()
+
+  /** Write one transaction's DATA for both tables (no commit yet). */
+  private def writeTxnData(spark: SparkSession, root: Path, n: Long,
+                           docs: DataFrame): Unit = {
+    val t = root.resolve(s"t$n")
+    docs.select("doc_id", "source", "n_chars").coalesce(1)
+      .write.mode("overwrite").parquet(t.resolve("docs").toString)
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("char_sum"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(t.resolve("stats").toString)
+  }
+
+  /** COMMIT: publish manifest m<n> by atomic rename of a staged temp
+    * file — the single indivisible step both tables' visibility hangs
+    * on. Package-private so the spec can complete a "crashed" commit. */
+  private[graft] def txnCommit(root: Path, n: Long): Unit = {
+    val mdir = root.resolve("manifests")
+    java.nio.file.Files.createDirectories(mdir)
+    val tmp = mdir.resolve(s".tmp-m$n")
+    java.nio.file.Files.write(tmp, s"t$n".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, mdir.resolve(s"m$n"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Published transactions = m<N> manifest files (a staged `.tmp-` is
+    * an in-flight commit, not a published one). */
+  private[graft] def txnPublished(root: Path): Seq[Long] = {
+    val mdir = root.resolve("manifests")
+    if (!java.nio.file.Files.isDirectory(mdir)) return Seq.empty
+    val s = java.nio.file.Files.list(mdir)
+    try s.toArray.toSeq.map(_.asInstanceOf[Path].getFileName.toString)
+      .filter(_.matches("m\\d+")).map(_.drop(1).toLong).sorted
+    finally s.close()
+  }
+
+  /** Rebuild the transactional store from scratch: txn 1 = full corpus
+    * (committed), txn 2 = min-source retraction applied to BOTH tables
+    * (committed), txn 3 = a further change whose data is fully written
+    * but whose commit CRASHED mid-flight (staged manifest never
+    * renamed). Rebuilt on EVERY gate call — the crash must be replanted
+    * per repetition (q160's bench-honesty lesson). */
+  private[graft] def txnRoot(spark: SparkSession, dir: String): Path = {
+    val root = txnRootCache.computeIfAbsent(dir,
+      _ => graft.TempDirs.create("graft-txn"))
+    graft.TempDirs.deleteTree(root.resolve("manifests"))
+    val docs = Tables.documents(spark, dir)
+    val doomed = docs.agg(min(col("source"))).head().getString(0)
+    writeTxnData(spark, root, 1, docs)
+    txnCommit(root, 1)
+    val retracted = docs.filter(col("source") =!= doomed)
+    writeTxnData(spark, root, 2, retracted)
+    txnCommit(root, 2)
+    // txn 3 crashes between data write and manifest rename
+    writeTxnData(spark, root, 3, retracted.filter(col("doc_id") % 2 === 0))
+    java.nio.file.Files.createDirectories(root.resolve("manifests"))
+    java.nio.file.Files.write(root.resolve("manifests").resolve(".tmp-m3"),
+      "t3".getBytes("UTF-8"))
+    root
+  }
+
+  /** q178: ATOMIC MULTI-TABLE TRANSACTION — the cross-table commit a
+    * training-data platform needs (corpus + its stats/index tables must
+    * flip TOGETHER or a reader joins this week's docs against last
+    * week's stats) and that single-table formats don't give you: the
+    * Percolator/Nessie catalog-pointer discipline reduced to its core.
+    * Both tables' data files stage invisibly under t<N>/; the ONLY
+    * commit step is one atomic manifest rename, so every reader
+    * resolves one manifest and sees a consistent cross-table snapshot —
+    * there is no interleaving in which table A shows txn N and table B
+    * txn N−1. The gate writes two committed transactions plus one that
+    * CRASHES between data-write and commit (staged manifest left), then
+    * summarizes every PUBLISHED transaction through the resolver:
+    * count + 40-bit fingerprint sum per (txn, table). The crashed
+    * txn's fully-written data must be invisible — a resolver that
+    * lists data directories instead of manifests fails the hash. The
+    * oracle recomputes both committed states from the fixture (the
+    * retraction predicate is deterministic); the PlanSpec twin
+    * completes the crashed commit with the SAME atomic rename and
+    * proves both tables flip together. */
+  def txnSummary(spark: SparkSession, dir: String): DataFrame = {
+    val root = txnRoot(spark, dir)
+    val docsFp = "cast(conv(substr(md5(concat_ws(':', cast(doc_id as string), " +
+      "source, cast(n_chars as string))), 1, 10), 16, 10) as bigint)"
+    val statsFp = "cast(conv(substr(md5(concat_ws(':', source, " +
+      "cast(n_docs as string), cast(char_sum as string))), 1, 10), 16, 10) as bigint)"
+    txnPublished(root).flatMap { n =>
+      val t = root.resolve(s"t$n")
+      Seq(
+        spark.read.parquet(t.resolve("docs").toString)
+          .agg(count(lit(1)).as("n_rows"), sum(expr(docsFp)).as("fp_sum"))
+          .select(lit(n).as("txn"), lit("docs").as("table_name"),
+            col("n_rows"), col("fp_sum")),
+        spark.read.parquet(t.resolve("stats").toString)
+          .agg(count(lit(1)).as("n_rows"), sum(expr(statsFp)).as("fp_sum"))
+          .select(lit(n).as("txn"), lit("stats").as("table_name"),
+            col("n_rows"), col("fp_sum")))
+    }.reduce(_ unionByName _).orderBy("txn", "table_name")
+  }
+
+  val txnSummarySql: String =
+    """WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+      |doomed AS (SELECT MIN(source) AS s FROM documents),
+      |t1 AS (SELECT * FROM base),
+      |t2 AS (SELECT * FROM base, doomed WHERE source <> s),
+      |d AS (
+      |  SELECT 1 AS txn, 'docs' AS table_name, COUNT(*) AS n_rows,
+      |    SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source
+      |      || ':' || CAST(n_chars AS VARCHAR)), 1, 10))::BIGINT) AS fp_sum
+      |  FROM t1
+      |  UNION ALL
+      |  SELECT 2, 'docs', COUNT(*),
+      |    SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source
+      |      || ':' || CAST(n_chars AS VARCHAR)), 1, 10))::BIGINT)
+      |  FROM t2),
+      |s1 AS (SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS char_sum
+      |       FROM t1 GROUP BY source),
+      |s2 AS (SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS char_sum
+      |       FROM t2 GROUP BY source),
+      |s AS (
+      |  SELECT 1 AS txn, 'stats' AS table_name, COUNT(*) AS n_rows,
+      |    SUM(('0x' || substr(md5(source || ':' || CAST(n_docs AS VARCHAR)
+      |      || ':' || CAST(char_sum AS VARCHAR)), 1, 10))::BIGINT) AS fp_sum
+      |  FROM s1
+      |  UNION ALL
+      |  SELECT 2, 'stats', COUNT(*),
+      |    SUM(('0x' || substr(md5(source || ':' || CAST(n_docs AS VARCHAR)
+      |      || ':' || CAST(char_sum AS VARCHAR)), 1, 10))::BIGINT)
+      |  FROM s2)
+      |SELECT CAST(txn AS BIGINT) AS txn, table_name,
+      |  CAST(n_rows AS BIGINT) AS n_rows, CAST(fp_sum AS BIGINT) AS fp_sum
+      |FROM (SELECT * FROM d UNION ALL SELECT * FROM s)
+      |ORDER BY txn, table_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_compaction" -> ((s, d) => compactedDocs(s, d)),
     "q142_vacuum" -> ((s, d) => vacuumedDocs(s, d)),
     "q144_time_travel" -> ((s, d) => timeTravelSummary(s, d)),
-    "q160_orphan_gc" -> ((s, d) => orphanGcDocs(s, d)))
+    "q160_orphan_gc" -> ((s, d) => orphanGcDocs(s, d)),
+    "q178_multi_table_txn" -> ((s, d) => txnSummary(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q115_compaction" -> compactedDocsSql,
     "q142_vacuum" -> compactedDocsSql, // same bar: the original relation
     "q144_time_travel" -> timeTravelSummarySql,
-    "q160_orphan_gc" -> compactedDocsSql) // same bar: the original relation
+    "q160_orphan_gc" -> compactedDocsSql, // same bar: the original relation
+    "q178_multi_table_txn" -> txnSummarySql)
 }

@@ -1560,4 +1560,34 @@ class ExtSpec extends SparkSpec {
       assert(dxy <= math.min(dx, dy), "support bound")
     }
   }
+
+  test("q177 label propagation: clamped seeds, integer majority votes, driver replay") {
+    val pairs = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val keepOf = TextAnalysis.classifierScores(docs).select("doc_id", "keep")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seeds = adj.keys.filter(_ % Dedup.LpSeedMod == 0)
+      .map(id => id -> (keepOf(id) * 2 - 1)).toMap
+    var state: Map[Long, Long] = adj.keys.map(id => id -> seeds.getOrElse(id, 0L)).toMap
+    for (_ <- 1 to Dedup.LpRounds) {
+      state = state.map { case (id, old) =>
+        val vote = adj(id).map(state).sum
+        id -> (if (seeds.contains(id)) seeds(id)
+               else if (vote > 0) 1L else if (vote < 0) -1L else old)
+      }
+    }
+    val got = Dedup.labelPropagation(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("seed_label"), r.getAs[Long]("label"))).toMap
+    assert(got.keySet == adj.keySet, "induced subgraph")
+    got.foreach { case (id, (sl, l)) =>
+      assert(sl == seeds.getOrElse(id, 0L), s"seed label $id")
+      assert(l == state(id), s"propagated label $id")
+      if (seeds.contains(id)) assert(l == seeds(id), "seeds are clamped")
+    }
+    assert(got.exists { case (id, (sl, l)) => sl == 0 && l != 0 },
+      "propagation reaches unlabeled nodes (non-vacuous)")
+  }
 }

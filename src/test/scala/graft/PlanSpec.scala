@@ -1026,6 +1026,47 @@ class PlanSpec extends SparkSpec {
       "no cartesian product anywhere in the curriculum plan")
   }
 
+  test("q172: the sweep's running sum is partitioned by day — only the day-total relation sees a global window") {
+    val p = plan(graft.queries.Relational.q172PeakConcurrency(spark, sf))
+    val i = p.indexOf("sum(delta")
+    assert(i >= 0 &&
+      p.substring(i, math.min(p.length, i + 160)).contains("windowspecdefinition(day"),
+      s"the delta-level cumulative sum must run per day bucket:\n${p.substring(math.max(0, i - 50), math.min(p.length, i + 220))}")
+    assert(p.contains("BroadcastHashJoin"),
+      "day carry-in offsets must join back as a broadcast")
+  }
+
+  test("q178: the crashed commit is invisible until its atomic rename; both tables flip together") {
+    import graft.sources.Compaction
+    // gate call rebuilds the store with txn 3 crashed mid-commit
+    Compaction.txnSummary(spark, sf).collect()
+    val root = Compaction.txnRoot(spark, sf)
+    assert(Compaction.txnPublished(root) == Seq(1L, 2L))
+    // the crashed txn's DATA is fully on disk, yet unpublished
+    assert(java.nio.file.Files.isDirectory(root.resolve("t3").resolve("docs")))
+    assert(java.nio.file.Files.isDirectory(root.resolve("t3").resolve("stats")))
+    assert(java.nio.file.Files.exists(root.resolve("manifests").resolve(".tmp-m3")))
+    assert(!java.nio.file.Files.exists(root.resolve("manifests").resolve("m3")))
+    // complete the crash with the SAME atomic rename: both tables flip at once
+    Compaction.txnCommit(root, 3)
+    assert(Compaction.txnPublished(root) == Seq(1L, 2L, 3L))
+    val t3 = root.resolve("t3")
+    val docs3 = spark.read.parquet(t3.resolve("docs").toString)
+    val stats3 = spark.read.parquet(t3.resolve("stats").toString)
+    // cross-table consistency of the newly visible snapshot: the stats
+    // table equals a recompute from the docs table it committed with
+    val recomputed = docs3.groupBy("source")
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum(col("n_chars")).as("char_sum"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val stored = stats3.collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("char_sum"))).toMap
+    assert(stored == recomputed, "stats and docs are one snapshot")
+    // and the next gate call replants the crash (rebuild honesty)
+    Compaction.txnSummary(spark, sf).collect()
+    assert(Compaction.txnPublished(Compaction.txnRoot(spark, sf)) == Seq(1L, 2L))
+  }
+
   test("q128: only selected-bucket rows reach the selection window") {
     val df = graft.ext.TextAnalysis.exactQuantiles(Tables.documents(spark, sf))
     val p = plan(df)
