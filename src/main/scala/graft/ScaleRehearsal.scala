@@ -69,7 +69,17 @@ object ScaleRehearsal {
     // aggregate), integer Gram matrix (n·d² at scan locality), PageRank
     // over the capped near-dup graph, per-source score calibration
     "q143_bm25", "q147_covariance", "q149_pagerank",
-    "q151_score_calibration")
+    "q151_score_calibration",
+    // round-8 third wave: deterministic heavy hitters (two passes, ≤k
+    // candidate shuffle), degree-oriented triangles (O(m^1.5) wedges),
+    // char-diversity codegen fold, JL projection (stateless map +
+    // broadcast sample join), MAD outliers (two source-keyed windows),
+    // per-dim drift aggregate, label propagation (O(|E|) rounds),
+    // a-priori co-occurrence (support-pruned pair space), water-filling
+    // (one token aggregate + k-row algebra)
+    "q166_misra_gries", "q167_triangles", "q169_char_diversity",
+    "q170_jl_projection", "q173_mad_outliers", "q174_embedding_drift",
+    "q176_cooccurrence", "q177_label_propagation", "q180_water_filling")
 
   /** q17/q24/q69 are declared-O(n²) kernels; q18/q73 assign against a
     * centroid set that GROWS with the fixture (vec_id % mod stand-in),

@@ -133,11 +133,111 @@ object Mixture {
        |    + (CASE WHEN r.rk <= p.quota_docs % p.n_docs THEN 1 ELSE 0 END) > 0
        |ORDER BY r.source, r.doc_id""".stripMargin
 
+  // --------------------------------------------- water-filling (q180)
+  /** Token budget as a fraction of corpus mass: B = total div 3. */
+  val WaterBudgetDiv = 3L
+
+  /** q180: WATER-FILLING TOKEN-BUDGET ALLOCATION — the max-min-fair
+    * split of a training budget across sources, the allocation q116's
+    * temperature weighting does NOT give you: temperature assigns
+    * shares ∝ mass^(1/T) even when a small source can't supply its
+    * share; water-filling raises one common level L so every source
+    * contributes min(supply, L) — small sources give everything, big
+    * sources are capped EQUALLY, and no source is starved to feed one
+    * that's already full. The level needs no iteration: sort the
+    * k-source relation by supply, and on each row j the candidate
+    * L_j = (B − below_j) div rem_j (below = supply already exhausted by
+    * smaller sources, rem = sources still filling) is valid iff it
+    * falls in [s_{j−1}, s_j) — exactly one row validates when B < ΣS
+    * (piecewise-linear total is strictly increasing), so the level
+    * pops out of one window pass over k rows. The integer remainder
+    * r = B − Σ min(s, L) < #capped goes +1 each to the r first capped
+    * sources by name (a pinned deterministic rule, as q116's
+    * largest-remainder note requires). Σ alloc = min(B, ΣS) EXACTLY —
+    * spec-asserted; budgets that don't add up are how training runs
+    * silently under-sample. Corpus-side cost: ONE token-mass aggregate;
+    * all allocation algebra runs on the k-row relation. */
+  def waterFillAllocation(docs: DataFrame): DataFrame = {
+    val bySrc = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy("source").agg(sum(col("toks")).as("s"))
+    val tot = bySrc.agg(sum(col("s")).as("total"),
+      count(lit(1)).as("k"), max(col("s")).as("max_s"))
+      .withColumn("b", expr(s"total div $WaterBudgetDiv"))
+    val ordW = Window.orderBy("s", "source")
+    val ranked = bySrc.crossJoin(broadcast(tot))
+      .withColumn("rn", row_number().over(ordW))
+      .withColumn("below", coalesce(sum(col("s"))
+        .over(ordW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("prev_s", coalesce(lag(col("s"), 1).over(ordW), lit(0L)))
+      .withColumn("rem", col("k") - col("rn") + 1)
+    val cand = ranked
+      .withColumn("lvl", expr("(b - below) div rem"))
+      .filter(col("lvl") >= col("prev_s") && col("lvl") < col("s"))
+      .select(col("lvl"),
+        (col("b") - (col("below") + col("rem") * col("lvl"))).as("r"))
+    val fallback = tot.filter(col("total") <= col("b"))
+      .select(col("max_s").as("lvl"), lit(0L).as("r"))
+    val level = broadcast(cand.unionByName(fallback).limit(1))
+    val capW = Window.orderBy("source")
+    bySrc.crossJoin(level)
+      .withColumn("at_cap", (col("s") > col("lvl")).cast("long"))
+      .withColumn("cap_rank",
+        sum(col("at_cap")).over(capW.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("source"), col("s").as("supply"),
+        when(col("at_cap") === 0, col("s"))
+          .otherwise(col("lvl") +
+            when(col("cap_rank") <= col("r"), 1L).otherwise(0L)).as("alloc"),
+        col("at_cap"))
+      .orderBy("source")
+  }
+
+  val waterFillAllocationSql: String =
+    s"""WITH m AS (
+       |  SELECT source, SUM(len(string_split(text, ' '))) AS s
+       |  FROM documents GROUP BY source),
+       |t AS (SELECT SUM(s) AS total, COUNT(*) AS k, MAX(s) AS max_s,
+       |        SUM(s) // $WaterBudgetDiv AS b FROM m),
+       |ranked AS (
+       |  SELECT m.source, m.s, t.b, t.k, t.total, t.max_s,
+       |    ROW_NUMBER() OVER (ORDER BY m.s, m.source) AS rn,
+       |    COALESCE(SUM(m.s) OVER (ORDER BY m.s, m.source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+       |    COALESCE(LAG(m.s) OVER (ORDER BY m.s, m.source), 0) AS prev_s
+       |  FROM m CROSS JOIN t),
+       |cand AS (
+       |  SELECT (b - below) // (k - rn + 1) AS lvl,
+       |    b - (below + (k - rn + 1) * ((b - below) // (k - rn + 1))) AS r
+       |  FROM ranked
+       |  WHERE (b - below) // (k - rn + 1) >= prev_s
+       |    AND (b - below) // (k - rn + 1) < s),
+       |lvl AS (
+       |  SELECT * FROM cand
+       |  UNION ALL
+       |  SELECT max_s AS lvl, 0 AS r FROM t WHERE total <= b
+       |  LIMIT 1),
+       |alloc AS (
+       |  SELECT m.source, m.s AS supply,
+       |    CASE WHEN m.s > l.lvl THEN 1 ELSE 0 END AS at_cap,
+       |    SUM(CASE WHEN m.s > l.lvl THEN 1 ELSE 0 END) OVER (
+       |      ORDER BY m.source ROWS UNBOUNDED PRECEDING) AS cap_rank,
+       |    l.lvl, l.r
+       |  FROM m CROSS JOIN lvl l)
+       |SELECT source, CAST(supply AS BIGINT) AS supply,
+       |  CAST(CASE WHEN at_cap = 0 THEN supply
+       |       ELSE lvl + (CASE WHEN cap_rank <= r THEN 1 ELSE 0 END) END
+       |    AS BIGINT) AS alloc,
+       |  CAST(at_cap AS BIGINT) AS at_cap
+       |FROM alloc
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_mixture_plan" -> ((s, d) => mixturePlan(Tables.documents(s, d))),
-    "q117_epoch_manifest" -> ((s, d) => epochManifest(Tables.documents(s, d))))
+    "q117_epoch_manifest" -> ((s, d) => epochManifest(Tables.documents(s, d))),
+    "q180_water_filling" -> ((s, d) => waterFillAllocation(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q116_mixture_plan" -> mixturePlanSql,
-    "q117_epoch_manifest" -> epochManifestSql())
+    "q117_epoch_manifest" -> epochManifestSql(),
+    "q180_water_filling" -> waterFillAllocationSql)
 }

@@ -1984,6 +1984,113 @@ object Similarity {
        |ORDER BY dim""".stripMargin
   }
 
+  // ---------------------------------------- IVF tombstone deletes (q179)
+  /** Tombstone rule: every 7th-mod-3 vector is deleted — EXCEPT centroid
+    * ids, because a centroid is a navigation structure, not data: its
+    * VECTOR can be erased as a record while its cell center persists
+    * (re-clustering on every delete is exactly what tombstones avoid). */
+  val TombMod = 7L
+  val TombResidue = 3L
+  private def tombstonedPred = (col("vec_id") % TombMod === TombResidue) &&
+    (col("vec_id") % CentroidMod =!= 0)
+
+  /** q179: ANN SEARCH UNDER DELETES — the serving-path half of index
+    * maintenance that q155's ingest path leaves open (GDPR erasure,
+    * retracted crawl batches): deleted vectors become TOMBSTONES
+    * filtered at probe time, the index structure (centroids, cell
+    * assignment of survivors) is untouched, and NO re-clustering or
+    * index rebuild happens on the delete path — the property that makes
+    * deletes O(1) metadata instead of an O(n·|C|) rebuild. Correctness
+    * bar: tombstoned search over the full corpus must be
+    * INDISTINGUISHABLE from an index rebuilt from scratch without the
+    * deleted vectors — which holds exactly because centroids are pinned
+    * by id rule (not data-derived from the deleted mass) and filtering
+    * commutes with per-cell candidate generation; the spec asserts that
+    * equality literally (both engine paths), and the oracle replays the
+    * tombstoned search relationally. Deleted QUERIES are excluded too —
+    * an erased user's vector must not keep issuing lookups. */
+  def ivfTopKTombstoned(emb: DataFrame): DataFrame = {
+    val v = withNorm2(emb)
+    val cents = v.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val assigned = v.filter(!tombstonedPred)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("norm2"), col("cent_id"),
+        expr("vec_dist2(embedding, cent_emb)").as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("m"),
+           first(col("embedding")).as("embedding"),
+           first(col("norm2")).as("norm2"))
+      .select(col("vec_id"), col("embedding"), col("norm2"),
+              col("m.cent_id").as("cell"))
+    val topP = graft.functions.BoundedTopK.topK(IvfNProbe)
+    val q = v.filter(col("vec_id") % QueryMod === 0 && !tombstonedPred)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm2").as("q_norm2"), col("cent_id"),
+        expr("vec_dist2(embedding, cent_emb)").as("d2"))
+      .groupBy(col("q_id"))
+      .agg(topP(-col("d2"), col("cent_id")).as("probes"),
+           first(col("q_emb")).as("q_emb"),
+           first(col("q_norm2")).as("q_norm2"))
+      .select(col("q_id"), col("q_emb"), col("q_norm2"),
+        explode(col("probes.id")).as("cell"))
+    val topk = graft.functions.BoundedTopK.topK(IvfTopK)
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        (expr("vec_dot(q_emb, embedding)") /
+          (sqrt(col("q_norm2")) * sqrt(col("norm2")))).as("cos_raw"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos_raw"), col("cand_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+              col("col.id").as("cand_id"),
+              round(col("col.cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  val ivfTopKTombstonedSql: String = {
+    def duckDist2(a: String, b: String): String =
+      s"list_reduce(list_transform(generate_series(1, len($a)), " +
+        s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+        s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+    val dead = s"(vec_id % $TombMod = $TombResidue AND vec_id % $CentroidMod <> 0)"
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, ${duckNorm2("embedding")} AS norm2
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_emb FROM v
+       |  WHERE vec_id % $CentroidMod = 0),
+       |live AS (SELECT * FROM v WHERE NOT $dead),
+       |assigned AS (
+       |  SELECT vec_id, embedding, norm2, cell FROM (
+       |    SELECT l.vec_id, l.embedding, l.norm2, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY l.vec_id
+       |        ORDER BY ${duckDist2("l.embedding", "c.cent_emb")}, c.cent_id) AS arn
+       |    FROM live l CROSS JOIN cents c) WHERE arn = 1),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT l.vec_id AS q_id, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY l.vec_id
+       |        ORDER BY ${duckDist2("l.embedding", "c.cent_emb")}, c.cent_id) AS prn
+       |    FROM live l CROSS JOIN cents c WHERE l.vec_id % $QueryMod = 0)
+       |  WHERE prn <= $IvfNProbe),
+       |scored AS (
+       |  SELECT p.q_id, c.vec_id AS cand_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.norm2) * sqrt(c.norm2)) AS cos_raw
+       |  FROM probes p
+       |  JOIN v q ON q.vec_id = p.q_id
+       |  JOIN assigned c ON c.cell = p.cell AND c.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, cand_id, cos_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, cand_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, cand_id, round(cos_raw, 6) AS cos_sim
+       |FROM ranked WHERE rank <= $IvfTopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   // ------------------------------------------ k-center coreset (q175)
   /** Number of greedy picks — fixed budget, like q149's PrIters. */
   val KCenterK = 8
@@ -2087,6 +2194,7 @@ object Similarity {
     "q170_jl_projection" -> ((s, d) => jlProjectionAudit(Tables.embeddings(s, d))),
     "q174_embedding_drift" -> ((s, d) => embeddingDrift(Tables.embeddings(s, d))),
     "q175_kcenter_coreset" -> ((s, d) => kcenterCoreset(Tables.embeddings(s, d))),
+    "q179_ivf_tombstones" -> ((s, d) => ivfTopKTombstoned(Tables.embeddings(s, d))),
     "q17_cosine_topk" -> ((s, d) => cosineTopK(Tables.embeddings(s, d))),
     "q18_ivf_topk"    -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "q24_embedding_neardup" -> ((s, d) => embeddingNearDups(Tables.embeddings(s, d))),
@@ -2110,6 +2218,7 @@ object Similarity {
     "q170_jl_projection" -> jlProjectionAuditSql,
     "q174_embedding_drift" -> embeddingDriftSql,
     "q175_kcenter_coreset" -> kcenterCoresetSql,
+    "q179_ivf_tombstones" -> ivfTopKTombstonedSql,
     "q17_cosine_topk" -> cosineTopKSql,
     "q18_ivf_topk"    -> ivfTopKSql,
     "q24_embedding_neardup" -> embeddingNearDupsSql,

@@ -1471,6 +1471,133 @@ object TextAnalysis {
        |FROM pairs, total
        |ORDER BY x, y""".stripMargin
 
+  // ------------------------------------------- retrieval eval (q181)
+  /** A doc is RELEVANT iff it contains at least this many of the
+    * [[BmQTerms]] query terms — a pinned conjunctive-ish judgment
+    * standing in for human labels. */
+  val RelMinTerms = 4
+
+  /** q181: RETRIEVAL-QUALITY EVALUATION of the q143 BM25 ranking —
+    * precision/recall@k and MRR against a deterministic relevance rule
+    * (≥ [[RelMinTerms]] of the query terms present). A retrieval
+    * component without an eval harness is unfalsifiable; this is the
+    * nightly metrics job that catches a scoring regression before it
+    * reaches decontamination or example mining. Metric choice is
+    * exactness-driven: MRR and precision are exact rationals (1e6 div
+    * rank, bp counts) — nDCG's log2 discount would put engine-specific
+    * floats in the hash, so the pinned metric set is the integer one
+    * (the q161/q174 lesson applied to IR metrics). Scale: relevance
+    * labels ride the SAME distinct-(doc, term) relation BM25 already
+    * builds (one broadcast semi-join + per-doc count ≥ threshold);
+    * metrics aggregate a k-row ranking against a label relation —
+    * nothing corpus-sized moves. */
+  def retrievalEval(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = toksAll(docs)
+    val qterms = t.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df"), col("token")).limit(BmQTerms)
+      .select("token")
+    val rel = t.select("doc_id", "token").distinct()
+      .join(broadcast(qterms), "token")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_match"))
+      .filter(col("n_match") >= RelMinTerms)
+      .select(col("doc_id"), lit(1L).as("rel"))
+    val ranked = bm25TopDocs(docs).select("rank", "doc_id")
+    val hits = ranked.join(rel, Seq("doc_id"), "left")
+      .select(col("rank"), coalesce(col("rel"), lit(0L)).as("rel"))
+    val nRel = rel.agg(count(lit(1)).as("n_rel"))
+    hits.agg(
+        count(lit(1)).as("n_ret"),
+        sum(col("rel")).as("n_rel_ret"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel_rank"))
+      .crossJoin(broadcast(nRel))
+      .select(col("n_rel"), col("n_ret"), col("n_rel_ret"),
+        expr("(10000 * n_rel_ret) div n_ret").as("prec_bp"),
+        expr("case when n_rel = 0 then 0L else (10000 * n_rel_ret) div n_rel end")
+          .as("recall_bp"),
+        expr("case when first_rel_rank is null then 0L " +
+          "else 1000000 div first_rel_rank end").as("mrr_e6"))
+  }
+
+  val retrievalEvalSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |t2 AS (SELECT DISTINCT doc_id, token FROM tok WHERE length(token) > 0),
+       |d AS (SELECT token, COUNT(*) AS df FROM t2 GROUP BY token),
+       |q AS (SELECT token FROM d ORDER BY df, token LIMIT $BmQTerms),
+       |rel AS (
+       |  SELECT doc_id FROM t2 JOIN q USING (token)
+       |  GROUP BY doc_id HAVING COUNT(*) >= $RelMinTerms),
+       |ranked AS (SELECT rank, doc_id FROM ($bm25TopDocsSql)),
+       |hits AS (
+       |  SELECT r.rank,
+       |    CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+       |  FROM ranked r LEFT JOIN rel ON rel.doc_id = r.doc_id),
+       |agg AS (
+       |  SELECT COUNT(*) AS n_ret, SUM(rel) AS n_rel_ret,
+       |    MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank
+       |  FROM hits),
+       |nr AS (SELECT COUNT(*) AS n_rel FROM rel)
+       |SELECT CAST(n_rel AS BIGINT) AS n_rel, CAST(n_ret AS BIGINT) AS n_ret,
+       |  CAST(n_rel_ret AS BIGINT) AS n_rel_ret,
+       |  CAST((10000 * n_rel_ret) // n_ret AS BIGINT) AS prec_bp,
+       |  CAST(CASE WHEN n_rel = 0 THEN 0
+       |       ELSE (10000 * n_rel_ret) // n_rel END AS BIGINT) AS recall_bp,
+       |  CAST(CASE WHEN first_rel_rank IS NULL THEN 0
+       |       ELSE 1000000 // first_rel_rank END AS BIGINT) AS mrr_e6
+       |FROM agg, nr""".stripMargin
+
+  // ------------------------------------- distribution matching (q182)
+  /** q182: DISTRIBUTION-MATCHING RESAMPLE — rebalance the corpus so
+    * every length OCTAVE (floor log2 n_chars, the q162 exact-bin trick)
+    * carries an equal share: the domain/length rebalancing step between
+    * curation and training when one bin (short chat turns, giant
+    * concatenations) dominates the raw crawl. Acceptance is HASHED,
+    * not random: a doc survives iff its 40-bit md5 value mod its bin's
+    * count < the min bin count — acceptance probability min_c/c_b per
+    * bin (uniform expected post-counts) with a pinned per-doc verdict
+    * any executor reproduces statelessly (the q111/q112 determinism
+    * contract: reproducibility IS the feature). One aggregate for bin
+    * counts (tiny relation, broadcast back), one stateless verdict
+    * scan; the post-bin histogram plus an id fingerprint sum per bin
+    * hash-gate both the counts and the exact accepted SET. */
+  def lengthRebalance(docs: DataFrame): DataFrame = {
+    val binned = docs.filter(col("n_chars") > 0)
+      .select(col("doc_id"),
+        (length(expr("bin(n_chars)")) - 1).cast("long").as("bin"))
+    val counts = binned.groupBy("bin").agg(count(lit(1)).as("c_b"))
+    val minC = counts.agg(min(col("c_b")).as("min_c"))
+    binned.join(broadcast(counts), "bin")
+      .crossJoin(broadcast(minC))
+      .withColumn("h",
+        expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 10), 16, 10) as bigint)"))
+      .withColumn("accept", (col("h") % col("c_b") < col("min_c")).cast("long"))
+      .groupBy("bin")
+      .agg(max(col("c_b")).as("n_before"),
+        sum(col("accept")).as("n_after"),
+        sum(col("accept") * col("doc_id")).as("accepted_id_sum"))
+      .orderBy("bin")
+  }
+
+  val lengthRebalanceSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bin
+      |  FROM documents WHERE n_chars > 0),
+      |c AS (SELECT bin, COUNT(*) AS c_b FROM b GROUP BY bin),
+      |m AS (SELECT MIN(c_b) AS min_c FROM c),
+      |v AS (
+      |  SELECT b.bin, c.c_b, b.doc_id,
+      |    CASE WHEN ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 10))::BIGINT
+      |              % c.c_b < m.min_c THEN 1 ELSE 0 END AS accept
+      |  FROM b JOIN c USING (bin) CROSS JOIN m)
+      |SELECT bin, CAST(MAX(c_b) AS BIGINT) AS n_before,
+      |  CAST(SUM(accept) AS BIGINT) AS n_after,
+      |  CAST(SUM(accept * doc_id) AS BIGINT) AS accepted_id_sum
+      |FROM v GROUP BY bin
+      |ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
     "q20_quality"     -> ((s, d) => quality(Tables.documents(s, d))),
@@ -1496,7 +1623,9 @@ object TextAnalysis {
     "q163_pareto_frontier" -> ((s, d) => paretoFrontier(Tables.documents(s, d))),
     "q169_char_diversity" -> ((s, d) => charDiversity(Tables.documents(s, d))),
     "q173_mad_outliers" -> ((s, d) => madOutliers(Tables.documents(s, d))),
-    "q176_cooccurrence" -> ((s, d) => cooccurrenceLift(Tables.documents(s, d))))
+    "q176_cooccurrence" -> ((s, d) => cooccurrenceLift(Tables.documents(s, d))),
+    "q181_retrieval_eval" -> ((s, d) => retrievalEval(Tables.documents(s, d))),
+    "q182_length_rebalance" -> ((s, d) => lengthRebalance(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q19_lang_id"     -> langIdSql,
@@ -1523,5 +1652,7 @@ object TextAnalysis {
     "q163_pareto_frontier" -> paretoFrontierSql,
     "q169_char_diversity" -> charDiversitySql,
     "q173_mad_outliers" -> madOutliersSql,
-    "q176_cooccurrence" -> cooccurrenceLiftSql)
+    "q176_cooccurrence" -> cooccurrenceLiftSql,
+    "q181_retrieval_eval" -> retrievalEvalSql,
+    "q182_length_rebalance" -> lengthRebalanceSql)
 }

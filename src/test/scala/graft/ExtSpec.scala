@@ -1590,4 +1590,114 @@ class ExtSpec extends SparkSpec {
     assert(got.exists { case (id, (sl, l)) => sl == 0 && l != 0 },
       "propagation reaches unlabeled nodes (non-vacuous)")
   }
+
+  test("q179 IVF tombstones: probe-time filtering equals a from-scratch rebuild without the deleted vectors") {
+    def dead(id: Long) =
+      id % Similarity.TombMod == Similarity.TombResidue &&
+        id % Similarity.CentroidMod != 0
+    val tomb = Similarity.ivfTopKTombstoned(emb).collect().map(_.toSeq)
+    val rebuilt = Similarity.ivfTopK(emb.filter(!(
+        col("vec_id") % Similarity.TombMod === Similarity.TombResidue &&
+        col("vec_id") % Similarity.CentroidMod =!= 0)))
+      .collect().map(_.toSeq)
+    assert(tomb.toSeq == rebuilt.toSeq,
+      "tombstoned serving must be indistinguishable from a rebuild")
+    // no erased vector appears on either side of a result row
+    tomb.foreach { r =>
+      assert(!dead(r(0).asInstanceOf[Long]), "deleted query still searching")
+      assert(!dead(r(2).asInstanceOf[Long]), "deleted vector surfaced as candidate")
+    }
+    // deletes actually changed results somewhere (non-vacuous)
+    val full = Similarity.ivfTopK(emb).collect().map(_.toSeq)
+    assert(full.toSeq != tomb.toSeq, "fixture tombstones must affect at least one ranking")
+  }
+
+  test("q180 water filling: exact budget, max-min fairness, driver recompute") {
+    val supplies = docs.select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy("source").agg(sum(col("t")).as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = supplies.values.sum
+    val b = total / Mixture.WaterBudgetDiv
+    // driver recompute: scan levels directly
+    val lvl = Iterator.from(0)
+      .find(l => supplies.values.map(s => math.min(s, l.toLong)).sum > b).get - 1
+    val base = supplies.values.map(s => math.min(s, lvl.toLong)).sum
+    val r = b - base
+    val capped = supplies.filter(_._2 > lvl).keys.toSeq.sorted
+    val want = supplies.map { case (src, s) =>
+      if (s <= lvl) src -> s
+      else src -> (lvl + (if (capped.indexOf(src) < r) 1L else 0L))
+    }
+    val got = Mixture.waterFillAllocation(docs).collect()
+      .map(x => x.getString(0) ->
+        (x.getAs[Long]("supply"), x.getAs[Long]("alloc"), x.getAs[Long]("at_cap"))).toMap
+    assert(got.keySet == supplies.keySet)
+    got.foreach { case (src, (s, a, cap)) =>
+      assert(s == supplies(src))
+      assert(a == want(src), s"$src: got $a want ${want(src)}")
+      assert(cap == (if (s > lvl) 1L else 0L))
+      assert(a <= s, "never allocate beyond supply")
+    }
+    assert(got.values.map(_._2).sum == math.min(b, total),
+      "allocations sum exactly to the budget")
+    // max-min fairness: all capped sources within one unit of each other
+    val caps = got.values.filter(_._3 == 1).map(_._2)
+    if (caps.nonEmpty)
+      assert(caps.max - caps.min <= 1, "capped sources share the level")
+  }
+
+  test("q181 retrieval eval: metrics recompute from the ranking and the relevance rule") {
+    val docToks = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSet)
+    val df = docToks.flatMap(_._2.toSeq).groupBy(identity)
+      .map { case (w, v) => w -> v.length }
+    val qterms = df.toSeq.sortBy { case (w, c) => (c, w) }
+      .take(TextAnalysis.BmQTerms).map(_._1).toSet
+    val rel = docToks.filter { case (_, t) => (t & qterms).size >= TextAnalysis.RelMinTerms }
+      .map(_._1).toSet
+    val ranked = TextAnalysis.bm25TopDocs(docs).select("rank", "doc_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val nRelRet = ranked.count { case (_, id) => rel(id) }
+    val firstRel = ranked.find { case (_, id) => rel(id) }.map(_._1)
+    val row = TextAnalysis.retrievalEval(docs).collect().head
+    assert(row.getAs[Long]("n_rel") == rel.size)
+    assert(row.getAs[Long]("n_ret") == ranked.length)
+    assert(row.getAs[Long]("n_rel_ret") == nRelRet)
+    assert(row.getAs[Long]("prec_bp") == 10000L * nRelRet / ranked.length)
+    assert(row.getAs[Long]("recall_bp") ==
+      (if (rel.isEmpty) 0L else 10000L * nRelRet / rel.size))
+    assert(row.getAs[Long]("mrr_e6") ==
+      firstRel.map(r => 1000000L / r).getOrElse(0L))
+    assert(rel.nonEmpty && rel.size < docToks.length,
+      "relevance rule is non-degenerate on the fixture")
+  }
+
+  test("q182 length rebalance: hashed acceptance replays driver-side, accepted set pinned") {
+    val lens = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).filter(_._2 > 0)
+    def bin(n: Long) = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val byBin = lens.groupBy { case (_, n) => bin(n) }
+    val minC = byBin.values.map(_.length).min
+    def h(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(5).map("%02x".format(_)).mkString, 16)
+    }
+    val got = TextAnalysis.lengthRebalance(docs).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_before"), r.getAs[Long]("n_after"),
+          r.getAs[Long]("accepted_id_sum"))).toMap
+    assert(got.keySet == byBin.keySet.map(_.toLong))
+    byBin.foreach { case (b, members) =>
+      val acc = members.filter { case (id, _) => h(id) % members.length < minC }
+      assert(got(b.toLong) == ((members.length.toLong, acc.length.toLong,
+        acc.map(_._1).sum)), s"bin $b")
+    }
+    // rebalance direction: the post-counts never exceed pre-counts and
+    // the largest bin shrinks toward the smallest
+    val (maxBin, _) = byBin.maxBy(_._2.length)
+    assert(got(maxBin.toLong)._2 < got(maxBin.toLong)._1,
+      "the dominant bin is down-sampled")
+  }
 }
