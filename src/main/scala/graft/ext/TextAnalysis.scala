@@ -1598,6 +1598,58 @@ object TextAnalysis {
       |FROM v GROUP BY bin
       |ORDER BY bin""".stripMargin
 
+  // ------------------------------------- calibration bands (q184)
+  /** Score-band width = 2^8 classifier units. */
+  val CalBandShift = 8
+
+  /** q184: CLASSIFIER RELIABILITY CURVE — per score band, how often the
+    * q120 hashed linear classifier's verdict AGREES with the
+    * independent q84 quartile-threshold gate: the reliability-diagram
+    * shape every model-based curation filter is audited with before
+    * its threshold is trusted at 100 TB (a classifier can rank well
+    * and still be mis-calibrated in exactly the band where the keep
+    * threshold sits). Bands are shiftright(score) — ARITHMETIC shift,
+    * floor-correct on negative scores in BOTH engines (the q133
+    * precedent; a div-based band would round toward zero in Spark and
+    * floor in DuckDB, splitting band −1 across engines). One join of
+    * two per-doc verdict relations + one band aggregate; agreement and
+    * keep rates in exact basis points. */
+  def calibrationBands(docs: DataFrame): DataFrame = {
+    val sc = classifierScores(docs)
+      .select(col("doc_id"), col("score"), col("keep").as("pred_keep"))
+    val truth = qualityGate(docs)
+      .select(col("doc_id"), col("keep").cast("long").as("true_keep"))
+    sc.join(truth, "doc_id")
+      .withColumn("band", shiftright(col("score"), CalBandShift))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pred_keep")).as("n_pred_keep"),
+        sum(col("true_keep")).as("n_true_keep"),
+        sum(when(col("pred_keep") === col("true_keep"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .select(col("band"), col("n_docs"), col("n_pred_keep"),
+        col("n_true_keep"),
+        expr("(10000 * n_true_keep) div n_docs").as("true_keep_bp"),
+        expr("(10000 * n_agree) div n_docs").as("agree_bp"))
+      .orderBy("band")
+  }
+
+  val calibrationBandsSql: String =
+    s"""WITH sc AS (SELECT doc_id, score, keep AS pred_keep
+       |            FROM ($classifierScoresSql)),
+       |truth AS (SELECT doc_id, keep AS true_keep FROM ($qualityGateSql)),
+       |j AS (
+       |  SELECT sc.score >> $CalBandShift AS band, sc.pred_keep, t.true_keep
+       |  FROM sc JOIN truth t ON t.doc_id = sc.doc_id)
+       |SELECT band, COUNT(*) AS n_docs,
+       |  CAST(SUM(pred_keep) AS BIGINT) AS n_pred_keep,
+       |  CAST(SUM(true_keep) AS BIGINT) AS n_true_keep,
+       |  CAST((10000 * SUM(true_keep)) // COUNT(*) AS BIGINT) AS true_keep_bp,
+       |  CAST((10000 * SUM(CASE WHEN pred_keep = true_keep THEN 1 ELSE 0 END))
+       |       // COUNT(*) AS BIGINT) AS agree_bp
+       |FROM j GROUP BY band
+       |ORDER BY band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
     "q20_quality"     -> ((s, d) => quality(Tables.documents(s, d))),
@@ -1625,7 +1677,8 @@ object TextAnalysis {
     "q173_mad_outliers" -> ((s, d) => madOutliers(Tables.documents(s, d))),
     "q176_cooccurrence" -> ((s, d) => cooccurrenceLift(Tables.documents(s, d))),
     "q181_retrieval_eval" -> ((s, d) => retrievalEval(Tables.documents(s, d))),
-    "q182_length_rebalance" -> ((s, d) => lengthRebalance(Tables.documents(s, d))))
+    "q182_length_rebalance" -> ((s, d) => lengthRebalance(Tables.documents(s, d))),
+    "q184_calibration" -> ((s, d) => calibrationBands(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q19_lang_id"     -> langIdSql,
@@ -1654,5 +1707,6 @@ object TextAnalysis {
     "q173_mad_outliers" -> madOutliersSql,
     "q176_cooccurrence" -> cooccurrenceLiftSql,
     "q181_retrieval_eval" -> retrievalEvalSql,
-    "q182_length_rebalance" -> lengthRebalanceSql)
+    "q182_length_rebalance" -> lengthRebalanceSql,
+    "q184_calibration" -> calibrationBandsSql)
 }

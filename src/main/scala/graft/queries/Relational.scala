@@ -1747,6 +1747,86 @@ object Relational {
        |FROM r GROUP BY day
        |ORDER BY day""".stripMargin
 
+  // ------------------------------------------ event trigrams (q183)
+  /** q183: FREQUENT EVENT-SEQUENCE PATTERNS (order-3) — which three-step
+    * user journeys actually happen, the sequence-mining step behind
+    * funnel design that q150's first-order transition matrix can't
+    * answer (Markov chains forget where the user came from two steps
+    * ago; "view→click→purchase vs click→view→purchase" is invisible at
+    * order 1). Two LAGs ride the SAME user-keyed window (one exchange,
+    * per-user sorts parallel — the q150/q162 discipline), and only the
+    * ≤|types|³ pattern matrix leaves it; support in ppm of all
+    * trigram instances, exact integers. */
+  def q183EventTrigrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val tri = Tables.events(s, dir)
+      .select($"user_id", $"event_id", expr("ts_ns div 1000").as("us"),
+        $"event_type")
+      .withColumn("t2", lag($"event_type", 1).over(w))
+      .withColumn("t1", lag($"event_type", 2).over(w))
+      .filter($"t1".isNotNull)
+      .select($"t1", $"t2", $"event_type".as("t3"))
+    val total = tri.agg(count(lit(1)).as("n_total"))
+    tri.groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select($"t1", $"t2", $"t3", $"n",
+        expr("(1000000 * n) div n_total").as("support_ppm"))
+      .orderBy($"n".desc, $"t1", $"t2", $"t3")
+  }
+
+  val q183Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+      |  FROM events),
+      |tri AS (
+      |  SELECT
+      |    LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t1,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t2,
+      |    event_type AS t3
+      |  FROM e),
+      |f AS (SELECT * FROM tri WHERE t1 IS NOT NULL),
+      |tot AS (SELECT COUNT(*) AS n_total FROM f)
+      |SELECT t1, t2, t3, COUNT(*) AS n,
+      |  CAST((1000000 * COUNT(*)) // MAX(n_total) AS BIGINT) AS support_ppm
+      |FROM f, tot
+      |GROUP BY t1, t2, t3, n_total
+      |ORDER BY n DESC, t1, t2, t3""".stripMargin
+
+  // ------------------------------------------ change feed (q185)
+  /** q185: CHANGE-DATA-FEED READ between two published versions of the
+    * q144 versioned store — the "what changed since version N" query
+    * downstream incremental consumers (index maintainers, q90-style
+    * IVM, replication) poll instead of re-reading the table: both
+    * versions load through the version-pinned [[readAt]] path, reduce
+    * to (key, 40-bit fp) — q134's narrow-relation discipline applied
+    * to PHYSICAL version reads — and the full-outer join classifies
+    * row-level deltas. On the fixture's v0→v1 retraction the feed is
+    * pure deletes, and a CDF that invents inserts/updates (leaking
+    * current rows into the historical read, q144's failure mode) fails
+    * both the oracle and the change-type histogram. */
+  def q185ChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.Compaction.travelRoot(s, dir)
+    def side(v: Long, fp: String) =
+      graft.sources.Compaction.readAt(s, root, v)
+        .select(col("doc_id"), expr(
+          "cast(conv(substr(md5(concat_ws(':', cast(doc_id as string), text)), 1, 10), 16, 10) as bigint)")
+          .as(fp))
+    side(0, "fp_a").join(side(1, "fp_b"), Seq("doc_id"), "full_outer")
+      .filter(col("fp_a").isNull || col("fp_b").isNull || col("fp_a") =!= col("fp_b"))
+      .select(col("doc_id"),
+        when(col("fp_b").isNull, "delete")
+          .when(col("fp_a").isNull, "insert")
+          .otherwise("update").as("change_type"))
+      .orderBy("doc_id")
+  }
+
+  val q185Sql: String =
+    """SELECT doc_id, 'delete' AS change_type
+      |FROM documents
+      |WHERE source = (SELECT MIN(source) FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_pricing"     -> (q05Pricing _),
@@ -1791,7 +1871,9 @@ object Relational {
     "q162_interarrival_hist" -> (q162InterarrivalHist _),
     "q168_pit_enrich" -> (q168PitEnrich _),
     "q171_merkle_diff" -> (q171MerkleDiff _),
-    "q172_peak_concurrency" -> (q172PeakConcurrency _))
+    "q172_peak_concurrency" -> (q172PeakConcurrency _),
+    "q183_event_trigrams" -> (q183EventTrigrams _),
+    "q185_change_feed" -> (q185ChangeFeed _))
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
@@ -1837,5 +1919,7 @@ object Relational {
     "q162_interarrival_hist" -> q162Sql,
     "q168_pit_enrich" -> q168Sql,
     "q171_merkle_diff" -> q171Sql,
-    "q172_peak_concurrency" -> q172Sql)
+    "q172_peak_concurrency" -> q172Sql,
+    "q183_event_trigrams" -> q183Sql,
+    "q185_change_feed" -> q185Sql)
 }

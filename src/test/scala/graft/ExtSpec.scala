@@ -1700,4 +1700,33 @@ class ExtSpec extends SparkSpec {
     assert(got(maxBin.toLong)._2 < got(maxBin.toLong)._1,
       "the dominant bin is down-sampled")
   }
+
+  test("q184 calibration: band aggregation recomputes, negative scores floor-band") {
+    val sc = TextAnalysis.classifierScores(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val truth = TextAnalysis.qualityGate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("keep").toLong).toMap
+    def band(s: Long) = s >> TextAnalysis.CalBandShift
+    val want = sc.toSeq.map { case (id, (s, pred)) =>
+      (band(s), pred, truth(id)) }
+      .groupBy(_._1).map { case (b, rows) =>
+        b -> (rows.length.toLong, rows.map(_._2).sum, rows.map(_._3).sum,
+          rows.count(r => r._2 == r._3).toLong)
+      }
+    val got = TextAnalysis.calibrationBands(docs).collect()
+      .map(r => r.getAs[Long]("band") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_pred_keep"),
+          r.getAs[Long]("n_true_keep"), r.getAs[Long]("true_keep_bp"),
+          r.getAs[Long]("agree_bp"))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (b, (n, np, nt, na)) =>
+      assert(got(b) == ((n, np, nt, 10000L * nt / n, 10000L * na / n)), s"band $b")
+    }
+    // arithmetic shift floors: every negative score maps to a negative band
+    sc.values.filter(_._1 < 0).foreach { case (s, _) =>
+      assert(band(s) < 0, s"negative score $s must floor to a negative band")
+    }
+    assert(want.keys.exists(_ < 0) && want.keys.exists(_ >= 0),
+      "fixture covers both sides of zero")
+  }
 }

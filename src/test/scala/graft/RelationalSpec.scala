@@ -444,4 +444,40 @@ class RelationalSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == sess.length, "every session starts once")
     assert(run == 0L, "sweep closes every interval")
   }
+
+  test("q183 event trigrams: windowed extraction equals the driver sequence scan") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("us"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = collection.mutable.Map.empty[(String, String, String), Long]
+      .withDefaultValue(0L)
+    ev.groupBy(_._1).values.foreach { rows =>
+      val seq = rows.sortBy(e => (e._3, e._2)).map(_._4)
+      seq.sliding(3).filter(_.length == 3)
+        .foreach(t => want((t(0), t(1), t(2))) += 1)
+    }
+    val total = want.values.sum
+    val got = q183EventTrigrams(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("support_ppm"))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, n) =>
+      assert(got(k) == ((n, 1000000L * n / total)), s"pattern $k")
+    }
+    assert(got.values.map(_._1).sum == total)
+  }
+
+  test("q185 change feed: v0->v1 deltas are exactly the retracted source's rows") {
+    val doomed = Tables.documents(spark, sf).agg(min(col("source")))
+      .head().getString(0)
+    val want = Tables.documents(spark, sf)
+      .filter(col("source") === doomed).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val got = q185ChangeFeed(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(got.map(_._1).toSet == want, "delta key set")
+    assert(got.forall(_._2 == "delete"), "a pure retraction has no inserts/updates")
+    assert(want.nonEmpty, "non-vacuous")
+  }
 }
