@@ -506,16 +506,20 @@ object Sketches {
     import spark.implicits._
     val tok = docs.select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    val summary: Map[String, Long] = tok.select("w").as[String]
+    // the stream total rides the SUMMARY pass as an observe() metric —
+    // a separate count aggregate would be a third corpus scan
+    // (code-review fix: two passes is the MG contract, not three)
+    val obs = org.apache.spark.sql.Observation()
+    val summary: Map[String, Long] = tok.select("w")
+      .observe(obs, count(lit(1)).as("n_total")).as[String]
       .select(new graft.functions.MisraGries.Agg(MgK).toColumn).head()
+    val nTotal = obs.get("n_total").asInstanceOf[Long]
     val cand = summary.keys.toArray.sorted
     val candFilter = if (cand.isEmpty) lit(false) else col("w").isInCollection(cand)
-    val total = tok.agg(count(lit(1)).as("n_total"))
     tok.filter(candFilter)
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(total))
-      .filter(col("n") * (MgK + 1) > col("n_total"))
-      .select(col("w").as("token"), col("n"), col("n_total"))
+      .filter(col("n") * (MgK + 1) > nTotal)
+      .select(col("w").as("token"), col("n"), lit(nTotal).as("n_total"))
       .orderBy(col("n").desc, col("token"))
   }
 

@@ -1088,15 +1088,21 @@ object TextAnalysis {
     * TakeOrderedAndProject partial heaps, never a global sort. The
     * rank column is a window over the ALREADY-LIMITED ≤10-row result
     * (single-partition is the point there, not a hazard). */
+  /** Query-term discovery shared by the ranking (q143) and its eval
+    * (q181) — ONE definition, so the eval can never drift to scoring a
+    * different query than the ranking ran (production: user-supplied
+    * terms — this pass wouldn't exist). */
+  private[graft] def bm25QueryTerms(docs: DataFrame): Seq[(String, Long)] =
+    toksAll(docs).select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df"), col("token")).limit(BmQTerms)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
   def bm25TopDocs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val t = toksAll(docs)
-    // Discovery (production: user-supplied terms — this pass wouldn't exist)
-    val qterms: Seq[(String, Long)] = t.select("doc_id", "token").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
-      .orderBy(col("df"), col("token")).limit(BmQTerms)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val qterms = bm25QueryTerms(docs)
     val qdf = qterms.toDF("token", "df")
     val lens = t.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -1495,10 +1501,9 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val t = toksAll(docs)
-    val qterms = t.select("doc_id", "token").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
-      .orderBy(col("df"), col("token")).limit(BmQTerms)
-      .select("token")
+    // the ONE discovery definition the ranking uses (code-review fix:
+    // a copy here could drift and silently score a different query)
+    val qterms = bm25QueryTerms(docs).toDF("token", "df").select("token")
     val rel = t.select("doc_id", "token").distinct()
       .join(broadcast(qterms), "token")
       .groupBy("doc_id").agg(count(lit(1)).as("n_match"))

@@ -1538,7 +1538,9 @@ class ExtSpec extends SparkSpec {
     val docToks = docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) ->
         r.getString(1).split(" ").filter(_.nonEmpty).toSet)
-    val n = docToks.length
+    // engine/oracle count docs over the non-empty-token relation — an
+    // empty/whitespace-only doc is invisible there (code-review fix)
+    val n = docToks.count(_._2.nonEmpty)
     val df = docToks.flatMap(_._2).groupBy(identity).map { case (w, v) => w -> v.length }
     val freq = df.filter { case (_, c) => c * 10000L >= TextAnalysis.CooccurSupportBp * n }
     val got = TextAnalysis.cooccurrenceLift(docs).collect()
