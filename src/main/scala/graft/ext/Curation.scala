@@ -1187,7 +1187,63 @@ object Curation {
       |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ wiring
+  // -------------------------------------- filter attribution (q187)
+  /** q187: FILTER-ATTRIBUTION MATRIX — the Venn/ablation report every
+    * curation pipeline owner reads before touching a threshold: four
+    * INDEPENDENT filter families (q48 Gopher-rule pass, q84 per-source
+    * quality gate, q120 classifier verdict, exact-dup canonical — keep
+    * iff the doc is its normalized-text group's min id) evaluated per
+    * doc and aggregated into the 2⁴ verdict-combination histogram.
+    * q105 composes the filters into one funnel (what survives); this
+    * answers the DIFFERENT question of who kills what — a filter whose
+    * kills are all covered by others is free to remove, one with large
+    * unique kills is the one to re-tune, and that distinction is
+    * invisible in any sequential funnel count. Each family is one
+    * already-gated linear pass; verdict bits join on doc_id (co-keyed,
+    * broadcast-free) and only the ≤16-row matrix leaves; the id-sum
+    * column pins combination MEMBERSHIP, not just sizes. */
+  def filterAttribution(docs: DataFrame): DataFrame = {
+    val gopher = filterVerdicts(docs).select(col("doc_id"), col("passed").as("gopher"))
+    val gate = graft.ext.TextAnalysis.qualityGate(docs)
+      .select(col("doc_id"), col("keep").cast("long").as("gate"))
+    val clf = graft.ext.TextAnalysis.classifierScores(docs)
+      .select(col("doc_id"), col("keep").as("clf"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("text_hash")
+    val uniq = docs
+      .withColumn("text_hash",
+        md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")))
+      .select(col("doc_id"),
+        when(col("doc_id") === min(col("doc_id")).over(w), 1L).otherwise(0L)
+          .as("uniq"))
+    gopher.join(gate, "doc_id").join(clf, "doc_id").join(uniq, "doc_id")
+      .groupBy("gopher", "gate", "clf", "uniq")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("gopher", "gate", "clf", "uniq")
+  }
+
+  val filterAttributionSql: String =
+    s"""WITH gopher AS (SELECT doc_id, passed AS gopher FROM ($filterVerdictsSql)),
+       |gate AS (SELECT doc_id, keep AS gate
+       |         FROM (${graft.ext.TextAnalysis.qualityGateSql})),
+       |clf AS (SELECT doc_id, keep AS clf
+       |        FROM (${graft.ext.TextAnalysis.classifierScoresSql})),
+       |uniq AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id = MIN(doc_id) OVER (
+       |      PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+       |    THEN 1 ELSE 0 END AS uniq
+       |  FROM documents)
+       |SELECT g.gopher, ga.gate, c.clf, u.uniq,
+       |  COUNT(*) AS n_docs, CAST(SUM(g.doc_id) AS BIGINT) AS id_sum
+       |FROM gopher g
+       |JOIN gate ga ON ga.doc_id = g.doc_id
+       |JOIN clf c ON c.doc_id = g.doc_id
+       |JOIN uniq u ON u.doc_id = g.doc_id
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_filter_attribution" -> ((s, d) => filterAttribution(Tables.documents(s, d))),
     "q48_filter_verdicts" -> ((s, d) => filterVerdicts(Tables.documents(s, d))),
     "q49_token_rarity" -> ((s, d) => tokenRarity(Tables.documents(s, d))),
     "q50_incremental_dedup" -> ((s, d) => incrementalDedup(Tables.documents(s, d))),
@@ -1210,6 +1266,7 @@ object Curation {
     "q131_global_rownum" -> ((s, d) => globalRowNumbers(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
+    "q187_filter_attribution" -> filterAttributionSql,
     "q48_filter_verdicts" -> filterVerdictsSql,
     "q49_token_rarity" -> tokenRaritySql,
     "q50_incremental_dedup" -> incrementalDedupSql,

@@ -1431,6 +1431,161 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------- incremental near-dup (q186)
+  /** Base/delta split: every 4th-mod-3 doc is the arriving batch. */
+  val LshDeltaMod = 4L
+
+  private val lshIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Test hook: the stored-index path for a fixture key (so the spec
+    * can assert the index files stay byte-untouched across ingests). */
+  private[graft] def lshIndexPathForTest(key: String): String =
+    lshIndexCache.get(key)
+
+  /** q186: INCREMENTAL NEAR-DUP INDEX MAINTENANCE — the LSH member of
+    * the index-maintenance family (exact-hash q50, IVF q155, SCD2
+    * q136): the base corpus's band postings are a STORED index, and an
+    * arriving batch is checked by banding ONLY the delta and probing
+    * the stored postings at the delta's band keys — never a base
+    * rescan, never a base re-banding. Cost per ingest:
+    * O(|delta| · bands) postings computed + the stored postings of
+    * TOUCHED keys read (over a key-partitioned postings layout that
+    * read is partition pruning — the q137 discipline; the fixture
+    * proves it relationally via a broadcast semi-join on the touched
+    * keys). Bucket caps apply to the COMBINED (base ∪ delta) bucket —
+    * the same size the full rebuild would see — so the gate can demand
+    * EXACT agreement with the from-scratch pair relation restricted to
+    * pairs involving a delta doc, which is precisely what the oracle
+    * computes. Emitted pairs all touch the delta (base-base pairs were
+    * the base build's output, not this ingest's). */
+  def incrementalNearDup(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val base = docs.filter(col("doc_id") % LshDeltaMod =!= (LshDeltaMod - 1))
+    val delta = docs.filter(col("doc_id") % LshDeltaMod === (LshDeltaMod - 1))
+    val key = {
+      val fs = docs.inputFiles
+      if (fs.nonEmpty) fs.sorted.mkString(",")
+      else s"mem:${System.identityHashCode(docs)}"
+    }
+    val indexPath = lshIndexCache.computeIfAbsent(key, { _ =>
+      val p = graft.TempDirs.create("graft-lshindex").toString
+      minhashBands(base).write.mode("overwrite").parquet(p)
+      p
+    })
+    val stored = spark.read.parquet(indexPath)
+    val fresh = minhashBands(delta)
+    val touched = fresh.select("band", "band_key").distinct()
+    val members = stored.join(broadcast(touched), Seq("band", "band_key"))
+      .unionByName(fresh)
+    members.groupBy("band", "band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxLshBucket)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(sequence(i + 1, size(ids)),
+          |    j -> named_struct('doc_a', element_at(ids, i),
+          |                      'doc_b', element_at(ids, j)))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .filter(col("doc_a") % LshDeltaMod === (LshDeltaMod - 1) ||
+        col("doc_b") % LshDeltaMod === (LshDeltaMod - 1))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: the full-corpus pair relation (identical banding, caps on
+    * full-corpus bucket sizes) restricted to pairs touching the delta —
+    * incremental must equal rebuild, the whole IVM contract. */
+  def incrementalNearDupSql: String =
+    s"""SELECT doc_a, doc_b FROM ($minhashPairsSql)
+       |WHERE doc_a % $LshDeltaMod = ${LshDeltaMod - 1}
+       |   OR doc_b % $LshDeltaMod = ${LshDeltaMod - 1}
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------- PPJoin exact Jaccard (q188)
+  /** Jaccard threshold as an exact rational: J ≥ 1/2. */
+  val PpjNum = 1L
+  val PpjDen = 2L
+
+  /** q188: EXACT SET-SIMILARITY JOIN with PREFIX FILTERING (PPJoin,
+    * Xiao et al.) — the PROVABLY-COMPLETE exact counterpart of the
+    * probabilistic LSH family (q14/q16 trade recall for speed via
+    * banding and df caps; this trades nothing): order every doc's
+    * 3-gram shingle set by a global (df, shingle) total order (rarest
+    * first) and index ONLY each set's first p = n − ⌈t·n⌉ + 1
+    * shingles. Completeness is arithmetic, not probabilistic: J ≥ t
+    * forces overlap ≥ ⌈t·n⌉ on either side, and an intersection that
+    * avoided the whole prefix could reach at most n − p = ⌈t·n⌉ − 1 —
+    * contradiction. So candidates = prefix-postings self-join (tiny
+    * fraction of the full inverted index — rare shingles have short
+    * posting lists BY CONSTRUCTION of the ordering), plus the length
+    * filter t·n_a ≤ n_b ≤ n_a/t, then one exact intersection count
+    * verifies survivors. Every comparison is rational (2·inter ≥
+    * union, never a float threshold), so the gate is hash-exact; the
+    * oracle runs the UNFILTERED inverted-index join (any shared
+    * shingle) — prefix-filtered must equal unfiltered exactly, which
+    * IS the completeness theorem as a test. */
+  def ppjoinPairs(docs: DataFrame): DataFrame = {
+    val shingles = "transform(sequence(1, greatest(size(toks) - 2, 0)), " +
+      "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
+      "element_at(toks, i + 2)))"
+    val dt = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(shingles)).as("tok"))
+      .distinct()
+    val df0 = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sorted = dt.join(df0, "tok")
+      .groupBy("doc_id")
+      .agg(expr("array_sort(collect_list(struct(df, tok)))").as("ord"))
+      .select(col("doc_id"), size(col("ord")).as("n"),
+        expr(s"slice(transform(ord, s -> s.tok), 1, " +
+          s"size(ord) - ((size(ord) * $PpjNum + $PpjDen - 1) div $PpjDen) + 1)")
+          .as("prefix"))
+    val pre = sorted.select(col("doc_id"), col("n"), explode(col("prefix")).as("tok"))
+    val cand = pre.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("tok"))
+      .join(pre.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("tok")), "tok")
+      .filter(col("doc_a") < col("doc_b") &&
+        col("n_a") * PpjNum <= col("n_b") * PpjDen &&
+        col("n_b") * PpjNum <= col("n_a") * PpjDen)
+      .select("doc_a", "doc_b", "n_a", "n_b")
+      .distinct()
+    val inter = cand
+      .join(dt.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(dt.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .filter(col("inter") * PpjDen >= col("uni") * PpjNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+        expr("(10000 * inter) div uni").as("jac_bp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: the unfiltered inverted-index join — any shared shingle
+    * generates the pair, exact intersection counts, same rational
+    * threshold. Prefix-filtered == unfiltered is the completeness
+    * proof run as a hash compare. */
+  val ppjoinPairsSql: String =
+    s"""WITH dt AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(generate_series(1, len(toks) - 2),
+       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS tok
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |  WHERE len(toks) >= 3),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM dt a JOIN dt b ON b.tok = a.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+       |  CAST(sa.n + sb.n - inter AS BIGINT) AS uni,
+       |  CAST((10000 * inter) // (sa.n + sb.n - inter) AS BIGINT) AS jac_bp
+       |FROM p JOIN sz sa ON sa.doc_id = p.doc_a
+       |JOIN sz sb ON sb.doc_id = p.doc_b
+       |WHERE inter * $PpjDen >= (sa.n + sb.n - inter) * $PpjNum
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_dedup_exact" -> ((s, d) => exactDedup(Tables.documents(s, d))),
@@ -1447,6 +1602,8 @@ object Dedup {
     "q149_pagerank" -> ((s, d) => nearDupPageRank(Tables.documents(s, d))),
     "q167_triangles" -> ((s, d) => nearDupTriangles(Tables.documents(s, d))),
     "q177_label_propagation" -> ((s, d) => labelPropagation(Tables.documents(s, d))),
+    "q186_incremental_neardup" -> ((s, d) => incrementalNearDup(Tables.documents(s, d))),
+    "q188_ppjoin" -> ((s, d) => ppjoinPairs(Tables.documents(s, d))),
     "q45_eval_contamination" -> ((s, d) => evalContamination(Tables.documents(s, d))),
     "q47_repetition" -> ((s, d) => repetitionScore(Tables.documents(s, d))),
     "q59_block_dedup" -> ((s, d) => blockDedup(Tables.documents(s, d))),
@@ -1468,6 +1625,8 @@ object Dedup {
     "q149_pagerank" -> nearDupPageRankSql,
     "q167_triangles" -> nearDupTrianglesSql,
     "q177_label_propagation" -> labelPropagationSql,
+    "q186_incremental_neardup" -> incrementalNearDupSql,
+    "q188_ppjoin" -> ppjoinPairsSql,
     "q45_eval_contamination" -> evalContaminationSql,
     "q47_repetition" -> repetitionScoreSql,
     "q59_block_dedup" -> blockDedupSql,

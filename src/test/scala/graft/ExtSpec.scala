@@ -1731,4 +1731,93 @@ class ExtSpec extends SparkSpec {
     assert(want.keys.exists(_ < 0) && want.keys.exists(_ >= 0),
       "fixture covers both sides of zero")
   }
+
+  test("q186 incremental near-dup: ingest equals rebuild restricted to the delta, index untouched") {
+    def isDelta(id: Long) = id % Dedup.LshDeltaMod == Dedup.LshDeltaMod - 1
+    val full = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = full.filter { case (a, b) => isDelta(a) || isDelta(b) }.toSet
+    val got = Dedup.incrementalNearDup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "incremental ingest == full rebuild ∩ delta-touching pairs")
+    assert(got.nonEmpty, "fixture delta participates in near-dup pairs (non-vacuous)")
+    // the stored base index is read, never rewritten, across repeat ingests
+    val key = docs.inputFiles.sorted.mkString(",")
+    val idx = java.nio.file.Path.of(Dedup.lshIndexPathForTest(key))
+    def mtimes = {
+      val s = java.nio.file.Files.walk(idx)
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+      finally s.close()
+    }
+    val before = mtimes
+    val second = Dedup.incrementalNearDup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(second == got, "ingest is idempotent per batch")
+    assert(mtimes == before, "a repeat ingest must not rewrite the stored index")
+  }
+
+  test("q187 filter attribution: combination histogram equals the per-doc verdict recompute") {
+    val gopher = Curation.filterVerdicts(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("passed")).toMap
+    val gate = TextAnalysis.qualityGate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("keep").toLong).toMap
+    val clf = TextAnalysis.classifierScores(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep")).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val norm = texts.map { case (id, t) =>
+      id -> t.toLowerCase.replaceAll("\\s+", " ") }
+    val minOf = norm.groupBy(_._2).map { case (_, v) => v.map(_._1).min }.toSet
+    val want = texts.map(_._1).groupBy(id =>
+        (gopher(id), gate(id), clf(id), if (minOf(id)) 1L else 0L))
+      .map { case (k, ids) => k -> (ids.length.toLong, ids.sum) }
+    val got = Curation.filterAttribution(docs).collect()
+      .map(r => (r.getAs[Long]("gopher"), r.getAs[Long]("gate"),
+        r.getAs[Long]("clf"), r.getAs[Long]("uniq")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("id_sum"))).toMap
+    assert(got == want, "verdict-combination histogram")
+    assert(got.values.map(_._1).sum == texts.length, "every doc attributed once")
+    assert(got.size > 1, "fixture spans multiple verdict combinations")
+  }
+
+  test("q188 ppjoin: prefix filter is complete AND actually prunes") {
+    val sets = docs.select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).split(" ", -1)
+      r.getLong(0) -> (if (toks.length < 3) Set.empty[String]
+        else toks.sliding(3).map(_.mkString(" ")).toSet)
+    }.filter(_._2.nonEmpty)
+    // brute force truth
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size if inter > 0
+      uni = sa.size + sb.size - inter
+      if inter * Dedup.PpjDen >= uni * Dedup.PpjNum
+    } yield (a, b) -> (inter.toLong, uni.toLong, 10000L * inter / uni)).toMap
+    val got = Dedup.ppjoinPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("inter"), r.getAs[Long]("uni"), r.getAs[Long]("jac_bp"))).toMap
+    assert(got == want, "prefix-filtered join equals the exhaustive scan")
+    assert(got.nonEmpty, "non-vacuous")
+    // pruning: prefix-candidate pairs are a strict subset of shared-shingle pairs
+    val df = sets.toSeq.flatMap(_._2).groupBy(identity).map { case (t, v) => t -> v.size }
+    val pref = sets.map { case (id, s) =>
+      val n = s.size
+      val p = n - ((n * Dedup.PpjNum + Dedup.PpjDen - 1) / Dedup.PpjDen).toInt + 1
+      id -> s.toSeq.sortBy(t => (df(t), t)).take(p).toSet
+    }
+    val candCount = (for {
+      (a, pa) <- pref; (b, pb) <- pref if a < b && (pa & pb).nonEmpty
+    } yield 1).size
+    val sharedCount = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b && (sa & sb).nonEmpty
+    } yield 1).size
+    assert(candCount < sharedCount,
+      s"prefix filter must prune: $candCount candidates vs $sharedCount shared-shingle pairs")
+    assert(want.keySet.forall { case (a, b) =>
+      (pref.toMap.apply(a) & pref.toMap.apply(b)).nonEmpty
+    }, "every true pair survives the prefix filter (completeness)")
+  }
 }
