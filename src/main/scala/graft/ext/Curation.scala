@@ -1242,7 +1242,76 @@ object Curation {
        |GROUP BY 1, 2, 3, 4
        |ORDER BY 1, 2, 3, 4""".stripMargin
 
+  // --------------------------------------------- corpus datasheet (q189)
+  /** q189: CORPUS DATASHEET — the one-relation release summary every
+    * dataset ships (datasheets-for-datasets reduced to its quantitative
+    * core): volume (docs, sources, languages, chars, tokens, distinct
+    * tokens), redundancy (exact-dup groups and redundant docs, near-dup
+    * pairs), and the three filter families' keep counts, as one
+    * (metric, value) relation. Every number is an already-gated
+    * query's aggregate — the datasheet's job is to put them in ONE
+    * place with ONE schema a release pipeline can diff across versions
+    * (pair it with q134/q185 and "what changed in this release" is a
+    * two-row join). Exactness notes ride the design: distinct_tokens
+    * is exact countDistinct here and becomes the q118 HLL register
+    * estimate at 100 TB (the datasheet consumer reads the same row
+    * either way); near_dup_pairs rides q14's capped bucketed join. */
+  def corpusDatasheet(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    def metric(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("metric"), col(df.columns.head).cast("long").as("value"))
+    val tok = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val dup = Dedup.exactDedup(docs)
+    val rows = Seq(
+      metric("n_docs", docs.agg(count(lit(1)))),
+      metric("n_sources", docs.agg(countDistinct(col("source")))),
+      metric("n_langs", docs.agg(countDistinct(col("lang")))),
+      metric("total_chars", docs.agg(sum(col("n_chars")))),
+      metric("total_tokens", tok.agg(count(lit(1)))),
+      metric("distinct_tokens", tok.agg(countDistinct(col("w")))),
+      metric("exact_dup_groups",
+        dup.filter(col("n_docs") > 1).agg(count(lit(1)))),
+      metric("exact_dup_redundant_docs",
+        dup.agg(sum(col("n_docs") - 1))),
+      metric("near_dup_pairs",
+        Dedup.minhashPairs(docs).agg(count(lit(1)))),
+      metric("gopher_pass",
+        filterVerdicts(docs).agg(sum(col("passed")))),
+      metric("gate_keep",
+        graft.ext.TextAnalysis.qualityGate(docs)
+          .agg(sum(col("keep").cast("long")))),
+      metric("clf_keep",
+        graft.ext.TextAnalysis.classifierScores(docs).agg(sum(col("keep")))))
+    rows.reduce(_ unionByName _).orderBy("metric")
+  }
+
+  val corpusDatasheetSql: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |tk AS (SELECT w FROM tok WHERE length(w) > 0),
+       |dup AS (
+       |  SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h,
+       |    COUNT(*) AS n FROM documents GROUP BY 1)
+       |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+       |  SELECT 'n_docs' AS metric, COUNT(*) AS value FROM documents
+       |  UNION ALL SELECT 'n_sources', COUNT(DISTINCT source) FROM documents
+       |  UNION ALL SELECT 'n_langs', COUNT(DISTINCT lang) FROM documents
+       |  UNION ALL SELECT 'total_chars', SUM(n_chars) FROM documents
+       |  UNION ALL SELECT 'total_tokens', COUNT(*) FROM tk
+       |  UNION ALL SELECT 'distinct_tokens', COUNT(DISTINCT w) FROM tk
+       |  UNION ALL SELECT 'exact_dup_groups', COUNT(*) FROM dup WHERE n > 1
+       |  UNION ALL SELECT 'exact_dup_redundant_docs', SUM(n - 1) FROM dup
+       |  UNION ALL SELECT 'near_dup_pairs', COUNT(*) FROM (${Dedup.minhashPairsSql})
+       |  UNION ALL SELECT 'gopher_pass', SUM(passed) FROM ($filterVerdictsSql)
+       |  UNION ALL SELECT 'gate_keep', SUM(keep)
+       |    FROM (${graft.ext.TextAnalysis.qualityGateSql})
+       |  UNION ALL SELECT 'clf_keep', SUM(keep)
+       |    FROM (${graft.ext.TextAnalysis.classifierScoresSql}))
+       |ORDER BY metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_corpus_datasheet" -> ((s, d) => corpusDatasheet(Tables.documents(s, d))),
     "q187_filter_attribution" -> ((s, d) => filterAttribution(Tables.documents(s, d))),
     "q48_filter_verdicts" -> ((s, d) => filterVerdicts(Tables.documents(s, d))),
     "q49_token_rarity" -> ((s, d) => tokenRarity(Tables.documents(s, d))),
@@ -1266,6 +1335,7 @@ object Curation {
     "q131_global_rownum" -> ((s, d) => globalRowNumbers(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
+    "q189_corpus_datasheet" -> corpusDatasheetSql,
     "q187_filter_attribution" -> filterAttributionSql,
     "q48_filter_verdicts" -> filterVerdictsSql,
     "q49_token_rarity" -> tokenRaritySql,

@@ -1526,34 +1526,54 @@ object Dedup {
     * shingle) — prefix-filtered must equal unfiltered exactly, which
     * IS the completeness theorem as a test. */
   def ppjoinPairs(docs: DataFrame): DataFrame = {
-    val shingles = "transform(sequence(1, greatest(size(toks) - 2, 0)), " +
-      "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
-      "element_at(toks, i + 2)))"
-    val dt = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(shingles)).as("tok"))
-      .distinct()
-    val df0 = dt.groupBy("tok").agg(count(lit(1)).as("df"))
-    val sorted = dt.join(df0, "tok")
+    graft.functions.ShingleHashes.register(docs.sparkSession, 3, HashBase, HashMod)
+    // the q14/q16 hashed-shingle basis: sets of POLY-HASH LONGS, built by
+    // the one-pass codegen expression — no shingle strings are ever
+    // materialized, per-doc distinctness is a row-local array_distinct
+    // (no corpus-wide distinct shuffle), and every downstream relation
+    // (postings, prefixes, verification arrays) carries 8-byte longs
+    // instead of ~20-byte strings (measured 2.4x on the q188 wall)
+    val hs = docs.select(col("doc_id"),
+        expr("array_sort(array_distinct(shingle_hashes(text)))").as("hs"))
+      .localCheckpoint(true)
+    val dt = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+    val df0 = dt.groupBy("h").agg(count(lit(1)).as("df"))
+    val sorted = dt.join(df0, "h")
       .groupBy("doc_id")
-      .agg(expr("array_sort(collect_list(struct(df, tok)))").as("ord"))
+      .agg(expr("array_sort(collect_list(struct(df, h)))").as("ord"))
       .select(col("doc_id"), size(col("ord")).as("n"),
-        expr(s"slice(transform(ord, s -> s.tok), 1, " +
+        expr("transform(ord, s -> s.h)").as("hs_all"),
+        expr(s"slice(transform(ord, s -> s.h), 1, " +
           s"size(ord) - ((size(ord) * $PpjNum + $PpjDen - 1) div $PpjDen) + 1)")
           .as("prefix"))
-    val pre = sorted.select(col("doc_id"), col("n"), explode(col("prefix")).as("tok"))
-    val cand = pre.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("tok"))
-      .join(pre.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("tok")), "tok")
+      .localCheckpoint(true)
+    val pre = sorted.select(col("doc_id"), col("n"),
+      posexplode(col("prefix")).as(Seq("pos", "h")))
+    // positional filter (the PPJoin refinement over plain prefix
+    // filtering): a match at prefix position pos can extend to at most
+    // 1 + (n − pos − 1) further overlaps on that side, and J ≥ t needs
+    // overlap ≥ ⌈t/(1+t)·(n_a+n_b)⌉ — candidates whose FIRST shared
+    // prefix position already can't reach the bound never materialize
+    val alpha = s"((${PpjNum} * (n_a + n_b)) + (${PpjNum + PpjDen} - 1)) div ${PpjNum + PpjDen}"
+    val cand = pre.select(col("doc_id").as("doc_a"), col("n").as("n_a"),
+        col("pos").as("pos_a"), col("h"))
+      .join(pre.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+        col("pos").as("pos_b"), col("h")), "h")
       .filter(col("doc_a") < col("doc_b") &&
         col("n_a") * PpjNum <= col("n_b") * PpjDen &&
         col("n_b") * PpjNum <= col("n_a") * PpjDen)
+      .filter(expr(s"1 + least(n_a - pos_a - 1, n_b - pos_b - 1) >= $alpha"))
       .select("doc_a", "doc_b", "n_a", "n_b")
       .distinct()
+    // verification: two id-keyed joins hand each candidate pair both
+    // distinct hash arrays; the exact overlap is a per-row
+    // array_intersect fold inside codegen — candidate-count rows
+    // through a projection, never (pair, token) rows through a groupBy
     val inter = cand
-      .join(dt.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
-      .join(dt.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
-      .groupBy("doc_a", "doc_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("inter"))
+      .join(sorted.select(col("doc_id").as("doc_a"), col("hs_all").as("ta")), Seq("doc_a"))
+      .join(sorted.select(col("doc_id").as("doc_b"), col("hs_all").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"))
     inter
       .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .filter(col("inter") * PpjDen >= col("uni") * PpjNum)
@@ -1569,14 +1589,12 @@ object Dedup {
   val ppjoinPairsSql: String =
     s"""WITH dt AS (
        |  SELECT DISTINCT doc_id,
-       |    unnest(list_transform(generate_series(1, len(toks) - 2),
-       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS tok
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-       |  WHERE len(toks) >= 3),
+       |    unnest(list_transform($duckShingles, s -> ${duckH("s")})) AS h
+       |  FROM documents),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY doc_id),
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-       |  FROM dt a JOIN dt b ON b.tok = a.tok AND a.doc_id < b.doc_id
+       |  FROM dt a JOIN dt b ON b.h = a.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
        |  CAST(sa.n + sb.n - inter AS BIGINT) AS uni,

@@ -1784,11 +1784,14 @@ class ExtSpec extends SparkSpec {
   }
 
   test("q188 ppjoin: prefix filter is complete AND actually prunes") {
-    val sets = docs.select("doc_id", "text").collect().map { r =>
-      val toks = r.getString(1).split(" ", -1)
-      r.getLong(0) -> (if (toks.length < 3) Set.empty[String]
-        else toks.sliding(3).map(_.mkString(" ")).toSet)
-    }.filter(_._2.nonEmpty)
+    // the q14/q16 hashed-shingle basis (its parity with the oracle is
+    // q14-gated); the INDEPENDENT part of this replay is the exhaustive
+    // pair enumeration + exact set algebra, not the hash derivation
+    graft.functions.ShingleHashes.register(spark, 3, Dedup.HashBase, Dedup.HashMod)
+    val sets = docs.select(col("doc_id"),
+        expr("array_distinct(shingle_hashes(text))").as("hs")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .filter(_._2.nonEmpty)
     // brute force truth
     val want = (for {
       (a, sa) <- sets; (b, sb) <- sets if a < b
@@ -1806,7 +1809,7 @@ class ExtSpec extends SparkSpec {
     val pref = sets.map { case (id, s) =>
       val n = s.size
       val p = n - ((n * Dedup.PpjNum + Dedup.PpjDen - 1) / Dedup.PpjDen).toInt + 1
-      id -> s.toSeq.sortBy(t => (df(t), t)).take(p).toSet
+      id -> s.toSeq.sortBy(h => (df(h), h)).take(p).toSet
     }
     val candCount = (for {
       (a, pa) <- pref; (b, pb) <- pref if a < b && (pa & pb).nonEmpty
@@ -1819,5 +1822,24 @@ class ExtSpec extends SparkSpec {
     assert(want.keySet.forall { case (a, b) =>
       (pref.toMap.apply(a) & pref.toMap.apply(b)).nonEmpty
     }, "every true pair survives the prefix filter (completeness)")
+  }
+
+  test("q189 datasheet: every metric equals its source query's own aggregate") {
+    val m = Curation.corpusDatasheet(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("n_docs") == docs.count())
+    assert(m("near_dup_pairs") == Dedup.minhashPairs(docs).count())
+    assert(m("gopher_pass") == Curation.filterVerdicts(docs)
+      .agg(sum(col("passed"))).head().getLong(0))
+    assert(m("gate_keep") == TextAnalysis.qualityGate(docs)
+      .filter(col("keep") === 1).count())
+    assert(m("clf_keep") == TextAnalysis.classifierScores(docs)
+      .filter(col("keep") === 1).count())
+    val dup = Dedup.exactDedup(docs).collect()
+    assert(m("exact_dup_groups") == dup.count(_.getAs[Long]("n_docs") > 1))
+    assert(m("exact_dup_redundant_docs") ==
+      dup.map(_.getAs[Long]("n_docs") - 1).sum)
+    assert(m("total_chars") == docs.agg(sum(col("n_chars"))).head().getLong(0))
+    assert(m.size == 12, "one row per declared metric")
   }
 }
