@@ -79,7 +79,14 @@ object ScaleRehearsal {
     // (one token aggregate + k-row algebra)
     "q166_misra_gries", "q167_triangles", "q169_char_diversity",
     "q170_jl_projection", "q173_mad_outliers", "q174_embedding_drift",
-    "q176_cooccurrence", "q177_label_propagation", "q180_water_filling")
+    "q176_cooccurrence", "q177_label_propagation", "q180_water_filling",
+    // round-8 closing wave: incremental LSH maintenance (delta-only
+    // banding + touched-key probes), retrieval eval, length rebalance,
+    // calibration bands, filter attribution, datasheet (q188 PPJoin is
+    // excluded below: its OUTPUT is quadratic in dup-family size)
+    "q186_incremental_neardup", "q181_retrieval_eval",
+    "q182_length_rebalance", "q184_calibration",
+    "q187_filter_attribution", "q189_corpus_datasheet")
 
   /** q17/q24/q69 are declared-O(n²) kernels; q18/q73 assign against a
     * centroid set that GROWS with the fixture (vec_id % mod stand-in),
@@ -89,7 +96,15 @@ object ScaleRehearsal {
     * section below: the "use this at scale" guidance as numbers. */
   val ExcludedQuadratic: Seq[String] =
     Seq("q17_cosine_topk", "q18_ivf_topk", "q24_embedding_neardup",
-      "q69_quantized_topk", "q73_kmeans_step", "q83_semantic_dedup")
+      "q69_quantized_topk", "q73_kmeans_step", "q83_semantic_dedup",
+      // q188's OUTPUT is quadratic in duplicate-family size (10 copies
+      // per doc -> up to 45 true J>=0.5 pairs per family), so the 10x
+      // synthetic families grow its result ~45x by construction: an
+      // output-bound kernel, measured 7.9x wall for 10x input on this
+      // fixture (sublinear per emitted pair; the rarest-first prefix
+      // keeps the 30%-coverage boilerplate shingles out of every
+      // posting list — the q24 exclusion argument, not a scan blow-up)
+      "q188_ppjoin")
 
   /** Centroid stride that reproduces the BASE fixture's centroid SET on
     * the synthesized 10x ids (new_id = old_id * IdStride + rep): ids

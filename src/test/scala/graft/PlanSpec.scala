@@ -1067,6 +1067,19 @@ class PlanSpec extends SparkSpec {
     assert(Compaction.txnPublished(Compaction.txnRoot(spark, sf)) == Seq(1L, 2L))
   }
 
+  test("q188: no cartesian product; candidates verify through equi-joins only") {
+    // the checkpoint-heavy plan renders in lazy AQE form (ExistingRDD
+    // leaves, no codegen markers), so the guard pins the join SHAPES:
+    // every join in the similarity pipeline must be an equi-join —
+    // a cartesian or nested-loop anywhere is the O(n²) failure this
+    // operator exists to avoid
+    val p = plan(graft.ext.Dedup.ppjoinPairs(Tables.documents(spark, sf)))
+    assert(!p.contains("CartesianProduct"),
+      "the similarity join must never plan a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "prefix postings and verification joins are all equi-joins")
+  }
+
   test("q128: only selected-bucket rows reach the selection window") {
     val df = graft.ext.TextAnalysis.exactQuantiles(Tables.documents(spark, sf))
     val p = plan(df)
