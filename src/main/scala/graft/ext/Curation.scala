@@ -420,6 +420,87 @@ object Curation {
        |FROM lab GROUP BY source, split
        |ORDER BY source, split""".stripMargin
 
+  // --------------------------- deterministic source interleave (q191)
+  /** Seed for the interleave's within-source permutation — distinct
+    * from q111's shuffle (12345) and q112's split (777) so the three
+    * orderings are uncorrelated streams off the same LCG family. */
+  val InterleaveSeed = 2025L
+  /** Bucket count per phase of the two-phase numbering (q131's
+    * discipline applied twice). */
+  val InterleaveBuckets = 32L
+
+  /** q191: DETERMINISTIC MULTI-SOURCE INTERLEAVE — the "mix datasets
+    * evenly" op training loaders run after per-source curation
+    * (HuggingFace `interleave_datasets` with the all-exhausted policy):
+    * each source is internally shuffled by a seeded LCG (q111's family,
+    * its own seed), then the global training order takes one doc from
+    * every source in rotation — round r emits rank-r docs in source
+    * order; exhausted sources simply drop out of later rounds. The
+    * whole order is pure integer arithmetic from (doc_id, source):
+    * reproducible on any cluster, stable per epoch via the seed.
+    *
+    * Scale: the naive form is TWO unpartitioned windows (within-source
+    * rank, then global row number) — each an Exchange(SinglePartition)
+    * funneling the corpus through one task. Both phases instead run
+    * q131's two-phase prefix-sum rewrite: (1) within-source ranks
+    * bucket on LCG-key ranges (uniform by construction — the key IS
+    * the mixer), rank inside (source, key-bucket) partitions, add
+    * per-bucket offsets from a broadcast |sources|x[[InterleaveBuckets]]
+    * relation; (2) the global position buckets on within_rank ranges
+    * (monotone in the (within_rank, source) interleave order), ranks
+    * inside buckets, adds broadcast offsets. Two corpus shuffles total,
+    * nothing global but two tiny relations; the oracle IS the
+    * two-window single-sort form. */
+  def sourceInterleave(docs: DataFrame): DataFrame = {
+    val span = ShuffleMod / InterleaveBuckets + 1L
+    val keyed = docs.select(col("doc_id"), col("source"),
+        expr(s"($ShuffleMulA * doc_id + $InterleaveSeed) % $ShuffleMod").as("key"))
+      .withColumn("kb", expr(s"key div $span"))
+    // phase 1: within-source rank, key-range bucketed
+    val kOffW = Window.partitionBy("s2").orderBy("kb2")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val kCounts = keyed.groupBy(col("source").as("s2"), col("kb").as("kb2"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("below", coalesce(sum("c").over(kOffW), lit(0L)))
+      .select(col("s2"), col("kb2"), col("below"))
+    val rankW = Window.partitionBy("source", "kb").orderBy("key", "doc_id")
+    val ranked = keyed
+      .join(broadcast(kCounts),
+        col("source") === col("s2") && col("kb") === col("kb2"))
+      .withColumn("within_rank",
+        (col("below") + row_number().over(rankW)).cast("long"))
+      .select("doc_id", "source", "within_rank")
+    // phase 2: global interleave position, within_rank-range bucketed
+    val maxR = ranked.agg(max("within_rank").as("max_r"))
+    val b2 = ranked.crossJoin(broadcast(maxR))
+      .withColumn("gb",
+        expr(s"((within_rank - 1) * $InterleaveBuckets) div max_r"))
+    val gOffW = Window.orderBy("gb2")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gCounts = b2.groupBy(col("gb").as("gb2")).agg(count(lit(1)).as("c"))
+      .withColumn("below", coalesce(sum("c").over(gOffW), lit(0L)))
+      .select(col("gb2"), col("below"))
+    val posW = Window.partitionBy("gb").orderBy("within_rank", "source")
+    b2.join(broadcast(gCounts), col("gb") === col("gb2"))
+      .withColumn("global_pos",
+        (col("below") + row_number().over(posW)).cast("long"))
+      .select(col("global_pos"), col("doc_id"), col("source"), col("within_rank"))
+      .orderBy("global_pos")
+  }
+
+  val sourceInterleaveSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, source,
+       |    ($ShuffleMulA * doc_id + $InterleaveSeed) % $ShuffleMod AS key
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source, key,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY key, doc_id) AS within_rank
+       |  FROM k)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY within_rank, source) AS BIGINT) AS global_pos,
+       |  doc_id, source, CAST(within_rank AS BIGINT) AS within_rank
+       |FROM r ORDER BY global_pos""".stripMargin
+
   // ------------------------------------- cluster-aware split (q124)
   /** q124: CLUSTER-AWARE TRAIN/VAL/TEST SPLIT — q112's hash split with
     * the leakage hole closed. Splitting by a doc's OWN id puts
@@ -1332,7 +1413,8 @@ object Curation {
     "q63_domain_mix" -> ((s, d) => domainMix(Tables.documents(s, d))),
     "q64_doc_stitches" -> ((s, d) => docStitches(Tables.documents(s, d))),
     "q105_curation_pipeline" -> ((s, d) => curationPipeline(Tables.documents(s, d))),
-    "q131_global_rownum" -> ((s, d) => globalRowNumbers(Tables.documents(s, d))))
+    "q131_global_rownum" -> ((s, d) => globalRowNumbers(Tables.documents(s, d))),
+    "q191_interleave" -> ((s, d) => sourceInterleave(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q189_corpus_datasheet" -> corpusDatasheetSql,
@@ -1355,5 +1437,6 @@ object Curation {
     "q63_domain_mix" -> domainMixSql,
     "q64_doc_stitches" -> docStitchesSql,
     "q105_curation_pipeline" -> curationPipelineSql,
-    "q131_global_rownum" -> globalRowNumbersSql)
+    "q131_global_rownum" -> globalRowNumbersSql,
+    "q191_interleave" -> sourceInterleaveSql)
 }

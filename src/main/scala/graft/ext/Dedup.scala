@@ -1604,6 +1604,112 @@ object Dedup {
        |WHERE inter * $PpjDen >= (sa.n + sb.n - inter) * $PpjNum
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------- winnowing (q190)
+  /** Tokens per winnowing k-gram. */
+  val WinnowK = 4
+  /** Consecutive k-gram hashes per selection window. Winnowing's
+    * guarantee: any shared token run of length >= K+W-1 forces at least
+    * one shared selected fingerprint. */
+  val WinnowW = 4
+  /** Low bits of the packed (hash, position) long reserved for the gram
+    * position — guarded loudly (packGuard discipline), never wrapped. */
+  val WinnowPosBits = 20
+  /** Document-frequency cap on kept fingerprints: a fingerprint in more
+    * docs than this is boilerplate and generates no pairs — the same
+    * over-common-fingerprint drop MOSS applies, and the same skew guard
+    * as [[MaxShingleDf]] (a hot fingerprint's posting list would go
+    * quadratic). Mirrored in the oracle. */
+  val WinnowMaxDf = 64
+  /** Pairs must share at least this many kept fingerprints. */
+  val WinnowMinShared = 2L
+
+  /** q190: WINNOWED FINGERPRINT OVERLAP — MOSS-style local document
+    * fingerprinting (Schleimer/Wilkerson/Aiken winnowing), the standard
+    * robust contamination/plagiarism detector: hash every
+    * [[WinnowK]]-token gram, slide a [[WinnowW]]-window over the hash
+    * sequence, keep each window's MINIMUM hash (rightmost on ties — the
+    * canonical rule, encoded by packing `posCap-1-pos` into the low
+    * bits so the packed min IS min-hash-then-rightmost). Unlike q22's
+    * whole-document hash (any edit breaks it) or q14's MinHash (a
+    * global sketch), winnowed fingerprints are POSITIONAL: a long
+    * shared passage survives arbitrary edits elsewhere, with a hard
+    * guarantee — any shared run of K+W-1 tokens shares a fingerprint.
+    *
+    * Scale shape: fingerprint selection is PURE per-row array
+    * arithmetic (transform/slice/array_min over the gram-hash array) —
+    * zero shuffle until the postings join, embarrassingly parallel at
+    * any corpus size. The pair join is the q14/q16 inverted-index
+    * shape: postings keyed by fingerprint, df-capped ([[WinnowMaxDf]])
+    * so no bucket goes quadratic; the df count rides the SAME
+    * fp-keyed exchange the self-join needs (window over fp, exchange
+    * reuse). Output: doc pairs sharing >= [[WinnowMinShared]] kept
+    * fingerprints with overlap_ppm = shared/min(|fps_a|,|fps_b|) —
+    * exact duplicates read 1000000. */
+  def winnowedPairs(docs: DataFrame): DataFrame = {
+    val posCap = 1L << WinnowPosBits
+    val minToks = WinnowK + WinnowW - 1
+    // per-doc selection: gram hashes -> sliding-window packed minima ->
+    // distinct selected hashes, all inside one generator-free projection
+    val fps = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= minToks)
+      .withColumn("enc", expr(
+        s"""transform(sequence(0, size(toks) - $WinnowK), p ->
+           |  cast(conv(substr(md5(array_join(slice(toks, p + 1, $WinnowK), ' ')), 1, 10), 16, 10) as bigint) * ${posCap}L
+           |  + if(p < ${posCap}L, ${posCap - 1}L - p,
+           |       raise_error('q190 gram position exceeds ${posCap} (winnow pos bits)')))""".stripMargin))
+      .withColumn("sel", expr(
+        s"""transform(sequence(${WinnowW - 1}, size(enc) - 1), i ->
+           |  array_min(slice(enc, i - ${WinnowW - 2}, $WinnowW)))""".stripMargin))
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(transform(sel, e -> e div ${posCap}L))")).as("fp"))
+    // df cap rides the fp-keyed exchange the pair self-join reuses
+    val kept = fps
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .where(col("df") <= WinnowMaxDf)
+      .select("doc_id", "fp")
+    val nf = kept.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= WinnowMinShared)
+    pairs
+      .join(nf.select(col("doc_id").as("doc_a"), col("nfp").as("nfp_a")), "doc_a")
+      .join(nf.select(col("doc_id").as("doc_b"), col("nfp").as("nfp_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared_fps"),
+        expr("(shared_fps * 1000000) div least(nfp_a, nfp_b)").as("overlap_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val winnowedPairsSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |           WHERE len(string_split(text, ' ')) >= ${WinnowK + WinnowW - 1}),
+       |g AS (SELECT doc_id, unnest(generate_series(0, len(toks) - $WinnowK)) AS p, toks FROM t),
+       |h AS (SELECT doc_id, p,
+       |        ('0x' || substr(md5(array_to_string(toks[p + 1 : p + $WinnowK], ' ')), 1, 10))::BIGINT * ${1L << WinnowPosBits}
+       |          + (${(1L << WinnowPosBits) - 1} - p) AS enc
+       |      FROM g),
+       |w AS (SELECT doc_id, p,
+       |        min(enc) OVER (PARTITION BY doc_id ORDER BY p
+       |          ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS sel
+       |      FROM h),
+       |fps AS (SELECT DISTINCT doc_id, sel // ${1L << WinnowPosBits} AS fp
+       |        FROM w WHERE p >= ${WinnowW - 1}),
+       |df AS (SELECT fp, count(*) AS d FROM fps GROUP BY fp),
+       |fk AS (SELECT f.doc_id, f.fp FROM fps f JOIN df ON df.fp = f.fp WHERE df.d <= $WinnowMaxDf),
+       |nf AS (SELECT doc_id, count(*) AS nfp FROM fk GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+       |          FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, shared_fps,
+       |  (shared_fps * 1000000) // least(na.nfp, nb.nfp) AS overlap_ppm
+       |FROM pairs JOIN nf na ON na.doc_id = doc_a JOIN nf nb ON nb.doc_id = doc_b
+       |WHERE shared_fps >= $WinnowMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_dedup_exact" -> ((s, d) => exactDedup(Tables.documents(s, d))),
@@ -1622,6 +1728,7 @@ object Dedup {
     "q177_label_propagation" -> ((s, d) => labelPropagation(Tables.documents(s, d))),
     "q186_incremental_neardup" -> ((s, d) => incrementalNearDup(Tables.documents(s, d))),
     "q188_ppjoin" -> ((s, d) => ppjoinPairs(Tables.documents(s, d))),
+    "q190_winnowing" -> ((s, d) => winnowedPairs(Tables.documents(s, d))),
     "q45_eval_contamination" -> ((s, d) => evalContamination(Tables.documents(s, d))),
     "q47_repetition" -> ((s, d) => repetitionScore(Tables.documents(s, d))),
     "q59_block_dedup" -> ((s, d) => blockDedup(Tables.documents(s, d))),
@@ -1645,6 +1752,7 @@ object Dedup {
     "q177_label_propagation" -> labelPropagationSql,
     "q186_incremental_neardup" -> incrementalNearDupSql,
     "q188_ppjoin" -> ppjoinPairsSql,
+    "q190_winnowing" -> winnowedPairsSql,
     "q45_eval_contamination" -> evalContaminationSql,
     "q47_repetition" -> repetitionScoreSql,
     "q59_block_dedup" -> blockDedupSql,

@@ -173,6 +173,41 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q191 interleave: driver replay of the rotation, partition-invariant, exhaustion") {
+    val docs = Tables.documents(spark, sf)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.sourceInterleave(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val got = run(docs)
+    // independent replay: LCG keys -> within-source ranks -> sort by
+    // (within_rank, source) — the interleave order, from first principles
+    val base = docs.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val keyed = base.map { case (id, s) =>
+      (id, s, (Curation.ShuffleMulA * id + Curation.InterleaveSeed) % Curation.ShuffleMod)
+    }
+    val ranks = keyed.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._3, r._1)).zipWithIndex
+        .map { case ((id, s, _), i) => (id, s, i + 1L) }
+    }
+    val want = ranks.sortBy { case (_, s, r) => (r, s) }.zipWithIndex
+      .map { case ((id, s, r), i) => (i + 1L, id, s, r) }
+    assert(got.toSeq == want, "engine order == driver rotation replay")
+    // the two-phase numbering must not depend on input partitioning
+    assert(run(docs.repartition(7)).toSeq == got.toSeq)
+    // all-exhausted policy: with sources of unequal size the small
+    // source contributes to early rounds then drops out
+    import spark.implicits._
+    val uneven = Seq((1L, "A"), (2L, "A"), (3L, "A"), (10L, "B"))
+      .toDF("doc_id", "source")
+    val u = Curation.sourceInterleave(uneven).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(u.map(_._1).toSeq == (1L to 4L).toSeq, "positions dense 1..n")
+    val round1 = u.filter(_._3 == 1L).map(_._2).toSeq
+    assert(round1 == Seq("A", "B"), "round 1 takes one doc from each source")
+    assert(u.drop(2).forall(_._2 == "A"), "B exhausted after round 1")
+  }
+
   test("q112 split: complete + disjoint, growth-stable labels, proportions sane") {
     val docs = Tables.documents(spark, sf)
     val labels = Curation.splitLabels(docs).collect()

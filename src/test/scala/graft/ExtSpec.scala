@@ -1824,6 +1824,54 @@ class ExtSpec extends SparkSpec {
     }, "every true pair survives the prefix filter (completeness)")
   }
 
+  test("q190 winnowing: full driver replay + the K+W-1 shared-run guarantee") {
+    import java.security.MessageDigest
+    // independent driver-side winnow: same spec, none of the engine's code
+    def h40(s: String): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(10)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val posCap = 1L << Dedup.WinnowPosBits
+    def winnow(text: String): Set[Long] = {
+      val toks = text.split(" ", -1)
+      if (toks.length < Dedup.WinnowK + Dedup.WinnowW - 1) return Set.empty
+      val enc = (0 to toks.length - Dedup.WinnowK).map { p =>
+        h40(toks.slice(p, p + Dedup.WinnowK).mkString(" ")) * posCap + (posCap - 1 - p)
+      }
+      enc.sliding(Dedup.WinnowW).map(_.min / posCap).toSet
+    }
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val fps = texts.map { case (id, t) => id -> winnow(t) }.toMap
+    val df = fps.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val kept = fps.view.mapValues(_.filter(df(_) <= Dedup.WinnowMaxDf)).toMap
+    val ids = texts.map(_._1).sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      shared = (kept(a) & kept(b)).size.toLong
+      if shared >= Dedup.WinnowMinShared
+    } yield (a, b) -> (shared,
+      shared * 1000000L / math.min(kept(a).size, kept(b).size))).toMap
+    val got = Dedup.winnowedPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, "engine pairs == exhaustive driver winnow replay")
+    assert(got.nonEmpty, "fixture contains winnow-detectable overlaps")
+    // the winnowing guarantee: a planted K+W-1-token shared run between
+    // otherwise-disjoint docs always shares >= 1 fingerprint (craft a
+    // long run so the pair clears MinShared too)
+    import spark.implicits._
+    val run = (1 to 16).map(i => s"shared$i").mkString(" ")
+    val crafted = Seq(
+      (1L, s"alpha beta gamma delta $run"),
+      (2L, s"$run omega psi chi phi")).toDF("doc_id", "text")
+    val pair = Dedup.winnowedPairs(crafted).collect()
+    assert(pair.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "planted shared run must be detected")
+  }
+
   test("q189 datasheet: every metric equals its source query's own aggregate") {
     val m = Curation.corpusDatasheet(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
