@@ -501,6 +501,92 @@ object Curation {
        |  doc_id, source, CAST(within_rank AS BIGINT) AS within_rank
        |FROM r ORDER BY global_pos""".stripMargin
 
+  // --------------------------- greedy max-coverage selection (q192)
+  /** Fixed greedy round budget — the contract that makes the iteration
+    * bit-deterministic and lets the oracle unroll it (q149's
+    * discipline). */
+  val CoverageRounds = 5
+
+  /** q192: GREEDY MAX-COVERAGE DATA SELECTION — the submodular
+    * (facility-location family) selection step behind "pick the K most
+    * informative documents": each round selects the doc covering the
+    * most still-uncovered token bigrams (ties to the smallest id),
+    * adds its bigrams to the covered set, repeats. The 1-1/e
+    * approximation guarantee of greedy submodular maximization is what
+    * coreset/data-pruning pipelines lean on; q175's k-center covers
+    * embedding space, this covers the DISCRETE feature universe.
+    *
+    * Scale: the (doc, bigram) relation is computed ONCE (per-row array
+    * arithmetic, localCheckpoint lineage cut); each of the fixed
+    * [[CoverageRounds]] rounds is one linear scan of it — a BROADCAST
+    * anti-join against the covered set (at most K·max-doc-bigrams rows
+    * by construction, always tiny) + a count aggregate + TakeOrdered(1)
+    * (per-partition heaps, one row to the driver — never a sort). The
+    * driver holds only the K selected ids and the covered set: K fixed
+    * ⇒ K linear passes, the documented fixed-budget iteration contract.
+    * Emits (round, doc_id, gain, covered_total); covered_total(r) =
+    * covered_total(r-1) + gain(r) by construction — the spec pins that
+    * identity plus a full driver replay of the greedy. */
+  def greedyCoverage(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val b = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1])))")).as("bg"))
+      .localCheckpoint()
+    var coveredDf = Seq.empty[String].toDF("cbg")
+    var selected = Vector.empty[(Long, Long, Long, Long)]
+    var selIds = Set.empty[Long]
+    var done = false
+    for (r <- 1 to CoverageRounds if !done) {
+      val cand = if (selIds.isEmpty) b
+                 else b.filter(!col("doc_id").isin(selIds.toSeq: _*))
+      val gains = cand
+        .join(broadcast(coveredDf), col("bg") === col("cbg"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("gain"))
+      val top = gains.orderBy(col("gain").desc, col("doc_id")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val id = top(0).getLong(0)
+        val gain = top(0).getLong(1)
+        selIds += id
+        coveredDf = coveredDf
+          .union(b.filter(col("doc_id") === id).select(col("bg").as("cbg")))
+          .distinct().localCheckpoint()
+        selected :+= ((r.toLong, id, gain, coveredDf.count()))
+      }
+    }
+    selected.toDF("round", "doc_id", "gain", "covered_total").orderBy("round")
+  }
+
+  /** Oracle: the same greedy unrolled as [[CoverageRounds]] CTE rounds
+    * (the q149 fixed-iteration discipline) — each round recomputes
+    * gains over the not-yet-selected docs against the previous round's
+    * covered set. */
+  val greedyCoverageSql: String = {
+    val pre =
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (SELECT DISTINCT doc_id, bg FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM t))""".stripMargin
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    var selUnion = "SELECT doc_id FROM s1"
+    ctes += "s1 AS (SELECT doc_id, count(*) AS gain FROM b GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1)"
+    ctes += "c1 AS (SELECT DISTINCT bg FROM b WHERE doc_id IN (SELECT doc_id FROM s1))"
+    for (r <- 2 to CoverageRounds) {
+      ctes += s"g$r AS (SELECT doc_id, count(*) AS gain FROM b WHERE doc_id NOT IN ($selUnion) AND bg NOT IN (SELECT bg FROM c${r - 1}) GROUP BY 1)"
+      ctes += s"s$r AS (SELECT doc_id, gain FROM g$r ORDER BY gain DESC, doc_id LIMIT 1)"
+      selUnion += s" UNION SELECT doc_id FROM s$r"
+      ctes += s"c$r AS (SELECT DISTINCT bg FROM b WHERE doc_id IN ($selUnion))"
+    }
+    val finals = (1 to CoverageRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, doc_id, gain, (SELECT count(*) FROM c$r) AS covered_total FROM s$r")
+    pre + ",\n" + ctes.mkString(",\n") + "\n" +
+      finals.mkString(" UNION ALL ") + " ORDER BY round"
+  }
+
   // ------------------------------------- cluster-aware split (q124)
   /** q124: CLUSTER-AWARE TRAIN/VAL/TEST SPLIT — q112's hash split with
     * the leakage hole closed. Splitting by a doc's OWN id puts
@@ -1414,7 +1500,8 @@ object Curation {
     "q64_doc_stitches" -> ((s, d) => docStitches(Tables.documents(s, d))),
     "q105_curation_pipeline" -> ((s, d) => curationPipeline(Tables.documents(s, d))),
     "q131_global_rownum" -> ((s, d) => globalRowNumbers(Tables.documents(s, d))),
-    "q191_interleave" -> ((s, d) => sourceInterleave(Tables.documents(s, d))))
+    "q191_interleave" -> ((s, d) => sourceInterleave(Tables.documents(s, d))),
+    "q192_greedy_coverage" -> ((s, d) => greedyCoverage(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q189_corpus_datasheet" -> corpusDatasheetSql,
@@ -1438,5 +1525,6 @@ object Curation {
     "q64_doc_stitches" -> docStitchesSql,
     "q105_curation_pipeline" -> curationPipelineSql,
     "q131_global_rownum" -> globalRowNumbersSql,
-    "q191_interleave" -> sourceInterleaveSql)
+    "q191_interleave" -> sourceInterleaveSql,
+    "q192_greedy_coverage" -> greedyCoverageSql)
 }

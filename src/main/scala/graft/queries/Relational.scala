@@ -1827,6 +1827,70 @@ object Relational {
       |WHERE source = (SELECT MIN(source) FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------- decayed freshness (q193)
+  /** Exponential-decay half-life: 2 days of event age halves a row's
+    * weight. */
+  val DecayHalfLifeUs = 172800000000L
+  /** Q30 fixed-point unit weight (2^30) — a fresh event contributes
+    * exactly this; age decays it by arithmetic shiftright, which floors
+    * identically in both engines (the div-vs-// trap never arises on
+    * these non-negative shifts). */
+  val DecayScale = 1073741824L
+  /** Loud bound on the ppm numerator: decayed sums beyond this would
+    * overflow `sum * 1e6` — at 2^30 max weight per event that is ~8.6M
+    * fully-fresh events per type; a 100 TB deployment shards the decay
+    * sum by time bucket first (each bucket shares one shift) and raises
+    * here rather than wrap (packGuard discipline). */
+  val DecayPpmBound = 9223372036854L
+
+  /** q193: TIME-DECAYED FRESHNESS WEIGHTS — exponentially-decayed event
+    * counts (half-life [[DecayHalfLifeUs]]), the freshness-weighted
+    * popularity stat behind trending/ranking features and
+    * recency-weighted mixture sampling (a source's decayed mass, not
+    * its raw count, is what "how much NEW data is arriving" means).
+    * Decay is usually done with float exp() — unreproducible across
+    * engines; here the decay is EXACT integer arithmetic: weight =
+    * [[DecayScale]] >> floor(age/half-life), a per-row shift off a
+    * broadcast max-timestamp scalar. One scan, one tiny per-type
+    * aggregate, one broadcast total for the ppm share — order-
+    * independent sums of non-negative longs, hash-exact by
+    * construction. */
+  def q193DecayedCounts(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"))
+    val ref = e.agg(max("us").as("ref"))
+    val per = e.crossJoin(broadcast(ref))
+      .withColumn("wt", expr(
+        s"shiftright(${DecayScale}L, cast(least((ref - us) div $DecayHalfLifeUs, 62) as int))"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("wt").as("decayed_q30"),
+           max("us").as("last_seen_us"))
+    val tot = per.agg(sum("decayed_q30").as("tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_events"),
+        when(col("decayed_q30") > DecayPpmBound,
+          raise_error(lit(s"q193 decayed sum exceeds ppm bound $DecayPpmBound")))
+          .otherwise(col("decayed_q30")).as("decayed_q30"),
+        expr("(decayed_q30 * 1000000) div tot").as("decayed_ppm"),
+        col("last_seen_us"))
+      .orderBy("event_type")
+  }
+
+  val q193Sql: String =
+    s"""WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+       |m AS (SELECT max(us) AS ref FROM e),
+       |w AS (SELECT event_type, us,
+       |        $DecayScale >> CAST(least((ref - us) // $DecayHalfLifeUs, 62) AS INT) AS wt
+       |      FROM e, m),
+       |per AS (SELECT event_type, count(*) AS n_events,
+       |          CAST(sum(wt) AS BIGINT) AS decayed_q30,
+       |          max(us) AS last_seen_us
+       |        FROM w GROUP BY event_type)
+       |SELECT event_type, n_events, decayed_q30,
+       |  CAST((decayed_q30 * 1000000) // (SELECT sum(decayed_q30) FROM per) AS BIGINT) AS decayed_ppm,
+       |  last_seen_us
+       |FROM per ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_pricing"     -> (q05Pricing _),
@@ -1873,7 +1937,8 @@ object Relational {
     "q171_merkle_diff" -> (q171MerkleDiff _),
     "q172_peak_concurrency" -> (q172PeakConcurrency _),
     "q183_event_trigrams" -> (q183EventTrigrams _),
-    "q185_change_feed" -> (q185ChangeFeed _))
+    "q185_change_feed" -> (q185ChangeFeed _),
+    "q193_decayed_counts" -> (q193DecayedCounts _))
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
@@ -1921,5 +1986,6 @@ object Relational {
     "q171_merkle_diff" -> q171Sql,
     "q172_peak_concurrency" -> q172Sql,
     "q183_event_trigrams" -> q183Sql,
-    "q185_change_feed" -> q185Sql)
+    "q185_change_feed" -> q185Sql,
+    "q193_decayed_counts" -> q193Sql)
 }

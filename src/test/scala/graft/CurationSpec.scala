@@ -208,6 +208,42 @@ class CurationSpec extends SparkSpec {
     assert(u.drop(2).forall(_._2 == "A"), "B exhausted after round 1")
   }
 
+  test("q192 greedy coverage: full driver replay, gain telescoping, monotone gains") {
+    val docs = Tables.documents(spark, sf)
+    val got = Curation.greedyCoverage(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent replay: exact greedy max-coverage over bigram sets
+    val bgs = docs.select("doc_id", "text").collect().map { r =>
+      val t = r.getString(1).split(" ", -1)
+      r.getLong(0) -> t.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty).toMap
+    var covered = Set.empty[String]
+    var chosen = Set.empty[Long]
+    val want = (1 to Curation.CoverageRounds).flatMap { r =>
+      val cands = bgs.view.filterKeys(!chosen(_))
+        .mapValues(s => (s -- covered).size.toLong).toSeq
+        .filter(_._2 > 0)
+      if (cands.isEmpty) None
+      else {
+        val (id, gain) = cands.minBy { case (d, g) => (-g, d) }
+        chosen += id
+        covered ++= bgs(id)
+        Some((r.toLong, id, gain, covered.size.toLong))
+      }
+    }
+    assert(got.toSeq == want, "engine rounds == exhaustive driver greedy")
+    // covered_total telescopes: each round adds exactly its gain
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 == a._4 + b._3, "covered_total(r) = covered_total(r-1) + gain(r)")
+    }
+    assert(got.head._4 == got.head._3, "round 1 covers exactly its own gain")
+    // submodularity: greedy marginal gains never increase
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, "marginal gains are non-increasing")
+    }
+  }
+
   test("q112 split: complete + disjoint, growth-stable labels, proportions sane") {
     val docs = Tables.documents(spark, sf)
     val labels = Curation.splitLabels(docs).collect()

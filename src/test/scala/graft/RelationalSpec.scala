@@ -445,6 +445,36 @@ class RelationalSpec extends SparkSpec {
     assert(run == 0L, "sweep closes every interval")
   }
 
+  test("q193 decayed counts: exact shift decay replays driver-side, ppm shares sum") {
+    import graft.queries.Relational
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val ref = ev.map(_._2).max
+    def wt(us: Long): Long = {
+      val h = math.min((ref - us) / Relational.DecayHalfLifeUs, 62L)
+      Relational.DecayScale >> h.toInt
+    }
+    val per = ev.groupBy(_._1).view.mapValues { rows =>
+      (rows.length.toLong, rows.map(r => wt(r._2)).sum, rows.map(_._2).max)
+    }.toMap
+    val tot = per.values.map(_._2).sum
+    val got = Relational.q193DecayedCounts(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == per.keySet)
+    per.foreach { case (t, (n, w, last)) =>
+      assert(got(t) == ((n, w, w * 1000000L / tot, last)), s"type $t")
+    }
+    // floor-division shares under-count by < 1 ppm each, never over
+    val ppmSum = got.values.map(_._3).sum
+    assert(ppmSum <= 1000000L && ppmSum > 1000000L - got.size,
+      s"ppm shares must telescope to ~1e6, got $ppmSum")
+    // a fresh event weighs exactly DecayScale; the oldest strictly less
+    assert(wt(ref) == Relational.DecayScale)
+    assert(wt(ev.map(_._2).min) < Relational.DecayScale)
+  }
+
   test("q183 event trigrams: windowed extraction equals the driver sequence scan") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("us"),
