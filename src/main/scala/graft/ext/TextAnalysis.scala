@@ -1162,6 +1162,145 @@ object TextAnalysis {
        |  doc_id, CAST(n_terms AS BIGINT) AS n_terms, CAST(score_e6 AS BIGINT) AS score_e6
        |FROM scored ORDER BY score_e6 DESC, doc_id LIMIT $BmTopDocs""".stripMargin
 
+  // --------------------------------------- DSIR-style affinity (q194)
+  /** The designated target domain whose distribution defines
+    * "importance". */
+  val DsirTargetSource = "src0"
+  /** Hashed-feature space size (DSIR's hashed n-gram trick: fixed
+    * memory regardless of vocabulary). */
+  val DsirBuckets = 256L
+
+  /** q194: IMPORTANCE-RESAMPLING AFFINITY (DSIR-style data selection):
+    * score every document by how target-like its hashed token-feature
+    * distribution is, the Xie et al. recipe for "select generic-corpus
+    * docs that look like the high-quality target domain" — here with
+    * the target = [[DsirTargetSource]] and unigram features hashed to
+    * [[DsirBuckets]] buckets. DSIR's log-likelihood-ratio estimator is
+    * float log() — unreproducible across engines — so the score is the
+    * exact RATIO surrogate the contract prescribes: each bucket gets
+    * rp = ((target_count+1)·1e6) div (corpus_count+1) ∈ [0, 1e6]
+    * (add-one smoothed target share), and a doc's affinity_ppm is its
+    * token-count-weighted mean — "the expected target-share of this
+    * doc's tokens", monotone in the same direction as the LLR for the
+    * thresholding this feeds.
+    *
+    * Scale: ONE (doc, bucket, count) aggregate off the token explode;
+    * the two distribution tables derive from THAT relation (never a
+    * second corpus scan), collapse to [[DsirBuckets]] rows, and
+    * broadcast back — per-doc scoring is a broadcast join + one
+    * aggregate. rp ≤ 1e6 by target ⊆ corpus, so sums stay far from
+    * Long range at any doc length. */
+  def dsirAffinity(docs: DataFrame): DataFrame = {
+    val db = docs
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("bkt",
+        expr(s"cast(conv(substr(md5(w), 1, 6), 16, 10) as bigint) % $DsirBuckets"))
+      .groupBy("doc_id", "source", "bkt").agg(count(lit(1)).as("cnt"))
+    val tgt = db.filter(col("source") === DsirTargetSource)
+      .groupBy("bkt").agg(sum("cnt").as("ct"))
+    val alls = db.groupBy("bkt").agg(sum("cnt").as("ca"))
+    val ratio = alls.join(tgt, Seq("bkt"), "left_outer")
+      .select(col("bkt"),
+        expr("((coalesce(ct, 0) + 1) * 1000000) div (ca + 1)").as("rp"))
+    db.join(broadcast(ratio), "bkt")
+      .groupBy("doc_id", "source")
+      .agg(sum("cnt").as("n_tokens"), sum(col("cnt") * col("rp")).as("s"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr("s div n_tokens").as("affinity_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val dsirAffinitySql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |t2 AS (SELECT doc_id, source, w FROM tok WHERE length(w) > 0),
+       |db AS (SELECT doc_id, source,
+       |         ('0x' || substr(md5(w), 1, 6))::BIGINT % $DsirBuckets AS bkt,
+       |         count(*) AS cnt
+       |       FROM t2 GROUP BY 1, 2, 3),
+       |tgt AS (SELECT bkt, sum(cnt) AS ct FROM db
+       |        WHERE source = '$DsirTargetSource' GROUP BY 1),
+       |alls AS (SELECT bkt, sum(cnt) AS ca FROM db GROUP BY 1),
+       |r AS (SELECT a.bkt,
+       |        ((coalesce(ct, 0) + 1) * 1000000) // (ca + 1) AS rp
+       |      FROM alls a LEFT JOIN tgt ON tgt.bkt = a.bkt),
+       |ds AS (SELECT d.doc_id, d.source, sum(d.cnt) AS nt, sum(d.cnt * rp) AS s
+       |       FROM db d JOIN r ON r.bkt = d.bkt GROUP BY 1, 2)
+       |SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens,
+       |  CAST(s // nt AS BIGINT) AS affinity_ppm
+       |FROM ds ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------ reciprocal-rank fusion (q195)
+  /** RRF smoothing constant (the standard k=60 from Cormack et al.). */
+  val RrfK = 60L
+
+  /** q195: RECIPROCAL-RANK FUSION — the hybrid-retrieval merge every
+    * two-signal search stack runs (BM25 lexical + a learned prior,
+    * here q143's ranking fused with q120's classifier-quality
+    * ranking): each list contributes 1e6 div (k + rank) for its
+    * members, absent lists contribute nothing, and the fused order is
+    * by summed score. RRF needs no score calibration between lists —
+    * only ranks — which is exactly why it is the default fusion when
+    * the signals live on incomparable scales (BM25 e6 units vs
+    * classifier permille here). Integer floor division keeps it
+    * hash-exact; ranks are unique by construction (both lists break
+    * ties on doc_id).
+    *
+    * Scale: both input rankings end in TakeOrdered top-[[BmTopDocs]]
+    * cuts, so fusion operates on two K-row relations — the windows and
+    * the full-outer join touch at most 2K rows regardless of corpus
+    * size; corpus-scale work is the two underlying scoring passes,
+    * each already shape-audited (q143, q120). */
+  def rankFusion(docs: DataFrame): DataFrame = {
+    val tiny = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val a = bm25TopDocs(docs)
+      .select(col("doc_id"), col("rank").cast("long").as("rank_bm25"))
+    val b = classifierScores(docs).select("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id")).limit(BmTopDocs)
+      .withColumn("rank_clf", row_number().over(tiny).cast("long"))
+      .select("doc_id", "rank_clf")
+    val fusedW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_e6").desc, col("doc_id"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_bm25"), lit(0L)).as("rank_bm25"),
+        coalesce(col("rank_clf"), lit(0L)).as("rank_clf"))
+      .withColumn("rrf_e6",
+        when(col("rank_bm25") > 0,
+          expr(s"1000000 div ($RrfK + rank_bm25)")).otherwise(lit(0L)) +
+        when(col("rank_clf") > 0,
+          expr(s"1000000 div ($RrfK + rank_clf)")).otherwise(lit(0L)))
+      .withColumn("fused_rank", row_number().over(fusedW).cast("int"))
+      .select("fused_rank", "doc_id", "rank_bm25", "rank_clf", "rrf_e6")
+      .orderBy("fused_rank")
+  }
+
+  def rankFusionSql: String =
+    s"""WITH bm AS (
+       |  SELECT CAST(rank AS BIGINT) AS rank_bm25, doc_id
+       |  FROM ($bm25TopDocsSql)),
+       |clf AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_clf,
+       |    doc_id
+       |  FROM ($classifierScoresSql)
+       |  ORDER BY score DESC, doc_id LIMIT $BmTopDocs),
+       |f AS (
+       |  SELECT coalesce(bm.doc_id, clf.doc_id) AS doc_id,
+       |    coalesce(rank_bm25, 0) AS rank_bm25,
+       |    coalesce(rank_clf, 0) AS rank_clf
+       |  FROM bm FULL OUTER JOIN clf ON bm.doc_id = clf.doc_id),
+       |s AS (
+       |  SELECT doc_id, rank_bm25, rank_clf,
+       |    (CASE WHEN rank_bm25 > 0 THEN 1000000 // ($RrfK + rank_bm25) ELSE 0 END
+       |     + CASE WHEN rank_clf > 0 THEN 1000000 // ($RrfK + rank_clf) ELSE 0 END) AS rrf_e6
+       |  FROM f)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_e6 DESC, doc_id) AS INT) AS fused_rank,
+       |  doc_id, rank_bm25, rank_clf, CAST(rrf_e6 AS BIGINT) AS rrf_e6
+       |FROM s ORDER BY fused_rank""".stripMargin
+
   // ------------------------------------------- score calibration (q151)
   /** q151: PER-SOURCE QUANTILE CALIBRATION of the q120 classifier
     * scores — cross-source score comparability, the fix for the
@@ -1683,7 +1822,9 @@ object TextAnalysis {
     "q176_cooccurrence" -> ((s, d) => cooccurrenceLift(Tables.documents(s, d))),
     "q181_retrieval_eval" -> ((s, d) => retrievalEval(Tables.documents(s, d))),
     "q182_length_rebalance" -> ((s, d) => lengthRebalance(Tables.documents(s, d))),
-    "q184_calibration" -> ((s, d) => calibrationBands(Tables.documents(s, d))))
+    "q184_calibration" -> ((s, d) => calibrationBands(Tables.documents(s, d))),
+    "q194_dsir_affinity" -> ((s, d) => dsirAffinity(Tables.documents(s, d))),
+    "q195_rank_fusion" -> ((s, d) => rankFusion(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q19_lang_id"     -> langIdSql,
@@ -1713,5 +1854,7 @@ object TextAnalysis {
     "q176_cooccurrence" -> cooccurrenceLiftSql,
     "q181_retrieval_eval" -> retrievalEvalSql,
     "q182_length_rebalance" -> lengthRebalanceSql,
-    "q184_calibration" -> calibrationBandsSql)
+    "q184_calibration" -> calibrationBandsSql,
+    "q194_dsir_affinity" -> dsirAffinitySql,
+    "q195_rank_fusion" -> rankFusionSql)
 }

@@ -1872,6 +1872,65 @@ class ExtSpec extends SparkSpec {
       "planted shared run must be detected")
   }
 
+  test("q194 dsir affinity: ratio replay, bounds, disjoint-vocab separation") {
+    import java.security.MessageDigest
+    def bkt(w: String): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(w.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      java.lang.Long.parseLong(hex, 16) % TextAnalysis.DsirBuckets
+    }
+    val rows = docs.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).filter(_.nonEmpty).map(bkt)))
+    val ca = rows.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = rows.filter(_._2 == TextAnalysis.DsirTargetSource)
+      .flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def rp(b: Long): Long =
+      ((ct.getOrElse(b, 0L) + 1) * 1000000L) / (ca(b) + 1)
+    val want = rows.map { case (id, src, bs) =>
+      id -> ((src, bs.length.toLong, bs.map(rp).sum / bs.length))
+    }.toMap
+    val got = TextAnalysis.dsirAffinity(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, "engine affinity == driver ratio replay")
+    assert(got.values.forall { case (_, _, a) => a >= 0 && a <= 1000000 },
+      "affinity is a ppm share: target ⊆ corpus bounds it by 1e6")
+    // separation: with a disjoint target vocabulary, target docs score
+    // far above the rest (the selection property DSIR exists for)
+    import spark.implicits._
+    val crafted = ((1L to 5L).map(i => (i, "src0", "aaa bbb ccc ddd")) ++
+      (6L to 10L).map(i => (i, "srcX", "eee fff ggg hhh")))
+      .toDF("doc_id", "source", "text")
+    val c = TextAnalysis.dsirAffinity(crafted).collect()
+      .map(r => r.getString(1) -> r.getLong(3)).groupBy(_._1)
+      .view.mapValues(v => v.map(_._2).min).toMap
+    assert(c("src0") > 5 * c("srcX"),
+      "disjoint-vocab target docs must dominate the affinity ranking")
+  }
+
+  test("q195 rank fusion: fused order recomputes from the two component rankings") {
+    val bm = TextAnalysis.bm25TopDocs(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rank").toLong).toMap
+    val clf = TextAnalysis.classifierScores(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score")))
+      .sortBy { case (id, s) => (-s, id) }.take(TextAnalysis.BmTopDocs)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val union = (bm.keySet ++ clf.keySet).toSeq
+    def rrf(id: Long): Long =
+      bm.get(id).map(r => 1000000L / (TextAnalysis.RrfK + r)).getOrElse(0L) +
+      clf.get(id).map(r => 1000000L / (TextAnalysis.RrfK + r)).getOrElse(0L)
+    val want = union.map(id =>
+        (id, bm.getOrElse(id, 0L), clf.getOrElse(id, 0L), rrf(id)))
+      .sortBy { case (id, _, _, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, a, b, s), i) => (i + 1, id, a, b, s) }
+    val got = TextAnalysis.rankFusion(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == want, "fusion == driver recompute from component lists")
+    // a doc in BOTH lists outranks one with only a deep single-list rank
+    assert(got.map(_._5).toSeq == got.map(_._5).toSeq.sorted.reverse,
+      "fused scores are non-increasing down the ranking")
+  }
+
   test("q189 datasheet: every metric equals its source query's own aggregate") {
     val m = Curation.corpusDatasheet(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
