@@ -1098,7 +1098,11 @@ object TextAnalysis {
       .orderBy(col("df"), col("token")).limit(BmQTerms)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
-  def bm25TopDocs(docs: DataFrame): DataFrame = {
+  /** The scored-but-uncut BM25 relation (doc_id, score_e6, n_terms) —
+    * ONE definition shared by q143's top-K cut and q197's deeper
+    * hard-negative mining depth (the q181 no-drifted-copies
+    * discipline). */
+  private[graft] def bm25ScoredDocs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val t = toksAll(docs)
@@ -1110,7 +1114,7 @@ object TextAnalysis {
     val tf = t.join(broadcast(qdf.select("token")), "token")
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       .join(broadcast(qdf), "token")
-    val scored = lens.join(broadcast(tf), "doc_id")
+    lens.join(broadcast(tf), "doc_id")
       .crossJoin(broadcast(nDocs)).crossJoin(broadcast(totLen))
       .select(col("doc_id"),
         expr("(1000000 * (n_docs - df + 1)) div (df + 1)").as("idf_e6"),
@@ -1127,6 +1131,10 @@ object TextAnalysis {
           .otherwise(expr("(idf_e6 * sat_e6) div 1000000")).as("contrib_e6"))
       .groupBy("doc_id")
       .agg(sum(col("contrib_e6")).as("score_e6"), count(lit(1)).as("n_terms"))
+  }
+
+  def bm25TopDocs(docs: DataFrame): DataFrame = {
+    val scored = bm25ScoredDocs(docs)
       .orderBy(col("score_e6").desc, col("doc_id")).limit(BmTopDocs)
     scored.withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -1300,6 +1308,137 @@ object TextAnalysis {
        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_e6 DESC, doc_id) AS INT) AS fused_rank,
        |  doc_id, rank_bm25, rank_clf, CAST(rrf_e6 AS BIGINT) AS rrf_e6
        |FROM s ORDER BY fused_rank""".stripMargin
+
+  // ------------------------------- token-weighted median length (q196)
+  /** q196: TOKEN-WEIGHTED MEDIAN DOCUMENT LENGTH per source — "the
+    * median TOKEN lives in a doc of length L", the statistic that
+    * actually describes what a model trains on (the doc-weighted
+    * median q37 reports is dominated by short docs even when nearly
+    * all token mass sits in long ones — the classic mean-vs-exposure
+    * confusion in corpus reports). Weighted rank selection, never an
+    * average: the first doc (ordered by length, id) whose running
+    * token mass reaches half the source total. Exact integers
+    * throughout (2·cum >= total avoids any halving division).
+    *
+    * Shape: ONE source-keyed exchange carries the running sum, the
+    * partition total, and the post-filter rank — three windows over
+    * the same partitioning, planned without a second shuffle (the q151
+    * exchange-reuse discipline); per-source sorts parallel across
+    * sources, nothing global. */
+  def weightedMedianLength(docs: DataFrame): DataFrame = {
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val cumW = bySrc.orderBy("nt", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val t = docs.select(col("source"), col("doc_id"),
+        expr("size(split(text, ' '))").cast("long").as("nt"))
+      .withColumn("cum", sum("nt").over(cumW))
+      .withColumn("total", sum("nt").over(bySrc))
+      .withColumn("n_docs", count(lit(1)).over(bySrc))
+    val crossers = t.filter(col("cum") * 2 >= col("total"))
+    val firstW = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("nt", "doc_id")
+    crossers
+      .withColumn("rn", row_number().over(firstW))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n_docs"), col("total").as("total_tokens"),
+        col("nt").as("median_len"), col("doc_id").as("median_doc_id"))
+      .orderBy("source")
+  }
+
+  val weightedMedianLengthSql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents),
+      |w AS (
+      |  SELECT source, doc_id, nt,
+      |    SUM(nt) OVER (PARTITION BY source ORDER BY nt, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(nt) OVER (PARTITION BY source) AS total,
+      |    COUNT(*) OVER (PARTITION BY source) AS n_docs
+      |  FROM t),
+      |c AS (
+      |  SELECT source, doc_id, nt, total, n_docs,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY nt, doc_id) AS rn
+      |  FROM w WHERE cum * 2 >= total)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(total AS BIGINT) AS total_tokens,
+      |  nt AS median_len, doc_id AS median_doc_id
+      |FROM c WHERE rn = 1 ORDER BY source""".stripMargin
+
+  // ---------------------------------------- hard-negative mining (q197)
+  /** Mining depth: negatives come from the top of a DEEPER ranking
+    * than q143's report cut — the standard "lexically close but not
+    * relevant" band retrieval training mines from. */
+  val HardNegDepth = 30
+  /** Negatives kept per query. */
+  val HardNegK = 10
+
+  /** q197: HARD-NEGATIVE MINING — the contrastive-training data op
+    * behind every dense-retriever pipeline (DPR/ANCE style): take the
+    * query's BM25 ranking to depth [[HardNegDepth]], remove everything
+    * the relevance rule marks positive, and keep the [[HardNegK]]
+    * highest-ranked survivors — documents the lexical scorer finds
+    * MOST similar while the relevance labels say no, exactly the
+    * examples that teach an embedding model the difference. Shares the
+    * scored relation with q143 ([[bm25ScoredDocs]]) and the relevance
+    * rule with q181 ([[relevantDocs]]) — one definition each, so the
+    * three queries can never drift apart.
+    *
+    * Scale: the deep cut is still TakeOrdered (depth rows to the
+    * driver-side heap, never a sort); the anti-join runs on the
+    * depth-row relation against the broadcast positive set. */
+  def hardNegatives(docs: DataFrame): DataFrame = {
+    val deepW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_e6").desc, col("doc_id"))
+    val deep = bm25ScoredDocs(docs)
+      .orderBy(col("score_e6").desc, col("doc_id")).limit(HardNegDepth)
+      .withColumn("bm25_rank", row_number().over(deepW).cast("long"))
+    val negW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25_rank"))
+    deep.join(broadcast(relevantDocs(docs)), Seq("doc_id"), "left_anti")
+      .orderBy("bm25_rank").limit(HardNegK)
+      .withColumn("neg_rank", row_number().over(negW).cast("int"))
+      .select(col("neg_rank"), col("doc_id"), col("bm25_rank"), col("score_e6"))
+      .orderBy("neg_rank")
+  }
+
+  def hardNegativesSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |t2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+       |td AS (SELECT DISTINCT doc_id, token FROM t2),
+       |d AS (SELECT token, COUNT(*) AS df FROM td GROUP BY token),
+       |q AS (SELECT token, df FROM d ORDER BY df, token LIMIT $BmQTerms),
+       |rel AS (
+       |  SELECT doc_id FROM td WHERE token IN (SELECT token FROM q)
+       |  GROUP BY doc_id HAVING COUNT(*) >= $RelMinTerms),
+       |len AS (SELECT doc_id, COUNT(*) AS len FROM t2 GROUP BY doc_id),
+       |n AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       |             (SELECT SUM(len) FROM len) AS total_len),
+       |tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM t2
+       |  WHERE token IN (SELECT token FROM q)
+       |  GROUP BY doc_id, token),
+       |scored AS (
+       |  SELECT doc_id,
+       |    SUM((((1000000 * (n_docs - df + 1)) // (df + 1))
+       |         * ((1000000 * $BmNumC * total_len * tf)
+       |            // ($BmTfC * total_len * tf + $BmConstC * total_len
+       |                + $BmLenC * len * n_docs)))
+       |        // 1000000) AS score_e6
+       |  FROM tf JOIN q USING (token) JOIN len USING (doc_id) CROSS JOIN n
+       |  GROUP BY doc_id),
+       |deep AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS bm25_rank,
+       |    doc_id, CAST(score_e6 AS BIGINT) AS score_e6
+       |  FROM scored ORDER BY score_e6 DESC, doc_id LIMIT $HardNegDepth),
+       |negs AS (
+       |  SELECT bm25_rank, doc_id, score_e6 FROM deep
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM rel)
+       |  ORDER BY bm25_rank LIMIT $HardNegK)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY bm25_rank) AS INT) AS neg_rank,
+       |  doc_id, bm25_rank, score_e6
+       |FROM negs ORDER BY neg_rank""".stripMargin
 
   // ------------------------------------------- score calibration (q151)
   /** q151: PER-SOURCE QUANTILE CALIBRATION of the q120 classifier
@@ -1636,18 +1775,26 @@ object TextAnalysis {
     * builds (one broadcast semi-join + per-doc count ≥ threshold);
     * metrics aggregate a k-row ranking against a label relation —
     * nothing corpus-sized moves. */
-  def retrievalEval(docs: DataFrame): DataFrame = {
+  /** The relevance rule (docs matching >= [[RelMinTerms]] distinct
+    * query terms) — ONE definition shared by q181's eval and q197's
+    * hard-negative exclusion (the no-drifted-copies discipline: a
+    * drifted copy would let a positive leak into the negatives with
+    * every gate green). */
+  private[graft] def relevantDocs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val t = toksAll(docs)
-    // the ONE discovery definition the ranking uses (code-review fix:
-    // a copy here could drift and silently score a different query)
     val qterms = bm25QueryTerms(docs).toDF("token", "df").select("token")
-    val rel = t.select("doc_id", "token").distinct()
+    toksAll(docs).select("doc_id", "token").distinct()
       .join(broadcast(qterms), "token")
       .groupBy("doc_id").agg(count(lit(1)).as("n_match"))
       .filter(col("n_match") >= RelMinTerms)
-      .select(col("doc_id"), lit(1L).as("rel"))
+      .select("doc_id")
+  }
+
+  def retrievalEval(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rel = relevantDocs(docs).select(col("doc_id"), lit(1L).as("rel"))
     val ranked = bm25TopDocs(docs).select("rank", "doc_id")
     val hits = ranked.join(rel, Seq("doc_id"), "left")
       .select(col("rank"), coalesce(col("rel"), lit(0L)).as("rel"))
@@ -1824,7 +1971,9 @@ object TextAnalysis {
     "q182_length_rebalance" -> ((s, d) => lengthRebalance(Tables.documents(s, d))),
     "q184_calibration" -> ((s, d) => calibrationBands(Tables.documents(s, d))),
     "q194_dsir_affinity" -> ((s, d) => dsirAffinity(Tables.documents(s, d))),
-    "q195_rank_fusion" -> ((s, d) => rankFusion(Tables.documents(s, d))))
+    "q195_rank_fusion" -> ((s, d) => rankFusion(Tables.documents(s, d))),
+    "q196_weighted_median" -> ((s, d) => weightedMedianLength(Tables.documents(s, d))),
+    "q197_hard_negatives" -> ((s, d) => hardNegatives(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q19_lang_id"     -> langIdSql,
@@ -1856,5 +2005,7 @@ object TextAnalysis {
     "q182_length_rebalance" -> lengthRebalanceSql,
     "q184_calibration" -> calibrationBandsSql,
     "q194_dsir_affinity" -> dsirAffinitySql,
-    "q195_rank_fusion" -> rankFusionSql)
+    "q195_rank_fusion" -> rankFusionSql,
+    "q196_weighted_median" -> weightedMedianLengthSql,
+    "q197_hard_negatives" -> hardNegativesSql)
 }

@@ -1931,6 +1931,51 @@ class ExtSpec extends SparkSpec {
       "fused scores are non-increasing down the ranking")
   }
 
+  test("q196 weighted median: rank-selection replay, token-mass property") {
+    val rows = docs.select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(" ", -1).length.toLong))
+    val want = rows.groupBy(_._1).map { case (src, ds) =>
+      val sorted = ds.sortBy(d => (d._3, d._2))
+      val total = sorted.map(_._3).sum
+      val cum = sorted.scanLeft(0L)(_ + _._3).tail
+      val i = cum.indexWhere(_ * 2 >= total)
+      src -> ((ds.length.toLong, total, sorted(i)._3, sorted(i)._2))
+    }
+    val got = TextAnalysis.weightedMedianLength(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want, "engine == driver weighted rank selection")
+    // the defining property: token mass strictly below the median doc
+    // is under half; mass up to and including it reaches half
+    got.foreach { case (src, (_, total, mlen, mid)) =>
+      val sorted = rows.filter(_._1 == src).sortBy(d => (d._3, d._2))
+      val below = sorted.takeWhile(d => (d._3, d._2) != ((mlen, mid))).map(_._3).sum
+      assert(below * 2 < total && (below + mlen) * 2 >= total, s"source $src")
+    }
+  }
+
+  test("q197 hard negatives: top-of-deep-list minus positives, no positive leaks") {
+    val rel = TextAnalysis.relevantDocs(docs).collect().map(_.getLong(0)).toSet
+    val deep = TextAnalysis.bm25ScoredDocs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_e6")))
+      .sortBy { case (id, s) => (-s, id) }.take(TextAnalysis.HardNegDepth)
+      .zipWithIndex.map { case ((id, s), i) => (id, i + 1L, s) }
+    val want = deep.filter(d => !rel(d._1)).take(TextAnalysis.HardNegK)
+      .zipWithIndex.map { case ((id, r, s), i) => (i + 1, id, r, s) }
+    val got = TextAnalysis.hardNegatives(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq, "negatives == deep ranking minus positives")
+    assert(got.nonEmpty, "fixture yields hard negatives (non-vacuous)")
+    assert(got.forall(n => !rel(n._2)), "no positive may leak into the negatives")
+    // hard negatives rank INSIDE the lexical band positives occupy —
+    // the property that makes them hard (not just random irrelevants)
+    val relRanks = deep.filter(d => rel(d._1)).map(_._2)
+    if (relRanks.nonEmpty)
+      assert(got.map(_._3).min < relRanks.max + TextAnalysis.HardNegK,
+        "negatives come from the contested top of the ranking")
+  }
+
   test("q189 datasheet: every metric equals its source query's own aggregate") {
     val m = Curation.corpusDatasheet(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
