@@ -587,6 +587,121 @@ object Curation {
       finals.mkString(" UNION ALL ") + " ORDER BY round"
   }
 
+  // ------------------------------------------ k-anonymity audit (q198)
+  /** Minimum group size below which a quasi-identifier combination is
+    * a re-identification risk. */
+  val AnonK = 5L
+
+  /** q198: K-ANONYMITY AUDIT over the generalization ladder — the
+    * privacy release gate run before publishing corpus metadata: a
+    * (lang, source, length-octave) combination shared by fewer than
+    * [[AnonK]] docs is a quasi-identifier that can single documents
+    * out; generalizing (dropping attributes right-to-left) trades
+    * utility for anonymity. ONE rollup pass scores every rung of the
+    * ladder at once — level 0 = (lang, source, bin) ... level 3 =
+    * fully generalized — reporting group counts, violating groups,
+    * docs at risk, and the min group size per level. Violations are
+    * monotonically non-increasing up the ladder by construction
+    * (groups only merge), which the spec pins; the release decision is
+    * "publish at the first level whose violations hit zero".
+    *
+    * Shape: rollup is ONE shuffle producing all four grouping sets
+    * with map-side partials (the q99 machinery applied to governance);
+    * the per-level summary aggregates the tiny group relation. */
+  def kAnonymity(docs: DataFrame): DataFrame = {
+    val d = docs.filter(col("n_chars") > 0)
+      .select(col("lang"), col("source"),
+        (length(expr("bin(n_chars)")) - 1).cast("long").as("bin"))
+    d.rollup("lang", "source", "bin")
+      .agg(count(lit(1)).as("sz"),
+        (grouping(col("lang")) + grouping(col("source"))
+          + grouping(col("bin"))).as("level"))
+      .groupBy("level")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("sz") < AnonK, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("sz") < AnonK, col("sz")).otherwise(0L)).as("docs_at_risk"),
+        min("sz").as("min_group_size"))
+      .select(col("level").cast("int").as("level"), col("n_groups"),
+        col("n_violating"), col("docs_at_risk"), col("min_group_size"))
+      .orderBy("level")
+  }
+
+  val kAnonymitySql: String =
+    s"""WITH d AS (
+       |  SELECT lang, source, length(bin(n_chars)) - 1 AS bin
+       |  FROM documents WHERE n_chars > 0),
+       |g AS (
+       |  SELECT lang, source, bin,
+       |    GROUPING(lang) + GROUPING(source) + GROUPING(bin) AS level,
+       |    count(*) AS sz
+       |  FROM d GROUP BY ROLLUP (lang, source, bin))
+       |SELECT CAST(level AS INT) AS level, count(*) AS n_groups,
+       |  CAST(sum(CASE WHEN sz < $AnonK THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       |  CAST(sum(CASE WHEN sz < $AnonK THEN sz ELSE 0 END) AS BIGINT) AS docs_at_risk,
+       |  CAST(min(sz) AS BIGINT) AS min_group_size
+       |FROM g GROUP BY level ORDER BY level""".stripMargin
+
+  // ----------------------------------------- source ablation (q199)
+  /** q199: SOURCE-ABLATION REPORT — per-source UNIQUE contribution,
+    * the data-valuation complement of q62's pairwise overlap: what
+    * does the corpus LOSE if this source is dropped? Reports each
+    * source's doc count, token mass and ppm share, plus the bigrams
+    * no other source provides (n_sources(bigram) = 1) — the
+    * feature-coverage loss a leave-one-out ablation would measure,
+    * computed relationally in one pass instead of |sources| reruns.
+    * Mass share and unique-coverage share rank sources for the q116
+    * mixture decision from opposite directions (bulk vs irreplaceable
+    * content).
+    *
+    * Shape: distinct (source, bigram) from per-row array arithmetic,
+    * one bigram-keyed aggregate for the source-count, a semi-join
+    * back restricted to n_src = 1, tiny per-source relations
+    * broadcast-joined at the end — all linear, nothing pairwise. */
+  def sourceAblation(docs: DataFrame): DataFrame = {
+    val sb = docs.select(col("source"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("source"), explode(expr(
+        "array_distinct(transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1])))")).as("bg"))
+      .distinct()
+    val nSrc = sb.groupBy("bg").agg(count(lit(1)).as("n_src"))
+    val uniq = sb.join(nSrc.filter(col("n_src") === 1).select("bg"), "bg")
+      .groupBy("source").agg(count(lit(1)).as("uniq_bigrams"))
+    val mass = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("size(split(text, ' '))")).as("toks"))
+    val nVocab = nSrc.agg(count(lit(1)).as("n_vocab"))
+    val totToks = mass.agg(sum("toks").as("total_toks"))
+    mass.join(uniq, Seq("source"), "left_outer")
+      .crossJoin(broadcast(nVocab)).crossJoin(broadcast(totToks))
+      .select(col("source"), col("n_docs"), col("toks").as("token_mass"),
+        expr("(toks * 1000000) div total_toks").as("mass_ppm"),
+        coalesce(col("uniq_bigrams"), lit(0L)).as("uniq_bigrams"),
+        expr("(coalesce(uniq_bigrams, 0) * 1000000) div n_vocab").as("uniq_vocab_ppm"))
+      .orderBy("source")
+  }
+
+  val sourceAblationSql: String =
+    """WITH t AS (
+      |  SELECT source, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |sb AS (SELECT DISTINCT source, bg FROM (
+      |  SELECT source, unnest(list_transform(generate_series(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM t)),
+      |nb AS (SELECT bg, count(*) AS n_src FROM sb GROUP BY 1),
+      |uniq AS (SELECT s.source, count(*) AS uniq_bigrams
+      |         FROM sb s JOIN nb ON nb.bg = s.bg AND nb.n_src = 1 GROUP BY 1),
+      |mass AS (SELECT source, count(*) AS n_docs,
+      |           sum(len(string_split(text, ' '))) AS toks
+      |         FROM documents GROUP BY 1),
+      |tot AS (SELECT (SELECT count(*) FROM nb) AS n_vocab,
+      |               (SELECT sum(toks) FROM mass) AS total_toks)
+      |SELECT m.source, m.n_docs, CAST(m.toks AS BIGINT) AS token_mass,
+      |  CAST((m.toks * 1000000) // total_toks AS BIGINT) AS mass_ppm,
+      |  CAST(coalesce(u.uniq_bigrams, 0) AS BIGINT) AS uniq_bigrams,
+      |  CAST((coalesce(u.uniq_bigrams, 0) * 1000000) // n_vocab AS BIGINT) AS uniq_vocab_ppm
+      |FROM mass m LEFT JOIN uniq u ON u.source = m.source CROSS JOIN tot
+      |ORDER BY m.source""".stripMargin
+
   // ------------------------------------- cluster-aware split (q124)
   /** q124: CLUSTER-AWARE TRAIN/VAL/TEST SPLIT — q112's hash split with
     * the leakage hole closed. Splitting by a doc's OWN id puts
@@ -1501,7 +1616,9 @@ object Curation {
     "q105_curation_pipeline" -> ((s, d) => curationPipeline(Tables.documents(s, d))),
     "q131_global_rownum" -> ((s, d) => globalRowNumbers(Tables.documents(s, d))),
     "q191_interleave" -> ((s, d) => sourceInterleave(Tables.documents(s, d))),
-    "q192_greedy_coverage" -> ((s, d) => greedyCoverage(Tables.documents(s, d))))
+    "q192_greedy_coverage" -> ((s, d) => greedyCoverage(Tables.documents(s, d))),
+    "q198_k_anonymity" -> ((s, d) => kAnonymity(Tables.documents(s, d))),
+    "q199_source_ablation" -> ((s, d) => sourceAblation(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q189_corpus_datasheet" -> corpusDatasheetSql,
@@ -1526,5 +1643,7 @@ object Curation {
     "q105_curation_pipeline" -> curationPipelineSql,
     "q131_global_rownum" -> globalRowNumbersSql,
     "q191_interleave" -> sourceInterleaveSql,
-    "q192_greedy_coverage" -> greedyCoverageSql)
+    "q192_greedy_coverage" -> greedyCoverageSql,
+    "q198_k_anonymity" -> kAnonymitySql,
+    "q199_source_ablation" -> sourceAblationSql)
 }

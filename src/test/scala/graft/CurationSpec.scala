@@ -244,6 +244,60 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q198 k-anonymity: ladder replay, monotone generalization, conservation") {
+    val docs = Tables.documents(spark, sf)
+    val rows = docs.filter(col("n_chars") > 0)
+      .select("lang", "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        (63 - java.lang.Long.numberOfLeadingZeros(r.getLong(2))).toLong))
+    def summarize(key: ((String, String, Long)) => Product) = {
+      val gs = rows.groupBy(key).values.map(_.size.toLong).toSeq
+      (gs.size.toLong, gs.count(_ < Curation.AnonK).toLong,
+        gs.filter(_ < Curation.AnonK).sum, gs.min)
+    }
+    val want = Seq(
+      0 -> summarize(identity),
+      1 -> summarize(t => (t._1, t._2)),
+      2 -> summarize(t => Tuple1(t._1)),
+      3 -> summarize(_ => Tuple1(0))).toMap
+    val got = Curation.kAnonymity(docs).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want, "engine ladder == driver quasi-identifier replay")
+    // generalizing only merges groups: violations never increase upward
+    (0 to 2).foreach(l =>
+      assert(got(l)._2 >= got(l + 1)._2, s"level $l -> ${l + 1}"))
+    assert(got(3) == ((1L, 0L, 0L, rows.length.toLong)),
+      "the fully generalized level is one group of everything")
+  }
+
+  test("q199 source ablation: unique-contribution replay, shares telescope") {
+    val docs = Tables.documents(spark, sf)
+    val rows = docs.select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val sb = rows.filter(_._2.length >= 2).flatMap { case (s, t) =>
+      t.sliding(2).map(p => (s, p.mkString(" "))) }.distinct
+    val nSrc = sb.groupBy(_._2).view.mapValues(_.size).toMap
+    val uniq = sb.filter(p => nSrc(p._2) == 1)
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val mass = rows.groupBy(_._1).view.mapValues(v =>
+      (v.length.toLong, v.map(_._2.length.toLong).sum)).toMap
+    val totToks = mass.values.map(_._2).sum
+    val nVocab = nSrc.size.toLong
+    val got = Curation.sourceAblation(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == mass.keySet)
+    mass.foreach { case (s, (nd, tk)) =>
+      val u = uniq.getOrElse(s, 0L)
+      assert(got(s) == ((nd, tk, tk * 1000000L / totToks, u,
+        u * 1000000L / nVocab)), s"source $s")
+    }
+    assert(got.values.map(_._4).sum > 0, "fixture has source-unique bigrams")
+    // every unique bigram is attributed to exactly one source
+    assert(got.values.map(_._4).sum == nSrc.count(_._2 == 1))
+  }
+
   test("q112 split: complete + disjoint, growth-stable labels, proportions sane") {
     val docs = Tables.documents(spark, sf)
     val labels = Curation.splitLabels(docs).collect()
