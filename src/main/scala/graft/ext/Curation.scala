@@ -430,12 +430,15 @@ object Curation {
   val InterleaveBuckets = 32L
 
   /** q191: DETERMINISTIC MULTI-SOURCE INTERLEAVE — the "mix datasets
-    * evenly" op training loaders run after per-source curation
-    * (HuggingFace `interleave_datasets` with the all-exhausted policy):
-    * each source is internally shuffled by a seeded LCG (q111's family,
+    * evenly" op training loaders run after per-source curation: each
+    * source is internally shuffled by a seeded LCG (q111's family,
     * its own seed), then the global training order takes one doc from
     * every source in rotation — round r emits rank-r docs in source
-    * order; exhausted sources simply drop out of later rounds. The
+    * order; exhausted sources simply drop out of later rounds, so
+    * every doc is emitted EXACTLY once (per-source drop-out
+    * semantics — deliberately not HF `interleave_datasets`'
+    * `all_exhausted` strategy, which oversamples exhausted sources by
+    * cycling them until the largest runs dry). The
     * whole order is pure integer arithmetic from (doc_id, source):
     * reproducible on any cluster, stable per epoch via the seed.
     *
@@ -502,6 +505,25 @@ object Curation {
        |FROM r ORDER BY global_pos""".stripMargin
 
   // --------------------------- greedy max-coverage selection (q192)
+  /** The distinct (key, bigram) relation — ONE definition shared by
+    * q192's coverage universe and q199's uniqueness universe (the
+    * no-drifted-copies discipline: the two queries are comparable only
+    * while they tokenize identically). */
+  private[ext] def docBigrams(docs: DataFrame, keyCol: String): DataFrame =
+    docs.select(col(keyCol), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col(keyCol), explode(expr(
+        "array_distinct(transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1])))")).as("bg"))
+
+  /** The matching oracle CTE pair (`t`, `b`) keyed by `key` — shared by
+    * greedyCoverageSql and sourceAblationSql for the same reason. */
+  private def bigramCtesSql(key: String): String =
+    s"""t AS (SELECT $key, string_split(text, ' ') AS toks FROM documents
+       |      WHERE len(string_split(text, ' ')) >= 2),
+       |b AS (SELECT DISTINCT $key, bg FROM (
+       |  SELECT $key, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM t))""".stripMargin
+
   /** Fixed greedy round budget — the contract that makes the iteration
     * bit-deterministic and lets the oracle unroll it (q149's
     * discipline). */
@@ -530,19 +552,14 @@ object Curation {
   def greedyCoverage(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val b = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-      .where(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1])))")).as("bg"))
-      .localCheckpoint()
+    val b = docBigrams(docs, "doc_id").localCheckpoint()
     var coveredDf = Seq.empty[String].toDF("cbg")
     var selected = Vector.empty[(Long, Long, Long, Long)]
-    var selIds = Set.empty[Long]
     var done = false
     for (r <- 1 to CoverageRounds if !done) {
-      val cand = if (selIds.isEmpty) b
-                 else b.filter(!col("doc_id").isin(selIds.toSeq: _*))
-      val gains = cand
+      // no already-selected filter needed: a selected doc's bigrams are
+      // all covered, so the anti-join leaves it zero gain rows
+      val gains = b
         .join(broadcast(coveredDf), col("bg") === col("cbg"), "left_anti")
         .groupBy("doc_id").agg(count(lit(1)).as("gain"))
       val top = gains.orderBy(col("gain").desc, col("doc_id")).limit(1).collect()
@@ -550,7 +567,6 @@ object Curation {
       else {
         val id = top(0).getLong(0)
         val gain = top(0).getLong(1)
-        selIds += id
         coveredDf = coveredDf
           .union(b.filter(col("doc_id") === id).select(col("bg").as("cbg")))
           .distinct().localCheckpoint()
@@ -565,12 +581,7 @@ object Curation {
     * gains over the not-yet-selected docs against the previous round's
     * covered set. */
   val greedyCoverageSql: String = {
-    val pre =
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 2),
-        |b AS (SELECT DISTINCT doc_id, bg FROM (
-        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
-        |    i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM t))""".stripMargin
+    val pre = "WITH " + bigramCtesSql("doc_id")
     val ctes = new scala.collection.mutable.ArrayBuffer[String]
     var selUnion = "SELECT doc_id FROM s1"
     ctes += "s1 AS (SELECT doc_id, count(*) AS gain FROM b GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1)"
@@ -657,12 +668,18 @@ object Curation {
     * one bigram-keyed aggregate for the source-count, a semi-join
     * back restricted to n_src = 1, tiny per-source relations
     * broadcast-joined at the end — all linear, nothing pairwise. */
+  /** Loud bound on any `x * 1e6` ppm numerator (packGuard discipline):
+    * a source past ~9.2e12 tokens or unique bigrams would silently
+    * wrap the share arithmetic; at that scale shard the sums first. */
+  val AblationPpmBound = 9223372036854L
+
+  private def ppmGuard(c: org.apache.spark.sql.Column, what: String) =
+    when(c > AblationPpmBound,
+      raise_error(concat(lit(s"q199 $what exceeds the exact ppm bound $AblationPpmBound: "),
+        c.cast("string")))).otherwise(c)
+
   def sourceAblation(docs: DataFrame): DataFrame = {
-    val sb = docs.select(col("source"), split(col("text"), " ").as("t"))
-      .where(size(col("t")) >= 2)
-      .select(col("source"), explode(expr(
-        "array_distinct(transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1])))")).as("bg"))
-      .distinct()
+    val sb = docBigrams(docs, "source").distinct()
     val nSrc = sb.groupBy("bg").agg(count(lit(1)).as("n_src"))
     val uniq = sb.join(nSrc.filter(col("n_src") === 1).select("bg"), "bg")
       .groupBy("source").agg(count(lit(1)).as("uniq_bigrams"))
@@ -673,34 +690,31 @@ object Curation {
     val totToks = mass.agg(sum("toks").as("total_toks"))
     mass.join(uniq, Seq("source"), "left_outer")
       .crossJoin(broadcast(nVocab)).crossJoin(broadcast(totToks))
-      .select(col("source"), col("n_docs"), col("toks").as("token_mass"),
+      .select(col("source"), col("n_docs"),
+        ppmGuard(col("toks"), "token_mass").as("token_mass"),
         expr("(toks * 1000000) div total_toks").as("mass_ppm"),
-        coalesce(col("uniq_bigrams"), lit(0L)).as("uniq_bigrams"),
+        ppmGuard(coalesce(col("uniq_bigrams"), lit(0L)), "uniq_bigrams")
+          .as("uniq_bigrams"),
         expr("(coalesce(uniq_bigrams, 0) * 1000000) div n_vocab").as("uniq_vocab_ppm"))
       .orderBy("source")
   }
 
   val sourceAblationSql: String =
-    """WITH t AS (
-      |  SELECT source, string_split(text, ' ') AS toks FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 2),
-      |sb AS (SELECT DISTINCT source, bg FROM (
-      |  SELECT source, unnest(list_transform(generate_series(1, len(toks) - 1),
-      |    i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM t)),
-      |nb AS (SELECT bg, count(*) AS n_src FROM sb GROUP BY 1),
-      |uniq AS (SELECT s.source, count(*) AS uniq_bigrams
-      |         FROM sb s JOIN nb ON nb.bg = s.bg AND nb.n_src = 1 GROUP BY 1),
-      |mass AS (SELECT source, count(*) AS n_docs,
-      |           sum(len(string_split(text, ' '))) AS toks
-      |         FROM documents GROUP BY 1),
-      |tot AS (SELECT (SELECT count(*) FROM nb) AS n_vocab,
-      |               (SELECT sum(toks) FROM mass) AS total_toks)
-      |SELECT m.source, m.n_docs, CAST(m.toks AS BIGINT) AS token_mass,
-      |  CAST((m.toks * 1000000) // total_toks AS BIGINT) AS mass_ppm,
-      |  CAST(coalesce(u.uniq_bigrams, 0) AS BIGINT) AS uniq_bigrams,
-      |  CAST((coalesce(u.uniq_bigrams, 0) * 1000000) // n_vocab AS BIGINT) AS uniq_vocab_ppm
-      |FROM mass m LEFT JOIN uniq u ON u.source = m.source CROSS JOIN tot
-      |ORDER BY m.source""".stripMargin
+    s"""WITH ${bigramCtesSql("source")},
+       |nb AS (SELECT bg, count(*) AS n_src FROM b GROUP BY 1),
+       |uniq AS (SELECT s.source, count(*) AS uniq_bigrams
+       |         FROM b s JOIN nb ON nb.bg = s.bg AND nb.n_src = 1 GROUP BY 1),
+       |mass AS (SELECT source, count(*) AS n_docs,
+       |           sum(len(string_split(text, ' '))) AS toks
+       |         FROM documents GROUP BY 1),
+       |tot AS (SELECT (SELECT count(*) FROM nb) AS n_vocab,
+       |               (SELECT sum(toks) FROM mass) AS total_toks)
+       |SELECT m.source, m.n_docs, CAST(m.toks AS BIGINT) AS token_mass,
+       |  CAST((m.toks * 1000000) // total_toks AS BIGINT) AS mass_ppm,
+       |  CAST(coalesce(u.uniq_bigrams, 0) AS BIGINT) AS uniq_bigrams,
+       |  CAST((coalesce(u.uniq_bigrams, 0) * 1000000) // n_vocab AS BIGINT) AS uniq_vocab_ppm
+       |FROM mass m LEFT JOIN uniq u ON u.source = m.source CROSS JOIN tot
+       |ORDER BY m.source""".stripMargin
 
   // ------------------------------------- cluster-aware split (q124)
   /** q124: CLUSTER-AWARE TRAIN/VAL/TEST SPLIT — q112's hash split with

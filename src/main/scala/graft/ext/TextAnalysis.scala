@@ -1102,11 +1102,18 @@ object TextAnalysis {
     * ONE definition shared by q143's top-K cut and q197's deeper
     * hard-negative mining depth (the q181 no-drifted-copies
     * discipline). */
-  private[graft] def bm25ScoredDocs(docs: DataFrame): DataFrame = {
+  private[graft] def bm25ScoredDocs(docs: DataFrame): DataFrame =
+    bm25ScoredDocs(docs, bm25QueryTerms(docs))
+
+  /** qterms-threading variant: callers that also need the relevance
+    * rule (q181, q197) discover the query ONCE and pass it to both —
+    * the discovery is a full-corpus distinct+aggregate+collect, the
+    * most expensive part of the whole family. */
+  private[graft] def bm25ScoredDocs(docs: DataFrame,
+                                    qterms: Seq[(String, Long)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val t = toksAll(docs)
-    val qterms = bm25QueryTerms(docs)
     val qdf = qterms.toDF("token", "df")
     val lens = t.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -1133,8 +1140,12 @@ object TextAnalysis {
       .agg(sum(col("contrib_e6")).as("score_e6"), count(lit(1)).as("n_terms"))
   }
 
-  def bm25TopDocs(docs: DataFrame): DataFrame = {
-    val scored = bm25ScoredDocs(docs)
+  def bm25TopDocs(docs: DataFrame): DataFrame =
+    bm25TopDocs(docs, bm25QueryTerms(docs))
+
+  private[graft] def bm25TopDocs(docs: DataFrame,
+                                 qterms: Seq[(String, Long)]): DataFrame = {
+    val scored = bm25ScoredDocs(docs, qterms)
       .orderBy(col("score_e6").desc, col("doc_id")).limit(BmTopDocs)
     scored.withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -1143,11 +1154,17 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
-  val bm25TopDocsSql: String =
-    s"""WITH tok AS (
+  /** The shared oracle CTE chain ending in `scored(doc_id, score_e6,
+    * n_terms)` — ONE definition interpolated by every BM25-family
+    * oracle (q143, q181, q195, q197), mirroring the Scala
+    * [[bm25ScoredDocs]] sharing so the SQL side can't drift either.
+    * Also defines `td`/`q` for the relevance rule below. */
+  private val bmScoredCtesSql: String =
+    s"""tok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
        |t2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
-       |d AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM t2 GROUP BY token),
+       |td AS (SELECT DISTINCT doc_id, token FROM t2),
+       |d AS (SELECT token, COUNT(*) AS df FROM td GROUP BY token),
        |q AS (SELECT token, df FROM d ORDER BY df, token LIMIT $BmQTerms),
        |len AS (SELECT doc_id, COUNT(*) AS len FROM t2 GROUP BY doc_id),
        |n AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
@@ -1165,7 +1182,20 @@ object TextAnalysis {
        |        // 1000000) AS score_e6,
        |    COUNT(*) AS n_terms
        |  FROM tf JOIN q USING (token) JOIN len USING (doc_id) CROSS JOIN n
-       |  GROUP BY doc_id)
+       |  GROUP BY doc_id)""".stripMargin
+
+  /** The relevance-rule CTE (depends on `td` and `q` from
+    * [[bmScoredCtesSql]]) — shared by q181 and q197. A def, not a val:
+    * [[RelMinTerms]] is declared later in the object, so a val here
+    * would interpolate its pre-init 0 (caught by the verify gate when
+    * this was first a val). */
+  private def relCteSql: String =
+    s"""rel AS (
+       |  SELECT doc_id FROM td WHERE token IN (SELECT token FROM q)
+       |  GROUP BY doc_id HAVING COUNT(*) >= $RelMinTerms)""".stripMargin
+
+  val bm25TopDocsSql: String =
+    s"""WITH $bmScoredCtesSql
        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS INT) AS rank,
        |  doc_id, CAST(n_terms AS BIGINT) AS n_terms, CAST(score_e6 AS BIGINT) AS score_e6
        |FROM scored ORDER BY score_e6 DESC, doc_id LIMIT $BmTopDocs""".stripMargin
@@ -1209,9 +1239,16 @@ object TextAnalysis {
     val tgt = db.filter(col("source") === DsirTargetSource)
       .groupBy("bkt").agg(sum("cnt").as("ct"))
     val alls = db.groupBy("bkt").agg(sum("cnt").as("ca"))
+    // loud guard (packGuard discipline): a bucket past ~9.2e12 target
+    // occurrences would wrap (ct+1)*1e6 — at that scale shard the
+    // distribution counts by time/source first and merge
     val ratio = alls.join(tgt, Seq("bkt"), "left_outer")
       .select(col("bkt"),
-        expr("((coalesce(ct, 0) + 1) * 1000000) div (ca + 1)").as("rp"))
+        when(coalesce(col("ct"), lit(0L)) >= 9223372036853L,
+          raise_error(concat(lit("q194 bucket count exceeds the exact ppm bound: "),
+            col("ct").cast("string"))))
+        .otherwise(expr("((coalesce(ct, 0) + 1) * 1000000) div (ca + 1)"))
+        .as("rp"))
     db.join(broadcast(ratio), "bkt")
       .groupBy("doc_id", "source")
       .agg(sum("cnt").as("n_tokens"), sum(col("cnt") * col("rp")).as("s"))
@@ -1287,9 +1324,11 @@ object TextAnalysis {
   }
 
   def rankFusionSql: String =
-    s"""WITH bm AS (
-       |  SELECT CAST(rank AS BIGINT) AS rank_bm25, doc_id
-       |  FROM ($bm25TopDocsSql)),
+    s"""WITH $bmScoredCtesSql,
+       |bm AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank_bm25,
+       |    doc_id
+       |  FROM scored ORDER BY score_e6 DESC, doc_id LIMIT $BmTopDocs),
        |clf AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_clf,
        |    doc_id
@@ -1388,14 +1427,16 @@ object TextAnalysis {
     * driver-side heap, never a sort); the anti-join runs on the
     * depth-row relation against the broadcast positive set. */
   def hardNegatives(docs: DataFrame): DataFrame = {
+    // ONE term-discovery pass feeds the ranking and the exclusion rule
+    val qterms = bm25QueryTerms(docs)
     val deepW = org.apache.spark.sql.expressions.Window
       .orderBy(col("score_e6").desc, col("doc_id"))
-    val deep = bm25ScoredDocs(docs)
+    val deep = bm25ScoredDocs(docs, qterms)
       .orderBy(col("score_e6").desc, col("doc_id")).limit(HardNegDepth)
       .withColumn("bm25_rank", row_number().over(deepW).cast("long"))
     val negW = org.apache.spark.sql.expressions.Window
       .orderBy(col("bm25_rank"))
-    deep.join(broadcast(relevantDocs(docs)), Seq("doc_id"), "left_anti")
+    deep.join(broadcast(relevantDocs(docs, qterms)), Seq("doc_id"), "left_anti")
       .orderBy("bm25_rank").limit(HardNegK)
       .withColumn("neg_rank", row_number().over(negW).cast("int"))
       .select(col("neg_rank"), col("doc_id"), col("bm25_rank"), col("score_e6"))
@@ -1403,31 +1444,8 @@ object TextAnalysis {
   }
 
   def hardNegativesSql: String =
-    s"""WITH tok AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-       |t2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
-       |td AS (SELECT DISTINCT doc_id, token FROM t2),
-       |d AS (SELECT token, COUNT(*) AS df FROM td GROUP BY token),
-       |q AS (SELECT token, df FROM d ORDER BY df, token LIMIT $BmQTerms),
-       |rel AS (
-       |  SELECT doc_id FROM td WHERE token IN (SELECT token FROM q)
-       |  GROUP BY doc_id HAVING COUNT(*) >= $RelMinTerms),
-       |len AS (SELECT doc_id, COUNT(*) AS len FROM t2 GROUP BY doc_id),
-       |n AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-       |             (SELECT SUM(len) FROM len) AS total_len),
-       |tf AS (
-       |  SELECT doc_id, token, COUNT(*) AS tf FROM t2
-       |  WHERE token IN (SELECT token FROM q)
-       |  GROUP BY doc_id, token),
-       |scored AS (
-       |  SELECT doc_id,
-       |    SUM((((1000000 * (n_docs - df + 1)) // (df + 1))
-       |         * ((1000000 * $BmNumC * total_len * tf)
-       |            // ($BmTfC * total_len * tf + $BmConstC * total_len
-       |                + $BmLenC * len * n_docs)))
-       |        // 1000000) AS score_e6
-       |  FROM tf JOIN q USING (token) JOIN len USING (doc_id) CROSS JOIN n
-       |  GROUP BY doc_id),
+    s"""WITH $bmScoredCtesSql,
+       |$relCteSql,
        |deep AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS bm25_rank,
        |    doc_id, CAST(score_e6 AS BIGINT) AS score_e6
@@ -1780,12 +1798,16 @@ object TextAnalysis {
     * hard-negative exclusion (the no-drifted-copies discipline: a
     * drifted copy would let a positive leak into the negatives with
     * every gate green). */
-  private[graft] def relevantDocs(docs: DataFrame): DataFrame = {
+  private[graft] def relevantDocs(docs: DataFrame): DataFrame =
+    relevantDocs(docs, bm25QueryTerms(docs))
+
+  private[graft] def relevantDocs(docs: DataFrame,
+                                  qterms: Seq[(String, Long)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val qterms = bm25QueryTerms(docs).toDF("token", "df").select("token")
+    val qdf = qterms.toDF("token", "df").select("token")
     toksAll(docs).select("doc_id", "token").distinct()
-      .join(broadcast(qterms), "token")
+      .join(broadcast(qdf), "token")
       .groupBy("doc_id").agg(count(lit(1)).as("n_match"))
       .filter(col("n_match") >= RelMinTerms)
       .select("doc_id")
@@ -1794,8 +1816,10 @@ object TextAnalysis {
   def retrievalEval(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val rel = relevantDocs(docs).select(col("doc_id"), lit(1L).as("rel"))
-    val ranked = bm25TopDocs(docs).select("rank", "doc_id")
+    // ONE term-discovery pass feeds both the ranking and the labels
+    val qterms = bm25QueryTerms(docs)
+    val rel = relevantDocs(docs, qterms).select(col("doc_id"), lit(1L).as("rel"))
+    val ranked = bm25TopDocs(docs, qterms).select("rank", "doc_id")
     val hits = ranked.join(rel, Seq("doc_id"), "left")
       .select(col("rank"), coalesce(col("rel"), lit(0L)).as("rel"))
     val nRel = rel.agg(count(lit(1)).as("n_rel"))
@@ -1813,15 +1837,12 @@ object TextAnalysis {
   }
 
   val retrievalEvalSql: String =
-    s"""WITH tok AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-       |t2 AS (SELECT DISTINCT doc_id, token FROM tok WHERE length(token) > 0),
-       |d AS (SELECT token, COUNT(*) AS df FROM t2 GROUP BY token),
-       |q AS (SELECT token FROM d ORDER BY df, token LIMIT $BmQTerms),
-       |rel AS (
-       |  SELECT doc_id FROM t2 JOIN q USING (token)
-       |  GROUP BY doc_id HAVING COUNT(*) >= $RelMinTerms),
-       |ranked AS (SELECT rank, doc_id FROM ($bm25TopDocsSql)),
+    s"""WITH $bmScoredCtesSql,
+       |$relCteSql,
+       |ranked AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS INT) AS rank,
+       |    doc_id
+       |  FROM scored ORDER BY score_e6 DESC, doc_id LIMIT $BmTopDocs),
        |hits AS (
        |  SELECT r.rank,
        |    CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END AS rel

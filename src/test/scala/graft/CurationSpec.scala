@@ -195,7 +195,7 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq == want, "engine order == driver rotation replay")
     // the two-phase numbering must not depend on input partitioning
     assert(run(docs.repartition(7)).toSeq == got.toSeq)
-    // all-exhausted policy: with sources of unequal size the small
+    // drop-out semantics: with sources of unequal size the small
     // source contributes to early rounds then drops out
     import spark.implicits._
     val uneven = Seq((1L, "A"), (2L, "A"), (3L, "A"), (10L, "B"))
