@@ -1059,6 +1059,91 @@ object Curation {
        |  greatest(before, seq * $SeqTokens) - seq * $SeqTokens AS seq_off
        |FROM s ORDER BY source, seq, seq_off""".stripMargin
 
+  // --------------------------------- tokenizer fertility audit (q200)
+  /** q200: TOKENIZER FERTILITY AUDIT — chars-per-token and
+    * whitespace-compression per language under the REAL q113 tokenizer,
+    * the multilingual-tokenizer eval every cross-lingual training run
+    * reads before fixing a vocab: a language whose fertility is much
+    * higher than the others pays more sequence positions per character
+    * (effectively less context, more compute per byte), the documented
+    * failure of English-centric BPE vocabularies on non-Latin scripts.
+    * fertility_mc = milli-chars per BPE token; compression_bp =
+    * whitespace tokens per BPE token in basis points (>= 10000 by
+    * construction — merges only reduce the count).
+    *
+    * Scale: rides the q113 encode (mapPartitions kernel, broadcast
+    * merge table) plus one tiny per-language aggregate; integer floor
+    * division on non-negative sums keeps it hash-exact. */
+  def tokenizerFertility(docs: DataFrame): DataFrame = {
+    val enc = bpeEncode(docs).select(col("doc_id"), col("n_tokens").as("bpe_tokens"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        expr("size(split(text, ' '))").cast("long").as("ws_tokens"))
+      .join(enc, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+           sum("ws_tokens").as("ws_tokens"), sum("bpe_tokens").as("bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("chars"),
+        col("ws_tokens"), col("bpe_tokens"),
+        expr("(chars * 1000) div bpe_tokens").as("fertility_mc"),
+        expr("(ws_tokens * 10000) div bpe_tokens").as("compression_bp"))
+      .orderBy("lang")
+  }
+
+  val tokenizerFertilitySql: String =
+    s"""WITH RECURSIVE
+       |$bpeChainSql,
+       |bt AS (SELECT doc_id, CAST(len(syms) AS BIGINT) AS bpe_tokens FROM fin),
+       |base AS (
+       |  SELECT d.lang, d.n_chars,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS ws_tokens,
+       |    bt.bpe_tokens
+       |  FROM documents d JOIN bt USING (doc_id))
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+       |  CAST(SUM(ws_tokens) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_tokens,
+       |  CAST((SUM(n_chars) * 1000) // SUM(bpe_tokens) AS BIGINT) AS fertility_mc,
+       |  CAST((SUM(ws_tokens) * 10000) // SUM(bpe_tokens) AS BIGINT) AS compression_bp
+       |FROM base GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------- loss-mask span prep (q201)
+  /** q201: LOSS-MASK SPAN PREP — the per-sequence mask table a trainer
+    * consumes to zero the loss over compromised content: q114's packed
+    * spans (REAL tokenizer counts) joined with q70's compliance
+    * verdict, so every span whose source doc carries PII or blocklist
+    * hits is flagged masked=1 while packing geometry stays untouched
+    * (masking at pack time, not by dropping docs, preserves sequence
+    * boundaries and epoch determinism — the reason loaders mask
+    * instead of refiltering). Composes three gated ops (q113 encode →
+    * q114 pack → q70 verdict) into the artifact none of them emits
+    * alone.
+    *
+    * Scale: the span relation joins the per-doc flag relation on
+    * doc_id — both corpus-sized, one co-partitioned hash join; no new
+    * scans beyond the audited q114 and q70 plans. */
+  def maskSpans(docs: DataFrame): DataFrame = {
+    val flags = graft.ext.TextAnalysis.piiScrub(docs)
+      .select(col("doc_id"),
+        (col("n_email") + col("n_ipv4") + col("n_phone") + col("n_blocked") > 0)
+          .cast("long").as("masked"))
+    packedSpansBpe(docs)
+      .join(flags, "doc_id")
+      .select(col("source"), col("seq"), col("seq_off"), col("tok_len"),
+        col("doc_id"), col("masked"))
+      .orderBy("source", "seq", "seq_off")
+  }
+
+  val maskSpansSql: String =
+    s"""WITH spans AS (SELECT * FROM (${packedSpansBpeSql})),
+       |flags AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN n_email + n_ipv4 + n_phone + n_blocked > 0
+       |         THEN 1 ELSE 0 END AS BIGINT) AS masked
+       |  FROM (${graft.ext.TextAnalysis.piiScrubSql}))
+       |SELECT s.source, s.seq, s.seq_off, s.tok_len, s.doc_id, f.masked
+       |FROM spans s JOIN flags f USING (doc_id)
+       |ORDER BY s.source, s.seq, s.seq_off""".stripMargin
+
   // ------------------------------------------------ prefix containment
   /** Minimum leading tokens for containment to count (and the blocking
     * fingerprint width — see the losslessness argument below). */
@@ -1632,7 +1717,9 @@ object Curation {
     "q191_interleave" -> ((s, d) => sourceInterleave(Tables.documents(s, d))),
     "q192_greedy_coverage" -> ((s, d) => greedyCoverage(Tables.documents(s, d))),
     "q198_k_anonymity" -> ((s, d) => kAnonymity(Tables.documents(s, d))),
-    "q199_source_ablation" -> ((s, d) => sourceAblation(Tables.documents(s, d))))
+    "q199_source_ablation" -> ((s, d) => sourceAblation(Tables.documents(s, d))),
+    "q200_tokenizer_fertility" -> ((s, d) => tokenizerFertility(Tables.documents(s, d))),
+    "q201_mask_spans" -> ((s, d) => maskSpans(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q189_corpus_datasheet" -> corpusDatasheetSql,
@@ -1659,5 +1746,7 @@ object Curation {
     "q191_interleave" -> sourceInterleaveSql,
     "q192_greedy_coverage" -> greedyCoverageSql,
     "q198_k_anonymity" -> kAnonymitySql,
-    "q199_source_ablation" -> sourceAblationSql)
+    "q199_source_ablation" -> sourceAblationSql,
+    "q200_tokenizer_fertility" -> tokenizerFertilitySql,
+    "q201_mask_spans" -> maskSpansSql)
 }

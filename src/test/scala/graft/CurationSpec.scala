@@ -298,6 +298,53 @@ class CurationSpec extends SparkSpec {
     assert(got.values.map(_._4).sum == nSrc.count(_._2 == 1))
   }
 
+  test("q200 fertility: per-lang sums recompute from the encoder, compression >= 1") {
+    val docs = Tables.documents(spark, sf)
+    val enc = Curation.bpeEncode(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = docs.select("doc_id", "lang", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3).split(" ", -1).length.toLong))
+    val want = base.groupBy(_._2).map { case (lang, ds) =>
+      val chars = ds.map(_._3).sum
+      val ws = ds.map(_._4).sum
+      val bpe = ds.map(d => enc(d._1)).sum
+      lang -> ((ds.length.toLong, chars, ws, bpe,
+        chars * 1000 / bpe, ws * 10000 / bpe))
+    }
+    val got = Curation.tokenizerFertility(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == want, "per-lang fertility == encoder recompute")
+    got.values.foreach { case (_, _, ws, bpe, _, cbp) =>
+      assert(bpe <= ws, "merges only reduce the token count")
+      assert(cbp >= 10000, "compression_bp >= 1x by construction")
+    }
+  }
+
+  test("q201 mask spans: geometry untouched, flag matches the PII verdict exactly") {
+    val docs = Tables.documents(spark, sf)
+    val spans = Curation.packedSpansBpe(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    // (source, seq, doc_id, tok_len, seq_off)
+    val pii = graft.ext.TextAnalysis.piiScrub(docs).collect().map { r =>
+      val hits = Seq("n_email", "n_ipv4", "n_phone", "n_blocked")
+        .map(c => r.getAs[Long](c)).sum
+      r.getAs[Long]("doc_id") -> (if (hits > 0) 1L else 0L)
+    }.toMap
+    val got = Curation.maskSpans(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // same span set as the unmasked packing (masking must not re-pack)
+    assert(got.map(t => (t._1, t._2, t._5, t._4, t._3)).sorted.toSeq ==
+      spans.sorted.toSeq, "span geometry identical to q114")
+    got.foreach { case (_, _, _, _, docId, masked) =>
+      assert(masked == pii(docId), s"doc $docId flag must equal the q70 verdict")
+    }
+    assert(got.exists(_._6 == 1L) && got.exists(_._6 == 0L),
+      "fixture exercises both masked and unmasked spans")
+  }
+
   test("q112 split: complete + disjoint, growth-stable labels, proportions sane") {
     val docs = Tables.documents(spark, sf)
     val labels = Curation.splitLabels(docs).collect()
