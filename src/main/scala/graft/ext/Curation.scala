@@ -1144,6 +1144,60 @@ object Curation {
        |FROM spans s JOIN flags f USING (doc_id)
        |ORDER BY s.source, s.seq, s.seq_off""".stripMargin
 
+  // ---------------------------------- vocabulary growth curve (q203)
+  /** Ingest-order buckets for the growth curve. */
+  val GrowthBuckets = 16L
+
+  /** q203: VOCABULARY GROWTH CURVE (Heaps-law audit) — how many NEW
+    * bigrams each slice of the ingest order contributes, the curve
+    * vocab-sizing and "is more crawl still adding content?" decisions
+    * read: a healthy crawl's new-feature rate decays (sublinear Heaps
+    * growth); a flat curve means near-duplicate ingest, a cliff means
+    * the source is exhausted. Each bigram is attributed to its FIRST
+    * document (min doc_id — deterministic, growth-stable: adding later
+    * docs never re-attributes an old bigram), docs bucket into
+    * [[GrowthBuckets]] equal id ranges, and the report is new + running
+    * cumulative bigrams per bucket beside the bucket's doc count.
+    * Shares [[docBigrams]] with q192/q199 so all three growth/coverage
+    * views describe the same feature universe.
+    *
+    * Scale: one (bg → min doc) aggregate over the bigram relation, a
+    * broadcast scalar for the bucket width, windows only over the
+    * [[GrowthBuckets]]-row relation. */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    val w = docs.agg((expr(s"max(doc_id) div $GrowthBuckets") + 1).as("w"))
+    val firstDoc = docBigrams(docs, "doc_id")
+      .groupBy("bg").agg(min("doc_id").as("first_doc"))
+    val newPer = firstDoc.crossJoin(broadcast(w))
+      .groupBy(expr("first_doc div w").as("bucket"))
+      .agg(count(lit(1)).as("new_bigrams"))
+    val docsPer = docs.crossJoin(broadcast(w))
+      .groupBy(expr("doc_id div w").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val cumW = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docsPer.join(newPer, Seq("bucket"), "left_outer")
+      .withColumn("new_bigrams", coalesce(col("new_bigrams"), lit(0L)))
+      .withColumn("cum_bigrams", sum("new_bigrams").over(cumW))
+      .select("bucket", "n_docs", "new_bigrams", "cum_bigrams")
+      .orderBy("bucket")
+  }
+
+  val vocabGrowthSql: String =
+    s"""WITH ${bigramCtesSql("doc_id")},
+       |w AS (SELECT (max(doc_id) // $GrowthBuckets) + 1 AS w FROM documents),
+       |fd AS (SELECT bg, min(doc_id) AS first_doc FROM b GROUP BY bg),
+       |np AS (SELECT first_doc // w AS bucket, count(*) AS new_bigrams
+       |       FROM fd, w GROUP BY 1),
+       |dp AS (SELECT doc_id // w AS bucket, count(*) AS n_docs
+       |       FROM documents, w GROUP BY 1)
+       |SELECT dp.bucket, dp.n_docs,
+       |  CAST(coalesce(np.new_bigrams, 0) AS BIGINT) AS new_bigrams,
+       |  CAST(SUM(coalesce(np.new_bigrams, 0))
+       |    OVER (ORDER BY dp.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bigrams
+       |FROM dp LEFT JOIN np ON np.bucket = dp.bucket
+       |ORDER BY dp.bucket""".stripMargin
+
   // ------------------------------------------------ prefix containment
   /** Minimum leading tokens for containment to count (and the blocking
     * fingerprint width — see the losslessness argument below). */
@@ -1719,7 +1773,8 @@ object Curation {
     "q198_k_anonymity" -> ((s, d) => kAnonymity(Tables.documents(s, d))),
     "q199_source_ablation" -> ((s, d) => sourceAblation(Tables.documents(s, d))),
     "q200_tokenizer_fertility" -> ((s, d) => tokenizerFertility(Tables.documents(s, d))),
-    "q201_mask_spans" -> ((s, d) => maskSpans(Tables.documents(s, d))))
+    "q201_mask_spans" -> ((s, d) => maskSpans(Tables.documents(s, d))),
+    "q203_vocab_growth" -> ((s, d) => vocabGrowth(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q189_corpus_datasheet" -> corpusDatasheetSql,
@@ -1748,5 +1803,6 @@ object Curation {
     "q198_k_anonymity" -> kAnonymitySql,
     "q199_source_ablation" -> sourceAblationSql,
     "q200_tokenizer_fertility" -> tokenizerFertilitySql,
-    "q201_mask_spans" -> maskSpansSql)
+    "q201_mask_spans" -> maskSpansSql,
+    "q203_vocab_growth" -> vocabGrowthSql)
 }

@@ -777,6 +777,79 @@ object TextAnalysis {
        |GROUP BY g.doc_id
        |ORDER BY g.doc_id""".stripMargin
 
+  // --------------------------------- contamination excision (q202)
+  /** q202: SURGICAL DECONTAMINATION — q85 measures eval overlap, q45
+    * flags contaminated docs; this REPAIRS them: every token position
+    * covered by a trigram that also appears in the eval split
+    * (q85's doc_id % [[OverlapEvalMod]] rule, one definition) is
+    * excised and the cleaned payload fingerprinted — span-level
+    * removal instead of doc-level drop, the n-gram excision the
+    * decontamination literature prefers when contaminated docs are
+    * otherwise valuable (dropping a whole book for one leaked eval
+    * paragraph wastes the book). Output per train doc: token count,
+    * removed-position count, md5 of the cleaned text — n_removed = 0
+    * rows prove clean docs pass through byte-identical.
+    *
+    * Scale: trigram positions are per-row array arithmetic; the hit
+    * join is against the BROADCAST eval gram set (eval splits are
+    * small by definition — q45's Bloom argument); covered positions
+    * fold back per doc (collect_set over ≤ 3·hits ints) and the
+    * excision itself is one array projection — no shuffle beyond the
+    * hit aggregation. */
+  def spanExcision(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val tri = t.where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> named_struct('i', i, 'gram',
+          |    concat(element_at(toks, i), ' ', element_at(toks, i + 1),
+          |           ' ', element_at(toks, i + 2))))""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.gram").as("gram"))
+    val evalGrams = tri.filter(col("doc_id") % OverlapEvalMod === 0)
+      .select("gram").distinct()
+    val cov = tri.filter(col("doc_id") % OverlapEvalMod =!= 0)
+      .join(broadcast(evalGrams), "gram")
+      .select(col("doc_id"), explode(expr("array(i, i + 1, i + 2)")).as("p"))
+      .groupBy("doc_id").agg(collect_set("p").as("cov"))
+    t.where(size(col("toks")) >= 3)
+      .filter(col("doc_id") % OverlapEvalMod =!= 0)
+      .join(cov, Seq("doc_id"), "left_outer")
+      .withColumn("cov", coalesce(col("cov"), expr("cast(array() as array<int>)")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        md5(expr(
+          """cast(array_join(transform(
+            |  filter(sequence(1, size(toks)), p -> not array_contains(cov, p)),
+            |  p -> element_at(toks, p)), ' ') as binary)""".stripMargin))
+          .as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val spanExcisionSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tri AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+       |    i -> struct_pack(i := i,
+       |      gram := toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS u
+       |  FROM t WHERE len(toks) >= 3),
+       |g AS (SELECT doc_id, u.i AS i, u.gram AS gram FROM tri),
+       |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % $OverlapEvalMod = 0),
+       |hits AS (SELECT g.doc_id, g.i FROM g JOIN ev USING (gram)
+       |         WHERE g.doc_id % $OverlapEvalMod <> 0),
+       |cov AS (SELECT doc_id, list_distinct(flatten(list([i, i + 1, i + 2]))) AS cov
+       |        FROM hits GROUP BY doc_id),
+       |base AS (
+       |  SELECT t.doc_id, t.toks, coalesce(cov.cov, []) AS cov
+       |  FROM t LEFT JOIN cov USING (doc_id)
+       |  WHERE len(t.toks) >= 3 AND t.doc_id % $OverlapEvalMod <> 0)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(cov) AS BIGINT) AS n_removed,
+       |  md5(coalesce(array_to_string(list_transform(
+       |    list_filter(generate_series(1, len(toks)), p -> NOT list_contains(cov, p)),
+       |    p -> toks[p]), ' '), '')) AS clean_md5
+       |FROM base ORDER BY doc_id""".stripMargin
+
   // ------------------------------------- q120 hashed linear classifier
   /** Feature-hash space for the linear quality model (2^12 buckets). */
   val ClassifierBuckets = 4096
@@ -1994,7 +2067,8 @@ object TextAnalysis {
     "q194_dsir_affinity" -> ((s, d) => dsirAffinity(Tables.documents(s, d))),
     "q195_rank_fusion" -> ((s, d) => rankFusion(Tables.documents(s, d))),
     "q196_weighted_median" -> ((s, d) => weightedMedianLength(Tables.documents(s, d))),
-    "q197_hard_negatives" -> ((s, d) => hardNegatives(Tables.documents(s, d))))
+    "q197_hard_negatives" -> ((s, d) => hardNegatives(Tables.documents(s, d))),
+    "q202_span_excision" -> ((s, d) => spanExcision(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q19_lang_id"     -> langIdSql,
@@ -2028,5 +2102,6 @@ object TextAnalysis {
     "q194_dsir_affinity" -> dsirAffinitySql,
     "q195_rank_fusion" -> rankFusionSql,
     "q196_weighted_median" -> weightedMedianLengthSql,
-    "q197_hard_negatives" -> hardNegativesSql)
+    "q197_hard_negatives" -> hardNegativesSql,
+    "q202_span_excision" -> spanExcisionSql)
 }

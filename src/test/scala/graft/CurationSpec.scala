@@ -345,6 +345,33 @@ class CurationSpec extends SparkSpec {
       "fixture exercises both masked and unmasked spans")
   }
 
+  test("q203 vocab growth: first-occurrence replay, cumulative telescopes to the universe") {
+    val docs = Tables.documents(spark, sf)
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val firstDoc = rows.filter(_._2.length >= 2)
+      .flatMap { case (id, t) => t.sliding(2).filter(_.length == 2)
+        .map(p => (p.mkString(" "), id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val maxId = rows.map(_._1).max
+    val w = maxId / Curation.GrowthBuckets + 1
+    val wantNew = firstDoc.values.groupBy(_ / w).view.mapValues(_.size.toLong).toMap
+    val wantDocs = rows.map(_._1).groupBy(_ / w).view.mapValues(_.size.toLong).toMap
+    val got = Curation.vocabGrowth(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSet == wantDocs.keySet)
+    got.foreach { case (b, nd, nb, _) =>
+      assert(nd == wantDocs(b) && nb == wantNew.getOrElse(b, 0L), s"bucket $b")
+    }
+    // cumulative telescopes and ends at the full bigram universe
+    var run = 0L
+    got.sortBy(_._1).foreach { case (_, _, nb, cum) =>
+      run += nb; assert(cum == run, "running sum")
+    }
+    assert(run == firstDoc.size.toLong, "total == distinct bigram universe")
+    assert(got.map(_._2).sum == rows.length.toLong, "every doc counted once")
+  }
+
   test("q112 split: complete + disjoint, growth-stable labels, proportions sane") {
     val docs = Tables.documents(spark, sf)
     val labels = Curation.splitLabels(docs).collect()

@@ -1976,6 +1976,37 @@ class ExtSpec extends SparkSpec {
         "negatives come from the contested top of the ranking")
   }
 
+  test("q202 span excision: full driver replay, clean docs byte-identical") {
+    import java.security.MessageDigest
+    def md5hex(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    def grams(t: Array[String]) =
+      if (t.length < 3) Seq.empty
+      else (0 to t.length - 3).map(i => (i + 1, s"${t(i)} ${t(i + 1)} ${t(i + 2)}"))
+    val evalSet = texts.filter(_._1 % TextAnalysis.OverlapEvalMod == 0)
+      .flatMap(d => grams(d._2).map(_._2)).toSet
+    val want = texts
+      .filter { case (id, t) => id % TextAnalysis.OverlapEvalMod != 0 && t.length >= 3 }
+      .map { case (id, t) =>
+        val cov = grams(t).filter(g => evalSet(g._2))
+          .flatMap { case (i, _) => Seq(i, i + 1, i + 2) }.toSet
+        val kept = (1 to t.length).filterNot(cov).map(p => t(p - 1))
+        id -> ((t.length.toLong, cov.size.toLong, md5hex(kept.mkString(" "))))
+      }.toMap
+    val got = TextAnalysis.spanExcision(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == want, "engine == exhaustive driver excision replay")
+    // clean docs pass through byte-identical; dirty docs exist
+    got.foreach { case (id, (_, removed, h)) =>
+      if (removed == 0)
+        assert(h == md5hex(texts.toMap.apply(id).mkString(" ")), s"doc $id")
+    }
+    assert(got.values.exists(_._2 > 0), "fixture exercises real excision")
+    assert(got.values.exists(_._2 == 0), "fixture keeps clean docs untouched")
+  }
+
   test("q189 datasheet: every metric equals its source query's own aggregate") {
     val m = Curation.corpusDatasheet(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
