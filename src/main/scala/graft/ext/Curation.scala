@@ -1198,6 +1198,99 @@ object Curation {
        |FROM dp LEFT JOIN np ON np.bucket = dp.bucket
        |ORDER BY dp.bucket""".stripMargin
 
+  // ------------------------------- balanced eval construction (q204)
+  /** Docs selected per language stratum. */
+  val EvalQuota = 10L
+
+  /** q204: BALANCED EVAL-SET CONSTRUCTION — exactly [[EvalQuota]] docs
+    * per language, selected by salted-hash order: the standard fix for
+    * proportional sampling (q56) leaving minority languages with too
+    * few eval docs to measure anything (a 1%-share language gets 1% of
+    * the eval budget — useless error bars; a balanced eval gives every
+    * language the same statistical power). Selection order is
+    * md5('ev' ‖ doc_id) — deterministic, growth-stable per doc,
+    * independent of q112's split stream (disjoint salt), so the eval
+    * set is reproducible and stable under corpus growth up to quota
+    * displacement.
+    *
+    * Scale: one window rank per language partition (parallel across
+    * languages, the q151 shape) + a quota filter; nothing global. */
+  def balancedEval(docs: DataFrame): DataFrame = {
+    val byLang = Window.partitionBy("lang")
+      .orderBy(expr("md5(concat('ev', cast(doc_id as string)))"), col("doc_id"))
+    docs.select(col("lang"), col("doc_id"))
+      .withColumn("rank", row_number().over(byLang).cast("long"))
+      .filter(col("rank") <= EvalQuota)
+      .select("lang", "rank", "doc_id")
+      .orderBy("lang", "rank")
+  }
+
+  val balancedEvalSql: String =
+    s"""WITH r AS (
+       |  SELECT lang, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY md5('ev' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents)
+       |SELECT lang, CAST(rk AS BIGINT) AS rank, doc_id
+       |FROM r WHERE rk <= $EvalQuota ORDER BY lang, rank""".stripMargin
+
+  // ------------------------------- length-bucketed batching (q205)
+  /** Token capacity per batch. */
+  val BatchTokens = 256L
+  /** Seed for the in-bucket shuffle order (distinct from q111/q112/
+    * q191 streams). */
+  val BatchSeed = 99L
+
+  /** q205: LENGTH-BUCKETED BATCHING PLAN with padding-waste
+    * accounting — the dynamic-batching prep every padded-training
+    * loader runs: batching similar-length docs together bounds the
+    * padding a batch pays (pad to the batch max, not the corpus max).
+    * Docs bucket by length octave (q182's exact-bin trick), shuffle
+    * within the bucket by a seeded LCG (q111's family, own seed), and
+    * fill batches greedily — a doc joins the batch its running token
+    * START falls into (batch = before div [[BatchTokens]]), so a batch
+    * can overrun capacity by less than its last doc's length, the
+    * standard streaming batcher's boundary behavior, stated rather
+    * than hidden. The report is per batch: docs, real tokens, and
+    * pad_waste = n_docs·max_len − tokens — the quantity bucketing
+    * exists to minimize and the number that justifies it against
+    * random batching.
+    *
+    * Scale: running sums ride one bin-keyed exchange (parallel across
+    * bins), the per-(bin,batch) aggregate reuses it; integer-exact. */
+  def bucketedBatching(docs: DataFrame): DataFrame = {
+    val byBin = Window.partitionBy("bin").orderBy("key", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.filter(col("n_chars") > 0)
+      .select(col("doc_id"),
+        (length(expr("bin(n_chars)")) - 1).cast("long").as("bin"),
+        expr("size(split(text, ' '))").cast("long").as("nt"),
+        expr(s"($ShuffleMulA * doc_id + $BatchSeed) % $ShuffleMod").as("key"))
+      .withColumn("before", coalesce(sum("nt").over(byBin), lit(0L)))
+      .withColumn("batch", expr(s"before div $BatchTokens"))
+      .groupBy("bin", "batch")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("tokens"),
+        (count(lit(1)) * max("nt") - sum("nt")).as("pad_waste"))
+      .orderBy("bin", "batch")
+  }
+
+  val bucketedBatchingSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, length(bin(n_chars)) - 1 AS bin,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+       |    ($ShuffleMulA * doc_id + $BatchSeed) % $ShuffleMod AS key
+       |  FROM documents WHERE n_chars > 0),
+       |c AS (
+       |  SELECT doc_id, bin, nt,
+       |    COALESCE(SUM(nt) OVER (PARTITION BY bin ORDER BY key, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+       |  FROM d),
+       |b AS (SELECT bin, before // $BatchTokens AS batch, doc_id, nt FROM c)
+       |SELECT bin, CAST(batch AS BIGINT) AS batch, count(*) AS n_docs,
+       |  CAST(sum(nt) AS BIGINT) AS tokens,
+       |  CAST(count(*) * max(nt) - sum(nt) AS BIGINT) AS pad_waste
+       |FROM b GROUP BY bin, batch ORDER BY bin, batch""".stripMargin
+
   // ------------------------------------------------ prefix containment
   /** Minimum leading tokens for containment to count (and the blocking
     * fingerprint width — see the losslessness argument below). */
@@ -1774,7 +1867,9 @@ object Curation {
     "q199_source_ablation" -> ((s, d) => sourceAblation(Tables.documents(s, d))),
     "q200_tokenizer_fertility" -> ((s, d) => tokenizerFertility(Tables.documents(s, d))),
     "q201_mask_spans" -> ((s, d) => maskSpans(Tables.documents(s, d))),
-    "q203_vocab_growth" -> ((s, d) => vocabGrowth(Tables.documents(s, d))))
+    "q203_vocab_growth" -> ((s, d) => vocabGrowth(Tables.documents(s, d))),
+    "q204_balanced_eval" -> ((s, d) => balancedEval(Tables.documents(s, d))),
+    "q205_bucketed_batching" -> ((s, d) => bucketedBatching(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q189_corpus_datasheet" -> corpusDatasheetSql,
@@ -1804,5 +1899,7 @@ object Curation {
     "q199_source_ablation" -> sourceAblationSql,
     "q200_tokenizer_fertility" -> tokenizerFertilitySql,
     "q201_mask_spans" -> maskSpansSql,
-    "q203_vocab_growth" -> vocabGrowthSql)
+    "q203_vocab_growth" -> vocabGrowthSql,
+    "q204_balanced_eval" -> balancedEvalSql,
+    "q205_bucketed_batching" -> bucketedBatchingSql)
 }

@@ -372,6 +372,62 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_._2).sum == rows.length.toLong, "every doc counted once")
   }
 
+  test("q204 balanced eval: exact quota per language, hash-order replay") {
+    import java.security.MessageDigest
+    def md5hex(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf)
+    val base = docs.select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = base.groupBy(_._1).toSeq.flatMap { case (lang, ds) =>
+      ds.map(_._2).sortBy(id => (md5hex(s"ev$id"), id))
+        .take(Curation.EvalQuota.toInt).zipWithIndex
+        .map { case (id, i) => (lang, i + 1L, id) }
+    }.sortBy(t => (t._1, t._2))
+    val got = Curation.balancedEval(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want, "selection == driver hash-order replay")
+    // exactly quota per language (or the whole language when smaller)
+    val perLang = base.groupBy(_._1).view.mapValues(_.length).toMap
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length == math.min(Curation.EvalQuota, perLang(lang).toLong),
+        s"lang $lang quota")
+    }
+  }
+
+  test("q205 bucketed batching: fill replay, capacity overflow bounded, waste exact") {
+    val docs = Tables.documents(spark, sf)
+    val rows = docs.filter(col("n_chars") > 0)
+      .select("doc_id", "n_chars", "text").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        (id, (63 - java.lang.Long.numberOfLeadingZeros(r.getLong(1))).toLong,
+          r.getString(2).split(" ", -1).length.toLong,
+          (Curation.ShuffleMulA * id + Curation.BatchSeed) % Curation.ShuffleMod)
+      }
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (bin, ds) =>
+      val sorted = ds.sortBy(d => (d._4, d._1))
+      val before = sorted.scanLeft(0L)(_ + _._3).init
+      sorted.zip(before).map { case ((id, _, nt, _), b) =>
+        ((bin, b / Curation.BatchTokens), nt)
+      }
+    }.groupBy(_._1).map { case ((bin, batch), ms) =>
+      val ns = ms.map(_._2)
+      (bin, batch) -> ((ns.length.toLong, ns.sum,
+        ns.length * ns.max - ns.sum))
+    }
+    val got = Curation.bucketedBatching(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want.toMap, "batches == driver greedy-fill replay")
+    // a batch overruns capacity by less than its own longest doc
+    got.foreach { case ((bin, batch), (n, toks, waste)) =>
+      assert(waste >= 0, s"bin $bin batch $batch")
+      assert(toks < Curation.BatchTokens + (toks + waste) / n,
+        s"bin $bin batch $batch bounded overflow")
+    }
+  }
+
   test("q112 split: complete + disjoint, growth-stable labels, proportions sane") {
     val docs = Tables.documents(spark, sf)
     val labels = Curation.splitLabels(docs).collect()
