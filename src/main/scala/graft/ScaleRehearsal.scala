@@ -86,7 +86,21 @@ object ScaleRehearsal {
     // excluded below: its OUTPUT is quadratic in dup-family size)
     "q186_incremental_neardup", "q181_retrieval_eval",
     "q182_length_rebalance", "q184_calibration",
-    "q187_filter_attribution", "q189_corpus_datasheet")
+    "q187_filter_attribution", "q189_corpus_datasheet",
+    // round-8 fourth wave: winnowing (array-arithmetic selection +
+    // df-capped postings — its pair OUTPUT grows with dup families
+    // like q14's, caps bound the scan), two-phase interleave, greedy
+    // coverage (5 fixed linear scans), DSIR ratio scoring (one
+    // (doc,bucket) aggregate + 256-row broadcast), RRF fusion and
+    // hard negatives (TakeOrdered cuts over the q143 pass),
+    // weighted median + k-anonymity rollup + ablation + excision +
+    // growth curve + balanced eval + bucketed batching (all one-scan
+    // relational), fertility + mask spans (ride the q113 encode)
+    "q190_winnowing", "q191_interleave", "q192_greedy_coverage",
+    "q194_dsir_affinity", "q195_rank_fusion", "q196_weighted_median",
+    "q197_hard_negatives", "q198_k_anonymity", "q199_source_ablation",
+    "q200_tokenizer_fertility", "q201_mask_spans", "q202_span_excision",
+    "q203_vocab_growth", "q204_balanced_eval", "q205_bucketed_batching")
 
   /** q17/q24/q69 are declared-O(n²) kernels; q18/q73 assign against a
     * centroid set that GROWS with the fixture (vec_id % mod stand-in),
