@@ -1291,6 +1291,79 @@ object Curation {
        |  CAST(count(*) * max(nt) - sum(nt) AS BIGINT) AS pad_waste
        |FROM b GROUP BY bin, batch ORDER BY bin, batch""".stripMargin
 
+  // ----------------------------------- split balance audit (q207)
+  /** Hashed token-feature buckets for the balance comparison. */
+  val BalanceBuckets = 64L
+
+  /** q207: SPLIT BALANCE AUDIT — does q112's hash split actually
+    * produce distributionally equivalent train/val/test? A uniform
+    * hash guarantees balanced COUNTS; it does not guarantee the val
+    * split isn't accidentally topic-skewed (small splits can be, and
+    * an imbalanced val set silently mismeasures every ablation run
+    * against it). The audit compares each split's hashed token-bucket
+    * distribution against the corpus distribution and reports, per
+    * split, the max single-bucket deviation and the total-variation
+    * distance — both in exact ppm (|a−b| of floor-ppm shares: integer,
+    * order-independent, hash-stable; the χ²/KL forms need float logs
+    * the contract bans, and TV distance is the standard
+    * distribution-free substitute).
+    *
+    * Scale: one token scan → (split, bucket) counts (≤ 3·64 rows),
+    * everything downstream is algebra on that tiny relation. */
+  def splitBalance(docs: DataFrame): DataFrame = {
+    val toks = splitLabels(docs).select("doc_id", "split")
+      .join(docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w")), "doc_id")
+      .filter(length(col("w")) > 0)
+      .withColumn("bkt",
+        expr(s"cast(conv(substr(md5(w), 1, 6), 16, 10) as bigint) % $BalanceBuckets"))
+    val perSplit = toks.groupBy("split", "bkt").agg(count(lit(1)).as("c"))
+    val splitTot = perSplit.groupBy("split").agg(sum("c").as("tot"))
+    val global = perSplit.groupBy("bkt").agg(sum("c").as("g"))
+    val gTot = global.agg(sum("g").as("gtot"))
+    // densified: a bucket the split never hits still deviates by the
+    // bucket's whole global share — dropping those rows would
+    // understate exactly the skew this audit exists to catch
+    global.crossJoin(broadcast(splitTot))
+      .join(perSplit, Seq("split", "bkt"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(gTot))
+      .select(col("split"), col("tot"),
+        expr("abs((c * 1000000) div tot - (g * 1000000) div gtot)").as("dev"))
+      .groupBy("split")
+      .agg(max("tot").as("n_tokens"), max("dev").as("max_dev_ppm"),
+        sum("dev").as("tv_ppm"))
+      .orderBy("split")
+  }
+
+  val splitBalanceSql: String =
+    s"""WITH lab AS (
+       |  SELECT doc_id,
+       |    CASE WHEN (($ShuffleMulA * doc_id + 777) % $ShuffleMod) % 1000 < $SplitTrainPm THEN 'train'
+       |         WHEN (($ShuffleMulA * doc_id + 777) % $ShuffleMod) % 1000 < $SplitValPm THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |toks AS (
+       |  SELECT l.split,
+       |    ('0x' || substr(md5(w), 1, 6))::BIGINT % $BalanceBuckets AS bkt
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  JOIN lab l USING (doc_id) WHERE length(w) > 0),
+       |ps AS (SELECT split, bkt, count(*) AS c FROM toks GROUP BY 1, 2),
+       |st AS (SELECT split, sum(c) AS tot FROM ps GROUP BY 1),
+       |g AS (SELECT bkt, sum(c) AS g FROM ps GROUP BY 1),
+       |gt AS (SELECT sum(g) AS gtot FROM g),
+       |dev AS (
+       |  SELECT st.split, st.tot,
+       |    abs((coalesce(ps.c, 0) * 1000000) // st.tot
+       |        - (g.g * 1000000) // gt.gtot) AS dev
+       |  FROM g CROSS JOIN st
+       |  LEFT JOIN ps ON ps.split = st.split AND ps.bkt = g.bkt
+       |  CROSS JOIN gt)
+       |SELECT split, CAST(max(tot) AS BIGINT) AS n_tokens,
+       |  CAST(max(dev) AS BIGINT) AS max_dev_ppm,
+       |  CAST(sum(dev) AS BIGINT) AS tv_ppm
+       |FROM dev GROUP BY split ORDER BY split""".stripMargin
+
   // ------------------------------------------------ prefix containment
   /** Minimum leading tokens for containment to count (and the blocking
     * fingerprint width — see the losslessness argument below). */
@@ -1869,7 +1942,8 @@ object Curation {
     "q201_mask_spans" -> ((s, d) => maskSpans(Tables.documents(s, d))),
     "q203_vocab_growth" -> ((s, d) => vocabGrowth(Tables.documents(s, d))),
     "q204_balanced_eval" -> ((s, d) => balancedEval(Tables.documents(s, d))),
-    "q205_bucketed_batching" -> ((s, d) => bucketedBatching(Tables.documents(s, d))))
+    "q205_bucketed_batching" -> ((s, d) => bucketedBatching(Tables.documents(s, d))),
+    "q207_split_balance" -> ((s, d) => splitBalance(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q189_corpus_datasheet" -> corpusDatasheetSql,
@@ -1901,5 +1975,6 @@ object Curation {
     "q201_mask_spans" -> maskSpansSql,
     "q203_vocab_growth" -> vocabGrowthSql,
     "q204_balanced_eval" -> balancedEvalSql,
-    "q205_bucketed_batching" -> bucketedBatchingSql)
+    "q205_bucketed_batching" -> bucketedBatchingSql,
+    "q207_split_balance" -> splitBalanceSql)
 }

@@ -1710,6 +1710,88 @@ object Dedup {
        |WHERE shared_fps >= $WinnowMinShared
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --------------------------- content-defined chunking dedup (q206)
+  /** Rolling window width (code points) for the CDC boundary hash. */
+  val CdcWindow = 16
+  /** Boundary rule: cut after a window whose hash ≡ 0 (mod this) —
+    * expected chunk length ≈ this many characters. */
+  val CdcMask = 64L
+
+  /** q206: CONTENT-DEFINED CHUNKING DEDUP — storage-style dedup at
+    * variable chunk granularity: boundaries fall where the rolling
+    * hash of the last [[CdcWindow]] chars ≡ 0 mod [[CdcMask]], so an
+    * INSERTION only reshapes the chunks it touches and every other
+    * chunk keeps its identity — the property q72's fixed windows and
+    * q46's fixed-stride chunks both lack, and the reason backup/dedup
+    * systems (and long-doc near-dup pipelines) chunk by content, not
+    * offset. Reports every chunk shared by >= 2 docs with its length
+    * and occurrence counts — the shared-passage inventory at chunk
+    * grain.
+    *
+    * Scale: boundary detection is the same O(n) [[graft.functions.RollingHashes]]
+    * codegen kernel as q72 (a SQL formulation pays O(n·W) — the oracle
+    * does, measured, which is the point); chunking is per-row array
+    * arithmetic; the only shuffle is the final md5-keyed aggregate of
+    * (chunk, doc) rows — linear in corpus chars, no pair blowup (the
+    * aggregate emits per-chunk rows, never per-pair). */
+  def cdcChunkDups(docs: DataFrame): DataFrame = {
+    graft.functions.RollingHashes.register(docs.sparkSession)
+    val chunks = docs
+      .select(col("doc_id"), col("text"),
+        expr(s"rolling_hashes(text, $CdcWindow, $SubstrBase, $SubstrMod)").as("hs"))
+      .withColumn("ends", expr(
+        s"""if(size(hs) = 0, cast(array() as array<int>),
+           |   transform(filter(sequence(1, size(hs)),
+           |     i -> element_at(hs, i) % $CdcMask = 0),
+           |     i -> i + $CdcWindow - 1))""".stripMargin))
+      .withColumn("bounds", expr("concat(array(0), ends, array(length(text)))"))
+      .select(col("doc_id"), explode(expr(
+        """filter(transform(sequence(1, size(bounds) - 1),
+          |  k -> substring(text, element_at(bounds, k) + 1,
+          |    element_at(bounds, k + 1) - element_at(bounds, k))),
+          |  c -> length(c) > 0)""".stripMargin)).as("c"))
+    chunks
+      .groupBy(expr("md5(cast(c as binary))").as("chunk_md5"))
+      .agg(max(length(col("c"))).cast("long").as("chunk_len"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("chunk_md5")
+  }
+
+  /** Oracle: the same boundary rule with the per-window O(n·W) hash
+    * recompute (DuckDB has no rolling-hash primitive — q72's argument,
+    * at CDC width). */
+  val cdcChunkDupsSql: String =
+    s"""WITH hs AS (
+       |  SELECT doc_id, text,
+       |    list_transform(generate_series(1, greatest(length(text) - $CdcWindow + 1, 0)),
+       |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(generate_series(i, i + $CdcWindow - 1),
+       |               j -> CAST(ord(substr(text, j, 1)) AS BIGINT))),
+       |             (acc, c) -> (acc * $SubstrBase + c) % $SubstrMod)) AS hl
+       |  FROM documents),
+       |cuts AS (
+       |  SELECT doc_id, text,
+       |    list_transform(list_filter(generate_series(1, len(hl)),
+       |      i -> hl[i] % $CdcMask = 0), i -> i + $CdcWindow - 1) AS ends
+       |  FROM hs),
+       |bounds AS (
+       |  SELECT doc_id, text,
+       |    list_concat(list_concat([CAST(0 AS BIGINT)], ends),
+       |                [CAST(length(text) AS BIGINT)]) AS b
+       |  FROM cuts),
+       |chunks AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(b) - 1),
+       |      k -> substr(text, CAST(b[k] + 1 AS INT), CAST(b[k + 1] - b[k] AS INT)))) AS c
+       |  FROM bounds)
+       |SELECT md5(c) AS chunk_md5, CAST(max(length(c)) AS BIGINT) AS chunk_len,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, count(*) AS n_occ
+       |FROM chunks WHERE length(c) > 0
+       |GROUP BY md5(c) HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY chunk_md5""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_dedup_exact" -> ((s, d) => exactDedup(Tables.documents(s, d))),
@@ -1729,6 +1811,7 @@ object Dedup {
     "q186_incremental_neardup" -> ((s, d) => incrementalNearDup(Tables.documents(s, d))),
     "q188_ppjoin" -> ((s, d) => ppjoinPairs(Tables.documents(s, d))),
     "q190_winnowing" -> ((s, d) => winnowedPairs(Tables.documents(s, d))),
+    "q206_cdc_chunks" -> ((s, d) => cdcChunkDups(Tables.documents(s, d))),
     "q45_eval_contamination" -> ((s, d) => evalContamination(Tables.documents(s, d))),
     "q47_repetition" -> ((s, d) => repetitionScore(Tables.documents(s, d))),
     "q59_block_dedup" -> ((s, d) => blockDedup(Tables.documents(s, d))),
@@ -1753,6 +1836,7 @@ object Dedup {
     "q186_incremental_neardup" -> incrementalNearDupSql,
     "q188_ppjoin" -> ppjoinPairsSql,
     "q190_winnowing" -> winnowedPairsSql,
+    "q206_cdc_chunks" -> cdcChunkDupsSql,
     "q45_eval_contamination" -> evalContaminationSql,
     "q47_repetition" -> repetitionScoreSql,
     "q59_block_dedup" -> blockDedupSql,

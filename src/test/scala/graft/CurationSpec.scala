@@ -428,6 +428,40 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q207 split balance: densified TV replay, train hugs the global distribution") {
+    import java.security.MessageDigest
+    val docs = Tables.documents(spark, sf)
+    def bkt(w: String): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(w.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      java.lang.Long.parseLong(hex, 16) % Curation.BalanceBuckets
+    }
+    val labels = Curation.splitLabels(docs).collect()
+      .map(r => r.getLong(1) -> r.getString(3)).toMap
+    val toks = docs.select("doc_id", "text").collect().flatMap { r =>
+      r.getString(1).split(" ", -1).filter(_.nonEmpty)
+        .map(w => (labels(r.getLong(0)), bkt(w)))
+    }
+    val ps = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val st = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val g = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val gtot = toks.length.toLong
+    val want = st.keys.map { split =>
+      val devs = g.keys.toSeq.map { b =>
+        math.abs(ps.getOrElse((split, b), 0L) * 1000000L / st(split)
+          - g(b) * 1000000L / gtot)
+      }
+      split -> ((st(split), devs.max, devs.sum))
+    }.toMap
+    val got = Curation.splitBalance(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, "engine == densified driver TV replay")
+    // the 98% split can't drift far from a distribution it dominates
+    assert(got("train")._3 <= got("val")._3 && got("train")._3 <= got("test")._3,
+      "train TV distance must be the smallest")
+    assert(got.values.map(_._1).sum == gtot, "every token audited once")
+  }
+
   test("q112 split: complete + disjoint, growth-stable labels, proportions sane") {
     val docs = Tables.documents(spark, sf)
     val labels = Curation.splitLabels(docs).collect()

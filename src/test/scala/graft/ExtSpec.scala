@@ -2007,6 +2007,45 @@ class ExtSpec extends SparkSpec {
     assert(got.values.exists(_._2 == 0), "fixture keeps clean docs untouched")
   }
 
+  test("q206 cdc chunks: driver replay + insertion locality (the CDC property)") {
+    import java.security.MessageDigest
+    def md5hex(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def chunksOf(text: String): Seq[String] = {
+      val n = text.length
+      val hs = (0 to n - Dedup.CdcWindow).map { i =>
+        text.substring(i, i + Dedup.CdcWindow)
+          .foldLeft(0L)((acc, c) => (acc * Dedup.SubstrBase + c.toInt) % Dedup.SubstrMod)
+      }
+      val ends = hs.zipWithIndex.collect {
+        case (h, i) if h % Dedup.CdcMask == 0 => i + Dedup.CdcWindow }
+      val bounds = 0 +: ends :+ n
+      bounds.sliding(2).map { case Seq(a, b) => text.substring(a, b) }
+        .filter(_.nonEmpty).toSeq
+    }
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val occ = texts.flatMap { case (id, t) => chunksOf(t).map(c => (md5hex(c), c.length, id)) }
+    val want = occ.groupBy(_._1).collect {
+      case (h, os) if os.map(_._3).distinct.length >= 2 =>
+        h -> ((os.head._2.toLong, os.map(_._3).distinct.length.toLong, os.length.toLong))
+    }.toMap
+    val got = Dedup.cdcChunkDups(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, "engine == driver CDC replay")
+    assert(got.nonEmpty, "fixture shares chunks across docs")
+    // the defining CDC property: inserting one char reshapes only the
+    // chunks around the edit — downstream chunks keep their identity,
+    // which fixed-offset chunking (q46) structurally cannot do
+    val base = texts.sortBy(_._1).take(14).map(_._2).mkString(" ")
+    val edited = base.substring(0, 50) + "X" + base.substring(50)
+    val (ca, cb) = (chunksOf(base).map(md5hex), chunksOf(edited).map(md5hex))
+    val shared = ca.toSet & cb.toSet
+    assert(shared.size * 2 >= ca.length,
+      s"insertion must preserve most chunk identities (${shared.size}/${ca.length})")
+    assert(ca.toSet != cb.toSet, "the edit region's chunks do change")
+  }
+
   test("q189 datasheet: every metric equals its source query's own aggregate") {
     val m = Curation.corpusDatasheet(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
