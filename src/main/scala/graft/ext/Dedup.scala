@@ -1710,6 +1710,59 @@ object Dedup {
        |WHERE shared_fps >= $WinnowMinShared
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------ effective token mass (q209)
+  /** q209: EFFECTIVE (DEDUPLICATED) TOKEN MASS per source — the number
+    * that actually belongs in a compute budget: raw token counts
+    * overstate a corpus by exactly its duplication, and "effective
+    * epochs" arithmetic (how many times the model really sees each
+    * token) divides by THIS, not the raw size. Canonical docs are
+    * q13's rule verbatim (min doc_id of the normalized-text group —
+    * one definition, so the two queries can never disagree about what
+    * a duplicate is); deduped mass attributes to the canonical's own
+    * source. Reports per source: raw docs/tokens, deduped docs/tokens,
+    * savings_ppm = removed/raw.
+    *
+    * Scale: one normalized-hash aggregate (the q13 shuffle) + one
+    * canonical semi-join back + two per-source aggregates — linear,
+    * and the canonical set is ids-only through the join. */
+  def effectiveTokens(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("source"), col("doc_id"),
+      expr("size(split(text, ' '))").cast("long").as("nt"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")).as("text_hash"))
+    val canon = base.groupBy("text_hash").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val raw = base.groupBy("source")
+      .agg(count(lit(1)).as("raw_docs"), sum("nt").as("raw_tokens"))
+    val ded = base.join(canon, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("dedup_docs"), sum("nt").as("dedup_tokens"))
+    raw.join(ded, Seq("source"), "left_outer")
+      .select(col("source"), col("raw_docs"), col("raw_tokens"),
+        coalesce(col("dedup_docs"), lit(0L)).as("dedup_docs"),
+        coalesce(col("dedup_tokens"), lit(0L)).as("dedup_tokens"),
+        expr("((raw_tokens - coalesce(dedup_tokens, 0)) * 1000000) div raw_tokens")
+          .as("savings_ppm"))
+      .orderBy("source")
+  }
+
+  val effectiveTokensSql: String =
+    """WITH base AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+      |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_hash
+      |  FROM documents),
+      |canon AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY text_hash),
+      |raw AS (SELECT source, count(*) AS raw_docs, sum(nt) AS raw_tokens
+      |        FROM base GROUP BY source),
+      |ded AS (SELECT source, count(*) AS dedup_docs, sum(nt) AS dedup_tokens
+      |        FROM base JOIN canon USING (doc_id) GROUP BY source)
+      |SELECT r.source, r.raw_docs, CAST(r.raw_tokens AS BIGINT) AS raw_tokens,
+      |  CAST(coalesce(d.dedup_docs, 0) AS BIGINT) AS dedup_docs,
+      |  CAST(coalesce(d.dedup_tokens, 0) AS BIGINT) AS dedup_tokens,
+      |  CAST(((r.raw_tokens - coalesce(d.dedup_tokens, 0)) * 1000000) // r.raw_tokens AS BIGINT) AS savings_ppm
+      |FROM raw r LEFT JOIN ded d ON d.source = r.source
+      |ORDER BY r.source""".stripMargin
+
   // --------------------------- content-defined chunking dedup (q206)
   /** Rolling window width (code points) for the CDC boundary hash. */
   val CdcWindow = 16
@@ -1812,6 +1865,7 @@ object Dedup {
     "q188_ppjoin" -> ((s, d) => ppjoinPairs(Tables.documents(s, d))),
     "q190_winnowing" -> ((s, d) => winnowedPairs(Tables.documents(s, d))),
     "q206_cdc_chunks" -> ((s, d) => cdcChunkDups(Tables.documents(s, d))),
+    "q209_effective_tokens" -> ((s, d) => effectiveTokens(Tables.documents(s, d))),
     "q45_eval_contamination" -> ((s, d) => evalContamination(Tables.documents(s, d))),
     "q47_repetition" -> ((s, d) => repetitionScore(Tables.documents(s, d))),
     "q59_block_dedup" -> ((s, d) => blockDedup(Tables.documents(s, d))),
@@ -1837,6 +1891,7 @@ object Dedup {
     "q188_ppjoin" -> ppjoinPairsSql,
     "q190_winnowing" -> winnowedPairsSql,
     "q206_cdc_chunks" -> cdcChunkDupsSql,
+    "q209_effective_tokens" -> effectiveTokensSql,
     "q45_eval_contamination" -> evalContaminationSql,
     "q47_repetition" -> repetitionScoreSql,
     "q59_block_dedup" -> blockDedupSql,

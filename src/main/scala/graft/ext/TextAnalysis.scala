@@ -71,6 +71,36 @@ object TextAnalysis {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------ lang-ID confusion matrix (q208)
+  /** q208: LANGUAGE-ID CONFUSION MATRIX — q19's heuristic classifier
+    * evaluated against the labeled `lang` column: the (label,
+    * predicted) count matrix plus each row's share of its label mass
+    * in ppm (the diagonal rows ARE per-language recall). This is the
+    * eval loop every language-ID deployment runs before trusting the
+    * classifier to route curation — q19 produces predictions, this
+    * says where they fail and for which languages (the off-diagonal
+    * cells name the confusion pairs worth new marker words).
+    *
+    * Scale: rides the q19 scoring scan; the matrix is a
+    * |langs|²-bounded aggregate and the ppm share a window over that
+    * tiny relation. */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    langId(docs)
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum("n").over(byLang))
+      .select(col("lang"), col("predicted"), col("n"),
+        expr("(n * 1000000) div row_total").as("row_ppm"))
+      .orderBy("lang", "predicted")
+  }
+
+  val langIdConfusionSql: String =
+    s"""WITH pred AS ($langIdSql)
+       |SELECT lang, predicted, count(*) AS n,
+       |  CAST((count(*) * 1000000) // (SUM(count(*)) OVER (PARTITION BY lang)) AS BIGINT) AS row_ppm
+       |FROM pred GROUP BY lang, predicted
+       |ORDER BY lang, predicted""".stripMargin
+
   // ------------------------------------------------------------- quality
   /** Integer quality metrics: char/token counts, punctuation count,
     * stopword basis points, mean word length in centichars. */
@@ -2068,7 +2098,8 @@ object TextAnalysis {
     "q195_rank_fusion" -> ((s, d) => rankFusion(Tables.documents(s, d))),
     "q196_weighted_median" -> ((s, d) => weightedMedianLength(Tables.documents(s, d))),
     "q197_hard_negatives" -> ((s, d) => hardNegatives(Tables.documents(s, d))),
-    "q202_span_excision" -> ((s, d) => spanExcision(Tables.documents(s, d))))
+    "q202_span_excision" -> ((s, d) => spanExcision(Tables.documents(s, d))),
+    "q208_langid_confusion" -> ((s, d) => langIdConfusion(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q19_lang_id"     -> langIdSql,
@@ -2103,5 +2134,6 @@ object TextAnalysis {
     "q195_rank_fusion" -> rankFusionSql,
     "q196_weighted_median" -> weightedMedianLengthSql,
     "q197_hard_negatives" -> hardNegativesSql,
-    "q202_span_excision" -> spanExcisionSql)
+    "q202_span_excision" -> spanExcisionSql,
+    "q208_langid_confusion" -> langIdConfusionSql)
 }

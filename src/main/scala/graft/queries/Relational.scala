@@ -1891,6 +1891,98 @@ object Relational {
        |  last_seen_us
        |FROM per ORDER BY event_type""".stripMargin
 
+  // --------------------------------------- touch attribution (q210)
+  /** Attribution lookback window: a purchase credits touches within
+    * the preceding two hours (inclusive of simultaneous events). */
+  val AttrWindowUs = 7200000000L
+  /** Event-id headroom in the packed (rel_us, event_id) argmax key. */
+  val AttrIdBits = 20
+
+  /** q210: FIRST/LAST-TOUCH ATTRIBUTION — the conversion-credit query
+    * behind every funnel dashboard: for each purchase, which
+    * click/view by the same user inside the lookback window gets the
+    * credit, under both the last-touch and first-touch models (the
+    * two ends of the attribution-model spectrum; reporting both per
+    * purchase is what lets an analyst compare models without
+    * re-running the pipeline). Purchases with no windowed touch
+    * report -1/'none'.
+    *
+    * Scale: the classic per-purchase correlated subquery becomes TWO
+    * RANGE-window aggregates over ONE user-keyed exchange — min/max of
+    * a packed (rel_us, event_id) argmax key over touches in the
+    * trailing window (relative micros keep the pack in Long range,
+    * guarded loudly; ties break on event_id via the pack itself,
+    * identical in both engines since everything is value arithmetic).
+    * Touch types resolve through two id-equi-joins at the end —
+    * purchase-count rows, not corpus rows. */
+  def q210Attribution(s: SparkSession, dir: String): DataFrame = {
+    val posCap = 1L << AttrIdBits
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val t0 = e.agg(min("us").as("t0"))
+    val keyed = e.crossJoin(broadcast(t0))
+      .withColumn("rel", col("us") - col("t0"))
+      .withColumn("pk",
+        when(col("rel") * posCap + col("event_id") < 0 || col("event_id") >= posCap,
+          raise_error(lit(s"q210 packed attribution key overflows ($AttrIdBits id bits)")))
+        .otherwise(when(col("event_type").isin("click", "view"),
+          col("rel") * posCap + col("event_id"))))
+    val w = Window.partitionBy("user_id").orderBy("rel")
+      .rangeBetween(-AttrWindowUs, 0)
+    val attributed = keyed
+      .withColumn("last_pk", max("pk").over(w))
+      .withColumn("first_pk", min("pk").over(w))
+      .withColumn("n_touches", count("pk").over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("us"),
+        coalesce(expr(s"last_pk % ${posCap}L"), lit(-1L)).as("last_touch_id"),
+        coalesce(expr(s"first_pk % ${posCap}L"), lit(-1L)).as("first_touch_id"),
+        col("n_touches"))
+    val types = e.select(col("event_id"), col("event_type"))
+    attributed
+      .join(types.select(col("event_id").as("last_touch_id"),
+        col("event_type").as("last_touch_type")), Seq("last_touch_id"), "left_outer")
+      .join(types.select(col("event_id").as("first_touch_id"),
+        col("event_type").as("first_touch_type")), Seq("first_touch_id"), "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("us"),
+        col("last_touch_id"), coalesce(col("last_touch_type"), lit("none")).as("last_touch_type"),
+        col("first_touch_id"), coalesce(col("first_touch_type"), lit("none")).as("first_touch_type"),
+        col("n_touches"))
+      .orderBy("purchase_id")
+  }
+
+  val q210Sql: String = {
+    val posCap = 1L << AttrIdBits
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+       |t0 AS (SELECT min(us) AS t0 FROM e),
+       |k AS (
+       |  SELECT e.event_id, e.user_id, e.event_type, e.us, e.us - t0.t0 AS rel,
+       |    CASE WHEN e.event_type IN ('click', 'view')
+       |         THEN (e.us - t0.t0) * $posCap + e.event_id END AS pk
+       |  FROM e, t0),
+       |w AS (
+       |  SELECT event_id, user_id, event_type, us,
+       |    max(pk) OVER win AS last_pk,
+       |    min(pk) OVER win AS first_pk,
+       |    count(pk) OVER win AS n_touches
+       |  FROM k
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY rel
+       |                 RANGE BETWEEN $AttrWindowUs PRECEDING AND CURRENT ROW))
+       |SELECT w.event_id AS purchase_id, w.user_id, w.us,
+       |  coalesce(w.last_pk % $posCap, -1) AS last_touch_id,
+       |  coalesce(lt.event_type, 'none') AS last_touch_type,
+       |  coalesce(w.first_pk % $posCap, -1) AS first_touch_id,
+       |  coalesce(ft.event_type, 'none') AS first_touch_type,
+       |  w.n_touches
+       |FROM w
+       |LEFT JOIN e lt ON lt.event_id = w.last_pk % $posCap
+       |LEFT JOIN e ft ON ft.event_id = w.first_pk % $posCap
+       |WHERE w.event_type = 'purchase'
+       |ORDER BY purchase_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_pricing"     -> (q05Pricing _),
@@ -1938,7 +2030,8 @@ object Relational {
     "q172_peak_concurrency" -> (q172PeakConcurrency _),
     "q183_event_trigrams" -> (q183EventTrigrams _),
     "q185_change_feed" -> (q185ChangeFeed _),
-    "q193_decayed_counts" -> (q193DecayedCounts _))
+    "q193_decayed_counts" -> (q193DecayedCounts _),
+    "q210_attribution" -> (q210Attribution _))
 
   val oracles: Map[String, String] = Map(
     "q25_asof_purchase" -> q25Sql,
@@ -1987,5 +2080,6 @@ object Relational {
     "q172_peak_concurrency" -> q172Sql,
     "q183_event_trigrams" -> q183Sql,
     "q185_change_feed" -> q185Sql,
-    "q193_decayed_counts" -> q193Sql)
+    "q193_decayed_counts" -> q193Sql,
+    "q210_attribution" -> q210Sql)
 }

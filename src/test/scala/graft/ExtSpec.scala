@@ -2046,6 +2046,56 @@ class ExtSpec extends SparkSpec {
     assert(ca.toSet != cb.toSet, "the edit region's chunks do change")
   }
 
+  test("q208 confusion matrix: recomputes from q19's predictions, mass conserved") {
+    val preds = TextAnalysis.langId(docs).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val want = preds.groupBy(identity).map { case ((l, p), v) =>
+      (l, p) -> v.length.toLong }
+    val rowTot = preds.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val got = TextAnalysis.langIdConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case ((l, p), (n, ppm)) =>
+      assert(n == want((l, p)) && ppm == n * 1000000L / rowTot(l), s"cell ($l,$p)")
+    }
+    assert(got.values.map(_._1).sum == preds.length.toLong, "every doc in one cell")
+    // each label's cells' ppm shares telescope to ~1e6 (floor division)
+    got.groupBy(_._1._1).foreach { case (l, cells) =>
+      val s = cells.values.map(_._2).sum
+      assert(s <= 1000000 && s > 1000000 - cells.size, s"label $l shares")
+    }
+  }
+
+  test("q209 effective tokens: q13-rule replay, savings bounded and non-vacuous") {
+    val rows = docs.select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def norm(t: String) = t.toLowerCase.replaceAll("\\s+", " ")
+    val canon = rows.groupBy(d => norm(d._3)).values.map(_.map(_._2).min).toSet
+    def toks(t: String) = t.split(" ", -1).length.toLong
+    val want = rows.groupBy(_._1).map { case (src, ds) =>
+      val raw = ds.map(d => toks(d._3)).sum
+      val ded = ds.filter(d => canon(d._2)).map(d => toks(d._3))
+      src -> ((ds.length.toLong, raw, ded.length.toLong, ded.sum,
+        (raw - ded.sum) * 1000000L / raw))
+    }
+    val got = Dedup.effectiveTokens(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want, "engine == q13-rule driver replay")
+    assert(got.values.map(_._3).sum == canon.size.toLong,
+      "canonical docs counted exactly once across sources")
+    // non-vacuous on a crafted corpus: a cross-source duplicate's mass
+    // attributes once, to the CANONICAL's source
+    import spark.implicits._
+    val crafted = Seq((1L, "A", "x y z"), (2L, "B", "x y z"),
+      (3L, "B", "p q")).toDF("doc_id", "source", "text")
+    val c = Dedup.effectiveTokens(crafted).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    assert(c("A") == ((3L, 3L, 0L)), "canonical source keeps its mass")
+    assert(c("B") == ((5L, 2L, 600000L)),
+      "duplicate's mass drops from the non-canonical source (3/5 saved)")
+  }
+
   test("q189 datasheet: every metric equals its source query's own aggregate") {
     val m = Curation.corpusDatasheet(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -475,6 +475,38 @@ class RelationalSpec extends SparkSpec {
     assert(wt(ev.map(_._2).min) < Relational.DecayScale)
   }
 
+  test("q210 attribution: brute-force per-purchase replay, model ordering") {
+    import graft.queries.Relational
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._2)
+    val types = ev.map(e => e._1 -> e._3).toMap
+    val want = ev.filter(_._3 == "purchase").map { case (pid, uid, _, us) =>
+      val touches = byUser(uid).filter(t =>
+        (t._3 == "click" || t._3 == "view") &&
+        t._4 <= us && t._4 >= us - Relational.AttrWindowUs)
+      if (touches.isEmpty) pid -> ((uid, us, -1L, "none", -1L, "none", 0L))
+      else {
+        val last = touches.maxBy(t => (t._4, t._1))
+        val first = touches.minBy(t => (t._4, t._1))
+        pid -> ((uid, us, last._1, types(last._1), first._1, types(first._1),
+          touches.length.toLong))
+      }
+    }.toMap
+    val got = Relational.q210Attribution(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getString(6), r.getLong(7)))).toMap
+    assert(got == want, "engine == brute-force windowed replay")
+    assert(got.values.exists(_._7 > 0), "fixture has attributed purchases")
+    // model sanity: the last touch never precedes the first touch
+    got.values.filter(_._7 > 0).foreach { case (_, _, lid, _, fid, _, _) =>
+      val (lus, fus) = (ev.find(_._1 == lid).get._4, ev.find(_._1 == fid).get._4)
+      assert(lus >= fus, "last-touch at or after first-touch")
+    }
+  }
+
   test("q183 event trigrams: windowed extraction equals the driver sequence scan") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("us"),
