@@ -2190,6 +2190,101 @@ object Similarity {
        |ORDER BY pick_order""".stripMargin
   }
 
+  // ------------------------------ retrieve-then-rerank cascade (q211)
+  /** Sparse shortlist depth feeding the dense reranker. */
+  val CascadeShortlist = 30
+  /** Loud bound on centroid dimension sums (int32 headroom for the
+    * [[graft.functions.VecDotInt]] kernel input). */
+  val CascadeSumBound = 1073741824L
+
+  /** q211: RETRIEVE-THEN-RERANK CASCADE — the standard two-stage
+    * retrieval architecture (BM25 recall, dense precision) run end to
+    * end: q143's lexical scorer shortlists [[CascadeShortlist]] docs,
+    * then an int8 dense scorer reorders them by inner product against
+    * a pseudo-relevance-feedback query vector — the SUM of the
+    * q181-relevant docs' quantized embeddings (summing instead of
+    * averaging keeps everything integer; ranking is scale-invariant).
+    * q195 fuses two rankings by rank alone; the cascade is the other
+    * canonical composition — one stage's OUTPUT is the next stage's
+    * candidate set, which is how production search actually spends its
+    * dense-scoring budget (never on the full corpus).
+    *
+    * Scale: the shortlist is TakeOrdered rows; quantization is q69's
+    * once-per-row projection with the one-row global scale broadcast;
+    * the centroid is one |rel|-row dimension aggregate (64-row
+    * relation, broadcast back); dense scoring touches shortlist-count
+    * rows through the codegen [[graft.functions.VecDotInt]] fold —
+    * integer, order-independent, hash-exact. */
+  def cascadeRerank(docs: DataFrame, emb: DataFrame): DataFrame = {
+    VectorOps.register(docs.sparkSession)
+    val r = QuantRange
+    val qterms = graft.ext.TextAnalysis.bm25QueryTerms(docs)
+    val deepW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_e6").desc, col("doc_id"))
+    val shortlist = graft.ext.TextAnalysis.bm25ScoredDocs(docs, qterms)
+      .orderBy(col("score_e6").desc, col("doc_id")).limit(CascadeShortlist)
+      .withColumn("bm25_rank", row_number().over(deepW).cast("long"))
+      .select("doc_id", "bm25_rank")
+    val mx = emb.select(max(expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+        "(acc, e) -> greatest(acc, abs(CAST(e AS DOUBLE))))")).as("mx"))
+    val v = emb.crossJoin(broadcast(mx))
+      .select(col("vec_id"), expr(
+        s"transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+          s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30d)) + 0.5d))) AS INT))")
+        .as("qemb"))
+    val rel = graft.ext.TextAnalysis.relevantDocs(docs, qterms)
+      .withColumnRenamed("doc_id", "vec_id")
+    val qvec = v.join(broadcast(rel), "vec_id")
+      .select(posexplode(col("qemb")).as(Seq("pos", "e")))
+      .groupBy("pos").agg(sum("e").as("s"))
+      .agg(expr(
+        s"""transform(sort_array(collect_list(struct(pos, s))),
+           |  x -> if(abs(x.s) < $CascadeSumBound, cast(x.s as int),
+           |          raise_error('q211 centroid sum exceeds int32 headroom')))"""
+          .stripMargin).as("qv"))
+    val rerankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dot").desc, col("doc_id"))
+    shortlist
+      .join(v.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .crossJoin(broadcast(qvec))
+      .select(col("doc_id"), col("bm25_rank"),
+        expr("vec_dot_int(qv, qemb)").as("dot"))
+      .withColumn("rerank", row_number().over(rerankW).cast("int"))
+      .select("rerank", "doc_id", "bm25_rank", "dot")
+      .orderBy("rerank")
+  }
+
+  val cascadeRerankSql: String = {
+    val r = QuantRange
+    val quant = s"list_transform(embedding, e -> CAST(greatest(-$r, least($r, " +
+      s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30)) + 0.5))) AS INT))"
+    s"""WITH ${graft.ext.TextAnalysis.bmCascadeCtesSql},
+       |short AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS bm25_rank
+       |  FROM scored ORDER BY score_e6 DESC, doc_id LIMIT $CascadeShortlist),
+       |m AS (
+       |  SELECT MAX(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))),
+       |    (x, y) -> greatest(x, y))) AS mx
+       |  FROM embeddings),
+       |qt AS (SELECT vec_id, $quant AS qemb FROM embeddings, m),
+       |qr AS (SELECT qemb FROM qt JOIN rel ON rel.doc_id = qt.vec_id),
+       |pe AS (SELECT unnest(generate_series(1, len(qemb))) AS i, qemb FROM qr),
+       |qd AS (SELECT i, CAST(sum(qemb[i]) AS BIGINT) AS s FROM pe GROUP BY i),
+       |qvl AS (SELECT list(s ORDER BY i) AS qv FROM qd),
+       |scoredc AS (
+       |  SELECT s.doc_id, s.bm25_rank,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, len(q.qemb)),
+       |        i -> qv[i] * CAST(q.qemb[i] AS BIGINT))), (x, y) -> x + y) AS dot
+       |  FROM short s JOIN qt q ON q.vec_id = s.doc_id CROSS JOIN qvl)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY dot DESC, doc_id) AS INT) AS rerank,
+       |  doc_id, bm25_rank, CAST(dot AS BIGINT) AS dot
+       |FROM scoredc ORDER BY rerank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_jl_projection" -> ((s, d) => jlProjectionAudit(Tables.embeddings(s, d))),
     "q174_embedding_drift" -> ((s, d) => embeddingDrift(Tables.embeddings(s, d))),
@@ -2203,6 +2298,8 @@ object Similarity {
     "q69_quantized_topk" -> ((s, d) => quantizedTopK(Tables.embeddings(s, d))),
     "q73_kmeans_step" -> ((s, d) => kmeansStep(Tables.embeddings(s, d))),
     "q80_quantized_ivf" -> ((s, d) => quantizedIvfTopK(Tables.embeddings(s, d))),
+    "q211_cascade_rerank" -> ((s, d) =>
+      cascadeRerank(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q83_semantic_dedup" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
     "q104_embedding_outliers" -> ((s, d) =>
       embeddingOutliers(Tables.embeddings(s, d), Tables.documents(s, d))),
@@ -2227,6 +2324,7 @@ object Similarity {
     "q69_quantized_topk" -> quantizedTopKSql,
     "q73_kmeans_step" -> kmeansStepSql,
     "q80_quantized_ivf" -> quantizedIvfTopKSql,
+    "q211_cascade_rerank" -> cascadeRerankSql,
     "q83_semantic_dedup" -> semanticDedupSql,
     "q104_embedding_outliers" -> embeddingOutliersSql,
     "q125_pq_topk" -> pqTopKSql,

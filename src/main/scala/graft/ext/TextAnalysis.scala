@@ -1297,6 +1297,11 @@ object TextAnalysis {
        |  SELECT doc_id FROM td WHERE token IN (SELECT token FROM q)
        |  GROUP BY doc_id HAVING COUNT(*) >= $RelMinTerms)""".stripMargin
 
+  /** Scored + relevance CTE chain for cross-object oracle composition
+    * (q211's cascade lives in Similarity but reuses both rules). */
+  private[ext] def bmCascadeCtesSql: String =
+    bmScoredCtesSql + ",\n" + relCteSql
+
   val bm25TopDocsSql: String =
     s"""WITH $bmScoredCtesSql
        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS INT) AS rank,

@@ -2096,6 +2096,37 @@ class ExtSpec extends SparkSpec {
       "duplicate's mass drops from the non-canonical source (3/5 saved)")
   }
 
+  test("q211 cascade: rerank is a pure permutation of the shortlist, dots replay") {
+    val qterms = TextAnalysis.bm25QueryTerms(docs)
+    val short = TextAnalysis.bm25ScoredDocs(docs, qterms).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_e6")))
+      .sortBy { case (id, s) => (-s, id) }.take(Similarity.CascadeShortlist)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val rel = TextAnalysis.relevantDocs(docs, qterms).collect()
+      .map(_.getLong(0)).toSet
+    val vecs = emb.collect().map { r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray
+    }.toMap
+    val mx = vecs.values.flatMap(_.map(v => math.abs(v.toDouble))).max
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(e => math.max(-127L, math.min(127L,
+        math.floor(e.toDouble * (127.0 / math.max(mx, 1e-30)) + 0.5).toLong)))
+    val qv = rel.toSeq.sorted.map(vecs).map(quant)
+      .foldLeft(new Array[Long](64))((a, b) => a.zip(b).map(t => t._1 + t._2))
+    val want = short.keys.toSeq.map { id =>
+      val d = qv.zip(quant(vecs(id))).map(t => t._1 * t._2).sum
+      (id, short(id), d)
+    }.sortBy { case (id, _, d) => (-d, id) }
+      .zipWithIndex.map { case ((id, br, d), i) => (i + 1, id, br, d) }
+    val got = Similarity.cascadeRerank(docs, emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want, "cascade == driver quantize+centroid+dot replay")
+    assert(got.map(_._2).toSet == short.keySet,
+      "rerank permutes the shortlist — never adds or drops a candidate")
+    assert(got.map(_._4).toSeq == got.map(_._4).toSeq.sorted.reverse,
+      "dense scores non-increasing down the rerank")
+  }
+
   test("q189 datasheet: every metric equals its source query's own aggregate") {
     val m = Curation.corpusDatasheet(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
