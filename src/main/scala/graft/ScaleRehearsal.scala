@@ -100,7 +100,15 @@ object ScaleRehearsal {
     "q194_dsir_affinity", "q195_rank_fusion", "q196_weighted_median",
     "q197_hard_negatives", "q198_k_anonymity", "q199_source_ablation",
     "q200_tokenizer_fertility", "q201_mask_spans", "q202_span_excision",
-    "q203_vocab_growth", "q204_balanced_eval", "q205_bucketed_batching")
+    "q203_vocab_growth", "q204_balanced_eval", "q205_bucketed_batching",
+    // fifth wave (post-review coverage closure): CDC chunking (O(n)
+    // rolling-hash kernel + chunk-keyed aggregate — chunk SHARING
+    // grows with the dup families, the skew this fixture stresses),
+    // split balance, confusion matrix, effective tokens, cascade
+    // rerank (q210 attribution is events-based — the rehearsal only
+    // synthesizes documents/embeddings, so it has no 10x twin here)
+    "q206_cdc_chunks", "q207_split_balance", "q208_langid_confusion",
+    "q209_effective_tokens", "q211_cascade_rerank")
 
   /** q17/q24/q69 are declared-O(n²) kernels; q18/q73 assign against a
     * centroid set that GROWS with the fixture (vec_id % mod stand-in),

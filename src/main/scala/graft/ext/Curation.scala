@@ -390,6 +390,15 @@ object Curation {
           .when(col("pm") < SplitValPm, "val")
           .otherwise("test"))
 
+  /** The split-rule CASE over an arbitrary key expression — ONE SQL
+    * definition for q112 (doc_id), q124 (cluster_id), and q207's audit
+    * (a drifted copy would let the audit measure a split that is no
+    * longer the split q112 ships). */
+  private[ext] def splitCaseSql(key: String): String =
+    s"""CASE WHEN (($ShuffleMulA * ${key} + 777) % $ShuffleMod) % 1000 < $SplitTrainPm THEN 'train'
+       |         WHEN (($ShuffleMulA * ${key} + 777) % $ShuffleMod) % 1000 < $SplitValPm THEN 'val'
+       |         ELSE 'test' END""".stripMargin
+
   /** q112: SEEDED TRAIN/VAL/TEST SPLIT — every doc deterministically
     * labeled by its hash bucket (0–999 ‰), so the split is (a) complete
     * and disjoint by construction, (b) reproducible on any cluster from
@@ -411,9 +420,7 @@ object Curation {
   val trainValTestSplitSql: String =
     s"""WITH lab AS (
        |  SELECT source, doc_id,
-       |    CASE WHEN (($ShuffleMulA * doc_id + 777) % $ShuffleMod) % 1000 < $SplitTrainPm THEN 'train'
-       |         WHEN (($ShuffleMulA * doc_id + 777) % $ShuffleMod) % 1000 < $SplitValPm THEN 'val'
-       |         ELSE 'test' END AS split
+       |    ${splitCaseSql("doc_id")} AS split
        |  FROM documents)
        |SELECT source, split, COUNT(*) AS n_docs,
        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
@@ -769,9 +776,7 @@ object Curation {
        |  GROUP BY d.doc_id),
        |lab AS (
        |  SELECT doc_id, cluster_id,
-       |    CASE WHEN (($ShuffleMulA * cluster_id + 777) % $ShuffleMod) % 1000 < $SplitTrainPm THEN 'train'
-       |         WHEN (($ShuffleMulA * cluster_id + 777) % $ShuffleMod) % 1000 < $SplitValPm THEN 'val'
-       |         ELSE 'test' END AS split
+       |    ${splitCaseSql("cluster_id")} AS split
        |  FROM clusters)
        |SELECT split, COUNT(*) AS n_docs,
        |  COUNT(DISTINCT cluster_id) AS n_clusters,
@@ -1339,9 +1344,7 @@ object Curation {
   val splitBalanceSql: String =
     s"""WITH lab AS (
        |  SELECT doc_id,
-       |    CASE WHEN (($ShuffleMulA * doc_id + 777) % $ShuffleMod) % 1000 < $SplitTrainPm THEN 'train'
-       |         WHEN (($ShuffleMulA * doc_id + 777) % $ShuffleMod) % 1000 < $SplitValPm THEN 'val'
-       |         ELSE 'test' END AS split
+       |    ${splitCaseSql("doc_id")} AS split
        |  FROM documents),
        |toks AS (
        |  SELECT l.split,

@@ -2245,11 +2245,17 @@ object Similarity {
           .stripMargin).as("qv"))
     val rerankW = org.apache.spark.sql.expressions.Window
       .orderBy(col("dot").desc, col("doc_id"))
+    // loud dimension guard: an EMPTY relevance set (qv = []) or a
+    // centroid/embedding width mismatch must fail the job in both
+    // engines, never silently score 0 / truncate (the oracle's CASE
+    // twin raises through error())
     shortlist
       .join(v.withColumnRenamed("vec_id", "doc_id"), "doc_id")
       .crossJoin(broadcast(qvec))
       .select(col("doc_id"), col("bm25_rank"),
-        expr("vec_dot_int(qv, qemb)").as("dot"))
+        expr("""if(size(qv) = size(qemb), vec_dot_int(qv, qemb),
+               |   raise_error('q211 centroid/embedding dimension mismatch (empty relevance set?)'))"""
+          .stripMargin).as("dot"))
       .withColumn("rerank", row_number().over(rerankW).cast("int"))
       .select("rerank", "doc_id", "bm25_rank", "dot")
       .orderBy("rerank")
@@ -2276,9 +2282,11 @@ object Similarity {
        |qvl AS (SELECT list(s ORDER BY i) AS qv FROM qd),
        |scoredc AS (
        |  SELECT s.doc_id, s.bm25_rank,
-       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(generate_series(1, len(q.qemb)),
-       |        i -> qv[i] * CAST(q.qemb[i] AS BIGINT))), (x, y) -> x + y) AS dot
+       |    CASE WHEN len(qv) = len(q.qemb) THEN
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(generate_series(1, len(q.qemb)),
+       |          i -> qv[i] * CAST(q.qemb[i] AS BIGINT))), (x, y) -> x + y)
+       |    ELSE error('q211 centroid/embedding dimension mismatch (empty relevance set?)') END AS dot
        |  FROM short s JOIN qt q ON q.vec_id = s.doc_id CROSS JOIN qvl)
        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY dot DESC, doc_id) AS INT) AS rerank,
        |  doc_id, bm25_rank, CAST(dot AS BIGINT) AS dot

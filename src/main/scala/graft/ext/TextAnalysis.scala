@@ -462,12 +462,25 @@ object TextAnalysis {
   val HhThreshold = 5
 
   /** All word 3-grams of the corpus, one row per occurrence. */
-  private def trigrams(docs: DataFrame): DataFrame =
+  /** Positional trigram relation — ONE gram definition shared by q85's
+    * overlap measure, q57's heavy hitters, and q202's excision (the
+    * no-drifted-copies discipline: the measure-then-repair pairing
+    * only holds while both queries agree on the gram universe). */
+  private[ext] def trigramsWithPos(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 3), " +
-          "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))")).as("gram"))
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> named_struct('i', i, 'gram', concat_ws(' ',
+          |    element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.gram").as("gram"))
+
+  /** The matching oracle gram expression (1-based `i` over `toks`). */
+  private[ext] val TriGramDuck = "toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]"
+
+  private def trigrams(docs: DataFrame): DataFrame =
+    trigramsWithPos(docs).select("doc_id", "gram")
 
   /** Heavy-hitter 3-grams via a two-pass count-min sketch — boilerplate
     * mining (nav bars, license headers, template sentences) over a
@@ -504,7 +517,7 @@ object TextAnalysis {
   val heavyHitterGramsSql: String =
     s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
        |g AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
-       |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+       |        i -> $TriGramDuck)) AS gram
        |      FROM t WHERE len(toks) >= 3)
        |SELECT gram, COUNT(*) AS n FROM g GROUP BY gram
        |HAVING COUNT(*) >= $HhThreshold
@@ -537,10 +550,10 @@ object TextAnalysis {
   }
 
   val noveltyScoresSql: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |g AS (SELECT DISTINCT doc_id, gram FROM (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
-      |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+      |    i -> $TriGramDuck)) AS gram
       |  FROM t WHERE len(toks) >= 3)),
       |d AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
       |SELECT doc_id, COUNT(*) AS n_grams,
@@ -795,7 +808,7 @@ object TextAnalysis {
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |g AS (SELECT DISTINCT doc_id, gram FROM (
        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
-       |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+       |    i -> $TriGramDuck)) AS gram
        |  FROM t WHERE len(toks) >= 3)),
        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % $OverlapEvalMod = 0)
        |SELECT g.doc_id, COUNT(*) AS n_grams,
@@ -820,28 +833,25 @@ object TextAnalysis {
     * removed-position count, md5 of the cleaned text — n_removed = 0
     * rows prove clean docs pass through byte-identical.
     *
-    * Scale: trigram positions are per-row array arithmetic; the hit
-    * join is against the BROADCAST eval gram set (eval splits are
-    * small by definition — q45's Bloom argument); covered positions
-    * fold back per doc (collect_set over ≤ 3·hits ints) and the
-    * excision itself is one array projection — no shuffle beyond the
-    * hit aggregation. */
+    * Scale: trigram positions are per-row array arithmetic through the
+    * SHARED [[trigramsWithPos]] relation (computed once, lineage cut —
+    * both the eval gram set and the hit probe read the checkpoint, not
+    * a re-scan); the hit join hashes on the gram key — the eval side
+    * is a corpus FRACTION (its distinct grams grow with the corpus),
+    * so it is a plain co-partitioned join, not a broadcast; covered
+    * positions fold back per doc (collect_set over ≤ 3·hits ints) and
+    * the excision itself is one array projection over a second docs
+    * scan (it needs the full token arrays). */
   def spanExcision(docs: DataFrame): DataFrame = {
-    val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val tri = t.where(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(toks) - 2),
-          |  i -> named_struct('i', i, 'gram',
-          |    concat(element_at(toks, i), ' ', element_at(toks, i + 1),
-          |           ' ', element_at(toks, i + 2))))""".stripMargin)).as("g"))
-      .select(col("doc_id"), col("g.i").as("i"), col("g.gram").as("gram"))
+    val tri = trigramsWithPos(docs).localCheckpoint()
     val evalGrams = tri.filter(col("doc_id") % OverlapEvalMod === 0)
       .select("gram").distinct()
     val cov = tri.filter(col("doc_id") % OverlapEvalMod =!= 0)
-      .join(broadcast(evalGrams), "gram")
+      .join(evalGrams, "gram")
       .select(col("doc_id"), explode(expr("array(i, i + 1, i + 2)")).as("p"))
       .groupBy("doc_id").agg(collect_set("p").as("cov"))
-    t.where(size(col("toks")) >= 3)
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
       .filter(col("doc_id") % OverlapEvalMod =!= 0)
       .join(cov, Seq("doc_id"), "left_outer")
       .withColumn("cov", coalesce(col("cov"), expr("cast(array() as array<int>)")))
@@ -861,7 +871,7 @@ object TextAnalysis {
        |tri AS (
        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
        |    i -> struct_pack(i := i,
-       |      gram := toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS u
+       |      gram := $TriGramDuck))) AS u
        |  FROM t WHERE len(toks) >= 3),
        |g AS (SELECT doc_id, u.i AS i, u.gram AS gram FROM tri),
        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % $OverlapEvalMod = 0),

@@ -1924,8 +1924,13 @@ object Relational {
     val keyed = e.crossJoin(broadcast(t0))
       .withColumn("rel", col("us") - col("t0"))
       .withColumn("pk",
-        when(col("rel") * posCap + col("event_id") < 0 || col("event_id") >= posCap,
-          raise_error(lit(s"q210 packed attribution key overflows ($AttrIdBits id bits)")))
+        // explicit bound, not wrap detection: rel past 2^43 us (~101
+        // days) would wrap the pack PAST the sign bit back to positive
+        // and silently mis-attribute; the remedy at that span is an
+        // epoch-bucketed pack, and this raises until someone builds it
+        when(col("rel") >= (Long.MaxValue / posCap) ||
+             col("event_id") < 0 || col("event_id") >= posCap,
+          raise_error(lit(s"q210 packed attribution key overflows ($AttrIdBits id bits / ~101-day span)")))
         .otherwise(when(col("event_type").isin("click", "view"),
           col("rel") * posCap + col("event_id"))))
     val w = Window.partitionBy("user_id").orderBy("rel")
