@@ -104,11 +104,16 @@ object ScaleRehearsal {
     // fifth wave (post-review coverage closure): CDC chunking (O(n)
     // rolling-hash kernel + chunk-keyed aggregate — chunk SHARING
     // grows with the dup families, the skew this fixture stresses),
-    // split balance, confusion matrix, effective tokens, cascade
-    // rerank (q210 attribution is events-based — the rehearsal only
-    // synthesizes documents/embeddings, so it has no 10x twin here)
+    // split balance, confusion matrix, effective tokens. Out of scope:
+    // q210 (events-based — the rehearsal only synthesizes
+    // documents/embeddings) and q211 (the synthetic copies' DISTINCT
+    // tail tokens make the 5 rarest query terms singletons, so the
+    // pseudo-relevance set is empty by construction and q211's loud
+    // empty-set guard kills the job — measured: the review-added guard
+    // observably ENGAGES rather than silently scoring zeros; a real
+    // corpus query has a non-degenerate term distribution)
     "q206_cdc_chunks", "q207_split_balance", "q208_langid_confusion",
-    "q209_effective_tokens", "q211_cascade_rerank")
+    "q209_effective_tokens")
 
   /** q17/q24/q69 are declared-O(n²) kernels; q18/q73 assign against a
     * centroid set that GROWS with the fixture (vec_id % mod stand-in),
