@@ -1018,6 +1018,52 @@ class PlanSpec extends SparkSpec {
       "bucket offsets must join as broadcasts, not shuffles")
   }
 
+  test("q191: both interleave phases rank inside partitioned windows, offsets broadcast") {
+    val p = plan(graft.ext.Curation.sourceInterleave(Tables.documents(spark, sf)))
+    // every corpus-side row_number must sit in a PARTITIONED window —
+    // phase 1 over (source, key-bucket), phase 2 over the rank bucket;
+    // a windowspecdefinition starting with the order column alone would
+    // be the Exchange(SinglePartition) funnel the rewrite deletes
+    var i = p.indexOf("row_number()")
+    var found = 0
+    while (i >= 0) {
+      val w = p.substring(i, math.min(p.length, i + 160))
+      assert(w.contains("windowspecdefinition(source") ||
+             w.contains("windowspecdefinition(gb"),
+        s"interleave rank must be bucket-partitioned:\n$w")
+      found += 1
+      i = p.indexOf("row_number()", i + 1)
+    }
+    assert(found >= 2, "both phases rank through windows")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets must join as broadcasts, not shuffles")
+  }
+
+  test("q190: winnowing pair join is an equi-join; selection is generator-free projection") {
+    val p = plan(graft.ext.Dedup.winnowedPairs(Tables.documents(spark, sf)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "fingerprint postings must join on the fp key only")
+    // per-doc selection stays inside projections: every generator in
+    // the plan is the final per-doc DISTINCT-fingerprint unnest (the
+    // subtree prints once per self-join branch) — never per-window or
+    // per-gram rows
+    val gens = "Generate explode\\([^)]*".r.findAllIn(p).toSeq
+    assert(gens.nonEmpty && gens.forall(_.contains("array_distinct")),
+      s"the only explode is the distinct-fp unnest, got: ${gens.headOption}")
+  }
+
+  test("q210: attribution windows are RANGE frames over the user partition") {
+    val p = plan(graft.queries.Relational.q210Attribution(spark, TestSpark.sf))
+    assert(p.contains("specifiedwindowframe(RangeFrame"),
+      "the lookback must be a RANGE frame, not a ROWS approximation")
+    assert(p.contains("windowspecdefinition(user_id"),
+      "attribution state is per-user, never global")
+    // the one-row t0 scalar cross-joins as a broadcast BNLJ (the house
+    // scalar pattern, cf. q133); what must NOT appear is a cartesian
+    assert(!p.contains("CartesianProduct"),
+      "touch-type resolution joins on event_id only")
+  }
+
   test("q133: threshold relation broadcasts; stage assignment is stateless per row") {
     val p = plan(graft.ext.TextAnalysis.curriculumBuckets(Tables.documents(spark, sf)))
     assert(p.contains("BroadcastNestedLoopJoin"),
