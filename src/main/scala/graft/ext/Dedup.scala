@@ -1710,6 +1710,57 @@ object Dedup {
        |WHERE shared_fps >= $WinnowMinShared
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------ near-dup split leakage (q213)
+  /** q213: NEAR-DUP SPLIT-LEAKAGE AUDIT — how many q14 near-duplicate
+    * pairs STRADDLE q112's train/val/test boundaries: a val/test doc
+    * whose near-duplicate sits in train means the benchmark scores
+    * memorization, not generalization — the contamination q124's
+    * cluster-aware split prevents, measured here as the audit you run
+    * BEFORE deciding to switch split strategies (zero straddling pairs
+    * means the plain hash split is fine; q124's spec proves this
+    * fixture reads nonzero). Reports every unordered split-pair
+    * combination with its pair count and ppm share of all near-dup
+    * pairs — the within-split rows are the denominator context, the
+    * cross-split rows are the leaks. One definition each for the pair
+    * relation (q14's) and the labels (q112's).
+    *
+    * Scale: rides the audited q14 banded join; the label join is two
+    * id-keyed probes and the report a ≤6-row aggregate. */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val lab = graft.ext.Curation.splitLabels(docs).select("doc_id", "split")
+    val pairs = minhashPairs(docs).select("doc_a", "doc_b")
+    val tagged = pairs
+      .join(lab.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(lab.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+    val total = tagged.agg(count(lit(1)).as("n_total"))
+    tagged.groupBy("split_lo", "split_hi").agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(total))
+      .select(col("split_lo"), col("split_hi"), col("n_pairs"),
+        expr("(n_pairs * 1000000) div n_total").as("share_ppm"),
+        when(col("split_lo") =!= col("split_hi"), 1L).otherwise(0L).as("leak"))
+      .orderBy("split_lo", "split_hi")
+  }
+
+  def splitLeakageSql: String =
+    s"""WITH p AS (SELECT doc_a, doc_b FROM (${minhashPairsSql})),
+       |lab AS (
+       |  SELECT doc_id, ${graft.ext.Curation.splitCaseSql("doc_id")} AS split
+       |  FROM documents),
+       |tg AS (
+       |  SELECT least(la.split, lb.split) AS split_lo,
+       |         greatest(la.split, lb.split) AS split_hi
+       |  FROM p JOIN lab la ON la.doc_id = p.doc_a
+       |         JOIN lab lb ON lb.doc_id = p.doc_b),
+       |tot AS (SELECT count(*) AS n_total FROM tg)
+       |SELECT split_lo, split_hi, count(*) AS n_pairs,
+       |  CAST((count(*) * 1000000) // n_total AS BIGINT) AS share_ppm,
+       |  CAST(CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS BIGINT) AS leak
+       |FROM tg CROSS JOIN tot
+       |GROUP BY split_lo, split_hi, n_total
+       |ORDER BY split_lo, split_hi""".stripMargin
+
   // ------------------------------ effective token mass (q209)
   /** q209: EFFECTIVE (DEDUPLICATED) TOKEN MASS per source — the number
     * that actually belongs in a compute budget: raw token counts
@@ -1866,6 +1917,7 @@ object Dedup {
     "q190_winnowing" -> ((s, d) => winnowedPairs(Tables.documents(s, d))),
     "q206_cdc_chunks" -> ((s, d) => cdcChunkDups(Tables.documents(s, d))),
     "q209_effective_tokens" -> ((s, d) => effectiveTokens(Tables.documents(s, d))),
+    "q213_split_leakage" -> ((s, d) => splitLeakage(Tables.documents(s, d))),
     "q45_eval_contamination" -> ((s, d) => evalContamination(Tables.documents(s, d))),
     "q47_repetition" -> ((s, d) => repetitionScore(Tables.documents(s, d))),
     "q59_block_dedup" -> ((s, d) => blockDedup(Tables.documents(s, d))),
@@ -1892,6 +1944,7 @@ object Dedup {
     "q190_winnowing" -> winnowedPairsSql,
     "q206_cdc_chunks" -> cdcChunkDupsSql,
     "q209_effective_tokens" -> effectiveTokensSql,
+    "q213_split_leakage" -> splitLeakageSql,
     "q45_eval_contamination" -> evalContaminationSql,
     "q47_repetition" -> repetitionScoreSql,
     "q59_block_dedup" -> blockDedupSql,

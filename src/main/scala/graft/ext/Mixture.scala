@@ -43,17 +43,11 @@ object Mixture {
       s" + (CASE WHEN (CAST(floor(sqrt(CAST($m AS DOUBLE))) AS BIGINT) + 1)" +
       s"          * (CAST(floor(sqrt(CAST($m AS DOUBLE))) AS BIGINT) + 1) <= $m THEN 1 ELSE 0 END))"
 
-  /** q116: the per-source mixture plan at temperature T = 2 —
-    * (source, n_docs, token_mass, sqrt_mass, weight_ppm, quota_docs)
-    * with weight ∝ isqrt(token_mass), normalized in ppm, and the doc
-    * budget divided by the same ratio (floor division; the ≤ |sources|
-    * remainder docs are the caller's largest-remainder choice). */
-  def mixturePlan(docs: DataFrame): DataFrame = {
-    val bySrc = docs
-      .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("token_mass"))
-      .withColumn("sqrt_mass", expr(isqrt("token_mass")))
+  /** The temperature-2 allocation over ANY (source, n_docs,
+    * token_mass) relation — ONE definition shared by q116 (raw masses)
+    * and q212 (q209's deduplicated masses). */
+  private def planFromMasses(bySrcBase: DataFrame): DataFrame = {
+    val bySrc = bySrcBase.withColumn("sqrt_mass", expr(isqrt("token_mass")))
     val total = bySrc.agg(sum(col("sqrt_mass")).as("sqrt_total"))
     bySrc.crossJoin(broadcast(total))
       .select(col("source"), col("n_docs"), col("token_mass"), col("sqrt_mass"),
@@ -61,6 +55,46 @@ object Mixture {
         expr(s"($DocBudget * sqrt_mass) div sqrt_total").as("quota_docs"))
       .orderBy("source")
   }
+
+  /** q116: the per-source mixture plan at temperature T = 2 —
+    * (source, n_docs, token_mass, sqrt_mass, weight_ppm, quota_docs)
+    * with weight ∝ isqrt(token_mass), normalized in ppm, and the doc
+    * budget divided by the same ratio (floor division; the ≤ |sources|
+    * remainder docs are the caller's largest-remainder choice). */
+  def mixturePlan(docs: DataFrame): DataFrame =
+    planFromMasses(docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("token_mass")))
+
+  /** q212: DEDUP-AWARE MIXTURE PLAN — q116's temperature-2 allocation
+    * recomputed over q209's EFFECTIVE (deduplicated) token masses: a
+    * source whose bulk is duplication no longer buys mixture weight
+    * with tokens the model would see as repeats — the correction every
+    * mixture paper applies after dedup, and the reason q209 exists.
+    * Shares the allocation arithmetic with q116 ([[planFromMasses]])
+    * and the duplicate definition with q13/q209 — none of the three
+    * can drift. Comparing q116's and q212's weight_ppm columns IS the
+    * duplication-bias report.
+    *
+    * Scale: q209's linear pass + the |sources|-row allocation. */
+  def dedupAwareMixturePlan(docs: DataFrame): DataFrame =
+    planFromMasses(graft.ext.Dedup.effectiveTokens(docs)
+      .select(col("source"), col("dedup_docs").as("n_docs"),
+        col("dedup_tokens").as("token_mass")))
+
+  val dedupAwareMixturePlanSql: String =
+    s"""WITH eff AS (
+       |  SELECT source, dedup_docs AS n_docs, dedup_tokens AS token_mass
+       |  FROM (${graft.ext.Dedup.effectiveTokensSql})),
+       |s AS (SELECT source, n_docs, token_mass,
+       |        ${isqrt("token_mass")} AS sqrt_mass FROM eff),
+       |t AS (SELECT SUM(sqrt_mass) AS sqrt_total FROM s)
+       |SELECT source, n_docs, CAST(token_mass AS BIGINT) AS token_mass,
+       |  CAST(sqrt_mass AS BIGINT) AS sqrt_mass,
+       |  CAST((1000000 * sqrt_mass) // sqrt_total AS BIGINT) AS weight_ppm,
+       |  CAST(($DocBudget * sqrt_mass) // sqrt_total AS BIGINT) AS quota_docs
+       |FROM s CROSS JOIN t ORDER BY source""".stripMargin
 
   val mixturePlanSql: String =
     s"""WITH m AS (
@@ -233,11 +267,13 @@ object Mixture {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_mixture_plan" -> ((s, d) => mixturePlan(Tables.documents(s, d))),
+    "q212_dedup_mixture" -> ((s, d) => dedupAwareMixturePlan(Tables.documents(s, d))),
     "q117_epoch_manifest" -> ((s, d) => epochManifest(Tables.documents(s, d))),
     "q180_water_filling" -> ((s, d) => waterFillAllocation(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q116_mixture_plan" -> mixturePlanSql,
+    "q212_dedup_mixture" -> dedupAwareMixturePlanSql,
     "q117_epoch_manifest" -> epochManifestSql(),
     "q180_water_filling" -> waterFillAllocationSql)
 }

@@ -2127,6 +2127,57 @@ class ExtSpec extends SparkSpec {
       "dense scores non-increasing down the rerank")
   }
 
+  test("q212 dedup-aware mixture: allocation replays over q209 masses, dup source demoted") {
+    def isqrt(n: Long): Long = { var r = math.sqrt(n.toDouble).toLong
+      while (r * r > n) r -= 1; while ((r + 1) * (r + 1) <= n) r += 1; r }
+    val eff = Dedup.effectiveTokens(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val sq = eff.view.mapValues { case (_, m) => isqrt(m) }.toMap
+    val tot = sq.values.sum
+    val got = Mixture.dedupAwareMixturePlan(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == eff.keySet)
+    eff.foreach { case (s, (nd, m)) =>
+      assert(got(s) == ((nd, m, sq(s), sq(s) * 1000000L / tot,
+        sq(s) * 1000L / tot)), s"source $s")
+    }
+    // a pure-duplicate source loses its weight to the original's source
+    import spark.implicits._
+    val crafted = Seq((1L, "A", "a b c d"), (2L, "A", "e f g h"),
+      (3L, "B", "a b c d"), (4L, "B", "a b c d")).toDF("doc_id", "source", "text")
+    val raw = Mixture.mixturePlan(crafted).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val ded = Mixture.dedupAwareMixturePlan(crafted).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(ded("B") < raw("B") && ded("A") > raw("A"),
+      "duplication must stop buying mixture weight")
+  }
+
+  test("q213 split leakage: pair tagging replays, conservation, leaks flagged") {
+    val labels = Curation.splitLabels(docs).collect()
+      .map(r => r.getLong(1) -> r.getString(3)).toMap
+    val pairs = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = pairs.map { case (a, b) =>
+      val (sa, sb) = (labels(a), labels(b))
+      (Seq(sa, sb).min, Seq(sa, sb).max)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Dedup.splitLeakage(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, n) =>
+      assert(got(k)._1 == n && got(k)._2 == n * 1000000L / pairs.length,
+        s"combo $k")
+    }
+    assert(got.values.map(_._1).sum == pairs.length.toLong,
+      "every near-dup pair tagged exactly once")
+    got.foreach { case ((lo, hi), (_, _, leak)) =>
+      assert(leak == (if (lo != hi) 1L else 0L), s"leak flag ($lo,$hi)")
+    }
+  }
+
   test("q189 datasheet: every metric equals its source query's own aggregate") {
     val m = Curation.corpusDatasheet(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
