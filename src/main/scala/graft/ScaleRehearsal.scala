@@ -113,7 +113,11 @@ object ScaleRehearsal {
     // observably ENGAGES rather than silently scoring zeros; a real
     // corpus query has a non-degenerate term distribution)
     "q206_cdc_chunks", "q207_split_balance", "q208_langid_confusion",
-    "q209_effective_tokens")
+    "q209_effective_tokens",
+    // sixth wave: dedup-aware allocation (rides q209 + a |sources|-row
+    // plan) and the split-leakage audit (rides the audited q14 banded
+    // join + two id probes)
+    "q212_dedup_mixture", "q213_split_leakage")
 
   /** q17/q24/q69 are declared-O(n²) kernels; q18/q73 assign against a
     * centroid set that GROWS with the fixture (vec_id % mod stand-in),
