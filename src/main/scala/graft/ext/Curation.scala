@@ -394,9 +394,9 @@ object Curation {
     * definition for q112 (doc_id), q124 (cluster_id), and q207's audit
     * (a drifted copy would let the audit measure a split that is no
     * longer the split q112 ships). */
-  private[ext] def splitCaseSql(key: String): String =
-    s"""CASE WHEN (($ShuffleMulA * ${key} + 777) % $ShuffleMod) % 1000 < $SplitTrainPm THEN 'train'
-       |         WHEN (($ShuffleMulA * ${key} + 777) % $ShuffleMod) % 1000 < $SplitValPm THEN 'val'
+  private[ext] def splitCaseSql(key: String, seed: Long = 777L): String =
+    s"""CASE WHEN (($ShuffleMulA * ${key} + $seed) % $ShuffleMod) % 1000 < $SplitTrainPm THEN 'train'
+       |         WHEN (($ShuffleMulA * ${key} + $seed) % $ShuffleMod) % 1000 < $SplitValPm THEN 'val'
        |         ELSE 'test' END""".stripMargin
 
   /** q112: SEEDED TRAIN/VAL/TEST SPLIT — every doc deterministically

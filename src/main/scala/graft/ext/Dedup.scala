@@ -1734,9 +1734,12 @@ object Dedup {
       .join(lab.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
       .select(least(col("sa"), col("sb")).as("split_lo"),
         greatest(col("sa"), col("sb")).as("split_hi"))
-    val total = tagged.agg(count(lit(1)).as("n_total"))
+    // ONE pass over the pair join: the total rides a window over the
+    // ≤6-row grouped relation instead of a second corpus-plan action
+    val totW = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
     tagged.groupBy("split_lo", "split_hi").agg(count(lit(1)).as("n_pairs"))
-      .crossJoin(broadcast(total))
+      .withColumn("n_total", sum("n_pairs").over(totW))
       .select(col("split_lo"), col("split_hi"), col("n_pairs"),
         expr("(n_pairs * 1000000) div n_total").as("share_ppm"),
         when(col("split_lo") =!= col("split_hi"), 1L).otherwise(0L).as("leak"))

@@ -461,26 +461,35 @@ object TextAnalysis {
   val HhWidth = 8192
   val HhThreshold = 5
 
-  /** All word 3-grams of the corpus, one row per occurrence. */
-  /** Positional trigram relation — ONE gram definition shared by q85's
-    * overlap measure, q57's heavy hitters, and q202's excision (the
+  /** The ONE Spark-side gram expression (1-based `i` over `toks`) —
+    * shared by the positional and gram-only relations below so q57,
+    * q61, q85, and q202 can never tokenize differently (the
     * no-drifted-copies discipline: the measure-then-repair pairing
-    * only holds while both queries agree on the gram universe). */
+    * only holds while all consumers agree on the gram universe). */
+  private val TriGramSpark =
+    "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))"
+
+  /** Positional trigram relation (doc_id, i, gram) — q202's excision
+    * needs the positions. */
   private[ext] def trigramsWithPos(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(toks) - 2),
-          |  i -> named_struct('i', i, 'gram', concat_ws(' ',
-          |    element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))"""
-          .stripMargin)).as("g"))
+        s"""transform(sequence(1, size(toks) - 2),
+           |  i -> named_struct('i', i, 'gram', $TriGramSpark))""".stripMargin)).as("g"))
       .select(col("doc_id"), col("g.i").as("i"), col("g.gram").as("gram"))
 
   /** The matching oracle gram expression (1-based `i` over `toks`). */
   private[ext] val TriGramDuck = "toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]"
 
+  /** All word 3-grams of the corpus, one row per occurrence — the
+    * gram-only projection of the same [[TriGramSpark]] expression
+    * (no struct boxing on the hot q57/q85 scans). */
   private def trigrams(docs: DataFrame): DataFrame =
-    trigramsWithPos(docs).select("doc_id", "gram")
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - 2), i -> $TriGramSpark)")).as("gram"))
 
   /** Heavy-hitter 3-grams via a two-pass count-min sketch — boilerplate
     * mining (nav bars, license headers, template sentences) over a
@@ -843,7 +852,10 @@ object TextAnalysis {
     * the excision itself is one array projection over a second docs
     * scan (it needs the full token arrays). */
   def spanExcision(docs: DataFrame): DataFrame = {
-    val tri = trigramsWithPos(docs).localCheckpoint()
+    // lazy checkpoint: the lineage cut happens on first materialization,
+    // not at DataFrame construction (an eager cut would run the corpus
+    // trigram explode for every plan inspection / dry construction)
+    val tri = trigramsWithPos(docs).localCheckpoint(false)
     val evalGrams = tri.filter(col("doc_id") % OverlapEvalMod === 0)
       .select("gram").distinct()
     val cov = tri.filter(col("doc_id") % OverlapEvalMod =!= 0)

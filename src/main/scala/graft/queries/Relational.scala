@@ -1924,10 +1924,13 @@ object Relational {
     val keyed = e.crossJoin(broadcast(t0))
       .withColumn("rel", col("us") - col("t0"))
       .withColumn("pk",
-        // explicit bound, not wrap detection: rel past 2^43 us (~101
-        // days) would wrap the pack PAST the sign bit back to positive
-        // and silently mis-attribute; the remedy at that span is an
-        // epoch-bucketed pack, and this raises until someone builds it
+        // explicit bound, not wrap detection: rel approaching 2^43 us
+        // (~101 days; the cut is conservatively one tick early) would
+        // wrap the pack PAST the sign bit back to positive and silently
+        // mis-attribute; the remedy at that span is an epoch-bucketed
+        // pack, and this raises until someone builds it — the oracle
+        // carries the IDENTICAL bound through error(), so neither
+        // engine can cross into the wrap region alone
         when(col("rel") >= (Long.MaxValue / posCap) ||
              col("event_id") < 0 || col("event_id") >= posCap,
           raise_error(lit(s"q210 packed attribution key overflows ($AttrIdBits id bits / ~101-day span)")))
@@ -1964,7 +1967,10 @@ object Relational {
        |t0 AS (SELECT min(us) AS t0 FROM e),
        |k AS (
        |  SELECT e.event_id, e.user_id, e.event_type, e.us, e.us - t0.t0 AS rel,
-       |    CASE WHEN e.event_type IN ('click', 'view')
+       |    CASE WHEN e.us - t0.t0 >= ${Long.MaxValue / posCap}
+       |           OR e.event_id < 0 OR e.event_id >= $posCap
+       |         THEN error('q210 packed attribution key overflows ($AttrIdBits id bits / ~101-day span)')
+       |         WHEN e.event_type IN ('click', 'view')
        |         THEN (e.us - t0.t0) * $posCap + e.event_id END AS pk
        |  FROM e, t0),
        |w AS (
