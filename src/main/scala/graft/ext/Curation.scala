@@ -1814,8 +1814,7 @@ object Curation {
       .select(col("doc_id"), col("keep").as("clf"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("text_hash")
     val uniq = docs
-      .withColumn("text_hash",
-        md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")))
+      .withColumn("text_hash", graft.ext.Dedup.normTextHash(col("text")))
       .select(col("doc_id"),
         when(col("doc_id") === min(col("doc_id")).over(w), 1L).otherwise(0L)
           .as("uniq"))
@@ -1834,7 +1833,7 @@ object Curation {
        |uniq AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id = MIN(doc_id) OVER (
-       |      PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+       |      PARTITION BY ${graft.ext.Dedup.normTextHashSql("text")})
        |    THEN 1 ELSE 0 END AS uniq
        |  FROM documents)
        |SELECT g.gopher, ga.gate, c.clf, u.uniq,

@@ -32,23 +32,34 @@ object Dedup {
   def coefB(i: Int): Long = 7L * i + 1
 
   // ---------------------------------------------------------------- exact
+  /** THE normalized-text fingerprint for exact duplicates — md5 over
+    * lowercased, whitespace-collapsed text. q13 defines it; q187's
+    * uniq bit and q209's canonical set DERIVE from this one helper (and
+    * its SQL twin [[normTextHashSql]]) so a change to the
+    * normalization rule can never silently drift a consumer. */
+  def normTextHash(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
+
+  /** SQL twin of [[normTextHash]] (DuckDB). */
+  def normTextHashSql(textExpr: String): String =
+    s"md5(regexp_replace(lower($textExpr), '\\s+', ' ', 'g'))"
+
   /** Exact dedup: md5 over normalized text (lowercase, collapsed
     * whitespace). One hash-groupBy; the canonical representative is the
     * min doc_id (deterministic at any parallelism). */
   def exactDedup(docs: DataFrame): DataFrame =
     docs
-      .withColumn("text_hash",
-        md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")))
+      .withColumn("text_hash", normTextHash(col("text")))
       .groupBy("text_hash")
       .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_docs"))
       .orderBy("text_hash")
 
-  val exactDedupSql: String =
-    """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_hash,
-      |  MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_docs
-      |FROM documents
-      |GROUP BY 1
-      |ORDER BY text_hash""".stripMargin
+  def exactDedupSql: String =
+    s"""SELECT ${normTextHashSql("text")} AS text_hash,
+       |  MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_docs
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY text_hash""".stripMargin
 
   // -------------------------------------------------------------- minhash
   /** Portable 28-bit string hash: rolling polynomial over code points,
@@ -1443,6 +1454,28 @@ object Dedup {
   private[graft] def lshIndexPathForTest(key: String): String =
     lshIndexCache.get(key)
 
+  /** Content fingerprint keying the stored-index cache: path + length +
+    * mtime per input file, so a dataset REGENERATED at the same paths
+    * gets a fresh index instead of silently probing a stale one.
+    * In-memory frames fall back to a session identity — clear those per
+    * fixture build with [[resetLshIndexCache]] (identity hashes can be
+    * reused after GC). */
+  private[graft] def lshIndexKey(docs: DataFrame): String = {
+    val files = docs.inputFiles
+    if (files.nonEmpty) {
+      val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+      files.sorted.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"$f#${st.getLen}#${st.getModificationTime}"
+      }.mkString(",")
+    } else s"mem:${System.identityHashCode(docs)}"
+  }
+
+  /** Fixture hook: drop every stored index (used when an in-memory
+    * frame is rebuilt and must not alias a prior identity key). */
+  private[graft] def resetLshIndexCache(): Unit = lshIndexCache.clear()
+
   /** q186: INCREMENTAL NEAR-DUP INDEX MAINTENANCE — the LSH member of
     * the index-maintenance family (exact-hash q50, IVF q155, SCD2
     * q136): the base corpus's band postings are a STORED index, and an
@@ -1463,11 +1496,7 @@ object Dedup {
     val spark = docs.sparkSession
     val base = docs.filter(col("doc_id") % LshDeltaMod =!= (LshDeltaMod - 1))
     val delta = docs.filter(col("doc_id") % LshDeltaMod === (LshDeltaMod - 1))
-    val key = {
-      val fs = docs.inputFiles
-      if (fs.nonEmpty) fs.sorted.mkString(",")
-      else s"mem:${System.identityHashCode(docs)}"
-    }
+    val key = lshIndexKey(docs)
     val indexPath = lshIndexCache.computeIfAbsent(key, { _ =>
       val p = graft.TempDirs.create("graft-lshindex").toString
       minhashBands(base).write.mode("overwrite").parquet(p)
@@ -1782,7 +1811,7 @@ object Dedup {
   def effectiveTokens(docs: DataFrame): DataFrame = {
     val base = docs.select(col("source"), col("doc_id"),
       expr("size(split(text, ' '))").cast("long").as("nt"),
-      md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")).as("text_hash"))
+      normTextHash(col("text")).as("text_hash"))
     val canon = base.groupBy("text_hash").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     val raw = base.groupBy("source")
@@ -1799,11 +1828,11 @@ object Dedup {
       .orderBy("source")
   }
 
-  val effectiveTokensSql: String =
-    """WITH base AS (
+  def effectiveTokensSql: String =
+    s"""WITH base AS (
       |  SELECT source, doc_id,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
-      |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_hash
+      |    ${normTextHashSql("text")} AS text_hash
       |  FROM documents),
       |canon AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY text_hash),
       |raw AS (SELECT source, count(*) AS raw_docs, sum(nt) AS raw_tokens

@@ -2131,7 +2131,14 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("qemb").as("c_emb"))
     var picks = first.select(col("c_id"), lit(1L).as("pick_order"), lit(0L).as("r2"))
       .localCheckpoint(true)
+    // picked centers leave dmin entirely (not just d2min=0): when the
+    // corpus has fewer than KCenterK distinct quantized vectors the
+    // all-zeros argmax would otherwise re-pick the smallest already-
+    // picked id and emit duplicate centers. The oracle mirrors the
+    // exclusion; with >= k distinct vectors the sequence is unchanged
+    // (a picked row's d2min is 0 and never wins the argmax anyway).
     var dmin = q.crossJoin(broadcast(first))
+      .filter(col("vec_id") =!= col("c_id"))
       .select(col("vec_id"), col("qemb"), expr(d2).as("d2min"))
       .localCheckpoint(true)
     for (i <- 2 to KCenterK) {
@@ -2142,7 +2149,8 @@ object Similarity {
       picks = picks.unionByName(
         next.select(col("c_id"), lit(i.toLong).as("pick_order"), col("r2")))
         .localCheckpoint(true)
-      dmin = dmin.crossJoin(broadcast(next.select(col("c_emb"))))
+      dmin = dmin.crossJoin(broadcast(next.select(col("c_id"), col("c_emb"))))
+        .filter(col("vec_id") =!= col("c_id"))
         .select(col("vec_id"), col("qemb"),
           least(col("d2min"), expr(d2)).as("d2min"))
         .localCheckpoint(true)
@@ -2167,7 +2175,8 @@ object Similarity {
          |d$i AS (
          |  SELECT d.vec_id, d.qemb,
          |    LEAST(d.d2min, ${dist("d.qemb", "c.c_emb")}) AS d2min
-         |  FROM d${i - 1} d CROSS JOIN c$i c)""".stripMargin
+         |  FROM d${i - 1} d CROSS JOIN c$i c
+         |  WHERE d.vec_id <> c.c_id)""".stripMargin
     }.mkString(",\n")
     val pickUnion = (2 to KCenterK)
       .map(i => s"SELECT $i AS pick_order, c_id, r2 FROM c$i")
@@ -2181,7 +2190,8 @@ object Similarity {
        |c1 AS (SELECT vec_id AS c_id, qemb AS c_emb FROM v ORDER BY vec_id LIMIT 1),
        |d1 AS (
        |  SELECT v.vec_id, v.qemb, ${dist("v.qemb", "c.c_emb")} AS d2min
-       |  FROM v CROSS JOIN c1 c),
+       |  FROM v CROSS JOIN c1 c
+       |  WHERE v.vec_id <> c.c_id),
        |$rounds
        |SELECT CAST(pick_order AS BIGINT) AS pick_order,
        |  c_id AS center_id, CAST(r2 AS BIGINT) AS r2

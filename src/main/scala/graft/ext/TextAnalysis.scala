@@ -1859,6 +1859,12 @@ object TextAnalysis {
     * (30 on the fixture), not vocabulary-sized. All counts distinct-
     * (doc, token) based, so every number is an exact integer and
     * lift's rational form hash-matches. */
+  /** Loud bound on the q176 lift numerator (packGuard discipline, the
+    * q199 pattern): df_xy*n_docs past ~9.2e12 would silently wrap the
+    * 1e6-scaled lift in Spark (DuckDB errors natively); at that corpus
+    * scale shard the pair counts first. */
+  val LiftE6Bound = 9223372036854L
+
   def cooccurrenceLift(docs: DataFrame): DataFrame = {
     val dt = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -1877,8 +1883,14 @@ object TextAnalysis {
       .groupBy("x", "y").agg(max("df_x").as("df_x"), max("df_y").as("df_y"),
         count(lit(1)).as("df_xy"))
     pairs.crossJoin(broadcast(total))
+      .withColumn("xy_n",
+        when(col("df_xy") * col("n_docs") > LiftE6Bound,
+          raise_error(concat(
+            lit(s"q176 df_xy*n_docs exceeds the exact ppm bound $LiftE6Bound: "),
+            (col("df_xy") * col("n_docs")).cast("string"))))
+          .otherwise(col("df_xy") * col("n_docs")))
       .select(col("x"), col("y"), col("df_x"), col("df_y"), col("df_xy"),
-        expr("(1000000 * df_xy * n_docs) div (df_x * df_y)").as("lift_e6"))
+        expr("(1000000 * xy_n) div (df_x * df_y)").as("lift_e6"))
       .orderBy("x", "y")
   }
 
@@ -1899,7 +1911,9 @@ object TextAnalysis {
        |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.w < b.w
        |  GROUP BY a.w, b.w)
        |SELECT x, y, df_x, df_y, df_xy,
-       |  CAST((1000000 * df_xy * n_docs) // (df_x * df_y) AS BIGINT) AS lift_e6
+       |  CAST((1000000 * (CASE WHEN df_xy * n_docs > $LiftE6Bound
+       |    THEN CAST(error('q176 df_xy*n_docs exceeds the exact ppm bound') AS BIGINT)
+       |    ELSE df_xy * n_docs END)) // (df_x * df_y) AS BIGINT) AS lift_e6
        |FROM pairs, total
        |ORDER BY x, y""".stripMargin
 

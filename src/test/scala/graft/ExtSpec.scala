@@ -1742,7 +1742,7 @@ class ExtSpec extends SparkSpec {
     assert(got == want, "incremental ingest == full rebuild ∩ delta-touching pairs")
     assert(got.nonEmpty, "fixture delta participates in near-dup pairs (non-vacuous)")
     // the stored base index is read, never rewritten, across repeat ingests
-    val key = docs.inputFiles.sorted.mkString(",")
+    val key = Dedup.lshIndexKey(docs)
     val idx = java.nio.file.Path.of(Dedup.lshIndexPathForTest(key))
     def mtimes = {
       val s = java.nio.file.Files.walk(idx)
