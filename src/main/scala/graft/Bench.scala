@@ -20,6 +20,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Bench times the PRODUCTION plan: fixture-scale quality-witness
+    // columns (q118 exact_tokens, q129 ndv_exact) stay in verify runs
+    // but are dropped here unless SPARK_GRAFT_WITNESS=on (A/B hatch).
+    Witness.enabled = sys.env.get("SPARK_GRAFT_WITNESS").contains("on")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")

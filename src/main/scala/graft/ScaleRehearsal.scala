@@ -36,6 +36,22 @@ object ScaleRehearsal {
 
   val Copies = 10
   val IdStride = 16 // new_id = old_id * 16 + copy; headroom-safe
+
+  /** Second measured decade: a 100x-documents pass over a corpus-linear
+    * subset, turning the "constant job floor amortizes" extrapolation
+    * into a two-point curve (10x and 100x against the same base). */
+  val Copies100 = 100
+  val IdStride100 = 128 // 100 reps need 7 bits; base ids get headroom
+
+  /** The 100x subset: corpus-linear kernels only (one scan + key-capped
+    * shuffles), including the two the round-8 review called out — label
+    * propagation (frontier joins over the CAPPED pair graph) and the
+    * rolling-hash CDC chunker. Embedding kernels are excluded because
+    * the 100x fixture synthesizes documents only. */
+  val Rehearsal100Queries: Seq[String] = Seq(
+    "q13_dedup_exact", "q14_minhash_pairs", "q16_ngram_jaccard",
+    "q19_lang_id", "q21_tokens", "q46_chunking", "q84_quality_gate",
+    "q118_hll_tokens", "q177_label_propagation", "q206_cdc_chunks")
   val Boilerplate =
     "all rights reserved this document is provided as is without warranty of any kind"
 
@@ -144,15 +160,17 @@ object ScaleRehearsal {
     * shape. */
   val FixedKCentroidMod: Long = graft.ext.Similarity.CentroidMod.toLong * IdStride
 
-  def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+  def synthesize(spark: SparkSession, baseDir: String, outDir: String,
+                 copies: Int = Copies, stride: Int = IdStride,
+                 withEmbeddings: Boolean = true): Unit = {
     val fs = java.nio.file.Paths.get(outDir)
     if (java.nio.file.Files.exists(fs.resolve("documents.parquet"))) return
     java.nio.file.Files.createDirectories(fs)
-    val reps = explode(sequence(lit(0), lit(Copies - 1))).as("rep")
+    val reps = explode(sequence(lit(0), lit(copies - 1))).as("rep")
     Tables.documents(spark, baseDir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), reps)
       .select(
-        (col("doc_id") * IdStride + col("rep")).as("doc_id"),
+        (col("doc_id") * stride + col("rep")).as("doc_id"),
         // perturbed copy + hot boilerplate on 30% of base docs
         concat(col("text"), lit(" copytail"), col("rep"),
           expr(s"CASE WHEN doc_id % 10 < 3 THEN ' $Boilerplate' ELSE '' END"))
@@ -161,17 +179,21 @@ object ScaleRehearsal {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    if (!withEmbeddings) return // the 100x block is documents-only
     Tables.embeddings(spark, baseDir)
       .select(col("vec_id"), col("embedding"), reps)
-      .select((col("vec_id") * IdStride + col("rep")).as("vec_id"),
+      .select((col("vec_id") * stride + col("rep")).as("vec_id"),
         expr("transform(embedding, x -> cast(x + rep / 1024.0 as float))")
           .as("embedding"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
-  private def timeAll(spark: SparkSession, dir: String): Map[String, Double] =
-    RehearsalQueries.map { name =>
+  private val runTag = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def timeAll(spark: SparkSession, dir: String,
+                      names: Seq[String] = RehearsalQueries): Map[String, Double] =
+    names.map { name =>
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
@@ -181,16 +203,27 @@ object ScaleRehearsal {
   /** Run the capped pair generators with their drop Observations and
     * return the metrics (AQE off — Spark 4.1 AQE drops mid-plan observed
     * metrics, the round-3 lesson). */
-  private def dropMetrics(spark: SparkSession, dir: String): Map[String, Long] = {
+  private def dropMetrics(spark: SparkSession, dir: String,
+                          withEmbeddings: Boolean = true): Map[String, Long] = {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val docs = Tables.documents(spark, dir)
-      val o16 = Observation("rehearsal_q16")
+      val o16 = Observation(s"rehearsal_q16_${runTag.incrementAndGet()}")
       graft.ext.Dedup.ngramJaccardPairs(docs, dropObs = Some(o16))
         .write.format("noop").mode("overwrite").save()
-      val o14 = Observation("rehearsal_q14")
+      val o14 = Observation(s"rehearsal_q14_${runTag.incrementAndGet()}")
       graft.ext.Dedup.minhashPairs(docs, dropObs = Some(o14))
         .write.format("noop").mode("overwrite").save()
+      if (!withEmbeddings) {
+        val drops = Map(
+          "q16_dropped_shingles" -> o16.get("dropped_shingles").asInstanceOf[Long],
+          "q16_dropped_postings" -> o16.get("dropped_postings").asInstanceOf[Long],
+          "q14_dropped_buckets" -> o14.get("dropped_buckets").asInstanceOf[Long],
+          "q14_dropped_docs" -> o14.get("dropped_docs").asInstanceOf[Long])
+        require(drops.values.exists(_ > 0),
+          s"skew caps never engaged on the skewed fixture: $drops")
+        return drops
+      }
       // q24's banded rewrite under a cap TIGHTER than the fixture's hot
       // clone-family buckets (avg bucket at bands=4/bits=9 on the 10x
       // corpus is ~100 postings): the pathological-bucket path must
@@ -255,6 +288,22 @@ object ScaleRehearsal {
     val drops = dropMetrics(spark, outDir)
     val baseTotal = baseTimes.values.sum
     val bigTotal = bigTimes.values.sum
+
+    // ---- second measured decade: 100x documents, corpus-linear subset
+    val out100 = args.lift(2).getOrElse("/tmp/graft-sf100-rehearsal")
+    synthesize(spark, baseDir, out100, copies = Copies100,
+      stride = IdStride100, withEmbeddings = false)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings")) {
+      val link = java.nio.file.Paths.get(s"$out100/$t.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$baseDir/$t.parquet"))
+    }
+    val x100Times = timeAll(spark, out100, Rehearsal100Queries)
+    val drops100 = dropMetrics(spark, out100, withEmbeddings = false)
+    val base100 = Rehearsal100Queries.map(baseTimes).sum
+    val x100Total = x100Times.values.sum
 
     // LSH bit-width scaling: with bucket count FIXED, 10x corpus means
     // ~100x in-bucket pair work (the fixed-bits x10 numbers above show
@@ -333,6 +382,12 @@ object ScaleRehearsal {
       s""""mitigated_quadratic":${jmap(mitigated)},""" +
       s""""colloc_bound_demo":{"bound":$collocBound,"exact_raised":$exactTripped,""" +
       s""""sampled_mod16_sec":${f"$sampledSec%.3f"}},""" +
+      s""""x100":{"copies":$Copies100,""" +
+      s""""base_subset_sec":${f"$base100%.2f"},""" +
+      s""""x100_total_sec":${f"$x100Total%.2f"},""" +
+      s""""scaling_ratio":${f"${x100Total / base100}%.2f"},""" +
+      s""""drops":{${drops100.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}},""" +
+      s""""queries":${jmap(x100Times)}},""" +
       s""""base_queries":${jmap(baseTimes)},"x10_queries":${jmap(bigTimes)}}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_rehearsal.json"),

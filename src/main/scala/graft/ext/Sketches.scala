@@ -107,6 +107,10 @@ object Sketches {
       .groupBy(col("reg")).agg(max(col("m")).as("m"))
       .withColumn("source", lit("__all__"))
     val ests = estimateBy(perSrcRegs.unionByName(mergedRegs), Seq("source"))
+    if (!graft.Witness.enabled)
+      // production plan: the sketch alone — no exact countDistinct twin
+      return ests.select(col("source"), col("regs_hit"), col("est_tokens"))
+        .orderBy("source")
     val exact = tok.groupBy(col("source"))
       .agg(countDistinct(col("w")).as("exact_tokens"))
       .unionByName(tok.select(lit("__all__").as("source"),
@@ -227,6 +231,12 @@ object Sketches {
       .select("col_name", "w").distinct()
     val ests = estimateBy(registerTable(tok, key = "col_name"),
       Seq("col_name"), estName = "ndv_est")
+    if (!graft.Witness.enabled)
+      // production plan: stats + sketch NDV, no exact-NDV witness twin
+      return base.join(ests, Seq("col_name"))
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("min_val"), col("max_val"), col("ndv_est"))
+        .orderBy("col_name")
     val exact = stacked.filter(col("v").isNotNull)
       .groupBy("col_name").agg(countDistinct(col("v")).as("ndv_exact"))
     base.join(ests, Seq("col_name")).join(exact, Seq("col_name"))

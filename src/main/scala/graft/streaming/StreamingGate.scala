@@ -1091,7 +1091,105 @@ object StreamingGate {
       |FROM events e JOIN customer c ON c.c_custkey = e.user_id
       |ORDER BY e.event_id""".stripMargin
 
+  /** (data-trigger count, empty-trigger count, total input rows) of the
+    * most recent q214 run — StreamingSpec pins the ≥3-wall-clock-trigger
+    * contract on the engine's own progress telemetry. */
+  private[graft] val lastProcTimeRun =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int, Long)]((0, 0, 0L))
+
+  /** q214: PROCESSING-TIME CADENCE (22nd gate) — every other gate
+    * replays through `Trigger.AvailableNow` (staged files, a
+    * self-terminating end-offset latch); this one proves the SCHEDULER
+    * path those replays assume: a real `Trigger.ProcessingTime` query
+    * over a GROWING directory. The fixture is split into three disjoint
+    * thirds (event_id mod 3) delivered one at a time, each delivery
+    * gated on the previous third being fully aggregated in the sink —
+    * so the run must (a) keep firing on wall-clock cadence, (b) pick up
+    * files that appear BETWEEN triggers, and (c) land on the batch
+    * relation no matter which trigger saw which file (complete-mode
+    * aggregation is batch-boundary-invariant, which is what makes a
+    * wall-clock-scheduled run hash-gateable at all). The gate demands
+    * >= 3 data-carrying triggers from `recentProgress` — guaranteed by
+    * the delivery protocol, checked from the engine's own telemetry.
+    * Scale: the aggregate is the q11 shape (one shuffle on a tiny key
+    * domain); a production deployment points the same plan at an
+    * arrival-partitioned object-store prefix and tunes the cadence. */
+  def q214StreamProcTime(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = Files.createTempDirectory("graft-proctime-src")
+    val ckpt = Files.createTempDirectory("graft-proctime-ckpt")
+    Seq(src, ckpt).foreach(_.toFile.deleteOnExit())
+    val all = spark.read.schema(EventsStreaming.rawSchema)
+      .parquet(canonicalEventsFile(spark, dir).toString)
+    val third = pmod(col("event_id"), lit(3))
+    val thirdCounts = all.groupBy(third.as("t")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def deliver(i: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft-proctime-part")
+      all.filter(third === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst.get
+      val dst = src.resolve(f"$i%02d-events.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        FileTime.fromMillis(System.currentTimeMillis()))
+    }
+    val name = s"graft_stream_gate_${runCounter.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    deliver(0)
+    val q = spark.readStream.schema(EventsStreaming.rawSchema)
+      .option("latestFirst", false)
+      .parquet(src.toString)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.ProcessingTime("400 milliseconds"))
+      .start()
+    def sinkTotal(): Long = {
+      val r = spark.table(name).agg(sum("n_events")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    def awaitTotal(target: Long): Unit = {
+      val deadline = System.currentTimeMillis + 120000
+      while (sinkTotal() < target && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      require(sinkTotal() >= target,
+        s"q214: sink stuck at ${sinkTotal()} rows awaiting $target")
+    }
+    try {
+      var sofar = thirdCounts.getOrElse(0L, 0L)
+      awaitTotal(sofar)
+      for (i <- 1 to 2) {
+        deliver(i)
+        sofar += thirdCounts.getOrElse(i.toLong, 0L)
+        awaitTotal(sofar)
+      }
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val prog = q.recentProgress.toSeq
+    val dataTriggers = prog.count(_.numInputRows > 0)
+    lastProcTimeRun.set((dataTriggers, prog.count(_.numInputRows == 0),
+      prog.map(_.numInputRows).sum))
+    require(dataTriggers >= 3,
+      s"q214: expected >= 3 data-carrying wall-clock triggers, saw $dataTriggers")
+    spark.table(name).orderBy("event_type")
+  }
+
+  /** Wall-clock-scheduled replay must land on the batch aggregate. */
+  val q214Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_stream_proctime" -> (q214StreamProcTime _),
     "q98_stream_upsert_sink" -> (q98StreamUpsertSink _),
     "q93_stream_static_join" -> (q93StreamStaticJoin _),
     "q75_stream_sliding" -> (q75StreamSliding _),
@@ -1117,6 +1215,7 @@ object StreamingGate {
   /** Same oracles as the batch twins: the streaming engine must land on
     * the identical relation. */
   val oracles: Map[String, String] = Map(
+    "q214_stream_proctime" -> q214Sql,
     "q98_stream_upsert_sink" -> q98Sql,
     "q93_stream_static_join" -> q93Sql,
     "q75_stream_sliding" -> q75Sql,

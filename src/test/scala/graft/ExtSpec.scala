@@ -992,6 +992,30 @@ class ExtSpec extends SparkSpec {
       "max-merged registers must equal the directly-built global sketch")
   }
 
+  test("witness flag: bench-mode q118/q129 drop the exact twin, estimates unchanged") {
+    val docs = Tables.documents(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val fullHll = Sketches.hllTokenSketch(docs).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("est_tokens")).toMap
+    val fullStats = Sketches.tableStats(li).collect()
+      .map(r => r.getAs[String]("col_name") -> r.getAs[Long]("ndv_est")).toMap
+    Witness.enabled = false
+    try {
+      val benchHll = Sketches.hllTokenSketch(docs)
+      assert(benchHll.columns.toSeq == Seq("source", "regs_hit", "est_tokens"),
+        "bench plan must not carry the exact_tokens/err_pct witness")
+      assert(benchHll.collect().map(r =>
+        r.getAs[String]("source") -> r.getAs[Long]("est_tokens")).toMap == fullHll,
+        "dropping the witness must not change the sketch estimates")
+      val benchStats = Sketches.tableStats(li)
+      assert(!benchStats.columns.contains("ndv_exact"),
+        "bench plan must not carry the ndv_exact witness")
+      assert(benchStats.collect().map(r =>
+        r.getAs[String]("col_name") -> r.getAs[Long]("ndv_est")).toMap == fullStats,
+        "dropping the witness must not change the NDV estimates")
+    } finally Witness.enabled = true
+  }
+
   test("q129 table stats: partitioning-invariant (mergeable) and NDV within HLL error") {
     val li = Tables.lineitem(spark, sf)
     val whole = Sketches.tableStats(li).collect().map(_.toSeq).toSeq

@@ -499,6 +499,24 @@ class StreamingSpec extends SparkSpec {
       "run 2 on the same checkpoint must add nothing: no offset re-read, no state loss")
   }
 
+  test("q214 gate: processing-time cadence over a growing dir lands on the batch aggregate") {
+    val got = graft.streaming.StreamingGate.q214StreamProcTime(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want,
+      "wall-clock-triggered complete-mode aggregate must equal the batch relation")
+    val (dataTriggers, _, totalRows) =
+      graft.streaming.StreamingGate.lastProcTimeRun.get()
+    assert(dataTriggers >= 3,
+      s"three gated deliveries must land in >= 3 distinct wall-clock triggers (saw $dataTriggers)")
+    assert(totalRows == want.values.map(_._1).sum,
+      "engine-reported input rows must account for exactly one fixture copy")
+  }
+
   test("v2 state TTL: expired values vanish between micro-batches") {
     // TTL is processing-time so it can't be hash-gated like q76/q78/q79;
     // what IS provable: with a 1 ms TTL and the two-copy staged replay
