@@ -16,7 +16,9 @@ import org.apache.spark.sql.SparkSession
   * per-query medians.
   */
 object Bench {
-  val Reps = 3
+  // SPARK_GRAFT_REPS overrides for isolated measurements (e.g. the
+  // round-9 q72 median-of-5 load-band pin); the driver never sets it.
+  val Reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
