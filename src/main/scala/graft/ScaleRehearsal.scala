@@ -117,6 +117,18 @@ object ScaleRehearsal {
     "q197_hard_negatives", "q198_k_anonymity", "q199_source_ablation",
     "q200_tokenizer_fertility", "q201_mask_spans", "q202_span_excision",
     "q203_vocab_growth", "q204_balanced_eval", "q205_bucketed_batching",
+    // round-9 wave: phrase search (model-sized phrase broadcast +
+    // query-term-pruned positional postings), SNM dedup (one block-
+    // partitioned sort window — pair volume bounded at n·window by
+    // construction, the no-cap-needed family member), canary scan
+    // (one Rabin-Karp corpus pass + broadcast needles), shot
+    // boundaries (frames fan out partition-local, doc-keyed windows),
+    // token estimator (1/mod text sample + metadata-only full side).
+    // Out of scope: q218 (brute-force truncation audit — quadratic by
+    // semantics like q17), q221 (its TRUTH side is O(sample²) by
+    // design; the audit sample, not the corpus, is its scale knob)
+    "q215_phrase_search", "q216_sorted_neighborhood", "q217_canary_scan",
+    "q219_shot_boundaries", "q220_token_estimator",
     // fifth wave (post-review coverage closure): CDC chunking (O(n)
     // rolling-hash kernel + chunk-keyed aggregate — chunk SHARING
     // grows with the dup families, the skew this fixture stresses),

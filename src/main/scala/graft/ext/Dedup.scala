@@ -176,7 +176,12 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  def minhashPairsSql: String = {
+  def minhashPairsSql: String = minhashPairsSqlFrom("documents")
+
+  /** [[minhashPairsSql]] over an arbitrary source relation — q221's
+    * audit runs the SAME oracle text over the sampled corpus, so the
+    * predictor definition cannot drift between the gate and the audit. */
+  def minhashPairsSqlFrom(rel: String): String = {
     val sigCols = (0 until NumHashes).map { i =>
       s"list_min(list_transform(hs, h -> " +
         s"(${coefA(i)} * h + ${coefB(i)}) % $P)) AS h$i"
@@ -188,7 +193,7 @@ object Dedup {
     }
     s"""WITH hashed AS (
        |  SELECT doc_id, list_transform($duckShingles, s -> ${duckH("s")}) AS hs
-       |  FROM documents),
+       |  FROM $rel),
        |sig AS (SELECT doc_id, ${sigCols.mkString(", ")} FROM hashed),
        |bands AS (${bandSelects.mkString(" UNION ALL ")}),
        |kept AS (
@@ -1928,6 +1933,249 @@ object Dedup {
        |GROUP BY md5(c) HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY chunk_md5""".stripMargin
 
+  // ------------------------------------- sorted-neighborhood dedup (SNM)
+  /** Neighbor window: each record is compared with the next [[SnmWindow]]
+    * records in block-sorted order (the classic SNM window minus the
+    * symmetric half — looking back would re-emit every pair). */
+  val SnmWindow = 3
+  /** Jaccard floor (e4) for reporting a neighborhood pair. */
+  val SnmTauE4 = 5000L
+
+  /** Sorted-neighborhood near-dup detection — the THIRD candidate-
+    * generation family next to banding (q14/q31) and inverted-index
+    * joins (q16/q188): sort the corpus by a discriminating key, compare
+    * each record only with its [[SnmWindow]] sort neighbors (Hernández &
+    * Stolfo's merge/purge method). Completeness is heuristic — near-dups
+    * whose sort keys diverge early are missed — but the cost is exactly
+    * one sort plus a LINEAR windowed pass: no pair blowup is possible
+    * even on an adversarial corpus, which is the property neither LSH
+    * (hot buckets need caps) nor inverted indexes (hot shingles need df
+    * caps) has for free.
+    *
+    * Key design: block = the first two tokens of the NORMALIZED text
+    * ([[normTextHash]]'s normalization — one shared rule), sort within
+    * block by full normalized text then doc_id. The window partitions by
+    * block, so at scale no global single-partition sort exists (the
+    * blocks hash-partition; pairs across block boundaries are missed BY
+    * DESIGN — the standard SNM trade, recovered in production by a
+    * second pass under a different key, exactly how multi-pass SNM is
+    * specified). Neighbor token-sets arrive via lead() over the SAME
+    * window spec (one WindowExec computes all [[SnmWindow]] leads), so
+    * the corpus shuffles ONCE on block and nothing self-joins. */
+  def sortedNeighborhoodPairs(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    val base = docs.select(col("doc_id"), norm.as("norm"))
+      .withColumn("block", substring_index(col("norm"), " ", 2))
+      .withColumn("toks", array_distinct(split(col("norm"), " ")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("block").orderBy("norm", "doc_id")
+    // window expressions must be materialized before the explode (Spark
+    // rejects them inside a generator); one shared spec keeps all
+    // SnmWindow leads in ONE WindowExec pass (PlanSpec pins this)
+    val withLeads = (1 to SnmWindow).foldLeft(base) { (df, k) =>
+      df.withColumn(s"nbr_id_$k", lead(col("doc_id"), k).over(w))
+        .withColumn(s"nbr_toks_$k", lead(col("toks"), k).over(w))
+    }
+    val nbrs = (1 to SnmWindow).map { k =>
+      struct(col(s"nbr_id_$k").as("nbr_id"),
+             col(s"nbr_toks_$k").as("nbr_toks"))
+    }
+    withLeads
+      .select(col("doc_id"), col("toks"), explode(array(nbrs: _*)).as("nb"))
+      .filter(col("nb.nbr_id").isNotNull)
+      .select(col("doc_id"), col("toks"),
+        col("nb.nbr_id").as("nbr_id"), col("nb.nbr_toks").as("nbr_toks"))
+      .withColumn("n_common", size(array_intersect(col("toks"), col("nbr_toks"))))
+      .withColumn("jaccard_e4", expr(
+        "(10000 * n_common) div (size(toks) + size(nbr_toks) - n_common)"))
+      .filter(col("jaccard_e4") >= SnmTauE4)
+      .select(least(col("doc_id"), col("nbr_id")).as("doc_a"),
+              greatest(col("doc_id"), col("nbr_id")).as("doc_b"),
+              col("jaccard_e4"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: row_number within block + a rank-band self-join (rn+1 ..
+    * rn+SnmWindow) — same pairs as the engine's lead() formulation;
+    * token-set intersection via list_filter/list_contains (DuckDB 1.0
+    * has no list_intersect). */
+  val sortedNeighborhoodSql: String = {
+    val normSql = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    s"""WITH base AS (
+       |  SELECT doc_id, $normSql AS norm,
+       |    array_to_string(string_split($normSql, ' ')[1:2], ' ') AS block,
+       |    list_distinct(string_split($normSql, ' ')) AS toks
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT doc_id, block, toks,
+       |    ROW_NUMBER() OVER (PARTITION BY block ORDER BY norm, doc_id) AS rn
+       |  FROM base),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS n_common,
+       |    len(a.toks) AS na, len(b.toks) AS nb
+       |  FROM ranked a JOIN ranked b
+       |    ON a.block = b.block AND b.rn BETWEEN a.rn + 1 AND a.rn + $SnmWindow)
+       |SELECT LEAST(id_a, id_b) AS doc_a, GREATEST(id_a, id_b) AS doc_b,
+       |  (10000 * n_common) // (na + nb - n_common) AS jaccard_e4
+       |FROM pairs
+       |WHERE (10000 * n_common) // (na + nb - n_common) >= $SnmTauE4
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------- canary scan
+  /** Canary selection: one canary per doc with doc_id %% [[CanaryMod]]
+    * == 0, taken [[CanaryOff]] code points in (1-based), [[CanaryWin]]
+    * code points wide. Needle-corpus scans use canaries planted in
+    * training data to audit memorization/contamination — the needles
+    * here are corpus substrings so the fixture needs no side files. */
+  val CanaryMod = 97L
+  val CanaryWin = 32
+  val CanaryOff = 17
+
+  /** Multi-pattern exact substring search (the canary/memorization
+    * audit): find every occurrence of every needle across the corpus in
+    * ONE O(corpus) pass. The needle set broadcasts as (hash → needle);
+    * each doc's [[graft.functions.RollingHashes]] array (the O(n)
+    * Rabin-Karp kernel q72 carries) probes it via a broadcast hash join,
+    * and survivors are verified by actual substring equality — hash
+    * collisions die at the verify, so the report is EXACT while the scan
+    * cost stays linear (a naive multi-pattern scan is O(corpus ×
+    * needles); this is O(corpus + hits), the Rabin-Karp multi-pattern
+    * construction). 100 TB: needles are a broadcast table (audit sets
+    * are thousands of rows), the corpus side is one embarrassingly
+    * parallel scan, and the only shuffle is the hit aggregate (tiny). */
+  def canaryScan(docs: DataFrame): DataFrame = {
+    graft.functions.RollingHashes.register(docs.sparkSession)
+    graft.functions.PolyHash.register(docs.sparkSession)
+    val canaries = docs
+      .filter(col("doc_id") % CanaryMod === 0 &&
+        length(col("text")) >= CanaryOff + CanaryWin - 1)
+      .select(col("doc_id").as("canary_id"),
+        substring(col("text"), CanaryOff, CanaryWin).as("ctext"))
+      .withColumn("chash", expr(s"poly_hash(ctext, $HashBase, $HashMod)"))
+    val hits = docs
+      .select(col("doc_id"), col("text"), posexplode(expr(
+        s"rolling_hashes(text, $CanaryWin, $HashBase, $HashMod)"))
+        .as(Seq("pos", "h")))
+      .join(broadcast(canaries), col("h") === col("chash"))
+      .filter(expr(s"substring(text, pos + 1, $CanaryWin)") === col("ctext"))
+      .groupBy("canary_id")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_occ"))
+    canaries.select("canary_id")
+      .join(hits, Seq("canary_id"), "left")
+      .select(col("canary_id"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"))
+      .orderBy("canary_id")
+  }
+
+  /** Oracle: per (doc, canary) occurrence count by brute per-position
+    * substring compare — O(corpus × needles), the cost asymmetry that
+    * motivates the engine's single-pass Rabin-Karp shape. */
+  val canaryScanSql: String =
+    s"""WITH canaries AS (
+       |  SELECT doc_id AS canary_id, substr(text, $CanaryOff, $CanaryWin) AS ctext
+       |  FROM documents
+       |  WHERE doc_id % $CanaryMod = 0 AND length(text) >= ${CanaryOff + CanaryWin - 1}),
+       |occ AS (
+       |  SELECT c.canary_id, d.doc_id,
+       |    len(list_filter(generate_series(1, length(d.text) - $CanaryWin + 1),
+       |      i -> substr(d.text, CAST(i AS INT), $CanaryWin) = c.ctext)) AS n
+       |  FROM canaries c CROSS JOIN documents d),
+       |hits AS (
+       |  SELECT canary_id, COUNT(*) AS n_docs, SUM(n) AS n_occ
+       |  FROM occ WHERE n > 0 GROUP BY canary_id)
+       |SELECT c.canary_id,
+       |  COALESCE(h.n_docs, 0) AS n_docs,
+       |  CAST(COALESCE(h.n_occ, 0) AS BIGINT) AS n_occ
+       |FROM canaries c LEFT JOIN hits h ON h.canary_id = c.canary_id
+       |ORDER BY c.canary_id""".stripMargin
+
+  // ------------------------------------------------ minhash recall audit
+  /** Deterministic audit sample: doc_id %% [[AuditSampleMod]] == 0. The
+    * sample bounds the exact ground-truth cost (all-pairs work is
+    * O(sample²) worst-case), making it the knob that keeps the audit
+    * affordable at any corpus size — the CollocSampleMod pattern. */
+  val AuditSampleMod = 2L
+  /** True-pair threshold audited (Jaccard e4). */
+  val AuditTauE4 = 5000L
+
+  /** MinHash-LSH candidate precision/recall audit — the dedup twin of
+    * the ANN recall artifact: on a deterministic corpus sample, compute
+    * (a) TRUTH: all pairs with exact shingle-set Jaccard >= tau via the
+    * uncapped inverted-index join (no df cap — a cap would drop exactly
+    * the hot true pairs the audit must count; the sample bounds the
+    * blowup instead), and (b) PRED: the PRODUCTION q14 predictor —
+    * [[minhashPairs]] with its real bucket cap — over the same sample.
+    * One full-outer join yields the confusion counts in a single row:
+    *
+    *   recall_ppm    = 1e6 * tp div n_truth  (true pairs LSH surfaces)
+    *   precision_ppm = 1e6 * tp div n_pred   (candidates that are true)
+    *
+    * "Precision" is CANDIDATE precision: q14's candidates feed an exact
+    * verify downstream, so low precision costs verify work, not wrong
+    * output — recall is the number that silently loses duplicates, which
+    * is why it gates. Truth uses ngramJaccardPairs' >= 2-common-shingle
+    * floor; at tau = 0.5 a qualifying pair shares far more than 2
+    * shingles of any realistic doc, so the floor cannot clip the truth
+    * set (spec-pinned). Both engines evaluate THE SAME predictor and
+    * truth definitions ([[minhashPairsSqlFrom]] / the q16 SQL shape), so
+    * the confusion row hash-gates the LSH design itself — if a band-key
+    * change broke recall, the oracle gate catches the regression. */
+  def minhashAudit(docs: DataFrame): DataFrame = {
+    val sample = docs.filter(col("doc_id") % AuditSampleMod === 0)
+    val truth = ngramJaccardPairs(sample, maxShingleDf = Int.MaxValue)
+      .filter(col("jaccard_e4") >= AuditTauE4)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    val pred = minhashPairs(sample)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("p"))
+    truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum(col("t")).as("n_truth"), sum(col("p")).as("n_pred"),
+           sum(col("t") * col("p")).as("n_tp"))
+      .select(lit(AuditTauE4).as("tau_e4"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_tp"), lit(0L)).as("n_tp"),
+        expr("case when n_pred > 0 then (1000000 * n_tp) div n_pred else 0 end")
+          .as("precision_ppm"),
+        expr("case when n_truth > 0 then (1000000 * n_tp) div n_truth else 0 end")
+          .as("recall_ppm"))
+  }
+
+  val minhashAuditSql: String = {
+    val sampleRel =
+      s"(SELECT * FROM documents WHERE doc_id % $AuditSampleMod = 0)"
+    s"""WITH truth AS (
+       |  SELECT doc_a, doc_b, 1 AS t FROM (
+       |    WITH shingled AS (
+       |      SELECT DISTINCT doc_id, unnest(list_transform($duckShingles, s -> ${duckH("s")})) AS shingle
+       |      FROM $sampleRel),
+       |    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id),
+       |    common AS (
+       |      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |      FROM shingled a JOIN shingled b
+       |        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= $MinCommonShingles)
+       |    SELECT doc_a, doc_b
+       |    FROM common JOIN sizes sa ON sa.doc_id = doc_a
+       |    JOIN sizes sb ON sb.doc_id = doc_b
+       |    WHERE (10000 * n_common) // (sa.n_shingles + sb.n_shingles - n_common) >= $AuditTauE4)),
+       |pred AS (
+       |  SELECT doc_a, doc_b, 1 AS p FROM (${minhashPairsSqlFrom(sampleRel)})),
+       |joined AS (
+       |  SELECT COALESCE(SUM(t), 0) AS n_truth, COALESCE(SUM(p), 0) AS n_pred,
+       |    COALESCE(SUM(t * p), 0) AS n_tp
+       |  FROM truth FULL OUTER JOIN pred USING (doc_a, doc_b))
+       |SELECT CAST($AuditTauE4 AS BIGINT) AS tau_e4,
+       |  CAST(n_truth AS BIGINT) AS n_truth, CAST(n_pred AS BIGINT) AS n_pred,
+       |  CAST(n_tp AS BIGINT) AS n_tp,
+       |  CAST(CASE WHEN n_pred > 0 THEN (1000000 * n_tp) // n_pred ELSE 0 END AS BIGINT) AS precision_ppm,
+       |  CAST(CASE WHEN n_truth > 0 THEN (1000000 * n_tp) // n_truth ELSE 0 END AS BIGINT) AS recall_ppm
+       |FROM joined""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_dedup_exact" -> ((s, d) => exactDedup(Tables.documents(s, d))),
@@ -1950,6 +2198,9 @@ object Dedup {
     "q206_cdc_chunks" -> ((s, d) => cdcChunkDups(Tables.documents(s, d))),
     "q209_effective_tokens" -> ((s, d) => effectiveTokens(Tables.documents(s, d))),
     "q213_split_leakage" -> ((s, d) => splitLeakage(Tables.documents(s, d))),
+    "q216_sorted_neighborhood" -> ((s, d) => sortedNeighborhoodPairs(Tables.documents(s, d))),
+    "q217_canary_scan" -> ((s, d) => canaryScan(Tables.documents(s, d))),
+    "q221_minhash_audit" -> ((s, d) => minhashAudit(Tables.documents(s, d))),
     "q45_eval_contamination" -> ((s, d) => evalContamination(Tables.documents(s, d))),
     "q47_repetition" -> ((s, d) => repetitionScore(Tables.documents(s, d))),
     "q59_block_dedup" -> ((s, d) => blockDedup(Tables.documents(s, d))),
@@ -1977,6 +2228,9 @@ object Dedup {
     "q206_cdc_chunks" -> cdcChunkDupsSql,
     "q209_effective_tokens" -> effectiveTokensSql,
     "q213_split_leakage" -> splitLeakageSql,
+    "q216_sorted_neighborhood" -> sortedNeighborhoodSql,
+    "q217_canary_scan" -> canaryScanSql,
+    "q221_minhash_audit" -> minhashAuditSql,
     "q45_eval_contamination" -> evalContaminationSql,
     "q47_repetition" -> repetitionScoreSql,
     "q59_block_dedup" -> blockDedupSql,

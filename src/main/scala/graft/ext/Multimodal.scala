@@ -423,12 +423,86 @@ object Multimodal {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ------------------------------------------------- shot boundaries
+  /** Coarse frame-signature band: lead byte div 32 (8 luminance-ish
+    * bands). A real decoder would band a frame histogram; the stub bands
+    * the sampled lead byte — the DETECTOR (lag + threshold + islands) is
+    * the operator under test, the signature is the decoder boundary's. */
+  val ShotBandDiv = 32
+
+  /** Shot-boundary detection over the sampled frame stream — the video
+    * member of the sequence-segmentation family (q12 sessionize for
+    * events, q206 CDC for bytes, this for frames): a CUT is a frame
+    * whose signature band differs from its predecessor's; a SHOT is a
+    * maximal same-band run. Reports per video: frames, cuts, and the
+    * longest shot (gaps-and-islands over frame_idx — the constant-key
+    * trick q72's run detector uses).
+    *
+    * Scale shape: frames fan out of the decoder boundary partition-local
+    * ([[sampleFrames]] — payload pruned immediately after), and both
+    * windows partition by doc_id (every video's frame count is bounded
+    * by payload/stride), so there is no global window and ONE exchange
+    * on doc_id serves the lag, the island numbering, and the final
+    * per-video aggregate. */
+  def shotBoundaries(docs: DataFrame): DataFrame = {
+    val fr = sampleFrames(attachPayload(withProbe(docs)), new StubDecoder)
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"frame_byte div $ShotBandDiv").cast("int").as("band"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    val byBand = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "band").orderBy("frame_idx")
+    val lg = fr
+      .withColumn("pband", lag(col("band"), 1).over(byDoc))
+      .withColumn("seg", col("frame_idx") - row_number().over(byBand))
+    val cuts = lg.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("pband").isNotNull && col("band") =!= col("pband"), 1L)
+          .otherwise(0L)).as("n_cuts"))
+    val maxShot = lg.groupBy("doc_id", "band", "seg")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(max(col("run")).as("max_shot"))
+    cuts.join(maxShot, "doc_id")
+      .select(col("doc_id"), col("n_frames"), col("n_cuts"), col("max_shot"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: q60's byte-exact frame arithmetic + the same lag/island
+    * windows in SQL. */
+  val shotBoundariesSql: String =
+    s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+       |            octet_length(encode(text)) AS n FROM $docsWithProbe),
+       |f AS (SELECT doc_id, h, n, unnest(generate_series(1, n, 256)) AS off1
+       |      FROM b WHERE n > 0),
+       |fr AS (SELECT doc_id, CAST((off1 - 1) // 256 AS INT) AS idx,
+       |         CAST(${byteAt("off1")} // $ShotBandDiv AS INT) AS band
+       |       FROM f),
+       |lg AS (SELECT doc_id, idx, band,
+       |         LAG(band) OVER (PARTITION BY doc_id ORDER BY idx) AS pband,
+       |         idx - ROW_NUMBER() OVER (PARTITION BY doc_id, band ORDER BY idx) AS seg
+       |       FROM fr),
+       |cuts AS (SELECT doc_id, COUNT(*) AS n_frames,
+       |           SUM(CASE WHEN pband IS NOT NULL AND band <> pband
+       |               THEN 1 ELSE 0 END) AS n_cuts
+       |         FROM lg GROUP BY doc_id),
+       |runs AS (SELECT doc_id, COUNT(*) AS run
+       |         FROM lg GROUP BY doc_id, band, seg)
+       |SELECT c.doc_id, CAST(c.n_frames AS BIGINT) AS n_frames,
+       |  CAST(c.n_cuts AS BIGINT) AS n_cuts,
+       |  CAST(m.max_shot AS BIGINT) AS max_shot
+       |FROM cuts c JOIN (SELECT doc_id, MAX(run) AS max_shot
+       |                  FROM runs GROUP BY doc_id) m ON m.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_shot_boundaries" -> ((s, d) => shotBoundaries(Tables.documents(s, d))),
     "q23_multimodal" -> (q23 _),
     "q60_frame_sample" -> (q60 _),
     "q74_phash_neardup" -> (q74 _))
 
   val oracles: Map[String, String] = Map(
+    "q219_shot_boundaries" -> shotBoundariesSql,
     "q23_multimodal" -> q23Sql,
     "q60_frame_sample" -> q60Sql,
     "q74_phash_neardup" -> q74Sql)

@@ -2303,7 +2303,88 @@ object Similarity {
        |FROM scoredc ORDER BY rerank""".stripMargin
   }
 
+  // --------------------------------------- dimension-truncation recall
+  /** Dimensions kept by the truncated index (embedding[1..32] of 64). */
+  val TruncDims = 32
+
+  /** Matryoshka-style dimension-truncation recall audit: how much exact
+    * top-k quality survives indexing only the first [[TruncDims]] of the
+    * embedding's dimensions? Truncation is the cheapest ANN-memory lever
+    * there is (half the dims = half the index bytes and half the
+    * dot-product FLOPs, no retraining, no codebooks — the reason MRL
+    * embeddings ship prefix-truncatable), and this query measures what
+    * it costs IN THE ENGINE, per query vector: exact top-k under the
+    * full dot product vs exact top-k under the truncated one, overlap
+    * reported as recall_bp. Complements q170 (JL random projection —
+    * data-oblivious dims) and q125 (PQ — trained codebooks): truncation
+    * is the zeroth rung of that compression ladder, and the three
+    * queries together give the index-sizing curve a corpus team actually
+    * tunes against.
+    *
+    * Plan: two independent q17-shaped kernels (broadcast query side,
+    * corpus streams past, [[graft.functions.BoundedTopK]] bounded-heap
+    * aggregate — the shuffle carries |Q|·k rows, never |Q|·|C|), joined
+    * on q_id. The truncated side's projection slices BEFORE the dot, so
+    * its scan does half the multiply-adds — the saving being measured is
+    * real in the measuring plan itself. Ties break on candidate id
+    * inside both engines' total order, so the compared ID SETS are
+    * deterministic without any float rounding in the output. */
+  def truncationRecall(emb: DataFrame): DataFrame = {
+    VectorOps.register(emb.sparkSession)
+    val topk = graft.functions.BoundedTopK.topK(TopK)
+    def tops(embExpr: String, outCol: String): DataFrame = {
+      val v = emb.select(col("vec_id"), expr(embExpr).as("e"))
+        .withColumn("norm2", expr("vec_dot(e, e)"))
+      val q = v.filter(col("vec_id") % QueryMod === 0).select(
+        col("vec_id").as("q_id"), col("e").as("q_e"),
+        col("norm2").as("q_n2"))
+      spread(v).join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"),
+          (expr("vec_dot(q_e, e)") /
+            (sqrt(col("q_n2")) * sqrt(col("norm2")))).as("cos_raw"))
+        .groupBy(col("q_id"))
+        .agg(topk(col("cos_raw"), col("cand_id")).as("top"))
+        .select(col("q_id"), expr("transform(top, s -> s.id)").as(outCol))
+    }
+    tops("embedding", "full_ids")
+      .join(tops(s"slice(embedding, 1, $TruncDims)", "trunc_ids"), "q_id")
+      .select(col("q_id"),
+        size(array_intersect(col("full_ids"), col("trunc_ids")))
+          .cast("long").as("n_overlap"))
+      .withColumn("recall_bp", expr(s"(10000 * n_overlap) div $TopK"))
+      .orderBy("q_id")
+  }
+
+  val truncationRecallSql: String =
+    s"""WITH vf AS (
+       |  SELECT vec_id, embedding AS e, ${duckNorm2("embedding")} AS norm2
+       |  FROM embeddings),
+       |vt AS (
+       |  SELECT vec_id, embedding[1:$TruncDims] AS e,
+       |    ${duckNorm2(s"embedding[1:$TruncDims]")} AS norm2
+       |  FROM embeddings),
+       |fullr AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${duckDot("q.e", "c.e")} / (sqrt(q.norm2) * sqrt(c.norm2)) DESC,
+       |      c.vec_id) AS rank
+       |  FROM vf q JOIN vf c ON q.vec_id % $QueryMod = 0 AND q.vec_id <> c.vec_id),
+       |truncr AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${duckDot("q.e", "c.e")} / (sqrt(q.norm2) * sqrt(c.norm2)) DESC,
+       |      c.vec_id) AS rank
+       |  FROM vt q JOIN vt c ON q.vec_id % $QueryMod = 0 AND q.vec_id <> c.vec_id)
+       |SELECT f.q_id, COUNT(t.cand_id) AS n_overlap,
+       |  (10000 * COUNT(t.cand_id)) // $TopK AS recall_bp
+       |FROM (SELECT * FROM fullr WHERE rank <= $TopK) f
+       |LEFT JOIN (SELECT * FROM truncr WHERE rank <= $TopK) t
+       |  ON t.q_id = f.q_id AND t.cand_id = f.cand_id
+       |GROUP BY f.q_id
+       |ORDER BY f.q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_truncation_recall" -> ((s, d) => truncationRecall(Tables.embeddings(s, d))),
     "q170_jl_projection" -> ((s, d) => jlProjectionAudit(Tables.embeddings(s, d))),
     "q174_embedding_drift" -> ((s, d) => embeddingDrift(Tables.embeddings(s, d))),
     "q175_kcenter_coreset" -> ((s, d) => kcenterCoreset(Tables.embeddings(s, d))),
@@ -2330,6 +2411,7 @@ object Similarity {
     "q156_prototype_confusion" -> ((s, d) => prototypeConfusion(Tables.embeddings(s, d))))
 
   val oracles: Map[String, String] = Map(
+    "q218_truncation_recall" -> truncationRecallSql,
     "q170_jl_projection" -> jlProjectionAuditSql,
     "q174_embedding_drift" -> embeddingDriftSql,
     "q175_kcenter_coreset" -> kcenterCoresetSql,

@@ -544,7 +544,92 @@ object Sketches {
        |WHERE n * ${MgK + 1} > n_total
        |ORDER BY n DESC, token""".stripMargin
 
+  // ------------------------------------------------ token-cost estimator
+  /** Calibration sample: doc_id % [[EstSampleMod]] == 0. */
+  val EstSampleMod = 10L
+  /** Largest corpus char mass whose ppm numerator (1e6·chars) fits a
+    * BIGINT with headroom — enforced loudly, never wrapped. */
+  val EstMaxChars = 9000000000000L // 9e12
+
+  /** Sampled token-cost calibration — the estimator every corpus-sizing
+    * decision ("how many tokens is this 100 TB crawl?") actually uses:
+    * tokenizing everything just to COUNT it costs a full corpus pass
+    * over `text`, so instead (1) tokenize only a deterministic 1/mod
+    * doc sample, (2) fit chars-per-token per source (cpt_ppm, integer
+    * ppm), (3) extrapolate from the `n_chars` METADATA column alone.
+    * The scale win is column pruning, visible in the plan: the full-
+    * corpus side reads (source, n_chars) — two scalar columns — and the
+    * `text` payload is scanned for the sample only, so the estimate
+    * costs ~1/mod of a counting pass regardless of corpus size.
+    *
+    * Per-source (not global) ratios because token cost varies by
+    * source — code vs prose vs CJK tokenize at very different
+    * chars/token; the per-source fit is exactly what mixture planning
+    * (q116/q209) consumes. Witness columns (`exact_tokens`, `err_bp`)
+    * compute the full exact count to gate the estimator at fixture
+    * scale; [[graft.Witness]] drops them from bench runs — production
+    * never pays the exact side (that's the point of the estimator). */
+  def tokenCostEstimate(docs: DataFrame): DataFrame = {
+    val guardedChars =
+      when(sum(col("n_chars")) > EstMaxChars,
+        raise_error(concat(
+          lit(s"tokenCostEstimate: corpus char mass exceeds the ppm BIGINT bound $EstMaxChars "),
+          lit("(raise the fixed-point scale): "),
+          sum(col("n_chars")).cast("string"))))
+        .otherwise(sum(col("n_chars")))
+    val sample = docs.filter(col("doc_id") % EstSampleMod === 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("sample_docs"),
+        sum(col("n_chars")).as("s_chars"),
+        sum(size(split(col("text"), " ")).cast("long")).as("s_toks"))
+      .withColumn("cpt_ppm", expr("(1000000 * s_chars) div s_toks"))
+    val full = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), guardedChars.as("t_chars"))
+    val est = full.join(sample, "source")
+      .withColumn("est_tokens", expr("(1000000 * t_chars) div cpt_ppm"))
+    if (!graft.Witness.enabled)
+      // production plan: metadata-only extrapolation, no exact twin
+      return est.select(col("source"), col("n_docs"), col("sample_docs"),
+        col("cpt_ppm"), col("est_tokens")).orderBy("source")
+    val exact = docs.groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("exact_tokens"))
+    est.join(exact, "source")
+      .select(col("source"), col("n_docs"), col("sample_docs"),
+        col("cpt_ppm"), col("est_tokens"), col("exact_tokens"),
+        expr("abs(est_tokens - exact_tokens) * 10000 div exact_tokens")
+          .as("err_bp"))
+      .orderBy("source")
+  }
+
+  val tokenCostEstimateSql: String =
+    s"""WITH sample AS (
+       |  SELECT source, COUNT(*) AS sample_docs,
+       |    SUM(n_chars) AS s_chars,
+       |    SUM(len(string_split(text, ' '))) AS s_toks
+       |  FROM documents WHERE doc_id % $EstSampleMod = 0
+       |  GROUP BY source),
+       |full_side AS (
+       |  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS t_chars
+       |  FROM documents GROUP BY source),
+       |exact AS (
+       |  SELECT source, SUM(len(string_split(text, ' '))) AS exact_tokens
+       |  FROM documents GROUP BY source),
+       |est AS (
+       |  SELECT f.source, f.n_docs, s.sample_docs,
+       |    (1000000 * s.s_chars) // s.s_toks AS cpt_ppm,
+       |    (1000000 * f.t_chars) // ((1000000 * s.s_chars) // s.s_toks) AS est_tokens
+       |  FROM full_side f JOIN sample s ON s.source = f.source)
+       |SELECT e.source, CAST(e.n_docs AS BIGINT) AS n_docs,
+       |  CAST(e.sample_docs AS BIGINT) AS sample_docs,
+       |  CAST(e.cpt_ppm AS BIGINT) AS cpt_ppm,
+       |  CAST(e.est_tokens AS BIGINT) AS est_tokens,
+       |  CAST(x.exact_tokens AS BIGINT) AS exact_tokens,
+       |  CAST(abs(e.est_tokens - x.exact_tokens) * 10000 // x.exact_tokens AS BIGINT) AS err_bp
+       |FROM est e JOIN exact x ON x.source = e.source
+       |ORDER BY e.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_token_estimator" -> ((s, d) => tokenCostEstimate(Tables.documents(s, d))),
     "q118_hll_tokens" -> ((s, d) => hllTokenSketch(Tables.documents(s, d))),
     "q129_table_stats" -> ((s, d) => tableStats(Tables.lineitem(s, d))),
     "q138_join_estimate" -> ((s, d) => joinEstimates(s, d)),
@@ -552,6 +637,7 @@ object Sketches {
     "q166_misra_gries" -> ((s, d) => misraGriesTokens(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
+    "q220_token_estimator" -> tokenCostEstimateSql,
     "q118_hll_tokens" -> hllTokenSketchSql,
     "q129_table_stats" -> tableStatsSql,
     "q138_join_estimate" -> joinEstimatesSql,

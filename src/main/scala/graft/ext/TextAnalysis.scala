@@ -2106,7 +2106,98 @@ object TextAnalysis {
        |FROM j GROUP BY band
        |ORDER BY band""".stripMargin
 
+  // ------------------------------------------------------ phrase search
+  /** Number of query phrases (top corpus trigrams). */
+  val PhraseTopK = 5
+
+  /** Positional-index phrase search — the retrieval operator BM25 (q143)
+    * cannot express: bag-of-words scoring loses adjacency, so "exact
+    * phrase" queries need POSITIONAL postings (token, doc, pos) and an
+    * adjacency join (p2.pos = p1.pos + 1 ∧ p3.pos = p1.pos + 2). The
+    * query set is self-contained and deterministic: the corpus's top
+    * [[PhraseTopK]] trigrams by occurrence count (full-key tie-break),
+    * which also gives the audit its own cross-check — each phrase's
+    * matched n_occ must equal the trigram count that selected it, while
+    * n_docs is new signal the count table cannot provide.
+    *
+    * Scale shape: the phrase relation is model-sized (K rows) and
+    * BROADCASTS; postings are PRUNED to query terms by that broadcast
+    * join before any shuffle, so the adjacency joins move only the query
+    * terms' posting lists (the inverted-index access path — at 100 TB
+    * the corpus-sized positional relation is scanned once and only
+    * O(df(query terms)) rows reach an exchange), keyed on (doc_id, pos)
+    * arithmetic. Nothing corpus-sized self-joins. */
+  def phraseSearch(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val tri = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(0, size(t) - 3),
+          |  i -> struct(t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3))"""
+          .stripMargin)).as("g"))
+      .groupBy("g.w1", "g.w2", "g.w3").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2"), col("w3"))
+      .limit(PhraseTopK)
+    val phrases = tri.select(
+      concat_ws(" ", col("w1"), col("w2"), col("w3")).as("phrase"),
+      col("w1"), col("w2"), col("w3"))
+    // postings pruned to the query-term vocabulary BEFORE any join work
+    val terms = phrases
+      .select(explode(array(col("w1"), col("w2"), col("w3"))).as("w"))
+      .distinct()
+    val pruned = toks.join(broadcast(terms), "w")
+    val p1 = pruned.join(broadcast(phrases), col("w") === col("w1"))
+      .select(col("phrase"), col("w2"), col("w3"),
+        col("doc_id"), col("pos"))
+    val hits = p1
+      .join(pruned.select(col("doc_id"), (col("pos") - 1).as("pos"),
+        col("w").as("m2")), Seq("doc_id", "pos"))
+      .filter(col("m2") === col("w2"))
+      .join(pruned.select(col("doc_id"), (col("pos") - 2).as("pos"),
+        col("w").as("m3")), Seq("doc_id", "pos"))
+      .filter(col("m3") === col("w3"))
+    phrases.select("phrase")
+      .join(hits.groupBy("phrase")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+             count(lit(1)).as("n_occ")), Seq("phrase"), "left")
+      .select(col("phrase"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"))
+      .orderBy("phrase")
+  }
+
+  val phraseSearchSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, i - 1 AS pos, t[i] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t,
+       |               unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+       |        FROM documents)),
+       |tri AS (
+       |  SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3, COUNT(*) AS n
+       |  FROM (SELECT string_split(text, ' ') AS t,
+       |               unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i
+       |        FROM documents
+       |        WHERE len(string_split(text, ' ')) >= 3)
+       |  GROUP BY 1, 2, 3
+       |  ORDER BY n DESC, w1, w2, w3 LIMIT $PhraseTopK),
+       |phrases AS (
+       |  SELECT w1 || ' ' || w2 || ' ' || w3 AS phrase, w1, w2, w3 FROM tri),
+       |hits AS (
+       |  SELECT ph.phrase, a.doc_id
+       |  FROM phrases ph
+       |  JOIN toks a ON a.w = ph.w1
+       |  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.w = ph.w2
+       |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.w = ph.w3)
+       |SELECT p.phrase,
+       |  COALESCE(h.n_docs, 0) AS n_docs, COALESCE(h.n_occ, 0) AS n_occ
+       |FROM phrases p LEFT JOIN (
+       |  SELECT phrase, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+       |  FROM hits GROUP BY phrase) h ON h.phrase = p.phrase
+       |ORDER BY p.phrase""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_phrase_search" -> ((s, d) => phraseSearch(Tables.documents(s, d))),
     "q19_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
     "q20_quality"     -> ((s, d) => quality(Tables.documents(s, d))),
     "q21_tokens"      -> ((s, d) => tokenCounts(Tables.documents(s, d))),
@@ -2143,6 +2234,7 @@ object TextAnalysis {
     "q208_langid_confusion" -> ((s, d) => langIdConfusion(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
+    "q215_phrase_search" -> phraseSearchSql,
     "q19_lang_id"     -> langIdSql,
     "q20_quality"     -> qualitySql,
     "q21_tokens"      -> tokenCountsSql,

@@ -2220,4 +2220,142 @@ class ExtSpec extends SparkSpec {
     assert(m("total_chars") == docs.agg(sum(col("n_chars"))).head().getLong(0))
     assert(m.size == 12, "one row per declared metric")
   }
+
+  // ------------------------------------------------- round-9 additions
+
+  test("q215 phrase search: matched n_occ equals the trigram count that selected the phrase") {
+    val r = TextAnalysis.phraseSearch(docs).collect()
+    assert(r.length == TextAnalysis.PhraseTopK)
+    // independent trigram counts straight off the token arrays
+    val counts = docs.filter("size(split(text, ' ')) >= 3").selectExpr(
+      """explode(transform(sequence(0, size(split(text, ' ')) - 3),
+        |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))) AS g""".stripMargin)
+      .groupBy("g").count().collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    r.foreach { row =>
+      val phrase = row.getAs[String]("phrase")
+      assert(row.getAs[Long]("n_occ") == counts(phrase),
+        s"positional-index count must equal the trigram count for '$phrase'")
+      assert(row.getAs[Long]("n_docs") >= 1 &&
+        row.getAs[Long]("n_docs") <= row.getAs[Long]("n_occ"))
+    }
+  }
+
+  test("q216 SNM: clones pair at jaccard 10000; every pair clears tau; pair volume is linear-bounded") {
+    val base = docs.select("doc_id", "text")
+    val cloned = base.unionByName(
+      base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val r = Dedup.sortedNeighborhoodPairs(cloned).collect()
+    val pairs = r.map(row => (row.getLong(0), row.getLong(1))).toSet
+    // adjacency is only guaranteed when no OTHER doc shares the text
+    // (bigger identical-text families can push the clone past the window)
+    val uniqueIds = base.groupBy("text")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("doc_id"))
+      .filter(col("n") === 1).collect().map(_.getAs[Long]("doc_id"))
+    assert(uniqueIds.nonEmpty)
+    uniqueIds.foreach { id =>
+      assert(pairs.contains((id, id + 10000)),
+        s"identical clone of $id must be a window neighbor pair")
+    }
+    assert(r.forall(_.getAs[Long]("jaccard_e4") >= Dedup.SnmTauE4))
+    val n = cloned.count()
+    assert(r.length <= n * Dedup.SnmWindow,
+      "SNM can never emit more than window-size pairs per record")
+  }
+
+  test("q217 canary scan: every canary finds its origin; a planted copy is found exactly") {
+    val r = Dedup.canaryScan(docs).collect()
+    assert(r.nonEmpty, "fixture must yield at least one canary")
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_docs") >= 1 && row.getAs[Long]("n_occ") >= 1,
+        s"canary ${row.getLong(0)} must at least match its own origin doc")
+    }
+    // plant the first canary's text into a fresh doc; its count must grow
+    // by exactly one doc and one occurrence
+    val cid = r.map(_.getLong(0)).min
+    val needle = docs.filter(col("doc_id") === cid)
+      .selectExpr(s"substring(text, ${Dedup.CanaryOff}, ${Dedup.CanaryWin}) AS c")
+      .head().getString(0)
+    val planted = docs.select("doc_id", "text").unionByName(
+      spark.range(1).selectExpr("90000099L AS doc_id",
+        s"concat('prefix words ', '${needle}', ' suffix') AS text"))
+    val r2 = Dedup.canaryScan(planted).collect()
+      .map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2))).toMap
+    val before = r.map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2))).toMap
+    assert(r2(cid)._1 == before(cid)._1 + 1, "planted doc must add one matching doc")
+    assert(r2(cid)._2 == before(cid)._2 + 1, "planted doc must add one occurrence")
+  }
+
+  test("q218 truncation recall: one row per query, overlap bounded by k, partition-invariant") {
+    val r = Similarity.truncationRecall(emb).collect()
+    val nQueries = emb.filter(col("vec_id") % Similarity.QueryMod === 0).count()
+    assert(r.length == nQueries)
+    r.foreach { row =>
+      val o = row.getAs[Long]("n_overlap")
+      assert(o >= 0 && o <= Similarity.TopK)
+      assert(row.getAs[Long]("recall_bp") == 10000 * o / Similarity.TopK)
+    }
+    val b = Similarity.truncationRecall(emb.repartition(7)).collect()
+    assert(r.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "audit must not depend on physical partitioning")
+  }
+
+  test("q219 shots: a constant payload has zero cuts; a crafted band flip has exactly one") {
+    import spark.implicits._
+    // 600 ASCII 'a's -> frames at byte offsets 0/256/512, all band 97/32=3
+    val flat = ("a" * 600)
+    // frames sample bytes at 0 ('a', band 3), 256 ('a'), 512 ('0', band
+    // 48/32=1) -> exactly one band change at the last frame
+    val flip = ("a" * 300) + ("0" * 300)
+    val d = Seq((1L, flat), (2L, flip)).toDF("doc_id", "text")
+    val r = Multimodal.shotBoundaries(d).collect()
+      .map(row => row.getLong(0) ->
+        (row.getAs[Long]("n_frames"), row.getAs[Long]("n_cuts"),
+         row.getAs[Long]("max_shot"))).toMap
+    assert(r(1L) == ((3L, 0L, 3L)), s"constant payload: ${r(1L)}")
+    assert(r(2L) == ((3L, 1L, 2L)), s"single flip: ${r(2L)}")
+    // the probe row rides every multimodal gate
+    assert(r.contains(Multimodal.ProbeDocId))
+  }
+
+  test("q220 token estimator: witness gate is tight on the uniform fixture; bench mode drops the exact twin") {
+    val r = Sketches.tokenCostEstimate(docs).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("cpt_ppm") > 0)
+      assert(row.getAs[Long]("err_bp") <= 2000,
+        s"estimate off by >20% on the uniform fixture: $row")
+    }
+    // exact twin matches an independent count
+    val exact = docs.selectExpr("source", "size(split(text, ' ')) AS n")
+      .groupBy("source").agg(sum(col("n")).as("t")).collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    r.foreach(row => assert(row.getAs[Long]("exact_tokens") ==
+      exact(row.getAs[String]("source"))))
+    Witness.synchronized {
+      graft.Witness.enabled = false
+      try {
+        val cols = Sketches.tokenCostEstimate(docs).columns.toSeq
+        assert(cols == Seq("source", "n_docs", "sample_docs", "cpt_ppm", "est_tokens"),
+          "bench plan must not carry the exact-side witness columns")
+      } finally graft.Witness.enabled = true
+    }
+  }
+
+  test("q221 minhash audit: confusion counts are consistent and clones make recall positive") {
+    val base = docs.select("doc_id", "text")
+    // clone ids 2d+20000 are always even, so every clone lands in the
+    // audit sample; clones of even base docs give guaranteed truth pairs
+    val cloned = base.unionByName(
+      base.select((col("doc_id") * 2 + 20000).as("doc_id"), col("text")))
+    val row = Dedup.minhashAudit(cloned).head()
+    val (truth, pred, tp) = (row.getAs[Long]("n_truth"),
+      row.getAs[Long]("n_pred"), row.getAs[Long]("n_tp"))
+    assert(truth > 0, "identical clones must appear in the exact truth set")
+    assert(tp <= truth && tp <= pred)
+    assert(row.getAs[Long]("recall_ppm") == 1000000L * tp / truth)
+    assert(row.getAs[Long]("precision_ppm") ==
+      (if (pred > 0) 1000000L * tp / pred else 0L))
+    assert(tp > 0, "LSH must surface identical clones (all bands equal)")
+  }
 }

@@ -1139,4 +1139,42 @@ class PlanSpec extends SparkSpec {
     assert(win >= 0 && p.indexOf("BroadcastHashJoin", win) > 0,
       "bucket pruning must happen before the selection window")
   }
+
+  // ------------------------------------------------- round-9 additions
+
+  test("q215: phrases and terms broadcast; adjacency never self-joins the raw corpus") {
+    val p = plan(graft.ext.TextAnalysis.phraseSearch(Tables.documents(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"),
+      "the query-term prune and phrase joins must broadcast the model side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "positional adjacency is pure equi-join arithmetic")
+  }
+
+  test("q216: one Window operator computes every SNM lead; no pair self-join exists") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(graft.ext.Dedup.sortedNeighborhoodPairs(Tables.documents(spark, sf)))
+      val windows = p.linesIterator.count(_.contains("Window ["))
+      assert(windows == 1,
+        s"all ${graft.ext.Dedup.SnmWindow} leads must share one window pass, saw $windows")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        "SNM generates candidates by sorting, never by joining")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q217: needles broadcast against the one-pass rolling-hash scan") {
+    val p = plan(graft.ext.Dedup.canaryScan(Tables.documents(spark, sf)))
+    assert(p.contains("rolling_hashes"),
+      "the corpus side must scan through the O(n) Rabin-Karp kernel")
+    assert(p.contains("BroadcastHashJoin"), "the needle table must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "multi-pattern search must not plan the O(corpus x needles) loop")
+  }
+
+  test("q220: the extrapolation side reads metadata only — text stays pruned to the sample scan") {
+    val p = plan(graft.ext.Sketches.tokenCostEstimate(Tables.documents(spark, sf)))
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.exists(!_.contains("text")),
+      s"the full-corpus side must scan (source, n_chars) without text:\n${scans.mkString("\n")}")
+  }
 }
