@@ -129,6 +129,10 @@ object ScaleRehearsal {
     // design; the audit sample, not the corpus, is its scale knob)
     "q215_phrase_search", "q216_sorted_neighborhood", "q217_canary_scan",
     "q219_shot_boundaries", "q220_token_estimator",
+    // round-9 second wave: PQ Lloyd update (corpus × fixed codebook —
+    // linear in corpus) and the OOV cutoff audit (one (source, token)
+    // aggregate). q224 brute k-NN is quadratic by semantics (q17 family)
+    "q222_pq_train", "q223_oov_rate",
     // fifth wave (post-review coverage closure): CDC chunking (O(n)
     // rolling-hash kernel + chunk-keyed aggregate — chunk SHARING
     // grows with the dup families, the skew this fixture stresses),

@@ -1226,8 +1226,14 @@ object Similarity {
     * by re-rank depth, measured in ANN_RECALL.md, not assumed). Every
     * score is integer arithmetic: encode, ADC and re-rank are hash-exact
     * under any partitioning. */
-  def pqTopK(emb: DataFrame, rerank: Int = PqRerank,
-             centroidMod: Long = CentroidMod): DataFrame = {
+  /** The PQ front half every PQ operator shares — quantize (q69's one
+    * global int8 scale), explode into [[PqSub]] subvectors, take the
+    * deterministic codebook, score every (subvector, codeword) pair in
+    * its subspace, and encode by argmin. Returns (v, cb, scored, codes);
+    * q125 continues into ADC search, q222 into the Lloyd update — ONE
+    * definition, no drift. */
+  private def pqQuantSubs(emb: DataFrame, centroidMod: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     VectorOps.register(emb.sparkSession)
     val r = QuantRange
     val mx = emb.select(max(expr(
@@ -1260,6 +1266,12 @@ object Similarity {
     val codes = scored.groupBy("vec_id", "m")
       .agg(min(struct(col("d2"), col("cw_id"))).as("a"))
       .select(col("vec_id"), col("m"), col("a.cw_id").as("code"))
+    (v, cb, scored, codes)
+  }
+
+  def pqTopK(emb: DataFrame, rerank: Int = PqRerank,
+             centroidMod: Long = CentroidMod): DataFrame = {
+    val (v, _, scored, codes) = pqQuantSubs(emb, centroidMod)
     // per-query ADC lookup tables (|Q|·M·|codebook| rows, broadcast)
     val lut = scored.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("m").as("l_m"),
@@ -1291,14 +1303,19 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  val pqTopKSql: String = {
+  /** BIGINT-exact left-fold dot for int lists (SQL twin of vec_dot_int). */
+  private def duckIntDot(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST($a[i] AS BIGINT) * CAST($b[i] AS BIGINT))), (x, y) -> x + y)"
+
+  /** SQL twin of [[pqQuantSubs]] — the CTE prefix (quantize → subvectors
+    * → codebook → pair scores → argmin codes) both q125 and q222 open
+    * with. ONE text, so the assignment definition cannot drift. */
+  private def pqCommonSqlCtes: String = {
     val r = QuantRange
     val quant = s"list_transform(embedding, e -> CAST(greatest(-$r, least($r, " +
       s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30)) + 0.5))) AS INT))"
-    def intDot(a: String, b: String) =
-      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        s"list_transform(generate_series(1, len($a)), " +
-        s"i -> CAST($a[i] AS BIGINT) * CAST($b[i] AS BIGINT))), (x, y) -> x + y)"
     s"""WITH m AS (
        |  SELECT MAX(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |    list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))),
@@ -1309,19 +1326,24 @@ object Similarity {
        |  SELECT vec_id, g.m AS m,
        |    qemb[g.m * $PqSubDim + 1 : g.m * $PqSubDim + $PqSubDim] AS sub
        |  FROM v, generate_series(0, ${PqSub - 1}) g(m)),
-       |subs2 AS (SELECT vec_id, m, sub, ${intDot("sub", "sub")} AS sub_self
+       |subs2 AS (SELECT vec_id, m, sub, ${duckIntDot("sub", "sub")} AS sub_self
        |          FROM subs),
        |cb AS (SELECT m, vec_id AS cw_id, sub AS cw, sub_self AS cw_self
        |       FROM subs2 WHERE vec_id % $CentroidMod = 0),
        |sc AS (
        |  SELECT s.vec_id, s.m, c.cw_id,
-       |    s.sub_self - 2 * ${intDot("s.sub", "c.cw")} + c.cw_self AS d2
+       |    s.sub_self - 2 * ${duckIntDot("s.sub", "c.cw")} + c.cw_self AS d2
        |  FROM subs2 s JOIN cb c ON c.m = s.m),
        |codes AS (
        |  SELECT vec_id, m, cw_id AS code FROM (
        |    SELECT vec_id, m, cw_id,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cw_id) AS rn
-       |    FROM sc) WHERE rn = 1),
+       |    FROM sc) WHERE rn = 1)""".stripMargin
+  }
+
+  val pqTopKSql: String = {
+    def intDot(a: String, b: String) = duckIntDot(a, b)
+    s"""$pqCommonSqlCtes,
        |lut AS (SELECT vec_id AS q_id, m, cw_id, d2 AS d2q
        |        FROM sc WHERE vec_id % $QueryMod = 0),
        |adc AS (
@@ -1347,6 +1369,88 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
   }
+
+  // ------------------------------------------------ PQ codebook training
+  /** Offset keeping hash-fold terms positive (|cent| ≤ 127·ProtoScale). */
+  val PqHashOffset = 130000L
+  /** Fold modulus for the centroid report hash (the corpus-wide 1e9+7). */
+  val PqHashMod = 1000000007L
+
+  /** One Lloyd update of the PQ codebook — the TRAINING step q125's
+    * search assumes (q125 samples its codewords like the IVF centroid
+    * table; production codebooks are k-means-refined per subspace, and
+    * this is that refinement as one shuffle): assign every subvector to
+    * its nearest codeword (THE SAME argmin relation q125 encodes with —
+    * [[pqQuantSubs]], one definition), then recompute each codeword as
+    * the elementwise mean of its assigned subvectors in [[ProtoScale]]
+    * fixed point. Reports per (subspace, code): assignment count, a
+    * base-31 fold of the new centroid (the vector itself stays an
+    * intermediate — the report row is fixed-width), and shift_d2 — the
+    * squared fixed-point distance the codeword moved, the convergence
+    * signal a training loop watches.
+    *
+    * Scale: the corpus-sized relations are the subvector explode and one
+    * (vec, subspace)-keyed argmin — both map-side-combinable aggregates
+    * over ONE scan; everything after lives on the (M · |codebook|)-sized
+    * model side. Codewords with zero assignments (possible only when a
+    * duplicate codeword loses every tie) drop from the report in both
+    * engines identically. */
+  def pqTrainStep(emb: DataFrame): DataFrame = {
+    val (v, cb, _, codes) = pqQuantSubs(emb, CentroidMod)
+    // re-derive subvector values for the mean by re-exploding v (the
+    // same cheap projection the front half used — no extra scan state)
+    val subStructs = (0 until PqSub).map { m =>
+      struct(lit(m).as("m"),
+        slice(col("qemb"), m * PqSubDim + 1, PqSubDim).as("sub"))
+    }
+    val subVals = v
+      .select(col("vec_id"), explode(array(subStructs: _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+    val dims = subVals.join(codes, Seq("vec_id", "m"))
+      .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("i", "x")))
+      .groupBy("m", "code", "i")
+      .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("n"))
+      .select(col("m"), col("code"), col("i"), col("n"),
+        expr(s"($ProtoScale * s) div n").as("cent"))
+    val cvec = dims.groupBy("m", "code")
+      .agg(expr("transform(array_sort(collect_list(struct(i, cent))), x -> x.cent)")
+        .as("cents"), min(col("n")).as("n_assigned"))
+    cvec.join(broadcast(cb),
+        col("m") === col("cb_m") && col("code") === col("cw_id"))
+      .select(col("m"), col("code"), col("n_assigned"),
+        expr(s"aggregate(cents, CAST(0 AS BIGINT), " +
+          s"(acc, c) -> (acc * 31 + c + $PqHashOffset) % $PqHashMod)").as("cent_hash"),
+        expr(s"aggregate(zip_with(cents, cw, (a, b) -> " +
+          s"(a - $ProtoScale * CAST(b AS BIGINT)) * (a - $ProtoScale * b)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("shift_d2"))
+      .orderBy("m", "code")
+  }
+
+  val pqTrainStepSql: String =
+    s"""$pqCommonSqlCtes,
+       |asg AS (
+       |  SELECT s.m, c.code, s.vec_id, s.sub
+       |  FROM subs s JOIN codes c ON c.vec_id = s.vec_id AND c.m = s.m),
+       |dims AS (
+       |  SELECT m, code, g.i AS i, CAST(sub[g.i] AS BIGINT) AS x
+       |  FROM asg, generate_series(1, $PqSubDim) g(i)),
+       |cents AS (
+       |  SELECT m, code, i, ($ProtoScale * SUM(x)) // COUNT(*) AS cent,
+       |    COUNT(*) AS n
+       |  FROM dims GROUP BY 1, 2, 3),
+       |cvec AS (
+       |  SELECT m, code, list(cent ORDER BY i) AS cents, MIN(n) AS n_assigned
+       |  FROM cents GROUP BY 1, 2)
+       |SELECT cv.m, cv.code, CAST(cv.n_assigned AS BIGINT) AS n_assigned,
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), cv.cents),
+       |    (acc, c) -> (acc * 31 + c + $PqHashOffset) % $PqHashMod) AS BIGINT) AS cent_hash,
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(generate_series(1, $PqSubDim),
+       |      i -> (cv.cents[i] - $ProtoScale * CAST(cb.cw[i] AS BIGINT))
+       |         * (cv.cents[i] - $ProtoScale * CAST(cb.cw[i] AS BIGINT)))),
+       |    (x, y) -> x + y) AS BIGINT) AS shift_d2
+       |FROM cvec cv JOIN cb ON cb.m = cv.m AND cb.cw_id = cv.code
+       |ORDER BY cv.m, cv.code""".stripMargin
 
   // ------------------------------------------------- hard negatives
   /** q127: hard-negative mining for contrastive training — for each
@@ -2383,7 +2487,77 @@ object Similarity {
        |GROUP BY f.q_id
        |ORDER BY f.q_id""".stripMargin
 
+  // ------------------------------------------------- k-NN label vote
+  /** Instance-based k-NN classification eval over the labeled embedding
+    * fixture — the third member of the label-quality family: q156 judges
+    * labels against class PROTOTYPES (one centroid per label), q104
+    * against per-source centroids; this one votes among each query's
+    * [[TopK]] exact nearest INSTANCES (majority label, ties to the
+    * smaller label id) and reports the confusion matrix. k-NN catches
+    * what prototypes can't — multimodal classes and boundary noise —
+    * which is why embedding-quality evals run both.
+    *
+    * Plan: q17's broadcast-query scan + bounded-heap top-k (shuffle
+    * carries |Q|·k rows), then the |Q|·k neighbor relation BROADCASTS
+    * back against the corpus for its labels — label lookup joins the
+    * tiny side into the scan, never the corpus into the neighbors. */
+  def knnLabelVote(emb: DataFrame): DataFrame = {
+    VectorOps.register(emb.sparkSession)
+    val topk = graft.functions.BoundedTopK.topK(TopK)
+    val v = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .withColumn("norm2", expr("vec_dot(embedding, embedding)"))
+    val q = v.filter(col("vec_id") % QueryMod === 0).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("norm2").as("q_n2"), col("label").as("true_label"))
+    val nb = spread(v).join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("true_label"), col("vec_id").as("cand_id"),
+        (expr("vec_dot(q_emb, embedding)") /
+          (sqrt(col("q_n2")) * sqrt(col("norm2")))).as("cos_raw"))
+      .groupBy(col("q_id"), col("true_label"))
+      .agg(topk(col("cos_raw"), col("cand_id")).as("top"))
+      .select(col("q_id"), col("true_label"),
+        explode(col("top.id")).as("cand_id"))
+    val votes = broadcast(nb)
+      .join(v.select(col("vec_id").as("cand_id"), col("label").as("n_label")),
+        "cand_id")
+      .groupBy("q_id", "true_label", "n_label")
+      .agg(count(lit(1)).as("c"))
+    votes.groupBy("q_id", "true_label")
+      .agg(min(struct((-col("c")).as("nc"), col("n_label"))).as("m"))
+      .select(col("true_label"), col("m.n_label").as("pred_label"))
+      .groupBy("true_label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
+
+  val knnLabelVoteSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, label, ${duckNorm2("embedding")} AS norm2
+       |  FROM embeddings),
+       |ranked AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${duckDot("q.embedding", "c.embedding")} / (sqrt(q.norm2) * sqrt(c.norm2)) DESC,
+       |      c.vec_id) AS rank
+       |  FROM v q JOIN v c ON q.vec_id % $QueryMod = 0 AND q.vec_id <> c.vec_id),
+       |votes AS (
+       |  SELECT n.q_id, e.label AS n_label, COUNT(*) AS c
+       |  FROM (SELECT q_id, cand_id FROM ranked WHERE rank <= $TopK) n
+       |  JOIN embeddings e ON e.vec_id = n.cand_id
+       |  GROUP BY 1, 2),
+       |pick AS (
+       |  SELECT q_id, n_label AS pred_label,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, n_label) AS rn
+       |  FROM votes)
+       |SELECT q.label AS true_label, p.pred_label, COUNT(*) AS n
+       |FROM (SELECT vec_id, label FROM embeddings WHERE vec_id % $QueryMod = 0) q
+       |JOIN pick p ON p.q_id = q.vec_id AND p.rn = 1
+       |GROUP BY 1, 2
+       |ORDER BY true_label, pred_label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_pq_train" -> ((s, d) => pqTrainStep(Tables.embeddings(s, d))),
+    "q224_knn_vote" -> ((s, d) => knnLabelVote(Tables.embeddings(s, d))),
     "q218_truncation_recall" -> ((s, d) => truncationRecall(Tables.embeddings(s, d))),
     "q170_jl_projection" -> ((s, d) => jlProjectionAudit(Tables.embeddings(s, d))),
     "q174_embedding_drift" -> ((s, d) => embeddingDrift(Tables.embeddings(s, d))),
@@ -2411,6 +2585,8 @@ object Similarity {
     "q156_prototype_confusion" -> ((s, d) => prototypeConfusion(Tables.embeddings(s, d))))
 
   val oracles: Map[String, String] = Map(
+    "q222_pq_train" -> pqTrainStepSql,
+    "q224_knn_vote" -> knnLabelVoteSql,
     "q218_truncation_recall" -> truncationRecallSql,
     "q170_jl_projection" -> jlProjectionAuditSql,
     "q174_embedding_drift" -> embeddingDriftSql,

@@ -2196,7 +2196,63 @@ object TextAnalysis {
        |  FROM hits GROUP BY phrase) h ON h.phrase = p.phrase
        |ORDER BY p.phrase""".stripMargin
 
+  // -------------------------------------------------------- OOV rate
+  /** Vocabulary cutoff for the OOV audit (production: 10^5-10^6; sized
+    * to the fixture's small synthetic vocabulary so the rate is
+    * non-degenerate). Full-key tie-break (count desc, token) keeps the
+    * cutoff deterministic in both engines. */
+  val OovVocabK = 16
+
+  /** Out-of-vocabulary rate audit — the tokenizer-coverage planning
+    * question ("if we ship a top-V vocabulary, what fraction of each
+    * source's token stream falls outside it?") that sizes vocab against
+    * UNK-rate budget before training. Complements q34 (the vocabulary
+    * itself), q49 (per-doc rarity mass) and q200 (fertility of a FIXED
+    * tokenizer): this measures the cutoff, per source, in ppm.
+    *
+    * Plan: ONE (source, token) aggregate feeds everything — the global
+    * top-V derives from it by a second, vocab-sized aggregate (+
+    * TakeOrdered over |vocab| rows, never the corpus), then broadcasts
+    * back as a membership left-join. The corpus scans once; the only
+    * corpus-sized shuffle is the (source, token) aggregate. */
+  def oovRate(docs: DataFrame): DataFrame = {
+    val bySrc = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+    val topV = bySrc.groupBy("token").agg(sum(col("n")).as("tn"))
+      .orderBy(col("tn").desc, col("token")).limit(OovVocabK)
+      .select(col("token"), lit(1).as("in_vocab"))
+    bySrc.join(broadcast(topV), Seq("token"), "left")
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("n")).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("(1000000 * n_oov) div n_tokens"))
+      .orderBy("source")
+  }
+
+  val oovRateSql: String =
+    s"""WITH t AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+       |bysrc AS (
+       |  SELECT source, token, COUNT(*) AS n FROM t
+       |  WHERE length(token) > 0 GROUP BY 1, 2),
+       |topv AS (
+       |  SELECT token FROM (
+       |    SELECT token, SUM(n) AS tn FROM bysrc GROUP BY token
+       |    ORDER BY tn DESC, token LIMIT $OovVocabK)),
+       |agg AS (
+       |  SELECT b.source, SUM(b.n) AS n_tokens,
+       |    SUM(CASE WHEN v.token IS NULL THEN b.n ELSE 0 END) AS n_oov
+       |  FROM bysrc b LEFT JOIN topv v ON v.token = b.token
+       |  GROUP BY b.source)
+       |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_oov AS BIGINT) AS n_oov,
+       |  CAST((1000000 * n_oov) // n_tokens AS BIGINT) AS oov_ppm
+       |FROM agg ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_oov_rate" -> ((s, d) => oovRate(Tables.documents(s, d))),
     "q215_phrase_search" -> ((s, d) => phraseSearch(Tables.documents(s, d))),
     "q19_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
     "q20_quality"     -> ((s, d) => quality(Tables.documents(s, d))),
@@ -2234,6 +2290,7 @@ object TextAnalysis {
     "q208_langid_confusion" -> ((s, d) => langIdConfusion(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
+    "q223_oov_rate" -> oovRateSql,
     "q215_phrase_search" -> phraseSearchSql,
     "q19_lang_id"     -> langIdSql,
     "q20_quality"     -> qualitySql,

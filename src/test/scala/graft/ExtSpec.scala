@@ -2358,4 +2358,56 @@ class ExtSpec extends SparkSpec {
       (if (pred > 0) 1000000L * tp / pred else 0L))
     assert(tp > 0, "LSH must surface identical clones (all bands equal)")
   }
+
+  test("q222 PQ train: every vector assigns once per subspace; centroids move toward their mass") {
+    val r = Similarity.pqTrainStep(emb).collect()
+    val nVecs = emb.count()
+    val bySub = r.groupBy(_.getAs[Int]("m"))
+    assert(bySub.keySet == (0 until Similarity.PqSub).toSet)
+    bySub.foreach { case (m, rows) =>
+      assert(rows.map(_.getAs[Long]("n_assigned")).sum == nVecs,
+        s"subspace $m: assignment counts must partition the corpus")
+    }
+    // a codeword with exactly one assignment (itself) must not move
+    r.filter(_.getAs[Long]("n_assigned") == 1).foreach { row =>
+      assert(row.getAs[Long]("shift_d2") == 0L,
+        "a self-only codeword's mean is itself (fixed point exact)")
+    }
+    assert(r.forall(_.getAs[Long]("shift_d2") >= 0L))
+  }
+
+  test("q223 OOV: token totals are exact and a corpus inside the vocab has zero OOV") {
+    import spark.implicits._
+    val r = TextAnalysis.oovRate(docs).collect()
+    val exact = docs.selectExpr("source",
+        "size(filter(split(text, ' '), t -> length(t) > 0)) AS n")
+      .groupBy("source").agg(sum(col("n"))).collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_tokens") == exact(row.getAs[String]("source")))
+      val ppm = row.getAs[Long]("oov_ppm")
+      assert(ppm >= 0 && ppm <= 1000000)
+    }
+    val tiny = Seq((1L, "alpha beta", "s1"), (2L, "beta gamma", "s2"))
+      .toDF("doc_id", "text", "source")
+    val rt = TextAnalysis.oovRate(tiny).collect()
+    assert(rt.forall(_.getAs[Long]("n_oov") == 0L),
+      s"a 3-word vocabulary fits inside the top-${TextAnalysis.OovVocabK} cutoff")
+  }
+
+  test("q224 knn vote: confusion mass equals the query count; labels come from the fixture") {
+    val r = Similarity.knnLabelVote(emb).collect()
+    val nQueries = emb.filter(col("vec_id") % Similarity.QueryMod === 0).count()
+    assert(r.map(_.getAs[Long]("n")).sum == nQueries,
+      "every query votes exactly once")
+    val labels = emb.select("label").distinct().collect()
+      .map(_.getInt(0)).toSet
+    r.foreach { row =>
+      assert(labels.contains(row.getAs[Int]("true_label")))
+      assert(labels.contains(row.getAs[Int]("pred_label")))
+    }
+    val b = Similarity.knnLabelVote(emb.repartition(7)).collect()
+    assert(r.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "the vote must not depend on physical partitioning")
+  }
 }

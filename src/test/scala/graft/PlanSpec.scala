@@ -1171,6 +1171,25 @@ class PlanSpec extends SparkSpec {
       "multi-pattern search must not plan the O(corpus x needles) loop")
   }
 
+  test("q222/q224: PQ training and knn vote never plan a cartesian product; model sides broadcast") {
+    val p1 = plan(graft.ext.Similarity.pqTrainStep(Tables.embeddings(spark, sf)))
+    assert(!p1.contains("CartesianProduct"))
+    assert(p1.contains("BroadcastHashJoin"),
+      "the codebook and assignment joins must broadcast the model side")
+    val p2 = plan(graft.ext.Similarity.knnLabelVote(Tables.embeddings(spark, sf)))
+    assert(!p2.contains("CartesianProduct"))
+    assert(p2.contains("BroadcastHashJoin"),
+      "the neighbor-label lookup must broadcast the |Q|*k side")
+  }
+
+  test("q223: one corpus token aggregate feeds both the cutoff and the rate; membership broadcasts") {
+    val p = plan(graft.ext.TextAnalysis.oovRate(Tables.documents(spark, sf)))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-V cutoff must plan as TakeOrdered over the vocab aggregate, not a global sort")
+    assert(p.contains("BroadcastHashJoin"), "vocab membership must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q220: the extrapolation side reads metadata only — text stays pruned to the sample scan") {
     val p = plan(graft.ext.Sketches.tokenCostEstimate(Tables.documents(spark, sf)))
     val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
