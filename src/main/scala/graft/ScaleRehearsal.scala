@@ -149,7 +149,14 @@ object ScaleRehearsal {
     // sixth wave: dedup-aware allocation (rides q209 + a |sources|-row
     // plan) and the split-leakage audit (rides the audited q14 banded
     // join + two id probes)
-    "q212_dedup_mixture", "q213_split_leakage")
+    "q212_dedup_mixture", "q213_split_leakage",
+    // round-9 third wave: perplexity filter (q66's one-shuffle shape +
+    // bounded value-counts tertiles), KN bigram (the colloc marginal
+    // shape), conformal gate (one calib aggregate + broadcast
+    // threshold), log-histogram quantiles (64-counter mergeable agg),
+    // systematic sample (per-source window cumsum — n log n per source)
+    "q225_perplexity_filter", "q226_kn_bigram", "q227_conformal_gate",
+    "q228_hist_quantiles", "q229_systematic_sample")
 
   /** q17/q24/q69 are declared-O(n²) kernels; q18/q73 assign against a
     * centroid set that GROWS with the fixture (vec_id % mod stand-in),

@@ -1913,7 +1913,94 @@ object Curation {
        |    FROM (${graft.ext.TextAnalysis.classifierScoresSql}))
        |ORDER BY metric""".stripMargin
 
+  // ---------------------------------------------- conformal gate (q227)
+  /** Calibration-split modulus (doc_id % mod = 0 calibrates). */
+  val ConformalCalibMod = 5L
+
+  /** Miscoverage level α as a rational: numerator/denominator = 1/10. */
+  val ConformalAlphaNum = 1L
+  val ConformalAlphaDen = 10L
+
+  /** q227: SPLIT-CONFORMAL QUALITY GATING — turns any scalar quality
+    * score into a keep-rule with a DISTRIBUTION-FREE guarantee: fix a
+    * miscoverage level α, take the r-th smallest score of a held-out
+    * calibration split with r = floor(α·(n+1)) (clamped ≥ 1), and keep
+    * apply-set docs scoring ≥ that threshold. Exchangeability alone
+    * gives P(new doc scores below the threshold) ≤ α — no model of the
+    * score distribution, which is exactly what a quality score over a
+    * shifting web crawl does not have. This is how a production filter
+    * calibrates "keep ~90%" without trusting the scorer's scale.
+    *
+    * Score = the stopword basis-point signal (q20's prose-likeness
+    * column); any integer score slots in. The threshold is an EXACT
+    * order statistic taken from the bounded VALUE-COUNTS relation
+    * (stopword_bp ∈ [0, 10⁴], so ≤ 10⁴+1 distinct values at ANY corpus
+    * size — the q128/q225 shape), never a corpus sort: one calibration
+    * aggregate, a constant-size cumsum window, a broadcast 1-row
+    * threshold onto the apply scan. Report: per source, apply-set
+    * totals, kept counts, and the keep rate in ppm, plus the threshold
+    * for audit. */
+  def conformalGate(docs: DataFrame): DataFrame = {
+    val scoreExpr = {
+      val padded = "concat(' ', text, ' ')"
+      val stopCount = Seq(" the ", " a ", " of ", " and ", " is ")
+        .map(w => s"(${TextAnalysis.sparkCount(padded, w)})").mkString(" + ")
+      s"(10000 * ($stopCount)) div greatest(size(split(text, ' ')), 1)"
+    }
+    val scored = docs.select(col("doc_id"), col("source"),
+      expr(scoreExpr).as("score"))
+    val calib = scored.filter(pmod(col("doc_id"), lit(ConformalCalibMod)) === 0)
+    val app = scored.filter(pmod(col("doc_id"), lit(ConformalCalibMod)) =!= 0)
+    val vc = calib.groupBy("score").agg(count(lit(1)).as("c"))
+    val nTot = vc.agg(sum(col("c")).as("n"))
+    val cumW = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val threshold = vc.crossJoin(broadcast(nTot))
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .agg(min(when(
+        col("cum") >= expr(
+          s"greatest(($ConformalAlphaNum * (n + 1)) div $ConformalAlphaDen, 1)"),
+        col("score"))).as("t"))
+    app.crossJoin(broadcast(threshold))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum((col("score") >= col("t")).cast("long")).as("n_kept"),
+        min(col("t")).as("threshold_bp"))
+      .select(col("source"), col("n_total"), col("n_kept"),
+        expr("(1000000 * n_kept) div n_total").as("keep_ppm"),
+        col("threshold_bp"))
+      .orderBy("source")
+  }
+
+  val conformalGateSql: String = {
+    val padded = "concat(' ', text, ' ')"
+    val stopCount = Seq(" the ", " a ", " of ", " and ", " is ")
+      .map(w => s"(${TextAnalysis.duckCount(padded, w)})").mkString(" + ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    (10000 * ($stopCount)) // greatest(len(string_split(text, ' ')), 1) AS score
+       |  FROM documents),
+       |vc AS (SELECT score, COUNT(*) AS c FROM scored
+       |       WHERE doc_id % $ConformalCalibMod = 0 GROUP BY score),
+       |n AS (SELECT SUM(c) AS n FROM vc),
+       |cum AS (SELECT score,
+       |          SUM(c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum, n.n
+       |        FROM vc CROSS JOIN n),
+       |th AS (SELECT MIN(CASE WHEN cum >=
+       |         greatest(($ConformalAlphaNum * (n + 1)) // $ConformalAlphaDen, 1)
+       |         THEN score END) AS t FROM cum)
+       |SELECT source, COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN score >= th.t THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST((1000000 * SUM(CASE WHEN score >= th.t THEN 1 ELSE 0 END)) // COUNT(*)
+       |    AS BIGINT) AS keep_ppm,
+       |  CAST(MIN(th.t) AS BIGINT) AS threshold_bp
+       |FROM scored CROSS JOIN th
+       |WHERE doc_id % $ConformalCalibMod <> 0
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_conformal_gate" -> ((s, d) => conformalGate(Tables.documents(s, d))),
     "q189_corpus_datasheet" -> ((s, d) => corpusDatasheet(Tables.documents(s, d))),
     "q187_filter_attribution" -> ((s, d) => filterAttribution(Tables.documents(s, d))),
     "q48_filter_verdicts" -> ((s, d) => filterVerdicts(Tables.documents(s, d))),
@@ -1948,6 +2035,7 @@ object Curation {
     "q207_split_balance" -> ((s, d) => splitBalance(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
+    "q227_conformal_gate" -> conformalGateSql,
     "q189_corpus_datasheet" -> corpusDatasheetSql,
     "q187_filter_attribution" -> filterAttributionSql,
     "q48_filter_verdicts" -> filterVerdictsSql,

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -360,16 +361,227 @@ object Lm {
       |  CAST(SUM(d * d) AS BIGINT) AS drift_l2e8
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  // -------------------------------------------- perplexity filter (q225)
+  /** Reference-split modulus: docs with doc_id % mod = 0 train the LM. */
+  val PplRefMod = 5L
+
+  /** q225: CCNET-STYLE PERPLEXITY FILTER — the train/apply split q66
+    * does not have. Production pipelines (CCNet and its descendants)
+    * train a KenLM on a REFERENCE corpus (Wikipedia), score every crawl
+    * document, and keep the head perplexity bucket; the LM is a
+    * transferred quality prior, not a self-fit. Here the deterministic
+    * doc_id % [[PplRefMod]] = 0 slice stands in for the reference corpus
+    * and everything else is the apply set:
+    *
+    *   - TRAIN: add-1 bigram model on the reference slice only
+    *     (p_ppm as q66, with V = reference vocab).
+    *   - SCORE: every apply doc's mean bigram likelihood, with unseen
+    *     grams/contexts falling back to the smoothing floor via
+    *     COALESCE(c, 0) — the OOV path q66 never exercises because it
+    *     trains on what it scores.
+    *   - BUCKET: global likelihood TERTILES (bucket 1 = head = most
+    *     reference-like, the slice CCNet keeps), with thresholds taken
+    *     as exact order statistics ceil(n/3), ceil(2n/3).
+    *
+    * The tertile thresholds come from a VALUE-COUNTS cumsum, not a
+    * global row sort: lm_ppm is an integer in [0, 1e6], so the distinct-
+    * value relation is bounded at ~1e6 rows AT ANY CORPUS SIZE and the
+    * single-partition window over it is a constant-size step (the q128
+    * exact-quantile shape), never a corpus sort. Corpus-side: the apply
+    * bigram stream shuffles ONCE on doc_id (the q66 single-exchange
+    * shape) with source carried through the aggregation (functionally
+    * dependent on doc_id — no join-back); the reference model is
+    * aggregate-sized and broadcasts. The DOC-LEVEL scored relation
+    * feeds two consumers (the threshold cumsum and the bucket report),
+    * so it is lazily checkpointed (the q188 pattern) — the corpus-sized
+    * explode runs once, and what both consumers re-read is corpus/
+    * 1000-sized. */
+  /** The doc-level scored relation (pre-checkpoint) — exposed so the
+    * plan guards can assert the model-broadcast / one-exchange shape
+    * that the checkpoint boundary hides from the final plan. */
+  private[graft] def pplScored(docs: DataFrame): DataFrame = {
+    val ref = docs.filter(pmod(col("doc_id"), lit(PplRefMod)) === 0)
+    val app = docs.filter(pmod(col("doc_id"), lit(PplRefMod)) =!= 0)
+    val refGrams = bigramStream(ref)
+      .groupBy("gram").agg(count(lit(1)).as("c12"))
+    val refUni = ref
+      .select(explode(split(col("text"), " ")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val refV = refUni.agg(count(lit(1)).as("v"))
+    val appGrams = app
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] AS w1, concat_ws(' ', toks[i], toks[i + 1]) AS gram))"))
+        .as("b"))
+      .select(col("doc_id"), col("source"),
+        col("b.w1").as("w1"), col("b.gram").as("gram"))
+      .repartition(col("doc_id"))
+      .groupBy("doc_id", "source", "w1", "gram")
+      .agg(count(lit(1)).as("n_occ"))
+    appGrams
+      .join(broadcast(refGrams), Seq("gram"), "left")
+      .join(broadcast(refUni), Seq("w1"), "left")
+      .crossJoin(broadcast(refV))
+      .select(col("doc_id"), col("source"), col("n_occ"),
+        (col("n_occ") *
+          expr(s"(1000000 * (coalesce(c12, 0) + $SmoothAdd)) div (coalesce(c1, 0) + v)"))
+          .as("p_sum"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("n_occ")).as("n_bigrams"),
+           expr("sum(p_sum) div sum(n_occ)").as("lm_ppm"))
+  }
+
+  def perplexityFilter(docs: DataFrame): DataFrame = {
+    val scored = pplScored(docs).localCheckpoint(false)
+    // exact tertile thresholds from the bounded value-counts relation
+    val vc = scored.groupBy("lm_ppm").agg(count(lit(1)).as("c"))
+    val nTot = vc.agg(sum(col("c")).as("n"))
+    val cumW = Window.orderBy("lm_ppm")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thresholds = vc.crossJoin(broadcast(nTot))
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .agg(
+        min(when(col("cum") >= expr("(n + 2) div 3"), col("lm_ppm"))).as("t1"),
+        min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("lm_ppm"))).as("t2"))
+    scored
+      .crossJoin(broadcast(thresholds))
+      .select(col("source"),
+        (lit(1L) + (col("lm_ppm") > col("t1")).cast("long")
+          + (col("lm_ppm") > col("t2")).cast("long")).as("ppl_bucket"),
+        col("n_bigrams"))
+      .groupBy("source", "ppl_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("bigram_mass"))
+      .orderBy("source", "ppl_bucket")
+  }
+
+  val perplexityFilterSql: String =
+    s"""WITH ref AS (SELECT * FROM documents WHERE doc_id % $PplRefMod = 0),
+       |app AS (SELECT * FROM documents WHERE doc_id % $PplRefMod <> 0),
+       |rg AS (SELECT toks[i] || ' ' || toks[i + 1] AS gram
+       |       FROM (SELECT string_split(text, ' ') AS toks,
+       |                    unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+       |             FROM ref WHERE len(string_split(text, ' ')) >= 2)),
+       |rbc AS (SELECT gram, COUNT(*) AS c12 FROM rg GROUP BY gram),
+       |ruc AS (SELECT w1, COUNT(*) AS c1 FROM
+       |          (SELECT unnest(string_split(text, ' ')) AS w1 FROM ref)
+       |        GROUP BY w1),
+       |rv AS (SELECT COUNT(*) AS v FROM ruc),
+       |ag AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS gram
+       |       FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+       |                    unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+       |             FROM app WHERE len(string_split(text, ' ')) >= 2)),
+       |agg AS (SELECT doc_id, w1, gram, COUNT(*) AS n_occ
+       |        FROM ag GROUP BY doc_id, w1, gram),
+       |sc AS (SELECT doc_id, SUM(n_occ) AS n_bigrams,
+       |         SUM(n_occ * ((1000000 * (COALESCE(rbc.c12, 0) + $SmoothAdd))
+       |             // (COALESCE(ruc.c1, 0) + rv.v))) // SUM(n_occ) AS lm_ppm
+       |       FROM agg LEFT JOIN rbc USING (gram) LEFT JOIN ruc USING (w1)
+       |         CROSS JOIN rv
+       |       GROUP BY doc_id),
+       |vc AS (SELECT lm_ppm, COUNT(*) AS c FROM sc GROUP BY lm_ppm),
+       |n AS (SELECT SUM(c) AS n FROM vc),
+       |cum AS (SELECT lm_ppm,
+       |          SUM(c) OVER (ORDER BY lm_ppm ROWS UNBOUNDED PRECEDING) AS cum, n.n
+       |        FROM vc CROSS JOIN n),
+       |th AS (SELECT MIN(CASE WHEN cum >= (n + 2) // 3 THEN lm_ppm END) AS t1,
+       |              MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN lm_ppm END) AS t2
+       |       FROM cum)
+       |SELECT d.source,
+       |  CAST(1 + (CASE WHEN sc.lm_ppm > th.t1 THEN 1 ELSE 0 END)
+       |         + (CASE WHEN sc.lm_ppm > th.t2 THEN 1 ELSE 0 END) AS BIGINT) AS ppl_bucket,
+       |  COUNT(*) AS n_docs, CAST(SUM(sc.n_bigrams) AS BIGINT) AS bigram_mass
+       |FROM sc JOIN documents d USING (doc_id) CROSS JOIN th
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------- Kneser-Ney bigram (q226)
+  /** Largest corpus bigram-occurrence total whose discounted numerator
+    * (4e6·c12) still fits a BIGINT with headroom — enforced loudly. */
+  val KnMaxN = 2000000000000L // 2e12
+
+  val KnTopK = 50
+
+  /** q226: INTERPOLATED KNESER-NEY bigram probabilities — the smoothing
+    * every production n-gram LM (KenLM) actually uses, where q66's add-1
+    * is the textbook baseline. Absolute discount D = 3/4, carried as the
+    * exact rational 3/4 by multiplying the whole estimate through by 4
+    * (no float D, no drift):
+    *
+    *   p_cont_ppm(w2) = (1e6 * N1+(·w2)) div B
+    *   kn_ppm(w1 w2)  = (1e6 * max(4·c12 − 3, 0)) div (4·c1)
+    *                  + (3 * N1+(w1·) * p_cont_ppm(w2)) div (4·c1)
+    *
+    * with c1 the LEFT MARGINAL of the bigram relation (so the discount
+    * mass and the backoff weight λ(w1) = D·N1+(w1·)/c1 balance exactly),
+    * N1+ the continuation type counts, and B the total bigram types.
+    * The continuation distribution is KN's point: a token that appears
+    * in many CONTEXTS (high N1+(·w2)) backs off high even if its raw
+    * frequency is one giant collocation.
+    *
+    * Scale shape: [[collocations]]' exactly — one corpus scan to the
+    * bigram-type relation, three vocab-sized marginal aggregates OF that
+    * relation joined back model-side, a broadcast 1-row total, and
+    * TakeOrderedAndProject for the top-K report. Overflow: numerators
+    * are ≤ 4e6·N and 3·V·1e6 — both guarded by [[KnMaxN]] with
+    * raise_error (packGuard discipline), never silent wraps. */
+  def knBigram(docs: DataFrame, maxN: Long = KnMaxN): DataFrame = {
+    val grams = bigramStream(docs)
+      .select(col("w1"), expr("substring(gram, length(w1) + 2)").as("w2"))
+    val bc = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val left = bc.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1_fan"))
+    val cont = bc.groupBy("w2").agg(count(lit(1)).as("n1_cont"))
+    val totals = bc.agg(
+      when(sum(col("c12")) > maxN,
+        raise_error(concat(
+          lit(s"knBigram: corpus bigram total exceeds the discounted-numerator bound $maxN "),
+          lit("(switch to sampled counts, the q77 path): "),
+          sum(col("c12")).cast("string"))))
+        .otherwise(count(lit(1))).as("b_types"))
+    bc.filter(col("c12") >= CollocMinCount)
+      .join(left, "w1").join(cont, "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("(1000000 * n1_cont) div b_types").as("pcont_ppm"),
+        (expr("(1000000 * greatest(4 * c12 - 3, 0)) div (4 * c1)") +
+          expr("(3 * n1_fan * ((1000000 * n1_cont) div b_types)) div (4 * c1)"))
+          .as("kn_ppm"))
+      .orderBy(col("kn_ppm").desc, col("w1"), col("w2"))
+      .limit(KnTopK)
+  }
+
+  val knBigramSql: String =
+    s"""WITH g AS ($duckBigrams),
+       |bc AS (SELECT w1, gram[len(w1) + 2:] AS w2, COUNT(*) AS c12
+       |       FROM g GROUP BY 1, 2),
+       |l AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1_fan FROM bc GROUP BY w1),
+       |ct AS (SELECT w2, COUNT(*) AS n1_cont FROM bc GROUP BY w2),
+       |t AS (SELECT COUNT(*) AS b_types FROM bc)
+       |SELECT w1, w2, c12,
+       |  CAST((1000000 * n1_cont) // b_types AS BIGINT) AS pcont_ppm,
+       |  CAST((1000000 * greatest(4 * c12 - 3, 0)) // (4 * c1)
+       |     + (3 * n1_fan * ((1000000 * n1_cont) // b_types)) // (4 * c1)
+       |    AS BIGINT) AS kn_ppm
+       |FROM bc JOIN l USING (w1) JOIN ct USING (w2) CROSS JOIN t
+       |WHERE c12 >= $CollocMinCount
+       |ORDER BY kn_ppm DESC, w1, w2
+       |LIMIT $KnTopK""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_bigram_lm" -> ((s, d) => bigramLmScores(Tables.documents(s, d))),
     "q67_collocations" -> ((s, d) => collocations(Tables.documents(s, d))),
     "q71_source_drift" -> ((s, d) => sourceDrift(Tables.documents(s, d))),
-    "q77_colloc_sampled" -> ((s, d) => collocationsSampled(Tables.documents(s, d))))
+    "q77_colloc_sampled" -> ((s, d) => collocationsSampled(Tables.documents(s, d))),
+    "q225_perplexity_filter" -> ((s, d) => perplexityFilter(Tables.documents(s, d))),
+    "q226_kn_bigram" -> ((s, d) => knBigram(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "q66_bigram_lm" -> bigramLmScoresSql,
     "q67_collocations" -> collocationsSql,
     "q71_source_drift" -> sourceDriftSql,
-    "q77_colloc_sampled" -> collocationsSampledSql())
+    "q77_colloc_sampled" -> collocationsSampledSql(),
+    "q225_perplexity_filter" -> perplexityFilterSql,
+    "q226_kn_bigram" -> knBigramSql)
 }

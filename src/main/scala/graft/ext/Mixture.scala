@@ -265,13 +265,80 @@ object Mixture {
        |FROM alloc
        |ORDER BY source""".stripMargin
 
+  // --------------------------------------- systematic resampling (q229)
+  /** Per-source sample fraction denominator: K_s = n_docs div 5. */
+  val SysSampleDiv = 5L
+
+  /** q229: WEIGHTED SYSTEMATIC RESAMPLING — the low-variance way to draw
+    * a token-weighted sample that q130's per-doc weighting cannot give:
+    * lay every doc's token mass end to end (in seeded-shuffle order, so
+    * adjacency in the stream is random) and take one doc at every
+    * `stride = token_mass div K` tokens — the doc under each stride
+    * multiple. Selection counts are DETERMINISTIC (exactly
+    * token_mass div stride docs per source, never the binomial spread
+    * of independent coin flips), inclusion probability stays ∝ token
+    * weight, and a long doc spanning several multiples is picked once
+    * per multiple it covers — the classic PPS-systematic estimator a
+    * training loader uses to subsample an epoch without variance in the
+    * epoch size.
+    *
+    * All integer: a doc at running mass `cum` with weight `w` is
+    * selected iff `cum div stride > (cum − w) div stride` (a stride
+    * multiple falls inside its span); `pick_idx = cum div stride` says
+    * which multiple. Seeded order reuses q117's multiplicative LCG key
+    * (a different seed is a different systematic pass). Plan: one
+    * corpus scan → per-source mass aggregate (broadcast back, |sources|
+    * rows) → ONE per-source window cumsum (partitioned sort, never
+    * global) → filter. */
+  def systematicSample(docs: DataFrame, seed: Long = 12345L): DataFrame = {
+    val weighted = docs.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("toks"),
+      expr(s"(${Curation.ShuffleMulA} * (doc_id + $seed)) % ${Curation.ShuffleMod}")
+        .as("key"))
+    val bySrc = weighted.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("mass"))
+      .select(col("source"),
+        expr(s"mass div greatest(n_docs div $SysSampleDiv, 1)").as("stride"))
+    val w = Window.partitionBy("source").orderBy("key", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weighted
+      .withColumn("cum", sum(col("toks")).over(w))
+      .join(broadcast(bySrc), "source")
+      .filter(expr("cum div stride > (cum - toks) div stride"))
+      .select(col("source"), col("doc_id"), col("toks"),
+        expr("cum div stride").as("pick_idx"))
+      .orderBy("source", "doc_id")
+  }
+
+  def systematicSampleSql(seed: Long = 12345L): String =
+    s"""WITH weighted AS (
+       |  SELECT source, doc_id,
+       |    len(string_split(text, ' ')) AS toks,
+       |    (${Curation.ShuffleMulA} * (doc_id + $seed)) % ${Curation.ShuffleMod} AS key
+       |  FROM documents),
+       |s AS (SELECT source,
+       |        SUM(toks) // greatest(COUNT(*) // $SysSampleDiv, 1) AS stride
+       |      FROM weighted GROUP BY source),
+       |cum AS (
+       |  SELECT source, doc_id, toks,
+       |    SUM(toks) OVER (PARTITION BY source ORDER BY key, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM weighted)
+       |SELECT c.source, c.doc_id, CAST(c.toks AS BIGINT) AS toks,
+       |  CAST(c.cum // s.stride AS BIGINT) AS pick_idx
+       |FROM cum c JOIN s ON s.source = c.source
+       |WHERE c.cum // s.stride > (c.cum - c.toks) // s.stride
+       |ORDER BY c.source, c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_systematic_sample" -> ((s, d) => systematicSample(Tables.documents(s, d))),
     "q116_mixture_plan" -> ((s, d) => mixturePlan(Tables.documents(s, d))),
     "q212_dedup_mixture" -> ((s, d) => dedupAwareMixturePlan(Tables.documents(s, d))),
     "q117_epoch_manifest" -> ((s, d) => epochManifest(Tables.documents(s, d))),
     "q180_water_filling" -> ((s, d) => waterFillAllocation(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
+    "q229_systematic_sample" -> systematicSampleSql(),
     "q116_mixture_plan" -> mixturePlanSql,
     "q212_dedup_mixture" -> dedupAwareMixturePlanSql,
     "q117_epoch_manifest" -> epochManifestSql(),

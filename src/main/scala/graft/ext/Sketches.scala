@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -628,7 +629,70 @@ object Sketches {
        |FROM est e JOIN exact x ON x.source = e.source
        |ORDER BY e.source""".stripMargin
 
+  // --------------------------------------- log-histogram quantiles (q228)
+  /** q228: MERGEABLE LOG₂-HISTOGRAM QUANTILES — the approximate-quantile
+    * sketch that completes q129's incremental-stats story: exact
+    * quantiles (q128/q37) need a full sort or a value shuffle, but a
+    * power-of-two histogram of doc token lengths is ONE map-side-
+    * combinable aggregate of ≤ 64 counters per group, mergeable per-file
+    * → per-source → table by addition — re-statistics after an append
+    * touch only the new files. Estimates carry a guaranteed relative
+    * error ≤ 2× (the bucket width), which is what a shard planner or a
+    * batch-shape chooser actually needs from a length distribution.
+    *
+    *   bucket(v)  = floor(log₂ v) = length(bin(v)) − 1   (v ≥ 1)
+    *   est_p      = 2^(b+1) − 1, b = min bucket whose cumulative count
+    *                reaches ceil(p·n/100)   (the bucket's upper bound)
+    *
+    * All integer: the bucket index comes from the binary-string length
+    * (bit-identical in both engines), the rank from ceiling division.
+    * Plan: one corpus scan → (source, bucket) counts (≤ 64·|sources|
+    * rows) → per-source cumsum window over that bounded relation →
+    * per-source argmin. The corpus never sorts and never re-shuffles:
+    * the only exchange is the histogram aggregate's. */
+  def histQuantiles(docs: DataFrame): DataFrame = {
+    val hist = docs
+      .select(col("source"),
+        expr("greatest(size(split(text, ' ')), 1)").as("v"))
+      .select(col("source"), expr("length(bin(v)) - 1").as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nW = Window.partitionBy("source")
+    def estAt(p: Int): org.apache.spark.sql.Column =
+      expr(s"shiftleft(cast(1 as bigint), cast(min(case when cum >= ($p * n + 99) div 100 " +
+        s"then b end) as int) + 1) - 1")
+    hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(nW))
+      .groupBy("source")
+      .agg(max(col("n")).as("n_docs"),
+        estAt(50).as("p50_est"), estAt(90).as("p90_est"),
+        estAt(99).as("p99_est"))
+      .orderBy("source")
+  }
+
+  val histQuantilesSql: String = {
+    def est(p: Int): String =
+      s"CAST((CAST(1 AS BIGINT) << (MIN(CASE WHEN cum >= ($p * n + 99) // 100" +
+        s" THEN b END) + 1)) - 1 AS BIGINT) AS p${p}_est"
+    s"""WITH hist AS (
+       |  SELECT source,
+       |    length(bin(greatest(len(string_split(text, ' ')), 1))) - 1 AS b,
+       |    COUNT(*) AS c
+       |  FROM documents GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT source, b, c,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(c) OVER (PARTITION BY source) AS n
+       |  FROM hist)
+       |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+       |  ${est(50)}, ${est(90)}, ${est(99)}
+       |FROM cum GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_hist_quantiles" -> ((s, d) => histQuantiles(Tables.documents(s, d))),
     "q220_token_estimator" -> ((s, d) => tokenCostEstimate(Tables.documents(s, d))),
     "q118_hll_tokens" -> ((s, d) => hllTokenSketch(Tables.documents(s, d))),
     "q129_table_stats" -> ((s, d) => tableStats(Tables.lineitem(s, d))),
@@ -637,6 +701,7 @@ object Sketches {
     "q166_misra_gries" -> ((s, d) => misraGriesTokens(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
+    "q228_hist_quantiles" -> histQuantilesSql,
     "q220_token_estimator" -> tokenCostEstimateSql,
     "q118_hll_tokens" -> hllTokenSketchSql,
     "q129_table_stats" -> tableStatsSql,

@@ -2410,4 +2410,100 @@ class ExtSpec extends SparkSpec {
     assert(r.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
       "the vote must not depend on physical partitioning")
   }
+
+  test("q225 perplexity filter: buckets partition the apply set into tertiles") {
+    val r = Lm.perplexityFilter(docs).collect()
+    val applyDocs = docs.filter(
+      pmod(col("doc_id"), lit(Lm.PplRefMod)) =!= 0 &&
+        size(split(col("text"), " ")) >= 2).count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == applyDocs,
+      "every scoreable apply doc lands in exactly one bucket")
+    val buckets = r.map(_.getAs[Long]("ppl_bucket")).toSet
+    assert(buckets.subsetOf(Set(1L, 2L, 3L)))
+    val byBucket = r.groupBy(_.getAs[Long]("ppl_bucket"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    // exact-order-statistic tertiles: bucket 1 holds AT LEAST ceil(n/3)
+    // (ties at the threshold can only push it over, never under)
+    assert(byBucket(1L) >= (applyDocs + 2) / 3,
+      s"head bucket underfilled: $byBucket")
+  }
+
+  test("q226 Kneser-Ney: hand-computed probabilities on a two-gram corpus") {
+    import spark.implicits._
+    // "x y" * 11 + trailing x: every y is followed by an x, so
+    // c12(x,y) = c12(y,x) = 11 and both survive the count floor.
+    // B=2 types, pcont=500000 each, D=3/4 carried as *4.
+    val text = (Seq.fill(11)("x y") :+ "x").mkString(" ")
+    val tiny = Seq((1L, text, "s1")).toDF("doc_id", "text", "source")
+    val r = Lm.knBigram(tiny).collect()
+      .map(row => (row.getAs[String]("w1"), row.getAs[String]("w2")) ->
+        (row.getAs[Long]("pcont_ppm"), row.getAs[Long]("kn_ppm"))).toMap
+    val expected = (500000L,
+      (1000000L * (4 * 11 - 3)) / (4 * 11) + (3 * 1 * 500000L) / (4 * 11))
+    assert(r(("x", "y")) == expected)
+    assert(r(("y", "x")) == expected)
+  }
+
+  test("q227 conformal gate: threshold is the floor(alpha*(n+1))-th calibration order statistic") {
+    val r = Curation.conformalGate(docs).collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_kept") <= row.getAs[Long]("n_total"))
+      val ppm = row.getAs[Long]("keep_ppm")
+      assert(ppm >= 0 && ppm <= 1000000)
+    }
+    // recompute the order statistic from the raw calibration scores
+    val calibScores = docs
+      .filter(pmod(col("doc_id"), lit(Curation.ConformalCalibMod)) === 0)
+      .selectExpr("doc_id", "text", "concat(' ', text, ' ') AS p")
+      .selectExpr(("(10000 * (" + Seq(" the ", " a ", " of ", " and ", " is ")
+        .map(w => s"((length(p) - length(replace(p, '$w', ''))) div ${w.length})")
+        .mkString(" + ") + ")) div greatest(size(split(text, ' ')), 1) AS s"))
+      .collect().map(_.getAs[Long]("s")).sorted
+    val n = calibScores.length
+    val rank = math.max((Curation.ConformalAlphaNum * (n + 1)) /
+      Curation.ConformalAlphaDen, 1L).toInt
+    assert(r.forall(_.getAs[Long]("threshold_bp") == calibScores(rank - 1)),
+      s"threshold must be the $rank-th smallest of $n calibration scores")
+  }
+
+  test("q228 hist quantiles: every estimate brackets the exact quantile within 2x") {
+    val r = Sketches.histQuantiles(docs).collect()
+    val bySrc = docs.selectExpr("source", "greatest(size(split(text, ' ')), 1) AS v")
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getAs[Int]("v").toLong).sorted).toMap
+    r.foreach { row =>
+      val vs = bySrc(row.getAs[String]("source"))
+      assert(row.getAs[Long]("n_docs") == vs.length)
+      Seq(50, 90, 99).foreach { p =>
+        val exact = vs(((p * vs.length + 99) / 100 - 1).toInt)
+        val est = row.getAs[Long](s"p${p}_est")
+        assert(exact <= est && exact > est / 2,
+          s"p$p: exact $exact not in (est/2, est] for est $est")
+      }
+      assert(row.getAs[Long]("p50_est") <= row.getAs[Long]("p90_est"))
+      assert(row.getAs[Long]("p90_est") <= row.getAs[Long]("p99_est"))
+    }
+  }
+
+  test("q229 systematic sample: stride arithmetic bounds the picks; heavy docs always selected") {
+    val r = Mixture.systematicSample(docs).collect()
+    val stats = docs.selectExpr("source", "size(split(text, ' ')) AS t")
+      .groupBy("source").agg(count(lit(1)).as("n"), sum(col("t")).as("mass"))
+      .collect().map(row => row.getString(0) ->
+        (row.getAs[Long]("n"), row.getAs[Long]("mass"))).toMap
+    stats.foreach { case (src, (n, mass)) =>
+      val stride = mass / math.max(n / Mixture.SysSampleDiv, 1L)
+      val picked = r.filter(_.getAs[String]("source") == src)
+      assert(picked.length <= mass / stride,
+        s"$src: ${picked.length} picks exceed the ${mass / stride} stride multiples")
+      assert(picked.length >= 1L)
+      // a doc spanning a full stride must contain a multiple -> always in
+      val heavy = docs.filter(col("source") === src)
+        .filter(size(split(col("text"), " ")) >= stride)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val pickedIds = picked.map(_.getAs[Long]("doc_id")).toSet
+      assert(heavy.subsetOf(pickedIds),
+        s"$src: docs heavier than the stride must always be picked")
+    }
+  }
 }

@@ -1196,4 +1196,45 @@ class PlanSpec extends SparkSpec {
     assert(scans.exists(!_.contains("text")),
       s"the full-corpus side must scan (source, n_chars) without text:\n${scans.mkString("\n")}")
   }
+
+  test("q225/q226: the reference model broadcasts; the KN report plans as TakeOrdered") {
+    // the scored relation (pre-checkpoint): model joins broadcast, and
+    // the corpus-sized apply stream exchanges on doc_id exactly once
+    val p0 = plan(graft.ext.Lm.pplScored(Tables.documents(spark, sf)))
+    assert(!p0.contains("CartesianProduct"))
+    assert(p0.contains("BroadcastHashJoin"),
+      "the reference gram/unigram model joins must broadcast onto the apply stream")
+    assert(p0.linesIterator.count(l =>
+      l.contains("hashpartitioning(doc_id") && l.contains("Exchange")) <= 1,
+      "the apply bigram stream must shuffle on doc_id exactly once")
+    val p1 = plan(graft.ext.Lm.perplexityFilter(Tables.documents(spark, sf)))
+    assert(!p1.contains("CartesianProduct"))
+    val p2 = plan(graft.ext.Lm.knBigram(Tables.documents(spark, sf)))
+    assert(!p2.contains("CartesianProduct"))
+    assert(p2.contains("TakeOrderedAndProject"),
+      "the top-K KN report must never plan a global sort")
+  }
+
+  test("q227/q228: threshold and histogram windows run over bounded aggregates, not the corpus") {
+    val p1 = plan(graft.ext.Curation.conformalGate(Tables.documents(spark, sf)))
+    assert(!p1.contains("CartesianProduct"))
+    // the only Window sits above the score value-counts HashAggregate
+    assert(p1.contains("Window") && p1.contains("HashAggregate"),
+      "the order statistic must come from the value-counts cumsum")
+    val p2 = plan(graft.ext.Sketches.histQuantiles(Tables.documents(spark, sf)))
+    assert(!p2.contains("CartesianProduct"))
+    assert(p2.linesIterator.exists(l =>
+      l.contains("Window") && !l.contains("SortMergeJoin")),
+      "per-source cumsum window must be present")
+  }
+
+  test("q229: the stride relation broadcasts; the cumsum window is source-partitioned") {
+    val p = plan(graft.ext.Mixture.systematicSample(Tables.documents(spark, sf)))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the |sources|-row stride relation must broadcast")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("source")),
+      "the running-mass window must partition by source, never globally")
+  }
 }
