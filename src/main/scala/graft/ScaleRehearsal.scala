@@ -156,7 +156,11 @@ object ScaleRehearsal {
     // threshold), log-histogram quantiles (64-counter mergeable agg),
     // systematic sample (per-source window cumsum — n log n per source)
     "q225_perplexity_filter", "q226_kn_bigram", "q227_conformal_gate",
-    "q228_hist_quantiles", "q229_systematic_sample")
+    "q228_hist_quantiles", "q229_systematic_sample",
+    // round-9 fourth wave: audio-energy windows (partition-local frame
+    // fan-out, linear in payload bytes) and head-mass concentration
+    // (vocab-sized rank window over the one token aggregate)
+    "q230_audio_energy", "q231_head_mass")
 
   /** q17/q24/q69 are declared-O(n²) kernels; q18/q73 assign against a
     * centroid set that GROWS with the fixture (vec_id % mod stand-in),

@@ -495,13 +495,91 @@ object Multimodal {
        |                  FROM runs GROUP BY doc_id) m ON m.doc_id = c.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
+  // ------------------------------------------------- audio energy (q230)
+  /** Energy window width in payload bytes (one VAD frame). */
+  val EnergyWindow = 64
+
+  /** q230: WINDOWED AUDIO ENERGY + SILENCE DETECTION — the voice-
+    * activity-detection shape of an audio curation pipeline: chop each
+    * payload into fixed [[EnergyWindow]]-byte frames, treat bytes as
+    * centered PCM samples (amp = byte − 128), compute per-frame energy
+    * Σ amp², and flag LOW-ENERGY frames (energy below half the doc's
+    * mean frame energy — the trim-leading/trailing-silence primitive).
+    * The decoder stays a stub per the multimodal contract; the operator
+    * under test is the windowing, the energy kernel, and the relative
+    * threshold — all of which survive a real PCM decoder unchanged.
+    *
+    * Byte access is hex-nibble-exact in BOTH engines (Spark `conv` on
+    * the hex pair; DuckDB the q23 nibble arithmetic), so the oracle
+    * hash-matches bit for bit, and the probe row keeps multi-byte
+    * utf-8 in the compared input. Scale shape: frames fan out
+    * PARTITION-LOCAL from the payload scan (sequence + explode — no
+    * shuffle), the per-frame energy is one in-expression fold over ≤ 64
+    * bytes, and a single doc_id window pass serves the mean-energy
+    * threshold before the per-doc rollup — one exchange total. */
+  def audioEnergy(docs: DataFrame): DataFrame = {
+    val w = EnergyWindow
+    val fr = withProbe(docs)
+      .select(col("doc_id"), hex(encode(col("text"), "UTF-8")).as("h"),
+        octet_length(encode(col("text"), "UTF-8")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("h"), col("n"),
+        explode(expr(s"sequence(0, (n - 1) div $w)")).as("widx"))
+      .select(col("doc_id"), col("widx"),
+        expr(s"""aggregate(
+          |  sequence($w * widx + 1, least($w * (widx + 1), n)),
+          |  0L,
+          |  (acc, i) -> acc +
+          |    (cast(conv(substr(h, 2 * i - 1, 2), 16, 10) as bigint) - 128) *
+          |    (cast(conv(substr(h, 2 * i - 1, 2), 16, 10) as bigint) - 128))"""
+          .stripMargin).as("e"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    fr
+      .withColumn("e_total", sum(col("e")).over(byDoc))
+      .withColumn("nw", count(lit(1)).over(byDoc))
+      .groupBy("doc_id")
+      .agg(max(col("nw")).as("n_windows"),
+        max(col("e_total")).as("e_total"),
+        max(col("e")).as("e_max"),
+        sum(when(col("e") * col("nw") * 2 < col("e_total"), 1L).otherwise(0L))
+          .as("n_low"))
+      .orderBy("doc_id")
+  }
+
+  val audioEnergySql: String = {
+    val w = EnergyWindow
+    s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+       |            octet_length(encode(text)) AS n FROM $docsWithProbe),
+       |f AS (SELECT doc_id, h, n,
+       |        unnest(generate_series(0, (n - 1) // $w)) AS widx
+       |      FROM b WHERE n > 0),
+       |fr AS (SELECT doc_id, widx,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+       |           generate_series($w * widx + 1, least($w * (widx + 1), n)),
+       |           i -> (CAST(${byteAt("i")} AS BIGINT) - 128)
+       |              * (CAST(${byteAt("i")} AS BIGINT) - 128))),
+       |           (x, y) -> x + y) AS e
+       |       FROM f),
+       |tot AS (SELECT doc_id, widx, e,
+       |          SUM(e) OVER (PARTITION BY doc_id) AS e_total,
+       |          COUNT(*) OVER (PARTITION BY doc_id) AS nw
+       |        FROM fr)
+       |SELECT doc_id, CAST(MAX(nw) AS BIGINT) AS n_windows,
+       |  CAST(MAX(e_total) AS BIGINT) AS e_total,
+       |  CAST(MAX(e) AS BIGINT) AS e_max,
+       |  CAST(SUM(CASE WHEN e * nw * 2 < e_total THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+       |FROM tot GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_audio_energy" -> ((s, d) => audioEnergy(Tables.documents(s, d))),
     "q219_shot_boundaries" -> ((s, d) => shotBoundaries(Tables.documents(s, d))),
     "q23_multimodal" -> (q23 _),
     "q60_frame_sample" -> (q60 _),
     "q74_phash_neardup" -> (q74 _))
 
   val oracles: Map[String, String] = Map(
+    "q230_audio_energy" -> audioEnergySql,
     "q219_shot_boundaries" -> shotBoundariesSql,
     "q23_multimodal" -> q23Sql,
     "q60_frame_sample" -> q60Sql,

@@ -2251,7 +2251,60 @@ object TextAnalysis {
        |  CAST((1000000 * n_oov) // n_tokens AS BIGINT) AS oov_ppm
        |FROM agg ORDER BY source""".stripMargin
 
+  // ------------------------------------------------- head mass (q231)
+  /** Head sizes the concentration curve reports. */
+  val HeadKs = Seq(10, 100, 1000)
+
+  /** q231: TOKEN HEAD-MASS CONCENTRATION — the Zipf-head datasheet
+    * metric: what fraction of a source's token mass do its top-10 /
+    * top-100 / top-1000 tokens carry? A source whose top-10 covers half
+    * its mass is templated boilerplate; a flat curve is diverse prose —
+    * the integer-exact stand-in for a tail-index fit, and the corpus-
+    * level complement of q61's per-doc novelty. Ranking ties break by
+    * token (pinned), so both engines pick the identical head.
+    *
+    * Scale shape: ONE corpus scan to the (source, token) aggregate;
+    * the rank window and the head sums run over that VOCAB-sized
+    * relation, never the corpus. At web scale the per-source vocab
+    * window pairs with the q57 heavy-hitters path (a count floor
+    * strictly above total/K preserves every possible top-K member
+    * and caps the ranked relation). */
+  def headMass(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("c").desc, col("t"))
+    val headCols = HeadKs.map(k =>
+      expr(s"(1000000 * sum(case when rk <= $k then c else 0 end)) div sum(c)")
+        .as(s"top${k}_ppm"))
+    counts
+      .withColumn("rk", row_number().over(rankW))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"), headCols: _*)
+      .orderBy("source")
+  }
+
+  val headMassSql: String = {
+    val heads = HeadKs.map(k =>
+      s"CAST((1000000 * SUM(CASE WHEN rk <= $k THEN c ELSE 0 END)) // SUM(c) AS BIGINT) AS top${k}_ppm")
+      .mkString(",\n       |  ")
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+       |counts AS (SELECT source, t, COUNT(*) AS c FROM tok
+       |           WHERE length(t) > 0 GROUP BY source, t),
+       |ranked AS (SELECT source, c,
+       |             ROW_NUMBER() OVER (PARTITION BY source
+       |               ORDER BY c DESC, t) AS rk
+       |           FROM counts)
+       |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |  $heads
+       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_head_mass" -> ((s, d) => headMass(Tables.documents(s, d))),
     "q223_oov_rate" -> ((s, d) => oovRate(Tables.documents(s, d))),
     "q215_phrase_search" -> ((s, d) => phraseSearch(Tables.documents(s, d))),
     "q19_lang_id"     -> ((s, d) => langId(Tables.documents(s, d))),
@@ -2290,6 +2343,7 @@ object TextAnalysis {
     "q208_langid_confusion" -> ((s, d) => langIdConfusion(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
+    "q231_head_mass" -> headMassSql,
     "q223_oov_rate" -> oovRateSql,
     "q215_phrase_search" -> phraseSearchSql,
     "q19_lang_id"     -> langIdSql,

@@ -2485,6 +2485,48 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("q230 audio energy: window counts match byte lengths; uniform payloads have no silence") {
+    import spark.implicits._
+    val r = Multimodal.audioEnergy(docs).collect()
+    val exactWindows = Multimodal.withProbe(docs)
+      .selectExpr("doc_id",
+        s"(octet_length(encode(text, 'UTF-8')) - 1) div ${Multimodal.EnergyWindow} + 1 AS nw")
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_windows") == exactWindows(row.getAs[Long]("doc_id")))
+      assert(row.getAs[Long]("e_max") <= row.getAs[Long]("e_total"))
+      assert(row.getAs[Long]("n_low") < row.getAs[Long]("n_windows") ||
+        row.getAs[Long]("n_low") == 0L)
+    }
+    // 128 'a' bytes = two identical windows: energy 64*(97-128)^2 each,
+    // and a uniform signal can never dip below half its own mean
+    val tiny = Seq((1L, "a" * 128)).toDF("doc_id", "text")
+    val t = Multimodal.audioEnergy(tiny).collect()
+      .filter(_.getLong(0) == 1L).head
+    assert(t.getAs[Long]("n_windows") == 2L)
+    assert(t.getAs[Long]("e_max") == 64L * 31 * 31)
+    assert(t.getAs[Long]("e_total") == 2 * 64L * 31 * 31)
+    assert(t.getAs[Long]("n_low") == 0L)
+  }
+
+  test("q231 head mass: concentration curve is monotone; a one-token source is fully head") {
+    import spark.implicits._
+    val r = TextAnalysis.headMass(docs).collect()
+    val exact = docs.selectExpr("source",
+        "size(filter(split(text, ' '), t -> length(t) > 0)) AS n")
+      .groupBy("source").agg(sum(col("n"))).collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_tokens") == exact(row.getAs[String]("source")))
+      val (a, b, c) = (row.getAs[Long]("top10_ppm"),
+        row.getAs[Long]("top100_ppm"), row.getAs[Long]("top1000_ppm"))
+      assert(a <= b && b <= c && c <= 1000000L)
+    }
+    val tiny = Seq((1L, "x x x x x", "s1")).toDF("doc_id", "text", "source")
+    val t = TextAnalysis.headMass(tiny).collect().head
+    assert(t.getAs[Long]("top10_ppm") == 1000000L)
+  }
+
   test("q229 systematic sample: stride arithmetic bounds the picks; heavy docs always selected") {
     val r = Mixture.systematicSample(docs).collect()
     val stats = docs.selectExpr("source", "size(split(text, ' ')) AS t")

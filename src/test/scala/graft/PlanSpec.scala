@@ -1228,6 +1228,18 @@ class PlanSpec extends SparkSpec {
       "per-source cumsum window must be present")
   }
 
+  test("q230/q231: energy frames fan out partition-local; head ranking runs over the vocab aggregate") {
+    val p1 = plan(graft.ext.Multimodal.audioEnergy(Tables.documents(spark, sf)))
+    assert(!p1.contains("CartesianProduct"))
+    assert(p1.linesIterator.count(l =>
+      l.contains("hashpartitioning(doc_id") && l.contains("Exchange")) <= 1,
+      "frame explode must stay partition-local; one doc_id exchange serves threshold + rollup")
+    val p2 = plan(graft.ext.TextAnalysis.headMass(Tables.documents(spark, sf)))
+    assert(!p2.contains("CartesianProduct"))
+    assert(p2.contains("Window") && p2.contains("HashAggregate"),
+      "the rank window must sit above the (source, token) aggregate")
+  }
+
   test("q229: the stride relation broadcasts; the cumsum window is source-partitioned") {
     val p = plan(graft.ext.Mixture.systematicSample(Tables.documents(spark, sf)))
     assert(!p.contains("CartesianProduct"))
