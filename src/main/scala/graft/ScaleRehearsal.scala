@@ -160,7 +160,11 @@ object ScaleRehearsal {
     // round-9 fourth wave: audio-energy windows (partition-local frame
     // fan-out, linear in payload bytes) and head-mass concentration
     // (vocab-sized rank window over the one token aggregate)
-    "q230_audio_energy", "q231_head_mass")
+    "q230_audio_energy", "q231_head_mass",
+    // round-9 fifth wave: bloom FPR audit (one corpus scan + broadcast
+    // position set + one exchange) and manifest RLE (one split-
+    // partitioned window)
+    "q232_bloom_fpr", "q233_manifest_rle")
 
   /** q17/q24/q69 are declared-O(n²) kernels; q18/q73 assign against a
     * centroid set that GROWS with the fixture (vec_id % mod stand-in),

@@ -1913,6 +1913,53 @@ object Curation {
        |    FROM (${graft.ext.TextAnalysis.classifierScoresSql}))
        |ORDER BY metric""".stripMargin
 
+  // ------------------------------------------------ manifest RLE (q233)
+  /** q233: SPLIT-MANIFEST RANGE COMPRESSION — the shipping format for
+    * q112's manifests: a training loader doesn't want a billion doc_id
+    * rows, it wants contiguous [start, end] ranges (two integers per
+    * run). Runs are found with the gaps-and-islands identity
+    * (doc_id − row_number is constant exactly on a consecutive-id run —
+    * q72/q219's trick applied to manifests), and the gate reports the
+    * per-(source, split) rollup: range count, doc count, longest run,
+    * and the RLE cost in basis points (2 ints per range vs 1 per doc —
+    * below 20000 bp the ranges are cheaper than the id list).
+    *
+    * Scale shape: one scan → split labels (pure arithmetic, no join) →
+    * ONE (source, split)-partitioned window → two aggregates riding the
+    * window's exchange. Nothing global, nothing corpus-wide resorted. */
+  def manifestRle(docs: DataFrame, seed: Long = 777L): DataFrame = {
+    val w = Window.partitionBy("source", "split").orderBy("doc_id")
+    splitLabels(docs, seed)
+      .withColumn("isl", col("doc_id") - row_number().over(w))
+      .groupBy("source", "split", "isl")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_ranges"), sum(col("run")).as("n_docs"),
+        max(col("run")).as("max_run"))
+      .select(col("source"), col("split"), col("n_ranges"), col("n_docs"),
+        col("max_run"),
+        expr("(10000 * 2 * n_ranges) div n_docs").as("rle_bp"))
+      .orderBy("source", "split")
+  }
+
+  def manifestRleSql(seed: Long = 777L): String =
+    s"""WITH lab AS (
+       |  SELECT source, doc_id, ${splitCaseSql("doc_id", seed)} AS split
+       |  FROM documents),
+       |isl AS (
+       |  SELECT source, split, doc_id,
+       |    doc_id - ROW_NUMBER() OVER (PARTITION BY source, split
+       |      ORDER BY doc_id) AS isl
+       |  FROM lab),
+       |runs AS (SELECT source, split, COUNT(*) AS run
+       |         FROM isl GROUP BY source, split, isl)
+       |SELECT source, split, COUNT(*) AS n_ranges,
+       |  CAST(SUM(run) AS BIGINT) AS n_docs,
+       |  CAST(MAX(run) AS BIGINT) AS max_run,
+       |  CAST((10000 * 2 * COUNT(*)) // SUM(run) AS BIGINT) AS rle_bp
+       |FROM runs GROUP BY source, split
+       |ORDER BY source, split""".stripMargin
+
   // ---------------------------------------------- conformal gate (q227)
   /** Calibration-split modulus (doc_id % mod = 0 calibrates). */
   val ConformalCalibMod = 5L
@@ -2001,6 +2048,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q227_conformal_gate" -> ((s, d) => conformalGate(Tables.documents(s, d))),
+    "q233_manifest_rle" -> ((s, d) => manifestRle(Tables.documents(s, d))),
     "q189_corpus_datasheet" -> ((s, d) => corpusDatasheet(Tables.documents(s, d))),
     "q187_filter_attribution" -> ((s, d) => filterAttribution(Tables.documents(s, d))),
     "q48_filter_verdicts" -> ((s, d) => filterVerdicts(Tables.documents(s, d))),
@@ -2036,6 +2084,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q227_conformal_gate" -> conformalGateSql,
+    "q233_manifest_rle" -> manifestRleSql(),
     "q189_corpus_datasheet" -> corpusDatasheetSql,
     "q187_filter_attribution" -> filterAttributionSql,
     "q48_filter_verdicts" -> filterVerdictsSql,

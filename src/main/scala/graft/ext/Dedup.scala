@@ -537,7 +537,7 @@ object Dedup {
     * normalized prefix catches what whole-document equality misses. */
   val PrefixWords = 8
 
-  private[ext] val prefixFpSpark =
+  private[graft] val prefixFpSpark =
     s"md5(cast(array_join(slice(split(regexp_replace(lower(text), '\\\\s+', ' '), ' '), 1, $PrefixWords), ' ') as binary))"
 
   /** Benchmark-contamination check: training docs whose normalized
@@ -591,6 +591,106 @@ object Dedup {
        |  AND EXISTS (SELECT 1 FROM fp e
        |              WHERE e.doc_id % $EvalMod = 0 AND e.prefix_fp = t.prefix_fp)
        |ORDER BY t.doc_id""".stripMargin
+  }
+
+  // --------------------------------------------- bloom FPR audit (q232)
+  /** Portable Bloom geometry: 3 hash positions of 12 bits each (4096-bit
+    * filter), read as DISJOINT hex-digit chunks of the md5 fingerprint —
+    * the q118 HLL chunking discipline applied to membership. At a real
+    * eval-set size the bit count is the scale knob (m ∝ |eval|·k/ln2
+    * for the design fpp); the AUDIT below measures the realized rate
+    * against whatever geometry is deployed. */
+  val BloomAuditBits = 4096
+  val BloomAuditHashes = 3
+
+  /** q232: BLOOM FALSE-POSITIVE-RATE AUDIT — q45's design note asserts
+    * the broadcast-Bloom pre-filter only costs "a few extra pre-filter
+    * survivors"; this query MEASURES that, the way q221 measures
+    * MinHash precision/recall: build the portable Bloom's bit-position
+    * SET from the eval fingerprints, probe every training doc, compare
+    * against exact membership, and report per source
+    *
+    *   n_train, n_members (exact), n_might (Bloom-positive),
+    *   n_fp = n_might − n_members, fpr_ppm over the true negatives.
+    *
+    * Members always probe positive (their positions are in the set by
+    * construction — no false negatives), so n_fp is exact. Unlike
+    * q45's engine-private `util.sketch` filter, the audit Bloom is
+    * pure integer arithmetic on the md5 hex (3-digit chunks → 12-bit
+    * positions), so the DuckDB oracle replays it bit for bit.
+    *
+    * Scale shape: the position set is ≤ min(3·|eval|, 4096) rows —
+    * broadcast; the corpus side explodes 3 position rows per doc
+    * PARTITION-LOCAL, broadcast-joins the set, and aggregates hits per
+    * doc on one exchange; exact membership is the q45 broadcast
+    * semi-join. One corpus scan, one corpus-sized exchange. */
+  def bloomFprAudit(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("doc_id"), col("source"),
+      expr(prefixFpSpark).as("fp"))
+    def posAt(j: Int) =
+      expr(s"cast(conv(substr(fp, ${1 + 3 * j}, 3), 16, 10) as int)")
+    val evalFp = fp.filter(col("doc_id") % EvalMod === 0)
+      .select(col("fp")).distinct()
+    val evalPos = evalFp
+      .select(explode(array((0 until BloomAuditHashes).map(posAt): _*)).as("pos"))
+      .distinct()
+    val train = fp.filter(col("doc_id") % EvalMod =!= 0)
+    val probes = train
+      .select(Seq(col("doc_id"), col("source")) :+
+        posexplode(array((0 until BloomAuditHashes).map(posAt): _*))
+          .as(Seq("j", "pos")): _*)
+    val might = probes
+      .join(broadcast(evalPos), Seq("pos"), "left_semi")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === BloomAuditHashes)
+      .select(col("doc_id"), col("source"), lit(1L).as("is_might"))
+    val members = train
+      .join(broadcast(evalFp), Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("source"), lit(1L).as("is_member"))
+    train.select(col("doc_id"), col("source"))
+      .join(might, Seq("doc_id", "source"), "left")
+      .join(members, Seq("doc_id", "source"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train"),
+        sum(coalesce(col("is_member"), lit(0L))).as("n_members"),
+        sum(coalesce(col("is_might"), lit(0L))).as("n_might"))
+      .select(col("source"), col("n_train"), col("n_members"), col("n_might"),
+        (col("n_might") - col("n_members")).as("n_fp"),
+        expr("(1000000 * (n_might - n_members)) div greatest(n_train - n_members, 1)")
+          .as("fpr_ppm"))
+      .orderBy("source")
+  }
+
+  val bloomFprAuditSql: String = {
+    val fpExpr = s"md5(array_to_string(list_slice(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), 1, $PrefixWords), ' '))"
+    def pos(j: Int) = s"CAST(('0x' || substr(fp, ${1 + 3 * j}, 3)) AS INTEGER)"
+    val posList = (0 until BloomAuditHashes).map(pos).mkString("[", ", ", "]")
+    s"""WITH fp AS (SELECT doc_id, source, $fpExpr AS fp FROM documents),
+       |ev AS (SELECT DISTINCT fp FROM fp WHERE doc_id % $EvalMod = 0),
+       |evpos AS (SELECT DISTINCT unnest($posList) AS pos FROM ev),
+       |tr AS (SELECT doc_id, source, fp FROM fp WHERE doc_id % $EvalMod <> 0),
+       |probes AS (SELECT doc_id, source, unnest($posList) AS pos FROM tr),
+       |might AS (
+       |  SELECT doc_id, source FROM probes
+       |  WHERE pos IN (SELECT pos FROM evpos)
+       |  GROUP BY doc_id, source
+       |  HAVING COUNT(*) = $BloomAuditHashes),
+       |mem AS (SELECT doc_id, source FROM tr
+       |        WHERE fp IN (SELECT fp FROM ev))
+       |SELECT t.source, COUNT(*) AS n_train,
+       |  CAST(SUM(CASE WHEN mem.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       |  CAST(SUM(CASE WHEN might.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_might,
+       |  CAST(SUM(CASE WHEN might.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |     - SUM(CASE WHEN mem.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+       |  CAST((1000000 * (SUM(CASE WHEN might.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |     - SUM(CASE WHEN mem.doc_id IS NOT NULL THEN 1 ELSE 0 END)))
+       |    // greatest(COUNT(*) - SUM(CASE WHEN mem.doc_id IS NOT NULL THEN 1 ELSE 0 END), 1)
+       |    AS BIGINT) AS fpr_ppm
+       |FROM tr t
+       |LEFT JOIN might ON might.doc_id = t.doc_id AND might.source = t.source
+       |LEFT JOIN mem ON mem.doc_id = t.doc_id AND mem.source = t.source
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
   }
 
   /** Loud guard on 8-byte packing headroom: the packed-long shuffles
@@ -2202,6 +2302,7 @@ object Dedup {
     "q217_canary_scan" -> ((s, d) => canaryScan(Tables.documents(s, d))),
     "q221_minhash_audit" -> ((s, d) => minhashAudit(Tables.documents(s, d))),
     "q45_eval_contamination" -> ((s, d) => evalContamination(Tables.documents(s, d))),
+    "q232_bloom_fpr" -> ((s, d) => bloomFprAudit(Tables.documents(s, d))),
     "q47_repetition" -> ((s, d) => repetitionScore(Tables.documents(s, d))),
     "q59_block_dedup" -> ((s, d) => blockDedup(Tables.documents(s, d))),
     "q62_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
@@ -2232,6 +2333,7 @@ object Dedup {
     "q217_canary_scan" -> canaryScanSql,
     "q221_minhash_audit" -> minhashAuditSql,
     "q45_eval_contamination" -> evalContaminationSql,
+    "q232_bloom_fpr" -> bloomFprAuditSql,
     "q47_repetition" -> repetitionScoreSql,
     "q59_block_dedup" -> blockDedupSql,
     "q62_source_overlap" -> sourceOverlapSql,

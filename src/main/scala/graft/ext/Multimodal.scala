@@ -519,20 +519,24 @@ object Multimodal {
     * threshold before the per-doc rollup — one exchange total. */
   def audioEnergy(docs: DataFrame): DataFrame = {
     val w = EnergyWindow
+    // decode the hex ONCE per doc (one conv per byte), then each window
+    // squares-and-sums its slice of the amplitude array — the fold never
+    // re-touches the string
     val fr = withProbe(docs)
       .select(col("doc_id"), hex(encode(col("text"), "UTF-8")).as("h"),
         octet_length(encode(col("text"), "UTF-8")).as("n"))
       .filter(col("n") > 0)
-      .select(col("doc_id"), col("h"), col("n"),
+      .select(col("doc_id"), col("n"),
+        expr("transform(sequence(1, n), " +
+          "i -> cast(conv(substr(h, 2 * i - 1, 2), 16, 10) as bigint) - 128)")
+          .as("amps"))
+      .select(col("doc_id"), col("amps"), col("n"),
         explode(expr(s"sequence(0, (n - 1) div $w)")).as("widx"))
       .select(col("doc_id"), col("widx"),
         expr(s"""aggregate(
-          |  sequence($w * widx + 1, least($w * (widx + 1), n)),
+          |  slice(amps, $w * widx + 1, least($w, n - $w * widx)),
           |  0L,
-          |  (acc, i) -> acc +
-          |    (cast(conv(substr(h, 2 * i - 1, 2), 16, 10) as bigint) - 128) *
-          |    (cast(conv(substr(h, 2 * i - 1, 2), 16, 10) as bigint) - 128))"""
-          .stripMargin).as("e"))
+          |  (acc, a) -> acc + a * a)""".stripMargin).as("e"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     fr
       .withColumn("e_total", sum(col("e")).over(byDoc))

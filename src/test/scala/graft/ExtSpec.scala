@@ -2485,6 +2485,53 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("q232 bloom FPR audit: counts nest, members never probe negative, rate is exact") {
+    val r = Dedup.bloomFprAudit(docs).collect()
+    // exact members recomputed independently of the audit
+    val fp = docs.selectExpr("doc_id", "source", s"${Dedup.prefixFpSpark} AS fp")
+    val evalFps = fp.filter(col("doc_id") % Dedup.EvalMod === 0)
+      .select("fp").distinct().collect().map(_.getString(0)).toSet
+    val exactMembers = fp.filter(col("doc_id") % Dedup.EvalMod =!= 0)
+      .collect().filter(row => evalFps.contains(row.getAs[String]("fp")))
+      .groupBy(_.getAs[String]("source")).view.mapValues(_.length.toLong).toMap
+    r.foreach { row =>
+      val (src, nTrain, nMem, nMight, nFp) = (row.getAs[String]("source"),
+        row.getAs[Long]("n_train"), row.getAs[Long]("n_members"),
+        row.getAs[Long]("n_might"), row.getAs[Long]("n_fp"))
+      assert(nMem == exactMembers.getOrElse(src, 0L))
+      assert(nMem <= nMight, "a member's positions are in the set by construction")
+      assert(nMight <= nTrain)
+      assert(nFp == nMight - nMem)
+      val ppm = row.getAs[Long]("fpr_ppm")
+      assert(ppm >= 0 && ppm <= 1000000)
+    }
+    val b = Dedup.bloomFprAudit(docs.repartition(7)).collect()
+    assert(r.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("q233 manifest RLE: ranges replay the split labels' gaps-and-islands exactly") {
+    val rows = Curation.manifestRle(docs).collect()
+    val labels = Curation.splitLabels(docs)
+      .select("source", "split", "doc_id").collect()
+      .groupBy(row => (row.getString(0), row.getString(1)))
+      .view.mapValues(_.map(_.getLong(2)).sorted).toMap
+    rows.foreach { row =>
+      val key = (row.getAs[String]("source"), row.getAs[String]("split"))
+      val ids = labels(key)
+      // expected runs: count and longest of the consecutive-id islands
+      val runs = ids.foldLeft(List.empty[(Long, Long)]) { // (lastId, len)
+        case ((last, len) :: t, id) if id == last + 1 => (id, len + 1) :: t
+        case (acc, id) => (id, 1L) :: acc
+      }
+      assert(row.getAs[Long]("n_docs") == ids.length)
+      assert(row.getAs[Long]("n_ranges") == runs.length.toLong)
+      assert(row.getAs[Long]("max_run") == runs.map(_._2).max)
+      assert(row.getAs[Long]("rle_bp") ==
+        (10000L * 2 * runs.length) / ids.length)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+  }
+
   test("q230 audio energy: window counts match byte lengths; uniform payloads have no silence") {
     import spark.implicits._
     val r = Multimodal.audioEnergy(docs).collect()

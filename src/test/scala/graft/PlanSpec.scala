@@ -1228,6 +1228,18 @@ class PlanSpec extends SparkSpec {
       "per-source cumsum window must be present")
   }
 
+  test("q232/q233: the position set and eval fps broadcast; the RLE window is split-partitioned") {
+    val p1 = plan(graft.ext.Dedup.bloomFprAudit(Tables.documents(spark, sf)))
+    assert(!p1.contains("CartesianProduct"))
+    assert(p1.contains("BroadcastHashJoin"),
+      "the eval position-set and fingerprint joins must broadcast")
+    val p2 = plan(graft.ext.Curation.manifestRle(Tables.documents(spark, sf)))
+    assert(!p2.contains("CartesianProduct"))
+    assert(p2.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("source")),
+      "the island window must partition by (source, split), never globally")
+  }
+
   test("q230/q231: energy frames fan out partition-local; head ranking runs over the vocab aggregate") {
     val p1 = plan(graft.ext.Multimodal.audioEnergy(Tables.documents(spark, sf)))
     assert(!p1.contains("CartesianProduct"))
