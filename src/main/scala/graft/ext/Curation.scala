@@ -1998,16 +1998,9 @@ object Curation {
       expr(scoreExpr).as("score"))
     val calib = scored.filter(pmod(col("doc_id"), lit(ConformalCalibMod)) === 0)
     val app = scored.filter(pmod(col("doc_id"), lit(ConformalCalibMod)) =!= 0)
-    val vc = calib.groupBy("score").agg(count(lit(1)).as("c"))
-    val nTot = vc.agg(sum(col("c")).as("n"))
-    val cumW = Window.orderBy("score")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val threshold = vc.crossJoin(broadcast(nTot))
-      .withColumn("cum", sum(col("c")).over(cumW))
-      .agg(min(when(
-        col("cum") >= expr(
-          s"greatest(($ConformalAlphaNum * (n + 1)) div $ConformalAlphaDen, 1)"),
-        col("score"))).as("t"))
+    val threshold = OrderStats.boundedOrderStats(calib, "score",
+      Seq("t" ->
+        s"greatest(($ConformalAlphaNum * (n + 1)) div $ConformalAlphaDen, 1)"))
     app.crossJoin(broadcast(threshold))
       .groupBy("source")
       .agg(count(lit(1)).as("n_total"),

@@ -379,9 +379,11 @@ object Lm {
     *     grams/contexts falling back to the smoothing floor via
     *     COALESCE(c, 0) — the OOV path q66 never exercises because it
     *     trains on what it scores.
-    *   - BUCKET: global likelihood TERTILES (bucket 1 = head = most
-    *     reference-like, the slice CCNet keeps), with thresholds taken
-    *     as exact order statistics ceil(n/3), ceil(2n/3).
+    *   - BUCKET: global likelihood TERTILES (bucket 1 = head = HIGHEST
+    *     likelihood = most reference-like, the slice CCNet keeps;
+    *     bucket 3 = the discard tail), with thresholds taken as exact
+    *     order statistics ceil(n/3), ceil(2n/3) — docs ABOVE t2 are
+    *     bucket 1, docs at or below t1 are bucket 3.
     *
     * The tertile thresholds come from a VALUE-COUNTS cumsum, not a
     * global row sort: lm_ppm is an integer in [0, 1e6], so the distinct-
@@ -436,20 +438,15 @@ object Lm {
   def perplexityFilter(docs: DataFrame): DataFrame = {
     val scored = pplScored(docs).localCheckpoint(false)
     // exact tertile thresholds from the bounded value-counts relation
-    val vc = scored.groupBy("lm_ppm").agg(count(lit(1)).as("c"))
-    val nTot = vc.agg(sum(col("c")).as("n"))
-    val cumW = Window.orderBy("lm_ppm")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val thresholds = vc.crossJoin(broadcast(nTot))
-      .withColumn("cum", sum(col("c")).over(cumW))
-      .agg(
-        min(when(col("cum") >= expr("(n + 2) div 3"), col("lm_ppm"))).as("t1"),
-        min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("lm_ppm"))).as("t2"))
+    val thresholds = OrderStats.boundedOrderStats(scored, "lm_ppm",
+      Seq("t1" -> "(n + 2) div 3", "t2" -> "(2 * n + 2) div 3"))
+    // bucket 1 = ABOVE the upper tertile threshold (most reference-like,
+    // the CCNet keep slice); bucket 3 = at/below the lower threshold
     scored
       .crossJoin(broadcast(thresholds))
       .select(col("source"),
-        (lit(1L) + (col("lm_ppm") > col("t1")).cast("long")
-          + (col("lm_ppm") > col("t2")).cast("long")).as("ppl_bucket"),
+        (lit(1L) + (col("lm_ppm") <= col("t2")).cast("long")
+          + (col("lm_ppm") <= col("t1")).cast("long")).as("ppl_bucket"),
         col("n_bigrams"))
       .groupBy("source", "ppl_bucket")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("bigram_mass"))
@@ -489,8 +486,8 @@ object Lm {
        |              MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN lm_ppm END) AS t2
        |       FROM cum)
        |SELECT d.source,
-       |  CAST(1 + (CASE WHEN sc.lm_ppm > th.t1 THEN 1 ELSE 0 END)
-       |         + (CASE WHEN sc.lm_ppm > th.t2 THEN 1 ELSE 0 END) AS BIGINT) AS ppl_bucket,
+       |  CAST(1 + (CASE WHEN sc.lm_ppm <= th.t2 THEN 1 ELSE 0 END)
+       |         + (CASE WHEN sc.lm_ppm <= th.t1 THEN 1 ELSE 0 END) AS BIGINT) AS ppl_bucket,
        |  COUNT(*) AS n_docs, CAST(SUM(sc.n_bigrams) AS BIGINT) AS bigram_mass
        |FROM sc JOIN documents d USING (doc_id) CROSS JOIN th
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

@@ -284,12 +284,17 @@ object Mixture {
     *
     * All integer: a doc at running mass `cum` with weight `w` is
     * selected iff `cum div stride > (cum − w) div stride` (a stride
-    * multiple falls inside its span); `pick_idx = cum div stride` says
-    * which multiple. Seeded order reuses q117's multiplicative LCG key
-    * (a different seed is a different systematic pass). Plan: one
-    * corpus scan → per-source mass aggregate (broadcast back, |sources|
-    * rows) → ONE per-source window cumsum (partitioned sort, never
-    * global) → filter. */
+    * multiple falls inside its span), and its MULTIPLICITY
+    * `n_picks = cum div stride − (cum − w) div stride` counts every
+    * multiple the span covers — a doc heavier than the stride is drawn
+    * more than once, exactly as PPS sampling with replacement weights
+    * it (q117's n_repeats discipline). Σ n_picks per source =
+    * token_mass div stride EXACTLY, so the epoch size is deterministic.
+    * Seeded order reuses q117's multiplicative LCG key (a different
+    * seed is a different systematic pass). Plan: one corpus scan →
+    * per-source mass aggregate (broadcast back, |sources| rows) → ONE
+    * per-source window cumsum (partitioned sort, never global) →
+    * filter. */
   def systematicSample(docs: DataFrame, seed: Long = 12345L): DataFrame = {
     val weighted = docs.select(col("source"), col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("toks"),
@@ -306,7 +311,8 @@ object Mixture {
       .join(broadcast(bySrc), "source")
       .filter(expr("cum div stride > (cum - toks) div stride"))
       .select(col("source"), col("doc_id"), col("toks"),
-        expr("cum div stride").as("pick_idx"))
+        expr("cum div stride").as("pick_idx"),
+        expr("cum div stride - (cum - toks) div stride").as("n_picks"))
       .orderBy("source", "doc_id")
   }
 
@@ -325,7 +331,8 @@ object Mixture {
        |      ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM weighted)
        |SELECT c.source, c.doc_id, CAST(c.toks AS BIGINT) AS toks,
-       |  CAST(c.cum // s.stride AS BIGINT) AS pick_idx
+       |  CAST(c.cum // s.stride AS BIGINT) AS pick_idx,
+       |  CAST(c.cum // s.stride - (c.cum - c.toks) // s.stride AS BIGINT) AS n_picks
        |FROM cum c JOIN s ON s.source = c.source
        |WHERE c.cum // s.stride > (c.cum - c.toks) // s.stride
        |ORDER BY c.source, c.doc_id""".stripMargin

@@ -1342,7 +1342,6 @@ object Similarity {
   }
 
   val pqTopKSql: String = {
-    def intDot(a: String, b: String) = duckIntDot(a, b)
     s"""$pqCommonSqlCtes,
        |lut AS (SELECT vec_id AS q_id, m, cw_id, d2 AS d2q
        |        FROM sc WHERE vec_id % $QueryMod = 0),
@@ -1357,7 +1356,7 @@ object Similarity {
        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, cand_id) AS rn
        |    FROM adc) WHERE rn <= $PqRerank),
        |rr AS (
-       |  SELECT ca.q_id, ca.cand_id, ${intDot("q.qemb", "c.qemb")} AS qdot
+       |  SELECT ca.q_id, ca.cand_id, ${duckIntDot("q.qemb", "c.qemb")} AS qdot
        |  FROM cands ca
        |  JOIN v q ON q.vec_id = ca.q_id
        |  JOIN v c ON c.vec_id = ca.cand_id),

@@ -546,8 +546,18 @@ object Sketches {
        |ORDER BY n DESC, token""".stripMargin
 
   // ------------------------------------------------ token-cost estimator
-  /** Calibration sample: doc_id % [[EstSampleMod]] == 0. */
+  /** Calibration sample: LCG-keyed 1/[[EstSampleMod]] —
+    * `((MulA * doc_id) % Mod) % EstSampleMod == 0`. A RAW doc_id
+    * residue is structurally unsafe here: id assignment schemes that
+    * interleave sources (id = k·|sources| + source_idx — this fixture's
+    * shape, and a common sharded-writer artifact) make `doc_id % mod`
+    * hit only the sources whose residues align, silently starving the
+    * per-source calibration. The multiplicative key decorrelates the
+    * sample from any id structure while staying deterministic in both
+    * engines; the loud guard below still backstops a starved source. */
   val EstSampleMod = 10L
+  private val EstKey =
+    s"(${Curation.ShuffleMulA} * doc_id) % ${Curation.ShuffleMod}"
   /** Largest corpus char mass whose ppm numerator (1e6·chars) fits a
     * BIGINT with headroom — enforced loudly, never wrapped. */
   val EstMaxChars = 9000000000000L // 9e12
@@ -578,7 +588,7 @@ object Sketches {
           lit("(raise the fixed-point scale): "),
           sum(col("n_chars")).cast("string"))))
         .otherwise(sum(col("n_chars")))
-    val sample = docs.filter(col("doc_id") % EstSampleMod === 0)
+    val sample = docs.filter(expr(s"($EstKey) % $EstSampleMod") === 0)
       .groupBy("source")
       .agg(count(lit(1)).as("sample_docs"),
         sum(col("n_chars")).as("s_chars"),
@@ -586,7 +596,16 @@ object Sketches {
       .withColumn("cpt_ppm", expr("(1000000 * s_chars) div s_toks"))
     val full = docs.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), guardedChars.as("t_chars"))
-    val est = full.join(sample, "source")
+    // LEFT join + loud guard: a source with no doc in the 1/mod sample
+    // must fail the report, not vanish from it (an inner join would
+    // silently drop the source from the sizing a mixture plan consumes)
+    val est = full.join(sample, Seq("source"), "left")
+      .withColumn("cpt_ppm",
+        when(col("cpt_ppm").isNull,
+          raise_error(concat(
+            lit(s"tokenCostEstimate: source has no doc in the 1/$EstSampleMod sample "),
+            lit("(lower EstSampleMod or stratify the sample): "), col("source"))))
+          .otherwise(col("cpt_ppm")))
       .withColumn("est_tokens", expr("(1000000 * t_chars) div cpt_ppm"))
     if (!graft.Witness.enabled)
       // production plan: metadata-only extrapolation, no exact twin
@@ -607,7 +626,7 @@ object Sketches {
        |  SELECT source, COUNT(*) AS sample_docs,
        |    SUM(n_chars) AS s_chars,
        |    SUM(len(string_split(text, ' '))) AS s_toks
-       |  FROM documents WHERE doc_id % $EstSampleMod = 0
+       |  FROM documents WHERE (($EstKey)) % $EstSampleMod = 0
        |  GROUP BY source),
        |full_side AS (
        |  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS t_chars
@@ -615,11 +634,16 @@ object Sketches {
        |exact AS (
        |  SELECT source, SUM(len(string_split(text, ' '))) AS exact_tokens
        |  FROM documents GROUP BY source),
+       |joined AS (
+       |  SELECT f.source, f.n_docs, f.t_chars, s.sample_docs,
+       |    CASE WHEN s.source IS NULL
+       |      THEN error('tokenCostEstimate: source has no doc in the 1/$EstSampleMod sample: ' || f.source)
+       |      ELSE (1000000 * s.s_chars) // s.s_toks END AS cpt_ppm
+       |  FROM full_side f LEFT JOIN sample s ON s.source = f.source),
        |est AS (
-       |  SELECT f.source, f.n_docs, s.sample_docs,
-       |    (1000000 * s.s_chars) // s.s_toks AS cpt_ppm,
-       |    (1000000 * f.t_chars) // ((1000000 * s.s_chars) // s.s_toks) AS est_tokens
-       |  FROM full_side f JOIN sample s ON s.source = f.source)
+       |  SELECT source, n_docs, sample_docs, cpt_ppm,
+       |    (1000000 * t_chars) // cpt_ppm AS est_tokens
+       |  FROM joined)
        |SELECT e.source, CAST(e.n_docs AS BIGINT) AS n_docs,
        |  CAST(e.sample_docs AS BIGINT) AS sample_docs,
        |  CAST(e.cpt_ppm AS BIGINT) AS cpt_ppm,

@@ -2139,14 +2139,20 @@ object TextAnalysis {
       .groupBy("g.w1", "g.w2", "g.w3").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w1"), col("w2"), col("w3"))
       .limit(PhraseTopK)
+    // DataFrame reuse is not plan reuse: phrases feeds three consumers
+    // (each re-running the corpus trigram aggregate) and pruned three
+    // (each re-running the corpus posexplode) — lazily checkpoint both
+    // (the q188/q225 pattern) so the corpus is tokenized ONCE and the
+    // re-read relations are topK-sized / query-term-pruned
     val phrases = tri.select(
       concat_ws(" ", col("w1"), col("w2"), col("w3")).as("phrase"),
       col("w1"), col("w2"), col("w3"))
+      .localCheckpoint(false)
     // postings pruned to the query-term vocabulary BEFORE any join work
     val terms = phrases
       .select(explode(array(col("w1"), col("w2"), col("w3"))).as("w"))
       .distinct()
-    val pruned = toks.join(broadcast(terms), "w")
+    val pruned = toks.join(broadcast(terms), "w").localCheckpoint(false)
     val p1 = pruned.join(broadcast(phrases), col("w") === col("w1"))
       .select(col("phrase"), col("w2"), col("w3"),
         col("doc_id"), col("pos"))
@@ -2216,10 +2222,15 @@ object TextAnalysis {
     * back as a membership left-join. The corpus scans once; the only
     * corpus-sized shuffle is the (source, token) aggregate. */
   def oovRate(docs: DataFrame): DataFrame = {
+    // the (source, token) aggregate feeds BOTH the top-V cutoff and the
+    // probe side; lazily checkpoint it (q188/q225 pattern) so the
+    // corpus token explode runs once — what both consumers re-read is
+    // the vocab-sized relation
     val bySrc = docs
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("source", "token").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val topV = bySrc.groupBy("token").agg(sum(col("n")).as("tn"))
       .orderBy(col("tn").desc, col("token")).limit(OovVocabK)
       .select(col("token"), lit(1).as("in_vocab"))

@@ -999,21 +999,25 @@ class ExtSpec extends SparkSpec {
       .map(r => r.getAs[String]("source") -> r.getAs[Long]("est_tokens")).toMap
     val fullStats = Sketches.tableStats(li).collect()
       .map(r => r.getAs[String]("col_name") -> r.getAs[Long]("ndv_est")).toMap
-    Witness.enabled = false
-    try {
-      val benchHll = Sketches.hllTokenSketch(docs)
-      assert(benchHll.columns.toSeq == Seq("source", "regs_hit", "est_tokens"),
-        "bench plan must not carry the exact_tokens/err_pct witness")
-      assert(benchHll.collect().map(r =>
-        r.getAs[String]("source") -> r.getAs[Long]("est_tokens")).toMap == fullHll,
-        "dropping the witness must not change the sketch estimates")
-      val benchStats = Sketches.tableStats(li)
-      assert(!benchStats.columns.contains("ndv_exact"),
-        "bench plan must not carry the ndv_exact witness")
-      assert(benchStats.collect().map(r =>
-        r.getAs[String]("col_name") -> r.getAs[Long]("ndv_est")).toMap == fullStats,
-        "dropping the witness must not change the NDV estimates")
-    } finally Witness.enabled = true
+    // same lock discipline as the q220 witness test: every mutator of
+    // the global flag takes Witness.synchronized
+    Witness.synchronized {
+      Witness.enabled = false
+      try {
+        val benchHll = Sketches.hllTokenSketch(docs)
+        assert(benchHll.columns.toSeq == Seq("source", "regs_hit", "est_tokens"),
+          "bench plan must not carry the exact_tokens/err_pct witness")
+        assert(benchHll.collect().map(r =>
+          r.getAs[String]("source") -> r.getAs[Long]("est_tokens")).toMap == fullHll,
+          "dropping the witness must not change the sketch estimates")
+        val benchStats = Sketches.tableStats(li)
+        assert(!benchStats.columns.contains("ndv_exact"),
+          "bench plan must not carry the ndv_exact witness")
+        assert(benchStats.collect().map(r =>
+          r.getAs[String]("col_name") -> r.getAs[Long]("ndv_est")).toMap == fullStats,
+          "dropping the witness must not change the NDV estimates")
+      } finally Witness.enabled = true
+    }
   }
 
   test("q129 table stats: partitioning-invariant (mergeable) and NDV within HLL error") {
@@ -2422,10 +2426,14 @@ class ExtSpec extends SparkSpec {
     assert(buckets.subsetOf(Set(1L, 2L, 3L)))
     val byBucket = r.groupBy(_.getAs[Long]("ppl_bucket"))
       .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
-    // exact-order-statistic tertiles: bucket 1 holds AT LEAST ceil(n/3)
-    // (ties at the threshold can only push it over, never under)
-    assert(byBucket(1L) >= (applyDocs + 2) / 3,
-      s"head bucket underfilled: $byBucket")
+    // bucket 1 = most reference-like (HIGHEST lm_ppm). Exact-order-
+    // statistic tertiles: the tail bucket (3, at/below t1) holds AT
+    // LEAST ceil(n/3) — ties at the threshold can only push it over —
+    // and the head bucket at MOST n - ceil(2n/3)
+    assert(byBucket(3L) >= (applyDocs + 2) / 3,
+      s"discard tail underfilled: $byBucket")
+    assert(byBucket(1L) <= applyDocs - (2 * applyDocs + 2) / 3,
+      s"keep head overfilled: $byBucket")
   }
 
   test("q226 Kneser-Ney: hand-computed probabilities on a two-gram corpus") {
@@ -2583,9 +2591,11 @@ class ExtSpec extends SparkSpec {
     stats.foreach { case (src, (n, mass)) =>
       val stride = mass / math.max(n / Mixture.SysSampleDiv, 1L)
       val picked = r.filter(_.getAs[String]("source") == src)
-      assert(picked.length <= mass / stride,
-        s"$src: ${picked.length} picks exceed the ${mass / stride} stride multiples")
-      assert(picked.length >= 1L)
+      // deterministic epoch size: multiplicities sum to EXACTLY the
+      // stride-multiple count (a heavy doc carries n_picks > 1)
+      assert(picked.map(_.getAs[Long]("n_picks")).sum == mass / stride,
+        s"$src: multiplicities must cover every stride multiple exactly once")
+      assert(picked.forall(_.getAs[Long]("n_picks") >= 1L))
       // a doc spanning a full stride must contain a multiple -> always in
       val heavy = docs.filter(col("source") === src)
         .filter(size(split(col("text"), " ")) >= stride)
