@@ -162,9 +162,9 @@ object ScaleRehearsal {
     // (vocab-sized rank window over the one token aggregate)
     "q230_audio_energy", "q231_head_mass",
     // round-9 fifth wave: bloom FPR audit (one corpus scan + broadcast
-    // position set + one exchange) and manifest RLE (one split-
-    // partitioned window)
-    "q232_bloom_fpr", "q233_manifest_rle")
+    // position set + one exchange), manifest RLE (one split-partitioned
+    // window), stratified estimator (one source-partitioned rank window)
+    "q232_bloom_fpr", "q233_manifest_rle", "q234_stratified_estimate")
 
   /** q17/q24/q69 are declared-O(n²) kernels; q18/q73 assign against a
     * centroid set that GROWS with the fixture (vec_id % mod stand-in),

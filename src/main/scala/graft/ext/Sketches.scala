@@ -715,7 +715,70 @@ object Sketches {
        |FROM cum GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ------------------------------------- stratified estimator (q234)
+  /** Stratified sample density: every ceil(n/mod)-th doc per source. */
+  val StratMod = 10L
+
+  /** q234: STRATIFIED TOKEN-COST ESTIMATOR — the "stratify the sample"
+    * path q220's starved-source guard points at: instead of a global
+    * 1/mod coin (which guarantees nothing per source), rank docs WITHIN
+    * each source by the LCG key and keep ranks ≡ 1 (mod [[StratMod]]).
+    * Every non-empty source contributes ceil(n/mod) sample docs BY
+    * CONSTRUCTION — rank 1 always qualifies — so the per-source
+    * calibration can never starve and the q220 guard is structurally
+    * unreachable here. The price is explicit: one (source)-partitioned
+    * rank window over the corpus where q220 pays only a scan filter —
+    * the standard coverage-vs-cost trade between systematic residue
+    * sampling and stratified sampling, shipped as two operators so the
+    * pipeline can pick per table. Estimator arithmetic is q220's
+    * exactly (chars-per-token ppm from the sample, extrapolated over
+    * the full side's metadata chars). */
+  def stratifiedTokenEstimate(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("key", "doc_id")
+    val sample = docs
+      .select(col("source"), col("doc_id"), col("n_chars"), col("text"),
+        expr(s"($EstKey)").as("key"))
+      .withColumn("rk", row_number().over(w))
+      .filter(pmod(col("rk") - 1, lit(StratMod)) === 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("sample_docs"),
+        sum(col("n_chars")).as("s_chars"),
+        sum(size(split(col("text"), " ")).cast("long")).as("s_toks"))
+      .withColumn("cpt_ppm", expr("(1000000 * s_chars) div s_toks"))
+    val full = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("t_chars"))
+    full.join(sample, "source")
+      .select(col("source"), col("n_docs"), col("sample_docs"),
+        col("cpt_ppm"),
+        expr("(1000000 * t_chars) div cpt_ppm").as("est_tokens"))
+      .orderBy("source")
+  }
+
+  val stratifiedTokenEstimateSql: String =
+    s"""WITH ranked AS (
+       |  SELECT source, doc_id, n_chars, text,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY ($EstKey), doc_id) AS rk
+       |  FROM documents),
+       |sample AS (
+       |  SELECT source, COUNT(*) AS sample_docs,
+       |    SUM(n_chars) AS s_chars,
+       |    SUM(len(string_split(text, ' '))) AS s_toks
+       |  FROM ranked WHERE (rk - 1) % $StratMod = 0
+       |  GROUP BY source),
+       |full_side AS (
+       |  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS t_chars
+       |  FROM documents GROUP BY source)
+       |SELECT f.source, CAST(f.n_docs AS BIGINT) AS n_docs,
+       |  CAST(s.sample_docs AS BIGINT) AS sample_docs,
+       |  CAST((1000000 * s.s_chars) // s.s_toks AS BIGINT) AS cpt_ppm,
+       |  CAST((1000000 * f.t_chars) // ((1000000 * s.s_chars) // s.s_toks) AS BIGINT) AS est_tokens
+       |FROM full_side f JOIN sample s ON s.source = f.source
+       |ORDER BY f.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_stratified_estimate" -> ((s, d) => stratifiedTokenEstimate(Tables.documents(s, d))),
     "q228_hist_quantiles" -> ((s, d) => histQuantiles(Tables.documents(s, d))),
     "q220_token_estimator" -> ((s, d) => tokenCostEstimate(Tables.documents(s, d))),
     "q118_hll_tokens" -> ((s, d) => hllTokenSketch(Tables.documents(s, d))),
@@ -725,6 +788,7 @@ object Sketches {
     "q166_misra_gries" -> ((s, d) => misraGriesTokens(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
+    "q234_stratified_estimate" -> stratifiedTokenEstimateSql,
     "q228_hist_quantiles" -> histQuantilesSql,
     "q220_token_estimator" -> tokenCostEstimateSql,
     "q118_hll_tokens" -> hllTokenSketchSql,

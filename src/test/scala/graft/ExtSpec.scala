@@ -2540,6 +2540,20 @@ class ExtSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
   }
 
+  test("q234 stratified estimator: every source samples exactly ceil(n/mod) docs") {
+    val r = Sketches.stratifiedTokenEstimate(docs).collect()
+    val perSrc = docs.groupBy("source").count().collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(r.length == perSrc.size, "no source may be missing from the report")
+    r.foreach { row =>
+      val n = perSrc(row.getAs[String]("source"))
+      assert(row.getAs[Long]("sample_docs") ==
+        (n + Sketches.StratMod - 1) / Sketches.StratMod,
+        "stratified coverage is exact by construction")
+      assert(row.getAs[Long]("est_tokens") > 0L)
+    }
+  }
+
   test("q230 audio energy: window counts match byte lengths; uniform payloads have no silence") {
     import spark.implicits._
     val r = Multimodal.audioEnergy(docs).collect()

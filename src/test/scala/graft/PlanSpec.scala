@@ -1240,6 +1240,17 @@ class PlanSpec extends SparkSpec {
       "the island window must partition by (source, split), never globally")
   }
 
+  test("q234: the rank window partitions by source; the sample side alone reads text") {
+    val p = plan(graft.ext.Sketches.stratifiedTokenEstimate(Tables.documents(spark, sf)))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("source")),
+      "the stratification rank must partition by source, never globally")
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.exists(!_.contains("text")),
+      s"the full-corpus side must stay metadata-only:\n${scans.mkString("\n")}")
+  }
+
   test("q230/q231: energy frames fan out partition-local; head ranking runs over the vocab aggregate") {
     val p1 = plan(graft.ext.Multimodal.audioEnergy(Tables.documents(spark, sf)))
     assert(!p1.contains("CartesianProduct"))
