@@ -18,7 +18,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   // SPARK_GRAFT_REPS overrides for isolated measurements (e.g. the
   // round-9 q72 median-of-5 load-band pin); the driver never sets it.
-  val Reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
+  // The effective value is recorded in the bench artifact ("reps" key)
+  // so a nonstandard run can't masquerade as the default methodology.
+  val Reps = sys.env.get("SPARK_GRAFT_REPS") match {
+    case None => 3
+    case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse(
+      sys.error(s"SPARK_GRAFT_REPS must be a positive int, got '$v'"))
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -70,7 +76,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces for consumers that scrape a log-decorated stdout:
     // the same line, alone, in a file.

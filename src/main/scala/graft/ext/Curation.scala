@@ -343,6 +343,17 @@ object Curation {
   val ShuffleMulA = 1103515245L
   val ShuffleMod = 1000000007L
 
+  /** Overflow-safe LCG key as SQL text — ONE definition shared by the
+    * Spark expressions and the DuckDB oracles. Reduces the id mod
+    * [[ShuffleMod]] BEFORE the multiply: (A·(d mod M)+s) mod M ==
+    * (A·d+s) mod M, and the reduced product tops out near 1.1e18 <
+    * Long.MaxValue, so the key is exact for ANY BIGINT id. The
+    * unreduced form silently wraps in Spark (non-ANSI) above
+    * id ≈ 8.4e9 while DuckDB raises on BIGINT overflow — at web-scale
+    * ids the two engines would diverge invisibly at fixture scale. */
+  def lcgKeySql(idExpr: String, seed: Long): String =
+    s"($ShuffleMulA * (($idExpr) % $ShuffleMod) + $seed) % $ShuffleMod"
+
   /** q111: DETERMINISTIC CORPUS SHUFFLE — the seeded, reproducible
     * reordering that fixes a training run's data order: every doc gets
     * an LCG-mixed key, lands in shard `key mod S`, and takes its
@@ -357,7 +368,7 @@ object Curation {
   def corpusShuffle(docs: DataFrame, seed: Long = 12345L): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("key", "doc_id")
     docs.select(col("doc_id"),
-        expr(s"($ShuffleMulA * doc_id + $seed) % $ShuffleMod").as("key"))
+        expr(lcgKeySql("doc_id", seed)).as("key"))
       .withColumn("shard", col("key") % ShuffleShards)
       .select(col("shard"), row_number().over(w).cast("long").as("pos"),
         col("doc_id"), col("key"))
@@ -366,7 +377,7 @@ object Curation {
 
   val corpusShuffleSql: String =
     s"""WITH k AS (
-       |  SELECT doc_id, ($ShuffleMulA * doc_id + 12345) % $ShuffleMod AS key
+       |  SELECT doc_id, ${lcgKeySql("doc_id", 12345)} AS key
        |  FROM documents)
        |SELECT key % $ShuffleShards AS shard,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY key % $ShuffleShards
@@ -384,7 +395,7 @@ object Curation {
     * specs can pin the growth-stability property at the row level. */
   def splitLabels(docs: DataFrame, seed: Long = 777L): DataFrame =
     docs.select(col("source"), col("doc_id"),
-        expr(s"(($ShuffleMulA * doc_id + $seed) % $ShuffleMod) % 1000").as("pm"))
+        expr(s"(${lcgKeySql("doc_id", seed)}) % 1000").as("pm"))
       .withColumn("split",
         when(col("pm") < SplitTrainPm, "train")
           .when(col("pm") < SplitValPm, "val")
@@ -395,8 +406,8 @@ object Curation {
     * (a drifted copy would let the audit measure a split that is no
     * longer the split q112 ships). */
   private[ext] def splitCaseSql(key: String, seed: Long = 777L): String =
-    s"""CASE WHEN (($ShuffleMulA * ${key} + $seed) % $ShuffleMod) % 1000 < $SplitTrainPm THEN 'train'
-       |         WHEN (($ShuffleMulA * ${key} + $seed) % $ShuffleMod) % 1000 < $SplitValPm THEN 'val'
+    s"""CASE WHEN ((${lcgKeySql(key, seed)})) % 1000 < $SplitTrainPm THEN 'train'
+       |         WHEN ((${lcgKeySql(key, seed)})) % 1000 < $SplitValPm THEN 'val'
        |         ELSE 'test' END""".stripMargin
 
   /** q112: SEEDED TRAIN/VAL/TEST SPLIT — every doc deterministically
@@ -464,7 +475,7 @@ object Curation {
   def sourceInterleave(docs: DataFrame): DataFrame = {
     val span = ShuffleMod / InterleaveBuckets + 1L
     val keyed = docs.select(col("doc_id"), col("source"),
-        expr(s"($ShuffleMulA * doc_id + $InterleaveSeed) % $ShuffleMod").as("key"))
+        expr(lcgKeySql("doc_id", InterleaveSeed)).as("key"))
       .withColumn("kb", expr(s"key div $span"))
     // phase 1: within-source rank, key-range bucketed
     val kOffW = Window.partitionBy("s2").orderBy("kb2")
@@ -501,7 +512,7 @@ object Curation {
   val sourceInterleaveSql: String =
     s"""WITH k AS (
        |  SELECT doc_id, source,
-       |    ($ShuffleMulA * doc_id + $InterleaveSeed) % $ShuffleMod AS key
+       |    ${lcgKeySql("doc_id", InterleaveSeed)} AS key
        |  FROM documents),
        |r AS (
        |  SELECT doc_id, source, key,
@@ -753,7 +764,7 @@ object Curation {
   private[graft] def clusterSplitLabels(docs: DataFrame, seed: Long = 777L): DataFrame =
     Dedup.dedupClusters(docs, Dedup.minhashPairs(docs))
       .select(col("doc_id"), col("cluster_id"),
-        expr(s"(($ShuffleMulA * cluster_id + $seed) % $ShuffleMod) % 1000").as("pm"))
+        expr(s"(${lcgKeySql("cluster_id", seed)}) % 1000").as("pm"))
       .withColumn("split",
         when(col("pm") < SplitTrainPm, "train")
           .when(col("pm") < SplitValPm, "val")
@@ -1270,7 +1281,7 @@ object Curation {
       .select(col("doc_id"),
         (length(expr("bin(n_chars)")) - 1).cast("long").as("bin"),
         expr("size(split(text, ' '))").cast("long").as("nt"),
-        expr(s"($ShuffleMulA * doc_id + $BatchSeed) % $ShuffleMod").as("key"))
+        expr(lcgKeySql("doc_id", BatchSeed)).as("key"))
       .withColumn("before", coalesce(sum("nt").over(byBin), lit(0L)))
       .withColumn("batch", expr(s"before div $BatchTokens"))
       .groupBy("bin", "batch")
@@ -1283,7 +1294,7 @@ object Curation {
     s"""WITH d AS (
        |  SELECT doc_id, length(bin(n_chars)) - 1 AS bin,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
-       |    ($ShuffleMulA * doc_id + $BatchSeed) % $ShuffleMod AS key
+       |    ${lcgKeySql("doc_id", BatchSeed)} AS key
        |  FROM documents WHERE n_chars > 0),
        |c AS (
        |  SELECT doc_id, bin, nt,
@@ -1971,9 +1982,13 @@ object Curation {
   /** q227: SPLIT-CONFORMAL QUALITY GATING — turns any scalar quality
     * score into a keep-rule with a DISTRIBUTION-FREE guarantee: fix a
     * miscoverage level α, take the r-th smallest score of a held-out
-    * calibration split with r = floor(α·(n+1)) (clamped ≥ 1), and keep
-    * apply-set docs scoring ≥ that threshold. Exchangeability alone
-    * gives P(new doc scores below the threshold) ≤ α — no model of the
+    * calibration split with r = floor(α·(n+1)), and keep apply-set
+    * docs scoring ≥ that threshold. Exchangeability alone gives
+    * P(new doc scores below the threshold) ≤ α — but ONLY when
+    * floor(α·(n+1)) ≥ 1; with n+1 < 1/α no rank achieves α, so the
+    * gate raise_errors (packGuard discipline) instead of silently
+    * clamping to rank 1 and shipping 1/(n+1) > α miscoverage. No
+    * model of the
     * score distribution, which is exactly what a quality score over a
     * shifting web crawl does not have. This is how a production filter
     * calibrates "keep ~90%" without trusting the scorer's scale.
@@ -2000,7 +2015,12 @@ object Curation {
     val app = scored.filter(pmod(col("doc_id"), lit(ConformalCalibMod)) =!= 0)
     val threshold = OrderStats.boundedOrderStats(calib, "score",
       Seq("t" ->
-        s"greatest(($ConformalAlphaNum * (n + 1)) div $ConformalAlphaDen, 1)"))
+        (s"if(($ConformalAlphaNum * (n + 1)) div $ConformalAlphaDen < 1, " +
+          "raise_error(concat('conformalGate: calibration n = ', " +
+          s"cast(n as string), ' is too small for alpha = " +
+          s"$ConformalAlphaNum/$ConformalAlphaDen — floor(alpha*(n+1)) = 0, " +
+          "realized miscoverage 1/(n+1) > alpha')), " +
+          s"($ConformalAlphaNum * (n + 1)) div $ConformalAlphaDen)")))
     app.crossJoin(broadcast(threshold))
       .groupBy("source")
       .agg(count(lit(1)).as("n_total"),

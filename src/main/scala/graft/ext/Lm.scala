@@ -374,7 +374,13 @@ object Lm {
     * and everything else is the apply set:
     *
     *   - TRAIN: add-1 bigram model on the reference slice only
-    *     (p_ppm as q66, with V = reference vocab).
+    *     (p_ppm as q66, with V = reference vocab). Convention note:
+    *     the context denominator c1 counts EVERY occurrence of w1 in
+    *     the reference — including doc-final tokens that never serve
+    *     as a bigram context — matching q66's convention; conditional
+    *     likelihoods are thus uniformly (slightly) deflated relative
+    *     to a context-positions-only count. Both engines share the
+    *     convention, so scores are comparable wherever they are used.
     *   - SCORE: every apply doc's mean bigram likelihood, with unseen
     *     grams/contexts falling back to the smoothing floor via
     *     COALESCE(c, 0) — the OOV path q66 never exercises because it

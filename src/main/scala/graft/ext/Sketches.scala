@@ -556,8 +556,7 @@ object Sketches {
     * sample from any id structure while staying deterministic in both
     * engines; the loud guard below still backstops a starved source. */
   val EstSampleMod = 10L
-  private val EstKey =
-    s"(${Curation.ShuffleMulA} * doc_id) % ${Curation.ShuffleMod}"
+  private val EstKey = Curation.lcgKeySql("doc_id", 0L)
   /** Largest corpus char mass whose ppm numerator (1e6·chars) fits a
     * BIGINT with headroom — enforced loudly, never wrapped. */
   val EstMaxChars = 9000000000000L // 9e12

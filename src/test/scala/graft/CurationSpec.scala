@@ -184,7 +184,7 @@ class CurationSpec extends SparkSpec {
     val base = docs.select("doc_id", "source").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val keyed = base.map { case (id, s) =>
-      (id, s, (Curation.ShuffleMulA * id + Curation.InterleaveSeed) % Curation.ShuffleMod)
+      (id, s, (Curation.ShuffleMulA * (id % Curation.ShuffleMod) + Curation.InterleaveSeed) % Curation.ShuffleMod)
     }
     val ranks = keyed.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
       rows.sortBy(r => (r._3, r._1)).zipWithIndex
@@ -403,7 +403,7 @@ class CurationSpec extends SparkSpec {
         val id = r.getLong(0)
         (id, (63 - java.lang.Long.numberOfLeadingZeros(r.getLong(1))).toLong,
           r.getString(2).split(" ", -1).length.toLong,
-          (Curation.ShuffleMulA * id + Curation.BatchSeed) % Curation.ShuffleMod)
+          (Curation.ShuffleMulA * (id % Curation.ShuffleMod) + Curation.BatchSeed) % Curation.ShuffleMod)
       }
     val want = rows.groupBy(_._2).toSeq.flatMap { case (bin, ds) =>
       val sorted = ds.sortBy(d => (d._4, d._1))
