@@ -1551,35 +1551,31 @@ object Dedup {
   /** Base/delta split: every 4th-mod-3 doc is the arriving batch. */
   val LshDeltaMod = 4L
 
-  private val lshIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Catalog kind for the stored band postings — the version suffix is
+    * the FORMAT fingerprint: bump it whenever the banding arithmetic
+    * changes, or a new build would silently load postings produced by
+    * old code (the content fingerprint only covers the DATA). */
+  val LshIndexKind = "lsh-bands-v1"
 
   /** Test hook: the stored-index path for a fixture key (so the spec
     * can assert the index files stay byte-untouched across ingests). */
   private[graft] def lshIndexPathForTest(key: String): String =
-    lshIndexCache.get(key)
+    graft.sources.IndexCatalog.pathForTest(LshIndexKind, key)
 
-  /** Content fingerprint keying the stored-index cache: path + length +
-    * mtime per input file, so a dataset REGENERATED at the same paths
-    * gets a fresh index instead of silently probing a stale one.
-    * In-memory frames fall back to a session identity — clear those per
-    * fixture build with [[resetLshIndexCache]] (identity hashes can be
-    * reused after GC). */
-  private[graft] def lshIndexKey(docs: DataFrame): String = {
-    val files = docs.inputFiles
-    if (files.nonEmpty) {
-      val conf = docs.sparkSession.sparkContext.hadoopConfiguration
-      files.sorted.map { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        val st = p.getFileSystem(conf).getFileStatus(p)
-        s"$f#${st.getLen}#${st.getModificationTime}"
-      }.mkString(",")
-    } else s"mem:${System.identityHashCode(docs)}"
-  }
+  /** Content fingerprint keying the stored index — delegated to the
+    * persistent [[graft.sources.IndexCatalog]] (path + length + mtime
+    * per input file, so a dataset REGENERATED at the same paths gets a
+    * fresh index instead of silently probing a stale one; in-memory
+    * frames fall back to a session identity — clear those per fixture
+    * build with [[resetLshIndexCache]]). */
+  private[graft] def lshIndexKey(docs: DataFrame): String =
+    graft.sources.IndexCatalog.contentFingerprint(docs)
 
-  /** Fixture hook: drop every stored index (used when an in-memory
-    * frame is rebuilt and must not alias a prior identity key). */
-  private[graft] def resetLshIndexCache(): Unit = lshIndexCache.clear()
+  /** Fixture hook: drop the in-memory catalog memo (used when an
+    * in-memory frame is rebuilt and must not alias a prior identity
+    * key; on-disk entries are untouched). */
+  private[graft] def resetLshIndexCache(): Unit =
+    graft.sources.IndexCatalog.resetMemory()
 
   /** q186: INCREMENTAL NEAR-DUP INDEX MAINTENANCE — the LSH member of
     * the index-maintenance family (exact-hash q50, IVF q155, SCD2
@@ -1602,11 +1598,12 @@ object Dedup {
     val base = docs.filter(col("doc_id") % LshDeltaMod =!= (LshDeltaMod - 1))
     val delta = docs.filter(col("doc_id") % LshDeltaMod === (LshDeltaMod - 1))
     val key = lshIndexKey(docs)
-    val indexPath = lshIndexCache.computeIfAbsent(key, { _ =>
-      val p = graft.TempDirs.create("graft-lshindex").toString
-      minhashBands(base).write.mode("overwrite").parquet(p)
-      p
-    })
+    // the stored postings are a CATALOG table now: a fresh session
+    // LOADS them by content fingerprint instead of re-banding the base
+    val indexPath = graft.sources.IndexCatalog
+      .getOrBuild(spark, LshIndexKind, key) { dir =>
+        minhashBands(base).write.mode("overwrite").parquet(dir)
+      }
     val stored = spark.read.parquet(indexPath)
     val fresh = minhashBands(delta)
     val touched = fresh.select("band", "band_key").distinct()

@@ -1,0 +1,156 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** PERSISTENT INDEX CATALOG — the "index once, probe forever" store the
+  * incremental operators plug into. q186's LSH band postings and q137's
+  * gram index are ingest-time artifacts: at 100 TB the build is a full
+  * corpus pass, so rebuilding one per JVM (the pre-round-10 behavior —
+  * a process-lifetime `ConcurrentHashMap` in front of a [[graft.TempDirs]]
+  * tree that a shutdown hook deletes) throws the whole economy of
+  * incremental maintenance away. The catalog makes the stored index a
+  * real TABLE: a content fingerprint of the source data keys a parquet
+  * directory under a durable root, a tiny manifest records which
+  * fingerprint the payload was built from, and a fresh session LOADS on
+  * manifest hit instead of rebuilding.
+  *
+  * Layout (one entry):
+  * {{{
+  *   <root>/<kind>/<sha256(fingerprint).take(16)>/
+  *     _graft_manifest.json      // {"kind": ..., "fingerprint": ...}
+  *     ... payload parquet (builder-defined; may be subdirs) ...
+  * }}}
+  * The `_`-prefixed manifest name keeps Spark's parquet reader from
+  * treating it as data (the `_SUCCESS` convention).
+  *
+  * Publish protocol: build into a `.tmp-` sibling, write the manifest
+  * LAST, then atomically rename into place — a reader can never see a
+  * half-built index (no manifest ⇒ no entry), and a lost cross-process
+  * race deletes its own tmp tree and loads the winner after verifying
+  * the fingerprint. Stale entries are never probed: a REGENERATED
+  * source changes (length, mtime) per input file, so its fingerprint —
+  * and therefore its catalog slot — moves; orphaned slots are storage
+  * garbage for a `vacuum`-style maintenance pass (q142's job), never a
+  * correctness hazard.
+  *
+  * In-memory fixtures (no input files) get a `mem:`-prefixed identity
+  * fingerprint — those are NEVER persisted (an identity hash outlives
+  * its meaning at JVM exit); they build into a [[graft.TempDirs]] tree
+  * exactly as before and are dropped by [[resetMemory]].
+  *
+  * Root resolution: `spark.graft.index.root` conf, else the
+  * `GRAFT_INDEX_ROOT` env, else `${java.io.tmpdir}/graft-index-catalog`
+  * (production points this at durable shared storage; the default keeps
+  * local runs self-contained).
+  */
+object IndexCatalog {
+
+  /** In-JVM memo (kind#fingerprint → payload path): the fast path that
+    * skips even the manifest read. [[resetMemory]] clears it to
+    * simulate a fresh session in tests. */
+  private val memo = new ConcurrentHashMap[String, String]()
+
+  /** Observability for specs and ops: how many catalog entries this
+    * JVM BUILT vs LOADED from a pre-existing on-disk entry. A fresh
+    * session re-running the same pipeline should move `loads`, not
+    * `builds` — that is the whole catalog contract, and the spec pins
+    * it. */
+  val builds = new AtomicLong(0L)
+  val loads = new AtomicLong(0L)
+
+  /** Drop every in-memory memo entry (on-disk entries untouched) —
+    * the "fresh JVM" simulation hook. */
+  def resetMemory(): Unit = memo.clear()
+
+  /** Test hook: the memoized payload path for (kind, fingerprint),
+    * null if this JVM has not resolved it. */
+  private[graft] def pathForTest(kind: String, fingerprint: String): String =
+    memo.get(s"$kind#$fingerprint")
+
+  def root(spark: SparkSession): Path = Paths.get(
+    spark.conf.getOption("spark.graft.index.root")
+      .orElse(sys.env.get("GRAFT_INDEX_ROOT"))
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft-index-catalog"))
+
+  /** Content fingerprint of a DataFrame's source files: path + length +
+    * mtime per input file, sorted — regenerated data at the same paths
+    * moves the fingerprint instead of silently aliasing a stale index.
+    * Frames with no files (in-memory fixtures) get a session identity
+    * key, marked `mem:` so [[getOrBuild]] knows not to persist it. */
+  def contentFingerprint(df: DataFrame): String = {
+    val files = df.inputFiles
+    if (files.nonEmpty) {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      files.sorted.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"$f#${st.getLen}#${st.getModificationTime}"
+      }.mkString(",")
+    } else s"mem:${System.identityHashCode(df)}"
+  }
+
+  private def slot(sparkRoot: Path, kind: String, fingerprint: String): Path = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(fingerprint.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+    sparkRoot.resolve(kind).resolve(hex)
+  }
+
+  private def manifestOf(dir: Path): Option[String] = {
+    val m = dir.resolve("_graft_manifest.json")
+    if (Files.isRegularFile(m))
+      Some(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+    else None
+  }
+
+  private def manifestJson(kind: String, fingerprint: String): String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+    }
+    s"""{"kind":"${esc(kind)}","fingerprint":"${esc(fingerprint)}"}"""
+  }
+
+  /** Return the payload directory for (kind, fingerprint), building it
+    * with `build` only when no verified on-disk entry exists. `build`
+    * receives the directory to write its parquet payload into. */
+  def getOrBuild(spark: SparkSession, kind: String, fingerprint: String)
+                (build: String => Unit): String =
+    memo.computeIfAbsent(s"$kind#$fingerprint", { _ =>
+      if (fingerprint.startsWith("mem:")) {
+        // ephemeral: identity keys die with the JVM, so must the entry
+        val p = graft.TempDirs.create(s"graft-$kind").toString
+        build(p); builds.incrementAndGet(); p
+      } else {
+        val dst = slot(root(spark), kind, fingerprint)
+        val want = manifestJson(kind, fingerprint)
+        if (manifestOf(dst).contains(want)) {
+          loads.incrementAndGet(); dst.toString
+        } else {
+          if (Files.exists(dst)) // partial write or (16-hex) collision
+            graft.TempDirs.deleteTree(dst)
+          Files.createDirectories(dst.getParent)
+          val tmp = Files.createTempDirectory(dst.getParent, ".tmp-")
+          build(tmp.toString)
+          Files.write(tmp.resolve("_graft_manifest.json"),
+            want.getBytes(StandardCharsets.UTF_8))
+          try {
+            Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+            builds.incrementAndGet()
+          } catch { case _: java.nio.file.FileAlreadyExistsException =>
+            // lost a cross-process race: keep the winner, drop ours
+            graft.TempDirs.deleteTree(tmp)
+            if (!manifestOf(dst).contains(want))
+              sys.error(s"IndexCatalog: $dst exists with a foreign manifest " +
+                s"(fingerprint-hash collision?) — vacuum the slot and retry")
+            loads.incrementAndGet()
+          }
+          dst.toString
+        }
+      }
+    })
+}

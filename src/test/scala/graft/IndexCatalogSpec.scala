@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+import graft.sources.{IndexCatalog, TokenIndex}
+
+/** The persistent-index contract: a fresh session LOADS a stored index
+  * by content fingerprint instead of rebuilding it. "Fresh session" is
+  * simulated by dropping every in-memory memo ([[IndexCatalog
+  * .resetMemory]] / [[TokenIndex.resetMemory]]) while the on-disk
+  * catalog entries — the part that survives a real JVM exit — stay in
+  * place; the build/load counters then prove which path ran. */
+class IndexCatalogSpec extends SparkSpec {
+
+  /** Isolated catalog root per test run: prior sbt runs must not
+    * pre-seed the entries these assertions count. */
+  private def withFreshRoot[A](body: => A): A = {
+    val dir = TempDirs.create("graft-catalog-spec").toString
+    spark.conf.set("spark.graft.index.root", dir)
+    IndexCatalog.resetMemory()
+    TokenIndex.resetMemory()
+    try body
+    finally {
+      spark.conf.unset("spark.graft.index.root")
+      IndexCatalog.resetMemory()
+      TokenIndex.resetMemory()
+    }
+  }
+
+  test("q186 stored LSH index: fresh session loads from disk, result hash-identical") {
+    withFreshRoot {
+      val docs = Tables.documents(spark, sf)
+      val b0 = IndexCatalog.builds.get()
+      val first = Dedup.incrementalNearDup(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(IndexCatalog.builds.get() == b0 + 1,
+        "first ingest against a fresh root must BUILD the band index")
+      val key = Dedup.lshIndexKey(docs)
+      val path = java.nio.file.Path.of(Dedup.lshIndexPathForTest(key))
+      assert(java.nio.file.Files.isRegularFile(
+        path.resolve("_graft_manifest.json")),
+        "catalog entry carries its manifest")
+
+      // "fresh JVM": all in-memory state gone, disk entry intact
+      IndexCatalog.resetMemory()
+      TokenIndex.resetMemory()
+      val b1 = IndexCatalog.builds.get()
+      val l1 = IndexCatalog.loads.get()
+      val second = Dedup.incrementalNearDup(Tables.documents(spark, sf))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(IndexCatalog.builds.get() == b1,
+        "a fresh session must NOT rebuild the stored index")
+      assert(IndexCatalog.loads.get() == l1 + 1,
+        "a fresh session must LOAD the stored index from disk")
+      assert(second == first, "loaded-index ingest is hash-identical to built-index ingest")
+    }
+  }
+
+  test("q137 stored gram index: fresh session loads layout and index, lookup hash-identical") {
+    withFreshRoot {
+      val b0 = IndexCatalog.builds.get()
+      val (path1, idx1) = TokenIndex.layoutAndIndex(spark, sf)
+      val first = TokenIndex.probedLookup(spark, sf).collect().map(_.toSeq).toSeq
+      assert(IndexCatalog.builds.get() == b0 + 1,
+        "first lookup against a fresh root must BUILD layout + gram index")
+
+      IndexCatalog.resetMemory()
+      TokenIndex.resetMemory()
+      val b1 = IndexCatalog.builds.get()
+      val l1 = IndexCatalog.loads.get()
+      val (path2, idx2) = TokenIndex.layoutAndIndex(spark, sf)
+      val second = TokenIndex.probedLookup(spark, sf).collect().map(_.toSeq).toSeq
+      assert(IndexCatalog.builds.get() == b1,
+        "a fresh session must NOT re-shard or re-index")
+      assert(IndexCatalog.loads.get() >= l1 + 1,
+        "a fresh session must LOAD the stored entry")
+      assert(path2 == path1, "the loaded layout is the SAME on-disk table")
+      assert(idx2 == idx1, "the reloaded (shard, bucket) set is identical")
+      assert(second == first, "lookup through the loaded index is hash-identical")
+    }
+  }
+
+  test("catalog: regenerated source content moves the fingerprint, stale entry never probed") {
+    withFreshRoot {
+      import spark.implicits._
+      val dir = TempDirs.create("graft-catalog-regen").toString
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(dir)
+      val fp1 = IndexCatalog.contentFingerprint(spark.read.parquet(dir))
+      // regenerate at the SAME path with different content
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(dir)
+      val fp2 = IndexCatalog.contentFingerprint(spark.read.parquet(dir))
+      assert(fp1 != fp2, "fingerprint must move when content is regenerated")
+
+      var built = 0
+      def entryFor(fp: String) =
+        IndexCatalog.getOrBuild(spark, "spec-kind-v1", fp) { out =>
+          built += 1
+          Seq(built.toLong).toDF("v").write.parquet(s"$out/data")
+        }
+      val e1 = entryFor(fp1)
+      val e2 = entryFor(fp2)
+      assert(e1 != e2 && built == 2, "distinct fingerprints get distinct slots")
+      IndexCatalog.resetMemory()
+      assert(entryFor(fp2) == e2 && built == 2,
+        "reload resolves the CURRENT fingerprint's slot without rebuilding")
+      assert(spark.read.parquet(s"$e2/data").as[Long].head() == 2L,
+        "the loaded payload is the current build, not the stale one")
+    }
+  }
+}
