@@ -46,8 +46,10 @@ object ScaleRehearsal {
   /** The 100x subset: corpus-linear kernels only (one scan + key-capped
     * shuffles), including the two the round-8 review called out — label
     * propagation (frontier joins over the CAPPED pair graph) and the
-    * rolling-hash CDC chunker. Embedding kernels are excluded because
-    * the 100x fixture synthesizes documents only. */
+    * rolling-hash CDC chunker. The vector family joins the decade as a
+    * fixed-k IVF row measured directly (q18's production shape over
+    * 100x synthesized embeddings) — see `q18_ivf_fixedk` in the x100
+    * output. */
   val Rehearsal100Queries: Seq[String] = Seq(
     "q13_dedup_exact", "q14_minhash_pairs", "q16_ngram_jaccard",
     "q19_lang_id", "q21_tokens", "q46_chunking", "q84_quality_gate",
@@ -195,7 +197,11 @@ object ScaleRehearsal {
                  copies: Int = Copies, stride: Int = IdStride,
                  withEmbeddings: Boolean = true): Unit = {
     val fs = java.nio.file.Paths.get(outDir)
-    if (java.nio.file.Files.exists(fs.resolve("documents.parquet"))) return
+    val embDone = !withEmbeddings ||
+      (java.nio.file.Files.exists(fs.resolve("embeddings.parquet")) &&
+        !java.nio.file.Files.isSymbolicLink(fs.resolve("embeddings.parquet")))
+    if (java.nio.file.Files.exists(fs.resolve("documents.parquet")) && embDone) return
+    java.nio.file.Files.deleteIfExists(fs.resolve("embeddings.parquet"))
     java.nio.file.Files.createDirectories(fs)
     val reps = explode(sequence(lit(0), lit(copies - 1))).as("rep")
     Tables.documents(spark, baseDir)
@@ -323,17 +329,32 @@ object ScaleRehearsal {
     // ---- second measured decade: 100x documents, corpus-linear subset
     val out100 = args.lift(2).getOrElse("/tmp/graft-sf100-rehearsal")
     synthesize(spark, baseDir, out100, copies = Copies100,
-      stride = IdStride100, withEmbeddings = false)
+      stride = IdStride100)
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "embeddings")) {
+                  "orders", "lineitem", "events")) {
       val link = java.nio.file.Paths.get(s"$out100/$t.parquet")
       if (!java.nio.file.Files.exists(link))
         java.nio.file.Files.createSymbolicLink(link,
           java.nio.file.Paths.get(s"$baseDir/$t.parquet"))
     }
-    val x100Times = timeAll(spark, out100, Rehearsal100Queries)
+    val x100Times0 = timeAll(spark, out100, Rehearsal100Queries)
     val drops100 = dropMetrics(spark, out100, withEmbeddings = false)
-    val base100 = Rehearsal100Queries.map(baseTimes).sum
+    // the vector-family member of the second decade: fixed-k IVF (q18's
+    // documented scale path — centroid set pinned to the base fixture's
+    // rep-0 copies) over 100x embeddings; assignment is n x k, linear
+    // in n at fixed k, so its decade ratio completes the ANN-side
+    // amortization argument the x10 mitigated entry started
+    val sim0 = graft.ext.Similarity
+    def timed0(f: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ivfBase = timed0(sim0.ivfTopK(Tables.embeddings(spark, baseDir), nprobe = 2))
+    val ivf100 = timed0(sim0.ivfTopK(Tables.embeddings(spark, out100), nprobe = 2,
+      centroidMod = sim0.CentroidMod.toLong * IdStride100))
+    val x100Times = x100Times0 + ("q18_ivf_fixedk" -> ivf100)
+    val base100 = Rehearsal100Queries.map(baseTimes).sum + ivfBase
     val x100Total = x100Times.values.sum
 
     // LSH bit-width scaling: with bucket count FIXED, 10x corpus means
@@ -381,6 +402,34 @@ object ScaleRehearsal {
         sim.semanticDedup(emb10,
           centroidMod = FixedKCentroidMod / 3)))
 
+    // q188 PPJoin at 10x, MEASURED with its filter stack instrumented:
+    // the exact set-similarity join stays out of the headline ratio
+    // (its OUTPUT is quadratic in dup-family size by construction of
+    // the synthetic copies), but the claim that the prefix/length/
+    // positional filters bound the CANDIDATE space is now a number —
+    // candidates vs the n^2/2 all-pairs bound — not an assertion.
+    // AQE off around the observe (mid-plan metrics, round-3 lesson).
+    val docsBase = Tables.documents(spark, baseDir)
+    val docs10p = Tables.documents(spark, outDir)
+    val q188BaseSec = {
+      val t0 = System.nanoTime()
+      graft.ext.Dedup.ppjoinPairs(docsBase).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (q188X10Sec, q188Cands, q188Pairs, q188N) =
+      try {
+        val oCand = Observation(s"rehearsal_q188_${runTag.incrementAndGet()}")
+        val out = graft.ext.Dedup.ppjoinPairs(docs10p, candObs = Some(oCand))
+        val t0 = System.nanoTime()
+        val nPairs = out.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, oCand.get("candidates").asInstanceOf[Long], nPairs, docs10p.count())
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    require(q188Cands < q188N * (q188N - 1) / 2 / 100,
+      s"q188 candidates ($q188Cands) not well below the all-pairs bound " +
+        s"for n=$q188N — the prefix filter is not engaging")
+
     // Collocation-bound demo: at a bound the 10x corpus EXCEEDS, the
     // exact path must refuse loudly and the sampled path must answer —
     // the q67 -> q77 scale handoff, demonstrated rather than narrated.
@@ -411,6 +460,9 @@ object ScaleRehearsal {
       s""""excluded_quadratic":${ExcludedQuadratic.mkString("[\"", "\",\"", "\"]")},""" +
       s""""x10_scaled_bits":${jmap(scaledBits)},""" +
       s""""mitigated_quadratic":${jmap(mitigated)},""" +
+      s""""q188_scale":{"base_sec":${f"$q188BaseSec%.3f"},"x10_sec":${f"$q188X10Sec%.3f"},""" +
+      s""""x10_docs":$q188N,"x10_candidates":$q188Cands,"x10_pairs":$q188Pairs,""" +
+      s""""x10_allpairs_bound":${q188N * (q188N - 1) / 2}},""" +
       s""""colloc_bound_demo":{"bound":$collocBound,"exact_raised":$exactTripped,""" +
       s""""sampled_mod16_sec":${f"$sampledSec%.3f"}},""" +
       s""""x100":{"copies":$Copies100,""" +

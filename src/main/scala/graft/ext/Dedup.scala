@@ -1655,8 +1655,16 @@ object Dedup {
     * union, never a float threshold), so the gate is hash-exact; the
     * oracle runs the UNFILTERED inverted-index join (any shared
     * shingle) — prefix-filtered must equal unfiltered exactly, which
-    * IS the completeness theorem as a test. */
-  def ppjoinPairs(docs: DataFrame): DataFrame = {
+    * IS the completeness theorem as a test.
+    *
+    * Pass `candObs` to observe how many candidate pairs survive the
+    * prefix+length+positional filters into exact verification — the
+    * scale rehearsal reads it to MEASURE (not assert) that the filter
+    * stack keeps the candidate space far below the n²/2 all-pairs
+    * bound on a skewed 10x corpus. Observe with AQE off (Spark 4.1
+    * drops mid-plan observed metrics under AQE — the round-3 lesson). */
+  def ppjoinPairs(docs: DataFrame,
+                  candObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     graft.functions.ShingleHashes.register(docs.sparkSession, 3, HashBase, HashMod)
     // the q14/q16 hashed-shingle basis: sets of POLY-HASH LONGS, built by
     // the one-pass codegen expression — no shingle strings are ever
@@ -1696,11 +1704,13 @@ object Dedup {
       .filter(expr(s"1 + least(n_a - pos_a - 1, n_b - pos_b - 1) >= $alpha"))
       .select("doc_a", "doc_b", "n_a", "n_b")
       .distinct()
+    val watched = candObs.fold(cand)(o =>
+      cand.observe(o, count(lit(1)).as("candidates")))
     // verification: two id-keyed joins hand each candidate pair both
     // distinct hash arrays; the exact overlap is a per-row
     // array_intersect fold inside codegen — candidate-count rows
     // through a projection, never (pair, token) rows through a groupBy
-    val inter = cand
+    val inter = watched
       .join(sorted.select(col("doc_id").as("doc_a"), col("hs_all").as("ta")), Seq("doc_a"))
       .join(sorted.select(col("doc_id").as("doc_b"), col("hs_all").as("tb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),

@@ -509,34 +509,25 @@ object Multimodal {
     * under test is the windowing, the energy kernel, and the relative
     * threshold — all of which survive a real PCM decoder unchanged.
     *
-    * Byte access is hex-nibble-exact in BOTH engines (Spark `conv` on
-    * the hex pair; DuckDB the q23 nibble arithmetic), so the oracle
-    * hash-matches bit for bit, and the probe row keeps multi-byte
-    * utf-8 in the compared input. Scale shape: frames fan out
-    * PARTITION-LOCAL from the payload scan (sequence + explode — no
-    * shuffle), the per-frame energy is one in-expression fold over ≤ 64
-    * bytes, and a single doc_id window pass serves the mean-energy
-    * threshold before the per-doc rollup — one exchange total. */
+    * Byte access is byte-exact in BOTH engines (Spark folds the raw
+    * binary payload in the [[graft.functions.WindowEnergies]] codegen
+    * kernel; DuckDB renders the q23 hex-nibble arithmetic — amp =
+    * unsigned byte − 128 either way), so the oracle hash-matches bit
+    * for bit, and the probe row keeps multi-byte utf-8 in the compared
+    * input. Scale shape: per-window energies come out of ONE O(n) byte
+    * pass inside whole-stage codegen (the round-9 hex detour paid two
+    * string ops per byte on a 2n-char rendering), windows fan out
+    * PARTITION-LOCAL via posexplode — no shuffle — and a single doc_id
+    * window pass serves the mean-energy threshold before the per-doc
+    * rollup — one exchange total. */
   def audioEnergy(docs: DataFrame): DataFrame = {
     val w = EnergyWindow
-    // decode the hex ONCE per doc (one conv per byte), then each window
-    // squares-and-sums its slice of the amplitude array — the fold never
-    // re-touches the string
+    graft.functions.WindowEnergies.register(docs.sparkSession)
     val fr = withProbe(docs)
-      .select(col("doc_id"), hex(encode(col("text"), "UTF-8")).as("h"),
-        octet_length(encode(col("text"), "UTF-8")).as("n"))
-      .filter(col("n") > 0)
-      .select(col("doc_id"), col("n"),
-        expr("transform(sequence(1, n), " +
-          "i -> cast(conv(substr(h, 2 * i - 1, 2), 16, 10) as bigint) - 128)")
-          .as("amps"))
-      .select(col("doc_id"), col("amps"), col("n"),
-        explode(expr(s"sequence(0, (n - 1) div $w)")).as("widx"))
-      .select(col("doc_id"), col("widx"),
-        expr(s"""aggregate(
-          |  slice(amps, $w * widx + 1, least($w, n - $w * widx)),
-          |  0L,
-          |  (acc, a) -> acc + a * a)""".stripMargin).as("e"))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("b"))
+      .filter(octet_length(col("b")) > 0)
+      .select(col("doc_id"),
+        posexplode(expr(s"window_energies(b, $w)")).as(Seq("widx", "e")))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     fr
       .withColumn("e_total", sum(col("e")).over(byDoc))
