@@ -234,8 +234,15 @@ object Similarity {
     * quarter is the arriving DELTA batch. */
   val IvfDeltaMod = 4L
 
-  private[graft] val ivfIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Catalog kind for the stored base cell assignment — version suffix
+    * fingerprints the FORMAT (centroid rule, distance kernel): bump on
+    * change so old-format entries are never silently probed. */
+  val IvfIndexKind = "ivf-cells-v1"
+
+  /** Test hook: the memoized stored-index path for an input frame. */
+  private[graft] def ivfIndexPathForTest(emb: DataFrame): String =
+    graft.sources.IndexCatalog.pathForTest(IvfIndexKind,
+      graft.sources.IndexCatalog.contentFingerprint(emb))
 
   /** Assign every vector of `part` to its nearest FIXED centroid — the
     * shared per-row kernel of index build and index maintenance. */
@@ -269,21 +276,18 @@ object Similarity {
     val delta = emb.filter(col("vec_id") % IvfDeltaMod === (IvfDeltaMod - 1))
     val cents = base.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    // key = the FULL sorted input-file set (two differently-filtered
-    // frames over one fixture still collide by design: the base/delta
-    // split is id-derived, so the index is a function of the files);
-    // a file-less in-memory frame gets a per-instance key — rebuilding
-    // is safe, silently SHARING another relation's index is not
-    val key = {
-      val fs = emb.inputFiles
-      if (fs.nonEmpty) fs.sorted.mkString(",")
-      else s"mem:${System.identityHashCode(emb)}"
-    }
-    val indexPath = ivfIndexCache.computeIfAbsent(key, { _ =>
-      val p = graft.TempDirs.create("graft-ivfindex").toString
-      assignCells(base, cents).write.mode("overwrite").parquet(p)
-      p
-    })
+    // key = the content fingerprint of the FULL input-file set (two
+    // differently-filtered frames over one fixture still collide by
+    // design: the base/delta split is id-derived, so the index is a
+    // function of the files); a file-less in-memory frame gets a
+    // per-instance key — rebuilding is safe, silently SHARING another
+    // relation's index is not. The persistent catalog makes the stored
+    // assignment a real table: a fresh session LOADS it by fingerprint.
+    val key = graft.sources.IndexCatalog.contentFingerprint(emb)
+    val indexPath = graft.sources.IndexCatalog
+      .getOrBuild(spark, IvfIndexKind, key) { dir =>
+        assignCells(base, cents).write.mode("overwrite").parquet(dir)
+      }
     val stored = spark.read.parquet(indexPath)
       .select(col("vec_id"), col("cell"), lit(1L).as("is_base"))
     val fresh = assignCells(delta, cents)

@@ -1308,7 +1308,7 @@ class ExtSpec extends SparkSpec {
   test("q155 incremental ivf: delta assignment only; stored base index byte-untouched") {
     val first = Similarity.incrementalIvf(emb).collect().map(_.toSeq).toSeq
     // the stored index must exist on disk now; snapshot its files
-    val idx = Similarity.ivfIndexCache.values().iterator().next()
+    val idx = Similarity.ivfIndexPathForTest(emb)
     def snap = {
       val s = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
       try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])

@@ -81,6 +81,29 @@ class IndexCatalogSpec extends SparkSpec {
     }
   }
 
+  test("q155 stored IVF index: fresh session loads the cell assignment, result hash-identical") {
+    withFreshRoot {
+      val emb = Tables.embeddings(spark, sf)
+      val b0 = IndexCatalog.builds.get()
+      val first = graft.ext.Similarity.incrementalIvf(emb)
+        .collect().map(_.toSeq).toSeq
+      assert(IndexCatalog.builds.get() == b0 + 1,
+        "first ingest against a fresh root must BUILD the cell assignment")
+
+      IndexCatalog.resetMemory()
+      val b1 = IndexCatalog.builds.get()
+      val l1 = IndexCatalog.loads.get()
+      val second = graft.ext.Similarity
+        .incrementalIvf(Tables.embeddings(spark, sf))
+        .collect().map(_.toSeq).toSeq
+      assert(IndexCatalog.builds.get() == b1,
+        "a fresh session must NOT re-assign the base")
+      assert(IndexCatalog.loads.get() == l1 + 1,
+        "a fresh session must LOAD the stored assignment")
+      assert(second == first, "loaded-index ingest is hash-identical")
+    }
+  }
+
   test("catalog: regenerated source content moves the fingerprint, stale entry never probed") {
     withFreshRoot {
       import spark.implicits._
