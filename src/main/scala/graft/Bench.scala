@@ -76,7 +76,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":$qs,"sf":"$sfDir"}"""
+    // reps + witness recorded so a nonstandard run can't masquerade as
+    // the default methodology when the artifact is read later
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,""" +
+      s""""witness":${Witness.enabled},"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces for consumers that scrape a log-decorated stdout:
     // the same line, alone, in a file.

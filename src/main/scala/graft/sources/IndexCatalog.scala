@@ -72,6 +72,32 @@ object IndexCatalog {
   private[graft] def pathForTest(kind: String, fingerprint: String): String =
     memo.get(s"$kind#$fingerprint")
 
+  /** Maintenance: drop every on-disk entry of `kind` whose fingerprint
+    * is not in `keep` — the vacuum op for slots orphaned by source
+    * regeneration (a regenerated dataset moves its fingerprint, so the
+    * old slot is unreachable garbage; nothing ever probes it, this just
+    * reclaims the storage). Returns the number of entries removed.
+    * Production runs this from the same maintenance window as table
+    * compaction (the q142 discipline); entries currently memoized by
+    * this JVM are never vacuumed even if absent from `keep`. */
+  def vacuum(spark: SparkSession, kind: String, keep: Set[String]): Int = {
+    val kindDir = root(spark).resolve(kind)
+    if (!Files.isDirectory(kindDir)) return 0
+    val keepJson = keep.map(fp => manifestJson(kind, fp))
+    val inUse = {
+      import scala.jdk.CollectionConverters._
+      memo.values.asScala.toSet
+    }
+    val slots = Files.list(kindDir)
+    try slots.toArray.toSeq.map(_.asInstanceOf[Path]).count { slot =>
+      val drop = Files.isDirectory(slot) &&
+        !inUse.contains(slot.toString) &&
+        !manifestOf(slot).exists(keepJson.contains)
+      if (drop) graft.TempDirs.deleteTree(slot)
+      drop
+    } finally slots.close()
+  }
+
   def root(spark: SparkSession): Path = Paths.get(
     spark.conf.getOption("spark.graft.index.root")
       .orElse(sys.env.get("GRAFT_INDEX_ROOT"))

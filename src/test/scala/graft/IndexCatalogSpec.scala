@@ -131,6 +131,17 @@ class IndexCatalogSpec extends SparkSpec {
         "reload resolves the CURRENT fingerprint's slot without rebuilding")
       assert(spark.read.parquet(s"$e2/data").as[Long].head() == 2L,
         "the loaded payload is the current build, not the stale one")
+
+      // vacuum: the orphaned fp1 slot is reclaimed, the live fp2 slot
+      // survives both by keep-set and by in-JVM-use protection
+      assert(IndexCatalog.vacuum(spark, "spec-kind-v1", Set(fp2)) == 1,
+        "exactly the orphaned slot is vacuumed")
+      assert(!java.nio.file.Files.exists(java.nio.file.Path.of(e1)),
+        "the stale slot is gone")
+      assert(spark.read.parquet(s"$e2/data").as[Long].head() == 2L,
+        "the kept slot still loads")
+      assert(IndexCatalog.vacuum(spark, "spec-kind-v1", Set.empty) == 0,
+        "a memoized (in-use) entry is never vacuumed even outside the keep set")
     }
   }
 }
