@@ -201,7 +201,11 @@ object ScaleRehearsal {
       (java.nio.file.Files.exists(fs.resolve("embeddings.parquet")) &&
         !java.nio.file.Files.isSymbolicLink(fs.resolve("embeddings.parquet")))
     if (java.nio.file.Files.exists(fs.resolve("documents.parquet")) && embDone) return
-    java.nio.file.Files.deleteIfExists(fs.resolve("embeddings.parquet"))
+    // a stale SYMLINK (pre-round-10 x100 layout) must go before the
+    // write, or mode-overwrite would write THROUGH it into baseDir; a
+    // real stale directory is overwrite's job, not ours
+    if (java.nio.file.Files.isSymbolicLink(fs.resolve("embeddings.parquet")))
+      java.nio.file.Files.delete(fs.resolve("embeddings.parquet"))
     java.nio.file.Files.createDirectories(fs)
     val reps = explode(sequence(lit(0), lit(copies - 1))).as("rep")
     Tables.documents(spark, baseDir)
@@ -350,6 +354,10 @@ object ScaleRehearsal {
       f.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // warmup (codegen + JIT for the IVF plan shape), untimed — the
+    // rehearsal suite excludes q17/q18, so nothing else has heated it
+    // and a cold base denominator would flatter the decade ratio
+    timed0(sim0.ivfTopK(Tables.embeddings(spark, baseDir), nprobe = 2))
     val ivfBase = timed0(sim0.ivfTopK(Tables.embeddings(spark, baseDir), nprobe = 2))
     val ivf100 = timed0(sim0.ivfTopK(Tables.embeddings(spark, out100), nprobe = 2,
       centroidMod = sim0.CentroidMod.toLong * IdStride100))
@@ -384,7 +392,7 @@ object ScaleRehearsal {
     val embBase = Tables.embeddings(spark, baseDir)
     val sim = graft.ext.Similarity
     val mitigated = Map(
-      "q17_ivf_nprobe2_base" -> timed(sim.ivfTopK(embBase, nprobe = 2)),
+      "q17_ivf_nprobe2_base" -> ivfBase, // measured warm in the x100 block
       "q17_ivf_nprobe2_x10_fixedk" -> timed(
         sim.ivfTopK(emb10, nprobe = 2, centroidMod = FixedKCentroidMod)),
       "q24_lsh_rewrite_base" -> timed(
@@ -411,20 +419,23 @@ object ScaleRehearsal {
     // AQE off around the observe (mid-plan metrics, round-3 lesson).
     val docsBase = Tables.documents(spark, baseDir)
     val docs10p = Tables.documents(spark, outDir)
-    val q188BaseSec = {
-      val t0 = System.nanoTime()
-      graft.ext.Dedup.ppjoinPairs(docsBase).count()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // both decades under the SAME planner config: the Observation needs
+    // AQE off (mid-plan metrics, round-3 lesson), so the base point
+    // runs AQE-off too — otherwise the ratio conflates data scale with
+    // a planner-config change
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val (q188X10Sec, q188Cands, q188Pairs, q188N) =
+    val (q188BaseSec, q188X10Sec, q188Cands, q188Pairs, q188N) =
       try {
+        val tb = System.nanoTime()
+        graft.ext.Dedup.ppjoinPairs(docsBase).count()
+        val baseSec = (System.nanoTime() - tb) / 1e9
         val oCand = Observation(s"rehearsal_q188_${runTag.incrementAndGet()}")
         val out = graft.ext.Dedup.ppjoinPairs(docs10p, candObs = Some(oCand))
         val t0 = System.nanoTime()
         val nPairs = out.count()
         val sec = (System.nanoTime() - t0) / 1e9
-        (sec, oCand.get("candidates").asInstanceOf[Long], nPairs, docs10p.count())
+        (baseSec, sec, oCand.get("candidates").asInstanceOf[Long], nPairs,
+          docs10p.count())
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     // sanity floor, not the measurement: the dup-saturated synthetic
     // fixture (10 near-copies per doc + 30% boilerplate) is close to a

@@ -2047,7 +2047,9 @@ object Curation {
        |          SUM(c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum, n.n
        |        FROM vc CROSS JOIN n),
        |th AS (SELECT MIN(CASE WHEN cum >=
-       |         greatest(($ConformalAlphaNum * (n + 1)) // $ConformalAlphaDen, 1)
+       |         (CASE WHEN ($ConformalAlphaNum * (n + 1)) // $ConformalAlphaDen < 1
+       |               THEN error('conformalGate: calibration too small for alpha')
+       |               ELSE ($ConformalAlphaNum * (n + 1)) // $ConformalAlphaDen END)
        |         THEN score END) AS t FROM cum)
        |SELECT source, COUNT(*) AS n_total,
        |  CAST(SUM(CASE WHEN score >= th.t THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

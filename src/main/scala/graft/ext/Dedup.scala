@@ -1566,16 +1566,11 @@ object Dedup {
     * persistent [[graft.sources.IndexCatalog]] (path + length + mtime
     * per input file, so a dataset REGENERATED at the same paths gets a
     * fresh index instead of silently probing a stale one; in-memory
-    * frames fall back to a session identity — clear those per fixture
-    * build with [[resetLshIndexCache]]). */
+    * frames fall back to a session identity — rebuild fixtures around
+    * [[graft.sources.IndexCatalog.resetMemory]] so a recycled identity
+    * hash can never alias a prior frame's entry). */
   private[graft] def lshIndexKey(docs: DataFrame): String =
     graft.sources.IndexCatalog.contentFingerprint(docs)
-
-  /** Fixture hook: drop the in-memory catalog memo (used when an
-    * in-memory frame is rebuilt and must not alias a prior identity
-    * key; on-disk entries are untouched). */
-  private[graft] def resetLshIndexCache(): Unit =
-    graft.sources.IndexCatalog.resetMemory()
 
   /** q186: INCREMENTAL NEAR-DUP INDEX MAINTENANCE — the LSH member of
     * the index-maintenance family (exact-hash q50, IVF q155, SCD2

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
 
 /** Per-window audio energy over a binary payload: out[k] = Σ amp² over
   * window k's bytes, amp = (byte & 0xff) − 128 (centered PCM), windows
@@ -25,6 +26,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class WindowEnergies(child: Expression, window: Int)
     extends UnaryExpression {
   require(window > 0, s"window_energies window must be positive, got $window")
+
+  // analysis-time type error for a non-binary child (e.g. a string
+  // column missing its encode()) instead of an executor-side
+  // ClassCastException (ExpectsInputTypes is private[sql]-typed, so
+  // the check is spelled directly)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"window_energies requires a BINARY child, got ${child.dataType.simpleString}")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true

@@ -8,35 +8,43 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** PERSISTENT INDEX CATALOG — the "index once, probe forever" store the
-  * incremental operators plug into. q186's LSH band postings and q137's
-  * gram index are ingest-time artifacts: at 100 TB the build is a full
-  * corpus pass, so rebuilding one per JVM (the pre-round-10 behavior —
-  * a process-lifetime `ConcurrentHashMap` in front of a [[graft.TempDirs]]
-  * tree that a shutdown hook deletes) throws the whole economy of
-  * incremental maintenance away. The catalog makes the stored index a
-  * real TABLE: a content fingerprint of the source data keys a parquet
-  * directory under a durable root, a tiny manifest records which
-  * fingerprint the payload was built from, and a fresh session LOADS on
-  * manifest hit instead of rebuilding.
+  * incremental operators plug into. q186's LSH band postings, q137's
+  * gram index, and q155's IVF cell assignment are ingest-time
+  * artifacts: at 100 TB the build is a full corpus pass, so rebuilding
+  * one per JVM (the pre-round-10 behavior — a process-lifetime
+  * `ConcurrentHashMap` in front of a [[graft.TempDirs]] tree that a
+  * shutdown hook deletes) throws the whole economy of incremental
+  * maintenance away. The catalog makes the stored index a real TABLE: a
+  * content fingerprint of the source data keys a parquet directory
+  * under a durable root, a tiny manifest records which fingerprint the
+  * payload was built from, and a fresh session LOADS on manifest hit
+  * instead of rebuilding.
   *
   * Layout (one entry):
   * {{{
   *   <root>/<kind>/<sha256(fingerprint).take(16)>/
-  *     _graft_manifest.json      // {"kind": ..., "fingerprint": ...}
+  *     _graft_manifest.json   // {"kind", "fingerprint", "payload"}
   *     ... payload parquet (builder-defined; may be subdirs) ...
   * }}}
   * The `_`-prefixed manifest name keeps Spark's parquet reader from
-  * treating it as data (the `_SUCCESS` convention).
+  * treating it as data (the `_SUCCESS` convention). The manifest's
+  * `payload` field is a stamp of the payload file set (count, total
+  * bytes, sha-256 of the sorted relative-path#size list): a load
+  * re-stamps the directory and treats ANY mismatch as no-entry —
+  * without it, an age-based /tmp reaper that deletes part-files but
+  * leaves the (recently re-read) manifest would hand a fresh session a
+  * silently truncated index.
   *
   * Publish protocol: build into a `.tmp-` sibling, write the manifest
   * LAST, then atomically rename into place — a reader can never see a
   * half-built index (no manifest ⇒ no entry), and a lost cross-process
-  * race deletes its own tmp tree and loads the winner after verifying
-  * the fingerprint. Stale entries are never probed: a REGENERATED
-  * source changes (length, mtime) per input file, so its fingerprint —
-  * and therefore its catalog slot — moves; orphaned slots are storage
-  * garbage for a `vacuum`-style maintenance pass (q142's job), never a
-  * correctness hazard.
+  * race (the rename fails because the winner's directory is already
+  * there) deletes its own tmp tree and loads the winner after verifying
+  * its manifest. Stale entries are never probed: a REGENERATED source
+  * changes (length, mtime) per input file, so its fingerprint — and
+  * therefore its catalog slot — moves; orphaned slots are storage
+  * garbage for [[vacuum]] (the q142 discipline), never a correctness
+  * hazard.
   *
   * In-memory fixtures (no input files) get a `mem:`-prefixed identity
   * fingerprint — those are NEVER persisted (an identity hash outlives
@@ -83,7 +91,6 @@ object IndexCatalog {
   def vacuum(spark: SparkSession, kind: String, keep: Set[String]): Int = {
     val kindDir = root(spark).resolve(kind)
     if (!Files.isDirectory(kindDir)) return 0
-    val keepJson = keep.map(fp => manifestJson(kind, fp))
     val inUse = {
       import scala.jdk.CollectionConverters._
       memo.values.asScala.toSet
@@ -92,7 +99,7 @@ object IndexCatalog {
     try slots.toArray.toSeq.map(_.asInstanceOf[Path]).count { slot =>
       val drop = Files.isDirectory(slot) &&
         !inUse.contains(slot.toString) &&
-        !manifestOf(slot).exists(keepJson.contains)
+        !manifestFingerprint(slot, kind).exists(keep.contains)
       if (drop) graft.TempDirs.deleteTree(slot)
       drop
     } finally slots.close()
@@ -120,25 +127,58 @@ object IndexCatalog {
     } else s"mem:${System.identityHashCode(df)}"
   }
 
-  private def slot(sparkRoot: Path, kind: String, fingerprint: String): Path = {
+  private def slot(sparkRoot: Path, kind: String, fingerprint: String): Path =
+    sparkRoot.resolve(kind).resolve(sha16(fingerprint))
+
+  private def sha16(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    val hex = md.digest(fingerprint.getBytes(StandardCharsets.UTF_8))
+    md.digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(16)
-    sparkRoot.resolve(kind).resolve(hex)
   }
 
-  private def manifestOf(dir: Path): Option[String] = {
+  /** Stamp of a payload directory: count, total bytes, and sha-256 of
+    * the sorted relative-path#size list of every regular file except
+    * the manifest itself. Size-based (no content hash) — the threat is
+    * a reaper or partial copy DELETING or truncating files, which the
+    * (path, size) set catches; defending against in-place bit flips is
+    * parquet's checksum's job. */
+  private def payloadStamp(dir: Path): String = {
+    val s = Files.walk(dir)
+    val entries =
+      try s.toArray.toSeq.map(_.asInstanceOf[Path])
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString != "_graft_manifest.json")
+        .map(p => s"${dir.relativize(p)}#${Files.size(p)}")
+        .sorted
+      finally s.close()
+    s"${entries.size}:${sha16(entries.mkString(","))}"
+  }
+
+  private def esc(s: String) = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+  }
+
+  private def manifestJson(kind: String, fingerprint: String, payload: String): String =
+    s"""{"kind":"${esc(kind)}","fingerprint":"${esc(fingerprint)}","payload":"${esc(payload)}"}"""
+
+  /** The slot's recorded fingerprint, IF its manifest parses, matches
+    * `kind`, and the payload stamp still matches the directory — any
+    * mismatch (reaped part-file, partial copy, foreign kind) reads as
+    * "no entry here". */
+  private def manifestFingerprint(dir: Path, kind: String): Option[String] = {
     val m = dir.resolve("_graft_manifest.json")
-    if (Files.isRegularFile(m))
-      Some(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
-    else None
-  }
-
-  private def manifestJson(kind: String, fingerprint: String): String = {
-    def esc(s: String) = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+    if (!Files.isRegularFile(m)) return None
+    val text = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    // the manifest is machine-written by manifestJson above; rebuild the
+    // expected rendering from candidate fields instead of JSON-parsing
+    val re = """\{"kind":"(.*)","fingerprint":"(.*)","payload":"(.*)"\}""".r
+    text match {
+      case re(k, fp, pay) =>
+        def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+        val (ku, fpu, payu) = (unesc(k), unesc(fp), unesc(pay))
+        if (ku == kind && payu == payloadStamp(dir)) Some(fpu) else None
+      case _ => None
     }
-    s"""{"kind":"${esc(kind)}","fingerprint":"${esc(fingerprint)}"}"""
   }
 
   /** Return the payload directory for (kind, fingerprint), building it
@@ -153,27 +193,32 @@ object IndexCatalog {
         build(p); builds.incrementAndGet(); p
       } else {
         val dst = slot(root(spark), kind, fingerprint)
-        val want = manifestJson(kind, fingerprint)
-        if (manifestOf(dst).contains(want)) {
+        if (manifestFingerprint(dst, kind).contains(fingerprint)) {
           loads.incrementAndGet(); dst.toString
         } else {
-          if (Files.exists(dst)) // partial write or (16-hex) collision
+          if (Files.exists(dst)) // partial/reaped entry or hash collision
             graft.TempDirs.deleteTree(dst)
           Files.createDirectories(dst.getParent)
           val tmp = Files.createTempDirectory(dst.getParent, ".tmp-")
           build(tmp.toString)
           Files.write(tmp.resolve("_graft_manifest.json"),
-            want.getBytes(StandardCharsets.UTF_8))
+            manifestJson(kind, fingerprint, payloadStamp(tmp))
+              .getBytes(StandardCharsets.UTF_8))
           try {
             Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
             builds.incrementAndGet()
-          } catch { case _: java.nio.file.FileAlreadyExistsException =>
-            // lost a cross-process race: keep the winner, drop ours
-            graft.TempDirs.deleteTree(tmp)
-            if (!manifestOf(dst).contains(want))
-              sys.error(s"IndexCatalog: $dst exists with a foreign manifest " +
-                s"(fingerprint-hash collision?) — vacuum the slot and retry")
-            loads.incrementAndGet()
+          } catch {
+            // lost a cross-process race: rename onto the winner's
+            // directory fails as EEXIST or (Linux rename(2) on a
+            // non-empty dir) ENOTEMPTY — keep the winner, drop ours
+            case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.DirectoryNotEmptyException =>
+              graft.TempDirs.deleteTree(tmp)
+              if (!manifestFingerprint(dst, kind).contains(fingerprint))
+                sys.error(s"IndexCatalog: $dst exists with a foreign or " +
+                  "damaged manifest (fingerprint-hash collision?) — vacuum " +
+                  "the slot and retry")
+              loads.incrementAndGet()
           }
           dst.toString
         }

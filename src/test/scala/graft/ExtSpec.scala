@@ -2576,6 +2576,15 @@ class ExtSpec extends SparkSpec {
     assert(t.getAs[Long]("e_max") == 64L * 31 * 31)
     assert(t.getAs[Long]("e_total") == 2 * 64L * 31 * 31)
     assert(t.getAs[Long]("n_low") == 0L)
+    // a non-binary child fails at ANALYSIS time (a string column missing
+    // its encode() must not become an executor ClassCastException)
+    graft.functions.WindowEnergies.register(spark)
+    val err = intercept[Exception] {
+      Seq((1L, "x")).toDF("doc_id", "text")
+        .selectExpr("window_energies(text, 64)").collect()
+    }
+    assert(err.getMessage.contains("BINARY"),
+      s"expected the analysis-time type error, got: ${err.getMessage}")
   }
 
   test("q231 head mass: concentration curve is monotone; a one-token source is fully head") {

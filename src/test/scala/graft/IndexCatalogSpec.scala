@@ -144,4 +144,33 @@ class IndexCatalogSpec extends SparkSpec {
         "a memoized (in-use) entry is never vacuumed even outside the keep set")
     }
   }
+
+  test("catalog: a reaped payload file invalidates the entry — fresh session rebuilds, never loads truncated") {
+    withFreshRoot {
+      import spark.implicits._
+      var built = 0
+      def entry() = IndexCatalog.getOrBuild(spark, "spec-reap-v1", "fp-const") { out =>
+        built += 1
+        Seq(1L, 2L, 3L).toDF("v").repartition(2).write.parquet(s"$out/data")
+      }
+      val e1 = entry()
+      assert(built == 1)
+
+      // the age-based /tmp reaper shape: one part-file gone, manifest
+      // (recently re-read, atime fresh) survives
+      IndexCatalog.resetMemory()
+      val walk = java.nio.file.Files.walk(java.nio.file.Path.of(e1))
+      val part =
+        try walk.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet")).head
+        finally walk.close()
+      java.nio.file.Files.delete(part)
+
+      val e2 = entry()
+      assert(built == 2, "a damaged payload must REBUILD, not load truncated")
+      assert(spark.read.parquet(s"$e2/data").count() == 3,
+        "the rebuilt entry is complete")
+    }
+  }
 }
