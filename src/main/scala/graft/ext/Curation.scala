@@ -2021,6 +2021,13 @@ object Curation {
           s"$ConformalAlphaNum/$ConformalAlphaDen — floor(alpha*(n+1)) = 0, " +
           "realized miscoverage 1/(n+1) > alpha')), " +
           s"($ConformalAlphaNum * (n + 1)) div $ConformalAlphaDen)")))
+      // an EMPTY calibration split bypasses the rank guard entirely
+      // (SUM over zero value-counts rows is NULL, so the rank
+      // expression never evaluates and t comes back NULL) — the same
+      // silent degradation, caught at the same loudness
+      .select(expr("if(t is null, raise_error(" +
+        "'conformalGate: empty calibration split (no doc_id % " +
+        s"$ConformalCalibMod = 0 rows)'), t)").as("t"))
     app.crossJoin(broadcast(threshold))
       .groupBy("source")
       .agg(count(lit(1)).as("n_total"),
@@ -2046,11 +2053,14 @@ object Curation {
        |cum AS (SELECT score,
        |          SUM(c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum, n.n
        |        FROM vc CROSS JOIN n),
-       |th AS (SELECT MIN(CASE WHEN cum >=
+       |th0 AS (SELECT MIN(CASE WHEN cum >=
        |         (CASE WHEN ($ConformalAlphaNum * (n + 1)) // $ConformalAlphaDen < 1
        |               THEN error('conformalGate: calibration too small for alpha')
        |               ELSE ($ConformalAlphaNum * (n + 1)) // $ConformalAlphaDen END)
-       |         THEN score END) AS t FROM cum)
+       |         THEN score END) AS t FROM cum),
+       |th AS (SELECT CASE WHEN t IS NULL
+       |         THEN error('conformalGate: empty calibration split')
+       |         ELSE t END AS t FROM th0)
        |SELECT source, COUNT(*) AS n_total,
        |  CAST(SUM(CASE WHEN score >= th.t THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        |  CAST((1000000 * SUM(CASE WHEN score >= th.t THEN 1 ELSE 0 END)) // COUNT(*)

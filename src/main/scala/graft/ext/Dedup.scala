@@ -1660,6 +1660,13 @@ object Dedup {
     * drops mid-plan observed metrics under AQE — the round-3 lesson). */
   def ppjoinPairs(docs: DataFrame,
                   candObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    // loud contract, not a comment: under AQE Spark 4.1 silently drops
+    // mid-plan observed metrics and the caller's Observation.get fails
+    // far from the cause
+    require(candObs.isEmpty ||
+      !docs.sparkSession.conf.get("spark.sql.adaptive.enabled").toBoolean,
+      "ppjoinPairs candObs requires spark.sql.adaptive.enabled=false " +
+        "(AQE drops mid-plan observed metrics)")
     graft.functions.ShingleHashes.register(docs.sparkSession, 3, HashBase, HashMod)
     // the q14/q16 hashed-shingle basis: sets of POLY-HASH LONGS, built by
     // the one-pass codegen expression — no shingle strings are ever

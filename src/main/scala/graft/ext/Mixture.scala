@@ -128,7 +128,7 @@ object Mixture {
     val plan = mixturePlan(docs).select("source", "n_docs", "quota_docs")
     val w = Window.partitionBy("source").orderBy("key", "doc_id")
     docs.select(col("source"), col("doc_id"),
-        expr(Curation.lcgKeySql(s"doc_id + $seed", 0L))
+        expr(Curation.lcgKeySql(s"(doc_id % ${Curation.ShuffleMod}) + $seed", 0L))
           .as("key"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .join(broadcast(plan), "source")
@@ -155,7 +155,7 @@ object Mixture {
        |ranked AS (
        |  SELECT source, doc_id,
        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
-       |      ${Curation.lcgKeySql(s"doc_id + $seed", 0L)},
+       |      ${Curation.lcgKeySql(s"(doc_id % ${Curation.ShuffleMod}) + $seed", 0L)},
        |      doc_id) AS rk
        |  FROM documents)
        |SELECT r.source, r.doc_id,
@@ -298,7 +298,7 @@ object Mixture {
   def systematicSample(docs: DataFrame, seed: Long = 12345L): DataFrame = {
     val weighted = docs.select(col("source"), col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("toks"),
-      expr(Curation.lcgKeySql(s"doc_id + $seed", 0L))
+      expr(Curation.lcgKeySql(s"(doc_id % ${Curation.ShuffleMod}) + $seed", 0L))
         .as("key"))
     val bySrc = weighted.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("mass"))
@@ -320,7 +320,7 @@ object Mixture {
     s"""WITH weighted AS (
        |  SELECT source, doc_id,
        |    len(string_split(text, ' ')) AS toks,
-       |    ${Curation.lcgKeySql(s"doc_id + $seed", 0L)} AS key
+       |    ${Curation.lcgKeySql(s"(doc_id % ${Curation.ShuffleMod}) + $seed", 0L)} AS key
        |  FROM documents),
        |s AS (SELECT source,
        |        SUM(toks) // greatest(COUNT(*) // $SysSampleDiv, 1) AS stride

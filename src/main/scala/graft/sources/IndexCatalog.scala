@@ -1,10 +1,10 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** PERSISTENT INDEX CATALOG — the "index once, probe forever" store the
@@ -73,7 +73,7 @@ object IndexCatalog {
 
   /** Drop every in-memory memo entry (on-disk entries untouched) —
     * the "fresh JVM" simulation hook. */
-  def resetMemory(): Unit = memo.clear()
+  def resetMemory(): Unit = { memo.clear(); fpMemo.clear() }
 
   /** Test hook: the memoized payload path for (kind, fingerprint),
     * null if this JVM has not resolved it. */
@@ -89,26 +89,47 @@ object IndexCatalog {
     * compaction (the q142 discipline); entries currently memoized by
     * this JVM are never vacuumed even if absent from `keep`. */
   def vacuum(spark: SparkSession, kind: String, keep: Set[String]): Int = {
-    val kindDir = root(spark).resolve(kind)
-    if (!Files.isDirectory(kindDir)) return 0
+    val (fs, rp) = rootFs(spark)
+    val kindDir = new HPath(rp, kind)
+    if (!fs.exists(kindDir)) return 0
     val inUse = {
       import scala.jdk.CollectionConverters._
       memo.values.asScala.toSet
     }
-    val slots = Files.list(kindDir)
-    try slots.toArray.toSeq.map(_.asInstanceOf[Path]).count { slot =>
-      val drop = Files.isDirectory(slot) &&
-        !inUse.contains(slot.toString) &&
-        !manifestFingerprint(slot, kind).exists(keep.contains)
-      if (drop) graft.TempDirs.deleteTree(slot)
+    fs.listStatus(kindDir).count { st =>
+      val drop = st.isDirectory &&
+        // a concurrent getOrBuild's in-flight build dir has no manifest
+        // YET — deleting it would crash the builder mid-write
+        !st.getPath.getName.startsWith(".tmp-") &&
+        !inUse.contains(st.getPath.toString) &&
+        !manifestFingerprint(fs, st.getPath, kind).exists(keep.contains)
+      if (drop) fs.delete(st.getPath, true)
       drop
-    } finally slots.close()
+    }
   }
 
-  def root(spark: SparkSession): Path = Paths.get(
+  def root(spark: SparkSession): String =
     spark.conf.getOption("spark.graft.index.root")
       .orElse(sys.env.get("GRAFT_INDEX_ROOT"))
-      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft-index-catalog"))
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft-index-catalog")
+
+  /** The root's OWN Hadoop filesystem plus its fully-qualified path —
+    * every catalog operation (manifest IO, stamping, rename, vacuum)
+    * AND every payload path handed to Spark goes through this one
+    * resolution, so the catalog and the engine can never split across
+    * filesystems (a scheme-less root on a cluster whose default FS is
+    * HDFS would otherwise have Spark writing parquet to HDFS while the
+    * driver stamped an empty local directory). Scheme-less roots
+    * resolve against the DEFAULT filesystem, and the returned entry
+    * paths are fully qualified (e.g. `file:/...`), which Spark reads
+    * back verbatim. Rename-based publish is atomic on local and HDFS
+    * roots; object stores without atomic rename (raw S3) need a
+    * rename-capable layer in front. */
+  private def rootFs(spark: SparkSession): (FileSystem, HPath) = {
+    val rp = new HPath(root(spark))
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, fs.makeQualified(rp))
+  }
 
   /** Content fingerprint of a DataFrame's source files: path + length +
     * mtime per input file, sorted — regenerated data at the same paths
@@ -118,17 +139,27 @@ object IndexCatalog {
   def contentFingerprint(df: DataFrame): String = {
     val files = df.inputFiles
     if (files.nonEmpty) {
-      val conf = df.sparkSession.sparkContext.hadoopConfiguration
-      files.sorted.map { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        val st = p.getFileSystem(conf).getFileStatus(p)
-        s"$f#${st.getLen}#${st.getModificationTime}"
-      }.mkString(",")
+      // memoized per sorted file LIST: q155/q186 fingerprint on every
+      // query call, and one getFileStatus per file per call is a real
+      // driver metadata-RPC cost on a many-file layout. Same staleness
+      // trade as the pre-catalog caches (files regenerated WITHIN one
+      // JVM are not re-detected); cleared by [[resetMemory]].
+      val key = files.sorted.mkString(",")
+      fpMemo.computeIfAbsent(key, { _ =>
+        val conf = df.sparkSession.sparkContext.hadoopConfiguration
+        files.sorted.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          s"$f#${st.getLen}#${st.getModificationTime}"
+        }.mkString(",")
+      })
     } else s"mem:${System.identityHashCode(df)}"
   }
 
-  private def slot(sparkRoot: Path, kind: String, fingerprint: String): Path =
-    sparkRoot.resolve(kind).resolve(sha16(fingerprint))
+  private val fpMemo = new ConcurrentHashMap[String, String]()
+
+  private def slot(sparkRoot: HPath, kind: String, fingerprint: String): HPath =
+    new HPath(new HPath(sparkRoot, kind), sha16(fingerprint))
 
   private def sha16(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -142,16 +173,16 @@ object IndexCatalog {
     * a reaper or partial copy DELETING or truncating files, which the
     * (path, size) set catches; defending against in-place bit flips is
     * parquet's checksum's job. */
-  private def payloadStamp(dir: Path): String = {
-    val s = Files.walk(dir)
-    val entries =
-      try s.toArray.toSeq.map(_.asInstanceOf[Path])
-        .filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString != "_graft_manifest.json")
-        .map(p => s"${dir.relativize(p)}#${Files.size(p)}")
-        .sorted
-      finally s.close()
-    s"${entries.size}:${sha16(entries.mkString(","))}"
+  private def payloadStamp(fs: FileSystem, dir: HPath): String = {
+    val it = fs.listFiles(dir, true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName != "_graft_manifest.json")
+        entries += s"${dir.toUri.relativize(f.getPath.toUri)}#${f.getLen}"
+    }
+    val sortedE = entries.sorted
+    s"${sortedE.size}:${sha16(sortedE.mkString(","))}"
   }
 
   private def esc(s: String) = s.flatMap {
@@ -165,10 +196,13 @@ object IndexCatalog {
     * `kind`, and the payload stamp still matches the directory — any
     * mismatch (reaped part-file, partial copy, foreign kind) reads as
     * "no entry here". */
-  private def manifestFingerprint(dir: Path, kind: String): Option[String] = {
-    val m = dir.resolve("_graft_manifest.json")
-    if (!Files.isRegularFile(m)) return None
-    val text = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+  private def manifestFingerprint(fs: FileSystem, dir: HPath, kind: String): Option[String] = {
+    val m = new HPath(dir, "_graft_manifest.json")
+    if (!fs.isFile(m)) return None
+    val in = fs.open(m)
+    val text =
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
     // the manifest is machine-written by manifestJson above; rebuild the
     // expected rendering from candidate fields instead of JSON-parsing
     val re = """\{"kind":"(.*)","fingerprint":"(.*)","payload":"(.*)"\}""".r
@@ -176,7 +210,7 @@ object IndexCatalog {
       case re(k, fp, pay) =>
         def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
         val (ku, fpu, payu) = (unesc(k), unesc(fp), unesc(pay))
-        if (ku == kind && payu == payloadStamp(dir)) Some(fpu) else None
+        if (ku == kind && payu == payloadStamp(fs, dir)) Some(fpu) else None
       case _ => None
     }
   }
@@ -192,33 +226,32 @@ object IndexCatalog {
         val p = graft.TempDirs.create(s"graft-$kind").toString
         build(p); builds.incrementAndGet(); p
       } else {
-        val dst = slot(root(spark), kind, fingerprint)
-        if (manifestFingerprint(dst, kind).contains(fingerprint)) {
+        val (fs, rp) = rootFs(spark)
+        val dst = slot(rp, kind, fingerprint)
+        if (manifestFingerprint(fs, dst, kind).contains(fingerprint)) {
           loads.incrementAndGet(); dst.toString
         } else {
-          if (Files.exists(dst)) // partial/reaped entry or hash collision
-            graft.TempDirs.deleteTree(dst)
-          Files.createDirectories(dst.getParent)
-          val tmp = Files.createTempDirectory(dst.getParent, ".tmp-")
+          if (fs.exists(dst)) // partial/reaped entry or hash collision
+            fs.delete(dst, true)
+          val tmp = new HPath(dst.getParent,
+            s".tmp-${java.util.UUID.randomUUID().toString.take(13)}")
+          fs.mkdirs(tmp)
           build(tmp.toString)
-          Files.write(tmp.resolve("_graft_manifest.json"),
-            manifestJson(kind, fingerprint, payloadStamp(tmp))
-              .getBytes(StandardCharsets.UTF_8))
-          try {
-            Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
-            builds.incrementAndGet()
-          } catch {
-            // lost a cross-process race: rename onto the winner's
-            // directory fails as EEXIST or (Linux rename(2) on a
-            // non-empty dir) ENOTEMPTY — keep the winner, drop ours
-            case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.nio.file.DirectoryNotEmptyException =>
-              graft.TempDirs.deleteTree(tmp)
-              if (!manifestFingerprint(dst, kind).contains(fingerprint))
-                sys.error(s"IndexCatalog: $dst exists with a foreign or " +
-                  "damaged manifest (fingerprint-hash collision?) — vacuum " +
-                  "the slot and retry")
-              loads.incrementAndGet()
+          val out = fs.create(new HPath(tmp, "_graft_manifest.json"))
+          try out.write(manifestJson(kind, fingerprint, payloadStamp(fs, tmp))
+            .getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          // Hadoop rename refuses an existing non-empty destination on
+          // both local and HDFS (returns false) — false = lost a
+          // cross-process race: keep the winner, drop ours
+          if (fs.rename(tmp, dst)) builds.incrementAndGet()
+          else {
+            fs.delete(tmp, true)
+            if (!manifestFingerprint(fs, dst, kind).contains(fingerprint))
+              sys.error(s"IndexCatalog: $dst exists with a foreign or " +
+                "damaged manifest (fingerprint-hash collision?) — vacuum " +
+                "the slot and retry")
+            loads.incrementAndGet()
           }
           dst.toString
         }

@@ -1308,9 +1308,10 @@ class ExtSpec extends SparkSpec {
   test("q155 incremental ivf: delta assignment only; stored base index byte-untouched") {
     val first = Similarity.incrementalIvf(emb).collect().map(_.toSeq).toSeq
     // the stored index must exist on disk now; snapshot its files
-    val idx = Similarity.ivfIndexPathForTest(emb)
+    val idx = java.nio.file.Paths.get(
+      java.net.URI.create(Similarity.ivfIndexPathForTest(emb)))
     def snap = {
-      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      val s = java.nio.file.Files.walk(idx)
       try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
         .filter(java.nio.file.Files.isRegularFile(_))
         .map(f => (f.toString, java.nio.file.Files.size(f),
@@ -1771,7 +1772,8 @@ class ExtSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture delta participates in near-dup pairs (non-vacuous)")
     // the stored base index is read, never rewritten, across repeat ingests
     val key = Dedup.lshIndexKey(docs)
-    val idx = java.nio.file.Path.of(Dedup.lshIndexPathForTest(key))
+    val idx = java.nio.file.Paths.get(
+      java.net.URI.create(Dedup.lshIndexPathForTest(key)))
     def mtimes = {
       val s = java.nio.file.Files.walk(idx)
       try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
@@ -2472,6 +2474,21 @@ class ExtSpec extends SparkSpec {
       Curation.ConformalAlphaDen, 1L).toInt
     assert(r.forall(_.getAs[Long]("threshold_bp") == calibScores(rank - 1)),
       s"threshold must be the $rank-th smallest of $n calibration scores")
+    // both degenerate calibrations fail LOUDLY, never clamp or NULL out:
+    // too small for alpha (floor(alpha*(n+1)) = 0) and entirely empty
+    import spark.implicits._
+    // n = 8 calibration docs: floor(alpha*(n+1)) = floor(9/10) = 0
+    val tiny = (1L to 8L).map(i => (i * Curation.ConformalCalibMod,
+      "s", "the a of and is filler")).toDF("doc_id", "source", "text")
+      .union(Seq((1L, "s", "apply side doc")).toDF("doc_id", "source", "text"))
+    val eSmall = intercept[Exception] { Curation.conformalGate(tiny).collect() }
+    assert(eSmall.getMessage.contains("too small"),
+      s"small-n must raise the alpha guard, got: ${eSmall.getMessage}")
+    val noCalib = Seq((1L, "s", "a"), (2L, "s", "b"), (3L, "s", "c"))
+      .toDF("doc_id", "source", "text")
+    val eEmpty = intercept[Exception] { Curation.conformalGate(noCalib).collect() }
+    assert(eEmpty.getMessage.contains("empty calibration"),
+      s"empty calibration must raise, got: ${eEmpty.getMessage}")
   }
 
   test("q228 hist quantiles: every estimate brackets the exact quantile within 2x") {

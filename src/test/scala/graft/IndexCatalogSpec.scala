@@ -13,6 +13,11 @@ import graft.sources.{IndexCatalog, TokenIndex}
   * place; the build/load counters then prove which path ran. */
 class IndexCatalogSpec extends SparkSpec {
 
+  /** Catalog entry paths are fully-qualified Hadoop URIs (file:/...);
+    * java.nio needs them parsed as URIs, not as path strings. */
+  private def localPath(entry: String): java.nio.file.Path =
+    java.nio.file.Paths.get(java.net.URI.create(entry))
+
   /** Isolated catalog root per test run: prior sbt runs must not
     * pre-seed the entries these assertions count. */
   private def withFreshRoot[A](body: => A): A = {
@@ -37,7 +42,7 @@ class IndexCatalogSpec extends SparkSpec {
       assert(IndexCatalog.builds.get() == b0 + 1,
         "first ingest against a fresh root must BUILD the band index")
       val key = Dedup.lshIndexKey(docs)
-      val path = java.nio.file.Path.of(Dedup.lshIndexPathForTest(key))
+      val path = localPath(Dedup.lshIndexPathForTest(key))
       assert(java.nio.file.Files.isRegularFile(
         path.resolve("_graft_manifest.json")),
         "catalog entry carries its manifest")
@@ -136,7 +141,7 @@ class IndexCatalogSpec extends SparkSpec {
       // survives both by keep-set and by in-JVM-use protection
       assert(IndexCatalog.vacuum(spark, "spec-kind-v1", Set(fp2)) == 1,
         "exactly the orphaned slot is vacuumed")
-      assert(!java.nio.file.Files.exists(java.nio.file.Path.of(e1)),
+      assert(!java.nio.file.Files.exists(localPath(e1)),
         "the stale slot is gone")
       assert(spark.read.parquet(s"$e2/data").as[Long].head() == 2L,
         "the kept slot still loads")
@@ -159,7 +164,7 @@ class IndexCatalogSpec extends SparkSpec {
       // the age-based /tmp reaper shape: one part-file gone, manifest
       // (recently re-read, atime fresh) survives
       IndexCatalog.resetMemory()
-      val walk = java.nio.file.Files.walk(java.nio.file.Path.of(e1))
+      val walk = java.nio.file.Files.walk(localPath(e1))
       val part =
         try walk.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
           .filter(p => java.nio.file.Files.isRegularFile(p) &&
