@@ -54,10 +54,11 @@ object EventsStreaming {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val staged = Files.createTempDirectory("graft-events-stream")
-    staged.toFile.deleteOnExit()
+    val staged = graft.TempDirs.create("graft-events-stream")
+    // absolute target: a RELATIVE symlink target resolves against the
+    // LINK's directory, so a relative `dir` would dangle under /tmp
     Files.createSymbolicLink(staged.resolve("events.parquet"),
-      StreamingGate.canonicalEventsFile(spark, dir))
+      StreamingGate.canonicalEventsFile(spark, dir).toAbsolutePath)
     spark.readStream
       .schema(rawSchema)
       .parquet(staged.toString)

@@ -27,7 +27,8 @@ case class BandLink(doc_id: Long, band: Int, partner: Option[Long])
   * horizon's worth of windows sitting in state forever (correct
   * streaming semantics — those windows are still "open"). To close them
   * deterministically the staged source directory gets ONE far-future
-  * sentinel event (+1 day, ids = -1): processing it advances the
+  * sentinel event (+2 days, ids = -1 — see [[writeSentinel]] for why
+  * two): processing it advances the
   * watermark past every real window, the engine's no-data finalization
   * batch (`spark.sql.streaming.noDataMicroBatches.enabled`, on by
   * default) flushes them to the sink, and the sentinel's own window —
@@ -74,11 +75,47 @@ object StreamingGate {
             col("event_type"), col("value"), col("props"))
         val tmp = graft.TempDirs.create("graft-events-canon")
         canon.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp)
-          .filter(_.toString.endsWith(".parquet")).findFirst.get
-        part
+        onlyPartFile(tmp)
       }
     })
+
+  /** The single .parquet part file of `dir`, with the directory stream
+    * CLOSED — Files.list leaks an open directory fd per call otherwise
+    * (the javadoc requires try-with-resources), and the per-delivery
+    * sites run on every bench rep of a long-lived JVM. */
+  private def onlyPartFile(dir: Path): Path = {
+    val st = Files.list(dir)
+    try st.filter(_.toString.endsWith(".parquet")).findFirst.get
+    finally st.close()
+  }
+
+  /** One-file parquet staging: write `df` as a single part, move it to
+    * `dst`, pin the mtime (the replay-order lever every gate plays).
+    * ONE definition for the staging sites that used to copy-paste the
+    * write/find/move/set-mtime sequence. */
+  private def writeSingleParquet(df: DataFrame, dst: Path, mtimeMs: Long): Unit = {
+    val tmp = graft.TempDirs.create("graft-stage-part")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    Files.move(onlyPartFile(tmp), dst, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeMs))
+  }
+
+  /** Stage the watermark sentinel as the NEWEST file: ts = fixture max
+    * + 2 days. TWO days, not one: q122's 1-day windows need
+    * sentinel_ts − 30 min ≥ ceil-to-midnight(max), and a fixture max
+    * falling < 30 min after a UTC midnight would make the +1-day margin
+    * negative — the final day's registers would silently never flush
+    * (append emission waits on the watermark passing the window END).
+    * +2 days keeps the margin ≥ 23.5 h for EVERY fixture; the
+    * sentinel's own windows still never emit because the watermark
+    * trails the sentinel's own timestamp by construction. */
+  private def writeSentinel(spark: SparkSession, staged: Path, maxNs: Long): Unit =
+    writeSingleParquet(
+      spark.createDataFrame(
+        java.util.Arrays.asList(
+          Row(-1L, maxNs + 2L * 86400L * 1000000000L, -1L, "sentinel", 0.0, null)),
+        EventsStreaming.rawSchema),
+      staged.resolve("99-sentinel.parquet"), System.currentTimeMillis())
 
   /** Copy the events fixture (`copies` identical files — the dedup gate
     * stages it twice to manufacture a duplicated arrival) + write the
@@ -89,8 +126,10 @@ object StreamingGate {
   private def buildStagedDir(spark: SparkSession, dir: String,
                              copies: Int): Path = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val staged = Files.createTempDirectory("graft-stream-gate")
-    staged.toFile.deleteOnExit()
+    // TempDirs, not deleteOnExit: File.deleteOnExit is a silent no-op
+    // on non-empty directories, so these fixture copies would strand in
+    // /tmp; TempDirs' shutdown hook deletes recursively
+    val staged = graft.TempDirs.create("graft-stream-gate")
     val fixture = staged.resolve("00-events.parquet")
     for (c <- 0 until copies) {
       val f = staged.resolve(f"$c%02d-events.parquet")
@@ -107,17 +146,7 @@ object StreamingGate {
     // empty fixture: any sentinel time works (there are no real
     // windows to finalize) — use epoch rather than NPE on the null max
     val maxNs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    val sentinel = spark.createDataFrame(
-      java.util.Arrays.asList(
-        Row(-1L, maxNs + 86400L * 1000000000L, -1L, "sentinel", 0.0, null)),
-      EventsStreaming.rawSchema)
-    val outTmp = Files.createTempDirectory("graft-stream-sentinel")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(outTmp.toString)
-    val part = Files.list(outTmp).filter(_.toString.endsWith(".parquet"))
-      .findFirst.get
-    val dst = staged.resolve("99-sentinel.parquet")
-    Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-    Files.setLastModifiedTime(dst, FileTime.fromMillis(System.currentTimeMillis()))
+    writeSentinel(spark, staged, maxNs)
     staged
   }
 
@@ -167,8 +196,7 @@ object StreamingGate {
                           sinkMode: String = "append"): DataFrame = {
     val staged = stageWithSentinel(spark, dir, copies)
     val name = s"graft_stream_gate_${runCounter.incrementAndGet()}"
-    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
-    ckpt.toFile.deleteOnExit()
+    val ckpt = graft.TempDirs.create("graft-stream-ckpt")
     // Stateful streaming cost scales with the state-partition count
     // (one store instance per shuffle partition per batch) far more
     // than with this replay's data volume — run the gate at 8 state
@@ -583,8 +611,7 @@ object StreamingGate {
   def ttlProbeMaxCount(spark: SparkSession, dir: String): Map[Long, Long] =
     withRocksDb(spark) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val staged = Files.createTempDirectory("graft-ttl-probe")
-      staged.toFile.deleteOnExit()
+      val staged = graft.TempDirs.create("graft-ttl-probe")
       Files.copy(canonicalEventsFile(spark, dir),
         staged.resolve("00-events.parquet"), StandardCopyOption.REPLACE_EXISTING)
       val s = spark
@@ -646,10 +673,9 @@ object StreamingGate {
     * either way the identity oracle's hash fails. */
   def q82StreamRestart(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = Files.createTempDirectory("graft-restart-src")
-    val sink = Files.createTempDirectory("graft-restart-sink").resolve("out")
-    val ckpt = Files.createTempDirectory("graft-restart-ckpt")
-    Seq(src, ckpt).foreach(_.toFile.deleteOnExit())
+    val src = graft.TempDirs.create("graft-restart-src")
+    val sink = graft.TempDirs.create("graft-restart-sink").resolve("out")
+    val ckpt = graft.TempDirs.create("graft-restart-ckpt")
     def deliver(name: String): Unit = {
       val f = src.resolve(name)
       Files.copy(canonicalEventsFile(spark, dir), f,
@@ -705,22 +731,15 @@ object StreamingGate {
     * oracle is one copy of the full projected relation. */
   def q165IncrementalIngest(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = Files.createTempDirectory("graft-incr-src")
-    val sink = Files.createTempDirectory("graft-incr-sink").resolve("out")
-    val ckpt = Files.createTempDirectory("graft-incr-ckpt")
-    Seq(src, ckpt).foreach(_.toFile.deleteOnExit())
+    val src = graft.TempDirs.create("graft-incr-src")
+    val sink = graft.TempDirs.create("graft-incr-sink").resolve("out")
+    val ckpt = graft.TempDirs.create("graft-incr-ckpt")
     val raw = spark.read.schema(EventsStreaming.rawSchema)
       .parquet(canonicalEventsFile(spark, dir).toString)
     def deliverHalf(parity: Int, name: String): Long = {
-      val tmp = Files.createTempDirectory("graft-incr-half")
       val half = raw.filter(col("event_id") % 2 === parity)
       val n = half.count()
-      half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst.get
-      Files.move(part, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(src.resolve(name),
-        FileTime.fromMillis(System.currentTimeMillis()))
+      writeSingleParquet(half, src.resolve(name), System.currentTimeMillis())
       n
     }
     def runOnce(): Long = {
@@ -801,9 +820,8 @@ object StreamingGate {
 
   def q98StreamUpsertSink(spark: SparkSession, dir: String): DataFrame = {
     val staged = stageWithSentinel(spark, dir, copies = 2)
-    val root = Files.createTempDirectory("graft-upsert-snap")
-    val ckpt = Files.createTempDirectory("graft-upsert-ckpt")
-    Seq(root, ckpt).foreach(_.toFile.deleteOnExit())
+    val root = graft.TempDirs.create("graft-upsert-snap")
+    val ckpt = graft.TempDirs.create("graft-upsert-ckpt")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     def snapBefore(id: Long): Option[String] = latestSnapshotBefore(root, id)
@@ -866,33 +884,14 @@ object StreamingGate {
       val (mnNs, mxNs) =
         if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
       val midNs = mnNs + (mxNs - mnNs) / 2
-      val staged = Files.createTempDirectory("graft-events-timesplit")
-      staged.toFile.deleteOnExit()
+      val staged = graft.TempDirs.create("graft-events-timesplit")
       Seq(("00-events.parquet", col("ts") <= midNs, 120000L),
           ("01-events.parquet", col("ts") > midNs, 60000L))
         .foreach { case (name, pred, ageMs) =>
-          val tmp = Files.createTempDirectory("graft-events-half")
-          raw.filter(pred).coalesce(1).write.mode("overwrite")
-            .parquet(tmp.toString)
-          val part = Files.list(tmp)
-            .filter(_.toString.endsWith(".parquet")).findFirst.get
-          val dst = staged.resolve(name)
-          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-          Files.setLastModifiedTime(dst,
-            FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+          writeSingleParquet(raw.filter(pred), staged.resolve(name),
+            System.currentTimeMillis() - ageMs)
         }
-      val sentinel = spark.createDataFrame(
-        java.util.Arrays.asList(
-          Row(-1L, mxNs + 86400L * 1000000000L, -1L, "sentinel", 0.0, null)),
-        EventsStreaming.rawSchema)
-      val outTmp = Files.createTempDirectory("graft-stream-sentinel")
-      sentinel.coalesce(1).write.mode("overwrite").parquet(outTmp.toString)
-      val part = Files.list(outTmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst.get
-      val dst = staged.resolve("99-sentinel.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst,
-        FileTime.fromMillis(System.currentTimeMillis()))
+      writeSentinel(spark, staged, mxNs)
       staged
     })
 
@@ -909,8 +908,7 @@ object StreamingGate {
   def q135StreamScd2(spark: SparkSession, dir: String): DataFrame = {
     val staged = stageEventsTimeSplit(spark, dir)
     val name = s"graft_stream_gate_${runCounter.incrementAndGet()}"
-    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
-    ckpt.toFile.deleteOnExit()
+    val ckpt = graft.TempDirs.create("graft-stream-ckpt")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
@@ -945,20 +943,12 @@ object StreamingGate {
     docsStagedCache.computeIfAbsent(dir, { _ =>
       val docs = graft.Tables.documents(spark, dir)
       val half = docs.count() / 2
-      val staged = Files.createTempDirectory("graft-docs-stage")
-      staged.toFile.deleteOnExit()
+      val staged = graft.TempDirs.create("graft-docs-stage")
       Seq(("00-docs.parquet", col("doc_id") < half, 120000L),
           ("01-docs.parquet", col("doc_id") >= half, 60000L))
         .foreach { case (name, pred, ageMs) =>
-          val tmp = Files.createTempDirectory("graft-docs-half")
-          docs.filter(pred).coalesce(1).write.mode("overwrite")
-            .parquet(tmp.toString)
-          val part = Files.list(tmp)
-            .filter(_.toString.endsWith(".parquet")).findFirst.get
-          val dst = staged.resolve(name)
-          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-          Files.setLastModifiedTime(dst,
-            FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+          writeSingleParquet(docs.filter(pred), staged.resolve(name),
+            System.currentTimeMillis() - ageMs)
         }
       staged
     })
@@ -988,8 +978,7 @@ object StreamingGate {
     val staged = stageDocuments(spark, dir)
     val schema = graft.Tables.documents(spark, dir).schema
     val name = s"graft_stream_gate_${runCounter.incrementAndGet()}"
-    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
-    ckpt.toFile.deleteOnExit()
+    val ckpt = graft.TempDirs.create("graft-stream-ckpt")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
@@ -1116,40 +1105,40 @@ object StreamingGate {
     * arrival-partitioned object-store prefix and tunes the cadence. */
   def q214StreamProcTime(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = Files.createTempDirectory("graft-proctime-src")
-    val ckpt = Files.createTempDirectory("graft-proctime-ckpt")
-    Seq(src, ckpt).foreach(_.toFile.deleteOnExit())
+    val src = graft.TempDirs.create("graft-proctime-src")
+    val ckpt = graft.TempDirs.create("graft-proctime-ckpt")
     val all = spark.read.schema(EventsStreaming.rawSchema)
       .parquet(canonicalEventsFile(spark, dir).toString)
     val third = pmod(col("event_id"), lit(3))
     val thirdCounts = all.groupBy(third.as("t")).count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def deliver(i: Int): Unit = {
-      val tmp = Files.createTempDirectory("graft-proctime-part")
-      all.filter(third === i).coalesce(1)
-        .write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst.get
-      val dst = src.resolve(f"$i%02d-events.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst,
-        FileTime.fromMillis(System.currentTimeMillis()))
-    }
+    def deliver(i: Int): Unit =
+      writeSingleParquet(all.filter(third === i),
+        src.resolve(f"$i%02d-events.parquet"), System.currentTimeMillis())
     val name = s"graft_stream_gate_${runCounter.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    deliver(0)
-    val q = spark.readStream.schema(EventsStreaming.rawSchema)
-      .option("latestFirst", false)
-      .parquet(src.toString)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"),
-        sum(round(col("value") * 100).cast("long")).as("value_cents"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.ProcessingTime("400 milliseconds"))
-      .start()
+    // the conf-restoring try opens BEFORE the first delivery write and
+    // the query start — either failing must not leak partitions=8 into
+    // the rest of the session (every other gate sets the conf directly
+    // before its try; this gate does real work in between)
+    val q =
+      try {
+        deliver(0)
+        spark.readStream.schema(EventsStreaming.rawSchema)
+          .option("latestFirst", false)
+          .parquet(src.toString)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("value_cents"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.ProcessingTime("400 milliseconds"))
+          .start()
+      } catch { case e: Throwable =>
+        spark.conf.set("spark.sql.shuffle.partitions", prev); throw e
+      }
     def sinkTotal(): Long = {
       val r = spark.table(name).agg(sum("n_events")).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
