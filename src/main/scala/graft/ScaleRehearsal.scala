@@ -246,6 +246,9 @@ object ScaleRehearsal {
     * metrics, the round-3 lesson). */
   private def dropMetrics(spark: SparkSession, dir: String,
                           withEmbeddings: Boolean = true): Map[String, Long] = {
+    // restore whatever was set BEFORE the block, not a hardcoded value —
+    // a session that had AQE disabled must not leave with it re-enabled
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val docs = Tables.documents(spark, dir)
@@ -291,7 +294,7 @@ object ScaleRehearsal {
       require(drops.values.exists(_ > 0),
         s"skew caps never engaged on the skewed fixture: $drops")
       drops
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   def main(args: Array[String]): Unit = {
@@ -423,6 +426,7 @@ object ScaleRehearsal {
     // AQE off (mid-plan metrics, round-3 lesson), so the base point
     // runs AQE-off too — otherwise the ratio conflates data scale with
     // a planner-config change
+    val prevAqe188 = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val (q188BaseSec, q188X10Sec, q188Cands, q188Pairs, q188N) =
       try {
@@ -436,7 +440,7 @@ object ScaleRehearsal {
         val sec = (System.nanoTime() - t0) / 1e9
         (baseSec, sec, oCand.get("candidates").asInstanceOf[Long], nPairs,
           docs10p.count())
-      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe188)
     // sanity floor, not the measurement: the dup-saturated synthetic
     // fixture (10 near-copies per doc + 30% boilerplate) is close to a
     // worst case for candidate generation, and the measured ratio —

@@ -1564,11 +1564,10 @@ object Dedup {
 
   /** Content fingerprint keying the stored index — delegated to the
     * persistent [[graft.sources.IndexCatalog]] (path + length + mtime
-    * per input file, so a dataset REGENERATED at the same paths gets a
-    * fresh index instead of silently probing a stale one; in-memory
-    * frames fall back to a session identity — rebuild fixtures around
-    * [[graft.sources.IndexCatalog.resetMemory]] so a recycled identity
-    * hash can never alias a prior frame's entry). */
+    * per input file, re-statted every call, so a dataset REGENERATED at
+    * the same paths gets a fresh index instead of silently probing a
+    * stale one — even within a single JVM; in-memory frames fall back
+    * to a monotonic per-frame session identity that is never recycled). */
   private[graft] def lshIndexKey(docs: DataFrame): String =
     graft.sources.IndexCatalog.contentFingerprint(docs)
 

@@ -15,41 +15,56 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `ConcurrentHashMap` in front of a [[graft.TempDirs]] tree that a
   * shutdown hook deletes) throws the whole economy of incremental
   * maintenance away. The catalog makes the stored index a real TABLE: a
-  * content fingerprint of the source data keys a parquet directory
-  * under a durable root, a tiny manifest records which fingerprint the
-  * payload was built from, and a fresh session LOADS on manifest hit
-  * instead of rebuilding.
+  * content fingerprint of the source data keys the entry, a tiny
+  * manifest records which fingerprint the payload was built from, and a
+  * fresh session LOADS on manifest hit instead of rebuilding.
   *
-  * Layout (one entry):
+  * Layout (one entry — the OBJECT-STORE-SAFE shape):
   * {{{
-  *   <root>/<kind>/<sha256(fingerprint).take(16)>/
-  *     _graft_manifest.json   // {"kind", "fingerprint", "payload"}
+  *   <root>/<kind>/<sha16(fingerprint)>.manifest.json   // commit point
+  *   <root>/<kind>/<sha16(fingerprint)>-<nonce>/        // immutable payload
   *     ... payload parquet (builder-defined; may be subdirs) ...
   * }}}
-  * The `_`-prefixed manifest name keeps Spark's parquet reader from
-  * treating it as data (the `_SUCCESS` convention). The manifest's
-  * `payload` field is a stamp of the payload file set (count, total
-  * bytes, sha-256 of the sorted relative-path#size list): a load
+  * The payload directory is NONCE-NAMED and immutable: nothing
+  * references it until the manifest names it, so a half-built payload
+  * is invisible by construction — no directory rename, no window where
+  * a reader can list a partially-copied tree. The commit point is the
+  * single manifest FILE: written complete to a `.tmp-` sibling and
+  * moved into place with a single-file rename (atomic on local/HDFS;
+  * on object-store connectors a single-file "rename" is a server-side
+  * full-object copy, so the manifest still appears complete-or-absent —
+  * the property directory rename does NOT have there, which is why the
+  * round-10 dir-rename protocol was replaced). A reader that somehow
+  * observes a torn manifest (no real filesystem shows one, but the
+  * non-atomic-rename shim in IndexCatalogSpec simulates it) fails the
+  * parse or the stamp check and treats the slot as "no entry" —
+  * fail-safe in every world.
+  *
+  * The manifest's `stamp` field is a stamp of the payload file set
+  * (count + sha-256 of the sorted relative-path#size list): a load
   * re-stamps the directory and treats ANY mismatch as no-entry —
   * without it, an age-based /tmp reaper that deletes part-files but
   * leaves the (recently re-read) manifest would hand a fresh session a
-  * silently truncated index.
+  * silently truncated index. All manifest values are base64-encoded, so
+  * decoding is the exact inverse of encoding for EVERY fingerprint
+  * (backslash-laden Windows paths and exotic URIs included — the
+  * round-10 escape/unescape pair was not an inverse for those, and such
+  * entries rebuilt on every fresh session).
   *
-  * Publish protocol: build into a `.tmp-` sibling, write the manifest
-  * LAST, then atomically rename into place — a reader can never see a
-  * half-built index (no manifest ⇒ no entry), and a lost cross-process
-  * race (the rename fails because the winner's directory is already
-  * there) deletes its own tmp tree and loads the winner after verifying
-  * its manifest. Stale entries are never probed: a REGENERATED source
-  * changes (length, mtime) per input file, so its fingerprint — and
-  * therefore its catalog slot — moves; orphaned slots are storage
-  * garbage for [[vacuum]] (the q142 discipline), never a correctness
-  * hazard.
+  * Race arbitration: rename-to-existing fails on Hadoop filesystems, so
+  * a lost cross-process publish race deletes its own payload + tmp
+  * manifest and loads the winner after verifying it. Stale entries are
+  * never probed: a REGENERATED source changes (length, mtime) per input
+  * file, so its fingerprint — and therefore its manifest slot — moves;
+  * orphaned payloads (crashed builders, lost races, retired entries)
+  * are storage garbage for [[vacuum]] (the q142 discipline), never a
+  * correctness hazard.
   *
-  * In-memory fixtures (no input files) get a `mem:`-prefixed identity
-  * fingerprint — those are NEVER persisted (an identity hash outlives
-  * its meaning at JVM exit); they build into a [[graft.TempDirs]] tree
-  * exactly as before and are dropped by [[resetMemory]].
+  * In-memory fixtures (no input files) get a `mem:`-prefixed
+  * fingerprint from a MONOTONIC per-frame id (a weak identity map, so
+  * an id is never recycled after GC the way an identityHashCode can
+  * be) — those are NEVER persisted; they build into a [[graft.TempDirs]]
+  * tree exactly as before and are dropped by [[resetMemory]].
   *
   * Root resolution: `spark.graft.index.root` conf, else the
   * `GRAFT_INDEX_ROOT` env, else `${java.io.tmpdir}/graft-index-catalog`
@@ -73,39 +88,72 @@ object IndexCatalog {
 
   /** Drop every in-memory memo entry (on-disk entries untouched) —
     * the "fresh JVM" simulation hook. */
-  def resetMemory(): Unit = { memo.clear(); fpMemo.clear() }
+  def resetMemory(): Unit = memo.clear()
 
   /** Test hook: the memoized payload path for (kind, fingerprint),
     * null if this JVM has not resolved it. */
   private[graft] def pathForTest(kind: String, fingerprint: String): String =
     memo.get(s"$kind#$fingerprint")
 
+  /** Test hook: where (kind, fingerprint)'s manifest file lives. */
+  private[graft] def manifestPathForTest(spark: SparkSession, kind: String,
+                                         fingerprint: String): String = {
+    val (_, rp) = rootFs(spark)
+    manifestPath(rp, kind, fingerprint).toString
+  }
+
   /** Maintenance: drop every on-disk entry of `kind` whose fingerprint
-    * is not in `keep` — the vacuum op for slots orphaned by source
+    * is not in `keep`, plus any UNREFERENCED leftovers (crashed-builder
+    * payload dirs, lost-race tmp manifests, damaged manifests) older
+    * than `orphanAgeMs` — the vacuum op for slots orphaned by source
     * regeneration (a regenerated dataset moves its fingerprint, so the
     * old slot is unreachable garbage; nothing ever probes it, this just
-    * reclaims the storage). Returns the number of entries removed.
+    * reclaims the storage). Returns the number of items removed.
     * Production runs this from the same maintenance window as table
     * compaction (the q142 discipline); entries currently memoized by
-    * this JVM are never vacuumed even if absent from `keep`. */
-  def vacuum(spark: SparkSession, kind: String, keep: Set[String]): Int = {
+    * this JVM are never vacuumed even if absent from `keep`, and the
+    * age threshold keeps an IN-FLIGHT build's not-yet-referenced
+    * payload safe (its files are seconds old; the default is a day). */
+  def vacuum(spark: SparkSession, kind: String, keep: Set[String],
+             orphanAgeMs: Long = 24L * 3600 * 1000): Int = {
     val (fs, rp) = rootFs(spark)
-    val kindDir = new HPath(rp, kind)
-    if (!fs.exists(kindDir)) return 0
+    val kd = kindDir(rp, kind)
+    if (!fs.exists(kd)) return 0
     val inUse = {
       import scala.jdk.CollectionConverters._
       memo.values.asScala.toSet
     }
-    fs.listStatus(kindDir).count { st =>
-      val drop = st.isDirectory &&
-        // a concurrent getOrBuild's in-flight build dir has no manifest
-        // YET — deleting it would crash the builder mid-write
-        !st.getPath.getName.startsWith(".tmp-") &&
-        !inUse.contains(st.getPath.toString) &&
-        !manifestFingerprint(fs, st.getPath, kind).exists(keep.contains)
-      if (drop) fs.delete(st.getPath, true)
-      drop
+    var removed = 0
+    // pass 1: manifests — retire unkept entries (manifest FIRST, so no
+    // new reader can acquire the dying payload), keep note of every
+    // payload a surviving manifest references
+    val referenced = scala.collection.mutable.Set.empty[String]
+    for (st <- fs.listStatus(kd)
+         if st.isFile && st.getPath.getName.endsWith(".manifest.json")) {
+      verifiedEntry(fs, rp, kind, st.getPath) match {
+        case Some((fp, payload))
+            if keep.contains(fp) || inUse.contains(payload.toString) =>
+          referenced += payload.getName
+        case Some((_, payload)) =>
+          fs.delete(st.getPath, false)
+          fs.delete(payload, true)
+          removed += 1
+        case None => // damaged/stale manifest; its payload ages out below
+          fs.delete(st.getPath, false)
+          removed += 1
+      }
     }
+    // pass 2: unreferenced leftovers past the age threshold
+    val now = System.currentTimeMillis()
+    for (st <- fs.listStatus(kd)
+         if !st.getPath.getName.endsWith(".manifest.json") &&
+           !referenced.contains(st.getPath.getName) &&
+           !inUse.contains(st.getPath.toString) &&
+           now - st.getModificationTime >= orphanAgeMs) {
+      fs.delete(st.getPath, true)
+      removed += 1
+    }
+    removed
   }
 
   def root(spark: SparkSession): String =
@@ -114,17 +162,15 @@ object IndexCatalog {
       .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft-index-catalog")
 
   /** The root's OWN Hadoop filesystem plus its fully-qualified path —
-    * every catalog operation (manifest IO, stamping, rename, vacuum)
-    * AND every payload path handed to Spark goes through this one
-    * resolution, so the catalog and the engine can never split across
-    * filesystems (a scheme-less root on a cluster whose default FS is
-    * HDFS would otherwise have Spark writing parquet to HDFS while the
-    * driver stamped an empty local directory). Scheme-less roots
-    * resolve against the DEFAULT filesystem, and the returned entry
-    * paths are fully qualified (e.g. `file:/...`), which Spark reads
-    * back verbatim. Rename-based publish is atomic on local and HDFS
-    * roots; object stores without atomic rename (raw S3) need a
-    * rename-capable layer in front. */
+    * every catalog operation (manifest IO, stamping, vacuum) AND every
+    * payload path handed to Spark goes through this one resolution, so
+    * the catalog and the engine can never split across filesystems (a
+    * scheme-less root on a cluster whose default FS is HDFS would
+    * otherwise have Spark writing parquet to HDFS while the driver
+    * stamped an empty local directory). Scheme-less roots resolve
+    * against the DEFAULT filesystem, and the returned entry paths are
+    * fully qualified (e.g. `file:/...`), which Spark reads back
+    * verbatim. */
   private def rootFs(spark: SparkSession): (FileSystem, HPath) = {
     val rp = new HPath(root(spark))
     val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -134,32 +180,54 @@ object IndexCatalog {
   /** Content fingerprint of a DataFrame's source files: path + length +
     * mtime per input file, sorted — regenerated data at the same paths
     * moves the fingerprint instead of silently aliasing a stale index.
-    * Frames with no files (in-memory fixtures) get a session identity
-    * key, marked `mem:` so [[getOrBuild]] knows not to persist it. */
+    * Re-stats on EVERY call (data regenerated in place at the same file
+    * names — external writers; Spark's own overwrite randomizes part
+    * names, but nothing guarantees every writer does — must move the
+    * fingerprint WITHIN a JVM too; the round-10 per-file-list memo did
+    * not re-detect that, the round-11 ADVICE regression). The re-stat
+    * is batched to one `listStatus` per parent DIRECTORY per call, so a
+    * many-file layout pays directory-count metadata RPCs, not
+    * file-count. Frames with no files (in-memory fixtures) get a
+    * monotonic per-frame identity key, marked `mem:` so [[getOrBuild]]
+    * knows not to persist it. */
   def contentFingerprint(df: DataFrame): String = {
     val files = df.inputFiles
-    if (files.nonEmpty) {
-      // memoized per sorted file LIST: q155/q186 fingerprint on every
-      // query call, and one getFileStatus per file per call is a real
-      // driver metadata-RPC cost on a many-file layout. Same staleness
-      // trade as the pre-catalog caches (files regenerated WITHIN one
-      // JVM are not re-detected); cleared by [[resetMemory]].
-      val key = files.sorted.mkString(",")
-      fpMemo.computeIfAbsent(key, { _ =>
-        val conf = df.sparkSession.sparkContext.hadoopConfiguration
-        files.sorted.map { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          val st = p.getFileSystem(conf).getFileStatus(p)
-          s"$f#${st.getLen}#${st.getModificationTime}"
-        }.mkString(",")
+    if (files.isEmpty)
+      return s"mem:${memIds.computeIfAbsent(df, _ => memIdGen.incrementAndGet())}"
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val sorted = files.sorted
+    val byParent: Map[HPath, Map[String, (Long, Long)]] =
+      sorted.iterator.map(f => new HPath(f).getParent).distinct.map { parent =>
+        parent -> parent.getFileSystem(conf).listStatus(parent).iterator
+          .map(st => st.getPath.getName ->
+            (st.getLen, st.getModificationTime)).toMap
+      }.toMap
+    sorted.map { f =>
+      val p = new HPath(f)
+      val (len, mtime) = byParent(p.getParent).getOrElse(p.getName, {
+        // name absent from the batch listing (deleted mid-call, or a
+        // listing-vs-inputFiles qualification quirk): a direct stat
+        // either answers or throws the honest FileNotFoundException
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        (st.getLen, st.getModificationTime)
       })
-    } else s"mem:${System.identityHashCode(df)}"
+      s"$f#$len#$mtime"
+    }.mkString(",")
   }
 
-  private val fpMemo = new ConcurrentHashMap[String, String]()
+  /** Monotonic ids for file-less in-memory frames: a weak identity map
+    * (a GC'd frame's id is simply never handed out again) instead of
+    * `System.identityHashCode`, whose value a NEW frame can legally
+    * reuse after the old one is collected — which would alias the new
+    * frame onto the old frame's catalog entry. */
+  private val memIdGen = new AtomicLong(0L)
+  private val memIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, java.lang.Long]())
 
-  private def slot(sparkRoot: HPath, kind: String, fingerprint: String): HPath =
-    new HPath(new HPath(sparkRoot, kind), sha16(fingerprint))
+  private def kindDir(rootP: HPath, kind: String): HPath = new HPath(rootP, kind)
+
+  private def manifestPath(rootP: HPath, kind: String, fingerprint: String): HPath =
+    new HPath(kindDir(rootP, kind), s"${sha16(fingerprint)}.manifest.json")
 
   private def sha16(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -167,52 +235,95 @@ object IndexCatalog {
       .map("%02x".format(_)).mkString.take(16)
   }
 
-  /** Stamp of a payload directory: count, total bytes, and sha-256 of
-    * the sorted relative-path#size list of every regular file except
-    * the manifest itself. Size-based (no content hash) — the threat is
-    * a reaper or partial copy DELETING or truncating files, which the
-    * (path, size) set catches; defending against in-place bit flips is
-    * parquet's checksum's job. */
+  private def nonce(): String = java.util.UUID.randomUUID().toString.take(13)
+
+  /** Stamp of a payload directory: count and sha-256 of the sorted
+    * relative-path#size list of every regular file. Size-based (no
+    * content hash) — the threat is a reaper or partial copy DELETING or
+    * truncating files, which the (path, size) set catches; defending
+    * against in-place bit flips is parquet's checksum's job. */
   private def payloadStamp(fs: FileSystem, dir: HPath): String = {
     val it = fs.listFiles(dir, true)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && f.getPath.getName != "_graft_manifest.json")
+      if (f.isFile)
         entries += s"${dir.toUri.relativize(f.getPath.toUri)}#${f.getLen}"
     }
     val sortedE = entries.sorted
     s"${sortedE.size}:${sha16(sortedE.mkString(","))}"
   }
 
-  private def esc(s: String) = s.flatMap {
-    case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+  // base64 every manifest value: decode is the exact inverse of encode
+  // for ANY string, and the charset ([A-Za-z0-9+/=]) can never collide
+  // with the JSON framing — no escaping to get wrong
+  private def b64(s: String): String = java.util.Base64.getEncoder
+    .encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+
+  private def manifestJson(kind: String, fingerprint: String,
+                           payloadDirName: String, stamp: String): String =
+    s"""{"v":2,"kind":"${b64(kind)}","fingerprint":"${b64(fingerprint)}",""" +
+      s""""payload_dir":"${b64(payloadDirName)}","stamp":"${b64(stamp)}"}"""
+
+  private val ManifestRe =
+    ("""\{"v":2,"kind":"([A-Za-z0-9+/=]*)","fingerprint":"([A-Za-z0-9+/=]*)",""" +
+      """"payload_dir":"([A-Za-z0-9+/=]*)","stamp":"([A-Za-z0-9+/=]*)"\}""").r
+
+  /** Parse + verify the manifest at `m`: Some((fingerprint, payload
+    * path)) iff it parses, names this `kind`, its payload directory
+    * exists, and the payload stamp still matches — any mismatch (torn
+    * write, reaped part-file, partial copy, foreign kind) reads as
+    * "no entry here". IO races (a concurrent vacuum deleting the file
+    * between list and open) read the same way. */
+  private def verifiedEntry(fs: FileSystem, rootP: HPath, kind: String,
+                            m: HPath): Option[(String, HPath)] =
+    try {
+      if (!fs.isFile(m)) return None
+      val in = fs.open(m)
+      val text =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      text match {
+        case ManifestRe(k, fp, pd, st) =>
+          val payload = new HPath(kindDir(rootP, kind), unb64(pd))
+          if (unb64(k) == kind && fs.exists(payload) &&
+            unb64(st) == payloadStamp(fs, payload))
+            Some((unb64(fp), payload))
+          else None
+        case _ => None
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Read-only probe: the verified payload path for (kind,
+    * fingerprint), if a committed entry exists. Never builds, never
+    * memoizes — the concurrent-reader path (and its spec). */
+  def lookup(spark: SparkSession, kind: String, fingerprint: String): Option[String] = {
+    val (fs, rp) = rootFs(spark)
+    verifiedEntry(fs, rp, kind, manifestPath(rp, kind, fingerprint))
+      .collect { case (fp, payload) if fp == fingerprint => payload.toString }
   }
 
-  private def manifestJson(kind: String, fingerprint: String, payload: String): String =
-    s"""{"kind":"${esc(kind)}","fingerprint":"${esc(fingerprint)}","payload":"${esc(payload)}"}"""
-
-  /** The slot's recorded fingerprint, IF its manifest parses, matches
-    * `kind`, and the payload stamp still matches the directory — any
-    * mismatch (reaped part-file, partial copy, foreign kind) reads as
-    * "no entry here". */
-  private def manifestFingerprint(fs: FileSystem, dir: HPath, kind: String): Option[String] = {
-    val m = new HPath(dir, "_graft_manifest.json")
-    if (!fs.isFile(m)) return None
-    val in = fs.open(m)
-    val text =
-      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-      finally in.close()
-    // the manifest is machine-written by manifestJson above; rebuild the
-    // expected rendering from candidate fields instead of JSON-parsing
-    val re = """\{"kind":"(.*)","fingerprint":"(.*)","payload":"(.*)"\}""".r
-    text match {
-      case re(k, fp, pay) =>
-        def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
-        val (ku, fpu, payu) = (unesc(k), unesc(fp), unesc(pay))
-        if (ku == kind && payu == payloadStamp(fs, dir)) Some(fpu) else None
-      case _ => None
-    }
+  /** Retire a stale slot: manifest FIRST (so no new reader can acquire
+    * the dying payload), then the payload directory it referenced.
+    * Losing this delete to a concurrent retirer is harmless — deletes
+    * are idempotent. */
+  private def retire(fs: FileSystem, rootP: HPath, kind: String, m: HPath): Unit = {
+    if (!fs.isFile(m)) return
+    val payloadName =
+      try {
+        val in = fs.open(m)
+        val text =
+          try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          finally in.close()
+        text match {
+          case ManifestRe(_, _, pd, _) => Some(unb64(pd))
+          case _ => None
+        }
+      } catch { case _: java.io.IOException => None }
+    fs.delete(m, false)
+    payloadName.foreach(n => fs.delete(new HPath(kindDir(rootP, kind), n), true))
   }
 
   /** Return the payload directory for (kind, fingerprint), building it
@@ -227,33 +338,48 @@ object IndexCatalog {
         build(p); builds.incrementAndGet(); p
       } else {
         val (fs, rp) = rootFs(spark)
-        val dst = slot(rp, kind, fingerprint)
-        if (manifestFingerprint(fs, dst, kind).contains(fingerprint)) {
-          loads.incrementAndGet(); dst.toString
-        } else {
-          if (fs.exists(dst)) // partial/reaped entry or hash collision
-            fs.delete(dst, true)
-          val tmp = new HPath(dst.getParent,
-            s".tmp-${java.util.UUID.randomUUID().toString.take(13)}")
-          fs.mkdirs(tmp)
-          build(tmp.toString)
-          val out = fs.create(new HPath(tmp, "_graft_manifest.json"))
-          try out.write(manifestJson(kind, fingerprint, payloadStamp(fs, tmp))
-            .getBytes(StandardCharsets.UTF_8))
-          finally out.close()
-          // Hadoop rename refuses an existing non-empty destination on
-          // both local and HDFS (returns false) — false = lost a
-          // cross-process race: keep the winner, drop ours
-          if (fs.rename(tmp, dst)) builds.incrementAndGet()
-          else {
-            fs.delete(tmp, true)
-            if (!manifestFingerprint(fs, dst, kind).contains(fingerprint))
-              sys.error(s"IndexCatalog: $dst exists with a foreign or " +
-                "damaged manifest (fingerprint-hash collision?) — vacuum " +
-                "the slot and retry")
-            loads.incrementAndGet()
-          }
-          dst.toString
+        val mpath = manifestPath(rp, kind, fingerprint)
+        def verifiedPayload(): Option[String] =
+          verifiedEntry(fs, rp, kind, mpath)
+            .collect { case (fp, payload) if fp == fingerprint => payload.toString }
+        verifiedPayload() match {
+          case Some(p) => loads.incrementAndGet(); p
+          case None =>
+            // stale slot (reaped payload, torn manifest, or a
+            // fingerprint-hash collision's foreign entry): retire it so
+            // our commit rename can land
+            retire(fs, rp, kind, mpath)
+            val payload = new HPath(kindDir(rp, kind),
+              s"${sha16(fingerprint)}-${nonce()}")
+            fs.mkdirs(payload)
+            try build(payload.toString)
+            catch { case e: Throwable => fs.delete(payload, true); throw e }
+            val stamp = payloadStamp(fs, payload)
+            // commit = the manifest FILE appearing complete: written to
+            // a tmp name, then a SINGLE-FILE rename (atomic on
+            // local/HDFS; complete-or-absent even as an object-store
+            // copy — and a torn read still fails the parse, see class
+            // doc). Rename-to-existing fails on Hadoop filesystems —
+            // that failure IS the cross-process race arbitration.
+            val tmp = new HPath(kindDir(rp, kind),
+              s"${mpath.getName}.tmp-${nonce()}")
+            val out = fs.create(tmp, false)
+            try out.write(
+              manifestJson(kind, fingerprint, payload.getName, stamp)
+                .getBytes(StandardCharsets.UTF_8))
+            finally out.close()
+            if (fs.rename(tmp, mpath)) { builds.incrementAndGet(); payload.toString }
+            else {
+              // lost the race: drop ours, load the winner
+              fs.delete(tmp, false)
+              fs.delete(payload, true)
+              verifiedPayload() match {
+                case Some(p) => loads.incrementAndGet(); p
+                case None => sys.error(s"IndexCatalog: $mpath exists with " +
+                  "a foreign or damaged manifest (fingerprint-hash " +
+                  "collision?) — vacuum the slot and retry")
+              }
+            }
         }
       }
     })

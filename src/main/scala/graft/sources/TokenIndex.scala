@@ -65,18 +65,9 @@ object TokenIndex {
   private val idxSetCache =
     new ConcurrentHashMap[String, Set[(Long, Long)]]()
 
-  /** Per-JVM dir → content-fingerprint memo: fingerprinting stats
-    * every input file on the driver, and layoutAndIndex is called by
-    * probedLookup AND keptShardCount, several times per bench run —
-    * re-statting per call would pay metadata RPCs the old dir-keyed
-    * cache never paid. Same staleness trade as that cache (a dir
-    * regenerated WITHIN one JVM is not re-detected); cleared by
-    * [[resetMemory]] with the rest of the fresh-session state. */
-  private val fpCache = new ConcurrentHashMap[String, String]()
-
   /** Fresh-session simulation hook (pairs with
     * [[graft.sources.IndexCatalog.resetMemory]]). */
-  private[graft] def resetMemory(): Unit = { idxSetCache.clear(); fpCache.clear() }
+  private[graft] def resetMemory(): Unit = idxSetCache.clear()
 
   /** Write the sharded layout once per SOURCE CONTENT and build its
     * gram index: the (shard, bucket) presence set — the "txn log"
@@ -88,8 +79,10 @@ object TokenIndex {
     * future lookup, across sessions. */
   def layoutAndIndex(spark: SparkSession, dir: String): (String, Set[(Long, Long)]) = {
     val docs = Tables.documents(spark, dir)
-    val fp = fpCache.computeIfAbsent(dir,
-      _ => IndexCatalog.contentFingerprint(docs))
+    // fingerprint re-stats per call (batched one listStatus per parent
+    // dir inside contentFingerprint), so data regenerated in place at
+    // this dir WITHIN one JVM moves the fingerprint here too
+    val fp = IndexCatalog.contentFingerprint(docs)
     val entry = IndexCatalog.getOrBuild(spark, GramIndexKind, fp) { out =>
       val mm = docs.agg(min("doc_id"), max("doc_id")).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))

@@ -42,10 +42,9 @@ class IndexCatalogSpec extends SparkSpec {
       assert(IndexCatalog.builds.get() == b0 + 1,
         "first ingest against a fresh root must BUILD the band index")
       val key = Dedup.lshIndexKey(docs)
-      val path = localPath(Dedup.lshIndexPathForTest(key))
-      assert(java.nio.file.Files.isRegularFile(
-        path.resolve("_graft_manifest.json")),
-        "catalog entry carries its manifest")
+      assert(java.nio.file.Files.isRegularFile(localPath(
+        IndexCatalog.manifestPathForTest(spark, Dedup.LshIndexKind, key))),
+        "catalog entry carries its manifest commit file")
 
       // "fresh JVM": all in-memory state gone, disk entry intact
       IndexCatalog.resetMemory()
@@ -178,4 +177,174 @@ class IndexCatalogSpec extends SparkSpec {
         "the rebuilt entry is complete")
     }
   }
+
+  test("manifest round-trips exotic fingerprints (backslashes, quotes, newlines) — fresh session loads, never rebuilds") {
+    withFreshRoot {
+      import spark.implicits._
+      // the round-10 escape/unescape pair was not an inverse for values
+      // like these: such entries failed verification and rebuilt every
+      // fresh session (fail-safe, but the catalog economy was gone)
+      val fp = "C:\\Users\\weird\"dir\"\\data#1\n2\t,end\\"
+      var built = 0
+      def entry() = IndexCatalog.getOrBuild(spark, "spec-exotic-v1", fp) { out =>
+        built += 1
+        Seq(1L).toDF("v").write.parquet(s"$out/data")
+      }
+      val e1 = entry()
+      assert(built == 1)
+      IndexCatalog.resetMemory()
+      assert(entry() == e1 && built == 1,
+        "the exotic fingerprint must verify from disk and LOAD")
+    }
+  }
+
+  test("fingerprint re-stats per call: an in-place rewrite within one JVM moves the fingerprint") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft-fp-restat").toString
+    Seq((1L, "a")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val fp1 = IndexCatalog.contentFingerprint(spark.read.parquet(dir))
+    // the external in-place rewrite shape the round-11 ADVICE flagged:
+    // same file NAME, fresh mtime (Spark's own overwrite randomizes part
+    // names; external writers do not)
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val part =
+      try ls.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet")).head
+      finally ls.close()
+    java.nio.file.Files.setLastModifiedTime(part,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(part).toMillis + 5000))
+    val fp2 = IndexCatalog.contentFingerprint(spark.read.parquet(dir))
+    assert(fp1 != fp2,
+      "same names + new mtime must move the fingerprint — no JVM-lifetime memo")
+  }
+
+  test("in-memory frames get distinct, stable, mem:-prefixed fingerprints") {
+    import spark.implicits._
+    val a = Seq(1).toDF("v")
+    val b = Seq(1).toDF("v")
+    val fa = IndexCatalog.contentFingerprint(a)
+    assert(fa.startsWith("mem:"), "file-less frames must never be persisted")
+    assert(fa != IndexCatalog.contentFingerprint(b),
+      "two live frames must never share an identity key")
+    assert(fa == IndexCatalog.contentFingerprint(a),
+      "the same frame's key is stable within the session")
+  }
+
+  test("vacuum reclaims crashed-builder leavings past the age threshold, never younger") {
+    withFreshRoot {
+      import spark.implicits._
+      val fp = "fp-live"
+      val live = IndexCatalog.getOrBuild(spark, "spec-orphan-v1", fp) { out =>
+        Seq(1L).toDF("v").write.parquet(s"$out/data")
+      }
+      // a crashed builder's leavings: an unreferenced nonce payload dir
+      // and a torn tmp manifest — nothing references either
+      val kindDir = localPath(live).getParent
+      val orphanDir = kindDir.resolve("deadbeefdeadbeef-orphan")
+      java.nio.file.Files.createDirectories(orphanDir)
+      java.nio.file.Files.write(orphanDir.resolve("part-0"), Array[Byte](1, 2, 3))
+      val tmpManifest = kindDir.resolve("deadbeefdeadbeef.manifest.json.tmp-x")
+      java.nio.file.Files.write(tmpManifest, "torn".getBytes("UTF-8"))
+      assert(IndexCatalog.vacuum(spark, "spec-orphan-v1", Set(fp)) == 0,
+        "young leavings survive the default day threshold (an in-flight build looks like this)")
+      assert(java.nio.file.Files.exists(orphanDir))
+      assert(IndexCatalog.vacuum(spark, "spec-orphan-v1", Set(fp), orphanAgeMs = -1L) == 2,
+        "past the threshold both leavings are reclaimed")
+      assert(!java.nio.file.Files.exists(orphanDir) &&
+        !java.nio.file.Files.exists(tmpManifest))
+      assert(spark.read.parquet(s"$live/data").count() == 1,
+        "the live entry survives every vacuum")
+    }
+  }
+
+  test("publish survives a non-atomic-rename filesystem: a concurrent reader never sees a partial entry") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.natfs.impl", classOf[NonAtomicRenameFs].getName)
+    val rootDir = TempDirs.create("graft-natfs-root").toString
+    spark.conf.set("spark.graft.index.root", s"natfs://$rootDir")
+    IndexCatalog.resetMemory()
+    try {
+      val kind = "spec-natfs-v1"
+      val fp = "fp-natfs-1"
+      val expected = 64L
+      @volatile var done = false
+      val anomalies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      var sawEntry = false
+      val reader = new Thread(() => {
+        while (!done) {
+          // the reader path: probe the commit point, and on a hit the
+          // payload MUST be complete — a half-built or half-renamed
+          // entry showing up here is exactly the object-store bug the
+          // single-file commit protocol exists to prevent
+          IndexCatalog.lookup(spark, kind, fp).foreach { p =>
+            sawEntry = true
+            val n =
+              try spark.read.parquet(s"$p/data").count()
+              catch { case e: Throwable => anomalies.add(s"read failed: $e"); -1L }
+            if (n >= 0 && n != expected)
+              anomalies.add(s"partial entry visible: $n of $expected rows")
+          }
+          Thread.sleep(2)
+        }
+      })
+      reader.start()
+      val entry =
+        try IndexCatalog.getOrBuild(spark, kind, fp) { out =>
+          // slow multi-file build: plenty of wall-clock where payload
+          // files exist on disk but must be INVISIBLE (no manifest yet)
+          import spark.implicits._
+          for (i <- 0 until 4) {
+            spark.range(i * 16, i * 16 + 16).toDF("v").coalesce(1)
+              .write.mode("append").parquet(s"$out/data")
+            Thread.sleep(25)
+          }
+        }
+        finally { Thread.sleep(50); done = true; reader.join() }
+      assert(anomalies.isEmpty, s"reader anomalies: $anomalies")
+      assert(IndexCatalog.lookup(spark, kind, fp).contains(entry),
+        "the committed entry verifies through the shim")
+      assert(spark.read.parquet(s"$entry/data").count() == expected)
+      // and a fresh session LOADS it through the same shim
+      IndexCatalog.resetMemory()
+      val b = IndexCatalog.builds.get()
+      val again = IndexCatalog.getOrBuild(spark, kind, fp)(_ =>
+        fail("fresh session must LOAD the committed entry, not rebuild"))
+      assert(again == entry && IndexCatalog.builds.get() == b)
+    } finally {
+      spark.conf.unset("spark.graft.index.root")
+      IndexCatalog.resetMemory()
+    }
+  }
+}
+
+/** Object-store stand-in: a local filesystem whose rename is
+  * copy-then-delete — visibly NON-atomic, the semantics raw S3 degrades
+  * rename to. The catalog's commit must not depend on rename atomicity
+  * (its manifest parse + stamp check treat any torn state as
+  * "no entry"); this shim is how IndexCatalogSpec proves it. */
+class NonAtomicRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "natfs"
+  override def getUri: java.net.URI = java.net.URI.create("natfs:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean = {
+    if (!exists(src) || exists(dst)) return false
+    val ok = org.apache.hadoop.fs.FileUtil.copy(this, src, this, dst, false, getConf)
+    if (ok) delete(src, true)
+    ok
+  }
+  // RawLocalFileSystem loads permissions lazily via `new java.io.File
+  // (status.getPath.toUri)`, which rejects any scheme but "file" —
+  // materialize a fixed permission up front so listFiles/LocatedFileStatus
+  // work under the shim scheme
+  private def solid(st: org.apache.hadoop.fs.FileStatus) =
+    new org.apache.hadoop.fs.FileStatus(st.getLen, st.isDirectory, 1,
+      st.getBlockSize, st.getModificationTime, st.getAccessTime,
+      org.apache.hadoop.fs.permission.FsPermission.getDefault, "u", "g",
+      st.getPath)
+  override def listStatus(f: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(f).map(solid)
+  override def getFileStatus(f: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus =
+    solid(super.getFileStatus(f))
 }
