@@ -50,6 +50,20 @@ object AnnRecall {
   val MultiBandFloor = 0.60
   val PqFloor = 0.35
 
+  /** Decade floors (round-10 verdict item 3): the x100 rehearsal proved
+    * IVF *cost* scales at fixed k, but nothing proved *recall* survives
+    * cells 10x/100x fuller under the FIXED (production-shape) centroid
+    * set. These gate the q18/q80 nprobe=2 points on the synthesized
+    * 10x and 100x embedding fixtures — set with margin under the first
+    * measured run, enforced exit-1 like the base floors, so recall
+    * degradation at density shows up as a red artifact, not a surprise
+    * at the next data growth. (Measured r11: x10 0.825/0.771,
+    * x100 0.800/0.741 — recall RISES with density here because the
+    * synthesized copies cluster around their base vector, keeping true
+    * neighbors inside the probed cells.) */
+  val IvfDecadeFloor = 0.60
+  val QIvfDecadeFloor = 0.50
+
   private def topkSets(df: DataFrame): Map[Long, Set[Long]] =
     df.collect().groupBy(_.getAs[Long]("q_id"))
       .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
@@ -154,7 +168,46 @@ object AnnRecall {
       "q125_pq_topk" -> PqFloor)
     val gatedMisses = rows.filter(r => r.gated && r.recall < floors(r.op))
 
+    // ---- decade rows: recall at the rehearsed 10x / 100x densities ----
+    // Same gated parameter point (nprobe = IvfNProbe), PRODUCTION
+    // centroid shape (fixed k: the base fixture's centroid set, via
+    // centroidMod = CentroidMod * stride — the x100 cost row's config),
+    // truth recomputed brute-force per decade. Cells are 10x/100x
+    // fuller; this is where fixed-centroid recall would silently rot.
+    case class DecadeRow(decade: String, op: String, nVec: Long,
+                         recall: Double, sec: Double, truthSec: Double,
+                         floor: Double)
+    val decadeRows = scala.collection.mutable.ArrayBuffer.empty[DecadeRow]
+    val decades = Seq(
+      ("x10", "/tmp/graft-sf1-rehearsal",
+        ScaleRehearsal.Copies, ScaleRehearsal.IdStride),
+      ("x100", "/tmp/graft-sf100-rehearsal",
+        ScaleRehearsal.Copies100, ScaleRehearsal.IdStride100))
+    for ((tag, dir, copies, stride) <- decades) {
+      ScaleRehearsal.synthesize(spark, sfDir, dir, copies, stride)
+      val embD = Tables.embeddings(spark, dir)
+      val nD = embD.count()
+      val cmod = Similarity.CentroidMod.toLong * stride
+      val (truthD, tTr) = timed(topkSets(
+        Similarity.cosineTopK(embD).filter(col("rank") <= Similarity.IvfTopK)))
+      val (got18, t18) = timed(topkSets(
+        Similarity.ivfTopK(embD, Similarity.IvfNProbe, centroidMod = cmod)))
+      decadeRows += DecadeRow(tag, "q18_ivf_topk", nD,
+        meanRecall(truthD, got18), t18, tTr, IvfDecadeFloor)
+      val (qTruthD, tQt) = timed(topkSets(Similarity.quantizedTopK(embD)))
+      val (got80, t80) = timed(topkSets(
+        Similarity.quantizedIvfTopK(embD, Similarity.IvfNProbe, centroidMod = cmod)))
+      decadeRows += DecadeRow(tag, "q80_quantized_ivf", nD,
+        meanRecall(qTruthD, got80), t80, tQt, QIvfDecadeFloor)
+    }
+    val decadeMisses = decadeRows.filter(r => r.recall < r.floor)
+
     // ---- artifacts ----
+    val decadeJson = decadeRows.map { r =>
+      s"""{"decade":"${r.decade}","op":"${r.op}","n_vectors":${r.nVec},""" +
+      s""""recall":${f"${r.recall}%.4f"},"sec":${f"${r.sec}%.2f"},""" +
+      s""""truth_sec":${f"${r.truthSec}%.2f"},"floor":${r.floor}}"""
+    }.mkString("[", ",", "]")
     val json = rows.map { r =>
       s"""{"op":"${r.op}","${r.knob}":${r.value},"recall":${f"${r.recall}%.4f"},""" +
       s""""sec":${f"${r.sec}%.2f"},"gated":${r.gated}}"""
@@ -162,7 +215,8 @@ object AnnRecall {
       s"""{"sf":"$sfDir","n_vectors":$n,"n_cells":$nCells,""" +
       s""""n_queries":${ivfTruth.size},"n_true_pairs":${pairTruth.size},""" +
       s""""truth_sec":{"topk":${f"$tExactTopk%.2f"},"quantized":${f"$tExactQTopk%.2f"},""" +
-      s""""pairs":${f"$tExactPairs%.2f"}},"rows":[""", ",", "]}\n")
+      s""""pairs":${f"$tExactPairs%.2f"}},"decades":$decadeJson,"rows":[""",
+      ",", "]}\n")
     java.nio.file.Files.write(java.nio.file.Paths.get("ann_recall.json"),
       json.getBytes("UTF-8"))
 
@@ -186,6 +240,18 @@ object AnnRecall {
       md ++= f"| ${r.op} | ${r.knob} | ${r.value} | ${r.recall}%.4f "
       md ++= f"| ${r.sec}%.2f | ${if (r.gated) "yes" else ""} | $floor |%n"
     }
+    md ++= "\n## Recall at the rehearsed decades\n\n"
+    md ++= "Same gated point (nprobe = 2), PRODUCTION centroid shape (fixed k —\n"
+    md ++= "the base fixture's centroid set), truth recomputed brute-force per\n"
+    md ++= "decade on the synthesized 10x/100x embedding fixtures. This is the\n"
+    md ++= "row the x100 COST measurement lacked: cells 10x/100x fuller, and the\n"
+    md ++= "floor (exit 1 on miss) catches fixed-centroid recall rot at density.\n\n"
+    md ++= "| decade | operator | n_vectors | recall | sec | truth sec | floor |\n"
+    md ++= "|---|---|---|---|---|---|---|\n"
+    decadeRows.foreach { r =>
+      md ++= f"| ${r.decade} | ${r.op} | ${r.nVec} | ${r.recall}%.4f "
+      md ++= f"| ${r.sec}%.2f | ${r.truthSec}%.2f | >= ${r.floor}%.2f |%n"
+    }
     md ++= "\nReading the sweeps: IVF recall is monotone in nprobe and hits 1.0\n"
     md ++= "at nprobe = |cells| (pure cell pruning, no other loss). Single-band\n"
     md ++= "LSH recall falls as bits grow (buckets shrink — the cost knob); the\n"
@@ -198,10 +264,13 @@ object AnnRecall {
     println(json)
 
     spark.stop()
-    if (gatedMisses.nonEmpty) {
+    if (gatedMisses.nonEmpty || decadeMisses.nonEmpty) {
       gatedMisses.foreach(r => System.err.println(
         f"[ann-recall] GATED MISS ${r.op} ${r.knob}=${r.value}: " +
         f"${r.recall}%.4f < ${floors(r.op)}%.2f"))
+      decadeMisses.foreach(r => System.err.println(
+        f"[ann-recall] DECADE MISS ${r.decade} ${r.op}: " +
+        f"${r.recall}%.4f < ${r.floor}%.2f"))
       sys.exit(1)
     }
   }

@@ -230,6 +230,17 @@ object ScaleRehearsal {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
+  /** events/lineitem/etc. are not synthesized: the rehearsal surface is
+    * the documents/embeddings pipeline; point the other loaders at base. */
+  def linkBaseTables(baseDir: String, outDir: String): Unit =
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events")) {
+      val link = java.nio.file.Paths.get(s"$outDir/$t.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$baseDir/$t.parquet"))
+    }
+
   private val runTag = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def timeAll(spark: SparkSession, dir: String,
@@ -316,15 +327,7 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("ERROR")
 
     synthesize(spark, baseDir, outDir)
-    // events/lineitem/etc. are not regenerated: the rehearsal surface is
-    // the documents/embeddings pipeline; point the other loaders at base
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events")) {
-      val link = java.nio.file.Paths.get(s"$outDir/$t.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link,
-          java.nio.file.Paths.get(s"$baseDir/$t.parquet"))
-    }
+    linkBaseTables(baseDir, outDir)
 
     timeAll(spark, baseDir) // warmup (codegen + JIT), untimed
     val baseTimes = timeAll(spark, baseDir)
@@ -337,13 +340,7 @@ object ScaleRehearsal {
     val out100 = args.lift(2).getOrElse("/tmp/graft-sf100-rehearsal")
     synthesize(spark, baseDir, out100, copies = Copies100,
       stride = IdStride100)
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events")) {
-      val link = java.nio.file.Paths.get(s"$out100/$t.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link,
-          java.nio.file.Paths.get(s"$baseDir/$t.parquet"))
-    }
+    linkBaseTables(baseDir, out100)
     val x100Times0 = timeAll(spark, out100, Rehearsal100Queries)
     val drops100 = dropMetrics(spark, out100, withEmbeddings = false)
     // the vector-family member of the second decade: fixed-k IVF (q18's
@@ -449,6 +446,31 @@ object ScaleRehearsal {
       s"q188 candidates ($q188Cands) not below a tenth of the all-pairs " +
         s"bound for n=$q188N — the prefix filter is not engaging")
 
+    // q24 banded-rewrite attribution (round-10 verdict: the 6.6x wall
+    // for 10x data in mitigated_quadratic was asserted to be output
+    // growth, never decomposed — and its two points ran DIFFERENT band
+    // configs). The q188 treatment: the SAME band config (the x10 run's
+    // bands=4/bandBits=9) at both decades, with candidate-pair and
+    // emitted-pair counts observed, so the wall ratio splits into
+    // candidate machinery vs result volume. AQE off for the mid-plan
+    // Observation, both decades alike.
+    val prevAqe24 = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (q24Base, q24X10, q24BaseN, q24X10N) =
+      try {
+        def run(df: DataFrame): (Double, Long, Long) = {
+          val o = Observation(s"rehearsal_q24s_${runTag.incrementAndGet()}")
+          val pairs = sim.bandedNearDupPairs(
+            sim.withLshBands(df, bands = 4, bandBits = 9),
+            sim.NearDupThreshold, candObs = Some(o))
+          val t0 = System.nanoTime()
+          val n = pairs.count()
+          ((System.nanoTime() - t0) / 1e9,
+            o.get("candidates").asInstanceOf[Long], n)
+        }
+        (run(embBase), run(emb10), embBase.count(), emb10.count())
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe24)
+
     // Collocation-bound demo: at a bound the 10x corpus EXCEEDS, the
     // exact path must refuse loudly and the sampled path must answer —
     // the q67 -> q77 scale handoff, demonstrated rather than narrated.
@@ -482,6 +504,13 @@ object ScaleRehearsal {
       s""""q188_scale":{"base_sec":${f"$q188BaseSec%.3f"},"x10_sec":${f"$q188X10Sec%.3f"},""" +
       s""""x10_docs":$q188N,"x10_candidates":$q188Cands,"x10_pairs":$q188Pairs,""" +
       s""""x10_allpairs_bound":${q188N * (q188N - 1) / 2}},""" +
+      s""""q24_scale":{"bands":4,"band_bits":9,""" +
+      s""""base_sec":${f"${q24Base._1}%.3f"},"x10_sec":${f"${q24X10._1}%.3f"},""" +
+      s""""base_candidates":${q24Base._2},"x10_candidates":${q24X10._2},""" +
+      s""""base_pairs":${q24Base._3},"x10_pairs":${q24X10._3},""" +
+      s""""base_vecs":$q24BaseN,"x10_vecs":$q24X10N,""" +
+      s""""base_allpairs_bound":${q24BaseN * (q24BaseN - 1) / 2},""" +
+      s""""x10_allpairs_bound":${q24X10N * (q24X10N - 1) / 2}},""" +
       s""""colloc_bound_demo":{"bound":$collocBound,"exact_raised":$exactTripped,""" +
       s""""sampled_mod16_sec":${f"$sampledSec%.3f"}},""" +
       s""""x100":{"copies":$Copies100,""" +

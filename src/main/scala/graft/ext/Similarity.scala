@@ -545,7 +545,8 @@ object Similarity {
   private[graft] def bandedNearDupPairs(
       emb: DataFrame, threshold: Double,
       maxBucket: Int = BandedBucketCap,
-      dropObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      dropObs: Option[org.apache.spark.sql.Observation] = None,
+      candObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     VectorOps.register(emb.sparkSession)
     val bandsCol = graft.plans.CosineNearDups.LshBandsCol
     val v = emb.select(col("vec_id"), col("embedding"), col(bandsCol).as("bands"))
@@ -573,7 +574,7 @@ object Similarity {
     // reduces to the plain prefix compare
     val droppedKeys = sizes.filter(col("bsz") > maxBucket)
       .agg(collect_set(col("bkey")).as("dropped_keys"))
-    a.join(b, Seq("band", "bkey"))
+    val cand = a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .crossJoin(broadcast(droppedKeys))
       // first-match: no EARLIER band key agrees IN A KEPT BUCKET
@@ -583,6 +584,12 @@ object Similarity {
       .filter(expr(
         "NOT exists(zip_with(slice(bands_a, 1, band), slice(bands_b, 1, band), " +
           "(x, y) -> x = y AND NOT array_contains(dropped_keys, x)), p -> p)"))
+    // candObs counts the pairs entering EXACT verification (post
+    // first-match dedup, pre cosine) — the "machinery vs output"
+    // decomposition the scale rehearsal reports; read with AQE off
+    val candWatched = candObs.fold(cand)(o =>
+      cand.observe(o, count(lit(1)).as("candidates")))
+    candWatched
       .select(col("id_a"), col("id_b"),
         (expr("vec_dot(emb_a, emb_b)") /
           (sqrt(col("norm2_a")) * sqrt(col("norm2_b")))).as("cos_raw"))

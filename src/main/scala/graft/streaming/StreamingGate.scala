@@ -930,22 +930,25 @@ object StreamingGate {
   }
 
   // ------------------------------------------------ q126 streaming dedup
-  /** The documents fixture staged as TWO parquet files split at the
-    * median doc_id, mtimes ordered low-half first — under
-    * `maxFilesPerTrigger = 1` the corpus arrives in doc_id order across
+  /** The DELTA half of the documents fixture (doc_id >= half) staged as
+    * TWO parquet files split at the 3/4 point, mtimes ordered — under
+    * `maxFilesPerTrigger = 1` the delta arrives in doc_id order across
     * two micro-batches, so "earlier in the stream" coincides with
     * "smaller doc_id" and the batch oracle can express arrival order
-    * relationally. Immutable once built; cached per source dir. */
+    * relationally. The BASE half never streams: its band registers are
+    * a stored catalog index (see [[q126StreamNearDup]]). Immutable once
+    * built; cached per source dir. */
   private val docsStagedCache =
     new java.util.concurrent.ConcurrentHashMap[String, Path]()
 
-  private def stageDocuments(spark: SparkSession, dir: String): Path =
+  private def stageDeltaDocuments(spark: SparkSession, dir: String,
+                                  half: Long, q3: Long): Path =
     docsStagedCache.computeIfAbsent(dir, { _ =>
       val docs = graft.Tables.documents(spark, dir)
-      val half = docs.count() / 2
       val staged = graft.TempDirs.create("graft-docs-stage")
-      Seq(("00-docs.parquet", col("doc_id") < half, 120000L),
-          ("01-docs.parquet", col("doc_id") >= half, 60000L))
+      Seq(("00-docs.parquet",
+            col("doc_id") >= half && col("doc_id") < q3, 120000L),
+          ("01-docs.parquet", col("doc_id") >= q3, 60000L))
         .foreach { case (name, pred, ageMs) =>
           writeSingleParquet(docs.filter(pred), staged.resolve(name),
             System.currentTimeMillis() - ageMs)
@@ -953,36 +956,75 @@ object StreamingGate {
       staged
     })
 
-  /** q126: STREAMING NEAR-DUP DETECTION — the 16th gate, and the one
-    * that composes the LSH dedup family with the state store: a crawl
-    * pipeline dedups each arriving document against EVERYTHING ALREADY
-    * INGESTED, which no batch query can stand in for. Every document
-    * explodes into its MinHash LSH bands (q14's signature machinery,
-    * unchanged — the expressions are stateless and stream as-is); the
-    * stream then groups by band key, and per-key flatMapGroupsWithState
-    * keeps ONE long of state — the minimum doc_id ever seen in the
-    * bucket — emitting for each arrival the earliest prior bucket-mate
-    * (its evidence partner). State is O(1) per DISTINCT band key, the
-    * only footprint that survives an unbounded crawl: a doc-list state
-    * would grow with the corpus, the min-id register doesn't.
+  /** Catalog kind for q126's base band registers — version suffix
+    * fingerprints the FORMAT (banding arithmetic + register layout). */
+  val StreamDedupStateKind = "stream-dedup-state-v1"
+
+  /** q126: STREAMING NEAR-DUP DETECTION WITH CATALOG-BOOTSTRAPPED
+    * STATE — the 16th gate, and the one that composes the LSH dedup
+    * family with the state store: a crawl pipeline dedups each arriving
+    * document against EVERYTHING ALREADY INGESTED, which no batch query
+    * can stand in for. Production incremental ingest does NOT re-stream
+    * the historical corpus to warm its dedup state: the base corpus's
+    * per-bucket registers are an ingest-time artifact in the persistent
+    * [[graft.sources.IndexCatalog]] (the q186 economy applied to
+    * streaming), loaded by content fingerprint and handed to
+    * `flatMapGroupsWithState` as its INITIAL STATE — so only the delta
+    * streams, and a fresh session bootstraps from disk instead of
+    * replaying history (IndexCatalogSpec's load-not-rebuild contract,
+    * StreamingSpec pins it here).
     *
-    * The two-batch staging makes the proof real: a second-half doc
-    * whose only band-mate arrived in the first half links across the
-    * batch boundary, so its row exists only because the bucket register
-    * was read back from the state store (StreamingSpec pins a count of
-    * such cross-batch links). The read-off aggregates per doc over its
-    * bands: first_partner = min partner across bands = the earliest
-    * prior doc sharing ANY band — exactly the oracle's relational form
-    * under id-ordered arrival. */
+    * Every arriving document explodes into its MinHash LSH bands (q14's
+    * signature machinery, unchanged — the expressions are stateless and
+    * stream as-is); the stream groups by band key, and per-key state is
+    * ONE long — the minimum doc_id ever seen in the bucket (seeded from
+    * the stored register) — emitting for each arrival the earliest
+    * prior bucket-mate (its evidence partner). State is O(1) per
+    * DISTINCT band key, the only footprint that survives an unbounded
+    * crawl: a doc-list state would grow with the corpus, the min-id
+    * register doesn't.
+    *
+    * Three proofs ride one run: (1) a delta doc whose only bucket-mate
+    * is a BASE doc links THROUGH THE LOADED INITIAL STATE — the staged
+    * source contains no base file, so the row can only come from the
+    * catalog registers; (2) the delta itself arrives as two micro-
+    * batches, so delta-delta links still cross the state store's batch
+    * boundary; (3) base docs' verdicts are the same registers read
+    * relationally (a partitioned prefix-min window — the batch form of
+    * the identical arithmetic), so the UNIONED output is row-identical
+    * to the pre-catalog full-stream formulation and the oracle is
+    * unchanged. */
   def q126StreamNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val staged = stageDocuments(spark, dir)
-    val schema = graft.Tables.documents(spark, dir).schema
+    import spark.implicits._
+    val docsAll = graft.Tables.documents(spark, dir)
+    val n = docsAll.count()
+    val (half, q3) = (n / 2, n * 3 / 4)
+    val base = docsAll.filter(col("doc_id") < half)
+    val staged = stageDeltaDocuments(spark, dir, half, q3)
+
+    // the base band registers: a persistent catalog entry keyed by the
+    // fixture's content fingerprint — built once at "historical ingest",
+    // LOADED by every later session (and every later q126 run)
+    val entry = graft.sources.IndexCatalog.getOrBuild(spark,
+      StreamDedupStateKind,
+      graft.sources.IndexCatalog.contentFingerprint(docsAll)) { out =>
+      graft.ext.Dedup.minhashBands(base)
+        .groupBy("band", "band_key").agg(min(col("doc_id")).as("min_id"))
+        .write.mode("overwrite").parquet(s"$out/registers")
+    }
+    val registers = spark.read.parquet(s"$entry/registers")
+    val initState = registers
+      .select(concat_ws(":", col("band"), col("band_key")).as("k"),
+        col("min_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+
+    val schema = docsAll.schema
     val name = s"graft_stream_gate_${runCounter.incrementAndGet()}"
     val ckpt = graft.TempDirs.create("graft-stream-ckpt")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      import spark.implicits._
       val docs = spark.readStream.schema(schema)
         .option("latestFirst", false)
         .option("maxFilesPerTrigger", 1)
@@ -991,12 +1033,12 @@ object StreamingGate {
         .as[BandObs]
         .groupByKey(o => s"${o.band}:${o.band_key}")
         .flatMapGroupsWithState[Long, BandLink](
-          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          OutputMode.Append, GroupStateTimeout.NoTimeout, initState) {
           (_: String, rows: Iterator[BandObs], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
-            // bucket register: the min doc_id seen in any prior batch;
-            // in-batch arrivals process in id order (ids ARE arrival
-            // order here), so one forward pass assigns each doc the
-            // min of everything before it
+            // bucket register: the min doc_id seen in any prior batch —
+            // OR in the pre-loaded base index; in-batch arrivals process
+            // in id order (ids ARE arrival order here), so one forward
+            // pass assigns each doc the min of everything before it
             var mn = state.getOption.getOrElse(Long.MaxValue)
             val out = rows.toSeq.sortBy(_.doc_id).map { o =>
               val partner = if (mn < o.doc_id) Some(mn) else None
@@ -1016,9 +1058,21 @@ object StreamingGate {
       q.awaitTermination()
       lastRunProgress.set(q.recentProgress.toSeq)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+
+    // base verdicts: the SAME register arithmetic relationally — the
+    // prefix-min window over each bucket in id (= arrival) order; a
+    // partitioned window, never global
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "band_key").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val baseLinks = graft.ext.Dedup.minhashBands(base)
+      .withColumn("partner", min(col("doc_id")).over(bw))
       .groupBy("doc_id")
       .agg(min(col("partner")).as("first_partner"))
+    val deltaLinks = spark.table(name)
+      .groupBy("doc_id")
+      .agg(min(col("partner")).as("first_partner"))
+    baseLinks.unionByName(deltaLinks)
       .select(col("doc_id"), col("first_partner").isNotNull.as("is_dup"),
               col("first_partner"))
       .orderBy("doc_id")

@@ -1272,4 +1272,56 @@ class PlanSpec extends SparkSpec {
       l.contains("Window") && l.contains("source")),
       "the running-mass window must partition by source, never globally")
   }
+
+  test("every unpartitioned window is enumerated — none can silently re-point at the corpus") {
+    // A Window with no partitionSpec moves ALL its input to a single
+    // partition (the WindowExec warning the logs show); that is
+    // legitimate ONLY over provably bounded relations — vocab tops,
+    // bucket/histogram registers, |sources|-row plan tables. This test
+    // walks every registered query's optimized logical plan and pins
+    // the EXACT set of queries allowed to contain one, with the bounded
+    // relation named: re-pointing a global window at the corpus (or
+    // adding a new one) fails here instead of shipping a
+    // single-partition sort to a 100 TB run. (Windows hidden below a
+    // lazy localCheckpoint are enumerated by their OWN query's plan at
+    // build time; the checkpoint consumers see a leaf.)
+    val allowed: Map[String, String] = Map( // name -> the bounded relation
+      "q113_bpe_encode" -> "BPE merge table (topK collect -> broadcast, vocab-sized)",
+      "q114_packed_bpe" -> "same merge-table numbering as q113",
+      "q128_exact_quantiles" -> "selected-bucket histogram registers (<= 2^shift rows; asserted above)",
+      "q131_global_rownum" -> "per-partition count/offset relation (#partitions rows; corpus window asserted partitioned above)",
+      "q133_curriculum" -> "score-bucket histogram (two windows over the tiny sorted register)",
+      "q143_bm25" -> "query-term slice (model-sized)",
+      "q163_pareto_frontier" -> "per-source aggregate (|sources| rows)",
+      "q172_peak_concurrency" -> "day-total relation (asserted above: only it sees a global window)",
+      "q180_water_filling" -> "k-row source-allocation algebra",
+      "q181_retrieval_eval" -> "eval query set (model-sized)",
+      "q191_interleave" -> "per-source offset table (asserted above: phases rank partitioned)",
+      "q195_rank_fusion" -> "fused top-k retrieval lists (TakeOrdered cuts)",
+      "q197_hard_negatives" -> "top-k candidate cuts over the q143 pass",
+      "q200_tokenizer_fertility" -> "per-source fertility aggregate (|sources| rows)",
+      "q201_mask_spans" -> "vocab-sized merge numbering (rides q113)",
+      "q203_vocab_growth" -> "vocab growth-curve register (bucketed vocab aggregate)",
+      "q211_cascade_rerank" -> "retrieve-stage top-k lists",
+      "q213_split_leakage" -> "banded-pair probe relation (capped pair graph slice)",
+      "q225_perplexity_filter" -> "bounded value-counts tertile register",
+      "q227_conformal_gate" -> "calibration-split aggregate (loud raise_error on small n)",
+      "q63_domain_mix" -> "per-domain quota table (|domains| rows)")
+    val found = scala.collection.mutable.SortedMap.empty[String, Int]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df = fn(spark, sf)
+      val n = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
+          if w.partitionSpec.isEmpty => w
+      }.size
+      if (n > 0) found(name) = n
+    }
+    assert(found.keySet == allowed.keySet,
+      s"unpartitioned windows drifted — new (audit the relation's bound, " +
+        s"then enumerate): ${found.keySet -- allowed.keySet}; " +
+        s"stale allowlist entries: ${allowed.keySet -- found.keySet}; " +
+        s"counts: $found")
+  }
 }

@@ -573,7 +573,8 @@ class StreamingSpec extends SparkSpec {
     assert(total == 2 * Tables.events(spark, sf).count())
   }
 
-  test("q126 gate: LSH bucket state links near-dups across the batch boundary") {
+  test("q126 gate: streaming dedup bootstraps its state from the IndexCatalog; links cross both boundaries") {
+    val cat = graft.sources.IndexCatalog
     val out = graft.streaming.StreamingGate.q126StreamNearDup(spark, sf).collect()
     val n = Tables.documents(spark, sf).count()
     assert(out.length == n, "one verdict row per document")
@@ -587,12 +588,33 @@ class StreamingSpec extends SparkSpec {
     val got = out.filter(!_.isNullAt(2))
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got == want, "streamed links must equal the batch band relation")
-    // the rows that PROVE state crossed the micro-batch boundary: a
-    // second-half doc whose evidence partner arrived in batch 0
-    val half = n / 2
-    val cross = got.count { case (d, p) => d >= half && p < half }
-    info(s"cross-batch links: $cross of ${got.size} (fixture n=$n)")
-    assert(cross > 0, "staging must produce at least one cross-batch link")
+    // the rows that PROVE the bootstrap: a delta doc whose evidence
+    // partner is a BASE doc — the staged source holds NO base file, so
+    // the link can only exist because flatMapGroupsWithState was seeded
+    // with the catalog's stored registers
+    val (half, q3) = (n / 2, n * 3 / 4)
+    val boot = got.count { case (d, p) => d >= half && p < half }
+    // and the ones that still cross the state store's MICRO-BATCH
+    // boundary inside the delta (partner arrived in the first delta file)
+    val crossBatch = got.count { case (d, p) => d >= q3 && p >= half && p < q3 }
+    info(s"bootstrap links: $boot, delta cross-batch links: $crossBatch " +
+      s"of ${got.size} (fixture n=$n)")
+    assert(boot > 0, "staging must produce at least one catalog-bootstrapped link")
+    assert(crossBatch > 0,
+      "the two-file delta must still link across the micro-batch boundary " +
+        "(the state-store persistence proof the pre-catalog staging carried)")
+
+    // fresh-session economy: the registers LOAD from disk, the result is
+    // hash-identical — history is never re-streamed to warm the state
+    cat.resetMemory()
+    val (b0, l0) = (cat.builds.get(), cat.loads.get())
+    val again = graft.streaming.StreamingGate.q126StreamNearDup(spark, sf).collect()
+    assert(cat.builds.get() == b0,
+      "a fresh session must NOT rebuild the stored band registers")
+    assert(cat.loads.get() >= l0 + 1,
+      "a fresh session must LOAD the stored band registers")
+    assert(again.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq,
+      "catalog-loaded state is hash-identical to the built-state run")
   }
 
   test("q135 gate: interval state suspends/resumes across the time-split batch boundary") {
