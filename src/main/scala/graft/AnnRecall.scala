@@ -57,12 +57,15 @@ object AnnRecall {
     * 10x and 100x embedding fixtures — set with margin under the first
     * measured run, enforced exit-1 like the base floors, so recall
     * degradation at density shows up as a red artifact, not a surprise
-    * at the next data growth. (Measured r11: x10 0.825/0.771,
-    * x100 0.800/0.741 — recall RISES with density here because the
-    * synthesized copies cluster around their base vector, keeping true
-    * neighbors inside the probed cells.) */
-  val IvfDecadeFloor = 0.60
-  val QIvfDecadeFloor = 0.50
+    * at the next data growth. Measured r11: q18 0.9996 at BOTH decades,
+    * q80 0.9965 (x10) / 0.8386 (x100) — recall RISES above the base
+    * fixture's 0.61/0.55 because the synthesized copies cluster around
+    * their base vector, so a query's true top-k are its own near-copies
+    * sharing its cell; the honest reading is "denser cells did not hurt
+    * the probe arithmetic", not "IVF got better". q80's x100 dip is the
+    * quantization grid coarsening relative to the tight copy clusters. */
+  val IvfDecadeFloor = 0.80
+  val QIvfDecadeFloor = 0.60
 
   private def topkSets(df: DataFrame): Map[Long, Set[Long]] =
     df.collect().groupBy(_.getAs[Long]("q_id"))
@@ -252,6 +255,12 @@ object AnnRecall {
       md ++= f"| ${r.decade} | ${r.op} | ${r.nVec} | ${r.recall}%.4f "
       md ++= f"| ${r.sec}%.2f | ${r.truthSec}%.2f | >= ${r.floor}%.2f |%n"
     }
+    md ++= "\nDecade recall sits ABOVE the base fixture's gated points because\n"
+    md ++= "the synthesized copies cluster around their base vector: a query's\n"
+    md ++= "true top-k are its own near-copies, which share its cell. The honest\n"
+    md ++= "reading is \"denser cells did not hurt the probe arithmetic\", not\n"
+    md ++= "\"IVF got better\"; q80's x100 dip is the int8 grid coarsening\n"
+    md ++= "relative to the tight copy clusters.\n"
     md ++= "\nReading the sweeps: IVF recall is monotone in nprobe and hits 1.0\n"
     md ++= "at nprobe = |cells| (pure cell pruning, no other loss). Single-band\n"
     md ++= "LSH recall falls as bits grow (buckets shrink — the cost knob); the\n"
