@@ -193,19 +193,38 @@ object ScaleRehearsal {
     * shape. */
   val FixedKCentroidMod: Long = graft.ext.Similarity.CentroidMod.toLong * IdStride
 
+  /** Recursive delete that never follows symlinks (a fixture dir holds
+    * links into the base testdata — deleting THROUGH one would destroy
+    * the source). */
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path, FileVisitResult, SimpleFileVisitor}
+    import java.nio.file.attribute.BasicFileAttributes
+    Files.walkFileTree(root, new SimpleFileVisitor[Path] {
+      override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
+        Files.delete(f); FileVisitResult.CONTINUE
+      }
+      override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult = {
+        Files.delete(d); FileVisitResult.CONTINUE
+      }
+    })
+  }
+
   def synthesize(spark: SparkSession, baseDir: String, outDir: String,
                  copies: Int = Copies, stride: Int = IdStride,
                  withEmbeddings: Boolean = true): Unit = {
     val fs = java.nio.file.Paths.get(outDir)
-    val embDone = !withEmbeddings ||
-      (java.nio.file.Files.exists(fs.resolve("embeddings.parquet")) &&
-        !java.nio.file.Files.isSymbolicLink(fs.resolve("embeddings.parquet")))
-    if (java.nio.file.Files.exists(fs.resolve("documents.parquet")) && embDone) return
-    // a stale SYMLINK (pre-round-10 x100 layout) must go before the
-    // write, or mode-overwrite would write THROUGH it into baseDir; a
-    // real stale directory is overwrite's job, not ours
-    if (java.nio.file.Files.isSymbolicLink(fs.resolve("embeddings.parquet")))
-      java.nio.file.Files.delete(fs.resolve("embeddings.parquet"))
+    // completeness + provenance marker, written LAST: a fixture is only
+    // reused when it was fully synthesized from THIS base with THIS
+    // config — a leftover dir from a different base (or a crashed
+    // synth) regenerates instead of silently gating artifacts on the
+    // wrong data (round-11 review finding)
+    val marker = fs.resolve("_graft_fixture.json")
+    val want = s"""{"base":"$baseDir","copies":$copies,"stride":$stride,""" +
+      s""""embeddings":$withEmbeddings}"""
+    if (java.nio.file.Files.isRegularFile(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == want)
+      return
+    if (java.nio.file.Files.exists(fs)) deleteTree(fs)
     java.nio.file.Files.createDirectories(fs)
     val reps = explode(sequence(lit(0), lit(copies - 1))).as("rep")
     Tables.documents(spark, baseDir)
@@ -220,14 +239,15 @@ object ScaleRehearsal {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    if (!withEmbeddings) return // the 100x block is documents-only
-    Tables.embeddings(spark, baseDir)
-      .select(col("vec_id"), col("embedding"), reps)
-      .select((col("vec_id") * stride + col("rep")).as("vec_id"),
-        expr("transform(embedding, x -> cast(x + rep / 1024.0 as float))")
-          .as("embedding"))
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    if (withEmbeddings)
+      Tables.embeddings(spark, baseDir)
+        .select(col("vec_id"), col("embedding"), reps)
+        .select((col("vec_id") * stride + col("rep")).as("vec_id"),
+          expr("transform(embedding, x -> cast(x + rep / 1024.0 as float))")
+            .as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    java.nio.file.Files.write(marker, want.getBytes("UTF-8"))
   }
 
   /** events/lineitem/etc. are not synthesized: the rehearsal surface is

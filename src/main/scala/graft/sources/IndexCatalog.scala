@@ -130,17 +130,24 @@ object IndexCatalog {
     val referenced = scala.collection.mutable.Set.empty[String]
     for (st <- fs.listStatus(kd)
          if st.isFile && st.getPath.getName.endsWith(".manifest.json")) {
-      verifiedEntry(fs, rp, kind, st.getPath) match {
-        case Some((fp, payload))
+      // a transient IO error while probing must SKIP the entry, never
+      // retire it — deleting a healthy kept manifest on a store hiccup
+      // would cost the next session a full-corpus rebuild
+      val probed =
+        try Some(verifiedEntry(fs, rp, kind, st.getPath))
+        catch { case _: java.io.IOException => None }
+      probed match {
+        case Some(Some((fp, payload)))
             if keep.contains(fp) || inUse.contains(payload.toString) =>
           referenced += payload.getName
-        case Some((_, payload)) =>
+        case Some(Some((_, payload))) =>
           fs.delete(st.getPath, false)
           fs.delete(payload, true)
           removed += 1
-        case None => // damaged/stale manifest; its payload ages out below
+        case Some(None) => // definitively damaged/stale; payload ages out below
           fs.delete(st.getPath, false)
           removed += 1
+        case None => // transient: leave it for the next maintenance window
       }
     }
     // pass 2: unreferenced leftovers past the age threshold
@@ -271,12 +278,28 @@ object IndexCatalog {
     ("""\{"v":2,"kind":"([A-Za-z0-9+/=]*)","fingerprint":"([A-Za-z0-9+/=]*)",""" +
       """"payload_dir":"([A-Za-z0-9+/=]*)","stamp":"([A-Za-z0-9+/=]*)"\}""").r
 
+  /** Decode a manifest body: None on ANY malformation — including
+    * base64 that passes the regex's charset but fails to decode
+    * (mis-padded / length-invalid values throw IllegalArgumentException,
+    * which must read as damage, not crash a probe). */
+  private def parseManifest(text: String): Option[(String, String, String, String)] =
+    text match {
+      case ManifestRe(k, fp, pd, st) =>
+        try Some((unb64(k), unb64(fp), unb64(pd), unb64(st)))
+        catch { case _: IllegalArgumentException => None }
+      case _ => None
+    }
+
   /** Parse + verify the manifest at `m`: Some((fingerprint, payload
     * path)) iff it parses, names this `kind`, its payload directory
-    * exists, and the payload stamp still matches — any mismatch (torn
-    * write, reaped part-file, partial copy, foreign kind) reads as
-    * "no entry here". IO races (a concurrent vacuum deleting the file
-    * between list and open) read the same way. */
+    * exists, and the payload stamp still matches — any DEFINITIVE
+    * mismatch (torn write, reaped part-file, partial copy, foreign
+    * kind) reads as "no entry here", as does FileNotFoundException
+    * (something deleted the file between list and open). Any OTHER
+    * IOException (object-store throttling, a transient store error)
+    * PROPAGATES: a transient hiccup must never read as a missing index
+    * — the caller would rebuild a full-corpus artifact — nor as damage
+    * — vacuum would retire a healthy entry. */
   private def verifiedEntry(fs: FileSystem, rootP: HPath, kind: String,
                             m: HPath): Option[(String, HPath)] =
     try {
@@ -285,43 +308,43 @@ object IndexCatalog {
       val text =
         try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         finally in.close()
-      text match {
-        case ManifestRe(k, fp, pd, st) =>
-          val payload = new HPath(kindDir(rootP, kind), unb64(pd))
-          if (unb64(k) == kind && fs.exists(payload) &&
-            unb64(st) == payloadStamp(fs, payload))
-            Some((unb64(fp), payload))
+      parseManifest(text) match {
+        case Some((k, fp, pd, st)) =>
+          val payload = new HPath(kindDir(rootP, kind), pd)
+          if (k == kind && fs.exists(payload) &&
+            st == payloadStamp(fs, payload))
+            Some((fp, payload))
           else None
-        case _ => None
+        case None => None
       }
-    } catch { case _: java.io.IOException => None }
+    } catch { case _: java.io.FileNotFoundException => None }
 
   /** Read-only probe: the verified payload path for (kind,
     * fingerprint), if a committed entry exists. Never builds, never
-    * memoizes — the concurrent-reader path (and its spec). */
-  def lookup(spark: SparkSession, kind: String, fingerprint: String): Option[String] = {
-    val (fs, rp) = rootFs(spark)
-    verifiedEntry(fs, rp, kind, manifestPath(rp, kind, fingerprint))
-      .collect { case (fp, payload) if fp == fingerprint => payload.toString }
-  }
+    * memoizes — the concurrent-reader path (and its spec). Fail-safe
+    * on EVERY IO error: a reader that can't probe simply has no entry. */
+  def lookup(spark: SparkSession, kind: String, fingerprint: String): Option[String] =
+    try {
+      val (fs, rp) = rootFs(spark)
+      verifiedEntry(fs, rp, kind, manifestPath(rp, kind, fingerprint))
+        .collect { case (fp, payload) if fp == fingerprint => payload.toString }
+    } catch { case _: java.io.IOException => None }
 
   /** Retire a stale slot: manifest FIRST (so no new reader can acquire
     * the dying payload), then the payload directory it referenced.
     * Losing this delete to a concurrent retirer is harmless — deletes
-    * are idempotent. */
+    * are idempotent. A non-FNF IOException propagates (an entry must
+    * never be half-retired on a transient error the caller can retry). */
   private def retire(fs: FileSystem, rootP: HPath, kind: String, m: HPath): Unit = {
-    if (!fs.isFile(m)) return
     val payloadName =
       try {
+        if (!fs.isFile(m)) return
         val in = fs.open(m)
         val text =
           try new String(in.readAllBytes(), StandardCharsets.UTF_8)
           finally in.close()
-        text match {
-          case ManifestRe(_, _, pd, _) => Some(unb64(pd))
-          case _ => None
-        }
-      } catch { case _: java.io.IOException => None }
+        parseManifest(text).map(_._3)
+      } catch { case _: java.io.FileNotFoundException => return }
     fs.delete(m, false)
     payloadName.foreach(n => fs.delete(new HPath(kindDir(rootP, kind), n), true))
   }
@@ -359,26 +382,49 @@ object IndexCatalog {
             // a tmp name, then a SINGLE-FILE rename (atomic on
             // local/HDFS; complete-or-absent even as an object-store
             // copy — and a torn read still fails the parse, see class
-            // doc). Rename-to-existing fails on Hadoop filesystems —
-            // that failure IS the cross-process race arbitration.
-            val tmp = new HPath(kindDir(rp, kind),
-              s"${mpath.getName}.tmp-${nonce()}")
-            val out = fs.create(tmp, false)
-            try out.write(
-              manifestJson(kind, fingerprint, payload.getName, stamp)
-                .getBytes(StandardCharsets.UTF_8))
-            finally out.close()
-            if (fs.rename(tmp, mpath)) { builds.incrementAndGet(); payload.toString }
-            else {
-              // lost the race: drop ours, load the winner
-              fs.delete(tmp, false)
-              fs.delete(payload, true)
-              verifiedPayload() match {
-                case Some(p) => loads.incrementAndGet(); p
-                case None => sys.error(s"IndexCatalog: $mpath exists with " +
-                  "a foreign or damaged manifest (fingerprint-hash " +
-                  "collision?) — vacuum the slot and retry")
-              }
+            // doc). rename-to-existing FAILS on HDFS but silently
+            // REPLACES on POSIX/local (rename(2) semantics), so a true
+            // return does not prove we won a concurrent race: the
+            // arbitration is the READ-BACK below — whatever payload the
+            // commit point names after our rename IS the entry, and a
+            // publisher whose payload lost the replace-race deletes its
+            // own and adopts the winner's.
+            // a same-fingerprint entry may have been committed while we
+            // built: ADOPT it rather than replace it — this keeps the
+            // POSIX replace-race window at probe→rename milliseconds
+            // instead of the whole build (the read-back then converges
+            // even that; the residual — a replace landing between two
+            // publishers' read-backs — leaves one unreferenced payload
+            // for vacuum's age threshold, never a wrong result)
+            verifiedPayload() match {
+              case Some(p) =>
+                fs.delete(payload, true)
+                loads.incrementAndGet(); p
+              case None =>
+                val tmp = new HPath(kindDir(rp, kind),
+                  s"${mpath.getName}.tmp-${nonce()}")
+                val out = fs.create(tmp, false)
+                try out.write(
+                  manifestJson(kind, fingerprint, payload.getName, stamp)
+                    .getBytes(StandardCharsets.UTF_8))
+                finally out.close()
+                if (!fs.rename(tmp, mpath)) fs.delete(tmp, false)
+                verifiedEntry(fs, rp, kind, mpath) match {
+                  case Some((fp, won))
+                      if fp == fingerprint && won.getName == payload.getName =>
+                    builds.incrementAndGet(); payload.toString
+                  case Some((fp, won)) if fp == fingerprint =>
+                    // lost (rename refused on HDFS, or a later rename
+                    // replaced ours on POSIX): drop our payload, adopt
+                    // the winner's
+                    fs.delete(payload, true)
+                    loads.incrementAndGet(); won.toString
+                  case _ =>
+                    fs.delete(payload, true)
+                    sys.error(s"IndexCatalog: $mpath holds a foreign or " +
+                      "damaged manifest after publish (fingerprint-hash " +
+                      "collision?) — vacuum the slot and retry")
+                }
             }
         }
       }

@@ -937,13 +937,17 @@ object StreamingGate {
     * "smaller doc_id" and the batch oracle can express arrival order
     * relationally. The BASE half never streams: its band registers are
     * a stored catalog index (see [[q126StreamNearDup]]). Immutable once
-    * built; cached per source dir. */
+    * built; cached per CONTENT FINGERPRINT, not per dir — data
+    * regenerated in place within one JVM re-stages instead of streaming
+    * a stale delta against fresh base registers (the same staleness
+    * class the round-11 fingerprint re-stat closed in IndexCatalog). */
   private val docsStagedCache =
     new java.util.concurrent.ConcurrentHashMap[String, Path]()
 
   private def stageDeltaDocuments(spark: SparkSession, dir: String,
+                                  fingerprint: String,
                                   half: Long, q3: Long): Path =
-    docsStagedCache.computeIfAbsent(dir, { _ =>
+    docsStagedCache.computeIfAbsent(fingerprint, { _ =>
       val docs = graft.Tables.documents(spark, dir)
       val staged = graft.TempDirs.create("graft-docs-stage")
       Seq(("00-docs.parquet",
@@ -1000,14 +1004,14 @@ object StreamingGate {
     val n = docsAll.count()
     val (half, q3) = (n / 2, n * 3 / 4)
     val base = docsAll.filter(col("doc_id") < half)
-    val staged = stageDeltaDocuments(spark, dir, half, q3)
+    val fingerprint = graft.sources.IndexCatalog.contentFingerprint(docsAll)
+    val staged = stageDeltaDocuments(spark, dir, fingerprint, half, q3)
 
     // the base band registers: a persistent catalog entry keyed by the
     // fixture's content fingerprint — built once at "historical ingest",
     // LOADED by every later session (and every later q126 run)
     val entry = graft.sources.IndexCatalog.getOrBuild(spark,
-      StreamDedupStateKind,
-      graft.sources.IndexCatalog.contentFingerprint(docsAll)) { out =>
+      StreamDedupStateKind, fingerprint) { out =>
       graft.ext.Dedup.minhashBands(base)
         .groupBy("band", "band_key").agg(min(col("doc_id")).as("min_id"))
         .write.mode("overwrite").parquet(s"$out/registers")
