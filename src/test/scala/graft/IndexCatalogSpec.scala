@@ -259,6 +259,64 @@ class IndexCatalogSpec extends SparkSpec {
     }
   }
 
+  test("a mis-padded-base64 manifest reads as damage: lookup fail-safe, rebuild clean, never a crash") {
+    withFreshRoot {
+      import spark.implicits._
+      val kind = "spec-b64-v1"
+      val fp = "fp-b64"
+      // regex-charset-valid but decode-INVALID values (length 1 base64):
+      // parseManifest must answer None, not throw IllegalArgumentException
+      // through lookup/vacuum/getOrBuild
+      val m = java.nio.file.Paths.get(java.net.URI.create(
+        IndexCatalog.manifestPathForTest(spark, kind, fp)))
+      java.nio.file.Files.createDirectories(m.getParent)
+      java.nio.file.Files.write(m,
+        """{"v":2,"kind":"A","fingerprint":"B","payload_dir":"C","stamp":"D"}"""
+          .getBytes("UTF-8"))
+      assert(IndexCatalog.lookup(spark, kind, fp).isEmpty,
+        "damage reads as no-entry, never an exception")
+      var built = 0
+      val e = IndexCatalog.getOrBuild(spark, kind, fp) { out =>
+        built += 1; Seq(1L).toDF("v").write.parquet(s"$out/data")
+      }
+      assert(built == 1 && IndexCatalog.lookup(spark, kind, fp).contains(e),
+        "the damaged slot is retired and rebuilt cleanly")
+    }
+  }
+
+  test("vacuum skips (never retires) an entry it cannot probe through a transient IO error") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.flakyfs.impl", classOf[FlakyOpenFs].getName)
+    val rootDir = TempDirs.create("graft-flaky-root").toString
+    spark.conf.set("spark.graft.index.root", s"flakyfs://$rootDir")
+    IndexCatalog.resetMemory()
+    FlakyOpenFs.failSubstring = null
+    try {
+      import spark.implicits._
+      val kind = "spec-flaky-v1"
+      val fp = "fp-flaky"
+      val e = IndexCatalog.getOrBuild(spark, kind, fp) { out =>
+        Seq(1L).toDF("v").write.parquet(s"$out/data")
+      }
+      IndexCatalog.resetMemory() // drop the in-use protection
+      // manifest unreadable for a TRANSIENT reason: the round-11 review
+      // hazard was vacuum treating this as damage and deleting the
+      // commit point of a healthy (even kept!) entry
+      FlakyOpenFs.failSubstring = ".manifest.json"
+      assert(IndexCatalog.vacuum(spark, kind, Set.empty) == 0,
+        "an unprobeable entry is skipped, not retired")
+      FlakyOpenFs.failSubstring = null
+      assert(IndexCatalog.lookup(spark, kind, fp).contains(e),
+        "the entry survives the flaky maintenance window intact")
+      // and with the flake gone, an unkept entry vacuums normally
+      assert(IndexCatalog.vacuum(spark, kind, Set.empty) == 1)
+    } finally {
+      FlakyOpenFs.failSubstring = null
+      spark.conf.unset("spark.graft.index.root")
+      IndexCatalog.resetMemory()
+    }
+  }
+
   test("publish survives a non-atomic-rename filesystem: a concurrent reader never sees a partial entry") {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.natfs.impl", classOf[NonAtomicRenameFs].getName)
@@ -324,6 +382,33 @@ class IndexCatalogSpec extends SparkSpec {
   * rename to. The catalog's commit must not depend on rename atomicity
   * (its manifest parse + stamp check treat any torn state as
   * "no entry"); this shim is how IndexCatalogSpec proves it. */
+/** Injects a transient (non-FNF) IOException on open() for paths
+  * containing [[FlakyOpenFs.failSubstring]] — the object-store
+  * throttling shape the vacuum skip-on-transient contract defends
+  * against. */
+object FlakyOpenFs {
+  @volatile var failSubstring: String = null
+}
+class FlakyOpenFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "flakyfs"
+  override def getUri: java.net.URI = java.net.URI.create("flakyfs:///")
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    val fail = FlakyOpenFs.failSubstring
+    if (fail != null && f.toString.contains(fail))
+      throw new java.io.IOException("injected transient store error")
+    super.open(f, bufferSize)
+  }
+  private def solid(st: org.apache.hadoop.fs.FileStatus) =
+    new org.apache.hadoop.fs.FileStatus(st.getLen, st.isDirectory, 1,
+      st.getBlockSize, st.getModificationTime, st.getAccessTime,
+      org.apache.hadoop.fs.permission.FsPermission.getDefault, "u", "g",
+      st.getPath)
+  override def listStatus(f: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(f).map(solid)
+  override def getFileStatus(f: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus =
+    solid(super.getFileStatus(f))
+}
+
 class NonAtomicRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "natfs"
   override def getUri: java.net.URI = java.net.URI.create("natfs:///")
