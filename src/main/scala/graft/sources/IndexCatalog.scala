@@ -317,7 +317,12 @@ object IndexCatalog {
           else None
         case None => None
       }
-    } catch { case _: java.io.FileNotFoundException => None }
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      // a checksummed local FS surfacing manifest rot: definitive
+      // damage (retire + rebuild), not a transient to retry
+      case _: org.apache.hadoop.fs.ChecksumException => None
+    }
 
   /** Read-only probe: the verified payload path for (kind,
     * fingerprint), if a committed entry exists. Never builds, never
@@ -344,7 +349,12 @@ object IndexCatalog {
           try new String(in.readAllBytes(), StandardCharsets.UTF_8)
           finally in.close()
         parseManifest(text).map(_._3)
-      } catch { case _: java.io.FileNotFoundException => return }
+      } catch {
+        case _: java.io.FileNotFoundException => return
+        // damaged beyond reading: drop the manifest; its payload (if
+        // any) ages out through vacuum's orphan pass
+        case _: org.apache.hadoop.fs.ChecksumException => None
+      }
     fs.delete(m, false)
     payloadName.foreach(n => fs.delete(new HPath(kindDir(rootP, kind), n), true))
   }
@@ -359,25 +369,44 @@ object IndexCatalog {
         // ephemeral: identity keys die with the JVM, so must the entry
         val p = graft.TempDirs.create(s"graft-$kind").toString
         build(p); builds.incrementAndGet(); p
-      } else {
-        val (fs, rp) = rootFs(spark)
-        val mpath = manifestPath(rp, kind, fingerprint)
-        def verifiedPayload(): Option[String] =
-          verifiedEntry(fs, rp, kind, mpath)
-            .collect { case (fp, payload) if fp == fingerprint => payload.toString }
+      } else publish(spark, kind, fingerprint)(build)
+    })
+
+  /** The non-memoized load-or-publish body — what two PROCESSES racing
+    * on the same slot each execute (the in-JVM memo above serializes
+    * same-key callers, so only the spec can drive this reentrantly;
+    * IndexCatalogSpec's race tests call it directly to simulate the
+    * rival process). */
+  private[graft] def publish(spark: SparkSession, kind: String,
+                             fingerprint: String)
+                            (build: String => Unit): String = {
+    val (fs, rp) = rootFs(spark)
+    val mpath = manifestPath(rp, kind, fingerprint)
+    def verifiedPayload(): Option[String] =
+      verifiedEntry(fs, rp, kind, mpath)
+        .collect { case (fp, payload) if fp == fingerprint => payload.toString }
+    verifiedPayload() match {
+      case Some(p) => loads.incrementAndGet(); p
+      case None =>
+        // stale slot (reaped payload, torn manifest, or a
+        // fingerprint-hash collision's foreign entry): retire it so
+        // our commit rename can land
+        retire(fs, rp, kind, mpath)
+        val payload = new HPath(kindDir(rp, kind),
+          s"${sha16(fingerprint)}-${nonce()}")
+        fs.mkdirs(payload)
+        try build(payload.toString)
+        catch { case e: Throwable => fs.delete(payload, true); throw e }
+        val stamp = payloadStamp(fs, payload)
+        // a same-fingerprint entry may have been committed while we
+        // built: ADOPT it rather than replace it — this keeps the
+        // POSIX replace-race window at probe→rename milliseconds
+        // instead of the whole build
         verifiedPayload() match {
-          case Some(p) => loads.incrementAndGet(); p
+          case Some(p) =>
+            fs.delete(payload, true)
+            loads.incrementAndGet(); p
           case None =>
-            // stale slot (reaped payload, torn manifest, or a
-            // fingerprint-hash collision's foreign entry): retire it so
-            // our commit rename can land
-            retire(fs, rp, kind, mpath)
-            val payload = new HPath(kindDir(rp, kind),
-              s"${sha16(fingerprint)}-${nonce()}")
-            fs.mkdirs(payload)
-            try build(payload.toString)
-            catch { case e: Throwable => fs.delete(payload, true); throw e }
-            val stamp = payloadStamp(fs, payload)
             // commit = the manifest FILE appearing complete: written to
             // a tmp name, then a SINGLE-FILE rename (atomic on
             // local/HDFS; complete-or-absent even as an object-store
@@ -386,47 +415,36 @@ object IndexCatalog {
             // REPLACES on POSIX/local (rename(2) semantics), so a true
             // return does not prove we won a concurrent race: the
             // arbitration is the READ-BACK below — whatever payload the
-            // commit point names after our rename IS the entry, and a
-            // publisher whose payload lost the replace-race deletes its
-            // own and adopts the winner's.
-            // a same-fingerprint entry may have been committed while we
-            // built: ADOPT it rather than replace it — this keeps the
-            // POSIX replace-race window at probe→rename milliseconds
-            // instead of the whole build (the read-back then converges
-            // even that; the residual — a replace landing between two
-            // publishers' read-backs — leaves one unreferenced payload
-            // for vacuum's age threshold, never a wrong result)
-            verifiedPayload() match {
-              case Some(p) =>
+            // commit point names after our rename IS the entry; a
+            // publisher whose payload lost deletes its own and adopts
+            // the winner's. The residual — a replace landing between
+            // two publishers' read-backs — leaves one UNREFERENCED
+            // payload for vacuum's age threshold, never a wrong result.
+            val tmp = new HPath(kindDir(rp, kind),
+              s"${mpath.getName}.tmp-${nonce()}")
+            val out = fs.create(tmp, false)
+            try out.write(
+              manifestJson(kind, fingerprint, payload.getName, stamp)
+                .getBytes(StandardCharsets.UTF_8))
+            finally out.close()
+            if (!fs.rename(tmp, mpath)) fs.delete(tmp, false)
+            verifiedEntry(fs, rp, kind, mpath) match {
+              case Some((fp, won))
+                  if fp == fingerprint && won.getName == payload.getName =>
+                builds.incrementAndGet(); payload.toString
+              case Some((fp, won)) if fp == fingerprint =>
+                // lost (rename refused on HDFS, or a later rename
+                // replaced ours on POSIX): drop our payload, adopt
+                // the winner's
                 fs.delete(payload, true)
-                loads.incrementAndGet(); p
-              case None =>
-                val tmp = new HPath(kindDir(rp, kind),
-                  s"${mpath.getName}.tmp-${nonce()}")
-                val out = fs.create(tmp, false)
-                try out.write(
-                  manifestJson(kind, fingerprint, payload.getName, stamp)
-                    .getBytes(StandardCharsets.UTF_8))
-                finally out.close()
-                if (!fs.rename(tmp, mpath)) fs.delete(tmp, false)
-                verifiedEntry(fs, rp, kind, mpath) match {
-                  case Some((fp, won))
-                      if fp == fingerprint && won.getName == payload.getName =>
-                    builds.incrementAndGet(); payload.toString
-                  case Some((fp, won)) if fp == fingerprint =>
-                    // lost (rename refused on HDFS, or a later rename
-                    // replaced ours on POSIX): drop our payload, adopt
-                    // the winner's
-                    fs.delete(payload, true)
-                    loads.incrementAndGet(); won.toString
-                  case _ =>
-                    fs.delete(payload, true)
-                    sys.error(s"IndexCatalog: $mpath holds a foreign or " +
-                      "damaged manifest after publish (fingerprint-hash " +
-                      "collision?) — vacuum the slot and retry")
-                }
+                loads.incrementAndGet(); won.toString
+              case _ =>
+                fs.delete(payload, true)
+                sys.error(s"IndexCatalog: $mpath holds a foreign or " +
+                  "damaged manifest after publish (fingerprint-hash " +
+                  "collision?) — vacuum the slot and retry")
             }
         }
-      }
-    })
+    }
+  }
 }

@@ -259,6 +259,105 @@ class IndexCatalogSpec extends SparkSpec {
     }
   }
 
+  test("publish race: a rival committing mid-build is ADOPTED, not replaced — one referenced payload survives") {
+    withFreshRoot {
+      import spark.implicits._
+      val kind = "spec-race-v1"
+      val fp = "fp-race"
+      // the rival "process": the non-memoized publish body, committing
+      // while OUR build is still running (the exact interleaving the
+      // POSIX replace-race needs — an in-JVM getOrBuild can't reach it
+      // because the memo serializes same-key callers)
+      var rival: String = null
+      val (b0, l0) = (IndexCatalog.builds.get(), IndexCatalog.loads.get())
+      val ours = IndexCatalog.publish(spark, kind, fp) { out =>
+        Seq(1L).toDF("v").write.parquet(s"$out/data")
+        rival = IndexCatalog.publish(spark, kind, fp) { rOut =>
+          Seq(2L).toDF("v").write.parquet(s"$rOut/data")
+        }
+      }
+      assert(ours == rival,
+        "the later publisher must ADOPT the committed rival, not replace it")
+      assert(IndexCatalog.builds.get() == b0 + 1 &&
+        IndexCatalog.loads.get() == l0 + 1,
+        "exactly one build (the rival's) and one adoption (ours)")
+      assert(IndexCatalog.lookup(spark, kind, fp).contains(rival),
+        "the commit point references the rival's payload")
+      assert(spark.read.parquet(s"$rival/data").as[Long].head() == 2L)
+      // OUR abandoned nonce dir is gone — adopt deletes it
+      val kd = localPath(rival).getParent
+      val ls = java.nio.file.Files.list(kd)
+      val dirs =
+        try ls.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(java.nio.file.Files.isDirectory(_))
+        finally ls.close()
+      assert(dirs.size == 1, s"no orphaned payload dirs: $dirs")
+    }
+  }
+
+  test("publish race: a rival REPLACING our manifest between rename and read-back converges via read-back") {
+    // the POSIX worst case, forced deterministically: a shim FS whose
+    // manifest rename succeeds and is IMMEDIATELY overwritten by the
+    // rival's (valid, same-fingerprint) manifest — the replace landing
+    // in the rename→read-back window. The publisher must detect the
+    // loss at read-back, delete its own payload, and adopt the rival's.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.racefs.impl", classOf[ReplaceRaceFs].getName)
+    val rootDir = TempDirs.create("graft-racefs-root").toString
+    spark.conf.set("spark.graft.index.root", s"racefs://$rootDir")
+    IndexCatalog.resetMemory()
+    ReplaceRaceFs.rivalJson = null
+    try {
+      import spark.implicits._
+      val kind = "spec-race-v2"
+      val fp = "fp-race2"
+      // stage the rival: publish normally (valid manifest + payload),
+      // capture the manifest bytes, then clear the commit point so our
+      // publisher's pre-rename probe finds the slot empty
+      val rivalPayload = IndexCatalog.publish(spark, kind, fp) { out =>
+        Seq(2L).toDF("v").write.parquet(s"$out/data")
+      }
+      val hfs = new org.apache.hadoop.fs.Path(s"racefs://$rootDir")
+        .getFileSystem(conf)
+      val mpath = new org.apache.hadoop.fs.Path(
+        IndexCatalog.manifestPathForTest(spark, kind, fp))
+      val in = hfs.open(mpath)
+      val rivalBytes = try in.readAllBytes() finally in.close()
+      hfs.delete(mpath, false)
+      IndexCatalog.resetMemory()
+
+      ReplaceRaceFs.rivalJson = rivalBytes
+      val (b0, l0) = (IndexCatalog.builds.get(), IndexCatalog.loads.get())
+      val got = IndexCatalog.publish(spark, kind, fp) { out =>
+        Seq(1L).toDF("v").write.parquet(s"$out/data")
+      }
+      assert(ReplaceRaceFs.rivalJson == null, "the replace hook must have fired")
+      assert(got == rivalPayload,
+        "read-back must detect the replace and adopt the rival's payload")
+      assert(IndexCatalog.builds.get() == b0 && IndexCatalog.loads.get() == l0 + 1,
+        "the replaced publisher counts as a load, never a build")
+      assert(spark.read.parquet(s"$got/data").as[Long].head() == 2L)
+      // our replaced payload dir is deleted — exactly one payload remains
+      // (shim-scheme URIs resolve via the path component; java.nio has
+      // no racefs provider)
+      def shimLocal(entry: String): java.nio.file.Path =
+        java.nio.file.Paths.get(java.net.URI.create(entry).getPath)
+      val kd = shimLocal(rivalPayload).getParent
+      val ls = java.nio.file.Files.list(kd)
+      val dirs =
+        try ls.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(java.nio.file.Files.isDirectory(_))
+        finally ls.close()
+      assert(dirs.map(_.getFileName.toString) ==
+        Seq(shimLocal(rivalPayload).getFileName.toString),
+        s"only the winner's payload survives: $dirs")
+    } finally {
+      ReplaceRaceFs.rivalJson = null
+      spark.conf.unset("spark.graft.index.root")
+      IndexCatalog.resetMemory()
+    }
+  }
+
   test("a mis-padded-base64 manifest reads as damage: lookup fail-safe, rebuild clean, never a crash") {
     withFreshRoot {
       import spark.implicits._
@@ -382,6 +481,37 @@ class IndexCatalogSpec extends SparkSpec {
   * rename to. The catalog's commit must not depend on rename atomicity
   * (its manifest parse + stamp check treat any torn state as
   * "no entry"); this shim is how IndexCatalogSpec proves it. */
+/** Replaces a just-renamed manifest with [[ReplaceRaceFs.rivalJson]] —
+  * the POSIX replace-race landing in the rename→read-back window,
+  * made deterministic. */
+object ReplaceRaceFs {
+  @volatile var rivalJson: Array[Byte] = null
+}
+class ReplaceRaceFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "racefs"
+  override def getUri: java.net.URI = java.net.URI.create("racefs:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean = {
+    val ok = super.rename(src, dst)
+    val rival = ReplaceRaceFs.rivalJson
+    if (ok && rival != null && dst.getName.endsWith(".manifest.json")) {
+      ReplaceRaceFs.rivalJson = null
+      val out = create(dst, true)
+      try out.write(rival) finally out.close()
+    }
+    ok
+  }
+  private def solid(st: org.apache.hadoop.fs.FileStatus) =
+    new org.apache.hadoop.fs.FileStatus(st.getLen, st.isDirectory, 1,
+      st.getBlockSize, st.getModificationTime, st.getAccessTime,
+      org.apache.hadoop.fs.permission.FsPermission.getDefault, "u", "g",
+      st.getPath)
+  override def listStatus(f: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(f).map(solid)
+  override def getFileStatus(f: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus =
+    solid(super.getFileStatus(f))
+}
+
 /** Injects a transient (non-FNF) IOException on open() for paths
   * containing [[FlakyOpenFs.failSubstring]] — the object-store
   * throttling shape the vacuum skip-on-transient contract defends
