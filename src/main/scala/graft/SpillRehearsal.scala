@@ -42,13 +42,18 @@ import org.apache.spark.sql.functions._
 object SpillRehearsal {
 
   /** The shuffle-heavy subset and the decade each runs at: a multi-join
-    * (x10 — lineitem IS the base table), a pair-generating aggregate
-    * over banded buckets and a global sort (x100 documents — 500k rows,
-    * enough volume that a starved sorter must externalize), and the
-    * prefix-filtered set-similarity join (x10 — its candidate
-    * EXPANSION is the volume). */
+    * (x10 — lineitem IS the base table), a pure hash aggregate (q13's
+    * sha2 groupBy at x100 — measured NOT to spill: ~60 MB of aggregate
+    * state over 8 tasks fits even the 1% pool, an honest-zero row), a
+    * pair-generating aggregate over banded buckets and a global sort
+    * (x100 documents — 500k rows, enough volume that a starved sorter
+    * must externalize), and the prefix-filtered set-similarity join
+    * (x10 — its candidate EXPANSION is the volume). The agg-spill
+    * evidence carrier is q14, whose per-bucket collect_list state is
+    * what externalizes. */
   val Queries: Seq[(String, String)] = Seq(
-    "q06_join5" -> "x10", "q14_minhash_pairs" -> "x100",
+    "q06_join5" -> "x10", "q13_dedup_exact" -> "x100",
+    "q14_minhash_pairs" -> "x100",
     "q21_tokens" -> "x100", "q188_ppjoin" -> "x10")
 
   /** Unified-pool fraction for the constrained pass: 1% of an 8 GiB
