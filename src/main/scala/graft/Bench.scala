@@ -49,6 +49,22 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** Bit-coherence field (round-11 verdict blemish 1): the commit the
+    * bench actually measured, read from .git at run time so "is the
+    * committed bench the committed code?" is a mechanical field
+    * comparison instead of a BASELINE.md paragraph. `+dirty` marks a
+    * working tree whose tracked files differ from HEAD. Read via plain
+    * file IO + one git exec (no library dep); "unknown" when the cwd
+    * is not a repo or git is unavailable — never a crash. */
+  private def gitHead(): String =
+    try {
+      import scala.sys.process._
+      val sha = Seq("git", "rev-parse", "HEAD").!!.trim
+      val dirty = Seq("git", "status", "--porcelain",
+        "--untracked-files=no").!!.trim.nonEmpty
+      if (dirty) s"$sha+dirty" else sha
+    } catch { case _: Throwable => "unknown" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -86,6 +102,12 @@ object Bench {
     }
 
     val loadPre = loadAvg()
+    // one untimed warm-up so pre and post time the SAME compiled code:
+    // the first LCG invocation otherwise runs interpreted/OSR while the
+    // post call runs fully JIT'd — a built-in pre>post skew in the very
+    // field meant to attribute pre-vs-post deltas to co-tenant load
+    // (round-11 ADVICE)
+    calibrateSec()
     val calPre = calibrateSec()
 
     // session warmup (untimed): one relational query (codegen/scan paths)
@@ -110,7 +132,7 @@ object Bench {
     // calibration = the co-tenancy probe (see calibrateSec) so a
     // cross-round per-query delta can be attributed to load in one line
     val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,""" +
-      s""""witness":${Witness.enabled},""" +
+      s""""witness":${Witness.enabled},"git_head":"${gitHead()}",""" +
       s""""calibration":{"pre_lcg_sec":${f"$calPre%.3f"},"post_lcg_sec":${f"$calPost%.3f"},""" +
       s""""loadavg_pre":${f"$loadPre%.2f"},"loadavg_post":${f"$loadPost%.2f"}},""" +
       s""""queries":$qs,"sf":"$sfDir"}"""

@@ -113,7 +113,27 @@ object IndexCatalog {
     * compaction (the q142 discipline); entries currently memoized by
     * this JVM are never vacuumed even if absent from `keep`, and the
     * age threshold keeps an IN-FLIGHT build's not-yet-referenced
-    * payload safe (its files are seconds old; the default is a day). */
+    * payload safe (its files are seconds old; the default is a day).
+    *
+    * RETENTION CONTRACT (cross-process): the `inUse` guard covers only
+    * THIS JVM's memo. A session in ANOTHER process that resolved an
+    * entry keeps serving queries from its payload path with no lease on
+    * disk, so a keep-set-driven vacuum can retire that entry mid-query:
+    * the other session's reads then fail (FileNotFoundException from
+    * the scan) and its next lookup/getOrBuild rebuilds — fail-safe,
+    * never a wrong result, but a full-corpus rebuild. Operationally:
+    * `orphanAgeMs` must exceed the maximum session lifetime, and the
+    * keep set must include every fingerprint a live session may still
+    * hold (IndexCatalogSpec pins the failure-then-rebuild behavior).
+    *
+    * Transient-IO discipline: a manifest whose probe hits a transient
+    * IOException is skipped in pass 1 (never retired), and because its
+    * payload reference could not be harvested, pass 2 is skipped for
+    * the WHOLE kind that window — otherwise pass 2 would read the
+    * healthy-but-unprobeable entry's payload as an unreferenced orphan
+    * and delete it past the age threshold, stranding a manifest that
+    * points at nothing (the exact full-rebuild outcome the skip exists
+    * to prevent). One flaky window merely defers storage reclamation. */
   def vacuum(spark: SparkSession, kind: String, keep: Set[String],
              orphanAgeMs: Long = 24L * 3600 * 1000): Int = {
     val (fs, rp) = rootFs(spark)
@@ -128,14 +148,23 @@ object IndexCatalog {
     // new reader can acquire the dying payload), keep note of every
     // payload a surviving manifest references
     val referenced = scala.collection.mutable.Set.empty[String]
+    var unprobeable = false
     for (st <- fs.listStatus(kd)
          if st.isFile && st.getPath.getName.endsWith(".manifest.json")) {
       // a transient IO error while probing must SKIP the entry, never
       // retire it — deleting a healthy kept manifest on a store hiccup
-      // would cost the next session a full-corpus rebuild
+      // would cost the next session a full-corpus rebuild. One retry
+      // (transient means the next attempt may answer); if that fails
+      // too the entry's payload reference is UNKNOWN, which poisons
+      // pass 2 below (see class doc: the skipped entry's payload must
+      // not read as an unreferenced orphan).
       val probed =
         try Some(verifiedEntry(fs, rp, kind, st.getPath))
-        catch { case _: java.io.IOException => None }
+        catch {
+          case _: java.io.IOException =>
+            try Some(verifiedEntry(fs, rp, kind, st.getPath))
+            catch { case _: java.io.IOException => None }
+        }
       probed match {
         case Some(Some((fp, payload)))
             if keep.contains(fp) || inUse.contains(payload.toString) =>
@@ -148,17 +177,24 @@ object IndexCatalog {
           fs.delete(st.getPath, false)
           removed += 1
         case None => // transient: leave it for the next maintenance window
+          unprobeable = true
       }
     }
-    // pass 2: unreferenced leftovers past the age threshold
-    val now = System.currentTimeMillis()
-    for (st <- fs.listStatus(kd)
-         if !st.getPath.getName.endsWith(".manifest.json") &&
-           !referenced.contains(st.getPath.getName) &&
-           !inUse.contains(st.getPath.toString) &&
-           now - st.getModificationTime >= orphanAgeMs) {
-      fs.delete(st.getPath, true)
-      removed += 1
+    // pass 2: unreferenced leftovers past the age threshold — skipped
+    // for the whole kind when ANY manifest was transiently unprobeable
+    // (its payload reference was never harvested into `referenced`, so
+    // an aged healthy payload would otherwise be deleted out from under
+    // its surviving manifest). Reclamation resumes the next window.
+    if (!unprobeable) {
+      val now = System.currentTimeMillis()
+      for (st <- fs.listStatus(kd)
+           if !st.getPath.getName.endsWith(".manifest.json") &&
+             !referenced.contains(st.getPath.getName) &&
+             !inUse.contains(st.getPath.toString) &&
+             now - st.getModificationTime >= orphanAgeMs) {
+        fs.delete(st.getPath, true)
+        removed += 1
+      }
     }
     removed
   }
@@ -278,15 +314,30 @@ object IndexCatalog {
     ("""\{"v":2,"kind":"([A-Za-z0-9+/=]*)","fingerprint":"([A-Za-z0-9+/=]*)",""" +
       """"payload_dir":"([A-Za-z0-9+/=]*)","stamp":"([A-Za-z0-9+/=]*)"\}""").r
 
+  /** The one payload-directory name shape [[publish]] ever generates:
+    * sha16(fingerprint) + "-" + a 13-char UUID-prefix nonce. Every
+    * consumer of a DECODED payload_dir validates against this before
+    * resolving it under the kind dir — a manifest that parses but whose
+    * payload_dir decodes to "..", "", or a multi-segment path must read
+    * as damage, because retire()/vacuum recursively DELETE the resolved
+    * path and a traversal value would aim that delete at the catalog
+    * root's parent instead of one payload. */
+  private val PayloadDirRe = "^[0-9a-f]{16}-[0-9a-f-]{1,16}$".r
+
   /** Decode a manifest body: None on ANY malformation — including
     * base64 that passes the regex's charset but fails to decode
     * (mis-padded / length-invalid values throw IllegalArgumentException,
-    * which must read as damage, not crash a probe). */
+    * which must read as damage, not crash a probe), and a decoded
+    * payload_dir outside the generated single-segment shape
+    * ([[PayloadDirRe]] — the recursive-delete traversal guard). */
   private def parseManifest(text: String): Option[(String, String, String, String)] =
     text match {
       case ManifestRe(k, fp, pd, st) =>
-        try Some((unb64(k), unb64(fp), unb64(pd), unb64(st)))
-        catch { case _: IllegalArgumentException => None }
+        try {
+          val pdDec = unb64(pd)
+          if (PayloadDirRe.findFirstIn(pdDec).isEmpty) None
+          else Some((unb64(k), unb64(fp), pdDec, unb64(st)))
+        } catch { case _: IllegalArgumentException => None }
       case _ => None
     }
 
@@ -339,7 +390,11 @@ object IndexCatalog {
     * the dying payload), then the payload directory it referenced.
     * Losing this delete to a concurrent retirer is harmless — deletes
     * are idempotent. A non-FNF IOException propagates (an entry must
-    * never be half-retired on a transient error the caller can retry). */
+    * never be half-retired on a transient error the caller can retry).
+    * The payload delete trusts parseManifest's [[PayloadDirRe]] shape
+    * guard: a damaged manifest whose payload_dir decodes to a traversal
+    * value parses as None here, so only the manifest is dropped and the
+    * real payload (if any) ages out through vacuum's orphan pass. */
   private def retire(fs: FileSystem, rootP: HPath, kind: String, m: HPath): Unit = {
     val payloadName =
       try {

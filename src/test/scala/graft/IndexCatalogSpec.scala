@@ -474,6 +474,121 @@ class IndexCatalogSpec extends SparkSpec {
       IndexCatalog.resetMemory()
     }
   }
+
+  test("vacuum under a transient flake protects AGED payloads: pass 2 skipped for the kind") {
+    // the round-11 ADVICE medium: pass 1 correctly skipped the
+    // unprobeable manifest, but its payload reference was never
+    // harvested, so pass 2 deleted the healthy (even KEPT) entry's
+    // payload once it aged past the threshold — manifest left pointing
+    // at nothing, next session pays the full-corpus rebuild. The fix:
+    // an unprobeable manifest poisons pass 2 for the whole kind.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.flakyfs.impl", classOf[FlakyOpenFs].getName)
+    val rootDir = TempDirs.create("graft-flaky-aged-root").toString
+    spark.conf.set("spark.graft.index.root", s"flakyfs://$rootDir")
+    IndexCatalog.resetMemory()
+    FlakyOpenFs.failSubstring = null
+    try {
+      import spark.implicits._
+      val kind = "spec-flaky-aged-v1"
+      val fp = "fp-flaky-aged"
+      val e = IndexCatalog.getOrBuild(spark, kind, fp) { out =>
+        Seq(1L).toDF("v").write.parquet(s"$out/data")
+      }
+      IndexCatalog.resetMemory() // drop the in-use protection
+      // orphanAgeMs = -1: EVERY payload is past the age threshold, so
+      // the only thing standing between the healthy payload and pass 2
+      // is the transient-skip poisoning — exactly the hazard scenario
+      FlakyOpenFs.failSubstring = ".manifest.json"
+      assert(IndexCatalog.vacuum(spark, kind, Set(fp), orphanAgeMs = -1L) == 0,
+        "a flaky window must reclaim nothing in this kind")
+      FlakyOpenFs.failSubstring = null
+      assert(IndexCatalog.lookup(spark, kind, fp).contains(e),
+        "the aged healthy payload survives the flaky window — manifest still verifies")
+      assert(spark.read.parquet(s"$e/data").as[Long].head() == 1L)
+    } finally {
+      FlakyOpenFs.failSubstring = null
+      spark.conf.unset("spark.graft.index.root")
+      IndexCatalog.resetMemory()
+    }
+  }
+
+  test("a traversal payload_dir reads as damage: retire never deletes outside the payload shape") {
+    withFreshRoot {
+      import spark.implicits._
+      // the would-be victim: a healthy entry in a SIBLING kind — a
+      // payload_dir of ".." resolves to the kind dir's parent (the
+      // catalog root), so an unguarded recursive delete would take the
+      // victim with it
+      val victim = IndexCatalog.getOrBuild(spark, "spec-victim-v1", "fp-victim") { out =>
+        Seq(7L).toDF("v").write.parquet(s"$out/data")
+      }
+      val kind = "spec-traversal-v1"
+      val fp = "fp-traversal"
+      def b64(s: String) = java.util.Base64.getEncoder
+        .encodeToString(s.getBytes("UTF-8"))
+      val m = java.nio.file.Paths.get(java.net.URI.create(
+        IndexCatalog.manifestPathForTest(spark, kind, fp)))
+      java.nio.file.Files.createDirectories(m.getParent)
+      // parses structurally, decodes cleanly — but payload_dir is a
+      // multi-segment traversal value no publish() ever generates
+      java.nio.file.Files.write(m,
+        (s"""{"v":2,"kind":"${b64(kind)}","fingerprint":"${b64(fp)}",""" +
+          s""""payload_dir":"${b64("..")}","stamp":"${b64("0:x")}"}""")
+          .getBytes("UTF-8"))
+      assert(IndexCatalog.lookup(spark, kind, fp).isEmpty,
+        "a traversal payload_dir must read as damage, never resolve")
+      // getOrBuild retires the damaged slot (manifest only!) and rebuilds
+      var built = 0
+      val e = IndexCatalog.getOrBuild(spark, kind, fp) { out =>
+        built += 1; Seq(1L).toDF("v").write.parquet(s"$out/data")
+      }
+      assert(built == 1 && IndexCatalog.lookup(spark, kind, fp).contains(e))
+      assert(spark.read.parquet(s"$victim/data").as[Long].head() == 7L,
+        "the sibling kind's entry survives — the traversal delete never fired")
+      // and vacuum over a fresh traversal manifest is equally contained
+      java.nio.file.Files.write(m.getParent.resolve("ffffffffffffffff.manifest.json"),
+        (s"""{"v":2,"kind":"${b64(kind)}","fingerprint":"${b64("fp-x")}",""" +
+          s""""payload_dir":"${b64("../spec-victim-v1")}","stamp":"${b64("0:x")}"}""")
+          .getBytes("UTF-8"))
+      IndexCatalog.vacuum(spark, kind, Set(fp), orphanAgeMs = Long.MaxValue)
+      assert(spark.read.parquet(s"$victim/data").as[Long].head() == 7L,
+        "vacuum drops the damaged manifest without following its traversal value")
+    }
+  }
+
+  test("cross-process retention contract: vacuuming a live reader's entry fails its reads, next resolve rebuilds") {
+    withFreshRoot {
+      import spark.implicits._
+      val kind = "spec-lease-v1"
+      val fp = "fp-lease"
+      // session A resolves the entry and holds the payload path (the
+      // mid-stream reader shape — a DataFrame over the payload)
+      val held = IndexCatalog.getOrBuild(spark, kind, fp) { out =>
+        Seq(1L, 2L).toDF("v").write.parquet(s"$out/data")
+      }
+      // session B (another PROCESS: no view of A's memo — simulated by
+      // clearing it, which is exactly what cross-process vacuum sees)
+      // runs a keep-set-driven vacuum that does not keep fp
+      IndexCatalog.resetMemory()
+      assert(IndexCatalog.vacuum(spark, kind, Set.empty, orphanAgeMs = -1L) == 1,
+        "without a cross-process lease the entry IS retired — the documented residual")
+      // A's held path now fails fail-SAFE: an analysis error / missing
+      // files, never silently empty or stale rows
+      val failed =
+        try { spark.read.parquet(s"$held/data").collect(); false }
+        catch { case _: Throwable => true }
+      assert(failed, "reads through the vacuumed path must FAIL, not fabricate")
+      // and A's recovery path is a clean rebuild on the next resolve
+      val b0 = IndexCatalog.builds.get()
+      val again = IndexCatalog.getOrBuild(spark, kind, fp) { out =>
+        Seq(1L, 2L).toDF("v").write.parquet(s"$out/data")
+      }
+      assert(IndexCatalog.builds.get() == b0 + 1 && again != held,
+        "recovery is a rebuild into a fresh nonce dir")
+      assert(spark.read.parquet(s"$again/data").count() == 2)
+    }
+  }
 }
 
 /** Object-store stand-in: a local filesystem whose rename is
