@@ -67,6 +67,26 @@ object AnnRecall {
   val IvfDecadeFloor = 0.80
   val QIvfDecadeFloor = 0.60
 
+  /** The PRODUCTION knob curve (round-11 verdict item 3): the flat
+    * decade floors above catch outright recall collapse at the FIXED
+    * gated nprobe, but the number an operator actually turns as cells
+    * densify is nprobe itself — the q42 "+bits per decade" treatment
+    * applied to the probe width. Per decade the artifact measures the
+    * MINIMUM nprobe holding recall >= [[HoldTarget]] (ascending sweep,
+    * early-stopped — IVF recall is monotone in nprobe, the base sweep's
+    * pinned invariant) and gates it <= [[NprobeHoldCeil]]: q80's one
+    * monotone-degrading number (0.9965 -> 0.8386 across the r11 decade
+    * slide at nprobe=2) becomes "and nprobe=N buys it back", with
+    * exit-1 the moment a density decade pushes N past the ceiling.
+    * Measured r12 first run: q18 holds at nprobe=1 at BOTH decades,
+    * q80 at 1 (x10) / 4 (x100) — ceiling 8 leaves one doubling of
+    * margin. The BASE fixture's hold point is recorded too but not
+    * ceiling-gated: its vectors are near-uniform (no cluster
+    * structure), so holding 0.95 there honestly costs most of the 40
+    * cells — the no-structure worst case, documented, not a defect. */
+  val HoldTarget = 0.95
+  val NprobeHoldCeil = 8
+
   private def topkSets(df: DataFrame): Map[Long, Set[Long]] =
     df.collect().groupBy(_.getAs[Long]("q_id"))
       .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
@@ -120,12 +140,16 @@ object AnnRecall {
                    sec: Double, gated: Boolean)
     val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
 
-    for (np <- Seq(1, 2, 4, 8, nCells).distinct.sorted) {
+    // sweeps run through 16/32 as well (round-12): the base fixture's
+    // near-uniform vectors make the hold point (first np with recall >=
+    // HoldTarget) land high, and the curve should SHOW that, not stop
+    // at 8 and leave the base hold undefined
+    for (np <- Seq(1, 2, 4, 8, 16, 32, nCells).distinct.sorted.filter(_ <= nCells)) {
       val (got, sec) = timed(topkSets(Similarity.ivfTopK(emb, np)))
       rows += Row("q18_ivf_topk", "nprobe", np, meanRecall(ivfTruth, got),
         sec, np == Similarity.IvfNProbe)
     }
-    for (np <- Seq(1, 2, 4, 8)) {
+    for (np <- Seq(1, 2, 4, 8, 16, 32, nCells).distinct.sorted.filter(_ <= nCells)) {
       val (got, sec) = timed(topkSets(Similarity.quantizedIvfTopK(emb, np)))
       rows += Row("q80_quantized_ivf", "nprobe", np, meanRecall(qTruth, got),
         sec, np == Similarity.IvfNProbe)
@@ -181,6 +205,12 @@ object AnnRecall {
                          recall: Double, sec: Double, truthSec: Double,
                          floor: Double)
     val decadeRows = scala.collection.mutable.ArrayBuffer.empty[DecadeRow]
+    // the production knob curve: per decade, every swept point plus the
+    // first nprobe holding HoldTarget (nprobe = -1 records a miss)
+    case class HoldPoint(decade: String, op: String, nprobe: Int,
+                         recall: Double, sec: Double)
+    val holdCurve = scala.collection.mutable.ArrayBuffer.empty[HoldPoint]
+    val holdRows = scala.collection.mutable.ArrayBuffer.empty[HoldPoint]
     val decades = Seq(
       ("x10", "/tmp/graft-sf1-rehearsal",
         ScaleRehearsal.Copies, ScaleRehearsal.IdStride),
@@ -202,14 +232,51 @@ object AnnRecall {
         Similarity.quantizedIvfTopK(embD, Similarity.IvfNProbe, centroidMod = cmod)))
       decadeRows += DecadeRow(tag, "q80_quantized_ivf", nD,
         meanRecall(qTruthD, got80), t80, tQt, QIvfDecadeFloor)
+
+      // ---- knob curve at this density: min nprobe holding HoldTarget.
+      // Ascending sweep with early stop — IVF recall is monotone in
+      // nprobe (the base sweep's require-pinned invariant), so the
+      // first point at/above the target IS the minimum.
+      def holdSweep(op: String, truthM: Map[Long, Set[Long]],
+                    run: Int => DataFrame): Unit = {
+        var found = false
+        for (np <- Seq(1, 2, 4, 8, 16, 32).filter(_ <= nCells) if !found) {
+          val (got, sec) = timed(topkSets(run(np)))
+          val r = meanRecall(truthM, got)
+          holdCurve += HoldPoint(tag, op, np, r, sec)
+          if (r >= HoldTarget) { found = true; holdRows += HoldPoint(tag, op, np, r, sec) }
+        }
+        if (!found) holdRows += HoldPoint(tag, op, -1, 0.0, 0.0)
+      }
+      holdSweep("q18_ivf_topk", truthD,
+        np => Similarity.ivfTopK(embD, np, centroidMod = cmod))
+      holdSweep("q80_quantized_ivf", qTruthD,
+        np => Similarity.quantizedIvfTopK(embD, np, centroidMod = cmod))
     }
     val decadeMisses = decadeRows.filter(r => r.recall < r.floor)
+    // base ("x1") hold points come straight off the extended base
+    // sweeps — recorded for the curve, NOT ceiling-gated (the base
+    // fixture's near-uniform vectors have no cluster structure, so its
+    // hold point honestly costs most of the cell set; the gate is about
+    // DENSITY decades degrading the knob, which the x10/x100 rows are)
+    for (op <- Seq("q18_ivf_topk", "q80_quantized_ivf")) {
+      val srs = rows.filter(_.op == op).toSeq
+      holdRows += srs.find(_.recall >= HoldTarget)
+        .map(r => HoldPoint("x1", op, r.value, r.recall, r.sec))
+        .getOrElse(HoldPoint("x1", op, -1, srs.map(_.recall).max, 0.0))
+    }
+    val holdMisses = holdRows.filter(r => r.decade != "x1" &&
+      (r.nprobe < 0 || r.nprobe > NprobeHoldCeil))
 
     // ---- artifacts ----
     val decadeJson = decadeRows.map { r =>
       s"""{"decade":"${r.decade}","op":"${r.op}","n_vectors":${r.nVec},""" +
       s""""recall":${f"${r.recall}%.4f"},"sec":${f"${r.sec}%.2f"},""" +
       s""""truth_sec":${f"${r.truthSec}%.2f"},"floor":${r.floor}}"""
+    }.mkString("[", ",", "]")
+    def holdJson(hs: Seq[HoldPoint]) = hs.map { h =>
+      s"""{"decade":"${h.decade}","op":"${h.op}","nprobe":${h.nprobe},""" +
+      s""""recall":${f"${h.recall}%.4f"},"sec":${f"${h.sec}%.2f"}}"""
     }.mkString("[", ",", "]")
     val json = rows.map { r =>
       s"""{"op":"${r.op}","${r.knob}":${r.value},"recall":${f"${r.recall}%.4f"},""" +
@@ -218,7 +285,10 @@ object AnnRecall {
       s"""{"sf":"$sfDir","n_vectors":$n,"n_cells":$nCells,""" +
       s""""n_queries":${ivfTruth.size},"n_true_pairs":${pairTruth.size},""" +
       s""""truth_sec":{"topk":${f"$tExactTopk%.2f"},"quantized":${f"$tExactQTopk%.2f"},""" +
-      s""""pairs":${f"$tExactPairs%.2f"}},"decades":$decadeJson,"rows":[""",
+      s""""pairs":${f"$tExactPairs%.2f"}},"decades":$decadeJson,""" +
+      s""""hold_target":$HoldTarget,"nprobe_hold_ceil":$NprobeHoldCeil,""" +
+      s""""nprobe_to_hold":${holdJson(holdRows.toSeq)},""" +
+      s""""hold_curve":${holdJson(holdCurve.toSeq)},"rows":[""",
       ",", "]}\n")
     java.nio.file.Files.write(java.nio.file.Paths.get("ann_recall.json"),
       json.getBytes("UTF-8"))
@@ -255,6 +325,22 @@ object AnnRecall {
       md ++= f"| ${r.decade} | ${r.op} | ${r.nVec} | ${r.recall}%.4f "
       md ++= f"| ${r.sec}%.2f | ${r.truthSec}%.2f | >= ${r.floor}%.2f |%n"
     }
+    md ++= "\n## The knob that holds recall (nprobe_to_hold)\n\n"
+    md ++= f"Per decade: the MINIMUM nprobe whose recall >= $HoldTarget%.2f against\n"
+    md ++= "that decade's own brute-force truth (ascending sweep, early stop —\n"
+    md ++= "IVF recall is monotone in nprobe). This is the number an operator\n"
+    md ++= "actually turns as cells densify; the x10/x100 rows are gated\n"
+    md ++= f"<= $NprobeHoldCeil (exit 1), so a density decade that degrades the knob past\n"
+    md ++= "the ceiling reads as a red artifact. The base (x1) row is recorded\n"
+    md ++= "but not ceiling-gated: near-uniform base vectors have no cluster\n"
+    md ++= "structure, so holding 0.95 there honestly costs most of the cell\n"
+    md ++= "set — the no-structure worst case, not a density regression.\n\n"
+    md ++= "| decade | operator | nprobe_to_hold | recall there | sec |\n"
+    md ++= "|---|---|---|---|---|\n"
+    holdRows.sortBy(h => (h.decade, h.op)).foreach { h =>
+      val np = if (h.nprobe < 0) "MISS" else h.nprobe.toString
+      md ++= f"| ${h.decade} | ${h.op} | $np | ${h.recall}%.4f | ${h.sec}%.2f |%n"
+    }
     md ++= "\nDecade recall sits ABOVE the base fixture's gated points because\n"
     md ++= "the synthesized copies cluster around their base vector: a query's\n"
     md ++= "true top-k are its own near-copies, which share its cell. The honest\n"
@@ -273,13 +359,16 @@ object AnnRecall {
     println(json)
 
     spark.stop()
-    if (gatedMisses.nonEmpty || decadeMisses.nonEmpty) {
+    if (gatedMisses.nonEmpty || decadeMisses.nonEmpty || holdMisses.nonEmpty) {
       gatedMisses.foreach(r => System.err.println(
         f"[ann-recall] GATED MISS ${r.op} ${r.knob}=${r.value}: " +
         f"${r.recall}%.4f < ${floors(r.op)}%.2f"))
       decadeMisses.foreach(r => System.err.println(
         f"[ann-recall] DECADE MISS ${r.decade} ${r.op}: " +
         f"${r.recall}%.4f < ${r.floor}%.2f"))
+      holdMisses.foreach(h => System.err.println(
+        f"[ann-recall] HOLD MISS ${h.decade} ${h.op}: nprobe_to_hold=" +
+        f"${h.nprobe} exceeds ceil $NprobeHoldCeil (or never holds ${HoldTarget}%.2f)"))
       sys.exit(1)
     }
   }

@@ -193,8 +193,18 @@ object StreamingGate {
                           transform: DataFrame => DataFrame,
                           copies: Int = 1,
                           filesPerTrigger: Option[Int] = None,
+                          sinkMode: String = "append"): DataFrame =
+    runStagedToMemory(spark, stageWithSentinel(spark, dir, copies),
+      transform, filesPerTrigger, sinkMode)
+
+  /** [[runToMemory]] over a caller-staged directory — the gates whose
+    * staging is not N identical fixture copies (q126's delta-only
+    * split, the q58/q140 redelivery staging) share the engine-run body
+    * through this. */
+  private[graft] def runStagedToMemory(spark: SparkSession, staged: Path,
+                          transform: DataFrame => DataFrame,
+                          filesPerTrigger: Option[Int] = None,
                           sinkMode: String = "append"): DataFrame = {
-    val staged = stageWithSentinel(spark, dir, copies)
     val name = s"graft_stream_gate_${runCounter.incrementAndGet()}"
     val ckpt = graft.TempDirs.create("graft-stream-ckpt")
     // Stateful streaming cost scales with the state-partition count
@@ -415,51 +425,139 @@ object StreamingGate {
       | AND p.us >= c.us AND p.us <= c.us + 600000000
       |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin
 
-  /** q58: watermark-scoped streaming dedup through the micro-batch
-    * engine. The staging makes the test real: the fixture is staged
-    * TWICE and `maxFilesPerTrigger = 1` forces three micro-batches
-    * (copy A, copy B, sentinel), so every copy-B row is suppressed by
-    * the dedup STATE STORE across a batch boundary — rows still inside
-    * the watermark horizon hit their batch-A state entry, older rows
-    * are dropped by the late-event filter; both paths must fire or
-    * duplicates leak into the sink and fail the hash. State is keyed on
-    * (event_id, ts) WITH the event-time column, so entries expire as
-    * the watermark advances — bounded state, the only dedup shape that
-    * survives an unbounded stream. The sentinel (ids = -1) advances the
-    * watermark through the real data and is filtered inside the
-    * transform before the sink. */
-  def q58StreamDedup(spark: SparkSession, dir: String): DataFrame =
-    runToMemory(spark, dir,
-      events => EventsStreaming.dedupEvents(events)
+  /** Catalog kind for the q58/q140 historical seen-keys register —
+    * version suffix fingerprints the layout (one event_id column). */
+  val StreamSeenKeysKind = "stream-seen-keys-v1"
+
+  /** Staged delivery for the bootstrapped dedup gates: the fixture is
+    * split at its event-time MIDPOINT — the older half is "historical
+    * ingest" (its keys live in the catalog, it never streams as new
+    * data), the newer half is the live delta. Four files, mtimes
+    * ordered, so `maxFilesPerTrigger = 1` replays:
+    *   1. the historical half RE-DELIVERED (the at-least-once upstream
+    *      shape — a crawler re-emitting rows the pipeline already
+    *      ingested in a previous session),
+    *   2. the delta (first delivery),
+    *   3. the delta AGAIN (the duplicate copy crossing a state-store
+    *      batch boundary — q58's original proof, kept),
+    *   4. the watermark sentinel.
+    * Splitting by TIME (not id) keeps replay order aligned with event
+    * time, so the delta's first delivery is never late-dropped by the
+    * watermark the redelivery batch advanced. Cached per content
+    * fingerprint like the q126 staging. */
+  private val dedupStagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  private def stageDedupRedelivery(spark: SparkSession, dir: String,
+                                   fingerprint: String,
+                                   splitNs: Long, maxNs: Long): Path =
+    dedupStagedCache.computeIfAbsent(fingerprint, { _ =>
+      val raw = spark.read.schema(EventsStreaming.rawSchema)
+        .parquet(canonicalEventsFile(spark, dir).toString)
+      val staged = graft.TempDirs.create("graft-dedup-stage")
+      val now = System.currentTimeMillis()
+      writeSingleParquet(raw.filter(col("ts") <= splitNs),
+        staged.resolve("00-redelivery.parquet"), now - 180000L)
+      val delta = raw.filter(col("ts") > splitNs)
+      writeSingleParquet(delta, staged.resolve("01-delta.parquet"), now - 120000L)
+      writeSingleParquet(delta, staged.resolve("02-delta-b.parquet"), now - 60000L)
+      writeSentinel(spark, staged, maxNs)
+      staged
+    })
+
+  /** The shared body of the two CATALOG-BOOTSTRAPPED dedup gates
+    * (q58/q140): production incremental ingest does not replay history
+    * to re-learn what it already saw — the historical half's event_ids
+    * are an ingest-time register in the persistent
+    * [[graft.sources.IndexCatalog]] (q126's economy applied to the
+    * exact-dedup gates), loaded by content fingerprint and anti-joined
+    * against the stream BEFORE the watermark dedup, so only genuinely
+    * new rows reach the state store. Three proofs ride one run:
+    * (1) the re-delivered historical batch arrives BEFORE any watermark
+    * exists (nothing late-drops it) and its other copy never streams,
+    * so those rows can ONLY be suppressed by the catalog-loaded
+    * register — if the load were broken they'd reach the sink, double
+    * against the relational base half, and fail the hash; (2) the
+    * delta's duplicate copy still crosses a state-store batch boundary
+    * (the original cross-batch proof, unchanged); (3) the historical
+    * half re-enters RELATIONALLY (the register read back as a batch
+    * table), so the unioned output equals the full distinct relation
+    * and the oracle is byte-identical to the pre-bootstrap gates'. */
+  private def dedupBootstrapGate(spark: SparkSession, dir: String,
+                                 dedup: DataFrame => DataFrame): DataFrame = {
+    val raw = spark.read.schema(EventsStreaming.rawSchema)
+      .parquet(canonicalEventsFile(spark, dir).toString)
+    // fingerprint the SOURCE fixture, not the canonical rewrite: the
+    // rewrite lands in a fresh TempDirs path every JVM, so keying the
+    // catalog on it would move the slot per session and silently
+    // degrade load-forever into rebuild-every-JVM
+    val fingerprint = graft.sources.IndexCatalog.contentFingerprint(
+      graft.Tables.events(spark, dir))
+    val mm = raw.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
+    val (minNs, maxNs) = (mm.getLong(0), mm.getLong(1))
+    val splitNs = minNs + (maxNs - minNs) / 2
+
+    // the historical seen-keys register: built once at "historical
+    // ingest", LOADED by every later session (and every later run)
+    val entry = graft.sources.IndexCatalog.getOrBuild(spark,
+      StreamSeenKeysKind, fingerprint) { out =>
+      raw.filter(col("ts") <= splitNs).select("event_id")
+        .write.mode("overwrite").parquet(s"$out/keys")
+    }
+    val seen = spark.read.parquet(s"$entry/keys")
+
+    val staged = stageDedupRedelivery(spark, dir, fingerprint, splitNs, maxNs)
+    val sink = runStagedToMemory(spark, staged,
+      events => dedup(events.join(seen, Seq("event_id"), "left_anti"))
         .filter(col("event_id") >= 0)
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"),
           round(col("value") * 100).cast("long").as("value_cents")),
-      copies = 2, filesPerTrigger = Some(1))
-      .orderBy("event_id")
+      filesPerTrigger = Some(1))
+
+    // the historical half re-enters relationally — the register's rows
+    // read as a batch table through the normal loader
+    val base = graft.Tables.events(spark, dir)
+      .filter(col("ts_ns") <= splitNs)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+    sink.unionByName(base).orderBy("event_id")
+  }
+
+  /** q58: watermark-scoped streaming dedup through the micro-batch
+    * engine, with CATALOG-BOOTSTRAPPED history (see
+    * [[dedupBootstrapGate]]). The state-machinery proof is unchanged
+    * from the pre-bootstrap gate: the delta's duplicate copy is
+    * suppressed by the dedup STATE STORE across a batch boundary —
+    * rows still inside the watermark horizon hit their first-delivery
+    * state entry, older rows are dropped by the late-event filter;
+    * both paths must fire or duplicates leak into the sink and fail
+    * the hash. State is keyed on (event_id, ts) WITH the event-time
+    * column, so entries expire as the watermark advances — bounded
+    * state, the only dedup shape that survives an unbounded stream.
+    * The sentinel (ids = -1) advances the watermark through the real
+    * data and is filtered inside the transform before the sink. */
+  def q58StreamDedup(spark: SparkSession, dir: String): DataFrame =
+    dedupBootstrapGate(spark, dir, EventsStreaming.dedupEvents)
 
   /** The deduped stream must equal the original relation (fixture
-    * event_ids are unique — the duplication is manufactured by the
-    * two-copy staging, so the batch oracle is just the table). */
+    * event_ids are unique — duplication is manufactured by the staged
+    * redelivery + double delta, so the batch oracle is just the
+    * table). */
   val q58Sql: String =
     """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
       |  CAST(round(value * 100) AS BIGINT) AS value_cents
       |FROM events ORDER BY event_id""".stripMargin
 
   /** q140: the q58 replay through `dropDuplicatesWithinWatermark` — the
-    * 18th gate, closing the dedup-API matrix: same two-copy staging,
-    * same oracle (the distinct relation), but the duplicate copy is
-    * suppressed by the watermark-horizon mechanism (late-drop + bounded
-    * per-key state) rather than a ts-keyed state entry. */
+    * 18th gate, closing the dedup-API matrix: same staging, same
+    * catalog bootstrap, same oracle (the distinct relation), but the
+    * delta's duplicate copy is suppressed by the watermark-horizon
+    * mechanism (late-drop + bounded per-key state) rather than a
+    * ts-keyed state entry. */
   def q140StreamDedupWithin(spark: SparkSession, dir: String): DataFrame =
-    runToMemory(spark, dir,
-      events => EventsStreaming.dedupEventsWithin(events)
-        .filter(col("event_id") >= 0)
-        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
-          col("user_id"), col("event_type"),
-          round(col("value") * 100).cast("long").as("value_cents")),
-      copies = 2, filesPerTrigger = Some(1))
-      .orderBy("event_id")
+    dedupBootstrapGate(spark, dir, EventsStreaming.dedupEventsWithin)
 
   /** q141: the q40 tumbling aggregate in COMPLETE output mode — the
     * 19th gate, closing the sink-mode matrix (append: q40+, update:

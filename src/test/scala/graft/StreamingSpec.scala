@@ -200,10 +200,12 @@ class StreamingSpec extends SparkSpec {
     assert(latestSnapshotBefore(root, Long.MaxValue).get.endsWith("v3"))
   }
 
-  test("q58 gate: two-copy replay dedups to the original relation across batches") {
-    // the staging plants a FULL duplicate of the fixture in a later
-    // micro-batch; only state-store suppression (or the late-event
-    // filter) keeps those rows out of the sink
+  test("q58 gate: redelivery + double-delta replay dedups to the original relation across batches") {
+    // the staging re-delivers the historical half (suppressed only by
+    // the catalog-loaded seen-keys register) and plants a duplicate of
+    // the delta in a later micro-batch (suppressed only by state-store
+    // dedup or the late-event filter); any leak doubles rows against
+    // the relational base union and fails here
     val got = graft.streaming.StreamingGate.q58StreamDedup(spark, sf)
       .collect().map(_.toSeq).toSeq
     val want = Tables.events(spark, sf)
@@ -232,9 +234,19 @@ class StreamingSpec extends SparkSpec {
     StreamingGate.q58StreamDedup(spark, sf).count()
     val dd = series("dedupe")
     assert(dd.nonEmpty, "dedup gate must report its state operator")
-    val n = Tables.events(spark, sf).count()
-    assert(dd.map(_.numRowsTotal).max >= n,
-      "peak dedup state must hold every distinct key (pre-eviction)")
+    // only the DELTA half reaches the state store now: the historical
+    // half is anti-joined out against the catalog seen-keys register
+    // BEFORE the dedup (the round-12 bootstrap), so peak state = delta
+    // keys — exactly the bounded-state economy the bootstrap buys
+    val ev = Tables.events(spark, sf)
+    val mm = ev.agg(min(col("ts_ns")), max(col("ts_ns"))).head()
+    val split = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val nDelta = ev.filter(col("ts_ns") > split).count()
+    val n = ev.count()
+    assert(dd.map(_.numRowsTotal).max >= nDelta,
+      "peak dedup state must hold every distinct streamed key (pre-eviction)")
+    assert(dd.map(_.numRowsTotal).max < n,
+      "the catalog-bootstrapped history must NOT occupy state rows")
     assert(dd.map(_.numRowsRemoved).sum >= dd.map(_.numRowsTotal).max - 2,
       "watermark advance must evict expired entries, counted in numRowsRemoved")
     assert(dd.last.numRowsTotal <= 2,
@@ -387,23 +399,48 @@ class StreamingSpec extends SparkSpec {
     assert(got.length == ev.length, "sink must hold exactly the distinct relation")
     // THE point of the WithinWatermark API: per-key state is EVICTED
     // once the watermark passes its event time — prove it from the
-    // engine's telemetry. After batch 1 the watermark sits 10 minutes
-    // behind the fixture max, so every older key's register is removed
-    // and the surviving state is bounded by the horizon, not the corpus
-    // (late copy-2 rows are filtered before the operator, so the
-    // suppression shows up as eviction + a tiny state, not late-drops).
-    val wmNs = ev.max - 600L * 1000000000L
-    val lateCandidates = ev.count(_ < wmNs)
+    // engine's telemetry. With the round-12 catalog bootstrap only the
+    // DELTA half (ts past the fixture midpoint) ever reaches the
+    // operator — the re-delivered history is anti-joined out against
+    // the seen-keys register — so state is bounded by the delta, every
+    // delta key is evicted once the sentinel advances the watermark,
+    // and the final state is the sentinel residue.
+    val split = ev.min + (ev.max - ev.min) / 2
+    val deltaKeys = ev.count(_ > split)
     val progress = graft.streaming.StreamingGate.lastRunProgress.get()
     val ops = progress.flatMap(_.stateOperators)
       .filter(_.operatorName == "dedupeWithinWatermark")
     assert(ops.nonEmpty, "the dedicated operator must appear in progress")
+    val peak = ops.map(_.numRowsTotal).max
+    assert(peak >= deltaKeys && peak <= deltaKeys + 2,
+      s"only the streamed delta may occupy state: peak $peak vs delta $deltaKeys")
     val removed = ops.map(_.numRowsRemoved).sum
-    assert(removed >= lateCandidates - 5, // ms-rounded watermark slack
-      s"expected >= ${lateCandidates - 5} evictions, telemetry says $removed")
+    assert(removed >= deltaKeys - 5, // ms-rounded watermark slack
+      s"expected >= ${deltaKeys - 5} evictions, telemetry says $removed")
     val finalState = progress.last.stateOperators.map(_.numRowsTotal).sum
-    assert(finalState <= (ev.length - lateCandidates) + 2,
-      s"state must be horizon-bounded, found $finalState rows")
+    assert(finalState <= 2,
+      s"state must shrink to the sentinel residue, found $finalState rows")
+  }
+
+  test("q58/q140: the seen-keys register is a catalog LOAD for a fresh session, never a rebuild") {
+    import graft.sources.IndexCatalog
+    // first run resolves (builds or loads — the default catalog root
+    // persists across sbt invocations, so either is legitimate here)
+    graft.streaming.StreamingGate.q58StreamDedup(spark, sf).count()
+    // "fresh JVM": memo gone, disk entry intact — q140 shares the SAME
+    // kind+fingerprint slot, so its bootstrap must LOAD what q58's run
+    // left on disk
+    IndexCatalog.resetMemory()
+    val b1 = IndexCatalog.builds.get()
+    val l1 = IndexCatalog.loads.get()
+    val got = graft.streaming.StreamingGate.q140StreamDedupWithin(spark, sf)
+      .collect()
+    assert(IndexCatalog.builds.get() == b1,
+      "a fresh session must NOT rebuild the seen-keys register")
+    assert(IndexCatalog.loads.get() >= l1 + 1,
+      "a fresh session must LOAD the stored register")
+    assert(got.length == Tables.events(spark, sf).count(),
+      "the loaded-register run still yields the full distinct relation")
   }
 
   test("q65 gate: custom state survives the batch boundary (2n after two copies)") {
