@@ -204,7 +204,7 @@ object SpillRehearsal {
   private def sortedDigest(df: DataFrame, key: String): String = {
     val spark = df.sparkSession
     import spark.implicits._
-    val cols = df.columns.sorted.map(c => coalesce(col(c).cast("string"), lit(" null")))
+    val cols = df.columns.sorted.map(c => coalesce(col(c).cast("string"), lit("\u0000null")))
     val parts = df
       .select(col(key).cast("long").as("k"), xxhash64(cols.toSeq: _*).as("h"))
       .as[(Long, Long)]
