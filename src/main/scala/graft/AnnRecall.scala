@@ -241,21 +241,34 @@ object AnnRecall {
       // ---- knob curve at this density: min nprobe holding HoldTarget.
       // Ascending sweep with early stop — IVF recall is monotone in
       // nprobe (the base sweep's require-pinned invariant), so the
-      // first point at/above the target IS the minimum.
+      // first point at/above the target IS the minimum. The sweep runs
+      // through nprobe = nCells (exact search), so a hold point can
+      // never be misreported as "never holds"; a miss row records the
+      // best MEASURED recall (matching the x1 miss convention below),
+      // and the already-measured gated point (the decade row above) is
+      // seeded instead of re-executed.
       def holdSweep(op: String, truthM: Map[Long, Set[Long]],
+                    known: Map[Int, (Double, Double)],
                     run: Int => DataFrame): Unit = {
         var found = false
-        for (np <- Seq(1, 2, 4, 8, 16, 32).filter(_ <= nCells) if !found) {
-          val (got, sec) = timed(topkSets(run(np)))
-          val r = meanRecall(truthM, got)
+        var bestRecall = 0.0
+        for (np <- (Seq(1, 2, 4, 8, 16, 32) :+ nCells).distinct.sorted
+               .filter(_ <= nCells) if !found) {
+          val (r, sec) = known.getOrElse(np, {
+            val (got, s) = timed(topkSets(run(np)))
+            (meanRecall(truthM, got), s)
+          })
           holdCurve += HoldPoint(tag, op, np, r, sec)
+          if (r > bestRecall) bestRecall = r
           if (r >= HoldTarget) { found = true; holdRows += HoldPoint(tag, op, np, r, sec) }
         }
-        if (!found) holdRows += HoldPoint(tag, op, -1, 0.0, 0.0)
+        if (!found) holdRows += HoldPoint(tag, op, -1, bestRecall, 0.0)
       }
       holdSweep("q18_ivf_topk", truthD,
+        Map(Similarity.IvfNProbe -> (meanRecall(truthD, got18), t18)),
         np => Similarity.ivfTopK(embD, np, centroidMod = cmod))
       holdSweep("q80_quantized_ivf", qTruthD,
+        Map(Similarity.IvfNProbe -> (meanRecall(qTruthD, got80), t80)),
         np => Similarity.quantizedIvfTopK(embD, np, centroidMod = cmod))
     }
     val decadeMisses = decadeRows.filter(r => r.recall < r.floor)

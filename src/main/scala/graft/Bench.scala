@@ -63,7 +63,7 @@ object Bench {
       val dirty = Seq("git", "status", "--porcelain",
         "--untracked-files=no").!!.trim.nonEmpty
       if (dirty) s"$sha+dirty" else sha
-    } catch { case _: Throwable => "unknown" }
+    } catch { case scala.util.control.NonFatal(_) => "unknown" }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

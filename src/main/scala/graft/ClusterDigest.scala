@@ -5,13 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** MULTI-JVM DIGEST PASS — the round-11 verdict's item 2, and the last
   * never-exercised seam in the 100 TB story: every artifact so far
-  * (verify, bench, scale/spill rehearsals, 379 specs) ran in ONE JVM
-  * (`local[*]`), where task serialization, custom-expression codegen
-  * shipping, and broadcast exchange all short-circuit in-process. A
-  * 1000-executor cluster crosses a process boundary on every one of
-  * those paths. This main runs one custom-machinery-heavy query per
-  * family twice — `local[32]` (the measured baseline world) and
-  * `local-cluster[2,16,4096]` (real Master/Worker with executors as
+  * (verify, bench, scale/spill rehearsals, the spec suite) ran in ONE
+  * JVM (`local[*]`), where task serialization, custom-expression
+  * codegen shipping, and broadcast exchange all short-circuit
+  * in-process. A 1000-executor cluster crosses a process boundary on
+  * every one of those paths. This main runs one custom-machinery-heavy
+  * query per family twice — `local[32]` (the measured baseline world)
+  * and `local-cluster[2,16,4096]` (real Master/Worker with executors as
   * SEPARATE JVMs, launched from $SPARK_HOME, user classes shipped via
   * `spark.executor.extraClassPath`) — and requires the
   * order-independent result digests identical.
@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   *   - q01_build — the probe pipeline: StubProber closure + Dataset
   *     encoders + the file-stat/subtitle JOIN's broadcast structures
   *     serialized to worker-launched executors.
+  *   - q186_incremental_neardup (round-12) — the persistent
+  *     IndexCatalog: the stored LSH band index is built under
+  *     `local[32]` and LOADED in the cluster pass (the memo hands the
+  *     executor JVMs a payload path they must read cold), so the
+  *     publish/load format crosses the process boundary too.
+  *   - q58_stream_dedup (round-12) — Structured Streaming state: the
+  *     micro-batch engine's state-store providers run ON the executor
+  *     JVMs (checkpoint + HDFSBackedStateStore over the shared file:
+  *     tree), plus the catalog-bootstrapped seen-keys anti-join — the
+  *     stateful-streaming machinery under real process isolation.
   *
   * The digest is the spill rehearsal's (count, xor, modular-sum) over
   * xxhash64 of name-sorted stringified columns — order-independent, so
@@ -47,7 +57,8 @@ object ClusterDigest {
 
   val Subset: Seq[String] = Seq(
     "q17_cosine_topk", "q14_minhash_pairs", "q206_cdc_chunks",
-    "q230_audio_energy", "q01_build")
+    "q230_audio_energy", "q01_build", "q186_incremental_neardup",
+    "q58_stream_dedup")
 
   /** Order-independent digest, computed on the executors (same
     * construction as SpillRehearsal's — duplicated only because that
@@ -75,6 +86,16 @@ object ClusterDigest {
     b.getOrCreate()
   }
 
+  /** One timed digest per subset row — the SAME body for both passes,
+    * so a change to the digest or timing logic can never drift into
+    * only one of them. */
+  private def runPass(spark: SparkSession, sfDir: String): Seq[(String, (String, Double))] =
+    Subset.map { q =>
+      val t0 = System.nanoTime()
+      val d = resultDigest(SparkEntry.queries(q)(spark, sfDir))
+      q -> (d, (System.nanoTime() - t0) / 1e9)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
 
@@ -90,11 +111,7 @@ object ClusterDigest {
     // ---- pass 1: single JVM (the baseline every artifact measured) ----
     val spark1 = session("local[32]", Map.empty)
     spark1.sparkContext.setLogLevel("ERROR")
-    val local = Subset.map { q =>
-      val t0 = System.nanoTime()
-      val d = resultDigest(SparkEntry.queries(q)(spark1, sfDir))
-      q -> (d, (System.nanoTime() - t0) / 1e9)
-    }
+    val local = runPass(spark1, sfDir)
     spark1.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -106,21 +123,27 @@ object ClusterDigest {
       // process boundary, nothing else
       "spark.executor.memory" -> "4g"))
     spark2.sparkContext.setLogLevel("ERROR")
-    // two workers x 16 cores must have registered before trusting any
-    // timing; digests are correct regardless, this just settles startup
-    val cluster = Subset.map { q =>
-      val t0 = System.nanoTime()
-      val d = resultDigest(SparkEntry.queries(q)(spark2, sfDir))
-      q -> (d, (System.nanoTime() - t0) / 1e9)
+    // Wait for BOTH workers' executors to register BEFORE running (and
+    // timing) anything: digests are correct regardless, but an
+    // unsettled cluster would bill executor-JVM startup to the first
+    // query's sec, and a post-run executor sample could miss an
+    // executor that exited after finishing its work. executorInfos
+    // includes the driver row; a real two-worker cluster shows 3+.
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    var executorCount = spark2.sparkContext.statusTracker.getExecutorInfos.length
+    while (executorCount < 3 && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      executorCount = spark2.sparkContext.statusTracker.getExecutorInfos.length
     }
-    val executorCount = spark2.sparkContext.statusTracker.getExecutorInfos.length
+    val cluster = runPass(spark2, sfDir)
     spark2.stop()
 
-    val mismatches = Subset.filter(q =>
-      local.toMap.apply(q)._1 != cluster.toMap.apply(q)._1)
-    // executorInfos includes the driver row; a real two-worker cluster
-    // shows 3+. <3 means the pass silently ran driver-only and proved
-    // nothing — fail loudly rather than record a vacuous green.
+    val localM = local.toMap
+    val clusterM = cluster.toMap
+    val mismatches = Subset.filter(q => localM(q)._1 != clusterM(q)._1)
+    // <3 after the registration wait means the pass would have run
+    // driver-only and proven nothing — fail loudly rather than record
+    // a vacuous green.
     val realCluster = executorCount >= 3
 
     def fmt(p: Seq[(String, (String, Double))]) = p.map { case (k, (d, s)) =>

@@ -128,12 +128,16 @@ object IndexCatalog {
     *
     * Transient-IO discipline: a manifest whose probe hits a transient
     * IOException is skipped in pass 1 (never retired), and because its
-    * payload reference could not be harvested, pass 2 is skipped for
-    * the WHOLE kind that window — otherwise pass 2 would read the
-    * healthy-but-unprobeable entry's payload as an unreferenced orphan
-    * and delete it past the age threshold, stranding a manifest that
-    * points at nothing (the exact full-rebuild outcome the skip exists
-    * to prevent). One flaky window merely defers storage reclamation. */
+    * payload reference could not be harvested, pass 2 skips every item
+    * under that manifest's NAME PREFIX (publish() names the payload
+    * `<sha16>-<nonce>` after its `<sha16>.manifest.json`) — otherwise
+    * pass 2 would read the healthy-but-unprobeable entry's payload as
+    * an unreferenced orphan and delete it past the age threshold,
+    * stranding a manifest that points at nothing (the exact
+    * full-rebuild outcome the skip exists to prevent). The rest of the
+    * kind keeps reclaiming normally, so a chronically unreadable
+    * manifest (bad ACL, per-object throttling) defers reclamation of
+    * ITS slot only, never the whole kind's. */
   def vacuum(spark: SparkSession, kind: String, keep: Set[String],
              orphanAgeMs: Long = 24L * 3600 * 1000): Int = {
     val (fs, rp) = rootFs(spark)
@@ -148,16 +152,20 @@ object IndexCatalog {
     // new reader can acquire the dying payload), keep note of every
     // payload a surviving manifest references
     val referenced = scala.collection.mutable.Set.empty[String]
-    var unprobeable = false
+    val unprobeablePrefixes = scala.collection.mutable.Set.empty[String]
     for (st <- fs.listStatus(kd)
          if st.isFile && st.getPath.getName.endsWith(".manifest.json")) {
       // a transient IO error while probing must SKIP the entry, never
       // retire it — deleting a healthy kept manifest on a store hiccup
       // would cost the next session a full-corpus rebuild. One retry
       // (transient means the next attempt may answer); if that fails
-      // too the entry's payload reference is UNKNOWN, which poisons
-      // pass 2 below (see class doc: the skipped entry's payload must
-      // not read as an unreferenced orphan).
+      // too the entry's payload reference is UNKNOWN — but its SHAPE
+      // is not: publish() names the payload `<sha16>-<nonce>` after
+      // its manifest `<sha16>.manifest.json`, so pass 2 below protects
+      // everything under the unprobeable manifest's name prefix and
+      // keeps reclaiming the REST of the kind (a chronically
+      // unreadable manifest — bad ACL, per-object throttling — must
+      // not disable orphan reclamation for the whole kind forever).
       val probed =
         try Some(verifiedEntry(fs, rp, kind, st.getPath))
         catch {
@@ -176,25 +184,28 @@ object IndexCatalog {
         case Some(None) => // definitively damaged/stale; payload ages out below
           fs.delete(st.getPath, false)
           removed += 1
-        case None => // transient: leave it for the next maintenance window
-          unprobeable = true
+        case None => // transient: leave the entry AND its prefix-named
+          // payload for the next maintenance window
+          unprobeablePrefixes += st.getPath.getName.stripSuffix(".manifest.json")
       }
     }
-    // pass 2: unreferenced leftovers past the age threshold — skipped
-    // for the whole kind when ANY manifest was transiently unprobeable
-    // (its payload reference was never harvested into `referenced`, so
-    // an aged healthy payload would otherwise be deleted out from under
-    // its surviving manifest). Reclamation resumes the next window.
-    if (!unprobeable) {
-      val now = System.currentTimeMillis()
-      for (st <- fs.listStatus(kd)
-           if !st.getPath.getName.endsWith(".manifest.json") &&
-             !referenced.contains(st.getPath.getName) &&
-             !inUse.contains(st.getPath.toString) &&
-             now - st.getModificationTime >= orphanAgeMs) {
-        fs.delete(st.getPath, true)
-        removed += 1
-      }
+    // pass 2: unreferenced leftovers past the age threshold. Items
+    // sharing an unprobeable manifest's name prefix are skipped — that
+    // manifest's payload reference was never harvested into
+    // `referenced`, so its (healthy, aged) payload would otherwise be
+    // deleted out from under the surviving manifest. Reclamation of
+    // the skipped prefix resumes the next window; everything else in
+    // the kind reclaims normally even while one manifest stays
+    // unreadable.
+    val now = System.currentTimeMillis()
+    for (st <- fs.listStatus(kd)
+         if !st.getPath.getName.endsWith(".manifest.json") &&
+           !referenced.contains(st.getPath.getName) &&
+           !inUse.contains(st.getPath.toString) &&
+           !unprobeablePrefixes.exists(st.getPath.getName.startsWith) &&
+           now - st.getModificationTime >= orphanAgeMs) {
+      fs.delete(st.getPath, true)
+      removed += 1
     }
     removed
   }

@@ -63,9 +63,15 @@ object StreamingGate {
     * sentinel write, `rawSchema` readback and replay mtime game
     * encoding-independent. Cached per source dir; the rewrite is one
     * coalesce(1) job over a fixture-sized file. */
-  private[graft] def canonicalEventsFile(spark: SparkSession, dir: String): Path =
+  private[graft] def canonicalEventsFile(spark: SparkSession, dir: String): Path = {
+    // the returned path may be the ORIGINAL fixture in INT64-nanos
+    // encoding, which only reads back under this conf — set it on
+    // EVERY call for the CALLER's session, not just inside the miss
+    // lambda: the cache is JVM-global but the conf is per-session, so
+    // a second SparkSession hitting a warm cache would otherwise read
+    // the nanos file without the conf and crash
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     canonicalCache.computeIfAbsent(dir, { _ =>
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/events.parquet")
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         Paths.get(s"$dir/events.parquet")
@@ -78,6 +84,7 @@ object StreamingGate {
         onlyPartFile(tmp)
       }
     })
+  }
 
   /** The single .parquet part file of `dir`, with the directory stream
     * CLOSED — Files.list leaks an open directory fd per call otherwise
@@ -459,8 +466,13 @@ object StreamingGate {
       writeSingleParquet(raw.filter(col("ts") <= splitNs),
         staged.resolve("00-redelivery.parquet"), now - 180000L)
       val delta = raw.filter(col("ts") > splitNs)
-      writeSingleParquet(delta, staged.resolve("01-delta.parquet"), now - 120000L)
-      writeSingleParquet(delta, staged.resolve("02-delta-b.parquet"), now - 60000L)
+      val deltaA = staged.resolve("01-delta.parquet")
+      writeSingleParquet(delta, deltaA, now - 120000L)
+      // the duplicate copy is byte-identical — copy the staged file
+      // instead of paying a second scan+filter+write Spark job
+      val deltaB = staged.resolve("02-delta-b.parquet")
+      Files.copy(deltaA, deltaB, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(deltaB, FileTime.fromMillis(now - 60000L))
       writeSentinel(spark, staged, maxNs)
       staged
     })

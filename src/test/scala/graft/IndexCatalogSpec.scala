@@ -475,13 +475,16 @@ class IndexCatalogSpec extends SparkSpec {
     }
   }
 
-  test("vacuum under a transient flake protects AGED payloads: pass 2 skipped for the kind") {
+  test("vacuum under a transient flake protects AGED payloads by prefix; the rest of the kind still reclaims") {
     // the round-11 ADVICE medium: pass 1 correctly skipped the
     // unprobeable manifest, but its payload reference was never
     // harvested, so pass 2 deleted the healthy (even KEPT) entry's
     // payload once it aged past the threshold — manifest left pointing
-    // at nothing, next session pays the full-corpus rebuild. The fix:
-    // an unprobeable manifest poisons pass 2 for the whole kind.
+    // at nothing, next session pays the full-corpus rebuild. The fix
+    // is SCOPED: pass 2 skips only items under the unprobeable
+    // manifest's sha16 name prefix (publish names the payload after
+    // its manifest), so a chronically unreadable manifest defers its
+    // own slot's reclamation, never the whole kind's.
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.flakyfs.impl", classOf[FlakyOpenFs].getName)
     val rootDir = TempDirs.create("graft-flaky-aged-root").toString
@@ -495,14 +498,24 @@ class IndexCatalogSpec extends SparkSpec {
       val e = IndexCatalog.getOrBuild(spark, kind, fp) { out =>
         Seq(1L).toDF("v").write.parquet(s"$out/data")
       }
+      // an unrelated aged orphan in the SAME kind (a crashed builder's
+      // leavings) — must still reclaim during the flaky window. The
+      // flakyfs scheme is Hadoop-only; build the path through the
+      // local dir the shim wraps.
+      val orphan = java.nio.file.Paths.get(rootDir, kind,
+        "deadbeefdeadbeef-0123456789abc")
+      java.nio.file.Files.createDirectories(orphan)
+      java.nio.file.Files.write(orphan.resolve("junk"), Array[Byte](1))
       IndexCatalog.resetMemory() // drop the in-use protection
       // orphanAgeMs = -1: EVERY payload is past the age threshold, so
       // the only thing standing between the healthy payload and pass 2
-      // is the transient-skip poisoning — exactly the hazard scenario
+      // is the prefix protection — exactly the hazard scenario
       FlakyOpenFs.failSubstring = ".manifest.json"
-      assert(IndexCatalog.vacuum(spark, kind, Set(fp), orphanAgeMs = -1L) == 0,
-        "a flaky window must reclaim nothing in this kind")
+      assert(IndexCatalog.vacuum(spark, kind, Set(fp), orphanAgeMs = -1L) == 1,
+        "the flaky window reclaims the unrelated orphan, nothing else")
       FlakyOpenFs.failSubstring = null
+      assert(!java.nio.file.Files.exists(orphan),
+        "the unrelated aged orphan is reclaimed even while a manifest is unreadable")
       assert(IndexCatalog.lookup(spark, kind, fp).contains(e),
         "the aged healthy payload survives the flaky window — manifest still verifies")
       assert(spark.read.parquet(s"$e/data").as[Long].head() == 1L)
