@@ -49,6 +49,37 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** Per-query load attribution (round-12 verdict item 3): the suite's
+    * endpoint LCG probes BOUND co-tenancy, they can't bracket a load
+    * band that arrives mid-run — r12's q85–q111 / q230–q231 bands read
+    * 2.5–44x quiet values with quiet endpoints and cost an hour of
+    * forensics. These snapshots turn that into a one-line dismissal: a
+    * /proc/stat jiffies window around each query, split into THIS
+    * process's share (utime+stime from /proc/self/stat — in local mode
+    * the executors are this JVM) and everyone else's.
+    * `other_cpu` = (busy − own) / total jiffies in the query's window:
+    * ~0 on a quiet box regardless of our own parallelism, and the
+    * direct co-tenant signal when a row's wall time spikes. Reads are
+    * plain procfs text (Linux-only, the only driver environment);
+    * any read failure degrades to -1 fields, never a crash. */
+  private def procBusyTotal(): (Long, Long) =
+    try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+      (f.sum - idle, f.sum)
+    } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
+
+  private def selfJiffies(): Long =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")), "UTF-8")
+      // comm may contain spaces/parens: fields restart after last ')'
+      val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+      rest(11).toLong + rest(12).toLong // utime + stime
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
   /** Bit-coherence field (round-11 verdict blemish 1): the commit the
     * bench actually measured, read from .git at run time so "is the
     * committed bench the committed code?" is a mechanical field
@@ -121,10 +152,31 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val results = names.map(n => n -> median3(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    case class Attr(sec: Double, otherCpu: Double, ownCpu: Double, load: Double)
+    val results = names.map { n =>
+      val (b0, t0) = procBusyTotal(); val s0 = selfJiffies()
+      val sec = median3(n)
+      val (b1, t1) = procBusyTotal(); val s1 = selfJiffies()
+      val bad = b0 < 0 || b1 < 0 || s0 < 0 || s1 < 0 || t1 <= t0
+      val tot = (t1 - t0).toDouble
+      val attr =
+        if (bad) Attr(sec, -1.0, -1.0, loadAvg())
+        else Attr(sec,
+          math.max(0L, (b1 - b0) - (s1 - s0)) / tot,
+          math.max(0L, s1 - s0) / tot, loadAvg())
+      n -> attr
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.sec }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // the attribution sidecar: same keys, window-scoped cpu shares —
+    // kept OUT of "queries" so existing consumers of the sec map never
+    // see a shape change
+    val loadMap = results.map { case (k, v) =>
+      "\"" + k + "\":{\"other_cpu\":" + f"${v.otherCpu}%.3f" +
+        ",\"own_cpu\":" + f"${v.ownCpu}%.3f" +
+        ",\"loadavg\":" + f"${v.load}%.2f" + "}"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.sec).filter(_ >= 0).sum
     val calPost = calibrateSec()
     val loadPost = loadAvg()
     // reps + witness recorded so a nonstandard run can't masquerade as
@@ -135,7 +187,7 @@ object Bench {
       s""""witness":${Witness.enabled},"git_head":"${gitHead()}",""" +
       s""""calibration":{"pre_lcg_sec":${f"$calPre%.3f"},"post_lcg_sec":${f"$calPost%.3f"},""" +
       s""""loadavg_pre":${f"$loadPre%.2f"},"loadavg_post":${f"$loadPost%.2f"}},""" +
-      s""""queries":$qs,"sf":"$sfDir"}"""
+      s""""queries":$qs,"query_load":$loadMap,"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces for consumers that scrape a log-decorated stdout:
     // the same line, alone, in a file.

@@ -37,6 +37,16 @@ import org.apache.spark.sql.functions._
   *     JVMs (checkpoint + HDFSBackedStateStore over the shared file:
   *     tree), plus the catalog-bootstrapped seen-keys anti-join — the
   *     stateful-streaming machinery under real process isolation.
+  *   - q106_stream_outer_join (round-13) — the symmetric-hash
+  *     stream-stream LEFT OUTER interval join: q58 exercises dedup
+  *     state, but outer-join state is a DIFFERENT machine (two
+  *     buffered sides, watermark-driven null emission for expired
+  *     unmatched rows) and none of the seven r12 rows crossed it over
+  *     a process boundary. Its three-batch staged replay runs with
+  *     join state partitioned across the worker-launched executor
+  *     JVMs; a digest flip here would mean buffered-side state or the
+  *     null-emission bookkeeping does not survive executor-side state
+  *     store round-trips.
   *
   * The digest is the spill rehearsal's (count, xor, modular-sum) over
   * xxhash64 of name-sorted stringified columns — order-independent, so
@@ -58,7 +68,7 @@ object ClusterDigest {
   val Subset: Seq[String] = Seq(
     "q17_cosine_topk", "q14_minhash_pairs", "q206_cdc_chunks",
     "q230_audio_energy", "q01_build", "q186_incremental_neardup",
-    "q58_stream_dedup")
+    "q58_stream_dedup", "q106_stream_outer_join")
 
   /** Order-independent digest, computed on the executors (same
     * construction as SpillRehearsal's — duplicated only because that

@@ -211,7 +211,8 @@ object ScaleRehearsal {
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String,
                  copies: Int = Copies, stride: Int = IdStride,
-                 withEmbeddings: Boolean = true): Unit = {
+                 withEmbeddings: Boolean = true,
+                 withDocuments: Boolean = true): Unit = {
     val fs = java.nio.file.Paths.get(outDir)
     // completeness + provenance marker, written LAST: a fixture is only
     // reused when it was fully synthesized from THIS base with THIS
@@ -220,14 +221,14 @@ object ScaleRehearsal {
     // wrong data (round-11 review finding)
     val marker = fs.resolve("_graft_fixture.json")
     val want = s"""{"base":"$baseDir","copies":$copies,"stride":$stride,""" +
-      s""""embeddings":$withEmbeddings}"""
+      s""""embeddings":$withEmbeddings,"documents":$withDocuments}"""
     if (java.nio.file.Files.isRegularFile(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == want)
       return
     if (java.nio.file.Files.exists(fs)) deleteTree(fs)
     java.nio.file.Files.createDirectories(fs)
     val reps = explode(sequence(lit(0), lit(copies - 1))).as("rep")
-    Tables.documents(spark, baseDir)
+    if (withDocuments) Tables.documents(spark, baseDir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), reps)
       .select(
         (col("doc_id") * stride + col("rep")).as("doc_id"),

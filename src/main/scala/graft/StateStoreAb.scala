@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** STATE-STORE I/O A/B (round-12 verdict item 4): the post-reboot
+  * "I/O tax" concentrated in checkpoint/state-store-heavy streaming
+  * gates (q98 went 2.3 s → 44.5 s driver-to-driver), but that was an
+  * INFERENCE from which rows moved — no artifact isolated the knob a
+  * production deployment actually turns when stateful-stream latency
+  * climbs: the state-store PROVIDER. This main runs every streaming
+  * gate under both providers Spark ships —
+  *
+  *   - HDFSBackedStateStoreProvider (the engine default): state lives
+  *     in executor heap maps, snapshot+delta files per batch to the
+  *     checkpoint FS; every micro-batch pays checkpoint-FS writes.
+  *   - RocksDBStateStoreProvider: state in an embedded LSM on executor
+  *     local disk, changelog/snapshot uploaded to the checkpoint FS;
+  *     heap pressure moves to native memory and local IO.
+  *
+  * — median-of-[[Reps]] each, SAME session, SAME staged inputs (the
+  * staging caches are per-dir and provider-independent), and digests
+  * every result with the ClusterDigest construction so the A/B also
+  * proves the two providers land on the IDENTICAL relation (a provider
+  * that dropped or duplicated state rows would flip the digest, not
+  * just the timing). Three transformWithState gates pin RocksDB
+  * internally (the v2 column-family API needs it — `withRocksDb` at
+  * StreamingGate.scala); their rows are marked `pinned` and measure
+  * RocksDB under both labels, which is itself the honest statement
+  * that the HDFS provider cannot run them.
+  *
+  * What the numbers mean at 100 TB: the per-gate delta is the
+  * provider's bookkeeping cost at fixture state sizes — dominated by
+  * per-batch fixed costs (file creation, snapshot upload, JNI
+  * round-trips), which is exactly the regime a slow checkpoint mount
+  * amplifies. A deployment whose stateful gates slow down should read
+  * this table before blaming the query: if the default provider's
+  * fixed costs dominate, the fix is the provider/checkpoint-placement
+  * knob, not a plan change.
+  *
+  * Usage: runMain graft.StateStoreAb [sfDir] — writes
+  * state_store_ab.json (one line) and prints it; exits nonzero on any
+  * cross-provider digest mismatch.
+  */
+object StateStoreAb {
+  val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  val Hdfs =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+  val Rocks =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  val Reps = 3
+
+  /** Gates that force RocksDB regardless of the session default
+    * (transformWithState v2 — the HDFS provider lacks column
+    * families). */
+  val PinnedRocks: Set[String] = Set(
+    "q76_stream_max_state", "q79_stream_initial_state",
+    "q78_stream_session_close")
+
+  /** Order-independent digest (the ClusterDigest construction — count,
+    * xor, modular sum over xxhash64 of name-sorted stringified
+    * columns): the only thing a compare can see is a VALUE difference
+    * between providers. */
+  private def resultDigest(df: DataFrame): String = {
+    val cols = df.columns.sorted
+      .map(c => coalesce(col(c).cast("string"), lit("\u0000null")))
+    val h = df.select(xxhash64(cols.toSeq: _*).as("h"))
+    val r = h.agg(
+      count(lit(1)).as("n"),
+      expr("bit_xor(h)").as("x"),
+      sum(pmod(col("h"), lit(1000000007L))).as("s")).head()
+    val n = r.getLong(0)
+    if (n == 0) "0:0:0" else s"$n:${r.getLong(1)}:${r.getLong(2)}"
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-state-store-ab")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val gates = graft.streaming.StreamingGate.queries.keys.toSeq.sorted
+
+    case class Cell(digest: String, medianSec: Double, reps: Seq[Double])
+    def runUnder(provider: String): Map[String, Cell] = {
+      spark.conf.set(ProviderKey, provider)
+      try gates.map { g =>
+        val runs = Seq.fill(Reps) {
+          val t0 = System.nanoTime()
+          val d = resultDigest(
+            graft.streaming.StreamingGate.queries(g)(spark, sfDir))
+          (d, (System.nanoTime() - t0) / 1e9)
+        }
+        require(runs.map(_._1).distinct.size == 1,
+          s"$g digest unstable across reps under $provider")
+        val secs = runs.map(_._2).sorted
+        g -> Cell(runs.head._1, secs(Reps / 2), runs.map(_._2))
+      }.toMap
+      finally spark.conf.unset(ProviderKey)
+    }
+
+    // warmup (untimed): heat codegen/staging caches so provider A's
+    // first gate doesn't bill session startup
+    resultDigest(graft.streaming.StreamingGate.queries(gates.head)(spark, sfDir))
+
+    val hdfs = runUnder(Hdfs)
+    val rocks = runUnder(Rocks)
+
+    val mismatches = gates.filter(g => hdfs(g).digest != rocks(g).digest)
+    def fmt(m: Map[String, Cell]) = gates.map { g =>
+      val c = m(g)
+      s""""$g":{"digest":"${c.digest}","median_sec":${f"${c.medianSec}%.2f"},""" +
+        s""""reps":[${c.reps.map(s => f"$s%.2f").mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+    val totalH = gates.map(hdfs(_).medianSec).sum
+    val totalR = gates.map(rocks(_).medianSec).sum
+    val line =
+      s"""{"sf":"$sfDir","reps":$Reps,"pinned_rocksdb":[${
+        PinnedRocks.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""digests_identical":${mismatches.isEmpty},""" +
+      s""""total_median_sec":{"hdfs":${f"$totalH%.2f"},"rocksdb":${f"$totalR%.2f"}},""" +
+      s""""hdfs":${fmt(hdfs)},"rocksdb":${fmt(rocks)}}"""
+    println(line)
+    java.nio.file.Files.write(java.nio.file.Paths.get("state_store_ab.json"),
+      (line + "\n").getBytes("UTF-8"))
+    spark.stop()
+    require(mismatches.isEmpty,
+      s"CROSS-PROVIDER DIGEST MISMATCH for $mismatches — a state-store " +
+        "provider changed the relation, not just the timing")
+  }
+}

@@ -839,7 +839,7 @@ object Similarity {
     * engines); at scale it runs at ingest and the int8 column is what's
     * stored. Same broadcast-queries + bounded-heap shape as q17; recall
     * vs the exact float ranking is spec-measured, not assumed. */
-  def quantizedTopK(emb: DataFrame): DataFrame = {
+  def quantizedTopK(emb: DataFrame, queryMod: Long = QueryMod): DataFrame = {
     VectorOps.register(emb.sparkSession)
     val r = QuantRange
     // corpus max |x|: tiny aggregate, broadcast in (no driver collect);
@@ -852,7 +852,7 @@ object Similarity {
         s"transform(embedding, e -> CAST(greatest(-$r, least($r, " +
           s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30d)) + 0.5d))) AS INT))")
         .as("qemb"))
-    val q = v.filter(col("vec_id") % QueryMod === 0)
+    val q = v.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("qemb").as("q_qemb"))
     val topk = graft.functions.BoundedTopK.topK(TopK)
     spread(v).join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -1115,9 +1115,36 @@ object Similarity {
     * partitioning — the float fold-order care q17 needs simply doesn't
     * exist here. This is the shape a 100 TB vector corpus actually
     * serves: int8 cells as partition pruning, integer SIMD dot as the
-    * inner loop, nprobe as the recall knob. */
+    * inner loop, nprobe as the recall knob.
+    *
+    * Density-scaling knobs (round-13; the r12 ANN_RECALL table showed
+    * the FIXED-cell production config at its nprobe ceiling at x100
+    * density, i.e. one more decade turns the artifact red by design):
+    *  - `centroidMod` already scales the CELL COUNT: pick it so cells
+    *    grow ~ sqrt(n) per density decade (the standard nlist ≈
+    *    K·sqrt(n) sizing) and per-cell occupancy stops densifying.
+    *  - `probeByDot = true` ranks the probed cells by the INNER
+    *    PRODUCT between query and centroid instead of by −d². The
+    *    ranking metric IS inner product, so metric-matched probing
+    *    targets the cells whose members can actually win the ranking —
+    *    under d² probing, high-norm candidates (exactly the ones that
+    *    win a dot-product ranking) sit in cells the query ranks LAST,
+    *    which is the measured x100 recall slide. Assignment stays
+    *    min-d² (balanced, norm-insensitive cells — probing is where
+    *    the metric must match, assignment is where occupancy must stay
+    *    bounded). The probe key (self + cent_self − d2) = 2·q·c is
+    *    exact Long arithmetic recovered from terms the plan already
+    *    computes, so the default-config plan is unchanged.
+    *  - `queryMod` subsamples the query set (recall artifacts at
+    *    synthetic densities where every-25th-id queries would make the
+    *    brute-force truth quadratic); the gated oracle point keeps the
+    *    default.
+    * AnnRecall measures the hold curve of this scaled config against
+    * the fixed-cell production config per density decade. */
   def quantizedIvfTopK(emb: DataFrame, nprobe: Int = IvfNProbe,
-                       centroidMod: Long = CentroidMod): DataFrame = {
+                       centroidMod: Long = CentroidMod,
+                       queryMod: Long = QueryMod,
+                       probeByDot: Boolean = false): DataFrame = {
     VectorOps.register(emb.sparkSession)
     val r = QuantRange
     val mx = emb.select(max(expr(
@@ -1134,6 +1161,7 @@ object Similarity {
               col("self").as("cent_self"))
     val scoredCents = v.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("qemb"), col("self"), col("cent_id"),
+        col("cent_self"),
         (col("self") - expr("2 * vec_dot_int(qemb, cent_q)") +
           col("cent_self")).as("d2"))
     val assigned = scoredCents
@@ -1142,11 +1170,15 @@ object Similarity {
            first(col("qemb")).as("qemb"))
       .select(col("vec_id"), col("qemb"), col("m.cent_id").as("cell"))
     // nprobe nearest cells per query: integer d² is exact in the heap's
-    // Double key (bounded by dims·(2r)² ≪ 2^53)
+    // Double key (bounded by dims·(2r)² ≪ 2^53); probeByDot swaps the
+    // key for 2·q·c = self + cent_self − d2 (same bound, same exactness)
     val topP = graft.functions.BoundedTopK.topK(nprobe)
-    val q = scoredCents.filter(col("vec_id") % QueryMod === 0)
+    val probeKey =
+      if (probeByDot) (col("self") + col("cent_self") - col("d2")).cast("double")
+      else -col("d2").cast("double")
+    val q = scoredCents.filter(col("vec_id") % queryMod === 0)
       .groupBy(col("vec_id").as("q_id"))
-      .agg(topP(-col("d2").cast("double"), col("cent_id")).as("probes"),
+      .agg(topP(probeKey, col("cent_id")).as("probes"),
            first(col("qemb")).as("q_qemb"))
       .select(col("q_id"), col("q_qemb"), explode(col("probes.id")).as("cell"))
     val topk = graft.functions.BoundedTopK.topK(TopK)

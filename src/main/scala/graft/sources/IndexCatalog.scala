@@ -137,7 +137,20 @@ object IndexCatalog {
     * full-rebuild outcome the skip exists to prevent). The rest of the
     * kind keeps reclaiming normally, so a chronically unreadable
     * manifest (bad ACL, per-object throttling) defers reclamation of
-    * ITS slot only, never the whole kind's. */
+    * ITS slot only, never the whole kind's.
+    *
+    * Residual of that skip: everything under the unprobeable
+    * manifest's sha16 prefix is shielded — including its own
+    * `.tmp-<nonce>` publish remnants and superseded duplicate payloads
+    * from lost publish races on the same fingerprint — so a
+    * chronically bad slot (e.g. a permanent ACL wedge) accumulates
+    * unreclaimed garbage without bound until the manifest becomes
+    * probeable or is removed out-of-band. Bounded by construction to
+    * one slot's worth of publish attempts, but not by this method;
+    * every window therefore COUNTS the shielded items and reports them
+    * on stderr, so a slot that never reclaims is visible to an
+    * operator as a repeating `skipped_by_prefix` line rather than
+    * silent disk growth. */
   def vacuum(spark: SparkSession, kind: String, keep: Set[String],
              orphanAgeMs: Long = 24L * 3600 * 1000): Int = {
     val (fs, rp) = rootFs(spark)
@@ -198,15 +211,25 @@ object IndexCatalog {
     // the kind reclaims normally even while one manifest stays
     // unreadable.
     val now = System.currentTimeMillis()
+    var skippedByPrefix = 0
     for (st <- fs.listStatus(kd)
          if !st.getPath.getName.endsWith(".manifest.json") &&
            !referenced.contains(st.getPath.getName) &&
            !inUse.contains(st.getPath.toString) &&
-           !unprobeablePrefixes.exists(st.getPath.getName.startsWith) &&
            now - st.getModificationTime >= orphanAgeMs) {
-      fs.delete(st.getPath, true)
-      removed += 1
+      if (unprobeablePrefixes.exists(st.getPath.getName.startsWith))
+        skippedByPrefix += 1 // shielded: see the residual note above
+      else {
+        fs.delete(st.getPath, true)
+        removed += 1
+      }
     }
+    if (skippedByPrefix > 0)
+      System.err.println(s"[index-catalog] vacuum($kind): skipped_by_prefix=" +
+        s"$skippedByPrefix aged item(s) shielded by ${unprobeablePrefixes.size} " +
+        "unprobeable manifest prefix(es); reclamation deferred to a window " +
+        "where the manifest probes (a repeating line here = a slot that " +
+        "never reclaims)")
     removed
   }
 

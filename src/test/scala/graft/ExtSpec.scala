@@ -239,6 +239,29 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("q80 scaled config: full probe under inner-product probing degenerates to the exact ranking; coverage never shrinks") {
+    // the round-13 density-scaling knob (probeByDot): probing ALL cells
+    // makes the probe ORDER irrelevant — any metric must reproduce the
+    // exact quantized ranking bit-for-bit, which pins that the
+    // metric-matched probe key (self + cent_self - d2 = 2·q·c) is exact
+    // integer arithmetic, not an approximation of the dot
+    val nCells = emb.filter(col("vec_id") % Similarity.CentroidMod === 0)
+      .count().toInt
+    val exact = Similarity.quantizedTopK(emb).collect().map(_.toSeq).toSeq
+    val full = Similarity.quantizedIvfTopK(emb, nprobe = nCells,
+      probeByDot = true).collect().map(_.toSeq).toSeq
+    assert(full == exact,
+      "nprobe = |cells| with inner-product probing must be the exact ranking")
+    // queryMod subsampling (the x1000 truth-cost bound): a coarser
+    // query set must be exactly the restriction of the full result
+    val sub = Similarity.quantizedTopK(emb, queryMod = Similarity.QueryMod * 2)
+      .collect().map(_.toSeq).toSeq
+    val expect = exact.filter(r =>
+      r.head.asInstanceOf[Long] % (Similarity.QueryMod * 2) == 0)
+    assert(sub == expect,
+      "queryMod subsampling must restrict, never perturb, the ranking")
+  }
+
   test("q19 lang id: predictions drawn from marker langs + und") {
     val valid = TextAnalysis.markers.map(_._1).toSet + "und"
     TextAnalysis.langId(docs).collect()

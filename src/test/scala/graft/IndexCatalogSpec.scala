@@ -602,6 +602,103 @@ class IndexCatalogSpec extends SparkSpec {
       assert(spark.read.parquet(s"$again/data").count() == 2)
     }
   }
+
+  test("resolve is O(1) filesystem ops: catalog size cannot inflate a lookup (object-store latency contract)") {
+    // The catalog is object-store-SAFE (no rename dependency); this is
+    // the object-store-SLOW half of the contract (round-12 verdict item
+    // 8): on a store charging ~10-100 ms per op, a resolve's cost is
+    // (op count) x (per-op latency), so the probe path must address the
+    // manifest BY FINGERPRINT — never list the kind — and touch a fixed
+    // handful of objects plus the payload's own files. Proven by
+    // counting every FS operation through a shim: the count must not
+    // move when 40 decoy entries join the kind, and must stay under a
+    // small constant.
+    val dir = TempDirs.create("graft-countfs-root")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.countfs.impl", classOf[CountingFs].getName)
+    spark.conf.set("spark.graft.index.root", s"countfs:$dir")
+    IndexCatalog.resetMemory()
+    try {
+      val kind = "spec-count-v1"
+      val fp = "fp-countops-0001"
+      val entry = IndexCatalog.getOrBuild(spark, kind, fp) { d =>
+        val p = new org.apache.hadoop.fs.Path(d, "data.bin")
+        val fs = p.getFileSystem(hconf)
+        val out = fs.create(p)
+        try out.write(Array[Byte](1, 2, 3)) finally out.close()
+      }
+      def opsForLookup(): Long = {
+        IndexCatalog.resetMemory() // fresh-session resolve, not the memo
+        CountingFs.reset()
+        assert(IndexCatalog.lookup(spark, kind, fp).contains(entry),
+          "the probe must resolve the committed entry")
+        CountingFs.total()
+      }
+      val ops0 = opsForLookup()
+      // decoys: a resolve that LISTed the kind dir would scale with these
+      val entryPath = new org.apache.hadoop.fs.Path(entry)
+      val fs = entryPath.getFileSystem(hconf)
+      val kd = entryPath.getParent
+      for (i <- 0 until 40) {
+        val m = new org.apache.hadoop.fs.Path(kd, f"decoy$i%012d0000.manifest.json")
+        val out = fs.create(m)
+        try out.write("{}".getBytes("UTF-8")) finally out.close()
+      }
+      val opsN = opsForLookup()
+      assert(opsN == ops0,
+        s"lookup FS-op count must be independent of catalog size: $ops0 -> $opsN")
+      // isFile + open(manifest) + exists(payload) + the payload's own
+      // recursive stamp listing/stats — a fixed handful, with headroom
+      assert(ops0 <= 12, s"lookup must be a bounded handful of FS ops, got $ops0")
+    } finally {
+      spark.conf.unset("spark.graft.index.root")
+      IndexCatalog.resetMemory()
+    }
+  }
+}
+
+/** Counts every filesystem operation (metadata and data) so the spec
+  * can assert a resolve's op budget — the quantity an object store
+  * multiplies by per-op latency. */
+object CountingFs {
+  val ops = new java.util.concurrent.atomic.AtomicLong(0L)
+  def reset(): Unit = ops.set(0L)
+  def total(): Long = ops.get()
+}
+class CountingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "countfs"
+  override def getUri: java.net.URI = java.net.URI.create("countfs:///")
+  private def solid(st: org.apache.hadoop.fs.FileStatus) =
+    new org.apache.hadoop.fs.FileStatus(st.getLen, st.isDirectory, 1,
+      st.getBlockSize, st.getModificationTime, st.getAccessTime,
+      org.apache.hadoop.fs.permission.FsPermission.getDefault, "u", "g",
+      st.getPath)
+  override def getFileStatus(f: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus = {
+    CountingFs.ops.incrementAndGet()
+    solid(super.getFileStatus(f))
+  }
+  override def listStatus(f: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    CountingFs.ops.incrementAndGet()
+    super.listStatus(f).map(solid)
+  }
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    CountingFs.ops.incrementAndGet()
+    super.open(f, bufferSize)
+  }
+  override def create(f: org.apache.hadoop.fs.Path, permission: org.apache.hadoop.fs.permission.FsPermission,
+                      overwrite: Boolean, bufferSize: Int, replication: Short, blockSize: Long,
+                      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    CountingFs.ops.incrementAndGet()
+    super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
+  }
+  override def rename(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Boolean = {
+    CountingFs.ops.incrementAndGet()
+    super.rename(src, dst)
+  }
+  override def delete(f: org.apache.hadoop.fs.Path, recursive: Boolean): Boolean = {
+    CountingFs.ops.incrementAndGet()
+    super.delete(f, recursive)
+  }
 }
 
 /** Object-store stand-in: a local filesystem whose rename is

@@ -200,6 +200,98 @@ class StreamingSpec extends SparkSpec {
     assert(latestSnapshotBefore(root, Long.MaxValue).get.endsWith("v3"))
   }
 
+  test("q98: bucket-pruned CoW merge rewrites only touched buckets; untouched files carry forward as hard links") {
+    import graft.streaming.StreamingGate.{cowMergeBatch, SnapshotBuckets}
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val root = graft.TempDirs.create("q98-cow-test")
+    val B = SnapshotBuckets
+    def mk(rows: Seq[(Long, Long, Long, String)]) = {
+      import spark.implicits._
+      rows.toDF("user_id", "last_us", "last_event_id", "last_type")
+    }
+    def bucketOf(u: Long): Int = mk(Seq((u, 0L, 0L, "x")))
+      .select(pmod(hash(col("user_id")), lit(B))).head().getInt(0)
+    // pick users so batch 1 touches EXACTLY one bucket: u1/u2 land in
+    // distinct buckets in batch 0; batch 1 updates only u1's bucket
+    val u1 = 1L
+    val u2 = (2L to 200L).find(u => bucketOf(u) != bucketOf(u1)).get
+    val b1 = bucketOf(u1)
+    val b2 = bucketOf(u2)
+
+    cowMergeBatch(mk(Seq((u1, 10L, 100L, "click"), (u2, 20L, 200L, "view"))),
+      0L, root, B)
+    val v0b2 = root.resolve(s"b=$b2") // wrong path on purpose: must not exist
+    assert(!Files.exists(v0b2))
+    def dataFiles(v: String, k: Int): Seq[Path] = {
+      val d = root.resolve(v).resolve(s"b=$k")
+      Files.list(d).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+    }
+    val before = dataFiles("v0", b2)
+    assert(before.nonEmpty)
+
+    // batch 1: a newer event for u1 only — touches bucket b1, not b2
+    cowMergeBatch(mk(Seq((u1, 30L, 300L, "purchase"))), 1L, root, B)
+    val after = dataFiles("v1", b2)
+    assert(after.map(_.getFileName.toString).sorted ==
+           before.map(_.getFileName.toString).sorted)
+    // hard link: same inode — the file was neither re-read nor rewritten
+    after.foreach { f =>
+      val twin = root.resolve("v0").resolve(s"b=$b2").resolve(f.getFileName)
+      assert(Files.isSameFile(f, twin),
+        s"untouched bucket b=$b2 file $f must be a hard link to v0's")
+      assert(Files.getAttribute(f, "unix:nlink").asInstanceOf[Int] >= 2,
+        "carry-forward must be a link, not a rewrite with equal bytes")
+    }
+    // touched bucket b1 WAS rewritten: v1's files are new inodes
+    dataFiles("v1", b1).foreach { f =>
+      val old = root.resolve("v0").resolve(s"b=$b1").resolve(f.getFileName)
+      assert(!Files.exists(old) || !Files.isSameFile(f, old))
+    }
+    // merge semantics: argmax over both batches
+    val got = spark.read.parquet(root.resolve("v1").toString)
+      .select("user_id", "last_us", "last_event_id", "last_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == Set((u1, 30L, 300L, "purchase"), (u2, 20L, 200L, "view")))
+
+    // the sentinel path: an EMPTY batch touches nothing — v2 is 100%
+    // carry-forward, every bucket file a hard link to v1's
+    cowMergeBatch(mk(Seq.empty[(Long, Long, Long, String)]), 2L, root, B)
+    for (k <- Seq(b1, b2); f <- dataFiles("v2", k))
+      assert(Files.isSameFile(f, root.resolve("v1").resolve(s"b=$k").resolve(f.getFileName)))
+
+    // retry-safety: re-running batch 1 (predecessor derived from id,
+    // stale v1 deleted up front) reproduces the same relation
+    cowMergeBatch(mk(Seq((u1, 30L, 300L, "purchase"))), 1L, root, B)
+    val retried = spark.read.parquet(root.resolve("v1").toString)
+      .select("user_id", "last_us", "last_event_id", "last_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(retried == got)
+
+    // the predecessor read is O(touched buckets) PHYSICALLY: the b=
+    // layout resolves the touched-set filter as partition pruning, so
+    // the scan reads only the touched bucket's files (the q92 metric
+    // discipline — at 100 TB this is the difference between reading
+    // the delta's buckets and re-reading the user dimension per batch)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pruned = spark.read.parquet(root.resolve("v1").toString)
+        .filter(col("b").isin(b1))
+      pruned.collect()
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty,
+        "the bucket filter must resolve as a PartitionFilter")
+      val expect = dataFiles("v1", b1).size
+      assert(scans.head.metrics("numFiles").value == expect,
+        s"pruned read must touch only bucket b=$b1's $expect file(s)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q58 gate: redelivery + double-delta replay dedups to the original relation across batches") {
     // the staging re-delivers the historical half (suppressed only by
     // the catalog-loaded seen-keys register) and plants a duplicate of
