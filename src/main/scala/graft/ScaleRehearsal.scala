@@ -212,7 +212,8 @@ object ScaleRehearsal {
   def synthesize(spark: SparkSession, baseDir: String, outDir: String,
                  copies: Int = Copies, stride: Int = IdStride,
                  withEmbeddings: Boolean = true,
-                 withDocuments: Boolean = true): Unit = {
+                 withDocuments: Boolean = true,
+                 pertDiv: Double = 1024.0): Unit = {
     val fs = java.nio.file.Paths.get(outDir)
     // completeness + provenance marker, written LAST: a fixture is only
     // reused when it was fully synthesized from THIS base with THIS
@@ -221,7 +222,8 @@ object ScaleRehearsal {
     // wrong data (round-11 review finding)
     val marker = fs.resolve("_graft_fixture.json")
     val want = s"""{"base":"$baseDir","copies":$copies,"stride":$stride,""" +
-      s""""embeddings":$withEmbeddings,"documents":$withDocuments}"""
+      s""""embeddings":$withEmbeddings,"documents":$withDocuments,""" +
+      s""""pert_div":$pertDiv}"""
     if (java.nio.file.Files.isRegularFile(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == want)
       return
@@ -244,7 +246,7 @@ object ScaleRehearsal {
       Tables.embeddings(spark, baseDir)
         .select(col("vec_id"), col("embedding"), reps)
         .select((col("vec_id") * stride + col("rep")).as("vec_id"),
-          expr("transform(embedding, x -> cast(x + rep / 1024.0 as float))")
+          expr(s"transform(embedding, x -> cast(x + rep / $pertDiv as float))")
             .as("embedding"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
