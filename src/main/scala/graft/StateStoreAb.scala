@@ -88,29 +88,43 @@ object StateStoreAb {
     val gates = graft.streaming.StreamingGate.queries.keys.toSeq.sorted
 
     case class Cell(digest: String, medianSec: Double, reps: Seq[Double])
-    def runUnder(provider: String): Map[String, Cell] = {
+    def timedDigest(g: String, provider: String): (String, Double) = {
       spark.conf.set(ProviderKey, provider)
-      try gates.map { g =>
-        val runs = Seq.fill(Reps) {
-          val t0 = System.nanoTime()
-          val d = resultDigest(
-            graft.streaming.StreamingGate.queries(g)(spark, sfDir))
-          (d, (System.nanoTime() - t0) / 1e9)
-        }
-        require(runs.map(_._1).distinct.size == 1,
-          s"$g digest unstable across reps under $provider")
-        val secs = runs.map(_._2).sorted
-        g -> Cell(runs.head._1, secs(Reps / 2), runs.map(_._2))
-      }.toMap
-      finally spark.conf.unset(ProviderKey)
+      try {
+        val t0 = System.nanoTime()
+        val d = resultDigest(
+          graft.streaming.StreamingGate.queries(g)(spark, sfDir))
+        (d, (System.nanoTime() - t0) / 1e9)
+      } finally spark.conf.unset(ProviderKey)
     }
 
-    // warmup (untimed): heat codegen/staging caches so provider A's
-    // first gate doesn't bill session startup
+    // warmup (untimed): heat codegen/staging caches so the first gate
+    // doesn't bill session startup
     resultDigest(graft.streaming.StreamingGate.queries(gates.head)(spark, sfDir))
 
-    val hdfs = runUnder(Hdfs)
-    val rocks = runUnder(Rocks)
+    // INTERLEAVED per gate (H,R,H,R,...): a split-pass design leaked a
+    // ~10-20% warm-cache drift into the ratio (the second full pass ran
+    // warmer — even provider-pinned gates read 0.7-0.9x); adjacent
+    // alternation gives both providers the same thermal context, plus
+    // one untimed same-gate warmup so neither provider's first rep
+    // bills gate-local staging
+    val hdfsM = scala.collection.mutable.Map.empty[String, Cell]
+    val rocksM = scala.collection.mutable.Map.empty[String, Cell]
+    for (g <- gates) {
+      timedDigest(g, Hdfs) // untimed gate-local warmup
+      val runs = (0 until Reps).flatMap { _ =>
+        Seq(Hdfs -> timedDigest(g, Hdfs), Rocks -> timedDigest(g, Rocks))
+      }
+      for ((prov, m) <- Seq(Hdfs -> hdfsM, Rocks -> rocksM)) {
+        val rs = runs.collect { case (p, r) if p == prov => r }
+        require(rs.map(_._1).distinct.size == 1,
+          s"$g digest unstable across reps under $prov")
+        val secs = rs.map(_._2).sorted
+        m(g) = Cell(rs.head._1, secs(Reps / 2), rs.map(_._2))
+      }
+    }
+    val hdfs = hdfsM.toMap
+    val rocks = rocksM.toMap
 
     val mismatches = gates.filter(g => hdfs(g).digest != rocks(g).digest)
     def fmt(m: Map[String, Cell]) = gates.map { g =>
