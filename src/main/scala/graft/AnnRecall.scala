@@ -341,19 +341,31 @@ object AnnRecall {
     // (~1/(3·|Q|) recall steps) — documented in the artifact, and the
     // reason the legacy x10/x100 gated rows keep their full query
     // sets.
+    // ceilGated: the nprobe ceiling applies (the TOP density only — the
+    // series' low end sits mid-transition out of the base fixture's
+    // no-structure regime, where the x1 convention already records that
+    // holding the target honestly costs most of the cell set; a ceiling
+    // there would gate against the absence of cluster structure, not
+    // against density). fullSweep: sweep to |cells| (the stretch
+    // diagnostic instead caps at the ceiling — its message is a
+    // labeled MISS).
     case class DensityPoint(tag: String, dir: String, copies: Int,
                             stride: Int, pertDiv: Double, qCo: Long,
-                            gatedScaled: Boolean)
+                            ceilGated: Boolean, fullSweep: Boolean)
     val densitySeries = Seq(
-      DensityPoint("x10d", "/tmp/graft-density-x10", 10, 16, 102.4, 13L, true),
+      DensityPoint("x10d", "/tmp/graft-density-x10", 10, 16, 102.4, 13L,
+        ceilGated = false, fullSweep = true),
       // x100d = the legacy x100 fixture (same synthesize config — the
       // marker makes the reuse free); only the query sampling differs
       DensityPoint("x100d", "/tmp/graft-sf100-rehearsal",
-        ScaleRehearsal.Copies100, ScaleRehearsal.IdStride100, 1024.0, 101L, true),
+        ScaleRehearsal.Copies100, ScaleRehearsal.IdStride100, 1024.0, 101L,
+        ceilGated = false, fullSweep = true),
       DensityPoint("x1000d", "/tmp/graft-sf1000-density",
-        Copies1000, IdStride1000, 10240.0, 1009L, true),
+        Copies1000, IdStride1000, 10240.0, 1009L,
+        ceilGated = true, fullSweep = true),
       DensityPoint("x1000_stretch", "/tmp/graft-sf1000-stretch",
-        Copies1000, IdStride1000, 1024.0, 1009L, false))
+        Copies1000, IdStride1000, 1024.0, 1009L,
+        ceilGated = false, fullSweep = false))
     case class SeriesMeta(tag: String, nVec: Long, nQueries: Int,
                           truthSec: Double, fixedCells: Int, scaledCells: Int,
                           pertDiv: Double, qmod: Long)
@@ -390,9 +402,9 @@ object AnnRecall {
       // MISS row), and running its fine-cell assignment out to the
       // exact point would buy ~25 minutes of wall for no extra
       // information
-      val capScaled = if (p.gatedScaled) scaledCells else NprobeHoldCeil
+      val capScaled = if (p.fullSweep) scaledCells else NprobeHoldCeil
       holdSweep(p.tag, "q80_quantized_ivf_scaled", truthD, Map.empty,
-        capScaled, gated = p.gatedScaled,
+        capScaled, gated = p.ceilGated,
         np => Similarity.quantizedIvfTopK(embD, np,
           centroidMod = scaledCmod, queryMod = qmodD, probeByDot = true))
     }
@@ -417,6 +429,20 @@ object AnnRecall {
       np => Similarity.quantizedIvfTopK(emb, np, probeByDot = true))
     val holdMisses = holdRows.filter(r => r.gated &&
       (r.nprobe < 0 || r.nprobe > NprobeHoldCeil))
+    // the second density gate, strict: 1000x density must not RAISE
+    // the scaled config's knob above the no-structure base's (measured
+    // at sf0.1 it FALLS, 32 -> 4, while the cell count grows 32x — the
+    // full x1 -> x10d -> x100d -> x1000d transition is recorded in the
+    // table; adjacent points are not exit-gated because a one-grid-step
+    // wobble under ~80-query sampling resolution would flake the
+    // artifact without informing anyone)
+    def scaledHold(tag: String): Option[Int] =
+      holdRows.find(h => h.decade == tag && h.op == "q80_quantized_ivf_scaled")
+        .map(h => if (h.nprobe < 0) Int.MaxValue else h.nprobe)
+    val densityInversion = for {
+      base <- scaledHold("x1")
+      top <- scaledHold("x1000d") if top > base
+    } yield (base, top)
 
     // ---- artifacts ----
     val decadeJson = decadeRows.map { r =>
@@ -507,15 +533,25 @@ object AnnRecall {
     md ++= "- `x10d/x100d/x1000d` — pure DENSITY: pertDiv scales with copies,\n"
     md ++= "  pinning the cluster diameter at the legacy-x100 value while\n"
     md ++= "  occupancy grows 10x per point (x100d IS the legacy x100\n"
-    md ++= "  fixture). Here `q80_quantized_ivf_scaled` — cells ~ sqrt(n)\n"
-    md ++= "  (the standard nlist ≈ K·sqrt(n) sizing) and probe order the\n"
-    md ++= "  INNER PRODUCT between query and centroid, the ranking's own\n"
-    md ++= f"  metric — is GATED <= $NprobeHoldCeil at every point. Metric-matched\n"
-    md ++= "  probing is load-bearing: at the same cell counts, d²-probed\n"
-    md ++= "  sweeps plateau below target (d² ranks the high-norm cells a\n"
-    md ++= "  dot ranking needs LAST). The fixed-cell rows are recorded\n"
-    md ++= "  ungated: density alone is benign for them too, at fraction-of-\n"
-    md ++= "  corpus per-probe cost the scaled config exists to avoid.\n"
+    md ++= "  fixture). `q80_quantized_ivf_scaled` — cells ~ sqrt(n) (the\n"
+    md ++= "  standard nlist ≈ K·sqrt(n) sizing) and probe order the INNER\n"
+    md ++= "  PRODUCT between query and centroid, the ranking's own metric —\n"
+    md ++= "  carries TWO exit-1 gates: the knob ceiling\n"
+    md ++= f"  (nprobe_to_hold <= $NprobeHoldCeil) at the TOP density x1000d, and\n"
+    md ++= "  no inversion (x1000d's hold must not exceed x1's). The series\n"
+    md ++= "  measures the transition out of the base fixture's no-structure\n"
+    md ++= "  regime: the knob FALLS as density grows — 32 of 40 cells at x1\n"
+    md ++= "  (80%, the no-structure tax) through the mid-transition x10d/\n"
+    md ++= "  x100d points to single digits of 1280 cells at x1000d (<1% of\n"
+    md ++= "  cells, comfortably under the ceiling). The low-density points\n"
+    md ++= "  are recorded unceilinged for the same reason the x1 rows are:\n"
+    md ++= "  a ceiling there would gate against missing cluster structure,\n"
+    md ++= "  not against density. Metric-matched probing is load-bearing:\n"
+    md ++= "  at the same cell counts, d²-probed sweeps plateau below target\n"
+    md ++= "  (d² ranks the high-norm cells a dot ranking needs LAST). The\n"
+    md ++= "  fixed-cell rows are recorded ungated: density alone is benign\n"
+    md ++= "  for them too, at the fraction-of-corpus per-probe cost the\n"
+    md ++= "  scaled config exists to avoid.\n"
     md ++= "- `x1000_stretch` — GEOMETRY DRIFT, ungated diagnostic: the\n"
     md ++= "  legacy formula at copies=1000 stretches clusters to O(1) per\n"
     md ++= "  coordinate while the int8 grid (scaled by the global max)\n"
@@ -569,7 +605,11 @@ object AnnRecall {
     println(json)
 
     spark.stop()
-    if (gatedMisses.nonEmpty || decadeMisses.nonEmpty || holdMisses.nonEmpty) {
+    if (gatedMisses.nonEmpty || decadeMisses.nonEmpty || holdMisses.nonEmpty ||
+        densityInversion.nonEmpty) {
+      densityInversion.foreach { case (base, top) => System.err.println(
+        s"[ann-recall] DENSITY INVERSION: x1000d scaled hold $top > x1 base " +
+          s"$base — density RAISED the knob") }
       gatedMisses.foreach(r => System.err.println(
         f"[ann-recall] GATED MISS ${r.op} ${r.knob}=${r.value}: " +
         f"${r.recall}%.4f < ${floors(r.op)}%.2f"))
