@@ -62,14 +62,29 @@ object Bench {
     * direct co-tenant signal when a row's wall time spikes. Reads are
     * plain procfs text (Linux-only, the only driver environment);
     * any read failure degrades to -1 fields, never a crash. */
-  private def procBusyTotal(): (Long, Long) =
+  /** (busy, total, iowait) jiffies from /proc/stat's cpu line. iowait
+    * is carried SEPARATELY because it is deliberately not in `busy`:
+    * other_cpu answers "was a CPU co-tenant stealing cycles?" and a
+    * disk-stalled core steals nothing. But that makes the round-13
+    * alarm rule ("wall spike + quiet other_cpu = real regression")
+    * blind to storage-side stalls — q155's r13 driver reading (3.38 s
+    * wall, other_cpu 0.010, own CPU work identical to a 0.74 s quiet
+    * rep) was exactly that. `io_wait` in the sidecar closes the
+    * trichotomy: wall spike + quiet other_cpu + high io_wait =
+    * storage contention, dismissible in one line. */
+  private def procBusyTotal(): (Long, Long, Long) =
     try {
       val line = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get("/proc/stat")).get(0)
-      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-      val idle = f(3) + (if (f.length > 4) f(4) else 0L)
-      (f.sum - idle, f.sum)
-    } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
+      // first 8 fields only (user nice system idle iowait irq softirq
+      // steal): the kernel folds guest/guest_nice into user/nice, so
+      // summing all 10 double-counts guest time on a VM-hosting box
+      // (round-13 ADVICE)
+      val f = line.trim.split("\\s+").drop(1).take(8).map(_.toLong)
+      val iow = if (f.length > 4) f(4) else 0L
+      val idle = f(3) + iow
+      (f.sum - idle, f.sum, iow)
+    } catch { case scala.util.control.NonFatal(_) => (-1L, -1L, -1L) }
 
   private def selfJiffies(): Long =
     try {
@@ -127,8 +142,27 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // SPARK_GRAFT_PER_REP=on → one stderr line per rep with the rep's
+    // own /proc window attribution: the isolated-forensics mode the
+    // q155 round-14 investigation standardized (a median hides whether
+    // rep 1's index build or a steady-state cost moved the row; the
+    // driver never sets it).
+    val perRep = sys.env.get("SPARK_GRAFT_PER_REP").contains("on")
     def median3(name: String): Double = {
-      val ts = Seq.fill(Reps)(materialize(name))
+      val ts = Seq.tabulate(Reps) { i =>
+        val (b0, t0, w0) = if (perRep) procBusyTotal() else (0L, 0L, 0L)
+        val s0 = if (perRep) selfJiffies() else 0L
+        val sec = materialize(name)
+        if (perRep) {
+          val (b1, t1, w1) = procBusyTotal(); val s1 = selfJiffies()
+          val tot = math.max(1L, t1 - t0).toDouble
+          System.err.println(f"[bench-rep] $name rep=$i sec=$sec%.3f " +
+            f"other_cpu=${math.max(0L, (b1 - b0) - (s1 - s0)) / tot}%.3f " +
+            f"own_cpu=${math.max(0L, s1 - s0) / tot}%.3f " +
+            f"io_wait=${math.max(0L, w1 - w0) / tot}%.3f")
+        }
+        sec
+      }
       if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(Reps / 2)
     }
 
@@ -152,18 +186,20 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    case class Attr(sec: Double, otherCpu: Double, ownCpu: Double, load: Double)
+    case class Attr(sec: Double, otherCpu: Double, ownCpu: Double,
+                    ioWait: Double, load: Double)
     val results = names.map { n =>
-      val (b0, t0) = procBusyTotal(); val s0 = selfJiffies()
+      val (b0, t0, w0) = procBusyTotal(); val s0 = selfJiffies()
       val sec = median3(n)
-      val (b1, t1) = procBusyTotal(); val s1 = selfJiffies()
+      val (b1, t1, w1) = procBusyTotal(); val s1 = selfJiffies()
       val bad = b0 < 0 || b1 < 0 || s0 < 0 || s1 < 0 || t1 <= t0
       val tot = (t1 - t0).toDouble
       val attr =
-        if (bad) Attr(sec, -1.0, -1.0, loadAvg())
+        if (bad) Attr(sec, -1.0, -1.0, -1.0, loadAvg())
         else Attr(sec,
           math.max(0L, (b1 - b0) - (s1 - s0)) / tot,
-          math.max(0L, s1 - s0) / tot, loadAvg())
+          math.max(0L, s1 - s0) / tot,
+          math.max(0L, w1 - w0) / tot, loadAvg())
       n -> attr
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.sec }
@@ -174,6 +210,7 @@ object Bench {
     val loadMap = results.map { case (k, v) =>
       "\"" + k + "\":{\"other_cpu\":" + f"${v.otherCpu}%.3f" +
         ",\"own_cpu\":" + f"${v.ownCpu}%.3f" +
+        ",\"io_wait\":" + f"${v.ioWait}%.3f" +
         ",\"loadavg\":" + f"${v.load}%.2f" + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).filter(_ >= 0).sum

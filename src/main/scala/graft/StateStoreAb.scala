@@ -110,6 +110,12 @@ object StateStoreAb {
     // bills gate-local staging
     val hdfsM = scala.collection.mutable.Map.empty[String, Cell]
     val rocksM = scala.collection.mutable.Map.empty[String, Cell]
+    // per-rep digest instability is a FINDING, not an abort: it lands
+    // in the artifact as a labeled row (like the cross-provider
+    // mismatch list) and fails the run AFTER the JSON is written, so
+    // one flaky gate can't discard every completed measurement
+    // (round-13 ADVICE)
+    val unstable = scala.collection.mutable.ListBuffer.empty[String]
     for (g <- gates) {
       timedDigest(g, Hdfs) // untimed gate-local warmup
       val runs = (0 until Reps).flatMap { _ =>
@@ -117,8 +123,7 @@ object StateStoreAb {
       }
       for ((prov, m) <- Seq(Hdfs -> hdfsM, Rocks -> rocksM)) {
         val rs = runs.collect { case (p, r) if p == prov => r }
-        require(rs.map(_._1).distinct.size == 1,
-          s"$g digest unstable across reps under $prov")
+        if (rs.map(_._1).distinct.size != 1) unstable += s"$g/$prov"
         val secs = rs.map(_._2).sorted
         m(g) = Cell(rs.head._1, secs(Reps / 2), rs.map(_._2))
       }
@@ -138,12 +143,17 @@ object StateStoreAb {
       s"""{"sf":"$sfDir","reps":$Reps,"pinned_rocksdb":[${
         PinnedRocks.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""digests_identical":${mismatches.isEmpty},""" +
+      s""""digests_unstable":[${
+        unstable.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""total_median_sec":{"hdfs":${f"$totalH%.2f"},"rocksdb":${f"$totalR%.2f"}},""" +
       s""""hdfs":${fmt(hdfs)},"rocksdb":${fmt(rocks)}}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("state_store_ab.json"),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    require(unstable.isEmpty,
+      s"DIGEST UNSTABLE ACROSS REPS for $unstable — timings for those " +
+        "cells are over differing relations; artifact written for diagnosis")
     require(mismatches.isEmpty,
       s"CROSS-PROVIDER DIGEST MISMATCH for $mismatches — a state-store " +
         "provider changed the relation, not just the timing")

@@ -652,6 +652,10 @@ class IndexCatalogSpec extends SparkSpec {
       assert(ops0 <= 12, s"lookup must be a bounded handful of FS ops, got $ops0")
     } finally {
       spark.conf.unset("spark.graft.index.root")
+      // the scheme registration went on the SHARED SparkContext hadoop
+      // conf — unset it so CountingFs (and its global op counter) can't
+      // leak into later tests in this JVM (round-13 ADVICE)
+      hconf.unset("fs.countfs.impl")
       IndexCatalog.resetMemory()
     }
   }
