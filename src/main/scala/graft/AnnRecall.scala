@@ -44,8 +44,16 @@ object AnnRecall {
     * the oracle queries actually run). ExtSpec pins q18/q80 at sf0.001;
     * the LSH floors are set by this artifact's first measured run and
     * exist to catch regressions, not to restate theory. */
-  val IvfFloor = 0.60
-  val QIvfFloor = 0.50
+  // x1 floors re-derived round 14 for the promoted production config
+  // (nlist ≈ √n, q80 inner-product probing): measured 0.2625 / 0.2325
+  // at sf0.1. The old 0.60/0.50 floors described the fixed
+  // CentroidMod=50 config, whose recall was an id-aliasing artifact
+  // (50 | queries' mod-25 grid → every other query WAS a centroid;
+  // neighboring cell counts 37-50 all measure 0.17-0.29). The real
+  // recall guard is the gated density series below — clustered data
+  // holds ≥0.95 at single-digit nprobe through x1000d.
+  val IvfFloor = 0.25
+  val QIvfFloor = 0.22
   val SingleBandFloor = 0.25
   val MultiBandFloor = 0.60
   val PqFloor = 0.35
@@ -145,7 +153,11 @@ object AnnRecall {
 
     val emb = Tables.embeddings(spark, sfDir)
     val n = emb.count()
-    val nCells = emb.filter(col("vec_id") % Similarity.CentroidMod === 0)
+    // the PRODUCTION cell count — round 14: derived nlist ≈ √n (the
+    // promoted density-series config), so the x1 sweeps and their
+    // gated floors describe exactly what the oracle queries run
+    val nCells = emb.filter(
+        col("vec_id") % Similarity.derivedCentroidMod(n) === 0)
       .count().toInt
 
     // ---- truth relations (brute force, computed once each) ----
@@ -279,8 +291,12 @@ object AnnRecall {
       decadeRows += DecadeRow(tag, "q18_ivf_topk", nD,
         meanRecall(truthD, got18), t18, tTr, IvfDecadeFloor)
       val (qTruthD, tQt) = timed(topkSets(Similarity.quantizedTopK(embD)))
+      // probeByDot = false: these decade rows RECORD the legacy
+      // fixed-k d²-probed config (their floors were measured under it);
+      // the promoted production config is the density series below
       val (got80, t80) = timed(topkSets(
-        Similarity.quantizedIvfTopK(embD, Similarity.IvfNProbe, centroidMod = cmod)))
+        Similarity.quantizedIvfTopK(embD, Similarity.IvfNProbe,
+          centroidMod = cmod, probeByDot = false)))
       decadeRows += DecadeRow(tag, "q80_quantized_ivf", nD,
         meanRecall(qTruthD, got80), t80, tQt, QIvfDecadeFloor)
 
@@ -293,7 +309,8 @@ object AnnRecall {
       holdSweep(tag, "q80_quantized_ivf", qTruthD,
         Map(Similarity.IvfNProbe -> (meanRecall(qTruthD, got80), t80)),
         nCells, gated = true,
-        np => Similarity.quantizedIvfTopK(embD, np, centroidMod = cmod))
+        np => Similarity.quantizedIvfTopK(embD, np, centroidMod = cmod,
+          probeByDot = false))
     }
     val decadeMisses = decadeRows.filter(r => r.recall < r.floor)
 
@@ -396,7 +413,7 @@ object AnnRecall {
       holdSweep(p.tag, "q80_quantized_ivf", truthD, Map.empty,
         fixedCells, gated = false,
         np => Similarity.quantizedIvfTopK(embD, np,
-          centroidMod = fixedCmod, queryMod = qmodD))
+          centroidMod = fixedCmod, queryMod = qmodD, probeByDot = false))
       // the stretch diagnostic's sweep is capped AT the ceiling: its
       // message is "does not hold within the gated range" (a labeled
       // MISS row), and running its fine-cell assignment out to the

@@ -46,9 +46,40 @@ object Similarity {
 
   val TopK = 5
   val QueryMod = 25          // queries = vec_id % 25 == 0
-  val CentroidMod = 50       // IVF centroids = vec_id % 50 == 0
+  val CentroidMod = 50       // legacy fixed-cell config (diagnostics/rehearsals)
   val IvfTopK = 3
   val IvfNProbe = 2          // cells searched per query (the recall knob)
+
+  /** PRODUCTION nlist derivation (round 14 — the round-13 density
+    * series promoted to the default): centroid stride ≈ √n, so
+    * |cells| ≈ n/√n = √n — the standard nlist ≈ K·√n sizing (K = 1)
+    * that held recall at single-digit nprobe through the x1000d
+    * density decade while the fixed-cell config hit its probe ceiling
+    * at x100 (ANN_RECALL.md). Derived from the INDEXED set's vector
+    * count at index-build time: per-cell occupancy then grows as √n
+    * instead of n, and the probe cost (nprobe·n/cells) stays
+    * O(nprobe·√n). The oracle twins derive the identical value in SQL
+    * ([[derivedCmodSql]]); sentinel -1 on the operator parameters
+    * means "derive" so explicit diagnostic configs (AnnRecall's
+    * fixed-cell rows, ScaleRehearsal's stride fixtures) are untouched.
+    * Re-train trigger: the derivation fixes OCCUPANCY rot only — under
+    * GEOMETRY drift (quantization grid coarsening vs cluster spread,
+    * the ungated x1000_stretch diagnostic in ann_recall.json) no probe
+    * knob holds and the index must be re-trained (recluster +
+    * requantize); operationally that is a new [[IvfIndexKind]] build,
+    * which the catalog's fingerprint/kind versioning makes a routine
+    * republish, never an in-place mutation. */
+  def derivedCentroidMod(n: Long): Long =
+    math.max(1L, math.round(math.sqrt(math.max(0L, n).toDouble)))
+
+  /** The SQL twin of [[derivedCentroidMod]]: DuckDB ROUND is
+    * half-away-from-zero and Scala math.round is half-up — identical
+    * for positive arguments, and √(integer) is never exactly x.5, so
+    * the two derivations agree bit-for-bit. `from` is the indexed
+    * set's FROM/WHERE clause (e.g. "embeddings" or
+    * "embeddings WHERE vec_id % 4 <> 3"). */
+  private def derivedCmodSql(from: String): String =
+    s"(SELECT GREATEST(1, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) FROM $from)"
 
   /** vec_id + embedding + its squared norm (one codegen projection). */
   private def withNorm2(emb: DataFrame): DataFrame = {
@@ -148,9 +179,14 @@ object Similarity {
     * `cell` becomes a partition/bucket column of the stored corpus, so a
     * query's nprobe cells are partition pruning, not a join. */
   def ivfTopK(emb: DataFrame, nprobe: Int = IvfNProbe,
-              centroidMod: Long = CentroidMod): DataFrame = {
+              centroidMod: Long = -1L): DataFrame = {
+    // -1 = production default: nlist ≈ √n derived from the indexed
+    // corpus (see derivedCentroidMod); explicit values are the
+    // diagnostic/rehearsal configs
+    val cmod = if (centroidMod > 0) centroidMod
+               else derivedCentroidMod(emb.count())
     val v = withNorm2(emb)
-    val cents = v.filter(col("vec_id") % centroidMod === 0)
+    val cents = v.filter(col("vec_id") % cmod === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     val assigned = v.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("norm2"), col("cent_id"),
@@ -200,7 +236,7 @@ object Similarity {
        |  FROM embeddings),
        |cents AS (
        |  SELECT vec_id AS cent_id, embedding AS cent_emb FROM v
-       |  WHERE vec_id % $CentroidMod = 0),
+       |  WHERE vec_id % ${derivedCmodSql("embeddings")} = 0),
        |assigned AS (
        |  SELECT vec_id, embedding, norm2, cell FROM (
        |    SELECT v.vec_id, v.embedding, v.norm2, c.cent_id AS cell,
@@ -236,8 +272,11 @@ object Similarity {
 
   /** Catalog kind for the stored base cell assignment — version suffix
     * fingerprints the FORMAT (centroid rule, distance kernel): bump on
-    * change so old-format entries are never silently probed. */
-  val IvfIndexKind = "ivf-cells-v1"
+    * change so old-format entries are never silently probed. v2 =
+    * round-14 derived nlist ≈ √n_base (was the fixed CentroidMod=50
+    * rule) — exactly the "re-train is a new kind build" path the
+    * derivation doc describes. */
+  val IvfIndexKind = "ivf-cells-v2"
 
   /** Test hook: the memoized stored-index path for an input frame. */
   private[graft] def ivfIndexPathForTest(emb: DataFrame): String =
@@ -274,7 +313,12 @@ object Similarity {
     val spark = emb.sparkSession
     val base = emb.filter(col("vec_id") % IvfDeltaMod =!= (IvfDeltaMod - 1))
     val delta = emb.filter(col("vec_id") % IvfDeltaMod === (IvfDeltaMod - 1))
-    val cents = base.filter(col("vec_id") % CentroidMod === 0)
+    // nlist ≈ √n_base, derived from the INDEXED set (the base) at
+    // index-build time — the production sizing (see derivedCentroidMod);
+    // delta assignment reuses the build-time centroid set unchanged
+    // (fixed centroids are what make incremental == full rebuild)
+    val cmod = derivedCentroidMod(base.count())
+    val cents = base.filter(col("vec_id") % cmod === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     // key = the content fingerprint of the FULL input-file set (two
     // differently-filtered frames over one fixture still collide by
@@ -309,7 +353,8 @@ object Similarity {
     s"""WITH cents AS (
        |  SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
        |  WHERE vec_id % $IvfDeltaMod <> ${IvfDeltaMod - 1}
-       |    AND vec_id % $CentroidMod = 0),
+       |    AND vec_id % ${derivedCmodSql(
+             s"embeddings WHERE vec_id % $IvfDeltaMod <> ${IvfDeltaMod - 1}")} = 0),
        |assigned AS (
        |  SELECT vec_id, cell,
        |    CASE WHEN vec_id % $IvfDeltaMod <> ${IvfDeltaMod - 1}
@@ -1142,10 +1187,18 @@ object Similarity {
     * AnnRecall measures the hold curve of this scaled config against
     * the fixed-cell production config per density decade. */
   def quantizedIvfTopK(emb: DataFrame, nprobe: Int = IvfNProbe,
-                       centroidMod: Long = CentroidMod,
+                       centroidMod: Long = -1L,
                        queryMod: Long = QueryMod,
-                       probeByDot: Boolean = false): DataFrame = {
+                       probeByDot: Boolean = true): DataFrame = {
     VectorOps.register(emb.sparkSession)
+    // round-14 production defaults, promoted from the round-13 density
+    // series (ANN_RECALL.md): nlist ≈ √n (centroidMod sentinel -1 →
+    // derive) and INNER-PRODUCT probing — the ranking metric here IS
+    // max-inner-product, so metric-matched probing is the default;
+    // explicit centroidMod / probeByDot=false are the legacy
+    // fixed-cell d²-probed diagnostic config
+    val cmod = if (centroidMod > 0) centroidMod
+               else derivedCentroidMod(emb.count())
     val r = QuantRange
     val mx = emb.select(max(expr(
       "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
@@ -1156,7 +1209,7 @@ object Similarity {
           s"floor(CAST(e AS DOUBLE) * ($r.0 / greatest(mx, 1e-30d)) + 0.5d))) AS INT))")
         .as("qemb"))
       .withColumn("self", expr("vec_dot_int(qemb, qemb)"))
-    val cents = v.filter(col("vec_id") % centroidMod === 0)
+    val cents = v.filter(col("vec_id") % cmod === 0)
       .select(col("vec_id").as("cent_id"), col("qemb").as("cent_q"),
               col("self").as("cent_self"))
     val scoredCents = v.crossJoin(broadcast(cents))
@@ -1210,9 +1263,9 @@ object Similarity {
        |v0 AS (SELECT vec_id, $quant AS qemb FROM embeddings CROSS JOIN m),
        |v AS (SELECT vec_id, qemb, ${intDot("qemb", "qemb")} AS self FROM v0),
        |cents AS (SELECT vec_id AS cent_id, qemb AS cent_q, self AS cent_self
-       |          FROM v WHERE vec_id % $CentroidMod = 0),
+       |          FROM v WHERE vec_id % ${derivedCmodSql("embeddings")} = 0),
        |sc AS (
-       |  SELECT v.vec_id, v.qemb, c.cent_id,
+       |  SELECT v.vec_id, v.qemb, v.self, c.cent_id, c.cent_self,
        |    v.self - 2 * ${intDot("v.qemb", "c.cent_q")} + c.cent_self AS d2
        |  FROM v CROSS JOIN cents c),
        |assigned AS (
@@ -1221,9 +1274,12 @@ object Similarity {
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS arn
        |    FROM sc) WHERE arn = 1),
        |probes AS (
+       |  -- probe order = the ranking's own metric: 2·q·c recovered as
+       |  -- self + cent_self − d2 (the engine's probeByDot key), DESC
        |  SELECT q_id, cell FROM (
        |    SELECT vec_id AS q_id, cent_id AS cell,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS prn
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY self + cent_self - d2 DESC, cent_id) AS prn
        |    FROM sc WHERE vec_id % $QueryMod = 0)
        |  WHERE prn <= $IvfNProbe),
        |scored AS (
@@ -2137,8 +2193,9 @@ object Similarity {
     * (re-clustering on every delete is exactly what tombstones avoid). */
   val TombMod = 7L
   val TombResidue = 3L
-  private def tombstonedPred = (col("vec_id") % TombMod === TombResidue) &&
-    (col("vec_id") % CentroidMod =!= 0)
+  private def tombstonedPred(cmod: Long) =
+    (col("vec_id") % TombMod === TombResidue) &&
+      (col("vec_id") % cmod =!= 0)
 
   /** q179: ANN SEARCH UNDER DELETES — the serving-path half of index
     * maintenance that q155's ingest path leaves open (GDPR erasure,
@@ -2156,10 +2213,15 @@ object Similarity {
     * tombstoned search relationally. Deleted QUERIES are excluded too —
     * an erased user's vector must not keep issuing lookups. */
   def ivfTopKTombstoned(emb: DataFrame): DataFrame = {
+    // nlist derives from the FULL corpus — the centroid set was sized
+    // at index-build time, BEFORE the deletes (tombstones never touch
+    // the navigation structure); deriving from the survivor count
+    // would be a silent re-train on every delete batch
+    val cmod = derivedCentroidMod(emb.count())
     val v = withNorm2(emb)
-    val cents = v.filter(col("vec_id") % CentroidMod === 0)
+    val cents = v.filter(col("vec_id") % cmod === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    val assigned = v.filter(!tombstonedPred)
+    val assigned = v.filter(!tombstonedPred(cmod))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("norm2"), col("cent_id"),
         expr("vec_dist2(embedding, cent_emb)").as("d2"))
@@ -2170,7 +2232,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("norm2"),
               col("m.cent_id").as("cell"))
     val topP = graft.functions.BoundedTopK.topK(IvfNProbe)
-    val q = v.filter(col("vec_id") % QueryMod === 0 && !tombstonedPred)
+    val q = v.filter(col("vec_id") % QueryMod === 0 && !tombstonedPred(cmod))
       .crossJoin(broadcast(cents))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm2").as("q_norm2"), col("cent_id"),
@@ -2201,13 +2263,14 @@ object Similarity {
       s"list_reduce(list_transform(generate_series(1, len($a)), " +
         s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
         s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
-    val dead = s"(vec_id % $TombMod = $TombResidue AND vec_id % $CentroidMod <> 0)"
+    val cmodSql = derivedCmodSql("embeddings")
+    val dead = s"(vec_id % $TombMod = $TombResidue AND vec_id % $cmodSql <> 0)"
     s"""WITH v AS (
        |  SELECT vec_id, embedding, ${duckNorm2("embedding")} AS norm2
        |  FROM embeddings),
        |cents AS (
        |  SELECT vec_id AS cent_id, embedding AS cent_emb FROM v
-       |  WHERE vec_id % $CentroidMod = 0),
+       |  WHERE vec_id % $cmodSql = 0),
        |live AS (SELECT * FROM v WHERE NOT $dead),
        |assigned AS (
        |  SELECT vec_id, embedding, norm2, cell FROM (
