@@ -186,24 +186,32 @@ class StreamingSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("q98-snap-test")
     root.toFile.deleteOnExit()
     import graft.streaming.StreamingGate.latestSnapshotBefore
-    assert(latestSnapshotBefore(root, 0L).isEmpty, "empty root -> no predecessor")
-    java.nio.file.Files.createDirectory(root.resolve("v0"))
-    java.nio.file.Files.createDirectory(root.resolve("v1"))
-    java.nio.file.Files.createDirectory(root.resolve("v3")) // ids not dense after restart
-    assert(latestSnapshotBefore(root, 0L).isEmpty)
-    assert(latestSnapshotBefore(root, 1L).get.endsWith("v0"))
+    def commit(v: String): Unit = {
+      val d = java.nio.file.Files.createDirectory(root.resolve(v))
+      java.nio.file.Files.write(d.resolve("manifest.json"),
+        "{}".getBytes("UTF-8"))
+    }
+    assert(latestSnapshotBefore(root, 0L, requireManifest = true).isEmpty, "empty root -> no predecessor")
+    commit("v0")
+    commit("v1")
+    commit("v3") // ids not dense after restart
+    // an UNCOMMITTED version (data dir, no manifest — a crashed batch)
+    // must be invisible: its own retry is the only legal reader
+    java.nio.file.Files.createDirectory(root.resolve("v2"))
+    assert(latestSnapshotBefore(root, 0L, requireManifest = true).isEmpty)
+    assert(latestSnapshotBefore(root, 1L, requireManifest = true).get.endsWith("v0"))
     // THE retry case: batch 3 already wrote v3, then retries before its
     // checkpoint commit — it must read v1 (its true predecessor), never
     // the v3 its own overwrite is about to delete
-    assert(latestSnapshotBefore(root, 3L).get.endsWith("v1"))
-    assert(latestSnapshotBefore(root, 4L).get.endsWith("v3"))
-    assert(latestSnapshotBefore(root, Long.MaxValue).get.endsWith("v3"))
+    assert(latestSnapshotBefore(root, 3L, requireManifest = true).get.endsWith("v1"))
+    assert(latestSnapshotBefore(root, 4L, requireManifest = true).get.endsWith("v3"))
+    assert(latestSnapshotBefore(root, Long.MaxValue, requireManifest = true).get.endsWith("v3"))
   }
 
-  test("q98: bucket-pruned CoW merge rewrites only touched buckets; untouched files carry forward as hard links") {
-    import graft.streaming.StreamingGate.{cowMergeBatch, SnapshotBuckets}
-    import java.nio.file.{Files, Path}
-    import scala.jdk.CollectionConverters._
+  test("q98: bucket-pruned CoW merge rewrites only touched buckets; untouched files are manifest-referenced in place") {
+    import graft.streaming.StreamingGate.{cowMergeBatch, readSnapManifest,
+      readSnapshot, SnapshotBuckets}
+    import java.nio.file.Files
     val root = graft.TempDirs.create("q98-cow-test")
     val B = SnapshotBuckets
     def mk(rows: Seq[(Long, Long, Long, String)]) = {
@@ -212,6 +220,9 @@ class StreamingSpec extends SparkSpec {
     }
     def bucketOf(u: Long): Int = mk(Seq((u, 0L, 0L, "x")))
       .select(pmod(hash(col("user_id")), lit(B))).head().getInt(0)
+    def entries(v: String): Map[Int, Set[String]] =
+      readSnapManifest(root.resolve(v)).files
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     // pick users so batch 1 touches EXACTLY one bucket: u1/u2 land in
     // distinct buckets in batch 0; batch 1 updates only u1's bucket
     val u1 = 1L
@@ -221,75 +232,83 @@ class StreamingSpec extends SparkSpec {
 
     cowMergeBatch(mk(Seq((u1, 10L, 100L, "click"), (u2, 20L, 200L, "view"))),
       0L, root, B)
-    val v0b2 = root.resolve(s"b=$b2") // wrong path on purpose: must not exist
-    assert(!Files.exists(v0b2))
-    def dataFiles(v: String, k: Int): Seq[Path] = {
-      val d = root.resolve(v).resolve(s"b=$k")
-      Files.list(d).iterator().asScala.toSeq
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-    }
-    val before = dataFiles("v0", b2)
+    val before = entries("v0")(b2)
     assert(before.nonEmpty)
+    assert(before.forall(_.contains("/v0/")),
+      "v0's entries name files v0 itself wrote")
 
     // batch 1: a newer event for u1 only — touches bucket b1, not b2
     cowMergeBatch(mk(Seq((u1, 30L, 300L, "purchase"))), 1L, root, B)
-    val after = dataFiles("v1", b2)
-    assert(after.map(_.getFileName.toString).sorted ==
-           before.map(_.getFileName.toString).sorted)
-    // hard link: same inode — the file was neither re-read nor rewritten
-    after.foreach { f =>
-      val twin = root.resolve("v0").resolve(s"b=$b2").resolve(f.getFileName)
-      assert(Files.isSameFile(f, twin),
-        s"untouched bucket b=$b2 file $f must be a hard link to v0's")
-      assert(Files.getAttribute(f, "unix:nlink").asInstanceOf[Int] >= 2,
-        "carry-forward must be a link, not a rewrite with equal bytes")
-    }
-    // touched bucket b1 WAS rewritten: v1's files are new inodes
-    dataFiles("v1", b1).foreach { f =>
-      val old = root.resolve("v0").resolve(s"b=$b1").resolve(f.getFileName)
-      assert(!Files.exists(old) || !Files.isSameFile(f, old))
-    }
-    // merge semantics: argmax over both batches
-    val got = spark.read.parquet(root.resolve("v1").toString)
+    // untouched bucket: v1's manifest REFERENCES v0's physical files in
+    // place — the identical paths, no copy, no link, no new directory
+    assert(entries("v1")(b2) == before,
+      s"untouched bucket b=$b2 must carry v0's file references verbatim")
+    assert(!Files.exists(root.resolve("v1").resolve(s"b=$b2")),
+      "an untouched bucket must not materialize a directory in the new version")
+    // touched bucket b1 WAS rewritten: its entries live under v1
+    assert(entries("v1")(b1).nonEmpty &&
+      entries("v1")(b1).forall(_.contains("/v1/")),
+      s"touched bucket b=$b1 must be rewritten into v1")
+    // merge semantics: argmax over both batches, resolved via manifest
+    def rows(v: String) = readSnapshot(spark, root.resolve(v))
       .select("user_id", "last_us", "last_event_id", "last_type")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .toSet
+    val got = rows("v1")
     assert(got == Set((u1, 30L, 300L, "purchase"), (u2, 20L, 200L, "view")))
 
-    // the sentinel path: an EMPTY batch touches nothing — v2 is 100%
-    // carry-forward, every bucket file a hard link to v1's
+    // the sentinel path: an EMPTY batch touches nothing — v2 is a
+    // MANIFEST-ONLY version: no data directories at all, every entry
+    // byte-identical to v1's (references, not copies)
     cowMergeBatch(mk(Seq.empty[(Long, Long, Long, String)]), 2L, root, B)
-    for (k <- Seq(b1, b2); f <- dataFiles("v2", k))
-      assert(Files.isSameFile(f, root.resolve("v1").resolve(s"b=$k").resolve(f.getFileName)))
+    assert(entries("v2") == entries("v1"),
+      "a no-op version must publish its predecessor's references verbatim")
+    val v2ls = Files.list(root.resolve("v2"))
+    val v2names = try {
+      val it = v2ls.iterator(); val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next().getFileName.toString
+      b.result()
+    } finally v2ls.close()
+    assert(v2names == Seq("manifest.json"),
+      s"sentinel version must be manifest-only, found $v2names")
+    assert(rows("v2") == got)
 
     // retry-safety: re-running batch 1 (predecessor derived from id,
     // stale v1 deleted up front) reproduces the same relation
     cowMergeBatch(mk(Seq((u1, 30L, 300L, "purchase"))), 1L, root, B)
-    val retried = spark.read.parquet(root.resolve("v1").toString)
-      .select("user_id", "last_us", "last_event_id", "last_type")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
-      .toSet
-    assert(retried == got)
+    assert(rows("v1") == got)
 
-    // the predecessor read is O(touched buckets) PHYSICALLY: the b=
-    // layout resolves the touched-set filter as partition pruning, so
-    // the scan reads only the touched bucket's files (the q92 metric
-    // discipline — at 100 TB this is the difference between reading
-    // the delta's buckets and re-reading the user dimension per batch)
+    // the predecessor read is O(touched buckets) PHYSICALLY: pruning is
+    // a manifest lookup, so the scan is handed exactly the touched
+    // bucket's files — no snapshot-wide listing, no partition filter to
+    // hope gets pushed (the q92 metric discipline — at 100 TB this is
+    // the difference between reading the delta's buckets and re-reading
+    // the user dimension per batch)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val pruned = spark.read.parquet(root.resolve("v1").toString)
-        .filter(col("b").isin(b1))
+      val pruned = readSnapshot(spark, root.resolve("v1"), Some(Set(b1)))
       pruned.collect()
       val scans = pruned.queryExecution.executedPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }
-      assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty,
-        "the bucket filter must resolve as a PartitionFilter")
-      val expect = dataFiles("v1", b1).size
-      assert(scans.head.metrics("numFiles").value == expect,
+      val expect = entries("v1")(b1).size
+      assert(scans.nonEmpty && scans.head.metrics("numFiles").value == expect,
         s"pruned read must touch only bucket b=$b1's $expect file(s)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    // empty FIRST version (round-13 ADVICE): a manifest with zero files
+    // still reads back as a schema-bearing empty relation — the old
+    // partitionBy write of an empty frame left a schema-less directory
+    // that failed any later read
+    val root2 = graft.TempDirs.create("q98-cow-empty")
+    cowMergeBatch(mk(Seq.empty[(Long, Long, Long, String)]), 0L, root2, B)
+    val empty = readSnapshot(spark, root2.resolve("v0"))
+    assert(empty.columns.toSeq ==
+      Seq("user_id", "last_us", "last_event_id", "last_type"))
+    assert(empty.count() == 0)
+    // and a follow-up non-empty batch merges against it cleanly
+    cowMergeBatch(mk(Seq((u1, 1L, 2L, "x"))), 1L, root2, B)
+    assert(readSnapshot(spark, root2.resolve("v1")).count() == 1)
   }
 
   test("q58 gate: redelivery + double-delta replay dedups to the original relation across batches") {
