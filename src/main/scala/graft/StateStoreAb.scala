@@ -41,8 +41,24 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.StateStoreAb [sfDir] — writes
   * state_store_ab.json (one line) and prints it; exits nonzero on any
   * cross-provider digest mismatch.
+  *
+  * Round-close mode (round-14 verdict item 5): runMain graft.StateStoreAb
+  * --roundclose [sfDir] — the CHEAP per-round guard: only the five
+  * largest-state gates ([[BigStateGates]]), one timed run per provider
+  * after a warmup, digest-compared. Prints ONE line for COVERAGE.md's
+  * header; exits nonzero on any mismatch, so a provider-divergent
+  * change cannot close a round silently. The full interleaved A/B
+  * stays the occasional deep-measurement artifact.
   */
 object StateStoreAb {
+
+  /** The five biggest-state gates (the top streaming rows of every
+    * round's bench): restart recovery, within-watermark dedup, the two
+    * symmetric-hash stream-stream outer joins, and streaming SCD2. */
+  val BigStateGates: Seq[String] = Seq(
+    "q82_stream_restart", "q140_stream_dedup_within",
+    "q106_stream_outer_join", "q109_stream_full_outer",
+    "q135_stream_scd2")
   val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
   val Hdfs =
     "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
@@ -74,7 +90,9 @@ object StateStoreAb {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val roundClose = args.contains("--roundclose")
+    val sfDir = args.filterNot(_ == "--roundclose").headOption
+      .getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-state-store-ab")
@@ -96,6 +114,29 @@ object StateStoreAb {
           graft.streaming.StreamingGate.queries(g)(spark, sfDir))
         (d, (System.nanoTime() - t0) / 1e9)
       } finally spark.conf.unset(ProviderKey)
+    }
+
+    if (roundClose) {
+      // cheap per-round provider guard: warmup, then one digest per
+      // provider for each big-state gate; one COVERAGE.md line out
+      resultDigest(
+        graft.streaming.StreamingGate.queries(BigStateGates.head)(spark, sfDir))
+      val cells = BigStateGates.map { g =>
+        val (dh, th) = timedDigest(g, Hdfs)
+        val (dr, tr) = timedDigest(g, Rocks)
+        (g, dh, dr, th, tr)
+      }
+      val bad = cells.filter(c => c._2 != c._3)
+      val line = s"rocksdb-roundclose sf=$sfDir gates=${cells.size} " +
+        s"identical=${bad.isEmpty}" +
+        (if (bad.isEmpty) "" else s" MISMATCH=${bad.map(_._1).mkString(",")}") +
+        " " + cells.map(c => f"${c._1}=${c._5 / math.max(1e-9, c._4)}%.2fx")
+          .mkString(" ")
+      println(line)
+      spark.stop()
+      require(bad.isEmpty,
+        s"ROUND-CLOSE PROVIDER DIGEST MISMATCH: ${bad.map(_._1)}")
+      return
     }
 
     // warmup (untimed): heat codegen/staging caches so the first gate
