@@ -514,11 +514,14 @@ object AnnRecall {
       md ++= f"| ${r.sec}%.2f | ${if (r.gated) "yes" else ""} | $floor |%n"
     }
     md ++= "\n## Recall at the rehearsed decades\n\n"
-    md ++= "Same gated point (nprobe = 2), PRODUCTION centroid shape (fixed k —\n"
-    md ++= "the base fixture's centroid set), truth recomputed brute-force per\n"
-    md ++= "decade on the synthesized 10x/100x embedding fixtures. This is the\n"
-    md ++= "row the x100 COST measurement lacked: cells 10x/100x fuller, and the\n"
-    md ++= "floor (exit 1 on miss) catches fixed-centroid recall rot at density.\n\n"
+    md ++= "Same gated point (nprobe = 2), LEGACY fixed-cell centroid shape\n"
+    md ++= "(the pre-round-14 production config — d2-probed, the base fixture's\n"
+    md ++= "centroid set), truth recomputed brute-force per decade on the\n"
+    md ++= "synthesized 10x/100x embedding fixtures. Kept as the regression\n"
+    md ++= "diagnostic the round-13 floors were measured under; the PROMOTED\n"
+    md ++= "production config (nlist ~ sqrt(n), inner-product probing) is gated\n"
+    md ++= "in the density series below. Cells 10x/100x fuller; the floor\n"
+    md ++= "(exit 1 on miss) catches fixed-centroid recall rot at density.\n\n"
     md ++= "| decade | operator | n_vectors | recall | sec | truth sec | floor |\n"
     md ++= "|---|---|---|---|---|---|---|\n"
     decadeRows.foreach { r =>

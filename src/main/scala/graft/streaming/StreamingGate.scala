@@ -48,9 +48,26 @@ object StreamingGate {
   private val stagedCache =
     new java.util.concurrent.ConcurrentHashMap[String, Path]()
 
+  /** MACHINERY-FLOOR mode (round-14 stretch): with the
+    * `graft.stream.floor` system property set to `on`, every staging
+    * site sources a ONE-ROW canonical fixture instead of the real one —
+    * same file counts, same micro-batch counts, same sentinel, same
+    * checkpoint/state machinery, ~zero data — so timing a gate measures
+    * its fixed micro-batch cost (the floor BENCH_RATIO subtracts to
+    * separate machinery from query work). One row, not zero: the
+    * staging sites' min/max/head derivations stay non-null, so every
+    * gate runs unmodified. Only [[graft.GateFloor]] sets it, in a
+    * dedicated JVM with a redirected IndexCatalog root (a floor-built
+    * register under the real fixture's fingerprint would poison the
+    * real catalog). Every staging cache keys on the mode so floor and
+    * real stagings never alias. */
+  private def floorMode: Boolean =
+    sys.props.get("graft.stream.floor").contains("on")
+  private def floorKey: String = if (floorMode) "#floor" else ""
+
   private def stageWithSentinel(spark: SparkSession, dir: String,
                                 copies: Int = 1): Path =
-    stagedCache.computeIfAbsent(s"$dir#$copies",
+    stagedCache.computeIfAbsent(s"$dir#$copies$floorKey",
       _ => buildStagedDir(spark, dir, copies))
 
   private val canonicalCache =
@@ -71,16 +88,39 @@ object StreamingGate {
     // a second SparkSession hitting a warm cache would otherwise read
     // the nanos file without the conf and crash
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    canonicalCache.computeIfAbsent(dir, { _ =>
+    canonicalCache.computeIfAbsent(s"$dir$floorKey", { _ =>
       val raw = spark.read.parquet(s"$dir/events.parquet")
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        Paths.get(s"$dir/events.parquet")
-      else {
-        val canon = graft.Tables.normalizeEventsTs(raw)
+      val canon0 =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw
+        else graft.Tables.normalizeEventsTs(raw)
           .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
             col("event_type"), col("value"), col("props"))
+      if (floorMode) {
+        // machinery floor: SIX deterministic rows — per event_id mod-3
+        // residue (q214's delivery split), the earliest- and latest-ts
+        // row — so every downstream staging derivation (min/max ts,
+        // time splits, per-residue wall-clock deliveries) sees data on
+        // every side while the data cost collapses to epsilon; fewer
+        // rows left time-split halves or q214 deliveries empty and
+        // starved their data-carrying-trigger requirements
+        import org.apache.spark.sql.expressions.Window
+        val res = pmod(col("event_id"), lit(3))
+        val asc = Window.partitionBy(res).orderBy(col("ts"), col("event_id"))
+        val desc = Window.partitionBy(res)
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val tmp = graft.TempDirs.create("graft-events-floor")
+        canon0.withColumn("__a", row_number().over(asc))
+          .withColumn("__d", row_number().over(desc))
+          .filter(col("__a") === 1 || col("__d") === 1).drop("__a", "__d")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        onlyPartFile(tmp)
+      } else if (raw.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        Paths.get(s"$dir/events.parquet")
+      else {
         val tmp = graft.TempDirs.create("graft-events-canon")
-        canon.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        canon0.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         onlyPartFile(tmp)
       }
     })
@@ -458,7 +498,7 @@ object StreamingGate {
   private def stageDedupRedelivery(spark: SparkSession, dir: String,
                                    fingerprint: String,
                                    splitNs: Long, maxNs: Long): Path =
-    dedupStagedCache.computeIfAbsent(fingerprint, { _ =>
+    dedupStagedCache.computeIfAbsent(s"$fingerprint$floorKey", { _ =>
       val raw = spark.read.schema(EventsStreaming.rawSchema)
         .parquet(canonicalEventsFile(spark, dir).toString)
       val staged = graft.TempDirs.create("graft-dedup-stage")
@@ -1147,7 +1187,7 @@ object StreamingGate {
     * and the sentinel's watermark advance fires the event-time timeouts
     * that flush open intervals. Immutable once built; cached per dir. */
   private def stageEventsTimeSplit(spark: SparkSession, dir: String): Path =
-    eventsTimeSplitCache.computeIfAbsent(dir, { _ =>
+    eventsTimeSplitCache.computeIfAbsent(s"$dir$floorKey", { _ =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.schema(EventsStreaming.rawSchema)
         .parquet(canonicalEventsFile(spark, dir).toString)
@@ -1218,8 +1258,13 @@ object StreamingGate {
   private def stageDeltaDocuments(spark: SparkSession, dir: String,
                                   fingerprint: String,
                                   half: Long, q3: Long): Path =
-    docsStagedCache.computeIfAbsent(fingerprint, { _ =>
-      val docs = graft.Tables.documents(spark, dir)
+    docsStagedCache.computeIfAbsent(s"$fingerprint$floorKey", { _ =>
+      val docs0 = graft.Tables.documents(spark, dir)
+      // floor: one streamed document per staged file — machinery only
+      val docs = if (floorMode)
+        docs0.orderBy(col("doc_id")).limit(1).unionByName(
+          docs0.orderBy(col("doc_id").desc).limit(1))
+      else docs0
       val staged = graft.TempDirs.create("graft-docs-stage")
       Seq(("00-docs.parquet",
             col("doc_id") >= half && col("doc_id") < q3, 120000L),

@@ -72,6 +72,14 @@ def main(sf_dir, out_dir):
 def ratio(bench_path, anchor_path, out_path="BENCH_RATIO.md"):
     bench = json.load(open(bench_path))["queries"]
     anchor = json.load(open(anchor_path))
+    # optional per-gate machinery floors (graft.GateFloor): engine time
+    # for a streaming gate = fixed micro-batch machinery + query work;
+    # the floor column makes that split mechanical instead of prose
+    floors = {}
+    if os.path.exists("gate_floor.json"):
+        floors = {k: v for k, v in
+                  json.load(open("gate_floor.json")).get("floors", {}).items()
+                  if v is not None and v >= 0}
     rows = []
     for q in sorted(bench):
         e = bench[q]
@@ -98,20 +106,34 @@ def ratio(bench_path, anchor_path, out_path="BENCH_RATIO.md"):
         "Spark's ~0.3-0.5 s per-job floor, which amortizes at scale",
         "(see BASELINE.md).",
         "",
-        "| query | engine s | oracle s | ratio | |",
-        "|---|---|---|---|---|",
+        "| query | engine s | oracle s | ratio | floor s | work s | |",
+        "|---|---|---|---|---|---|---|",
     ]
+    def fcols(q, e):
+        # floor = measured machinery cost of the same gate on a one-row
+        # source; work = engine - floor, the data-proportional part
+        if q in floors:
+            return f" {floors[q]:.2f} | {max(0.0, e - floors[q]):.2f} |"
+        return " — | — |"
     for q, e, o, r in rows:
         if o is None:
-            lines.append(f"| {q} | {e:.3f} | — | — | no-anchor |")
+            lines.append(f"| {q} | {e:.3f} | — | — |{fcols(q, e)} no-anchor |")
         elif r is None:
-            lines.append(f"| {q} | {e:.3f} | {o:.3f} | inf | **> 2x** |")
+            lines.append(f"| {q} | {e:.3f} | {o:.3f} | inf |{fcols(q, e)} **> 2x** |")
         else:
             flag = "**> 2x**" if r > 2 else ""
-            lines.append(f"| {q} | {e:.3f} | {o:.3f} | {r:.2f} | {flag} |")
+            lines.append(f"| {q} | {e:.3f} | {o:.3f} | {r:.2f} |{fcols(q, e)} {flag} |")
     over = [q for q, _, o, r in rows if o is not None and (r is None or r > 2)]
     lines += ["", f"{len(over)} of {len(rows)} queries over 2x individually: "
               + (", ".join(over) if over else "none") + "."]
+    if floors:
+        fl_rows = [(q, e, o, r) for q, e, o, r in rows if q in floors]
+        # machinery-dominated = the floor explains > half the engine time
+        dom = [q for q, e, _, _ in fl_rows if floors[q] > 0.5 * e]
+        lines += ["", f"Gate machinery floors (graft.GateFloor, one-row "
+                  f"source, same batch structure): {len(fl_rows)} gates "
+                  f"floored; machinery explains > 1/2 the engine time for "
+                  f"{len(dom)} of them ({', '.join(dom) if dom else 'none'})."]
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out_path}: {et:.1f}s vs {ot:.1f}s"
