@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Diagnostics knob (round-14 storage-stall forensics): point the
+  // forked JVM's java.io.tmpdir (TempDirs → streaming checkpoints,
+  // staged fixtures, snapshot roots) at another mount — e.g.
+  // SPARK_GRAFT_TMPDIR=/dev/shm/graft isolates checkpoint-FS latency
+  // from the query in an A/B. The driver never sets it.
+  sys.env.get("SPARK_GRAFT_TMPDIR").toSeq.map(d => s"-Djava.io.tmpdir=$d")
