@@ -1061,10 +1061,32 @@ object StreamingGate {
     * Retry-safe: v$id is deleted up front (its manifest with it — the
     * commit point is per version), so a batch that died mid-write
     * re-runs idempotently against the batch-id-derived predecessor,
-    * whose own manifest entries never pointed into v$id. */
+    * whose own manifest entries never pointed into v$id.
+    *
+    * RETRY-SAFETY BOUNDARY (round-14 ADVICE): that clean-slate delete
+    * is safe only while NO SUCCESSOR HAS COMMITTED. Under manifest
+    * carry-forward a committed v(id+k)'s manifest may reference v$id's
+    * data files IN PLACE (untouched-bucket entries), so deleting v$id
+    * then would corrupt every committed descendant — the old hard-link
+    * scheme survived this only because each version owned physical
+    * links. The micro-batch engine cannot reach that state (the
+    * checkpoint commit of batch id happens-before batch id+1 starts,
+    * so a replay of id implies id+1 never ran), which makes this an
+    * invariant ASSERT, not a recovery path: a caller that somehow
+    * retries past a committed successor fails loudly with the
+    * snapshot intact instead of silently dangling its descendants. */
   private[graft] def cowMergeBatch(batch: DataFrame, id: Long,
                                    root: Path, buckets: Int): Unit = {
     val s = batch.sparkSession
+    val committedSucc = Option(root.toFile.listFiles()).toSeq.flatten
+      .filter(d => d.getName.matches("v\\d+") &&
+        new java.io.File(d, "manifest.json").isFile)
+      .map(_.getName.drop(1).toLong).filter(_ > id).sorted
+    require(committedSucc.isEmpty,
+      s"cowMergeBatch(v$id): committed successor(s) " +
+        committedSucc.map("v" + _).mkString(",") +
+        s" exist and may reference v$id's files in place; refusing the " +
+        "clean-slate delete — recover from the latest snapshot instead")
     def argmaxMerge(df: DataFrame): DataFrame =
       df.groupBy(col("user_id"))
         .agg(max(struct(col("last_us"), col("last_event_id"), col("last_type")))
@@ -1140,7 +1162,10 @@ object StreamingGate {
     if (vs.isEmpty) None else Some(root.resolve(s"v${vs.max}").toString)
   }
 
-  def q98StreamUpsertSink(spark: SparkSession, dir: String): DataFrame = {
+  /** Run q98's real micro-batch upsert stream into a fresh snapshot
+    * root; returns (root, latest committed version id). Shared by the
+    * q98 read-back gate and the q235 vacuum gate. */
+  private def runUpsertStream(spark: SparkSession, dir: String): (Path, Long) = {
     val staged = stageWithSentinel(spark, dir, copies = 2)
     val root = graft.TempDirs.create("graft-upsert-snap")
     val ckpt = graft.TempDirs.create("graft-upsert-ckpt")
@@ -1160,11 +1185,115 @@ object StreamingGate {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    readSnapshot(spark,
-        Paths.get(latestSnapshotBefore(root, Long.MaxValue,
-          requireManifest = true).get))
+    val latest = Paths.get(latestSnapshotBefore(root, Long.MaxValue,
+      requireManifest = true).get).getFileName.toString.drop(1).toLong
+    (root, latest)
+  }
+
+  def q98StreamUpsertSink(spark: SparkSession, dir: String): DataFrame = {
+    val (root, latest) = runUpsertStream(spark, dir)
+    readSnapshot(spark, root.resolve(s"v$latest"))
       .select("user_id", "last_us", "last_event_id", "last_type")
       .orderBy("user_id")
+  }
+
+  /** What [[vacuumSnapshots]] did, for gate assertions and ops logs. */
+  private[graft] case class SnapVacuumStats(liveVersions: Seq[Long],
+                                            deletedManifests: Long,
+                                            deletedDataFiles: Long,
+                                            survivingReferencedFiles: Long,
+                                            removedDirs: Long)
+
+  /** MANIFEST-AWARE SNAPSHOT VACUUM — the reclamation leg the manifest
+    * design promises (see cowMergeBatch's class doc: "superseded
+    * versions' directories become reclaimable exactly when no LIVE
+    * manifest references their files"). Versions `>= retainFrom` with a
+    * committed manifest are LIVE; every file any live manifest
+    * references SURVIVES — even when it physically lives under a dead
+    * version's directory (untouched-bucket carry-forward means a live
+    * manifest routinely points into v$k for k long dead). Everything
+    * else under dead versions is reclaimed:
+    *
+    *  - the dead version's `manifest.json` goes FIRST, so the version
+    *    stops resolving before any of its files disappear — a reader
+    *    can never observe a committed-looking version with holes;
+    *  - then every data file under the dead dir that no live manifest
+    *    references, then now-empty bucket/version directories.
+    *
+    * A version dir `>= retainFrom` WITHOUT a manifest is an in-flight
+    * or crashed batch — left untouched (its retry republishes it; its
+    * files are seconds old, not garbage). One `< retainFrom` is
+    * crashed debris no manifest ever referenced — reclaimed. Readers
+    * of live versions are unaffected mid-vacuum by construction: live
+    * manifests are never touched and their closure never deleted.
+    * Like the IndexCatalog retention contract, `retainFrom` must not
+    * exceed any version a live reader still resolves. */
+  private[graft] def vacuumSnapshots(root: Path, retainFrom: Long): SnapVacuumStats = {
+    val versions = Option(root.toFile.listFiles()).toSeq.flatten
+      .filter(_.getName.matches("v\\d+"))
+      .map(d => (d.getName.drop(1).toLong, d.toPath)).sortBy(_._1)
+    val live = versions.filter { case (k, p) =>
+      k >= retainFrom && Files.isRegularFile(p.resolve("manifest.json")) }
+    require(live.nonEmpty,
+      s"vacuumSnapshots(retainFrom=$retainFrom): no committed live " +
+        "version would survive; refusing to reclaim the whole snapshot")
+    val referenced: Set[Path] = live.flatMap { case (_, p) =>
+      readSnapManifest(p).files.map(f => Paths.get(f._2).normalize()) }.toSet
+    var manifests = 0L; var dataFiles = 0L; var kept = 0L; var dirs = 0L
+    for ((k, p) <- versions if k < retainFrom) {
+      val m = p.resolve("manifest.json")
+      if (Files.deleteIfExists(m)) manifests += 1
+      // delete-unreferenced walk, then prune empty dirs bottom-up
+      val walk = Files.walk(p)
+      val all = try {
+        val it = walk.iterator(); val b = Seq.newBuilder[Path]
+        while (it.hasNext) b += it.next()
+        b.result()
+      } finally walk.close()
+      for (f <- all if Files.isRegularFile(f)) {
+        if (referenced.contains(f.toAbsolutePath.normalize())) kept += 1
+        else { Files.delete(f); dataFiles += 1 }
+      }
+      for (d <- all.sortBy(-_.getNameCount) if Files.isDirectory(d)) {
+        val ls = Files.list(d)
+        val empty = try !ls.iterator().hasNext finally ls.close()
+        if (empty) { Files.delete(d); dirs += 1 }
+      }
+    }
+    SnapVacuumStats(live.map(_._1), manifests, dataFiles, kept, dirs)
+  }
+
+  /** q235: SNAPSHOT VACUUM UNDER CARRY-FORWARD — the q98 pipeline run
+    * through the real micro-batch engine, then [[vacuumSnapshots]]
+    * retaining only the latest version, then the read-back THROUGH the
+    * vacuumed store (the q142/q160 bench-honesty shape: the reclaim and
+    * the proof-of-survival both happen on every call). The latest
+    * version is the sentinel's manifest-only commit, so its entries all
+    * reference its predecessor's files in place — the vacuum must keep
+    * exactly those (carry-forward survivors inside dead directories)
+    * while reclaiming the superseded earlier copies, and the oracle
+    * (q98's batch SQL) certifies the surviving closure is the complete
+    * relation. The read-back plan is BUILT BEFORE the vacuum runs —
+    * a live reader mid-vacuum, not a fresh resolve. */
+  def q235SnapshotVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val (root, latest) = runUpsertStream(spark, dir)
+    val reader = readSnapshot(spark, root.resolve(s"v$latest"))
+      .select("user_id", "last_us", "last_event_id", "last_type")
+      .orderBy("user_id") // resolved pre-vacuum: a mid-vacuum reader
+    val stats = vacuumSnapshots(root, latest)
+    // the three vacuum invariants, asserted on every gate run: dead
+    // versions stopped resolving, superseded files were reclaimed, and
+    // the live manifest's carried-forward closure survived in place
+    require(stats.deletedManifests > 0,
+      s"q235: expected dead version manifests to be reclaimed, got $stats")
+    require(stats.deletedDataFiles > 0,
+      s"q235: expected superseded data files to be reclaimed, got $stats")
+    require(stats.survivingReferencedFiles > 0,
+      s"q235: expected live-referenced files inside dead dirs to survive, got $stats")
+    require(latestSnapshotBefore(root, Long.MaxValue, requireManifest = true)
+      .exists(_.endsWith(s"v$latest")),
+      "q235: the live version must still be the resolvable latest")
+    reader
   }
 
   val q98Sql: String =
@@ -1554,6 +1683,7 @@ object StreamingGate {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_stream_proctime" -> (q214StreamProcTime _),
     "q98_stream_upsert_sink" -> (q98StreamUpsertSink _),
+    "q235_snapshot_vacuum" -> (q235SnapshotVacuum _),
     "q93_stream_static_join" -> (q93StreamStaticJoin _),
     "q75_stream_sliding" -> (q75StreamSliding _),
     "q40_stream_tumbling" -> (q40StreamTumbling _),
@@ -1580,6 +1710,8 @@ object StreamingGate {
   val oracles: Map[String, String] = Map(
     "q214_stream_proctime" -> q214Sql,
     "q98_stream_upsert_sink" -> q98Sql,
+    // same oracle: the vacuumed store must read back the full relation
+    "q235_snapshot_vacuum" -> q98Sql,
     "q93_stream_static_join" -> q93Sql,
     "q75_stream_sliding" -> q75Sql,
     "q40_stream_tumbling" -> graft.queries.Relational.q11Sql,

@@ -257,6 +257,12 @@ class StreamingSpec extends SparkSpec {
     val got = rows("v1")
     assert(got == Set((u1, 30L, 300L, "purchase"), (u2, 20L, 200L, "view")))
 
+    // retry-safety (the legitimate case — NO committed successor yet):
+    // re-running batch 1 (predecessor derived from id, stale v1 deleted
+    // up front) reproduces the same relation
+    cowMergeBatch(mk(Seq((u1, 30L, 300L, "purchase"))), 1L, root, B)
+    assert(rows("v1") == got)
+
     // the sentinel path: an EMPTY batch touches nothing — v2 is a
     // MANIFEST-ONLY version: no data directories at all, every entry
     // byte-identical to v1's (references, not copies)
@@ -273,10 +279,20 @@ class StreamingSpec extends SparkSpec {
       s"sentinel version must be manifest-only, found $v2names")
     assert(rows("v2") == got)
 
-    // retry-safety: re-running batch 1 (predecessor derived from id,
-    // stale v1 deleted up front) reproduces the same relation
-    cowMergeBatch(mk(Seq((u1, 30L, 300L, "purchase"))), 1L, root, B)
-    assert(rows("v1") == got)
+    // retry-safety BOUNDARY (round-14 ADVICE): once a SUCCESSOR has
+    // committed, its manifest references v1's files in place (v2's b1
+    // entries ARE v1's files), so a batch-1 retry must REFUSE the
+    // clean-slate delete instead of silently corrupting v2. The guard
+    // fires before anything is deleted: v1 and v2 both still read.
+    val ex = intercept[IllegalArgumentException] {
+      cowMergeBatch(mk(Seq((u1, 30L, 300L, "purchase"))), 1L, root, B)
+    }
+    assert(ex.getMessage.contains("v2"),
+      s"guard must name the committed successor, got: ${ex.getMessage}")
+    assert(rows("v2") == got,
+      "v2 must remain readable after the refused batch-1 retry")
+    assert(rows("v1") == got,
+      "v1 must be untouched by the refused retry")
 
     // the predecessor read is O(touched buckets) PHYSICALLY: pruning is
     // a manifest lookup, so the scan is handed exactly the touched
@@ -309,6 +325,77 @@ class StreamingSpec extends SparkSpec {
     // and a follow-up non-empty batch merges against it cleanly
     cowMergeBatch(mk(Seq((u1, 1L, 2L, "x"))), 1L, root2, B)
     assert(readSnapshot(spark, root2.resolve("v1")).count() == 1)
+  }
+
+  test("q235: manifest-aware vacuum keeps the live closure (even inside dead dirs), reclaims the rest, never disturbs a live reader") {
+    import graft.streaming.StreamingGate.{cowMergeBatch, readSnapManifest,
+      readSnapshot, vacuumSnapshots, latestSnapshotBefore, SnapshotBuckets}
+    import java.nio.file.{Files, Paths}
+    val root = graft.TempDirs.create("q235-vacuum-test")
+    val B = SnapshotBuckets
+    def mk(rows: Seq[(Long, Long, Long, String)]) = {
+      import spark.implicits._
+      rows.toDF("user_id", "last_us", "last_event_id", "last_type")
+    }
+    def bucketOf(u: Long): Int = mk(Seq((u, 0L, 0L, "x")))
+      .select(pmod(hash(col("user_id")), lit(B))).head().getInt(0)
+    val u1 = 1L
+    val u2 = (2L to 200L).find(u => bucketOf(u) != bucketOf(u1)).get
+    val (b1, b2) = (bucketOf(u1), bucketOf(u2))
+    // v0: both users; v1: u1 only (b2 carried forward from v0);
+    // v2: empty sentinel (manifest-only, everything carried forward)
+    cowMergeBatch(mk(Seq((u1, 10L, 100L, "a"), (u2, 20L, 200L, "b"))), 0L, root, B)
+    cowMergeBatch(mk(Seq((u1, 30L, 300L, "c"))), 1L, root, B)
+    cowMergeBatch(mk(Seq.empty[(Long, Long, Long, String)]), 2L, root, B)
+    val v2m = readSnapManifest(root.resolve("v2")).files
+    val v0b1 = readSnapManifest(root.resolve("v0")).files
+      .filter(_._1 == b1).map(f => Paths.get(f._2))
+    assert(v0b1.nonEmpty && v0b1.forall(Files.exists(_)))
+    assert(v2m.exists(_._2.contains("/v0/")) && v2m.exists(_._2.contains("/v1/")),
+      "precondition: the live manifest must reference into BOTH dead dirs")
+    // a live reader resolved BEFORE the vacuum runs
+    val reader = readSnapshot(spark, root.resolve("v2")).orderBy("user_id")
+    val expect = Set((u1, 30L, 300L, "c"), (u2, 20L, 200L, "b"))
+
+    val stats = vacuumSnapshots(root, 2L)
+    // (a) every file the live manifest references SURVIVES — including
+    // the carry-forward files physically under dead v0/v1
+    for ((_, p) <- v2m) assert(Files.exists(Paths.get(p)),
+      s"live-referenced file must survive the vacuum: $p")
+    assert(stats.survivingReferencedFiles >= v2m.size)
+    // (b) unreferenced files + dead manifests are reclaimed: v0's
+    // superseded b1 file is gone, v0/v1 stopped resolving
+    assert(v0b1.forall(!Files.exists(_)), "superseded v0 b1 file must be reclaimed")
+    assert(!Files.exists(root.resolve("v0").resolve("manifest.json")))
+    assert(!Files.exists(root.resolve("v1").resolve("manifest.json")))
+    assert(stats.deletedManifests == 2 && stats.deletedDataFiles >= 1)
+    assert(latestSnapshotBefore(root, Long.MaxValue, requireManifest = true)
+      .get.endsWith("v2"))
+    // (c) the pre-vacuum reader and a fresh resolve both read the full
+    // relation — live readers unaffected mid-vacuum
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "last_us", "last_event_id", "last_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(rowSet(reader) == expect)
+    assert(rowSet(readSnapshot(spark, root.resolve("v2"))) == expect)
+
+    // guard: a retention boundary past every committed version refuses
+    // to reclaim the whole snapshot
+    intercept[IllegalArgumentException](vacuumSnapshots(root, 99L))
+    // in-flight protection: a manifest-less dir >= retainFrom (a batch
+    // mid-write) is untouched; one < retainFrom is crashed debris and
+    // is reclaimed
+    val inflight = root.resolve("v5"); Files.createDirectories(inflight)
+    Files.write(inflight.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    val debris = root.resolve("v1") // dead dir, no manifest anymore
+    Files.createDirectories(debris.resolve("b=99"))
+    Files.write(debris.resolve("b=99").resolve("junk.parquet"), Array[Byte](9))
+    vacuumSnapshots(root, 2L)
+    assert(Files.exists(inflight.resolve("part-0.parquet")),
+      "an in-flight version >= retainFrom must be left alone")
+    assert(!Files.exists(debris.resolve("b=99")),
+      "crashed debris under a dead version must be reclaimed")
+    assert(rowSet(readSnapshot(spark, root.resolve("v2"))) == expect)
   }
 
   test("q58 gate: redelivery + double-delta replay dedups to the original relation across batches") {
