@@ -81,6 +81,50 @@ object Similarity {
   private def derivedCmodSql(from: String): String =
     s"(SELECT GREATEST(1, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) FROM $from)"
 
+  /** Catalog kind for memoized corpus row counts (see [[corpusCount]]). */
+  private[graft] val CorpusCountKind = "corpus-n-v1"
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Test hook: forget in-JVM counts (on-disk catalog entries survive). */
+  private[graft] def resetCountMemo(): Unit = countMemo.clear()
+
+  /** The indexed corpus's row count for nlist derivation WITHOUT a
+    * per-query count job (round-14 verdict, latent defect 2): the
+    * ad-hoc ANN entries used to run `emb.count()` on every call — a
+    * corpus-metadata pass per query that the production plan doesn't
+    * need, because n is a property of the INDEXED SET, fixed at
+    * index-build time. Resolved like the stored indexes themselves:
+    * in-JVM memo → IndexCatalog entry keyed by the corpus's content
+    * fingerprint (a tiny `n.txt` payload, read back driver-side with
+    * ZERO Spark jobs) → one count job only on the first-ever build,
+    * published for every later session. `variant` MUST tag any
+    * id-filtered sub-relation (e.g. q155's base split): the content
+    * fingerprint is file-derived and deliberately collides across
+    * filters of one fixture, which is correct for assignment indexes
+    * (a function of the files) but would alias two different counts. */
+  private[graft] def corpusCount(emb: DataFrame, variant: String = ""): Long = {
+    val spark = emb.sparkSession
+    val fp0 = graft.sources.IndexCatalog.contentFingerprint(emb)
+    val fp = if (variant.isEmpty) fp0 else s"$fp0:$variant"
+    countMemo.computeIfAbsent(fp, { _ =>
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      def fsOf(p: org.apache.hadoop.fs.Path) =
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dir = graft.sources.IndexCatalog
+        .getOrBuild(spark, CorpusCountKind, fp) { d =>
+          val n = emb.count() // the ONLY count job, ever, per corpus
+          val p = new org.apache.hadoop.fs.Path(d, "n.txt")
+          val out = fsOf(p).create(p, true)
+          try out.write(n.toString.getBytes(utf8)) finally out.close()
+        }
+      val p = new org.apache.hadoop.fs.Path(dir, "n.txt")
+      val in = fsOf(p).open(p)
+      val n = try new String(in.readAllBytes(), utf8).trim.toLong
+              finally in.close()
+      Long.box(n)
+    })
+  }
+
   /** vec_id + embedding + its squared norm (one codegen projection). */
   private def withNorm2(emb: DataFrame): DataFrame = {
     VectorOps.register(emb.sparkSession)
@@ -184,7 +228,7 @@ object Similarity {
     // corpus (see derivedCentroidMod); explicit values are the
     // diagnostic/rehearsal configs
     val cmod = if (centroidMod > 0) centroidMod
-               else derivedCentroidMod(emb.count())
+               else derivedCentroidMod(corpusCount(emb))
     val v = withNorm2(emb)
     val cents = v.filter(col("vec_id") % cmod === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
@@ -317,7 +361,7 @@ object Similarity {
     // index-build time — the production sizing (see derivedCentroidMod);
     // delta assignment reuses the build-time centroid set unchanged
     // (fixed centroids are what make incremental == full rebuild)
-    val cmod = derivedCentroidMod(base.count())
+    val cmod = derivedCentroidMod(corpusCount(base, s"base-mod$IvfDeltaMod"))
     val cents = base.filter(col("vec_id") % cmod === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     // key = the content fingerprint of the FULL input-file set (two
@@ -1198,7 +1242,7 @@ object Similarity {
     // explicit centroidMod / probeByDot=false are the legacy
     // fixed-cell d²-probed diagnostic config
     val cmod = if (centroidMod > 0) centroidMod
-               else derivedCentroidMod(emb.count())
+               else derivedCentroidMod(corpusCount(emb))
     val r = QuantRange
     val mx = emb.select(max(expr(
       "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
@@ -2217,7 +2261,7 @@ object Similarity {
     // at index-build time, BEFORE the deletes (tombstones never touch
     // the navigation structure); deriving from the survivor count
     // would be a silent re-train on every delete batch
-    val cmod = derivedCentroidMod(emb.count())
+    val cmod = derivedCentroidMod(corpusCount(emb))
     val v = withNorm2(emb)
     val cents = v.filter(col("vec_id") % cmod === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))

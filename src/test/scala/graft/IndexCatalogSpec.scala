@@ -659,6 +659,57 @@ class IndexCatalogSpec extends SparkSpec {
       IndexCatalog.resetMemory()
     }
   }
+
+  test("corpus-n catalog: ad-hoc ANN nlist derivation runs ZERO Spark jobs on the catalogued path") {
+    withFreshRoot {
+      import graft.ext.Similarity
+      val emb = Tables.embeddings(spark, sf)
+      Similarity.resetCountMemo()
+      val b0 = IndexCatalog.builds.get()
+      val n1 = Similarity.corpusCount(emb)
+      assert(n1 > 0)
+      assert(IndexCatalog.builds.get() == b0 + 1,
+        "first resolve against a fresh root must build the corpus-n entry")
+
+      // "fresh JVM": memos gone, disk entry intact — the production
+      // steady state every later session runs in
+      Similarity.resetCountMemo()
+      IndexCatalog.resetMemory()
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val n2 = try {
+        val n = Similarity.corpusCount(emb)
+        // sentinel job AFTER the call proves the listener bus is
+        // flowing; the catalogued resolve itself must contribute
+        // nothing. An RDD action: exactly ONE job by construction —
+        // an AQE SQL action can legally split into several
+        spark.sparkContext.parallelize(Seq(1)).count()
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+        n
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(n2 == n1)
+      assert(jobs.get() == 1,
+        s"catalogued corpusCount must launch no Spark job; saw ${jobs.get() - 1} extra")
+
+      // the variant tag keeps id-filtered sub-relations (whose content
+      // fingerprint deliberately collides with the full fixture's) from
+      // aliasing the full corpus's count
+      Similarity.resetCountMemo()
+      IndexCatalog.resetMemory()
+      val base = emb.filter(col("vec_id") % 4 =!= 3)
+      val nb = Similarity.corpusCount(base, "base-mod4")
+      assert(nb > 0 && nb < n1,
+        s"filtered sub-relation must resolve its own count, got $nb vs $n1")
+      assert(Similarity.corpusCount(emb) == n1)
+    }
+  }
 }
 
 /** Counts every filesystem operation (metadata and data) so the spec
