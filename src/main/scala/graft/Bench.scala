@@ -45,9 +45,7 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  private def loadAvg(): Double =
-    java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .getSystemLoadAverage
+  private def loadAvg(): Double = ProcStat.loadAvg()
 
   /** Per-query load attribution (round-12 verdict item 3): the suite's
     * endpoint LCG probes BOUND co-tenancy, they can't bracket a load
@@ -62,38 +60,11 @@ object Bench {
     * direct co-tenant signal when a row's wall time spikes. Reads are
     * plain procfs text (Linux-only, the only driver environment);
     * any read failure degrades to -1 fields, never a crash. */
-  /** (busy, total, iowait) jiffies from /proc/stat's cpu line. iowait
-    * is carried SEPARATELY because it is deliberately not in `busy`:
-    * other_cpu answers "was a CPU co-tenant stealing cycles?" and a
-    * disk-stalled core steals nothing. But that makes the round-13
-    * alarm rule ("wall spike + quiet other_cpu = real regression")
-    * blind to storage-side stalls — q155's r13 driver reading (3.38 s
-    * wall, other_cpu 0.010, own CPU work identical to a 0.74 s quiet
-    * rep) was exactly that. `io_wait` in the sidecar closes the
-    * trichotomy: wall spike + quiet other_cpu + high io_wait =
-    * storage contention, dismissible in one line. */
-  private def procBusyTotal(): (Long, Long, Long) =
-    try {
-      val line = java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get("/proc/stat")).get(0)
-      // first 8 fields only (user nice system idle iowait irq softirq
-      // steal): the kernel folds guest/guest_nice into user/nice, so
-      // summing all 10 double-counts guest time on a VM-hosting box
-      // (round-13 ADVICE)
-      val f = line.trim.split("\\s+").drop(1).take(8).map(_.toLong)
-      val iow = if (f.length > 4) f(4) else 0L
-      val idle = f(3) + iow
-      (f.sum - idle, f.sum, iow)
-    } catch { case scala.util.control.NonFatal(_) => (-1L, -1L, -1L) }
-
-  private def selfJiffies(): Long =
-    try {
-      val s = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/self/stat")), "UTF-8")
-      // comm may contain spaces/parens: fields restart after last ')'
-      val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
-      rest(11).toLong + rest(12).toLong // utime + stime
-    } catch { case scala.util.control.NonFatal(_) => -1L }
+  // the /proc window reads live in [[ProcStat]] (shared with GateFloor
+  // since round 15, so the floors carry the same sidecar discipline as
+  // the suite rows they are subtracted from)
+  private def procBusyTotal(): (Long, Long, Long) = ProcStat.busyTotalIoWait()
+  private def selfJiffies(): Long = ProcStat.selfJiffies()
 
   /** Bit-coherence field (round-11 verdict blemish 1): the commit the
     * bench actually measured, read from .git at run time so "is the
@@ -187,20 +158,38 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     case class Attr(sec: Double, otherCpu: Double, ownCpu: Double,
-                    ioWait: Double, load: Double)
+                    ioWait: Double, load: Double, retries: Int)
+    // ROW-WISE QUIET (round-14 verdict item 2): a row whose own /proc
+    // window shows co-tenant CPU > 0.05 or io_wait > 0.02 impeaches
+    // itself — three rounds running such rows were published, then
+    // dismissed post-commit by isolated quiet reps. Now the re-run is
+    // mechanical and happens BEFORE the artifact is written: up to
+    // MaxRowAttempts rep-sets per query, keeping the first clean
+    // window, else the least-contaminated one. The per-row `retries`
+    // sidecar records how many re-runs the row needed, so a table row
+    // can never carry a window its own sidecar impeaches without
+    // also carrying the evidence that quieter attempts were tried.
+    val MaxRowAttempts = 3
     val results = names.map { n =>
-      val (b0, t0, w0) = procBusyTotal(); val s0 = selfJiffies()
-      val sec = median3(n)
-      val (b1, t1, w1) = procBusyTotal(); val s1 = selfJiffies()
-      val bad = b0 < 0 || b1 < 0 || s0 < 0 || s1 < 0 || t1 <= t0
-      val tot = (t1 - t0).toDouble
-      val attr =
-        if (bad) Attr(sec, -1.0, -1.0, -1.0, loadAvg())
-        else Attr(sec,
-          math.max(0L, (b1 - b0) - (s1 - s0)) / tot,
-          math.max(0L, s1 - s0) / tot,
-          math.max(0L, w1 - w0) / tot, loadAvg())
-      n -> attr
+      def attempt(retries: Int): Attr = {
+        val (sec, w) = ProcStat.windowed(median3(n))
+        Attr(sec, w.otherCpu, w.ownCpu, w.ioWait, w.load, retries)
+      }
+      def impeached(a: Attr): Boolean =
+        a.sec >= 0 && (a.otherCpu > ProcStat.ImpeachOtherCpu ||
+          a.ioWait > ProcStat.ImpeachIoWait)
+      var best = attempt(0)
+      var tries = 1
+      while (impeached(best) && tries < MaxRowAttempts) {
+        val next = attempt(tries)
+        tries += 1
+        // cleaner window wins; both contaminated -> the quieter one
+        if (!impeached(next) ||
+            next.otherCpu + next.ioWait < best.otherCpu + best.ioWait)
+          best = next.copy(retries = tries - 1)
+        else best = best.copy(retries = tries - 1)
+      }
+      n -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.sec }
       .mkString("{", ",", "}")
@@ -211,7 +200,8 @@ object Bench {
       "\"" + k + "\":{\"other_cpu\":" + f"${v.otherCpu}%.3f" +
         ",\"own_cpu\":" + f"${v.ownCpu}%.3f" +
         ",\"io_wait\":" + f"${v.ioWait}%.3f" +
-        ",\"loadavg\":" + f"${v.load}%.2f" + "}"
+        ",\"loadavg\":" + f"${v.load}%.2f" +
+        ",\"retries\":" + v.retries + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).filter(_ >= 0).sum
     val calPost = calibrateSec()

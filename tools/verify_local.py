@@ -70,16 +70,27 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 def ratio(bench_path, anchor_path, out_path="BENCH_RATIO.md"):
-    bench = json.load(open(bench_path))["queries"]
+    bench_all = json.load(open(bench_path))
+    bench = bench_all["queries"]
     anchor = json.load(open(anchor_path))
     # optional per-gate machinery floors (graft.GateFloor): engine time
     # for a streaming gate = fixed micro-batch machinery + query work;
     # the floor column makes that split mechanical instead of prose
-    floors = {}
+    floors, floor_suspects = {}, set()
     if os.path.exists("gate_floor.json"):
-        floors = {k: v for k, v in
-                  json.load(open("gate_floor.json")).get("floors", {}).items()
-                  if v is not None and v >= 0}
+        gf = json.load(open("gate_floor.json"))
+        # scale guard (round-14 ADVICE): a floor measured at a different
+        # sf than the bench silently fabricates the work column
+        if gf.get("sf") != bench_all.get("sf"):
+            print(f"WARNING: gate_floor.json sf={gf.get('sf')!r} != bench "
+                  f"sf={bench_all.get('sf')!r}; skipping floor columns")
+        else:
+            floor_suspects = set(gf.get("suspect", []))
+            if floor_suspects:
+                print("WARNING: contaminated floors excluded (floor > own "
+                      "gate engine time): " + ", ".join(sorted(floor_suspects)))
+            floors = {k: v for k, v in gf.get("floors", {}).items()
+                      if v is not None and v >= 0 and k not in floor_suspects}
     rows = []
     for q in sorted(bench):
         e = bench[q]
@@ -131,9 +142,13 @@ def ratio(bench_path, anchor_path, out_path="BENCH_RATIO.md"):
         # machinery-dominated = the floor explains > half the engine time
         dom = [q for q, e, _, _ in fl_rows if floors[q] > 0.5 * e]
         lines += ["", f"Gate machinery floors (graft.GateFloor, one-row "
-                  f"source, same batch structure): {len(fl_rows)} gates "
+                  f"source, same batch structure, median-of-reps with "
+                  f"other_cpu/io_wait sidecars): {len(fl_rows)} gates "
                   f"floored; machinery explains > 1/2 the engine time for "
-                  f"{len(dom)} of them ({', '.join(dom) if dom else 'none'})."]
+                  f"{len(dom)} of them ({', '.join(dom) if dom else 'none'})."
+                  + (f" Excluded as contaminated: "
+                     f"{', '.join(sorted(floor_suspects))}."
+                     if floor_suspects else "")]
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out_path}: {et:.1f}s vs {ot:.1f}s"
