@@ -22,6 +22,9 @@ object PlanCheck {
     println("EXCHANGE=" + "Exchange".r.findAllIn(p).length)
     println("GENERATE=" + "Generate".r.findAllIn(p).length)
     if (args.contains("--plan")) println(p)
+    if (args.contains("--formatted"))
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     spark.stop()
   }
 }

@@ -14,15 +14,31 @@ import org.apache.spark.sql.functions._
 object Tables {
   private def p(dir: String, name: String) = s"$dir/$name.parquet"
 
-  def region(s: SparkSession, dir: String): DataFrame   = s.read.parquet(p(dir, "region"))
-  def nation(s: SparkSession, dir: String): DataFrame   = s.read.parquet(p(dir, "nation"))
-  def customer(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "customer"))
-  def supplier(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "supplier"))
-  def part(s: SparkSession, dir: String): DataFrame     = s.read.parquet(p(dir, "part"))
-  def orders(s: SparkSession, dir: String): DataFrame   = s.read.parquet(p(dir, "orders"))
-  def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "lineitem"))
-  def documents(s: SparkSession, dir: String): DataFrame  = s.read.parquet(p(dir, "documents"))
-  def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))
+  /** Fixture schemas memoized per path (r15, guide §6/§1.2): every
+    * bare `read.parquet` runs footer-based schema inference on the
+    * driver per CALL, and the suite builds each table relation
+    * thousands of times across queries and bench reps. A fixture's
+    * schema is immutable metadata, so it is read once per JVM and
+    * passed explicitly thereafter — the scan itself is planned exactly
+    * as before (this memoizes METADATA, never data or results). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def read(s: SparkSession, path: String): DataFrame = {
+    val sch = schemaCache.computeIfAbsent(path,
+      _ => s.read.parquet(path).schema)
+    s.read.schema(sch).parquet(path)
+  }
+
+  def region(s: SparkSession, dir: String): DataFrame   = read(s, p(dir, "region"))
+  def nation(s: SparkSession, dir: String): DataFrame   = read(s, p(dir, "nation"))
+  def customer(s: SparkSession, dir: String): DataFrame = read(s, p(dir, "customer"))
+  def supplier(s: SparkSession, dir: String): DataFrame = read(s, p(dir, "supplier"))
+  def part(s: SparkSession, dir: String): DataFrame     = read(s, p(dir, "part"))
+  def orders(s: SparkSession, dir: String): DataFrame   = read(s, p(dir, "orders"))
+  def lineitem(s: SparkSession, dir: String): DataFrame = read(s, p(dir, "lineitem"))
+  def documents(s: SparkSession, dir: String): DataFrame  = read(s, p(dir, "documents"))
+  def embeddings(s: SparkSession, dir: String): DataFrame = read(s, p(dir, "embeddings"))
 
   /** The fixtures have shipped `events.ts` under two encodings: parquet
     * INT64 TIMESTAMP(NANOS) — which Spark's vectorized reader rejects
@@ -51,6 +67,6 @@ object Tables {
 
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeEventsTs(s.read.parquet(p(dir, "events")))
+    normalizeEventsTs(read(s, p(dir, "events")))
   }
 }

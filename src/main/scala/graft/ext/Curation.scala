@@ -572,6 +572,7 @@ object Curation {
     import s.implicits._
     val b = docBigrams(docs, "doc_id").localCheckpoint()
     var coveredDf = Seq.empty[String].toDF("cbg")
+    var coveredTotal = 0L
     var selected = Vector.empty[(Long, Long, Long, Long)]
     var done = false
     for (r <- 1 to CoverageRounds if !done) {
@@ -588,7 +589,14 @@ object Curation {
         coveredDf = coveredDf
           .union(b.filter(col("doc_id") === id).select(col("bg").as("cbg")))
           .distinct().localCheckpoint()
-        selected :+= ((r.toLong, id, gain, coveredDf.count()))
+        // covered_total(r) = covered_total(r-1) + gain(r) EXACTLY:
+        // b is distinct per (doc, bg) (array_distinct in docBigrams)
+        // and gain counted precisely the selected doc's not-yet-covered
+        // bigrams — the identity the spec pins. Running sum instead of
+        // a per-round count() job over the covered set (r15, guide
+        // §1.2: don't recompute what the algorithm already knows).
+        coveredTotal += gain
+        selected :+= ((r.toLong, id, gain, coveredTotal))
       }
     }
     selected.toDF("round", "doc_id", "gain", "covered_total").orderBy("round")
@@ -1874,20 +1882,42 @@ object Curation {
     import org.apache.spark.sql.DataFrame
     def metric(name: String, df: DataFrame): DataFrame =
       df.select(lit(name).as("metric"), col(df.columns.head).cast("long").as("value"))
-    val tok = docs.select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-    val dup = Dedup.exactDedup(docs)
-    val rows = Seq(
-      metric("n_docs", docs.agg(count(lit(1)))),
-      metric("n_sources", docs.agg(countDistinct(col("source")))),
-      metric("n_langs", docs.agg(countDistinct(col("lang")))),
-      metric("total_chars", docs.agg(sum(col("n_chars")))),
-      metric("total_tokens", tok.agg(count(lit(1)))),
-      metric("distinct_tokens", tok.agg(countDistinct(col("w")))),
-      metric("exact_dup_groups",
-        dup.filter(col("n_docs") > 1).agg(count(lit(1)))),
-      metric("exact_dup_redundant_docs",
-        dup.agg(sum(col("n_docs") - 1))),
+    // FUSED PASSES (r15, guide §1.2/§2.4 — remove passes outright): the
+    // original shape ran one aggregate subtree per metric, so the
+    // documents scan + tokenize ran 6x and the dup-group build 2x. The
+    // same twelve (metric, value) rows now come from one pass per
+    // SOURCE RELATION: one multi-aggregate over docs (count + two
+    // distincts + sum: one Expand-tagged scan instead of four), one
+    // over the token groups (groupBy w serves total AND distinct in a
+    // single shuffle — sum-of-counts vs row-count), one over the dup
+    // groups. The three filter-family subtrees each carry genuinely
+    // different per-doc feature pipelines, so they keep their own scans.
+    def stackMetrics(agg: DataFrame, names: Seq[String]): DataFrame =
+      agg.select(expr(
+        s"stack(${names.size}, " +
+          names.map(n => s"'$n', cast(`$n` as long)").mkString(", ") +
+          ") as (metric, value)"))
+    val scalars = stackMetrics(
+      docs.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars")),
+      Seq("n_docs", "n_sources", "n_langs", "total_chars"))
+    val tokStats = stackMetrics(
+      docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        // coalesce: an empty token relation must yield 0, not NULL —
+        // exactly what the pre-fusion count(lit(1)) aggregate returned
+        .agg(coalesce(sum(col("c")), lit(0L)).as("total_tokens"),
+          count(lit(1)).as("distinct_tokens")),
+      Seq("total_tokens", "distinct_tokens"))
+    val dupStats = stackMetrics(
+      Dedup.exactDedup(docs).agg(
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("exact_dup_groups"),
+        sum(col("n_docs") - 1).as("exact_dup_redundant_docs")),
+      Seq("exact_dup_groups", "exact_dup_redundant_docs"))
+    val rows = Seq(scalars, tokStats, dupStats,
       metric("near_dup_pairs",
         Dedup.minhashPairs(docs).agg(count(lit(1)))),
       metric("gopher_pass",

@@ -855,8 +855,14 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("id"), col("doc_b").as("nbr"))
       .unionByName(pairs.select(col("doc_b").as("id"), col("doc_a").as("nbr")))
       .localCheckpoint(true)
-    var labels = edges.select(col("id")).distinct()
-      .withColumn("label", col("id"))
+    // Seeded round 0 (r15, guide §1.2: remove passes): labels start at
+    // least(id, min neighbor) — bit-identical to what the old identity
+    // init produced AFTER its first propagate round (frontier = identity
+    // labels ⇒ nbr_min = min neighbor id), so one full
+    // propagate+checkpoint+count round is folded into the init aggregate
+    // at no extra shuffle (the groupBy replaces the old distinct()).
+    var labels = edges.groupBy("id").agg(min(col("nbr")).as("nbr_min"))
+      .select(col("id"), least(col("id"), col("nbr_min")).as("label"))
       .localCheckpoint(true)
     // Runs to CONVERGENCE (empty frontier), not to an iteration cap:
     // min-propagation is monotone over a finite label set, so every
@@ -885,9 +891,12 @@ object Dedup {
     // would hurt at corpus scale — still gets geometric compression
     // from that round on. Frontiers that survive that many rounds are
     // exactly the ones with real depth.
-    var frontier = labels // round 0: everyone announces their label
-    var frontierSize = 1L
-    var round = 0
+    // round 0's announcement is folded into the seeded init: only nodes
+    // whose seeded label improved on their id can have anything new to
+    // tell a neighbor (an unchanged label was already known to all)
+    var frontier = labels.filter(col("label") < col("id"))
+    var frontierSize = frontier.count()
+    var round = 1
     while (frontierSize > 0) {
       round += 1
       val nbrMin = edges

@@ -331,16 +331,33 @@ object Sketches {
     * after the fact. n_l · n_r stays in i64 at fixture scale; a
     * production estimator carries this in floating point. */
   def joinEstimates(s: SparkSession, dir: String): DataFrame = {
-    val sides = joinPairs(s, dir).map { case (n, l, r) =>
-      l.select(lit(n).as("join_name"), lit("L").as("side"), col("k"))
-        .unionByName(r.select(lit(n).as("join_name"), lit("R").as("side"), col("k")))
+    // ONE key-count aggregate per join side feeds all three statistics
+    // (r15, guide §2.3/§2.4): the old shape scanned every side TWICE —
+    // once into a corpus-wide union for n + an exact string distinct()
+    // ahead of the register build, once into per-key counts for the
+    // truth — so lineitem crossed the wire four times, once as a full
+    // duplicate-mass string relation. The per-key count relation is
+    // already distinct on k, so it IS the register input (same md5 over
+    // the same distinct key strings ⇒ bit-identical registers), n is
+    // its count-weighted sum, and the truth join reuses it as before.
+    // Row counts, NDV estimate, estimate arithmetic and the oracle SQL
+    // are unchanged.
+    val counted = joinPairs(s, dir).map { case (n, l, r) =>
+      (n, l.groupBy("k").agg(count(lit(1)).as("c")).localCheckpoint(false),
+          r.groupBy("k").agg(count(lit(1)).as("c")).localCheckpoint(false))
+    }
+    val keyed = counted.map { case (n, gl, gr) =>
+      gl.select(lit(n).as("join_name"), lit("L").as("side"),
+          col("k"), col("c"))
+        .unionByName(gr.select(lit(n).as("join_name"), lit("R").as("side"),
+          col("k"), col("c")))
     }.reduce(_ unionByName _)
-    val keyed = sides.select(col("join_name"), col("side"),
-      concat_ws("|", col("join_name"), col("side")).as("jk"),
-      col("k").cast("string").as("w"))
-    val ns = keyed.groupBy("join_name", "side").agg(count(lit(1)).as("n"))
+      .select(col("join_name"), col("side"),
+        concat_ws("|", col("join_name"), col("side")).as("jk"),
+        col("k").cast("string").as("w"), col("c"))
+    val ns = keyed.groupBy("join_name", "side").agg(sum(col("c")).as("n"))
     val ndv = estimateBy(
-        registerTable(keyed.select("jk", "w").distinct(), key = "jk", value = "w"),
+        registerTable(keyed.select("jk", "w"), key = "jk", value = "w"),
         Seq("jk"), "ndv")
       .select(expr("split(jk, '\\\\|')[0]").as("join_name"),
               expr("split(jk, '\\\\|')[1]").as("side"), col("ndv"))
@@ -352,9 +369,9 @@ object Sketches {
         max(when(col("side") === "R", col("ndv"))).as("ndv_right"))
       .withColumn("est_rows",
         expr("(n_left * n_right) div greatest(ndv_left, ndv_right)"))
-    val actual = joinPairs(s, dir).map { case (n, l, r) =>
-      l.groupBy("k").agg(count(lit(1)).as("ca"))
-        .join(r.groupBy("k").agg(count(lit(1)).as("cb")), "k")
+    val actual = counted.map { case (n, gl, gr) =>
+      gl.withColumnRenamed("c", "ca")
+        .join(gr.withColumnRenamed("c", "cb"), "k")
         .agg(sum(col("ca") * col("cb")).as("actual_rows"))
         .select(lit(n).as("join_name"), col("actual_rows"))
     }.reduce(_ unionByName _)

@@ -254,15 +254,10 @@ object StreamingGate {
                           sinkMode: String = "append"): DataFrame = {
     val name = s"graft_stream_gate_${runCounter.incrementAndGet()}"
     val ckpt = graft.TempDirs.create("graft-stream-ckpt")
-    // Stateful streaming cost scales with the state-partition count
-    // (one store instance per shuffle partition per batch) far more
-    // than with this replay's data volume — run the gate at 8 state
-    // partitions instead of the session's 32. Safe per run because the
-    // partition count is pinned by each run's FRESH checkpoint; a
-    // production job sizes this to its own key cardinality.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // Gate-scoped confs (state partitions + checkpoint sidecar policy):
+    // see [[withGateConfs]]. Safe per run because both are pinned at
+    // stream start against each run's FRESH checkpoint.
+    withGateConfs(spark) {
       val q = transform(stream(spark, staged, filesPerTrigger)).writeStream
         .format("memory")
         .queryName(name)
@@ -272,7 +267,7 @@ object StreamingGate {
         .start()
       q.awaitTermination()
       lastRunProgress.set(q.recentProgress.toSeq)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     spark.table(name)
   }
 
@@ -693,6 +688,47 @@ object StreamingGate {
     }
   }
 
+  /** Gate-scoped streaming session confs, applied for one engine run
+    * and restored after (same per-run-scoping argument as
+    * [[withRocksDb]]: both are read at stream START):
+    *
+    *  - `spark.sql.shuffle.partitions` — stateful streaming cost
+    *    scales with the state-partition count (one store instance per
+    *    shuffle partition per stateful operator per batch) far more
+    *    than with a bounded replay's data volume; 8 instead of the
+    *    session's core count. A production job sizes this to its own
+    *    key cardinality (`GRAFT_STREAM_PARTS` overrides).
+    *
+    *  - `spark.sql.streaming.checkpoint.fileChecksum.enabled=false` —
+    *    Spark 4.1 writes a sidecar checksum file for every checkpoint
+    *    file (state deltas, offsets, commits) and blocks the store
+    *    commit on it (`ChecksumCheckpointFileManager.awaitResult` —
+    *    thread dumps showed all executor threads parked there; a
+    *    ZERO-row q106 batch cost 1.35 s, dropping to 0.80 s with the
+    *    sidecars off). The sidecars double checkpoint-commit file ops
+    *    per batch at ANY scale — on an object store that is twice the
+    *    PUT rate on the latency-critical commit path. The gates'
+    *    correctness story never reads them: every gate is
+    *    oracle-hash-gated end-to-end and q82 proves restart recovery
+    *    directly. `GRAFT_CKPT_CHECKSUM=true` restores the default for
+    *    deployments that want storage-corruption detection on
+    *    checkpoint reads (guide §1.2: config after algorithm — this is
+    *    an I/O-op-count change, measured per batch). */
+  private def withGateConfs[A](spark: SparkSession)(body: => A): A = {
+    val wanted = Seq(
+      "spark.sql.shuffle.partitions" ->
+        sys.env.getOrElse("GRAFT_STREAM_PARTS", "8"),
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" ->
+        sys.env.getOrElse("GRAFT_CKPT_CHECKSUM", "false"))
+    val prevs = wanted.map { case (k, _) => k -> spark.conf.getOption(k) }
+    wanted.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prevs.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** q76: ARBITRARY STATE V2 (transformWithState) through the
     * micro-batch engine, two-copy staged replay — the q65 proof applied
     * to the new API: the per-user MaxCount ValueState emits n after
@@ -846,10 +882,12 @@ object StreamingGate {
         .start()
       q.awaitTermination()
     }
-    deliver("00-events.parquet")
-    runOnce() // run 1: fixture lands in the sink, state+offsets checkpoint
-    deliver("01-events.parquet")
-    runOnce() // run 2: NEW query, SAME checkpoint — must add nothing
+    withGateConfs(spark) {
+      deliver("00-events.parquet")
+      runOnce() // run 1: fixture lands in the sink, state+offsets checkpoint
+      deliver("01-events.parquet")
+      runOnce() // run 2: NEW query, SAME checkpoint — must add nothing
+    }
     spark.read.parquet(sink.toString).orderBy("event_id")
   }
 
@@ -907,11 +945,13 @@ object StreamingGate {
       q.awaitTermination()
       q.recentProgress.map(_.numInputRows).sum
     }
-    val nA = deliverHalf(0, "00-even.parquet")
-    runOnce()
-    val nB = deliverHalf(1, "01-odd.parquet")
-    val run2Rows = runOnce()
-    lastIncrementalRun.set((nA, nB, run2Rows))
+    withGateConfs(spark) {
+      val nA = deliverHalf(0, "00-even.parquet")
+      runOnce()
+      val nB = deliverHalf(1, "01-odd.parquet")
+      val run2Rows = runOnce()
+      lastIncrementalRun.set((nA, nB, run2Rows))
+    }
     spark.read.parquet(sink.toString).orderBy("event_id")
   }
 
@@ -1169,9 +1209,7 @@ object StreamingGate {
     val staged = stageWithSentinel(spark, dir, copies = 2)
     val root = graft.TempDirs.create("graft-upsert-snap")
     val ckpt = graft.TempDirs.create("graft-upsert-ckpt")
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withGateConfs(spark) {
       val q = stream(spark, staged, Some(1))
         .filter(col("event_id") >= 0) // sentinel stays out of the snapshot
         .select(col("user_id"), expr("ts_ns div 1000").as("last_us"),
@@ -1184,7 +1222,7 @@ object StreamingGate {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     val latest = Paths.get(latestSnapshotBefore(root, Long.MaxValue,
       requireManifest = true).get).getFileName.toString.drop(1).toLong
     (root, latest)
@@ -1349,9 +1387,7 @@ object StreamingGate {
     val staged = stageEventsTimeSplit(spark, dir)
     val name = s"graft_stream_gate_${runCounter.incrementAndGet()}"
     val ckpt = graft.TempDirs.create("graft-stream-ckpt")
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withGateConfs(spark) {
       val q = EventsStreaming.scdIntervals(
           stream(spark, staged, filesPerTrigger = Some(1)))
         .toDF()
@@ -1365,7 +1401,7 @@ object StreamingGate {
         .start()
       q.awaitTermination()
       lastRunProgress.set(q.recentProgress.toSeq)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     spark.table(name).orderBy("user_id", "valid_from_us")
   }
 
@@ -1471,9 +1507,7 @@ object StreamingGate {
     val schema = docsAll.schema
     val name = s"graft_stream_gate_${runCounter.incrementAndGet()}"
     val ckpt = graft.TempDirs.create("graft-stream-ckpt")
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withGateConfs(spark) {
       val docs = spark.readStream.schema(schema)
         .option("latestFirst", false)
         .option("maxFilesPerTrigger", 1)
@@ -1506,7 +1540,7 @@ object StreamingGate {
         .start()
       q.awaitTermination()
       lastRunProgress.set(q.recentProgress.toSeq)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
 
     // base verdicts: the SAME register arithmetic relationally — the
     // prefix-min window over each bucket in id (= arrival) order; a
@@ -1610,60 +1644,72 @@ object StreamingGate {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = graft.TempDirs.create("graft-proctime-src")
     val ckpt = graft.TempDirs.create("graft-proctime-ckpt")
-    val all = spark.read.schema(EventsStreaming.rawSchema)
-      .parquet(canonicalEventsFile(spark, dir).toString)
-    val third = pmod(col("event_id"), lit(3))
-    val thirdCounts = all.groupBy(third.as("t")).count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def deliver(i: Int): Unit =
-      writeSingleParquet(all.filter(third === i),
-        src.resolve(f"$i%02d-events.parquet"), System.currentTimeMillis())
+    // Third-split staging cached per fixture (r15) — staging-cache
+    // parity with every other gate (stageWithSentinel et al.): the
+    // three delivery files and their row counts are a pure function of
+    // the fixture, so the filter+write jobs and the count aggregate run
+    // once per JVM instead of once per bench rep. Each call still
+    // delivers into ITS OWN fresh source dir with fresh mtimes; the
+    // move keeps per-delivery publication atomic (a wall-clock trigger
+    // must never list a half-copied file).
+    val (thirdCounts, thirdFiles) = stagedThirds(spark, dir)
+    val scratch = graft.TempDirs.create("graft-proctime-scratch")
+    def deliver(i: Int): Unit = {
+      val name = f"$i%02d-events.parquet"
+      val tmp = scratch.resolve(name)
+      Files.copy(thirdFiles(i), tmp, StandardCopyOption.REPLACE_EXISTING)
+      Files.move(tmp, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(src.resolve(name),
+        FileTime.fromMillis(System.currentTimeMillis()))
+    }
     val name = s"graft_stream_gate_${runCounter.incrementAndGet()}"
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    // the conf-restoring try opens BEFORE the first delivery write and
-    // the query start — either failing must not leak partitions=8 into
-    // the rest of the session (every other gate sets the conf directly
-    // before its try; this gate does real work in between)
-    val q =
+    // withGateConfs opens BEFORE the first delivery write and the query
+    // start — either failing must not leak the gate confs into the rest
+    // of the session (this gate does real work between set and start)
+    val q = withGateConfs(spark) {
+      deliver(0)
+      val q = spark.readStream.schema(EventsStreaming.rawSchema)
+        .option("latestFirst", false)
+        .parquet(src.toString)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        // 150 ms (was 400): the cadence is a latency/overhead knob, not
+        // semantics — complete-mode aggregation is batch-boundary
+        // invariant (this gate's whole premise) and the delivery
+        // protocol serializes thirds on sink progress, so any real
+        // wall-clock cadence yields the same ≥3 data triggers and the
+        // same final aggregate; the shorter interval just stops the
+        // gate idling between a delivery and the trigger that sees it.
+        // A production deployment tunes this to its arrival rate
+        // (GRAFT_PROCTIME_MS overrides).
+        .trigger(Trigger.ProcessingTime(
+          sys.env.getOrElse("GRAFT_PROCTIME_MS", "150") + " milliseconds"))
+        .start()
+      def sinkTotal(): Long = {
+        val r = spark.table(name).agg(sum("n_events")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      def awaitTotal(target: Long): Unit = {
+        val deadline = System.currentTimeMillis + 120000
+        while (sinkTotal() < target && System.currentTimeMillis < deadline)
+          Thread.sleep(25) // poll well inside the trigger cadence
+        require(sinkTotal() >= target,
+          s"q214: sink stuck at ${sinkTotal()} rows awaiting $target")
+      }
       try {
-        deliver(0)
-        spark.readStream.schema(EventsStreaming.rawSchema)
-          .option("latestFirst", false)
-          .parquet(src.toString)
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n_events"),
-            sum(round(col("value") * 100).cast("long")).as("value_cents"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("complete")
-          .option("checkpointLocation", ckpt.toString)
-          .trigger(Trigger.ProcessingTime("400 milliseconds"))
-          .start()
-      } catch { case e: Throwable =>
-        spark.conf.set("spark.sql.shuffle.partitions", prev); throw e
-      }
-    def sinkTotal(): Long = {
-      val r = spark.table(name).agg(sum("n_events")).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
-    def awaitTotal(target: Long): Unit = {
-      val deadline = System.currentTimeMillis + 120000
-      while (sinkTotal() < target && System.currentTimeMillis < deadline)
-        Thread.sleep(100)
-      require(sinkTotal() >= target,
-        s"q214: sink stuck at ${sinkTotal()} rows awaiting $target")
-    }
-    try {
-      var sofar = thirdCounts.getOrElse(0L, 0L)
-      awaitTotal(sofar)
-      for (i <- 1 to 2) {
-        deliver(i)
-        sofar += thirdCounts.getOrElse(i.toLong, 0L)
+        var sofar = thirdCounts.getOrElse(0L, 0L)
         awaitTotal(sofar)
-      }
-    } finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for (i <- 1 to 2) {
+          deliver(i)
+          sofar += thirdCounts.getOrElse(i.toLong, 0L)
+          awaitTotal(sofar)
+        }
+      } finally q.stop()
+      q
     }
     val prog = q.recentProgress.toSeq
     val dataTriggers = prog.count(_.numInputRows > 0)
@@ -1673,6 +1719,30 @@ object StreamingGate {
       s"q214: expected >= 3 data-carrying wall-clock triggers, saw $dataTriggers")
     spark.table(name).orderBy("event_type")
   }
+
+  private val thirdsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Map[Long, Long], IndexedSeq[Path])]()
+
+  /** q214's delivery units: the fixture split into three disjoint
+    * thirds by event_id mod 3, one part file each, plus each third's
+    * row count — a pure function of the fixture, built once per JVM
+    * (keyed on the floor mode like every staging cache). */
+  private def stagedThirds(spark: SparkSession,
+                           dir: String): (Map[Long, Long], IndexedSeq[Path]) =
+    thirdsCache.computeIfAbsent(s"$dir$floorKey", { _ =>
+      val all = spark.read.schema(EventsStreaming.rawSchema)
+        .parquet(canonicalEventsFile(spark, dir).toString)
+      val third = pmod(col("event_id"), lit(3))
+      val counts = all.groupBy(third.as("t")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val home = graft.TempDirs.create("graft-proctime-thirds")
+      val files = (0 to 2).map { i =>
+        val f = home.resolve(f"$i%02d-events.parquet")
+        writeSingleParquet(all.filter(third === i), f, System.currentTimeMillis())
+        f
+      }
+      (counts, files)
+    })
 
   /** Wall-clock-scheduled replay must land on the batch aggregate. */
   val q214Sql: String =
