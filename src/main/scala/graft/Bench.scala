@@ -89,13 +89,21 @@ object Bench {
     // columns (q118 exact_tokens, q129 ndv_exact) stay in verify runs
     // but are dropped here unless SPARK_GRAFT_WITNESS=on (A/B hatch).
     Witness.enabled = sys.env.get("SPARK_GRAFT_WITNESS").contains("on")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // A/B hatch mirroring StreamDiag's GRAFT_DIAG_CONF: arbitrary
+    // session confs ("k=v;k=v") for knob experiments without a
+    // recompile each; the driver never sets it, so the measured
+    // configuration is the committed one.
+    val spark = sys.env.get("GRAFT_BENCH_CONF").toSeq
+      .flatMap(_.split(";")).filter(_.contains("="))
+      .foldLeft(builder) { (bb, kv) =>
+        val Array(k, v) = kv.split("=", 2); bb.config(k, v) }
       .getOrCreate()
     // ERROR, not WARN: benign per-query warnings (function re-registration,
     // plan-string truncation) would interleave with the one JSON metric
@@ -158,7 +166,10 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     case class Attr(sec: Double, otherCpu: Double, ownCpu: Double,
-                    ioWait: Double, load: Double, retries: Int)
+                    ioWait: Double, load: Double, retries: Int,
+                    psiCpu: Double = -1.0, psiIo: Double = -1.0,
+                    psiIoFull: Double = -1.0, psiMem: Double = -1.0,
+                    stallFrac: Double = 0.0, stallSite: String = "")
     // ROW-WISE QUIET (round-14 verdict item 2): a row whose own /proc
     // window shows co-tenant CPU > 0.05 or io_wait > 0.02 impeaches
     // itself — three rounds running such rows were published, then
@@ -173,7 +184,9 @@ object Bench {
     val results = names.map { n =>
       def attempt(retries: Int): Attr = {
         val (sec, w) = ProcStat.windowed(median3(n))
-        Attr(sec, w.otherCpu, w.ownCpu, w.ioWait, w.load, retries)
+        Attr(sec, w.otherCpu, w.ownCpu, w.ioWait, w.load, retries,
+          w.psiCpu, w.psiIo, w.psiIoFull, w.psiMem,
+          w.stallFrac, w.stallSite)
       }
       def impeached(a: Attr): Boolean =
         a.sec >= 0 && (a.otherCpu > ProcStat.ImpeachOtherCpu ||
@@ -193,14 +206,27 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.sec }
       .mkString("{", ",", "}")
-    // the attribution sidecar: same keys, window-scoped cpu shares —
-    // kept OUT of "queries" so existing consumers of the sec map never
-    // see a shape change
+    // the attribution sidecar: same keys, window-scoped cpu shares +
+    // the round-16 wait-attribution columns (PSI stall shares and the
+    // parked-task sampler — the r15 verdict's idle-CPU anti-scaling
+    // tail was invisible to the cpu trichotomy because a parked thread
+    // burns nothing in any of its columns). Lives ONLY in the artifact
+    // file since round 16: BENCH_r14's stdout line grew past the
+    // driver's tail capture and killed a round of PERF comparability,
+    // so the contract line carries the contract fields + the sec map
+    // and nothing else; the sidecars stay committed via
+    // bench_result.json.
     val loadMap = results.map { case (k, v) =>
       "\"" + k + "\":{\"other_cpu\":" + f"${v.otherCpu}%.3f" +
         ",\"own_cpu\":" + f"${v.ownCpu}%.3f" +
         ",\"io_wait\":" + f"${v.ioWait}%.3f" +
         ",\"loadavg\":" + f"${v.load}%.2f" +
+        ",\"psi_cpu\":" + f"${v.psiCpu}%.3f" +
+        ",\"psi_io\":" + f"${v.psiIo}%.3f" +
+        ",\"psi_io_full\":" + f"${v.psiIoFull}%.3f" +
+        ",\"psi_mem\":" + f"${v.psiMem}%.3f" +
+        ",\"stall_frac\":" + f"${v.stallFrac}%.3f" +
+        ",\"stall_site\":\"" + v.stallSite + "\"" +
         ",\"retries\":" + v.retries + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).filter(_ >= 0).sum
@@ -214,12 +240,14 @@ object Bench {
       s""""witness":${Witness.enabled},"git_head":"${gitHead()}",""" +
       s""""calibration":{"pre_lcg_sec":${f"$calPre%.3f"},"post_lcg_sec":${f"$calPost%.3f"},""" +
       s""""loadavg_pre":${f"$loadPre%.2f"},"loadavg_post":${f"$loadPost%.2f"}},""" +
-      s""""queries":$qs,"query_load":$loadMap,"sf":"$sfDir"}"""
+      s""""queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // Belt-and-braces for consumers that scrape a log-decorated stdout:
-    // the same line, alone, in a file.
+    // The full artifact (stdout contract line's fields + the
+    // attribution sidecar map) — committed at round close; consumers
+    // that need per-query wait attribution read THIS, never stdout.
+    val artifact = line.dropRight(1) + s""","query_load":$loadMap}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (artifact + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

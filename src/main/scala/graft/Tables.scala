@@ -20,7 +20,16 @@ object Tables {
     * thousands of times across queries and bench reps. A fixture's
     * schema is immutable metadata, so it is read once per JVM and
     * passed explicitly thereafter — the scan itself is planned exactly
-    * as before (this memoizes METADATA, never data or results). */
+    * as before (this memoizes METADATA, never data or results).
+    *
+    * Boundary notes (round-15 ADVICE): the cache is keyed on PATH alone
+    * and shared across sessions in the JVM, safe because fixture files
+    * are immutable for a JVM's lifetime. One inference-order dependency
+    * exists: the events schema must be inferred with
+    * `spark.sql.legacy.parquet.nanosAsLong` set (nanos fixtures fail
+    * inference otherwise), which [[events]] guarantees by setting the
+    * conf before its first `read` — any new call site that reads the
+    * events path must go through [[events]], never [[read]] directly. */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.StructType]()
 

@@ -937,6 +937,21 @@ object Curation {
           (p.substring(0, i), p.substring(i + 1))
         }
     val bc = spark.sparkContext.broadcast(merges)
+    // ONE encode pass (r16, guide §1.2/§2.4): the old plan consumed the
+    // un-materialized encode output twice — once under the vocabulary's
+    // broadcast subtree, once in the main id-attachment path — so the
+    // O(ranks·n) merge kernel ran TWICE per query; and the id
+    // attachment itself was a posexplode + broadcast join + a full
+    // (doc_id, pos, tok_id) shuffle into collect_list + sort_array.
+    // localCheckpoint materializes the kernel's output once (the
+    // standard lineage-cut; MEMORY_AND_DISK, executor-side), and the
+    // id attachment becomes a per-row map lookup: the vocabulary is
+    // Zipf-bounded (q49's argument) and was ALREADY driver-collected in
+    // spirit (it was broadcast), so collecting the ordered distinct
+    // symbols and broadcasting symbol→dense-id turns the join + shuffle
+    // + per-group sort into one stateless projection. md5 stays a
+    // COLUMN expression over the joined id string — same builtin, same
+    // bytes, engine parity untouched.
     val encoded = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
@@ -944,21 +959,26 @@ object Curation {
         it.map { case (id, toks) => (id, applyMerges(toks, ms)) }
       }
       .toDF("doc_id", "syms")
-    // dense ids in symbol order: the window is UNPARTITIONED by design —
-    // it runs over the distinct-symbol relation (Zipf-bounded, q49),
-    // never the corpus, the same |small-relation| window as q63's quotas
-    val vocab = encoded.select(explode(col("syms")).as("symbol")).distinct()
-      .withColumn("tok_id",
-        row_number().over(Window.orderBy("symbol")).cast("long"))
-    encoded.select(col("doc_id"), posexplode(col("syms")).as(Seq("pos", "symbol")))
-      .join(broadcast(vocab), "symbol")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("pos"), col("tok_id")))).as("ps"))
-      .select(col("doc_id"),
-        size(col("ps")).cast("long").as("n_tokens"),
-        md5(expr(
-          "cast(array_join(transform(ps, p -> cast(p.tok_id as string)), ',') as binary)"))
-          .as("ids_hash"))
+      .localCheckpoint(true)
+    // dense ids in symbol order — ordered by SPARK (UTF8String binary
+    // order, matching the old window's ORDER BY and the oracle), then
+    // collected: the distinct-symbol relation is Zipf-bounded, never
+    // the corpus
+    val symbols = encoded.select(explode(col("syms")).as("symbol"))
+      .distinct().orderBy("symbol").collect().map(_.getString(0))
+    val idOf: Map[String, Long] =
+      symbols.iterator.zipWithIndex.map { case (s, i) => s -> (i + 1L) }.toMap
+    val bcIds = spark.sparkContext.broadcast(idOf)
+    encoded.as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val m = bcIds.value
+        it.map { case (id, syms) =>
+          (id, syms.length.toLong, syms.iterator.map(m).mkString(","))
+        }
+      }
+      .toDF("doc_id", "n_tokens", "ids_csv")
+      .select(col("doc_id"), col("n_tokens"),
+        md5(col("ids_csv").cast("binary")).as("ids_hash"))
       .orderBy("doc_id")
   }
 
@@ -1914,7 +1934,12 @@ object Curation {
       Seq("total_tokens", "distinct_tokens"))
     val dupStats = stackMetrics(
       Dedup.exactDedup(docs).agg(
-        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("exact_dup_groups"),
+        // coalesce: on an empty corpus this sum is NULL where the
+        // pre-fusion count(lit(1)) (and the oracle's COUNT(*)) return 0
+        // (round-15 ADVICE). redundant_docs deliberately NOT coalesced:
+        // its oracle is SUM(n-1), which IS NULL on the empty edge.
+        coalesce(sum(when(col("n_docs") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("exact_dup_groups"),
         sum(col("n_docs") - 1).as("exact_dup_redundant_docs")),
       Seq("exact_dup_groups", "exact_dup_redundant_docs"))
     val rows = Seq(scalars, tokStats, dupStats,

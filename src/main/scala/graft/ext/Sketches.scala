@@ -213,33 +213,53 @@ object Sketches {
     * `ndv_exact` is the fixture-scale quality witness, same contract
     * as q118's exact_tokens: a production run drops it. */
   def tableStats(li: DataFrame): DataFrame = {
-    val stacked = li
-      .select(explode(array(StatsCols.map { case (n, e, _) =>
-        struct(lit(n).as("col_name"), expr(e).as("v")) }: _*)).as("s"))
-      .select(col("s.col_name").as("col_name"), col("s.v").as("v"))
-    val base = stacked.groupBy("col_name").agg(
-      count(lit(1)).as("n_rows"),
-      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
-      min(col("v")).as("min_val"), max(col("v")).as("max_val"))
+    // Base stats WITHOUT the unpivot (r16, guide §2.4): the old shape
+    // exploded every row into 7 (col_name, v) structs and aggregated
+    // that 7x mass — and because the base aggregate and the NDV
+    // subtree were separate consumers of the generator, the scan +
+    // explode ran TWICE per query. count/nulls/min/max need no unpivot
+    // at all: one single-row 22-aggregate pass over the original row
+    // shape (map-side partials, 1-row exchange), stacked to 7 rows
+    // AFTER the aggregate (the stack generator runs over one row).
+    val base = {
+      val aggs = StatsCols.flatMap { case (n, e, _) => Seq(
+        sum(when(expr(e).isNull, 1L).otherwise(0L)).as(s"${n}__nulls"),
+        min(expr(e)).as(s"${n}__min"),
+        max(expr(e)).as(s"${n}__max")) }
+      val stackArgs = StatsCols.map { case (n, _, _) =>
+        s"'$n', ${n}__nulls, ${n}__min, ${n}__max" }.mkString(", ")
+      li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(col("n_rows"), expr(s"stack(${StatsCols.size}, $stackArgs)")
+          .as(Seq("col_name", "n_nulls", "min_val", "max_val")))
+    }
     // distinct-first is MEASURED, not assumed: registers are
     // duplicate-insensitive and the (col, reg) aggregate map-side
     // combines, so dropping the distinct() looks like it should save a
     // shuffle — but md5+conv+rho over the raw 4.2M-row duplicate mass
     // costs more than the distinct pairs' narrow shuffle saves
     // (A/B at sf0.1: 3.7 s with distinct-first, 5.2 s without).
-    val tok = stacked.filter(col("v").isNotNull)
-      .withColumn("w", col("v").cast("string"))
-      .select("col_name", "w").distinct()
-    val ests = estimateBy(registerTable(tok, key = "col_name"),
-      Seq("col_name"), estName = "ndv_est")
+    // r16 (guide §2.3, narrower types): the distinct pairs shuffle a
+    // 4-byte column INDEX instead of the up-to-21-char col_name; names
+    // re-attach from a 7-element literal array after the aggregates.
+    val nameOf = array(StatsCols.map { case (n, _, _) => lit(n) }: _*)
+    val stacked = li
+      .select(explode(array(StatsCols.zipWithIndex.map { case ((_, e, _), i) =>
+        struct(lit(i).as("ci"), expr(e).cast("string").as("w")) }: _*)).as("s"))
+      .select(col("s.ci").as("ci"), col("s.w").as("w"))
+      .filter(col("w").isNotNull)
+    val tok = stacked.distinct()
+    val ests = estimateBy(registerTable(tok, key = "ci"),
+      Seq("ci"), estName = "ndv_est")
+      .withColumn("col_name", element_at(nameOf, col("ci") + 1))
     if (!graft.Witness.enabled)
       // production plan: stats + sketch NDV, no exact-NDV witness twin
       return base.join(ests, Seq("col_name"))
         .select(col("col_name"), col("n_rows"), col("n_nulls"),
           col("min_val"), col("max_val"), col("ndv_est"))
         .orderBy("col_name")
-    val exact = stacked.filter(col("v").isNotNull)
-      .groupBy("col_name").agg(countDistinct(col("v")).as("ndv_exact"))
+    val exact = stacked
+      .groupBy("ci").agg(countDistinct(col("w")).as("ndv_exact"))
+      .withColumn("col_name", element_at(nameOf, col("ci") + 1))
     base.join(ests, Seq("col_name")).join(exact, Seq("col_name"))
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("min_val"), col("max_val"), col("ndv_est"), col("ndv_exact"))

@@ -1058,7 +1058,15 @@ object TextAnalysis {
     * fourth pass); a 100 TB run persists the scored relation once and
     * the selection passes touch only the tiny bucket relations. */
   def curriculumBuckets(docs: DataFrame): DataFrame = {
+    // persist the scored relation ONCE (r16, guide §1.2 — this is the
+    // "persists the scored relation once" the scale note below always
+    // claimed): the histogram, the in-bucket threshold select, and the
+    // stage assignment are three separate consumers, and without the
+    // materialization each replayed the post-exchange half of the q120
+    // scoring aggregate (the corpus-mass token groupBy) — exchange
+    // reuse only dedups the map side. (doc_id, score) is 16 bytes/row.
     val scored = classifierScores(docs).select(col("doc_id"), col("score"))
+      .localCheckpoint(true)
     val vals = scored.select(col("doc_id"), col("score").as("v"),
       shiftright(col("score"), CurriculumBucketShift).as("bucket"))
     // the histogram relation carries BOTH the exclusive prefix sums and
@@ -1238,16 +1246,40 @@ object TextAnalysis {
                                     qterms: Seq[(String, Long)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    if (qterms.isEmpty)
+      // empty-corpus discovery ⇒ nothing can score (the old inner join
+      // against an empty tf side returned the same zero rows)
+      return docs.select(col("doc_id")).limit(0)
+        .select(col("doc_id"), lit(0L).as("score_e6"), lit(0L).as("n_terms"))
     val t = toksAll(docs)
-    val qdf = qterms.toDF("token", "df")
-    val lens = t.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val totLen = lens.agg(sum(col("len")).as("total_len"))
-    val tf = t.join(broadcast(qdf.select("token")), "token")
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .join(broadcast(qdf), "token")
-    lens.join(broadcast(tf), "doc_id")
+    // ONE corpus pass for lengths AND query-term tfs (r16, guide §2.4):
+    // the old shape exploded the corpus twice — once for the per-doc
+    // length aggregate, once for the query-term tf slice — and built
+    // the tf side as a separate broadcast job. The query is a COLLECTED
+    // ≤[[BmQTerms]]-row table, so each term's tf folds into the length
+    // aggregate as one conditional sum; the tiny (doc_id, len, tf_i..)
+    // partials shuffle once, the per-term rows come back via stack (a
+    // generator over the ALREADY-AGGREGATED relation, partitioned by
+    // doc_id), and the final per-doc score aggregate reuses that same
+    // exchange — no second corpus explode, no tf broadcast build.
+    val tfAggs = qterms.zipWithIndex.map { case ((tok, _), i) =>
+      sum(when(col("token") === tok, 1L).otherwise(0L)).as(s"tf_$i") }
+    val perDoc = t.groupBy("doc_id")
+      .agg(count(lit(1)).as("len"), tfAggs: _*)
+    val totLen = perDoc.agg(sum(col("len")).as("total_len"))
+    val dfOf = array(qterms.map { case (_, df) => lit(df) }: _*)
+    val tf = perDoc
+      .select(col("doc_id"), col("len"),
+        expr(s"stack(${qterms.size}, " +
+          qterms.indices.map(i => s"$i, tf_$i").mkString(", ") + ")")
+          .as(Seq("qi", "tf")))
+      .filter(col("tf") > 0)
+      .withColumn("df", element_at(dfOf, col("qi") + 1))
+    tf
       .crossJoin(broadcast(nDocs)).crossJoin(broadcast(totLen))
+      .select(col("doc_id"), col("len"), col("tf"), col("df"),
+        col("n_docs"), col("total_len"))
       .select(col("doc_id"),
         expr("(1000000 * (n_docs - df + 1)) div (df + 1)").as("idf_e6"),
         when(col("total_len") * col("tf") > BmMaxLenTf,
@@ -1772,8 +1804,13 @@ object TextAnalysis {
     * broadcast back; per-source output hash-pins the flagged doc SET
     * via count + doc_id sum. */
   def madOutliers(docs: DataFrame): DataFrame = {
+    // persisted once (r16): the median subtree, the deviation pass and
+    // the final rollup are three consumers — without this the q120
+    // scoring aggregate's reduce side replayed per consumer (the q133
+    // fix, same shape; 24 bytes/row)
     val scores = classifierScores(docs).select(col("doc_id"), col("score"))
       .join(docs.select("doc_id", "source"), "doc_id")
+      .localCheckpoint(true)
     val nW = Window.partitionBy("source")
     val rankW = Window.partitionBy("source").orderBy("score", "doc_id")
     val med = scores.withColumn("rn", row_number().over(rankW))

@@ -719,7 +719,14 @@ object StreamingGate {
       "spark.sql.shuffle.partitions" ->
         sys.env.getOrElse("GRAFT_STREAM_PARTS", "8"),
       "spark.sql.streaming.checkpoint.fileChecksum.enabled" ->
-        sys.env.getOrElse("GRAFT_CKPT_CHECKSUM", "false"))
+        sys.env.getOrElse("GRAFT_CKPT_CHECKSUM", "false"),
+      // q214's dataTriggers/lastProcTimeRun counters read
+      // q.recentProgress, which Spark caps at ~100 entries by default —
+      // at the 150 ms proc-time cadence a loaded run can evict the
+      // first data-carrying trigger and fail the gate spuriously
+      // (round-15 ADVICE). Progress objects are small; 10k entries
+      // covers minutes of triggers.
+      "spark.sql.streaming.numRecentProgressUpdates" -> "10000")
     val prevs = wanted.map { case (k, _) => k -> spark.conf.getOption(k) }
     wanted.foreach { case (k, v) => spark.conf.set(k, v) }
     try body

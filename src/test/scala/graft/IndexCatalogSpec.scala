@@ -710,6 +710,29 @@ class IndexCatalogSpec extends SparkSpec {
       assert(Similarity.corpusCount(emb) == n1)
     }
   }
+
+  test("memo-family boundary: a cold catalog + cold memos reproduces every catalog-riding query bit-for-bit") {
+    // Round-15 verdict item 8: the per-JVM memo family (schemas,
+    // staging, corpus-n) and the one cross-run persistence (the
+    // IndexCatalog) must never grow into result caching. Pin: every
+    // bench query that rides the catalog produces IDENTICAL rows when
+    // the catalog root is brand new and every in-memory memo is
+    // dropped — i.e. the only thing the stored-index design is allowed
+    // to change is HOW the index exists, never what any query returns.
+    val riding = Seq("q18_ivf_topk", "q80_quantized_ivf",
+      "q155_incremental_ivf", "q179_ivf_tombstones",
+      "q186_incremental_neardup", "q137_gram_index_skipping")
+    def run(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+    val warm = riding.map(n => n -> run(n)).toMap
+    withFreshRoot {
+      graft.ext.Similarity.resetCountMemo()
+      riding.foreach { n =>
+        assert(run(n) == warm(n),
+          s"$n under a cold catalog diverged from its warm-catalog rows")
+      }
+    }
+  }
 }
 
 /** Counts every filesystem operation (metadata and data) so the spec

@@ -1286,8 +1286,10 @@ class PlanSpec extends SparkSpec {
     // lazy localCheckpoint are enumerated by their OWN query's plan at
     // build time; the checkpoint consumers see a leaf.)
     val allowed: Map[String, String] = Map( // name -> the bounded relation
-      "q113_bpe_encode" -> "BPE merge table (topK collect -> broadcast, vocab-sized)",
-      "q114_packed_bpe" -> "same merge-table numbering as q113",
+      // q113/q114/q200/q201 left this set in r16: bpeEncode's dense-id
+      // numbering no longer uses a window at all (the vocab-sized
+      // distinct is ordered by Spark and collected, ids attach as a
+      // broadcast map lookup)
       "q128_exact_quantiles" -> "selected-bucket histogram registers (<= 2^shift rows; asserted above)",
       "q131_global_rownum" -> "per-partition count/offset relation (#partitions rows; corpus window asserted partitioned above)",
       "q133_curriculum" -> "score-bucket histogram (two windows over the tiny sorted register)",
@@ -1299,8 +1301,6 @@ class PlanSpec extends SparkSpec {
       "q191_interleave" -> "per-source offset table (asserted above: phases rank partitioned)",
       "q195_rank_fusion" -> "fused top-k retrieval lists (TakeOrdered cuts)",
       "q197_hard_negatives" -> "top-k candidate cuts over the q143 pass",
-      "q200_tokenizer_fertility" -> "per-source fertility aggregate (|sources| rows)",
-      "q201_mask_spans" -> "vocab-sized merge numbering (rides q113)",
       "q203_vocab_growth" -> "vocab growth-curve register (bucketed vocab aggregate)",
       "q211_cascade_rerank" -> "retrieve-stage top-k lists",
       "q213_split_leakage" -> "banded-pair probe relation (capped pair graph slice)",
